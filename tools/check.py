@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/check.py [sf_dir] [verify_out_dir]
+
+Assumes `graft.Verify` has already been run (sbt "runMain graft.Verify
+<sf_dir> <out_dir>"). Registers each testdata parquet as a DuckDB view,
+runs every oracle SQL from oracle_sql.json, and compares against the
+Spark-written parquet result: column names (sorted), row counts, and
+cell-exact values on rows sorted by all columns.
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            spark_df = canon(con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf())
+            ora_df = canon(con.execute(sql).fetchdf())
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if list(spark_df.columns) != list(ora_df.columns):
+            print(f"FAIL {name}: columns spark={list(spark_df.columns)} oracle={list(ora_df.columns)}")
+            n_fail += 1
+            continue
+        if len(spark_df) != len(ora_df):
+            print(f"FAIL {name}: rows spark={len(spark_df)} oracle={len(ora_df)}")
+            n_fail += 1
+            continue
+        bad = None
+        for col in spark_df.columns:
+            sv, ov = spark_df[col].tolist(), ora_df[col].tolist()
+            for i, (a, b) in enumerate(zip(sv, ov)):
+                if not cells_equal(a, b):
+                    bad = (col, i, a, b)
+                    break
+            if bad:
+                break
+        if bad:
+            col, i, a, b = bad
+            print(f"FAIL {name}: cell mismatch col={col} row={i} spark={a!r} oracle={b!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(spark_df)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
