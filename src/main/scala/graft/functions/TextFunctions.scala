@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar functions for the training-data pipeline plane.
+  *
+  * All functions are pure Column expressions (whole-stage-codegen
+  * friendly, no UDFs): at 100 TB these run embarrassingly parallel
+  * inside the parquet scan projection with zero shuffle.
+  *
+  * Cross-engine determinism: everything bottoms out in md5/regexp/
+  * length/IEEE-double ops that evaluate bit-identically in DuckDB, so
+  * every function here is oracle-checkable.
+  */
+object TextFunctions {
+
+  /** Let-binding for Column expressions: evaluates `value` ONCE per row
+    * and binds it as the lambda variable of a single-element
+    * `transform`, so `body` can reference it many times without
+    * Catalyst's CollapseProject re-inlining (and re-executing) the
+    * producing expression. Critical for MinHash: without it the
+    * shingle array is recomputed once per signature row (16×). */
+  def letBound(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), v => body(v)), 1)
+
+  /** whitespace tokenization */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish sub-token segmentation: letter runs, digit runs, single
+    * punctuation — the standard pre-tokenizer shape. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpePattern), lit(0)))
+
+  /** word n-gram shingles (empty array when the doc is shorter than n).
+    * The token array is let-bound: higher-order functions evaluate
+    * interpreted, so an unbound `w` would re-run the regex split for
+    * every element_at — 3× per shingle (measured 100× slowdown). */
+  def shingles(text: Column, n: Int): Column =
+    letBound(tokens(text)) { w =>
+      when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - n), i =>
+          concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+
+  /** distinct md5 hashes of the doc's 3-gram shingles */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    array_distinct(transform(shingles(text, n), md5(_)))
+
+  /** MinHash signature: for seed s, sig(s) = min over shingles of
+    * md5(s || ':' || shingle). String-min over uniform hex == numeric
+    * min-hash; per-row computation, no shuffle (SURVEY §7 north-star
+    * dedup). */
+  def minhashSignature(text: Column, numHashes: Int, n: Int = 3): Column =
+    letBound(shingles(text, n)) { sh =>
+      array((0 until numHashes).map { s =>
+        array_min(transform(sh, x => md5(concat(lit(s.toString), lit(":"), x))))
+      }: _*)
+    }
+
+  /** LSH band keys: band b = md5 of signature rows [b*rows, (b+1)*rows).
+    * Docs sharing any band key are near-dup candidates. */
+  def minhashBands(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r => element_at(sig, b * rows + r + 1)): _*))
+    }: _*)
+
+  /** 16-bit SimHash over distinct words: bit j set iff strictly more
+    * word-hashes have hex digit j in [8..f] than in [0..7]. Returned as
+    * a 16-char '0'/'1' string (hamming distance = char diff count). */
+  def simhash16(text: Column): Column =
+    letBound(array_distinct(transform(tokens(text), md5(_)))) { hashes =>
+      array_join(
+        transform(sequence(lit(0), lit(15)), j =>
+          when(size(filter(hashes, h => h.substr(j + 1, lit(1)) >= "8")) * 2 > size(hashes), "1")
+            .otherwise("0")), "")
+    }
+
+  /** Winnowing-style document fingerprint: the 4 smallest shingle
+    * hashes, joined. Robust to local edits; join-able for dedup. */
+  def fingerprint(text: Column, n: Int = 3): Column =
+    array_join(slice(array_sort(shingleHashes(text, n)), 1, 4), "|")
+
+  // ---- language identification (stopword heuristic) ----
+
+  val StopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  val StopEs = Seq("el", "la", "de", "y", "que", "en", "los")
+  val StopFr = Seq("le", "les", "des", "et", "une", "dans", "est")
+  val StopDe = Seq("der", "die", "das", "und", "ist", "von", "nicht")
+
+  private def stopCount(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stops.map(lit): _*)))
+
+  /** n-gram/stopword heuristic language ID with deterministic
+    * tie-breaking (en > es > fr > de > und). */
+  def langIdHeuristic(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val en = stopCount(toks, StopEn); val es = stopCount(toks, StopEs)
+    val fr = stopCount(toks, StopFr); val de = stopCount(toks, StopDe)
+    when(en === 0 && es === 0 && fr === 0 && de === 0, "und")
+      .when(en >= es && en >= fr && en >= de, "en")
+      .when(es >= fr && es >= de, "es")
+      .when(fr >= de, "fr")
+      .otherwise("de")
+  }
+
+  /** Composite quality score in [0,1]: length, lexical diversity,
+    * stopword density, mean word length. Mirrors the oracle SQL
+    * operation-for-operation so IEEE evaluation order matches. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks).cast("double")
+    val d = size(array_distinct(toks)).cast("double")
+    val sw = stopCount(toks, StopEn).cast("double")
+    val chars = length(regexp_replace(text, "\\s", "")).cast("double")
+    round(
+      lit(0.25) * least(lit(1.0), n / 100.0) +
+      lit(0.25) * (d / n) +
+      lit(0.25) * least(lit(1.0), sw * 5.0 / n) +
+      lit(0.25) * least(lit(1.0), chars / n / 8.0), 6)
+  }
+}

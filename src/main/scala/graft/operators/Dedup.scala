@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operator family for the training-data pipeline
+  * (builder brief: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup).
+  *
+  * Scale design (100 TB):
+  *  - Signature/fingerprint computation is a pure projection — runs
+  *    inside the scan stage, no shuffle, codegen'd.
+  *  - Candidate generation shuffles on the *band key* (LSH) or a
+  *    *blocking key*, never all-pairs: the only O(n²) work happens
+  *    within a bucket, which LSH keeps small by construction.
+  *  - Exact Jaccard verification runs only on candidate pairs (the
+  *    classic MinHash → verify funnel).
+  *  - Exact dedup is one hash-shuffle (`groupBy(content_hash)`); with
+  *    AQE skew handling for pathological duplicate clusters.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical keeper (min id) per content hash.
+    * Returns (id, content_hash, keeper, is_dup). */
+  def exactCanonical(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val hashed = docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val w = Window.partitionBy(col("content_hash"))
+    hashed
+      .withColumn("keeper", min(col(idCol)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("keeper"))
+  }
+
+  /** Per-doc MinHash signature column (array of hex-string minima). */
+  def withMinhash(docs: DataFrame, numHashes: Int = 16,
+                  textCol: String = "text"): DataFrame =
+    docs.withColumn("minhash_sig", minhashSignature(col(textCol), numHashes))
+
+  /** Signature table: per doc, distinct shingle hashes + LSH band keys,
+    * computed in ONE pass over the text and persisted. Everything
+    * downstream (banding self-join, Jaccard verification) references
+    * this table from both join sides — without materialization Spark
+    * would re-run the signature scan once per side. This mirrors the
+    * production shape at 100 TB: the signature table is a first-class
+    * materialized artifact (tiny next to the text), not a throwaway
+    * projection. */
+  private[graft] def signatureTable(docs: DataFrame, numHashes: Int, bands: Int,
+                                    idCol: String, textCol: String): DataFrame = {
+    val rows = numHashes / bands
+    docs.select(col(idCol),
+        shingleHashes(col(textCol)).as("hashes"),
+        letBound(minhashSignature(col(textCol), numHashes)) { sig =>
+          minhashBands(sig, bands, rows)
+        }.as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** LSH banding → distinct candidate pairs (a_id < b_id).
+    * Shuffles on (band_idx, band_hash); only bucket-internal pairs are
+    * materialized. */
+  def minhashCandidatePairs(docs: DataFrame, numHashes: Int = 16,
+                            bands: Int = 4, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame =
+    candidatesFrom(signatureTable(docs, numHashes, bands, idCol, textCol), idCol)
+
+  private def candidatesFrom(sigTable: DataFrame, idCol: String): DataFrame = {
+    val banded = sigTable
+      .select(col(idCol), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val a = banded.select(col(idCol).as("a_id"), col("band_idx"), col("band_hash"))
+    val b = banded.select(col(idCol).as("b_id"), col("band_idx"), col("band_hash"))
+    a.join(b, Seq("band_idx", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard via an inverted shingle index (set-similarity
+    * join): candidate pairs are generated ONLY for docs sharing at
+    * least one shingle hash within the block, and |A∩B| comes from a
+    * count aggregation — no quadratic all-pairs scan, no per-pair array
+    * intersection. Pairs with zero overlap have Jaccard 0 and are
+    * correctly absent (callers filter on a positive threshold).
+    *
+    * Scale: shuffles on (block, shingle_hash); per-shingle fan-out is
+    * bounded by document frequency, and AQE skew-join handles hot
+    * shingles. This is the shape that survives 100 TB; the all-pairs
+    * variant does not. */
+  def jaccardPairsByBlock(docs: DataFrame, blockCol: String,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), col(blockCol).as("block"),
+                         shingleHashes(col(textCol), n).as("hashes"))
+    val inverted = sh.select(col("block"), col(idCol), explode(col("hashes")).as("h"))
+    val a = inverted.select(col("block"), col(idCol).as("a_id"), col("h"))
+    val b = inverted.select(col("block"), col(idCol).as("b_id"), col("h"))
+    val common = a.join(b, Seq("block", "h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("block"), col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("double").as("common"))
+    val sizes = sh.select(col(idCol), size(col("hashes")).as("n_hashes"))
+    common
+      .join(sizes.select(col(idCol).as("a_id"), col("n_hashes").as("a_n")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n_hashes").as("b_n")), "b_id")
+      .select(col("block"), col("a_id"), col("b_id"),
+        round(col("common") / (col("a_n") + col("b_n") - col("common")), 6).as("jaccard"))
+  }
+
+  /** MinHash candidates verified with exact Jaccard (the full funnel).
+    * One signature pass feeds both candidate generation and
+    * verification. */
+  def nearDupsMinhash(docs: DataFrame, threshold: Double,
+                      numHashes: Int = 16, bands: Int = 4,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = signatureTable(docs, numHashes, bands, idCol, textCol)
+    val cands = candidatesFrom(sigs, idCol)
+    val sh = sigs.select(col(idCol), col("hashes"))
+    val common = size(array_intersect(col("a_hashes"), col("b_hashes"))).cast("double")
+    cands
+      .join(sh.select(col(idCol).as("a_id"), col("hashes").as("a_hashes")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("hashes").as("b_hashes")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(common / (size(col("a_hashes")) + size(col("b_hashes")) - common), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Per-doc 16-bit SimHash fingerprint. */
+  def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("simhash", simhash16(col(textCol)))
+
+  /** Embedding-cosine near-duplicates within a blocking key. Norms are
+    * precomputed per vector BEFORE the pair join (1 dot product per
+    * pair instead of 3 — at n² pairs that factor matters). */
+  def embeddingNearDups(emb: DataFrame, threshold: Double,
+                        blockCol: String = "label", idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    import VectorFunctions._
+    val v = emb.select(col(blockCol).as("block"), col(idCol), col(vecCol),
+                       sqrt(norm2(col(vecCol))).as("nrm"))
+    val a = v.select(col("block"), col(idCol).as("a_id"), col(vecCol).as("a_vec"), col("nrm").as("a_nrm"))
+    val b = v.select(col("block"), col(idCol).as("b_id"), col(vecCol).as("b_vec"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("block"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("block"), col("a_id"), col("b_id"),
+        round(dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

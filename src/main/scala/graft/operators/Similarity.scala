@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths per the builder brief:
+  *  - [[bruteForceTopK]] — exact cosine top-k. The query set is
+  *    broadcast (it is small by definition); the corpus streams through
+  *    a single projection+window stage. Correctness baseline.
+  *  - [[lshTopK]] — random-hyperplane LSH bucketing: corpus and queries
+  *    are hashed to sign-bit buckets, candidates come only from the
+  *    query's bucket. This is the 100 TB path: the corpus-side bucket
+  *    assignment is a pure projection, the join shuffles on the (small)
+  *    bucket key, and per-bucket work is bucket-local. Recall is tested
+  *    against the brute-force baseline in SimilaritySpec.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors by cosine for each query vector. Norms are
+    * precomputed on each side before the join (1 dot per pair, not 3). */
+  def bruteForceTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+              sqrt(norm2(col(vecCol))).as("q_nrm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+                          sqrt(norm2(col(vecCol))).as("c_nrm"))
+    val sims = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** LSH-bucketed approximate top-k: only candidates in the query's
+    * hyperplane-sign bucket are scored. */
+  def lshTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+              planes: Int = 8, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = corpus.select(col(idCol), col(vecCol),
+      lshBucket(col(vecCol), planes, dim).as("bucket"),
+      sqrt(norm2(col(vecCol))).as("nrm"))
+    val q = bucketed.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"), col("nrm").as("q_nrm"))
+    val c = bucketed.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"), col("nrm").as("c_nrm"))
+    val sims = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+}

@@ -1,0 +1,229 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline plane: text analysis, dedup, similarity
+  * search (builder brief north-star operators; SURVEY.md §7.1 step 7).
+  *
+  * Every query except `qs02_ann_lsh` has an exact DuckDB oracle — the
+  * md5-based signatures make even MinHash/SimHash cross-engine
+  * deterministic. `qs02` (random-hyperplane ANN) is instead validated
+  * against the brute-force baseline in SimilaritySpec (recall check),
+  * and gets the driver's rows-only check.
+  */
+object PipelineQueries {
+
+  // ---- text analysis ----
+
+  def tokenStats(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .select($"lang", tokenCount($"text").as("ws_tokens"), bpeTokenCount($"text").as("bpe_tokens"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"ws_tokens").as("sum_ws_tokens"),
+           sum($"bpe_tokens").as("sum_bpe_tokens"))
+      .orderBy($"lang")
+  }
+
+  val tokenStatsSql: String =
+    """SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS sum_ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  def langId(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents.select($"doc_id", langIdHeuristic($"text").as("pred_lang")).orderBy($"doc_id")
+  }
+
+  val langIdSql: String =
+    """WITH s AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') toks FROM documents),
+      |c AS (SELECT doc_id,
+      |  len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) sc_en,
+      |  len(list_filter(toks, t -> t IN ('el','la','de','y','que','en','los'))) sc_es,
+      |  len(list_filter(toks, t -> t IN ('le','les','des','et','une','dans','est'))) sc_fr,
+      |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','von','nicht'))) sc_de
+      |FROM s)
+      |SELECT doc_id,
+      |  CASE WHEN sc_en=0 AND sc_es=0 AND sc_fr=0 AND sc_de=0 THEN 'und'
+      |       WHEN sc_en>=sc_es AND sc_en>=sc_fr AND sc_en>=sc_de THEN 'en'
+      |       WHEN sc_es>=sc_fr AND sc_es>=sc_de THEN 'es'
+      |       WHEN sc_fr>=sc_de THEN 'fr'
+      |       ELSE 'de' END AS pred_lang
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  def quality(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents.select($"doc_id", qualityScore($"text").as("quality")).orderBy($"doc_id")
+  }
+
+  val qualitySql: String =
+    """WITH s AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') toks FROM documents),
+      |m AS (SELECT doc_id,
+      |  CAST(len(toks) AS DOUBLE) n,
+      |  CAST(len(list_distinct(toks)) AS DOUBLE) d,
+      |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) sw,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) chars
+      |FROM s)
+      |SELECT doc_id,
+      |  round(0.25 * least(1.0, n / 100.0) + 0.25 * (d / n) +
+      |        0.25 * least(1.0, sw * 5.0 / n) + 0.25 * least(1.0, chars / n / 8.0), 6) AS quality
+      |FROM m ORDER BY doc_id""".stripMargin
+
+  def fingerprints(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents.select($"doc_id", fingerprint($"text").as("fingerprint")).orderBy($"doc_id")
+  }
+
+  val fingerprintsSql: String =
+    """WITH s AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents)
+      |SELECT doc_id,
+      |  array_to_string(list_sort(list_distinct(
+      |    [md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w)-1)]))[1:4], '|') AS fingerprint
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  def simhashes(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents.select($"doc_id", simhash16($"text").as("simhash")).orderBy($"doc_id")
+  }
+
+  val simhashesSql: String =
+    """WITH s AS (SELECT doc_id,
+      |  list_distinct([md5(t) for t in string_split_regex(trim(text), '\s+')]) hashes
+      |FROM documents)
+      |SELECT doc_id,
+      |  array_to_string(list_transform(range(0,16), j ->
+      |    CASE WHEN len(list_filter(hashes, h -> substr(h, j+1, 1) >= '8')) * 2 > len(hashes)
+      |         THEN '1' ELSE '0' END), '') AS simhash
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  // ---- dedup ----
+
+  def exactDedup(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Dedup.exactCanonical(t.documents).orderBy($"doc_id")
+  }
+
+  val exactDedupSql: String =
+    """SELECT doc_id, md5(text) AS content_hash,
+      |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+      |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def jaccardBlocked(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Dedup.jaccardPairsByBlock(t.documents, "lang")
+      .filter($"jaccard" >= 0.05)
+      .orderBy($"block", $"a_id", $"b_id")
+  }
+
+  val jaccardBlockedSql: String =
+    """WITH sh AS (SELECT doc_id, lang block,
+      |    list_distinct([md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w)-1)]) hashes
+      |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') w FROM documents)),
+      |p AS (SELECT a.block AS block, a.doc_id a_id, b.doc_id b_id,
+      |    round(CAST(len(list_intersect(a.hashes, b.hashes)) AS DOUBLE) /
+      |          (len(a.hashes) + len(b.hashes) - CAST(len(list_intersect(a.hashes, b.hashes)) AS DOUBLE)), 6) jaccard
+      |  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id)
+      |SELECT block, a_id, b_id, jaccard FROM p WHERE jaccard >= 0.05
+      |ORDER BY block, a_id, b_id""".stripMargin
+
+  def minhashNearDups(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Dedup.nearDupsMinhash(t.documents, threshold = 0.3).orderBy($"a_id", $"b_id")
+  }
+
+  val minhashNearDupsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
+      |hsh AS (SELECT doc_id, list_distinct([md5(x) for x in sh]) hashes FROM shr),
+      |sig AS (SELECT doc_id, [list_aggregate([md5(s::VARCHAR || ':' || x) for x in sh], 'min') for s in range(0,16)] sg FROM shr),
+      |bands AS (SELECT doc_id, [md5(sg[4*b+1] || '|' || sg[4*b+2] || '|' || sg[4*b+3] || '|' || sg[4*b+4]) for b in range(0,4)] bs FROM sig),
+      |bt AS (SELECT doc_id, i band_idx, bs[i] band_hash FROM bands, range(1,5) t(i)),
+      |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM bt a
+      |  JOIN bt b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      |j AS (SELECT a_id, b_id,
+      |    round(CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE) /
+      |          (len(ha.hashes) + len(hb.hashes) - CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)), 6) jaccard
+      |  FROM cand JOIN hsh ha ON ha.doc_id = a_id JOIN hsh hb ON hb.doc_id = b_id)
+      |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY a_id, b_id""".stripMargin
+
+  def embedNearDups(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Dedup.embeddingNearDups(t.embeddings, threshold = 0.35)
+      .orderBy($"block", $"a_id", $"b_id")
+  }
+
+  val embedNearDupsSql: String =
+    """WITH v AS (SELECT label, vec_id, embedding::DOUBLE[] e,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+      |  FROM embeddings),
+      |p AS (SELECT a.label AS block, a.vec_id a_id, b.vec_id b_id,
+      |    round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) cos_sim
+      |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |SELECT block, a_id, b_id, cos_sim FROM p WHERE cos_sim >= 0.35
+      |ORDER BY block, a_id, b_id""".stripMargin
+
+  // ---- similarity search ----
+
+  private val QueryIds: Seq[Long] = 0L until 10L
+
+  def cosineTopK(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Similarity.bruteForceTopK(t.embeddings, QueryIds, k = 5).orderBy($"query_id", $"rk")
+  }
+
+  val cosineTopKSql: String =
+    """WITH q AS (SELECT vec_id query_id, embedding::DOUBLE[] q_vec,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) q_nrm
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id neighbor_id, embedding::DOUBLE[] c_vec,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) c_nrm
+      |  FROM embeddings),
+      |sims AS (SELECT query_id, neighbor_id,
+      |    round(list_dot_product(q_vec, c_vec) / (q_nrm * c_nrm), 6) cos_sim
+      |  FROM c JOIN q ON neighbor_id <> query_id)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+      |  FROM sims)
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** LSH-bucketed ANN — no SQL oracle (validated against brute force in
+    * SimilaritySpec); driver records rows-only. */
+  def annLsh(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Similarity.lshTopK(t.embeddings, QueryIds, k = 5).orderBy($"query_id", $"rk")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt01_token_stats"     -> ((s: SparkSession, d: String) => tokenStats(Tables(s, d))),
+    "qt02_lang_id"         -> ((s: SparkSession, d: String) => langId(Tables(s, d))),
+    "qt03_quality_score"   -> ((s: SparkSession, d: String) => quality(Tables(s, d))),
+    "qt04_fingerprint"     -> ((s: SparkSession, d: String) => fingerprints(Tables(s, d))),
+    "qt05_simhash"         -> ((s: SparkSession, d: String) => simhashes(Tables(s, d))),
+    "qd01_exact_dedup"     -> ((s: SparkSession, d: String) => exactDedup(Tables(s, d))),
+    "qd02_jaccard_block"   -> ((s: SparkSession, d: String) => jaccardBlocked(Tables(s, d))),
+    "qd03_minhash_neardup" -> ((s: SparkSession, d: String) => minhashNearDups(Tables(s, d))),
+    "qd04_embed_neardup"   -> ((s: SparkSession, d: String) => embedNearDups(Tables(s, d))),
+    "qs01_cosine_topk"     -> ((s: SparkSession, d: String) => cosineTopK(Tables(s, d))),
+    "qs02_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(Tables(s, d))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "qt01_token_stats"     -> tokenStatsSql,
+    "qt02_lang_id"         -> langIdSql,
+    "qt03_quality_score"   -> qualitySql,
+    "qt04_fingerprint"     -> fingerprintsSql,
+    "qt05_simhash"         -> simhashesSql,
+    "qd01_exact_dedup"     -> exactDedupSql,
+    "qd02_jaccard_block"   -> jaccardBlockedSql,
+    "qd03_minhash_neardup" -> minhashNearDupsSql,
+    "qd04_embed_neardup"   -> embedNearDupsSql,
+    "qs01_cosine_topk"     -> cosineTopKSql,
+  )
+}

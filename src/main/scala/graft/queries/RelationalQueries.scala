@@ -319,7 +319,7 @@ object RelationalQueries {
 
   val jsonEventPropsSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(k) AS sum_k,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k,
       |  CAST(SUM(k) AS DOUBLE) / COUNT(k) AS avg_k
       |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
@@ -369,11 +369,11 @@ object RelationalQueries {
 
   val eventTypePivotSql: String =
     """SELECT user_id,
-      |  SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-      |  SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
-      |  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |  SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
-      |  SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error
+      |  CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** All queries in this module, name → builder. */

@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def one[T: org.apache.spark.sql.Encoder](c: org.apache.spark.sql.Column): T =
+    Seq(1).toDF("x").select(c.as[T](implicitly)).head()
+
+  test("tokens splits on runs of whitespace") {
+    val t = Seq("  a  b\tc \n d ").toDF("t")
+      .select(TextFunctions.tokens($"t")).as[Seq[String]].head()
+    assert(t == Seq("a", "b", "c", "d"))
+  }
+
+  test("bpeTokenCount segments letters/digits/punct") {
+    val n = Seq("ab12 c!d").toDF("t")
+      .select(TextFunctions.bpeTokenCount($"t")).as[Int].head()
+    // ab | 12 | c | ! | d
+    assert(n == 5)
+  }
+
+  test("shingles: n-grams, and empty when doc shorter than n") {
+    val s = Seq("a b c d").toDF("t")
+      .select(TextFunctions.shingles($"t", 3)).as[Seq[String]].head()
+    assert(s == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextFunctions.shingles($"t", 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("minhash signature: length, containment, identical-doc equality") {
+    val df = Seq("a b c d e f", "a b c d e f", "totally different words here now")
+      .toDF("t")
+      .select(TextFunctions.minhashSignature($"t", 16).as("sig"))
+      .as[Seq[String]].collect()
+    assert(df.forall(_.length == 16))
+    assert(df(0) == df(1))
+    assert(df(0) != df(2))
+  }
+
+  test("langIdHeuristic picks the dominant stopword set deterministically") {
+    val preds = Seq(
+      "the cat is on the mat",
+      "el gato que en la casa los",
+      "le chat est dans les maisons des",
+      "der hund ist von das und nicht",
+      "zzz qqq www").toDF("t")
+      .select(TextFunctions.langIdHeuristic($"t")).as[String].collect().toSeq
+    assert(preds == Seq("en", "es", "fr", "de", "und"))
+  }
+
+  test("qualityScore is in [0,1] and favors diverse text") {
+    val scores = Seq(
+      "the quick brown fox jumps over the lazy dog and runs away to the hills in the morning",
+      "a a a a a a a a a a a a a a a a").toDF("t")
+      .select(TextFunctions.qualityScore($"t")).as[Double].collect()
+    assert(scores.forall(s => s >= 0.0 && s <= 1.0))
+    assert(scores(0) > scores(1))
+  }
+
+  test("fingerprint: 4 pipe-joined hashes, stable under word-order-preserving identity") {
+    val fps = Seq("a b c d e f g h", "a b c d e f g h").toDF("t")
+      .select(TextFunctions.fingerprint($"t")).as[String].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0).split('|').length == 4)
+    assert(fps(0).split('|').forall(_.length == 32))
+  }
+
+  test("letBound evaluates once and binds correctly") {
+    val out = Seq("x y z").toDF("t")
+      .select(TextFunctions.letBound(TextFunctions.tokens($"t")) { w =>
+        size(w) + size(w)
+      }).as[Int].head()
+    assert(out == 6)
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog today", "a"),
+    (1L, "the quick brown fox jumps over the lazy dog today", "a"),      // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy cat today", "a"),      // near dup of 0
+    (3L, "completely different words about spark query engines here", "b"),
+  ).toDF("doc_id", "text", "src")
+
+  test("exactCanonical: dup maps to keeper, uniques map to self") {
+    val out = Dedup.exactCanonical(docs).select("doc_id", "keeper", "is_dup")
+      .as[(Long, Long, Boolean)].collect().map { case (a, b, c) => a -> ((b, c)) }.toMap
+    assert(out(0L) == (0L, false))
+    assert(out(1L) == (0L, true))    // exact dup → keeper 0
+    assert(out(2L) == (2L, false))
+    assert(out(3L) == (3L, false))
+  }
+
+  test("minhash candidates find exact+near dup pairs, skip unrelated") {
+    val pairs = Dedup.minhashCandidatePairs(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))           // identical → all bands match
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))  // unrelated doc never a candidate
+  }
+
+  test("nearDupsMinhash verifies candidates with exact jaccard") {
+    val out = Dedup.nearDupsMinhash(docs, threshold = 0.9)
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+    assert(out.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 })
+  }
+
+  test("jaccardPairsByBlock computes exact jaccard via inverted index") {
+    val out = Dedup.jaccardPairsByBlock(docs, "src")
+      .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
+    val j01 = out.find(p => p._1 == 0L && p._2 == 1L).map(_._3)
+    assert(j01.contains(1.0))                      // identical docs → jaccard 1
+    val j02 = out.find(p => p._1 == 0L && p._2 == 2L).map(_._3)
+    assert(j02.exists(j => j > 0.4 && j < 1.0))    // near dup → partial overlap
+    assert(!out.exists(p => p._2 == 3L))           // cross-block pair absent
+  }
+
+  test("simhash: identical docs identical, near dups within hamming 4") {
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    val fp = Dedup.withSimhash(docs).select("doc_id", "simhash")
+      .as[(Long, String)].collect().toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp.values.forall(s => s.length == 16 && s.forall("01".contains(_))))
+    assert(hamming(fp(0L), fp(2L)) <= 4)
+    assert(hamming(fp(0L), fp(3L)) > 4)
+  }
+
+  test("embeddingNearDups finds the planted duplicate vector") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.999f, 0.04f, 0.0f), 0),   // near dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f, 0.0f), 1),      // same vector, different block
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDups(emb, threshold = 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((0L, 1L)))   // 0-2 orthogonal; 0-3 blocked apart
+  }
+
+  test("sf0.001 fixture: minhash funnel matches all-pairs jaccard truth") {
+    val t = Tables(spark, sf0001)
+    val truth = Dedup.jaccardPairsByBlock(t.documents.withColumn("all", lit(1)), "all")
+      .filter($"jaccard" >= 0.5).select("a_id", "b_id")
+      .as[(Long, Long)].collect().toSet
+    val funnel = Dedup.nearDupsMinhash(t.documents, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // at jaccard ≥ 0.5 with 16 hashes / 4 bands, recall should be total
+    assert(truth == funnel)
+  }
+}

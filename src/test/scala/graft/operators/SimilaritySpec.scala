@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bruteForceTopK returns k ranked neighbors per query, no self") {
+    val t = Tables(spark, sf0001)
+    val out = Similarity.bruteForceTopK(t.embeddings, Seq(0L, 1L), k = 3)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Int)].collect()
+    assert(out.length == 6)
+    assert(out.groupBy(_._1).keySet == Set(0L, 1L))
+    assert(!out.exists(r => r._1 == r._2))
+    assert(out.filter(_._1 == 0L).map(_._3).sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("lshTopK neighbors come from the query bucket and overlap brute force") {
+    val t = Tables(spark, sf0001)
+    val qs = (0L until 10L).toSeq
+    val bf = Similarity.bruteForceTopK(t.embeddings, qs, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.lshTopK(t.embeddings, qs, k = 5, planes = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ann.nonEmpty)
+    // sanity recall: with 4 planes (16 buckets over 500 vecs) some of the
+    // true top-5 should land in the query's bucket
+    val recall = bf.intersect(ann).size.toDouble / bf.size
+    assert(recall > 0.1, s"recall $recall suspiciously low")
+    // approximate ranks are still correctly ordered within each query
+    val rks = Similarity.lshTopK(t.embeddings, Seq(0L), k = 5, planes = 4)
+      .select("rk").as[Int].collect().toSeq
+    assert(rks == rks.sorted)
+  }
+}
