@@ -1,0 +1,34 @@
+package graft
+
+import graft.functions.expressions.DotProduct
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Session extensions registering graft's native Catalyst functions
+  * (SURVEY.md §7.3 "custom Catalyst" surface).
+  *
+  * Two registration paths:
+  *  - `.withExtensions(new GraftExtensions)` at session build time
+  *    (spark.sql.extensions-compatible), and
+  *  - [[GraftExtensions.register]] for an already-built session (used
+  *    by GraftSession.local so getOrCreate-reused sessions get the
+  *    functions too).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction(GraftExtensions.dotProductDescriptor)
+}
+
+object GraftExtensions {
+  private val dotProductDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot_product"),
+    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  /** idempotent post-hoc registration on a live session */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+}

@@ -24,8 +24,10 @@ object GraftSession {
   def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"),
             appName: String = "graft"): SparkSession = {
     val spark = configure(
-      SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
+      SparkSession.builder().master(s"local[$cpus]").appName(appName)
+        .withExtensions(new GraftExtensions), cpus)
       .getOrCreate()
+    GraftExtensions.register(spark) // getOrCreate may reuse a pre-extension session
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -16,7 +16,15 @@ object VectorFunctions {
   /** element cast so float embeddings accumulate in double precision */
   private def asD(v: Column): Column = v.cast("array<double>")
 
+  /** codegen'd native dot product (expressions.DotProduct, registered
+    * as `graft_dot_product` by GraftExtensions); see [[dotHof]] for the
+    * pure-built-in formulation it replaced */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot_product", asD(a), asD(b))
+
+  /** built-ins-only dot product (interpreted HOFs) — kept as the
+    * reference implementation; DotProductSpec asserts bit-equality */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asD(a), asD(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm2(a: Column): Column = dot(a, a)

@@ -200,7 +200,36 @@ object PipelineQueries {
     Similarity.lshTopK(t.embeddings, QueryIds, k = 5).orderBy($"query_id", $"rk")
   }
 
+  // ---- sessionization (batch twin of the streaming operator) ----
+
+  /** Gap-based sessionization over the event stream (30-min gap);
+    * timestamps emitted as epoch millis for cross-engine stability. */
+  def sessionized(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    graft.streaming.EventStreams.sessionizeBatch(t.events, gapMs = 1800000L)
+      .select($"user_id", $"session_id",
+              unix_millis($"session_start").as("start_ms"),
+              unix_millis($"session_end").as("end_ms"),
+              $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_id")
+  }
+
+  val sessionizedSql: String =
+    """WITH g AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts, value,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) prev_ts
+      |  FROM events),
+      |s AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+      |                     THEN 1 ELSE 0 END new_session FROM g),
+      |c AS (SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) session_id FROM s)
+      |SELECT user_id, session_id,
+      |  epoch_ms(MIN(ts)) AS start_ms, epoch_ms(MAX(ts)) AS end_ms,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
     "qt01_token_stats"     -> ((s: SparkSession, d: String) => tokenStats(Tables(s, d))),
     "qt02_lang_id"         -> ((s: SparkSession, d: String) => langId(Tables(s, d))),
     "qt03_quality_score"   -> ((s: SparkSession, d: String) => quality(Tables(s, d))),
@@ -215,6 +244,7 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qe01_sessionize"      -> sessionizedSql,
     "qt01_token_stats"     -> tokenStatsSql,
     "qt02_lang_id"         -> langIdSql,
     "qt03_quality_score"   -> qualitySql,

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the `events` stream shape
+  * (event_id, ts, user_id, event_type, value, props).
+  *
+  * The reference has no streams (SURVEY.md §2.A Streaming) — its
+  * monthly refresh is incremental batch. These operators are the
+  * extension surface for continuous ingest: the same transforms work
+  * on a batch DataFrame (tested that way in EventStreamsSpec via
+  * MemoryStream) and on `spark.readStream`.
+  *
+  * Scale notes: every aggregation is keyed so state partitions by
+  * group; watermarks bound state size; dropDuplicates state is keyed
+  * by event_id and expires with the watermark.
+  */
+object EventStreams {
+
+  /** Tumbling/sliding windowed counts+sums per event type with a
+    * watermark bounding late data and state. */
+  def windowedTypeCounts(events: DataFrame,
+                         windowDur: String = "10 minutes",
+                         slideDur: Option[String] = None,
+                         watermark: String = "30 minutes"): DataFrame = {
+    val w = slideDur match {
+      case Some(s) => window(col("ts"), windowDur, s)
+      case None    => window(col("ts"), windowDur)
+    }
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(w.as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(col("value")).as("total_value"))
+      .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
+              col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  /** Exactly-once-style streaming dedup on event_id, state bounded by
+    * the watermark (late duplicates beyond it are dropped by time). */
+  def dedupedEvents(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // ---- stateful sessionization (mapGroupsWithState) ----
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+  case class SessionState(sessionStart: Long, lastTs: Long, nEvents: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+                        session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Per-user session aggregation with an inactivity gap: a session
+    * closes when no event arrives within `gapMs` (processing-time
+    * timeout when streaming; pass NoTimeout to close sessions only on
+    * observed gaps — e.g. in tests, where wall-clock timeouts would
+    * keep scheduling no-data batches). Emits one row per closed
+    * session. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout()
+                ): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), timeout) {
+        case (userId, it, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new java.sql.Timestamp(s.sessionStart),
+              new java.sql.Timestamp(s.lastTs), s.nEvents, s.total))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, nEvents = s.nEvents + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new java.sql.Timestamp(s.sessionStart),
+                    new java.sql.Timestamp(s.lastTs), s.nEvents, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (useTimeout) state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch-mode gap sessionization (same semantics, pure SQL windows):
+    * session boundary where the gap to the previous event exceeds
+    * `gapMs`; session id = running count of boundaries per user. This
+    * is the oracle-checkable twin of [[sessionize]]. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val withGap = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             (unix_millis(col("ts")) - unix_millis(col("prev_ts"))) > gapMs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withGap.groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+           count(lit(1)).as("n_events"),
+           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
+             .cast("double").as("total_value"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("windowedTypeCounts aggregates a real stream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.windowedTypeCounts(df, windowDur = "10 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (1L, ts(1), "click", 1.0), (2L, ts(4), "click", 2.0),
+        (3L, ts(7), "view", 5.0), (4L, ts(12), "click", 3.0))
+      q.processAllAvailable()
+      val out = spark.table("win_counts")
+        .select($"window_start", $"event_type", $"n_events", $"total_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(out == Set(
+        (ts(0), "click", 2L, 3.0),
+        (ts(0), "view", 1L, 5.0),
+        (ts(10), "click", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dedupedEvents drops in-watermark duplicate event_ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = mem.toDF.toDF("event_id", "ts", "event_type", "value")
+    val q = EventStreams.dedupedEvents(df)
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts(1), "click", 1.0), (1L, ts(2), "click", 1.0), (2L, ts(3), "view", 2.0))
+      q.processAllAvailable()
+      mem.addData((1L, ts(4), "click", 1.0))   // duplicate in later batch
+      q.processAllAvailable()
+      val ids = spark.table("dedup_events").select("event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("sessionize (flatMapGroupsWithState) matches sessionizeBatch on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val events = Seq(
+      EventStreams.Event(1, ts(0), 7, "click", 1.0),
+      EventStreams.Event(2, ts(5), 7, "view", 2.0),     // same session (gap 5m < 10m)
+      EventStreams.Event(3, ts(40), 7, "click", 4.0),   // new session (gap 35m)
+      EventStreams.Event(4, ts(2), 8, "view", 8.0))
+    val q = EventStreams.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000,
+        timeout = org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+      // user 7's first session closed by the in-batch gap
+      val closed = spark.table("sessions")
+        .as[EventStreams.SessionOut].collect()
+      assert(closed.length == 1)
+      assert(closed.head.user_id == 7 && closed.head.n_events == 2 && closed.head.total_value == 3.0)
+      // batch twin agrees on the full set of sessions
+      val batch = EventStreams.sessionizeBatch(
+        events.toDF(), gapMs = 10 * 60 * 1000)
+        .select($"user_id", $"n_events", $"total_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(batch == Set((7L, 2L, 3.0), (7L, 1L, 4.0), (8L, 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("sessionizeBatch on the sf0.001 fixture: sessions partition events") {
+    val t = Tables(spark, sf0001)
+    val sessions = EventStreams.sessionizeBatch(t.events, gapMs = 1800000L)
+    val nEvents = t.events.count()
+    assert(sessions.agg(sum($"n_events")).as[Long].head() == nEvents)
+    // session bounds are ordered and non-overlapping per user
+    val bad = sessions.as[(Long, Long, Timestamp, Timestamp, Long, Double)]
+      .collect().groupBy(_._1).values.flatMap { ss =>
+        val sorted = ss.sortBy(_._2)
+        sorted.zip(sorted.tail).filter { case (a, b) => !a._4.before(b._3) }
+      }
+    assert(bad.isEmpty)
+  }
+}
