@@ -1,0 +1,82 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.hfc._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** End-to-end drive of the HFC path: catalog bootstrap (E2) → bronze
+  * fixtures → Normalize (E1 stage 2) → MergeWriter (stage 3) →
+  * HfcMetrics (E3). Prints per-table counts and the M1/M5 results.
+  *
+  * `runMain graft.tools.HfcPipelineDemo [warehouseDir]`
+  */
+object HfcPipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val wh = args.headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("hfc-wh").toString)
+    val spark = GraftSession.local(appName = "hfc-pipeline-demo")
+    import spark.implicits._
+
+    // E2: catalog bootstrap
+    HfcCatalog.dropAll(spark)
+    HfcCatalog.createAll(spark, wh)
+    println(s"[demo] catalog created: ${Schemas.all.size} tables under $wh")
+
+    // bronze fixtures (API-shaped)
+    def listing(rows: (String, String, String, String, Boolean, String, String, Boolean, Int)*): DataFrame =
+      rows.toDF("name", "author", "sha", "lm", "private", "card_data", "gated", "disabled", "likes")
+        .withColumn("last_modified", col("lm").cast("timestamp")).drop("lm")
+    val models = listing(
+      ("orgA/m1", "orgA", "s1", "2024-01-05", false, "hello 😀", "True", false, 10),
+      ("orgA/m2", "orgA", "s2", "2024-02-11", false, "c2", null, false, 3),
+      ("orgB/m3", "orgB", "s3", "2024-03-02", false, "c3", null, false, 7))
+    val datasets = listing(("orgA/d1", "orgA", "s4", "2024-01-20", false, "c", "manual", false, 1))
+    val spaces = listing(("orgB/s1", "orgB", "s5", "2024-02-28", true, "c", "auto", false, 0))
+
+    // E1 stage 2: normalize
+    val repos = Normalize.repositories(models, datasets, spaces)
+    val bronzeFiles = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row("models/orgA/m1", Seq(Row("README.md", 10L, "b1", null),
+                                  Row("model.bin", 5L, "b2", Row(99L, "lfs1", 134L)))),
+        Row("models/orgB/m3", Seq(Row("config.json", 2L, "b3", null))))),
+      StructType(Seq(
+        StructField("repo_id", StringType),
+        StructField("siblings", ArrayType(StructType(Seq(
+          StructField("rfilename", StringType), StructField("size", LongType),
+          StructField("blob_id", StringType),
+          StructField("lfs", StructType(Seq(
+            StructField("size", LongType), StructField("sha256", StringType),
+            StructField("pointer_size", LongType)))))))))))
+    val files = Normalize.repoFiles(bronzeFiles)
+    val (vocab, tagEdges) = Normalize.tagTables(
+      Seq(("models/orgA/m1", Seq("nlp", "bert")), ("models/orgB/m3", Seq("nlp")))
+        .toDF("repo_id", "tags"))
+
+    // E1 stage 3: MERGE into the catalog tables (upsert, then a
+    // second idempotent pass to prove convergence)
+    def mergeInto(table: String, batch: DataFrame, keys: Seq[String]): Long = {
+      val existing = HfcCatalog.table(spark, table)
+      val merged = MergeWriter.upsert(existing.select(batch.columns.map(col): _*), batch, keys)
+      val out = s"$wh/${table}_merged"
+      merged.write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).count()
+    }
+    println(s"[demo] repository rows after merge: ${mergeInto("repository", repos, Seq("id"))}")
+    println(s"[demo] repo_file rows after merge:  ${mergeInto("repo_file", files, Seq("id"))}")
+    println(s"[demo] tag rows:                    ${mergeInto("tag", vocab, Seq("name"))}")
+    println(s"[demo] tags_in_repo rows:           ${mergeInto("tags_in_repo", tagEdges, Seq("tag_name", "repo_id"))}")
+
+    // E3: analytics over the silver tables
+    val m1 = HfcMetrics.topOrgsByModels(repos).as[(String, Long)].collect().toSeq
+    println(s"[demo] M1 top orgs by #models: $m1")
+    val discussions = Seq((1, "models/orgA/m1", "alice")).toDF("num", "repo_id", "author")
+    val m5 = HfcMetrics.discussionShareByType(repos, discussions)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    println(s"[demo] M5 discussion share: $m5")
+    HfcCatalog.dropAll(spark)
+    spark.stop()
+  }
+}

@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.{SparkTestBase, Tables}
+
+/** Physical-plan audits (builder brief: "iterate until it's the plan
+  * you'd want"). These pin the scale-critical plan properties so a
+  * refactor that silently loses pushdown/broadcast/top-k fails CI.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private lazy val t = Tables(spark, sf0001)
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q06: filters are pushed into the parquet scan") {
+    val p = plan(RelationalQueries.revenueFilter(t))
+    assert(p.contains("PushedFilters: ["), p)
+    // the selective predicates reach the reader, not a post-scan Filter only
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("IsNotNull(l_shipdate"), p)
+  }
+
+  test("q06: scan reads only the referenced columns (pruning)") {
+    val p = plan(RelationalQueries.revenueFilter(t))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_extendedprice") && readSchema.contains("l_discount"))
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_returnflag"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("q04: dimension joins broadcast, no shuffle on the small side") {
+    val p = plan(RelationalQueries.regionRevenue(t))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q02: top-k plans as TakeOrderedAndProject (no global sort)") {
+    val p = plan(RelationalQueries.topCustomers(t))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan(RelationalQueries.pricingSummary(t))
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), s"no partial aggregation:\n$p")
+  }
+
+  test("q07: anti join planned as a hash anti join, not nested loop") {
+    val p = plan(RelationalQueries.inactiveCustomers(t))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("qd02: inverted-index jaccard shuffles on shingle hash, not all-pairs") {
+    val p = plan(graft.operators.Dedup.jaccardPairsByBlock(t.documents, "lang"))
+    // equi-join on (block, h): a hash-partitioned or broadcast equi join
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("qs01: query side is broadcast so the corpus never shuffles") {
+    val p = plan(graft.operators.Similarity.bruteForceTopK(t.embeddings, Seq(0L, 1L), 3))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+  }
+}
