@@ -34,7 +34,7 @@ object Similarity {
         round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    sims.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
   /** LSH-bucketed approximate top-k: only candidates in the query's
@@ -54,6 +54,6 @@ object Similarity {
         round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    sims.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    sims.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 }

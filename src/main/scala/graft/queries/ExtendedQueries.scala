@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Coverage beyond the reference's own workload — the SQL surface the
+  * reference gets "for free" from MariaDB and we get from Spark SQL
+  * (SURVEY.md §2.A "free in Spark SQL" notes): ROLLUP subtotals,
+  * lateral explode aggregation, scalar-subquery-shaped comparisons.
+  */
+object ExtendedQueries {
+
+  /** ROLLUP: nation × priority revenue with subtotal rows (grouping
+    * sets). NULLS FIRST ordering pinned on both engines. */
+  def rollupRevenue(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .filter($"n_nationkey" < 5)
+      .rollup($"n_name", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy($"n_name".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val rollupRevenueSql: String =
+    """SELECT n_name, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE n_nationkey < 5
+      |GROUP BY ROLLUP (n_name, o_orderpriority)
+      |ORDER BY n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** posexplode over the embedding vectors → per-dimension corpus
+    * statistics (exact decimal sums; float→double widening first). */
+  def dimensionStats(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.embeddings
+      .select($"vec_id", posexplode($"embedding").as(Seq("dim0", "v")))
+      .select($"dim0".cast("long").as("dim"), $"v")
+      .groupBy($"dim")
+      .agg(count(lit(1)).as("n"),
+           sum($"v".cast("double").cast(DecimalType(18, 9))).cast("double").as("sum_v"),
+           (sum($"v".cast("double").cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
+             .as("avg_v"))
+      .orderBy($"dim")
+  }
+
+  val dimensionStatsSql: String =
+    """SELECT dim, COUNT(*) AS n,
+      |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS sum_v,
+      |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_v
+      |FROM (SELECT unnest(range(len(embedding))) AS dim, unnest(embedding) AS v FROM embeddings)
+      |GROUP BY dim ORDER BY dim""".stripMargin
+
+  /** Scalar-subquery shape: customers spending more than 2× their
+    * segment's average (two-level exact-decimal aggregation joined
+    * back — the Spark plan keeps it as two hash aggregates + one
+    * broadcast join, no correlated re-execution). */
+  def bigSpenders(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val perCust = t.orders.groupBy($"o_custkey")
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("spend_dec"))
+    val withSeg = perCust
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .select($"o_custkey", $"c_mktsegment", $"spend_dec")
+    val segAvg = withSeg.groupBy($"c_mktsegment")
+      .agg((sum($"spend_dec").cast("double") / count(lit(1))).as("seg_avg"))
+    withSeg
+      .join(broadcast(segAvg), "c_mktsegment")
+      .filter($"spend_dec".cast("double") > $"seg_avg" * 2.0)
+      .select($"c_mktsegment", $"o_custkey",
+              $"spend_dec".cast("double").as("spend"),
+              round($"seg_avg", 4).as("seg_avg"))
+      .orderBy($"c_mktsegment", $"o_custkey")
+  }
+
+  val bigSpendersSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend_dec
+      |  FROM orders GROUP BY o_custkey),
+      |with_seg AS (
+      |  SELECT o_custkey, c_mktsegment, spend_dec
+      |  FROM per_cust JOIN customer ON o_custkey = c_custkey),
+      |seg_avg AS (
+      |  SELECT c_mktsegment, CAST(SUM(spend_dec) AS DOUBLE) / COUNT(*) AS seg_avg
+      |  FROM with_seg GROUP BY c_mktsegment)
+      |SELECT w.c_mktsegment AS c_mktsegment, o_custkey,
+      |  CAST(spend_dec AS DOUBLE) AS spend, round(seg_avg, 4) AS seg_avg
+      |FROM with_seg w JOIN seg_avg s ON w.c_mktsegment = s.c_mktsegment
+      |WHERE CAST(spend_dec AS DOUBLE) > seg_avg * 2.0
+      |ORDER BY c_mktsegment, o_custkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q17_rollup_revenue" -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
+    "q18_dim_stats"      -> ((s: SparkSession, d: String) => dimensionStats(Tables(s, d))),
+    "q19_big_spenders"   -> ((s: SparkSession, d: String) => bigSpenders(Tables(s, d))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q17_rollup_revenue" -> rollupRevenueSql,
+    "q18_dim_stats"      -> dimensionStatsSql,
+    "q19_big_spenders"   -> bigSpendersSql,
+  )
+}

@@ -216,7 +216,7 @@ object RelationalQueries {
     import t.spark.implicits._
     val j = t.orders.join(t.customer, $"o_custkey" === $"c_custkey")
     val w = Window.partitionBy($"c_mktsegment").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-    j.withColumn("rk", row_number().over(w))
+    j.withColumn("rk", row_number().over(w).cast("long"))
       .filter($"rk" <= 5)
       .select($"c_mktsegment", $"rk", $"o_orderkey", $"o_totalprice")
       .orderBy($"c_mktsegment", $"rk")

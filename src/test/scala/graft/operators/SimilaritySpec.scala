@@ -9,7 +9,7 @@ class SimilaritySpec extends SparkTestBase {
     val t = Tables(spark, sf0001)
     val out = Similarity.bruteForceTopK(t.embeddings, Seq(0L, 1L), k = 3)
       .select("query_id", "neighbor_id", "rk")
-      .as[(Long, Long, Int)].collect()
+      .as[(Long, Long, Long)].collect()
     assert(out.length == 6)
     assert(out.groupBy(_._1).keySet == Set(0L, 1L))
     assert(!out.exists(r => r._1 == r._2))
@@ -30,7 +30,7 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.1, s"recall $recall suspiciously low")
     // approximate ranks are still correctly ordered within each query
     val rks = Similarity.lshTopK(t.embeddings, Seq(0L), k = 5, planes = 4)
-      .select("rk").as[Int].collect().toSeq
+      .select("rk").as[Long].collect().toSeq
     assert(rks == rks.sorted)
   }
 }

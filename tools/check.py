@@ -52,6 +52,10 @@ def main():
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
+        dt_s = [str(t) for t in spark_df.dtypes]
+        dt_o = [str(t) for t in ora_df.dtypes]
+        if dt_s != dt_o:
+            print(f"WARN {name}: dtypes spark={dt_s} oracle={dt_o}")
         if list(spark_df.columns) != list(ora_df.columns):
             print(f"FAIL {name}: columns spark={list(spark_df.columns)} oracle={list(ora_df.columns)}")
             n_fail += 1
