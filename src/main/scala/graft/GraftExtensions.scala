@@ -17,18 +17,25 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.dotProductDescriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val dotProductDescriptor
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_dot_product"),
-    new ExpressionInfo(classOf[DotProduct].getName, "graft_dot_product"),
-    (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+  import graft.functions.expressions.MinHashSignature
+
+  private val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot_product"),
+     new ExpressionInfo(classOf[DotProduct].getName, "graft_dot_product"),
+     (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("graft_minhash_signature"),
+     new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_signature"),
+     (children: Seq[Expression]) => MinHashSignature(children(0), children(1))))
 
   /** idempotent post-hoc registration on a live session */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    descriptors.foreach { case (id, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        id.funcName, builder, "built-in")
+    }
 }

@@ -55,8 +55,16 @@ object TextFunctions {
   /** MinHash signature: for seed s, sig(s) = min over shingles of
     * md5(s || ':' || shingle). String-min over uniform hex == numeric
     * min-hash; per-row computation, no shuffle (SURVEY §7 north-star
-    * dedup). */
+    * dedup). Delegates to the native
+    * [[graft.functions.expressions.MinHashSignature]] expression
+    * (registered by GraftExtensions); [[minhashSignatureHof]] is the
+    * built-ins-only reference implementation it must bit-match. */
   def minhashSignature(text: Column, numHashes: Int, n: Int = 3): Column =
+    call_function("graft_minhash_signature", shingles(text, n), lit(numHashes))
+
+  /** HOF reference implementation of [[minhashSignature]] (kept for
+    * the bit-equality spec). */
+  def minhashSignatureHof(text: Column, numHashes: Int, n: Int = 3): Column =
     letBound(shingles(text, n)) { sh =>
       array((0 until numHashes).map { s =>
         array_min(transform(sh, x => md5(concat(lit(s.toString), lit(":"), x))))

@@ -1,0 +1,26 @@
+package graft.hfc
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** The reference's monthly incremental-refresh contract (SURVEY.md
+  * §1.5.8, databaseImport.py:607-619,858-868) as one set-oriented job:
+  *
+  *  - repos with `last_modified < limitDate` (stale): ONLY the counter
+  *    columns (likes/downloads) are refreshed — K4 fast path;
+  *  - repos at/after the watermark (fresh): full upsert — K2 path;
+  *  - everything else in `existing` is untouched.
+  *
+  * One pass over the batch, two merges; both are key-shuffle joins that
+  * bucket/broadcast at scale. Idempotent: re-running the same batch
+  * converges (IncrementalRefreshSpec).
+  */
+object IncrementalRefresh {
+
+  def refresh(existing: DataFrame, batch: DataFrame, keys: Seq[String],
+              tsCol: String, limitDate: Column,
+              counterCols: Seq[String]): DataFrame = {
+    val (stale, fresh) = MergeWriter.stalenessSplit(batch, tsCol, limitDate)
+    val afterCounters = MergeWriter.updateColumns(existing, stale, keys, counterCols)
+    MergeWriter.upsert(afterCounters, fresh, keys)
+  }
+}

@@ -50,12 +50,16 @@ object Dedup {
   private[graft] def signatureTable(docs: DataFrame, numHashes: Int, bands: Int,
                                     idCol: String, textCol: String): DataFrame = {
     val rows = numHashes / bands
-    docs.select(col(idCol),
+    val sigs = docs.select(col(idCol),
         shingleHashes(col(textCol)).as("hashes"),
         letBound(minhashSignature(col(textCol), numHashes)) { sig =>
           minhashBands(sig, bands, rows)
         }.as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()   // materialize NOW: the downstream self-join would
+                   // otherwise race both sides into the cold cache and
+                   // compute every signature twice
+    sigs
   }
 
   /** LSH banding → distinct candidate pairs (a_id < b_id).

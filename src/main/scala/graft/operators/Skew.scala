@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Manual skew mitigation for the cases AQE can't fix alone
+  * (SURVEY.md §7.4.2 — mega-repos dominate `repo_file`/`modified_file`;
+  * the reference simply blocklists them, databaseImport.py:712).
+  *
+  * AQE's skew-join splitting handles sort-merge joins at runtime; these
+  * helpers cover the two remaining shapes:
+  *  - [[saltedAggregate]]: a single hot group overwhelming one reducer
+  *    → two-stage aggregation through a salted intermediate key.
+  *  - [[saltedJoin]]: a skewed fact joined to a dimension too large to
+  *    broadcast → salt the fact side, replicate the dimension side N×.
+  */
+object Skew {
+
+  /** Two-stage salted aggregation: stage 1 aggregates on
+    * (key, salt ∈ [0,n)), stage 2 combines the partials per key.
+    * `partial` must be an algebraic aggregate (sum/count/min/max — the
+    * same map-side-combine algebra Spark uses internally); `combine`
+    * re-aggregates the partial column. */
+  def saltedAggregate(df: DataFrame, keyCols: Seq[String], saltBuckets: Int,
+                      partial: Column, combine: Column => Column,
+                      outCol: String): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val stage1 = salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(partial.as("__partial"))
+    stage1
+      .groupBy(keyCols.map(col): _*)
+      .agg(combine(col("__partial")).as(outCol))
+  }
+
+  /** Salted equi-join: the (skewed) left side gets a random salt in
+    * [0,n); the right side is exploded n× so every salted key finds its
+    * match. Preserves inner-join semantics exactly; costs n× the right
+    * side, which must therefore be the small one. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    val saltedLeft = skewed.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)).cast("int"))
+    val replicatedRight = other.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -228,7 +228,34 @@ object PipelineQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  // ---- multimodal (binary columns + typed metadata) ----
+
+  /** Multimodal column plumbing at the query surface: documents as
+    * opaque binary payloads with derived typed metadata (the stub-
+    * decode formula expressed as columnar ops so DuckDB can oracle it;
+    * the mapPartitions batch-decode path is MultimodalSpec's). */
+  def mediaMeta(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val media = $"text".cast("binary")
+    t.documents.select(
+      $"doc_id",
+      octet_length(media).cast("long").as("size_bytes"),
+      (lit(64) + (ascii(substring($"text", 1, 1)) % 192)).as("fake_width"),
+      (lit(64) + (ascii(substring($"text", 2, 1)) % 192)).as("fake_height"),
+      md5($"text").as("content_key"))
+      .orderBy($"doc_id")
+  }
+
+  val mediaMetaSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+      |  64 + (ascii(substr(text, 1, 1)) % 192) AS fake_width,
+      |  64 + (ascii(substr(text, 2, 1)) % 192) AS fake_height,
+      |  md5(text) AS content_key
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qm01_media_meta"      -> ((s: SparkSession, d: String) => mediaMeta(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
     "qt01_token_stats"     -> ((s: SparkSession, d: String) => tokenStats(Tables(s, d))),
     "qt02_lang_id"         -> ((s: SparkSession, d: String) => langId(Tables(s, d))),
@@ -244,6 +271,7 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qm01_media_meta"      -> mediaMetaSql,
     "qe01_sessionize"      -> sessionizedSql,
     "qt01_token_stats"     -> tokenStatsSql,
     "qt02_lang_id"         -> langIdSql,

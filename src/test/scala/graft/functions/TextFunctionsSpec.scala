@@ -31,6 +31,15 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(short.isEmpty)
   }
 
+  test("native minhash signature bit-matches the HOF reference on the fixture") {
+    val docs = graft.Tables(spark, sf0001).documents
+    val mismatches = docs.select(
+        TextFunctions.minhashSignature($"text", 16).as("native"),
+        TextFunctions.minhashSignatureHof($"text", 16).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(mismatches == 0)
+  }
+
   test("minhash signature: length, containment, identical-doc equality") {
     val df = Seq("a b c d e f", "a b c d e f", "totally different words here now")
       .toDF("t")

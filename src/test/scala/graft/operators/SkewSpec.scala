@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("saltedAggregate equals plain aggregation on skewed data") {
+    // one hot key (90% of rows) + a long tail
+    val df = ((1 to 9000).map(i => ("hot", i.toLong)) ++
+              (1 to 1000).map(i => (s"k${i % 50}", i.toLong))).toDF("k", "v")
+    val plain = df.groupBy($"k").agg(sum($"v").as("total"))
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedAggregate(df, Seq("k"), saltBuckets = 8,
+        partial = sum($"v"), combine = sum, outCol = "total")
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain inner join, including multiplicities") {
+    val skewed = ((1 to 5000).map(_ => 1L) ++ (1 to 100).map(_.toLong))
+      .toDF("id").withColumn("payload", monotonically_increasing_id())
+    val dim = (1 to 100).map(i => (i.toLong, s"name$i")).toDF("id", "name")
+    val plain = skewed.join(dim, "id").groupBy($"id").count()
+      .as[(Long, Long)].collect().toMap
+    val salted = Skew.saltedJoin(skewed, dim, "id", saltBuckets = 4)
+      .groupBy($"id").count().as[(Long, Long)].collect().toMap
+    assert(salted == plain)
+    assert(salted(1L) == 5001L)   // the hot key's full multiplicity survives
+  }
+
+  test("salted join on the lineitem fixture matches the unsalted plan") {
+    val t = Tables(spark, sf0001)
+    val plain = t.lineitem.join(t.part, t.lineitem("l_partkey") === t.part("p_partkey"))
+      .count()
+    val dim = t.part.withColumnRenamed("p_partkey", "l_partkey")
+    val salted = Skew.saltedJoin(t.lineitem, dim, "l_partkey", saltBuckets = 4).count()
+    assert(salted == plain)
+  }
+}
