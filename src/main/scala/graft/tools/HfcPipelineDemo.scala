@@ -76,6 +76,21 @@ object HfcPipelineDemo {
     val m5 = HfcMetrics.discussionShareByType(repos, discussions)
       .as[(String, Long, Long, Double)].collect().toSeq
     println(s"[demo] M5 discussion share: $m5")
+
+    // bucketed co-located join (the 100 TB fact-fact layout): both
+    // sides bucketed by repo_id → the join plans with zero Exchange
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    graft.operators.Bucketing.writeBucketed(repos.withColumnRenamed("id", "repo_id"),
+      "demo_repos_b", "repo_id", 4)
+    graft.operators.Bucketing.writeBucketed(files, "demo_files_b", "repo_id", 4)
+    val coloc = graft.operators.Bucketing.colocatedJoin(
+      spark, "demo_files_b", "demo_repos_b", "repo_id", "repo_id")
+    val plan = coloc.queryExecution.executedPlan.toString
+    println(s"[demo] bucketed join rows=${coloc.count()} shuffleFree=${!plan.contains("Exchange")}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    spark.sql("DROP TABLE IF EXISTS demo_repos_b")
+    spark.sql("DROP TABLE IF EXISTS demo_files_b")
     HfcCatalog.dropAll(spark)
     spark.stop()
   }
