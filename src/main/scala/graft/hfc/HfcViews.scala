@@ -1,0 +1,50 @@
+package graft.hfc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed views over the semi-structured blobs (SURVEY.md §1.3 P7).
+  *
+  * The reference stores `card_data`, `model.config`,
+  * `discussion_event.full_data` and `space.runtime_raw` as opaque
+  * strings (Python `str()` of dicts, databaseImport.py:642,634,524,806)
+  * and gives up on structure. We keep the raw string for fidelity AND
+  * expose parsed views — `from_json` into a map for open-schema blobs,
+  * into a declared struct where the shape is known. Parsing happens in
+  * the projection (codegen'd), so a query touching only one extracted
+  * field still prunes everything else.
+  */
+object HfcViews {
+
+  /** open-schema JSON blob → map<string,string> (null on malformed) */
+  def jsonMap(c: Column): Column =
+    from_json(c, MapType(StringType, StringType))
+
+  /** model.config's stable top-level fields (the rest stay reachable
+    * through [[jsonMap]]) */
+  val configType: StructType = StructType(Seq(
+    StructField("model_type", StringType),
+    StructField("architectures", ArrayType(StringType)),
+    StructField("vocab_size", LongType),
+    StructField("hidden_size", LongType)))
+
+  /** space runtime payload (S6, get_space_runtime) */
+  val runtimeType: StructType = StructType(Seq(
+    StructField("stage", StringType),
+    StructField("hardware", StructType(Seq(
+      StructField("current", StringType),
+      StructField("requested", StringType)))),
+    StructField("storage", StringType)))
+
+  def withConfigView(model: DataFrame): DataFrame =
+    model
+      .withColumn("config_parsed", from_json(col("config"), configType))
+      .withColumn("config_map", jsonMap(col("config")))
+
+  def withRuntimeView(space: DataFrame): DataFrame =
+    space.withColumn("runtime_parsed", from_json(col("runtime_raw"), runtimeType))
+
+  def withEventPayloadView(discussionEvent: DataFrame): DataFrame =
+    discussionEvent.withColumn("full_data_map", jsonMap(col("full_data")))
+}

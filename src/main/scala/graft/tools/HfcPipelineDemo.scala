@@ -35,6 +35,21 @@ object HfcPipelineDemo {
     val datasets = listing(("orgA/d1", "orgA", "s4", "2024-01-20", false, "c", "manual", false, 1))
     val spaces = listing(("orgB/s1", "orgB", "s5", "2024-02-28", true, "c", "auto", false, 0))
 
+    // S1-S3: listing via the source boundary — sort+limit pushed
+    val src = new graft.sources.FixtureHfhSource(
+      models.withColumn("type", lit("model"))
+        .withColumn("repo_id", concat(lit("models/"), col("name"))),
+      spark.emptyDataFrame, spark.emptyDataFrame)
+    val newest = src.listing(spark, "model", limit = 2)
+      .select(col("name")).as[String].collect().toSeq
+    println(s"[demo] S1 newest-2 model slice: $newest")
+
+    // F2/F3: governance with observable metrics
+    val governed = Governance.thresholdSkip(
+      Governance.blocklistFilter(models, "name", Seq("orgB/m3")),
+      keepIf = col("likes") <= 5)
+    println(s"[demo] governance kept: ${governed.select("name").as[String].collect().toSeq.sorted}")
+
     // E1 stage 2: normalize
     val repos = Normalize.repositories(models, datasets, spaces)
     val bronzeFiles = spark.createDataFrame(
