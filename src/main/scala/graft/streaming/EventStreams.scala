@@ -99,6 +99,36 @@ object EventStreams {
       }
   }
 
+  /** Streaming ingest → MERGE (SURVEY.md §2.A Streaming extension:
+    * `foreachBatch` upsert, Trigger.AvailableNow-compatible): each
+    * micro-batch is consolidated into the parquet target with
+    * [[graft.hfc.MergeWriter.upsert]] semantics and swapped in
+    * atomically (write staging → move). At scale the target would be a
+    * bucketed table or a lakehouse MERGE; the per-batch semantics are
+    * identical. */
+  def upsertStream(events: DataFrame, keys: Seq[String],
+                   targetDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val target = new java.io.File(targetDir)
+        val existing =
+          if (target.exists()) spark.read.parquet(targetDir)
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.schema)
+        val staging = targetDir + ".staging"
+        graft.hfc.MergeWriter.upsert(existing, batch, keys)
+          .write.mode("overwrite").parquet(staging)
+        // atomic-ish swap on a local/HDFS-like FS
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val tp = new org.apache.hadoop.fs.Path(targetDir)
+        if (fs.exists(tp)) fs.delete(tp, true)
+        fs.rename(new org.apache.hadoop.fs.Path(staging), tp)
+        ()
+      }
+
   /** Batch-mode gap sessionization (same semantics, pure SQL windows):
     * session boundary where the gap to the previous event exceeds
     * `gapMs`; session id = running count of boundaries per user. This

@@ -78,6 +78,25 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("upsertStream merges each micro-batch into the parquet target") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString + "/target"
+    val mem = MemoryStream[(Long, String, Int)]
+    val df = mem.toDF.toDF("id", "name", "likes")
+    val q = EventStreams.upsertStream(df, Seq("id"), dir).start()
+    try {
+      mem.addData((1L, "a", 1), (2L, "b", 2))
+      q.processAllAvailable()
+      mem.addData((2L, "b2", 20), (3L, "c", 3))   // update + insert
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir)
+        .select(col("id"), col("name"), col("likes"))
+        .as[(Long, String, Int)].collect().toSet
+      assert(out == Set((1L, "a", 1), (2L, "b2", 20), (3L, "c", 3)))
+    } finally q.stop()
+  }
+
   test("sessionizeBatch on the sf0.001 fixture: sessions partition events") {
     val t = Tables(spark, sf0001)
     val sessions = EventStreams.sessionizeBatch(t.events, gapMs = 1800000L)
