@@ -56,4 +56,50 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     sims.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
+
+  /** IVF (inverted-file) approximate top-k: the corpus is clustered
+    * into `nCells` KMeans centroids (fixed seed — reproducible); each
+    * query probes only its `nProbe` nearest cells. The cell assignment
+    * is a one-off batch job whose output would be persisted as a
+    * partition column at scale — probing then prunes partitions, so a
+    * query touches nProbe/nCells of the corpus. */
+  def ivfTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+              nCells: Int = 8, nProbe: Int = 2, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+
+    val featurized = corpus.select(col(idCol), col(vecCol),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("features")
+      .fit(featurized)
+    val assigned = model.transform(featurized)
+      .select(col(idCol), col(vecCol), col("prediction").as("cell"),
+              sqrt(norm2(col(vecCol))).as("nrm"))
+
+    // each query probes its nProbe nearest centroids
+    val centroids = model.clusterCenters.zipWithIndex
+    val queries = assigned.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("nrm").as("q_nrm"))
+    val probeCells = udf { (v: Seq[Float]) =>
+      val vd = v.map(_.toDouble).toArray
+      centroids.map { case (c: Vector, i: Int) =>
+        var d = 0.0
+        var j = 0
+        while (j < vd.length) { val t = vd(j) - c(j); d += t * t; j += 1 }
+        (i, d)
+      }.sortBy(_._2).take(nProbe).map(_._1)
+    }
+    val q = queries.withColumn("cell", explode(probeCells(col("q_vec"))))
+    val c = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+                            col("cell"), col("nrm").as("c_nrm"))
+    val sims = c.join(broadcast(q), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
 }

@@ -200,6 +200,13 @@ object PipelineQueries {
     Similarity.lshTopK(t.embeddings, QueryIds, k = 5).orderBy($"query_id", $"rk")
   }
 
+  /** IVF-bucketed ANN (KMeans cells, nProbe probing) — rows-only like
+    * qs02; recall vs brute force asserted in SimilaritySpec. */
+  def annIvf(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Similarity.ivfTopK(t.embeddings, QueryIds, k = 5).orderBy($"query_id", $"rk")
+  }
+
   // ---- sessionization (batch twin of the streaming operator) ----
 
   /** Gap-based sessionization over the event stream (30-min gap);
@@ -268,6 +275,7 @@ object PipelineQueries {
     "qd04_embed_neardup"   -> ((s: SparkSession, d: String) => embedNearDups(Tables(s, d))),
     "qs01_cosine_topk"     -> ((s: SparkSession, d: String) => cosineTopK(Tables(s, d))),
     "qs02_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(Tables(s, d))),
+    "qs03_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(

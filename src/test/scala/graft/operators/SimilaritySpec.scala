@@ -33,4 +33,22 @@ class SimilaritySpec extends SparkTestBase {
       .select("rk").as[Long].collect().toSeq
     assert(rks == rks.sorted)
   }
+
+  test("ivfTopK probes nearest cells and recalls most true neighbors") {
+    val t = Tables(spark, sf0001)
+    val qs = (0L until 10L).toSeq
+    val bf = Similarity.bruteForceTopK(t.embeddings, qs, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(t.embeddings, qs, k = 5, nCells = 8, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.nonEmpty)
+    // every query yields k rows (cells hold plenty of candidates)
+    assert(ivf.size == qs.size * 5)
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall > 0.3, s"IVF recall $recall suspiciously low")
+    // deterministic across runs (fixed KMeans seed)
+    val again = Similarity.ivfTopK(t.embeddings, qs, k = 5, nCells = 8, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(again == ivf)
+  }
 }
