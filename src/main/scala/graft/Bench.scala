@@ -7,6 +7,7 @@ object Bench {
     // Warm the JVM/codegen path once on the smallest SF so per-query
     // numbers measure the engine, not first-call classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink forces FULL evaluation of every output column —
       // .count() would let Catalyst prune projection-only queries
@@ -16,19 +17,27 @@ object Bench {
       val dt = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch {
+          case e: Throwable =>
+            errors(name) = e.getClass.getSimpleName + ": " +
+              Option(e.getMessage).getOrElse("").takeWhile(_ != '\n').take(200)
+        }
         val t = (System.nanoTime() - t0) / 1e9
         // drop per-query persisted state (e.g. minhash signature
         // tables) so queries are measured independently
         spark.catalog.clearCache()
         t
       }.min
-      name -> dt
+      // a failed query must not masquerade as a fast success
+      name -> (if (errors.contains(name)) -1.0 else dt)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,8 +17,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Semantics match the HOF version exactly: sequential i=0..n-1 double
   * accumulation (bit-identical to DuckDB's `list_dot_product` over
-  * DOUBLE[]), NULL if either side is NULL. The shorter array bounds
-  * the loop (embeddings are fixed-dim, so lengths are equal).
+  * DOUBLE[]), NULL if either side is NULL. Mirroring
+  * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` precisely also means
+  * NULL when the lengths differ (zip_with pads the shorter side with
+  * nulls) or when any element is null (null poisons the fold) — both
+  * checked here in eval and codegen.
   *
   * Registered as SQL function `graft_dot_product` by
   * [[graft.GraftExtensions]].
@@ -34,13 +37,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       sum += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -52,12 +59,19 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |double $sum = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |    $bad = true;
+         |  } else {
+         |    $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  }
          |}
+         |${ev.isNull} = $bad;
          |${ev.value} = $sum;
        """.stripMargin
     })

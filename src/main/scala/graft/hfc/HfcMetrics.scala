@@ -36,9 +36,13 @@ object HfcMetrics {
     * heatmap feed (metrics.html:122-145): filename × month → #commits. */
   def fileModificationHeatmap(modifiedFile: DataFrame, filesInCommit: DataFrame,
                               commits: DataFrame, repoId: String): DataFrame =
-    modifiedFile
-      .join(filesInCommit, "modified_file_id")
-      .join(commits.filter(col("repo_id") === repoId), "sha")
+    // project each side down to the join+output columns first: the full
+    // modified_file schema carries its own `sha` (Schemas.modifiedFile),
+    // which would collide with the commits join key
+    modifiedFile.select(col("modified_file_id"), col("filename"))
+      .join(filesInCommit.select(col("modified_file_id"), col("sha")), "modified_file_id")
+      .join(commits.filter(col("repo_id") === repoId)
+              .select(col("sha"), col("committer_date")), "sha")
       .groupBy(col("filename"),
                date_trunc("month", col("committer_date")).cast("date").as("month"))
       .agg(count(lit(1)).as("n_modifications"))

@@ -40,26 +40,44 @@ object Dedup {
     docs.withColumn("minhash_sig", minhashSignature(col(textCol), numHashes))
 
   /** Signature table: per doc, distinct shingle hashes + LSH band keys,
-    * computed in ONE pass over the text and persisted. Everything
+    * computed in ONE pass over the text and materialized. Everything
     * downstream (banding self-join, Jaccard verification) references
     * this table from both join sides — without materialization Spark
-    * would re-run the signature scan once per side. This mirrors the
-    * production shape at 100 TB: the signature table is a first-class
-    * materialized artifact (tiny next to the text), not a throwaway
-    * projection. */
+    * would re-run the signature scan once per side.
+    *
+    * Materialization contract:
+    *  - `storagePath = Some(dir)` — the 100 TB shape: the signature
+    *    table is written to storage as a first-class artifact (tiny
+    *    next to the text) and every downstream reference scans the
+    *    parquet, not the text. Survives executor loss; no cache memory.
+    *  - `storagePath = None` (default, test/bench scale) — persisted to
+    *    MEMORY_AND_DISK and eagerly materialized. The cache lives until
+    *    the caller drops it (`spark.catalog.clearCache()`, as Verify
+    *    and Bench do between queries) — the funnel's result is lazy, so
+    *    this function cannot unpersist it itself. */
   private[graft] def signatureTable(docs: DataFrame, numHashes: Int, bands: Int,
-                                    idCol: String, textCol: String): DataFrame = {
+                                    idCol: String, textCol: String,
+                                    storagePath: Option[String] = None): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands): " +
+        "trailing signature rows would silently never enter any band")
     val rows = numHashes / bands
     val sigs = docs.select(col(idCol),
         shingleHashes(col(textCol)).as("hashes"),
         letBound(minhashSignature(col(textCol), numHashes)) { sig =>
           minhashBands(sig, bands, rows)
         }.as("bands"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.count()   // materialize NOW: the downstream self-join would
-                   // otherwise race both sides into the cold cache and
-                   // compute every signature twice
-    sigs
+    storagePath match {
+      case Some(path) =>
+        sigs.write.mode("overwrite").parquet(path)
+        docs.sparkSession.read.parquet(path)
+      case None =>
+        val cached = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count() // materialize NOW: the downstream self-join would
+                       // otherwise race both sides into the cold cache and
+                       // compute every signature twice
+        cached
+    }
   }
 
   /** LSH banding → distinct candidate pairs (a_id < b_id).
@@ -67,8 +85,9 @@ object Dedup {
     * materialized. */
   def minhashCandidatePairs(docs: DataFrame, numHashes: Int = 16,
                             bands: Int = 4, idCol: String = "doc_id",
-                            textCol: String = "text"): DataFrame =
-    candidatesFrom(signatureTable(docs, numHashes, bands, idCol, textCol), idCol)
+                            textCol: String = "text",
+                            storagePath: Option[String] = None): DataFrame =
+    candidatesFrom(signatureTable(docs, numHashes, bands, idCol, textCol, storagePath), idCol)
 
   private def candidatesFrom(sigTable: DataFrame, idCol: String): DataFrame = {
     val banded = sigTable
@@ -117,8 +136,9 @@ object Dedup {
     * verification. */
   def nearDupsMinhash(docs: DataFrame, threshold: Double,
                       numHashes: Int = 16, bands: Int = 4,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = signatureTable(docs, numHashes, bands, idCol, textCol)
+                      idCol: String = "doc_id", textCol: String = "text",
+                      storagePath: Option[String] = None): DataFrame = {
+    val sigs = signatureTable(docs, numHashes, bands, idCol, textCol, storagePath)
     val cands = candidatesFrom(sigs, idCol)
     val sh = sigs.select(col(idCol), col("hashes"))
     val common = size(array_intersect(col("a_hashes"), col("b_hashes"))).cast("double")

@@ -25,6 +25,19 @@ class DotProductSpec extends SparkTestBase {
     assert(out(1).isEmpty)
   }
 
+  test("null elements and unequal lengths return NULL, matching the HOF") {
+    val df = Seq(
+      (Seq(Some(1.0), None, Some(3.0)), Seq(Some(4.0), Some(5.0), Some(6.0))),
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(4.0), Some(5.0), Some(6.0))),
+      (Seq(Some(1.0), Some(2.0)), Seq(Some(4.0), Some(5.0)))).toDF("a", "b")
+    val out = df.select(VectorFunctions.dot($"a", $"b").as("native"),
+                        VectorFunctions.dotHof($"a", $"b").as("hof"))
+      .as[(Option[Double], Option[Double])].collect()
+    assert(out(0) == ((None, None)))          // null element poisons the fold
+    assert(out(1) == ((None, None)))          // unequal lengths: zip_with pads with null
+    assert(out(2) == ((Some(14.0), Some(14.0))))
+  }
+
   test("registered as SQL function via extensions") {
     val v = spark.sql("SELECT graft_dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
       .as[Double].head()

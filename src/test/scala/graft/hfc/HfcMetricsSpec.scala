@@ -55,9 +55,11 @@ class HfcMetricsSpec extends SparkTestBase {
     ("c3", "models/orgA/m1", ts("2024-02-05")),
   ).toDF("sha", "repo_id", "committer_date")
 
+  // carries its own `sha` column like the declared table schema does —
+  // the heatmap must not trip on ambiguity with the commits join key
   private lazy val modifiedFile: DataFrame = Seq(
-    ("mf1", "README.md"), ("mf2", "model.bin"), ("mf3", "README.md"),
-  ).toDF("modified_file_id", "filename")
+    ("mf1", "README.md", "c1"), ("mf2", "model.bin", "c1"), ("mf3", "README.md", "c2"),
+  ).toDF("modified_file_id", "filename", "sha")
 
   private lazy val filesInCommit: DataFrame = Seq(
     ("c1", "mf1"), ("c1", "mf2"), ("c2", "mf3"), ("c3", "mf3"),

@@ -35,6 +35,27 @@ class DedupSpec extends SparkTestBase {
     assert(out.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 })
   }
 
+  test("nearDupsMinhash storage-backed signature table matches the cached path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigs").toString
+    try {
+      val cached = Dedup.nearDupsMinhash(docs, threshold = 0.3)
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val stored = Dedup.nearDupsMinhash(docs, threshold = 0.3,
+          storagePath = Some(dir + "/sigs"))
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(cached == stored)
+      assert(new java.io.File(dir + "/sigs").exists()) // artifact really on storage
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("signatureTable rejects bands that do not divide numHashes") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidatePairs(docs, numHashes = 16, bands = 5)
+    }
+  }
+
   test("jaccardPairsByBlock computes exact jaccard via inverted index") {
     val out = Dedup.jaccardPairsByBlock(docs, "src")
       .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect()
