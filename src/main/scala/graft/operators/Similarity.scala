@@ -57,15 +57,27 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
-  /** IVF (inverted-file) approximate top-k: the corpus is clustered
-    * into `nCells` KMeans centroids (fixed seed — reproducible); each
-    * query probes only its `nProbe` nearest cells. The cell assignment
-    * is a one-off batch job whose output would be persisted as a
-    * partition column at scale — probing then prunes partitions, so a
-    * query touches nProbe/nCells of the corpus. */
+  /** IVF (inverted-file) approximate top-k over the deterministic
+    * sampled-centroid quantizer — see [[IvfIndex]]. Fit and apply are
+    * split: [[IvfIndex.centroids]]/[[IvfIndex.assign]] are the build
+    * stage (run once, persisted via [[IvfIndex.build]] at scale) and
+    * [[IvfIndex.topK]] is the probe; this convenience wrapper chains
+    * them for the oracle-checked query path. No ML fit runs here. */
   def ivfTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
-              nCells: Int = 8, nProbe: Int = 2, seed: Long = 42L,
+              nCells: Int = 8, nProbe: Int = 2,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = IvfIndex.centroids(corpus, nCells, idCol, vecCol)
+    val assigned = IvfIndex.assign(corpus, cents, idCol, vecCol)
+    IvfIndex.topK(assigned, cents, queryIds, k, nProbe, idCol, vecCol)
+  }
+
+  /** Offline data-adaptive IVF quantizer: KMeans centroids (fixed
+    * seed). This is a BUILD-stage tool — `.fit` must never run inside a
+    * query path (persist the assignment via [[IvfIndex.build]]-style
+    * layout instead); the probe shape is identical to [[ivfTopK]]. */
+  def ivfTopKKMeans(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                    nCells: Int = 8, nProbe: Int = 2, seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector

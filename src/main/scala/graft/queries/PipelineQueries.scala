@@ -9,11 +9,10 @@ import org.apache.spark.sql.functions._
 /** Training-data pipeline plane: text analysis, dedup, similarity
   * search (builder brief north-star operators; SURVEY.md §7.1 step 7).
   *
-  * Every query except `qs02_ann_lsh` has an exact DuckDB oracle — the
-  * md5-based signatures make even MinHash/SimHash cross-engine
-  * deterministic. `qs02` (random-hyperplane ANN) is instead validated
-  * against the brute-force baseline in SimilaritySpec (recall check),
-  * and gets the driver's rows-only check.
+  * Every query has an exact DuckDB oracle — md5-derived signatures,
+  * hyperplanes (qs02) and sampled centroids (qs03) make even
+  * MinHash/SimHash/ANN cross-engine deterministic. The ANN paths are
+  * additionally recall-checked against brute force in SimilaritySpec.
   */
 object PipelineQueries {
 
@@ -193,19 +192,74 @@ object PipelineQueries {
       |  FROM sims)
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
-  /** LSH-bucketed ANN — no SQL oracle (validated against brute force in
-    * SimilaritySpec); driver records rows-only. */
+  /** LSH-bucketed ANN. The md5-derived hyperplanes make the bucket
+    * assignment engine-independent, so the whole funnel (bucket →
+    * candidate join → per-query window) has an exact DuckDB oracle;
+    * recall vs brute force is additionally asserted in SimilaritySpec. */
   def annLsh(t: Tables): DataFrame = {
     import t.spark.implicits._
     Similarity.lshTopK(t.embeddings, QueryIds, k = 5).orderBy($"query_id", $"rk")
   }
 
-  /** IVF-bucketed ANN (KMeans cells, nProbe probing) — rows-only like
-    * qs02; recall vs brute force asserted in SimilaritySpec. */
+  /** Hyperplane j's weight for component i is hexdigit₁(md5("j:i")) −
+    * 7.5, exactly VectorFunctions.lshBucket (strpos is 1-based, hence
+    * −8.5). `tools/dump_lsh_buckets.py` proved the bucket strings
+    * bit-identical across engines before this oracle was wired in. */
+  val annLshSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+      |  FROM embeddings),
+      |b AS (SELECT vec_id, e, nrm,
+      |    array_to_string(list_transform(range(0,8), j ->
+      |      CASE WHEN list_sum(list_transform(range(0,64), i ->
+      |        e[i+1] * (strpos('0123456789abcdef',
+      |                         substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1)) - 8.5)
+      |      )) >= 0 THEN '1' ELSE '0' END), '') bucket
+      |  FROM v),
+      |q AS (SELECT vec_id query_id, e q_vec, nrm q_nrm, bucket FROM b WHERE vec_id < 10),
+      |c AS (SELECT vec_id neighbor_id, e c_vec, nrm c_nrm, bucket FROM b),
+      |sims AS (SELECT query_id, neighbor_id,
+      |    round(list_dot_product(q_vec, c_vec) / (q_nrm * c_nrm), 6) cos_sim
+      |  FROM c JOIN q USING (bucket) WHERE neighbor_id <> query_id)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+      |  FROM sims)
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** IVF ANN over the deterministic sampled-centroid quantizer
+    * (IvfIndex): nCells=8 centroids picked by md5(vec_id) order,
+    * squared-L2 argmin via the |c|²−2·v·c surrogate, nProbe=2. Every
+    * step is engine-independent, so the full build+probe has an exact
+    * DuckDB oracle. */
   def annIvf(t: Tables): DataFrame = {
     import t.spark.implicits._
     Similarity.ivfTopK(t.embeddings, QueryIds, k = 5).orderBy($"query_id", $"rk")
   }
+
+  val annIvfSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e,
+      |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) nrm2 FROM embeddings),
+      |cent AS (SELECT (ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)) - 1 AS cell,
+      |    e c_vec, nrm2 c_nrm2
+      |  FROM v ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+      |scored AS (SELECT v.vec_id, v.e, v.nrm2, cent.cell,
+      |    cent.c_nrm2 - 2 * list_dot_product(v.e, cent.c_vec) AS score
+      |  FROM v CROSS JOIN cent),
+      |assigned AS (SELECT vec_id, e, nrm2, cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) rn
+      |    FROM scored) WHERE rn = 1),
+      |probes AS (SELECT vec_id query_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) rn
+      |    FROM scored WHERE vec_id < 10) WHERE rn <= 2),
+      |q AS (SELECT vec_id query_id, e q_vec, sqrt(nrm2) q_nrm FROM v WHERE vec_id < 10),
+      |sims AS (SELECT p.query_id, a.vec_id neighbor_id,
+      |    round(list_dot_product(q.q_vec, a.e) / (q.q_nrm * sqrt(a.nrm2)), 6) cos_sim
+      |  FROM probes p JOIN assigned a ON a.cell = p.cell JOIN q ON q.query_id = p.query_id
+      |  WHERE a.vec_id <> p.query_id)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+      |  FROM sims)
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   // ---- sessionization (batch twin of the streaming operator) ----
 
@@ -291,5 +345,7 @@ object PipelineQueries {
     "qd03_minhash_neardup" -> minhashNearDupsSql,
     "qd04_embed_neardup"   -> embedNearDupsSql,
     "qs01_cosine_topk"     -> cosineTopKSql,
+    "qs02_ann_lsh"         -> annLshSql,
+    "qs03_ann_ivf"         -> annIvfSql,
   )
 }

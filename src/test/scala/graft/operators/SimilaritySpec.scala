@@ -46,9 +46,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(ivf.size == qs.size * 5)
     val recall = bf.intersect(ivf).size.toDouble / bf.size
     assert(recall > 0.3, s"IVF recall $recall suspiciously low")
-    // deterministic across runs (fixed KMeans seed)
+    // deterministic across runs (sampled centroids are md5-ordered)
     val again = Similarity.ivfTopK(t.embeddings, qs, k = 5, nCells = 8, nProbe = 2)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(again == ivf)
+  }
+
+  test("ivfTopKKMeans (offline data-adaptive quantizer) recalls neighbors deterministically") {
+    val t = Tables(spark, sf0001)
+    val qs = (0L until 10L).toSeq
+    val bf = Similarity.bruteForceTopK(t.embeddings, qs, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopKKMeans(t.embeddings, qs, k = 5, nCells = 8, nProbe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf.size == qs.size * 5)
+    val recall = bf.intersect(ivf).size.toDouble / bf.size
+    assert(recall > 0.3, s"KMeans IVF recall $recall suspiciously low")
   }
 }
