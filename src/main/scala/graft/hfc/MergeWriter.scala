@@ -22,13 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object MergeWriter {
 
-  /** keep the LAST row per key within a batch (reference loop order) */
-  private[hfc] def dedupeBatch(batch: DataFrame, keys: Seq[String]): DataFrame = {
+  /** Keep the LAST row per key within a batch (reference loop order).
+    *
+    * Ordering contract: pass `seqCol` (an explicit monotone sequence —
+    * ingest offset, event time + tiebreak, file row number) whenever
+    * the batch may have been shuffled: "batch order" is not
+    * well-defined after an exchange. Without `seqCol` the fallback is
+    * `monotonically_increasing_id()`, which encodes
+    * partition-then-row order — deterministic ONLY for single-lineage
+    * batches read straight from an ordered source (the reference's
+    * per-row loop case). MergePropertiesSpec pins both: explicit-seq
+    * last-wins survives a repartition; the fallback is documented as
+    * requiring the single-lineage precondition. */
+  private[hfc] def dedupeBatch(batch: DataFrame, keys: Seq[String],
+                               seqCol: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__seq").desc)
     batch
-      .withColumn("__seq", monotonically_increasing_id())
+      .withColumn("__seq", seqCol.map(col).getOrElse(monotonically_increasing_id()))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__seq", "__rn")
@@ -37,8 +49,9 @@ object MergeWriter {
   /** K2: insert new keys, overwrite all non-key columns for existing
     * keys with the update's values (NULL in the update wins too, as in
     * SQL `UPDATE c = VALUES(c)`). */
-  def upsert(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    val u = dedupeBatch(updates, keys)
+  def upsert(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+             seqCol: Option[String] = None): DataFrame = {
+    val u = dedupeBatch(updates, keys, seqCol)
     val valueCols = existing.columns.filterNot(keys.contains)
     val e2 = existing.select(keys.map(col) ++ valueCols.map(c => col(c).as(s"__e_$c")): _*)
     val u2 = u.select(
@@ -51,8 +64,9 @@ object MergeWriter {
 
   /** K3: keep existing rows untouched; append only rows whose key is
     * absent (left anti join — the reference's INSERT IGNORE). */
-  def insertIfAbsent(existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
-    val fresh = dedupeBatch(updates, keys)
+  def insertIfAbsent(existing: DataFrame, updates: DataFrame, keys: Seq[String],
+                     seqCol: Option[String] = None): DataFrame = {
+    val fresh = dedupeBatch(updates, keys, seqCol)
       .join(existing.select(keys.map(col): _*), keys, "left_anti")
     existing.unionByName(fresh)
   }
@@ -62,8 +76,8 @@ object MergeWriter {
     * discussion status-only update, :490-492). Non-matching update rows
     * are ignored; other columns keep their existing values. */
   def updateColumns(existing: DataFrame, updates: DataFrame, keys: Seq[String],
-                    cols: Seq[String]): DataFrame = {
-    val u = dedupeBatch(updates, keys)
+                    cols: Seq[String], seqCol: Option[String] = None): DataFrame = {
+    val u = dedupeBatch(updates, keys, seqCol)
       .select(keys.map(col) ++ cols.map(c => col(c).as(s"__u_$c")) :+ lit(true).as("__upd"): _*)
     existing.join(u, keys, "left_outer")
       .select(existing.columns.map { c =>

@@ -149,4 +149,13 @@ object Normalize {
   /** files_in_commit bridge from resolved deltas. */
   def filesInCommit(modifiedFiles: DataFrame): DataFrame =
     modifiedFiles.select(col("sha"), col("modified_file_id")).distinct()
+
+  /** commit_parents population (the SURVEY §1.5.2 extension: the
+    * reference declares the DDL at databaseImport.py:236-239 but never
+    * fills it). Bronze commit walks carry each commit's `parents` list
+    * (PyDriller exposes it); explode + distinct is the whole job. DAG
+    * queries over the result live in
+    * [[graft.operators.CommitGraph]]. */
+  def commitParents(commitsRaw: DataFrame): DataFrame =
+    graft.operators.CommitGraph.edgesFromParents(commitsRaw)
 }

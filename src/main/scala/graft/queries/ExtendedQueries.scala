@@ -96,15 +96,50 @@ object ExtendedQueries {
       |WHERE CAST(spend_dec AS DOUBLE) > seg_avg * 2.0
       |ORDER BY c_mktsegment, o_custkey""".stripMargin
 
+  /** Commit-DAG k-hop ancestors (SURVEY.md §1.5.2: the reference's
+    * `commit_parents` table, populated + queried). The testdata has no
+    * git history, so the walk is modeled on `orders`: each customer's
+    * order chain plays a repo's linear commit history (same edge-table
+    * shape the hfc plane populates via Normalize.commitParents); the
+    * query is graft.operators.CommitGraph.kHopAncestors — bounded
+    * iterated self-join vs DuckDB's recursive CTE. */
+  def commitAncestors(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import graft.operators.CommitGraph
+    val commits = t.orders.select($"o_orderkey".as("sha"), $"o_custkey".as("repo"),
+                                  $"o_orderdate".as("d"))
+    val edges = CommitGraph.linearEdges(commits, "sha", "repo", Seq($"d".asc, $"sha".asc))
+    CommitGraph.kHopAncestors(edges, 3)
+      .orderBy($"commit_sha", $"ancestor_sha")
+  }
+
+  val commitAncestorsSql: String =
+    """WITH RECURSIVE
+      |c AS (SELECT o_orderkey sha, o_custkey repo, o_orderdate d FROM orders),
+      |lagged AS (SELECT sha, lag(sha) OVER (PARTITION BY repo ORDER BY d ASC, sha ASC) parent
+      |  FROM c),
+      |edges AS (SELECT sha commit_sha, parent parent_sha FROM lagged WHERE parent IS NOT NULL),
+      |anc AS (
+      |  SELECT commit_sha, parent_sha AS ancestor_sha, 1 AS depth FROM edges
+      |  UNION ALL
+      |  SELECT a.commit_sha, e.parent_sha, a.depth + 1
+      |  FROM anc a JOIN edges e ON e.commit_sha = a.ancestor_sha
+      |  WHERE a.depth < 3)
+      |SELECT commit_sha, ancestor_sha, CAST(MIN(depth) AS BIGINT) AS depth
+      |FROM anc GROUP BY commit_sha, ancestor_sha
+      |ORDER BY commit_sha, ancestor_sha""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q17_rollup_revenue" -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
-    "q18_dim_stats"      -> ((s: SparkSession, d: String) => dimensionStats(Tables(s, d))),
-    "q19_big_spenders"   -> ((s: SparkSession, d: String) => bigSpenders(Tables(s, d))),
+    "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
+    "q18_dim_stats"        -> ((s: SparkSession, d: String) => dimensionStats(Tables(s, d))),
+    "q19_big_spenders"     -> ((s: SparkSession, d: String) => bigSpenders(Tables(s, d))),
+    "qg01_commit_ancestors" -> ((s: SparkSession, d: String) => commitAncestors(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
-    "q17_rollup_revenue" -> rollupRevenueSql,
-    "q18_dim_stats"      -> dimensionStatsSql,
-    "q19_big_spenders"   -> bigSpendersSql,
+    "q17_rollup_revenue"   -> rollupRevenueSql,
+    "q18_dim_stats"        -> dimensionStatsSql,
+    "q19_big_spenders"     -> bigSpendersSql,
+    "qg01_commit_ancestors" -> commitAncestorsSql,
   )
 }

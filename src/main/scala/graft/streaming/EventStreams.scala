@@ -102,30 +102,31 @@ object EventStreams {
   /** Streaming ingest → MERGE (SURVEY.md §2.A Streaming extension:
     * `foreachBatch` upsert, Trigger.AvailableNow-compatible): each
     * micro-batch is consolidated into the parquet target with
-    * [[graft.hfc.MergeWriter.upsert]] semantics and swapped in
-    * atomically (write staging → move). At scale the target would be a
-    * bucketed table or a lakehouse MERGE; the per-batch semantics are
-    * identical. */
+    * [[graft.hfc.MergeWriter.upsert]] semantics and published with
+    * [[graft.hfc.AtomicSwap]]'s crash-safe rename protocol — recover()
+    * runs at batch start, so a crash mid-swap can never be mistaken
+    * for an empty target (which would silently rebuild from only the
+    * new batch). At scale the target would be a bucketed table, a
+    * lakehouse MERGE, or [[graft.hfc.PartitionedMergeWriter]]; the
+    * per-batch semantics are identical. */
   def upsertStream(events: DataFrame, keys: Seq[String],
                    targetDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val target = new java.io.File(targetDir)
-        val existing =
-          if (target.exists()) spark.read.parquet(targetDir)
-          else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            batch.schema)
-        val staging = targetDir + ".staging"
-        graft.hfc.MergeWriter.upsert(existing, batch, keys)
-          .write.mode("overwrite").parquet(staging)
-        // atomic-ish swap on a local/HDFS-like FS
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
-        val tp = new org.apache.hadoop.fs.Path(targetDir)
-        if (fs.exists(tp)) fs.delete(tp, true)
-        fs.rename(new org.apache.hadoop.fs.Path(staging), tp)
+        graft.hfc.AtomicSwap.recoverDir(fs, targetDir)   // repair any torn swap first
+        val existing =
+          if (fs.exists(new org.apache.hadoop.fs.Path(targetDir)))
+            spark.read.parquet(targetDir)
+          else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            batch.schema)
+        val staging = graft.hfc.AtomicSwap.stagingFor(targetDir)
+        graft.hfc.MergeWriter.upsert(existing, batch, keys)
+          .write.mode("overwrite").parquet(staging)
+        graft.hfc.AtomicSwap.commitDir(fs, targetDir, staging)
         ()
       }
 

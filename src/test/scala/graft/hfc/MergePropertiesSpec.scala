@@ -62,6 +62,21 @@ class MergePropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("explicit seqCol: last-wins is deterministic even after a shuffle") {
+    cases.foreach { case (e0, b0) =>
+      val existing = e0.toDF("id", "v").dropDuplicates("id")
+      // stamp batch order explicitly, then destroy the physical order
+      val batch = b0.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("id", "v", "seq")
+      val shuffled = batch.repartition(7, $"v").sortWithinPartitions($"v")
+      val out = MergeWriter.upsert(existing.withColumn("seq", org.apache.spark.sql.functions.lit(-1L)),
+          shuffled, Seq("id"), seqCol = Some("seq"))
+        .drop("seq").as[(String, Int)].collect().toMap
+      val lastPerKey = b0.groupBy(_._1).view.mapValues(_.last._2).toMap
+      lastPerKey.foreach { case (k, v) => assert(out(k) == v, s"k=$k b=$b0") }
+    }
+  }
+
   test("bucketize is total and consistent with bounds for random doubles") {
     import org.apache.spark.sql.functions.col
     val vals = sample(Gen.listOfN(50, Gen.choose(-1000.0, 1000.0)), 7L)
