@@ -21,7 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  import graft.functions.expressions.MinHashSignature
+  import graft.functions.expressions.{MinHashSignature, ShingleHashes, SimHash16}
 
   private val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -30,7 +30,13 @@ object GraftExtensions {
      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
     (FunctionIdentifier("graft_minhash_signature"),
      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_signature"),
-     (children: Seq[Expression]) => MinHashSignature(children(0), children(1))))
+     (children: Seq[Expression]) => MinHashSignature(children(0), children(1))),
+    (FunctionIdentifier("graft_shingle_hashes"),
+     new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+     (children: Seq[Expression]) => ShingleHashes(children(0), children(1))),
+    (FunctionIdentifier("graft_simhash16"),
+     new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
+     (children: Seq[Expression]) => SimHash16(children(0))))
 
   /** idempotent post-hoc registration on a live session */
   def register(spark: SparkSession): Unit =

@@ -48,8 +48,18 @@ object TextFunctions {
         .otherwise(array().cast("array<string>"))
     }
 
-  /** distinct md5 hashes of the doc's 3-gram shingles */
+  /** distinct md5 hashes of the doc's 3-gram shingles, first-occurrence
+    * order. Delegates to the native
+    * [[graft.functions.expressions.ShingleHashes]] (feeds the dedup
+    * funnel, the jaccard index, and the fingerprint — the hottest
+    * projection in the library); [[shingleHashesHof]] is the
+    * built-ins-only formulation it must bit-match. */
   def shingleHashes(text: Column, n: Int = 3): Column =
+    call_function("graft_shingle_hashes", tokens(text), lit(n))
+
+  /** HOF reference implementation of [[shingleHashes]] (kept for the
+    * bit-equality spec). */
+  def shingleHashesHof(text: Column, n: Int = 3): Column =
     array_distinct(transform(shingles(text, n), md5(_)))
 
   /** MinHash signature: for seed s, sig(s) = min over shingles of
@@ -80,8 +90,16 @@ object TextFunctions {
 
   /** 16-bit SimHash over distinct words: bit j set iff strictly more
     * word-hashes have hex digit j in [8..f] than in [0..7]. Returned as
-    * a 16-char '0'/'1' string (hamming distance = char diff count). */
+    * a 16-char '0'/'1' string (hamming distance = char diff count).
+    * Delegates to the native
+    * [[graft.functions.expressions.SimHash16]]; [[simhash16Hof]] is the
+    * built-ins-only formulation it must bit-match. */
   def simhash16(text: Column): Column =
+    call_function("graft_simhash16", tokens(text))
+
+  /** HOF reference implementation of [[simhash16]] (kept for the
+    * bit-equality spec). */
+  def simhash16Hof(text: Column): Column =
     letBound(array_distinct(transform(tokens(text), md5(_)))) { hashes =>
       array_join(
         transform(sequence(lit(0), lit(15)), j =>

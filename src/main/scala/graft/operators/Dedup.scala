@@ -131,6 +131,49 @@ object Dedup {
         round(col("common") / (col("a_n") + col("b_n") - col("common")), 6).as("jaccard"))
   }
 
+  /** Prefix-filtered set-similarity join (PPJoin-style): for a KNOWN
+    * threshold t, a pair with Jaccard ≥ t must share a hash within each
+    * doc's first |d| − ⌈t·|d|⌉ + 1 hashes under a global sort order —
+    * so only those prefixes are indexed, candidates come from the
+    * prefix join, and exact Jaccard is verified per candidate via
+    * array intersection. Output is complete for jaccard ≥ t (pairs
+    * below t are filtered — they carry no completeness guarantee).
+    *
+    * vs [[jaccardPairsByBlock]]: MEASURED at sf0.1 (ProfileJaccard,
+    * NOTES_r2.md) the exact count-agg path wins at both t=0.05 (prefix
+    * >10 min vs ~5 s) and t=0.3 (~6-10× slower): with few-hundred-
+    * shingle docs the prefix is still ~70% of the doc at t=0.3, so the
+    * candidate set barely shrinks while every candidate pays an
+    * array_intersect the count aggregation never does. The prefix path
+    * is the right shape only for high-threshold (t ≳ 0.7) dedup over
+    * large documents, where the prefix (≤ 30% of hashes) collapses the
+    * candidate set; qd02 therefore stays on the exact path. */
+  def jaccardPairsByBlockPrefix(docs: DataFrame, blockCol: String, threshold: Double,
+                                idCol: String = "doc_id", textCol: String = "text",
+                                n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    val sh = docs.select(col(idCol), col(blockCol).as("block"),
+                         array_sort(shingleHashes(col(textCol), n)).as("hashes"))
+    val pfxLen = (size(col("hashes")) - ceil(size(col("hashes")) * lit(threshold)) + lit(1))
+      .cast("int")
+    val pfx = sh.select(col("block"), col(idCol),
+        explode(slice(col("hashes"), lit(1), pfxLen)).as("h"))
+    val a = pfx.select(col("block"), col(idCol).as("a_id"), col("h"))
+    val b = pfx.select(col("block"), col(idCol).as("b_id"), col("h"))
+    val cands = a.join(b, Seq("block", "h"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("block"), col("a_id"), col("b_id"))
+      .distinct()
+    val full = sh.select(col(idCol), col("hashes"), size(col("hashes")).as("nh"))
+    val common = size(array_intersect(col("a_hashes"), col("b_hashes"))).cast("double")
+    cands
+      .join(full.select(col(idCol).as("a_id"), col("hashes").as("a_hashes"), col("nh").as("a_n")), "a_id")
+      .join(full.select(col(idCol).as("b_id"), col("hashes").as("b_hashes"), col("nh").as("b_n")), "b_id")
+      .select(col("block"), col("a_id"), col("b_id"),
+        round(common / (col("a_n") + col("b_n") - common), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash candidates verified with exact Jaccard (the full funnel).
     * One signature pass feeds both candidate generation and
     * verification. */
@@ -157,16 +200,37 @@ object Dedup {
 
   /** Embedding-cosine near-duplicates within a blocking key. Norms are
     * precomputed per vector BEFORE the pair join (1 dot product per
-    * pair instead of 3 — at n² pairs that factor matters). */
+    * pair instead of 3 — at n² pairs that factor matters).
+    *
+    * Hot-block guard: within-block work is O(n²), so one dominant
+    * block (a single `lang` holding most of the corpus) degenerates.
+    * Blocks larger than `maxBlockSize` are sub-bucketed by
+    * `subPlanes` LSH sign bits before pairing — work per hot block
+    * drops ~4^subPlanes-fold; near-identical vectors still collide
+    * (their hyperplane signs agree), but borderline pairs straddling a
+    * hyperplane can be missed — an explicit recall trade-off, applied
+    * ONLY above the budget. The default budget (Int.MaxValue) keeps
+    * every block exact, which is what the qd04 oracle checks;
+    * DedupSpec pins the bounded-pair-count property on a pathological
+    * block. */
   def embeddingNearDups(emb: DataFrame, threshold: Double,
                         blockCol: String = "label", idCol: String = "vec_id",
-                        vecCol: String = "embedding"): DataFrame = {
+                        vecCol: String = "embedding",
+                        maxBlockSize: Int = Int.MaxValue,
+                        subPlanes: Int = 4, dim: Int = 64): DataFrame = {
     import VectorFunctions._
     val v = emb.select(col(blockCol).as("block"), col(idCol), col(vecCol),
                        sqrt(norm2(col(vecCol))).as("nrm"))
-    val a = v.select(col("block"), col(idCol).as("a_id"), col(vecCol).as("a_vec"), col("nrm").as("a_nrm"))
-    val b = v.select(col("block"), col(idCol).as("b_id"), col(vecCol).as("b_vec"), col("nrm").as("b_nrm"))
-    a.join(b, Seq("block"))
+    val sizes = v.groupBy(col("block")).agg(count(lit(1)).as("__bn"))
+    val keyed = v.join(sizes, Seq("block"))
+      .withColumn("__sub",
+        when(col("__bn") > maxBlockSize, lshBucket(col(vecCol), subPlanes, dim))
+          .otherwise(lit("")))
+    val a = keyed.select(col("block"), col("__sub"), col(idCol).as("a_id"),
+                         col(vecCol).as("a_vec"), col("nrm").as("a_nrm"))
+    val b = keyed.select(col("block"), col("__sub"), col(idCol).as("b_id"),
+                         col(vecCol).as("b_vec"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("block", "__sub"))
       .filter(col("a_id") < col("b_id"))
       .select(col("block"), col("a_id"), col("b_id"),
         round(dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6).as("cos_sim"))

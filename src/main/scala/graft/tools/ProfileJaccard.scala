@@ -25,6 +25,28 @@ object ProfileJaccard {
       pairs.filter(col("jaccard") >= 0.05).orderBy("block", "a_id", "b_id")
         .write.format("noop").mode("overwrite").save()
     }
+    // prefix-filtered variant vs exact at a selective threshold —
+    // decides which path each threshold uses (measured note in
+    // Dedup.jaccardPairsByBlockPrefix doc). t=0.05 was measured once:
+    // the prefix path ran >10 min vs ~3 s exact (candidates ≈ all
+    // co-occurring pairs, each paying an array_intersect) — exact wins
+    // at low thresholds, so it is excluded here.
+    for (t <- Seq(0.3)) {
+      val pfx = Dedup.jaccardPairsByBlockPrefix(docs, "lang", threshold = t)
+      (1 to 2).foreach { i =>
+        time(f"prefix t=$t run$i.noop") {
+          pfx.orderBy("block", "a_id", "b_id")
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      val exact = Dedup.jaccardPairsByBlock(docs, "lang").filter(col("jaccard") >= t)
+      (1 to 2).foreach { i =>
+        time(f"exact  t=$t run$i.noop") {
+          exact.orderBy("block", "a_id", "b_id")
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -50,6 +50,28 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(df(0) != df(2))
   }
 
+  test("native shingle hashes bit-match the HOF reference on the fixture") {
+    val docs = graft.Tables(spark, sf0001).documents
+    val mismatches = docs.select(
+        TextFunctions.shingleHashes($"text").as("native"),
+        TextFunctions.shingleHashesHof($"text").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(mismatches == 0)
+    // short-doc guard: fewer tokens than n → empty, like the HOF
+    val short = Seq("a b").toDF("t")
+      .select(TextFunctions.shingleHashes($"t", 3)).as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("native simhash16 bit-matches the HOF reference on the fixture") {
+    val docs = graft.Tables(spark, sf0001).documents
+    val mismatches = docs.select(
+        TextFunctions.simhash16($"text").as("native"),
+        TextFunctions.simhash16Hof($"text").as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(mismatches == 0)
+  }
+
   test("langIdHeuristic picks the dominant stopword set deterministically") {
     val preds = Seq(
       "the cat is on the mat",

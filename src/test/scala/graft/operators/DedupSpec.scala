@@ -88,6 +88,45 @@ class DedupSpec extends SparkTestBase {
     assert(out == Set((0L, 1L)))   // 0-2 orthogonal; 0-3 blocked apart
   }
 
+  test("prefix-filtered jaccard join equals the exact path above the threshold") {
+    val t = Tables(spark, sf0001)
+    val exact = Dedup.jaccardPairsByBlock(t.documents, "lang")
+      .filter($"jaccard" >= 0.3)
+      .select("block", "a_id", "b_id", "jaccard")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val prefixed = Dedup.jaccardPairsByBlockPrefix(t.documents, "lang", threshold = 0.3)
+      .select("block", "a_id", "b_id", "jaccard")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(exact == prefixed, "prefix filtering must not change the qualifying pair set")
+    assert(exact.nonEmpty)
+  }
+
+  test("hot-block guard bounds pair generation, keeps planted near-dups") {
+    // one pathological block: 60 vectors, two of them identical
+    val vecs = (0 until 60).map { i =>
+      val v = Array.tabulate(4)(j => math.sin(i * 17.0 + j * 3.0).toFloat)
+      (i.toLong, v, 0)
+    } :+ (100L, Array(1.0f, 0.5f, 0.25f, 0.125f), 0) :+
+      (101L, Array(1.0f, 0.5f, 0.25f, 0.125f), 0)
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    // threshold -1 keeps every SCORED pair, so the output counts pairs generated
+    val exactPairs = Dedup.embeddingNearDups(emb, threshold = -1.0, dim = 4).count()
+    val guarded = Dedup.embeddingNearDups(emb, threshold = -1.0,
+      maxBlockSize = 20, subPlanes = 3, dim = 4)
+    val guardedPairs = guarded.count()
+    assert(exactPairs == 62L * 61 / 2)
+    assert(guardedPairs < exactPairs / 2,
+      s"sub-bucketing should cut scored pairs sharply: $guardedPairs vs $exactPairs")
+    // identical vectors hash to the same sub-bucket — still caught
+    val ids = guarded.filter($"cos_sim" >= 0.999999)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(ids.contains((100L, 101L)))
+    // small blocks stay exhaustive
+    val small = Dedup.embeddingNearDups(emb, threshold = -1.0,
+      maxBlockSize = 1000, subPlanes = 3, dim = 4).count()
+    assert(small == exactPairs)
+  }
+
   test("sf0.001 fixture: minhash funnel matches all-pairs jaccard truth") {
     val t = Tables(spark, sf0001)
     val truth = Dedup.jaccardPairsByBlock(t.documents.withColumn("all", lit(1)), "all")
