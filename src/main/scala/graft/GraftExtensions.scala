@@ -21,7 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  import graft.functions.expressions.{MinHashSignature, ShingleHashes, SimHash16}
+  import graft.functions.expressions.{LshBucket, MinHashSignature, ShingleHashes, SimHash16}
 
   private val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -36,7 +36,10 @@ object GraftExtensions {
      (children: Seq[Expression]) => ShingleHashes(children(0), children(1))),
     (FunctionIdentifier("graft_simhash16"),
      new ExpressionInfo(classOf[SimHash16].getName, "graft_simhash16"),
-     (children: Seq[Expression]) => SimHash16(children(0))))
+     (children: Seq[Expression]) => SimHash16(children(0))),
+    (FunctionIdentifier("graft_lsh_bucket"),
+     new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
+     (children: Seq[Expression]) => LshBucket(children(0), children(1), children(2))))
 
   /** idempotent post-hoc registration on a live session */
   def register(spark: SparkSession): Unit =

@@ -42,8 +42,16 @@ object VectorFunctions {
     * md5-derived hyperplanes. Plane j's component i is
     * (hexdigit(md5(j ++ ":" ++ i)) - 7.5) — seedless, reproducible on
     * any engine. Used to bucket vectors so ANN probes only matching
-    * buckets (the 100 TB scale path vs brute force). */
+    * buckets (the 100 TB scale path vs brute force). Delegates to the
+    * native [[graft.functions.expressions.LshBucket]] (the HOF version
+    * interprets planes × dim lambdas per row); [[lshBucketHof]] is the
+    * built-ins-only formulation it must bit-match. */
   def lshBucket(v: Column, planes: Int, dim: Int): Column =
+    call_function("graft_lsh_bucket", asD(v), lit(planes), lit(dim))
+
+  /** HOF reference implementation of [[lshBucket]] (kept for the
+    * bit-equality spec). */
+  def lshBucketHof(v: Column, planes: Int, dim: Int): Column =
     graft.functions.TextFunctions.letBound(asD(v)) { vd =>
       array_join(
         array((0 until planes).map { j =>

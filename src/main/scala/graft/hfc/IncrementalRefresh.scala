@@ -23,4 +23,22 @@ object IncrementalRefresh {
     val afterCounters = MergeWriter.updateColumns(existing, stale, keys, counterCols)
     MergeWriter.upsert(afterCounters, fresh, keys)
   }
+
+  /** The same contract against a [[PartitionedMergeWriter]]-layout
+    * table: the stale fast path and the fresh full path each touch
+    * ONLY the partitions their keys hash to — a monthly refresh over a
+    * 63 M-row table costs O(batch), not O(table). Returns the affected
+    * partition ids (stale, fresh). */
+  def refreshPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                         batch: DataFrame, keys: Seq[String], partitionKey: String,
+                         nPartitions: Int, tsCol: String, limitDate: Column,
+                         counterCols: Seq[String]): (Seq[Int], Seq[Int]) = {
+    val (stale, fresh) = MergeWriter.stalenessSplit(batch, tsCol, limitDate)
+    val stupd = PartitionedMergeWriter.updateColumnsPartitioned(
+      spark, path, stale.select((keys ++ counterCols).map(org.apache.spark.sql.functions.col): _*),
+      keys, counterCols, partitionKey, nPartitions)
+    val frupd = PartitionedMergeWriter.upsertPartitioned(
+      spark, path, fresh, keys, partitionKey, nPartitions)
+    (stupd, frupd)
+  }
 }

@@ -67,7 +67,26 @@ object PartitionedMergeWriter {
     * partition ids. */
   def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
                         keys: Seq[String], partitionKey: String,
-                        nPartitions: Int): Seq[Int] = {
+                        nPartitions: Int): Seq[Int] =
+    mergePartitioned(spark, path, updates, keys, partitionKey, nPartitions) {
+      (existing, u) => MergeWriter.upsert(existing, u, keys :+ PartCol)
+    }
+
+  /** K4 targeted-column UPDATE (the reference's stale-repo fast path,
+    * databaseImport.py:609-618) against the partitioned table: only
+    * `cols` change, only for matching keys, only in the partitions the
+    * update keys hash to. Non-matching update rows are ignored, like
+    * [[MergeWriter.updateColumns]]. */
+  def updateColumnsPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                               keys: Seq[String], cols: Seq[String], partitionKey: String,
+                               nPartitions: Int): Seq[Int] =
+    mergePartitioned(spark, path, updates, keys, partitionKey, nPartitions) {
+      (existing, u) => MergeWriter.updateColumns(existing, u, keys :+ PartCol, cols)
+    }
+
+  private def mergePartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                               keys: Seq[String], partitionKey: String, nPartitions: Int)
+                              (consolidate: (DataFrame, DataFrame) => DataFrame): Seq[Int] = {
     require(keys.contains(partitionKey),
       s"partitionKey $partitionKey must be part of the merge keys $keys")
     recover(spark, path, nPartitions)
@@ -80,7 +99,7 @@ object PartitionedMergeWriter {
     // partition-pruned read: only the affected slices are opened
     val existing = spark.read.parquet(path)
       .filter(col(PartCol).isin(affected: _*))
-    val merged = MergeWriter.upsert(existing, u, keys :+ PartCol)
+    val merged = consolidate(existing, u)
 
     // stage the merged slices inside the table root; the dot-prefix
     // keeps partition discovery from ever seeing them

@@ -44,6 +44,22 @@ class DotProductSpec extends SparkTestBase {
     assert(v == 11.0)
   }
 
+  test("native lshBucket bit-matches the HOF reference on the fixture") {
+    val t = Tables(spark, sf0001)
+    val mismatches = t.embeddings
+      .select(VectorFunctions.lshBucket($"embedding", 8, 64).as("native"),
+              VectorFunctions.lshBucketHof($"embedding", 8, 64).as("hof"))
+      .filter($"native" =!= $"hof")
+      .count()
+    assert(mismatches == 0)
+    // and with a plane count that exercises non-default weights
+    val m4 = t.embeddings
+      .select(VectorFunctions.lshBucket($"embedding", 4, 64).as("native"),
+              VectorFunctions.lshBucketHof($"embedding", 4, 64).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(m4 == 0)
+  }
+
   test("participates in whole-stage codegen (no fallback marker)") {
     val t = Tables(spark, sf0001)
     val plan = t.embeddings

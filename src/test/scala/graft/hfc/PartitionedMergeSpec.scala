@@ -95,6 +95,60 @@ class PartitionedMergeSpec extends SparkTestBase {
     }
   }
 
+  test("updateColumnsPartitioned touches only counter columns and affected partitions") {
+    val dir = Files.createTempDirectory("graft-pmerge").toString
+    try {
+      val path = s"$dir/t"
+      PartitionedMergeWriter.initTable(baseTable, path, "id", N)
+      val before = fileState(path)
+      val updates = Seq(
+        ("repo7", 777, "IGNORED"),   // existing key: likes updated, payload NOT in cols
+        ("repoX", 1, "IGNORED"),     // unknown key: ignored entirely (K4 semantics)
+      ).toDF("id", "likes", "payload")
+      val affected = PartitionedMergeWriter.updateColumnsPartitioned(
+        spark, path, updates, Seq("id"), cols = Seq("likes"), "id", N)
+      val after = fileState(path)
+
+      val rows = spark.read.parquet(path)
+        .select("id", "likes", "payload").as[(String, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(rows("repo7") == ((777, "v7")))        // likes changed, payload kept
+      assert(!rows.contains("repoX"))               // non-matching row dropped
+      assert(rows.size == 200)
+      val untouched = (0 until N).filterNot(affected.contains)
+        .map(p => s"$path/${PartitionedMergeWriter.PartCol}=$p")
+      assert(before.filter(f => untouched.exists(f._1.startsWith)) ==
+             after.filter(f => untouched.exists(f._1.startsWith)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new File(dir))
+    }
+  }
+
+  test("refreshPartitioned: stale keys get counters only, fresh keys full upsert") {
+    import org.apache.spark.sql.functions.{col, lit, to_timestamp}
+    val dir = Files.createTempDirectory("graft-pmerge").toString
+    try {
+      val path = s"$dir/t"
+      PartitionedMergeWriter.initTable(baseTable, path, "id", N)
+      val batch = Seq(
+        ("repo3", 333, "NEWPAYLOAD", "2024-01-05"),  // stale (< limit) → likes only
+        ("repo9", 999, "fresh-pay", "2024-03-10"),   // fresh → full upsert
+        ("repo900", 9, "brand-new", "2024-03-11"),   // fresh new key → inserted
+      ).toDF("id", "likes", "payload", "lm")
+        .withColumn("last_modified", to_timestamp(col("lm"))).drop("lm")
+      IncrementalRefresh.refreshPartitioned(spark, path, batch, Seq("id"), "id", N,
+        "last_modified", to_timestamp(lit("2024-02-01")), Seq("likes"))
+
+      val rows = spark.read.parquet(path)
+        .select("id", "likes", "payload").as[(String, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(rows("repo3") == ((333, "v3")))            // counters refreshed, payload kept
+      assert(rows("repo9") == ((999, "fresh-pay")))     // full upsert
+      assert(rows("repo900") == ((9, "brand-new")))     // inserted
+      assert(rows("repo5") == ((5, "v5")))              // untouched key intact
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new File(dir))
+    }
+  }
+
   test("recover repairs a crash between the rename-aside and the publish") {
     val dir = Files.createTempDirectory("graft-pmerge").toString
     try {
