@@ -61,4 +61,24 @@ class PlanAuditSpec extends SparkTestBase {
     val p = plan(graft.operators.Similarity.bruteForceTopK(t.embeddings, Seq(0L, 1L), 3))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
   }
+
+  test("qs02: bucket join is an equi join on the bucket key, queries broadcast") {
+    val p = plan(graft.operators.Similarity.lshTopK(t.embeddings, Seq(0L, 1L), 3))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the bucket assignment is the native expression, not an interpreted HOF
+    assert(p.contains("graft_lsh_bucket"), s"expected native lsh bucket in plan:\n$p")
+  }
+
+  test("qs03: probe joins on the cell key with broadcast probes, centroids broadcast") {
+    val p = plan(graft.operators.Similarity.ivfTopK(t.embeddings, Seq(0L, 1L), 3))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qg01: bounded DAG recursion is k equi joins, never a nested loop") {
+    val p = plan(ExtendedQueries.commitAncestors(t))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -1,0 +1,112 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.sources.GitHistorySource.RepoRef
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+/** Walks a scripted REAL git repository (init + add/modify/rename/
+  * delete commits with pinned dates) through the executor-side history
+  * source and checks the bronze rows feed Normalize/CommitGraph — the
+  * E1 ingest story end to end, minus only the network clone. */
+class GitHistorySourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def run(dir: File, env: Seq[(String, String)], cmd: String*): Unit = {
+    val pb = scala.sys.process.Process(
+      Seq("git", "-c", "user.name=tester", "-c", "user.email=t@local",
+          "-c", "commit.gpgsign=false") ++ cmd,
+      dir, env: _*)
+    assert(pb.! == 0, s"git ${cmd.mkString(" ")} failed")
+  }
+
+  private def write(dir: File, name: String, text: String): Unit =
+    Files.write(Paths.get(dir.toString, name), text.getBytes)
+
+  /** 4 commits: ADD a; ADD b + MODIFY a; RENAME a→c; DELETE b */
+  private def scriptRepo(): File = {
+    val dir = Files.createTempDirectory("graft-git").toFile
+    def dated(n: Int) = Seq(
+      "GIT_AUTHOR_DATE" -> s"17000000${n}0 +0230",
+      "GIT_COMMITTER_DATE" -> s"17000000${n}5 -0100")
+    run(dir, Nil, "init", "-q", "-b", "main")
+    write(dir, "a.txt", "l1\nl2\n")
+    run(dir, Nil, "add", "a.txt"); run(dir, dated(1), "commit", "-q", "-m", "c1")
+    write(dir, "a.txt", "l1\nl2-changed\nl3\n"); write(dir, "b.txt", "b1\n")
+    run(dir, Nil, "add", "-A"); run(dir, dated(2), "commit", "-q", "-m", "c2")
+    run(dir, Nil, "mv", "a.txt", "c.txt"); run(dir, dated(3), "commit", "-q", "-m", "c3")
+    run(dir, Nil, "rm", "-q", "b.txt"); run(dir, dated(4), "commit", "-q", "-m", "c4")
+    dir
+  }
+
+  test("commit walk: metadata, raw-date tz split, parent chain, line totals") {
+    val dir = scriptRepo()
+    try {
+      assert(GitHistorySource.commitCount(dir.toString) == 4)
+      val repos = Seq(RepoRef("models/o/r", "o/r", dir.toString)).toDS()
+      val commits = GitHistorySource.commits(repos).collect().sortBy(_.author_epoch)
+      assert(commits.length == 4)
+      assert(commits.forall(_.repo_id == "models/o/r"))
+      assert(commits.forall(c => c.author_name == "tester" && c.committer_name == "tester"))
+      // pinned raw dates round-trip with their offsets
+      assert(commits(0).author_epoch == 1700000010L && commits(0).author_tz == 150)
+      assert(commits(0).committer_epoch == 1700000015L && commits(0).committer_tz == -60)
+      // linear parent chain, root has none
+      assert(commits(0).parents.isEmpty)
+      (1 until 4).foreach(i => assert(commits(i).parents == Seq(commits(i - 1).sha)))
+      // shortstat totals: c2 adds b1 + changes a (2 ins via b, 2 ins/1 del via a)
+      assert(commits(1).insertions == 3 && commits(1).deletions == 1)
+      // and the parents feed CommitGraph/Normalize.commitParents directly
+      val edges = graft.hfc.Normalize.commitParents(
+        GitHistorySource.commits(repos).toDF())
+        .as[(String, String)].collect().toSet
+      assert(edges == Set(commits(1).sha -> commits(0).sha,
+                          commits(2).sha -> commits(1).sha,
+                          commits(3).sha -> commits(2).sha))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("delta walk: ADD/MODIFY/RENAME/DELETE with line counts, feeds Normalize.modifiedFiles") {
+    import org.apache.spark.sql.functions._
+    val dir = scriptRepo()
+    try {
+      val repos = Seq(RepoRef("models/o/r", "o/r", dir.toString)).toDS()
+      val commits = GitHistorySource.commits(repos).collect().sortBy(_.author_epoch)
+      val byShaType = GitHistorySource.deltas(repos).collect()
+        .groupBy(_.sha).view.mapValues(_.map(d =>
+          (d.change_type, d.old_path, d.new_path, d.added_lines, d.deleted_lines)).toSet)
+      assert(byShaType(commits(0).sha) ==
+        Set(("ADD", null, "a.txt", Some(2), Some(0))))
+      assert(byShaType(commits(1).sha) ==
+        Set(("MODIFY", "a.txt", "a.txt", Some(2), Some(1)),
+            ("ADD", null, "b.txt", Some(1), Some(0))))
+      assert(byShaType(commits(2).sha) ==
+        Set(("RENAME", "a.txt", "c.txt", Some(0), Some(0))))
+      assert(byShaType(commits(3).sha) ==
+        Set(("DELETE", "b.txt", null, Some(0), Some(1))))
+
+      // close the loop: the walker's rows satisfy the deltasRaw
+      // contract of Normalize.modifiedFiles (J1/P2/P9)
+      val deltasRaw = GitHistorySource.deltas(repos).toDF()
+        .withColumn("diff", lit(null).cast("string"))
+        .withColumn("nloc", lit(null).cast("int"))
+      val repoFile = Seq(("f-c", "models/o/r", "c.txt")).toDF("id", "repo_id", "rfilename")
+      val mf = graft.hfc.Normalize.modifiedFiles(deltasRaw, repoFile)
+      val renamed = mf.filter(col("change_type") === "RENAME")
+        .select("filename", "repo_file_id").as[(String, String)].head()
+      assert(renamed == (("c.txt", "f-c")))   // current-path join resolves the FK
+      val deleted = mf.filter(col("change_type") === "DELETE")
+        .select("filename", "repo_file_id").as[(String, Option[String])].head()
+      assert(deleted == (("b.txt", None)))    // P9 old-path + reference's dict-miss NULL
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("renamePaths handles brace and plain rename forms") {
+    assert(GitHistorySource.renamePaths("src/{old.txt => new.txt}") ==
+      (("src/old.txt", "src/new.txt")))
+    assert(GitHistorySource.renamePaths("{a => b}/f.txt") == (("a/f.txt", "b/f.txt")))
+    assert(GitHistorySource.renamePaths("old.txt => new.txt") == (("old.txt", "new.txt")))
+    assert(GitHistorySource.renamePaths("plain.txt") == (("plain.txt", "plain.txt")))
+  }
+}
