@@ -38,18 +38,56 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: only candidates in the query's
-    * hyperplane-sign bucket are scored. */
+    * hyperplane-sign bucket are scored.
+    *
+    * `tables` > 1 gives the standard multi-table recall boost: table t
+    * hashes with its own `planes` hyperplanes (indices t·planes …
+    * (t+1)·planes − 1, so every table's weights stay deterministic and
+    * oracle-able), a pair is a candidate if it collides in ANY table,
+    * and candidates are deduped before scoring. Recall grows roughly
+    * with 1 − (1 − p^planes)^tables at the cost of `tables`× bucket
+    * joins — still never all-pairs. */
   def lshTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
-              planes: Int = 8, dim: Int = 64,
+              planes: Int = 8, dim: Int = 64, tables: Int = 1,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bucketed = corpus.select(col(idCol), col(vecCol),
-      lshBucket(col(vecCol), planes, dim).as("bucket"),
-      sqrt(norm2(col(vecCol))).as("nrm"))
+    require(tables >= 1, s"tables must be >= 1, got $tables")
+    if (tables == 1) {
+      // single-table fast path: score inline on the bucket join (the
+      // plan PlanAuditSpec audits — one broadcast equi join, no dedup)
+      val bucketed = corpus.select(col(idCol), col(vecCol),
+        lshBucket(col(vecCol), planes, dim).as("bucket"),
+        sqrt(norm2(col(vecCol))).as("nrm"))
+      val q = bucketed.filter(col(idCol).isin(queryIds: _*))
+        .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"), col("nrm").as("q_nrm"))
+      val c = bucketed.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"), col("nrm").as("c_nrm"))
+      val sims = c.join(broadcast(q), Seq("bucket"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+      return sims.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+    }
+    // multi-table path: one pass computes every table's bucket — table
+    // t is bit-slice [t*planes, (t+1)*planes) of one long bit code
+    val allBits = lshBucket(col(vecCol), tables * planes, dim)
+    val bucketCols = (0 until tables).map(t =>
+      substring(allBits, t * planes + 1, planes).as(s"bucket_$t"))
+    val bucketed = corpus.select(
+      Seq(col(idCol), col(vecCol), sqrt(norm2(col(vecCol))).as("nrm")) ++ bucketCols: _*)
     val q = bucketed.filter(col(idCol).isin(queryIds: _*))
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"), col("bucket"), col("nrm").as("q_nrm"))
-    val c = bucketed.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"), col("bucket"), col("nrm").as("c_nrm"))
-    val sims = c.join(broadcast(q), Seq("bucket"))
+    val cands = (0 until tables).map { t =>
+      bucketed.select(col(idCol).as("neighbor_id"), col(s"bucket_$t").as("bucket"))
+        .join(broadcast(q.select(col(idCol).as("query_id"), col(s"bucket_$t").as("bucket"))),
+              Seq("bucket"))
+        .select(col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _).distinct()
       .filter(col("neighbor_id") =!= col("query_id"))
+    val sims = cands
+      .join(broadcast(q.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+                               col("nrm").as("q_nrm"))), "query_id")
+      .join(bucketed.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+                            col("nrm").as("c_nrm")), "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))

@@ -226,6 +226,42 @@ object PipelineQueries {
       |  FROM sims)
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** Multi-table LSH ANN (2 tables × 6 planes): a candidate collides
+    * in EITHER table — the standard recall boost over qs02's single
+    * table, still bucket-joined, never all-pairs. Table t uses
+    * hyperplanes [6t, 6t+6) of one 12-bit code, so the oracle slices
+    * the same deterministic bit string. */
+  def annLshMulti(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Similarity.lshTopK(t.embeddings, QueryIds, k = 5, planes = 6, tables = 2)
+      .orderBy($"query_id", $"rk")
+  }
+
+  val annLshMultiSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+      |  FROM embeddings),
+      |b AS (SELECT vec_id, e, nrm,
+      |    array_to_string(list_transform(range(0,12), j ->
+      |      CASE WHEN list_sum(list_transform(range(0,64), i ->
+      |        e[i+1] * (strpos('0123456789abcdef',
+      |                         substr(md5(j::VARCHAR || ':' || i::VARCHAR), 1, 1)) - 8.5)
+      |      )) >= 0 THEN '1' ELSE '0' END), '') bits
+      |  FROM v),
+      |bt AS (SELECT vec_id, e, nrm, substr(bits, 1, 6) b0, substr(bits, 7, 6) b1 FROM b),
+      |q AS (SELECT vec_id query_id, e q_vec, nrm q_nrm, b0, b1 FROM bt WHERE vec_id < 10),
+      |cand AS (SELECT DISTINCT q.query_id, c.vec_id neighbor_id
+      |  FROM bt c JOIN q ON c.b0 = q.b0 OR c.b1 = q.b1
+      |  WHERE c.vec_id <> q.query_id),
+      |sims AS (SELECT cand.query_id, cand.neighbor_id,
+      |    round(list_dot_product(q.q_vec, c.e) / (q.q_nrm * c.nrm), 6) cos_sim
+      |  FROM cand JOIN q ON q.query_id = cand.query_id
+      |  JOIN bt c ON c.vec_id = cand.neighbor_id)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+      |  FROM sims)
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** IVF ANN over the deterministic sampled-centroid quantizer
     * (IvfIndex): nCells=8 centroids picked by md5(vec_id) order,
     * squared-L2 argmin via the |c|²−2·v·c surrogate, nProbe=2. Every
@@ -289,6 +325,28 @@ object PipelineQueries {
       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       |FROM c GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin
 
+  /** Interval-join funnel (batch twin of EventStreams.intervalJoin,
+    * which adds watermarks for the streaming case): each view paired
+    * with same-user purchases within 30 minutes. Equi key + bounded
+    * time range — plans as a hash join with a range post-filter, never
+    * a nested loop. */
+  def viewPurchaseFunnel(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    graft.streaming.EventStreams.viewToPurchase(t.events, maxDelayMs = 1800000L)
+      .orderBy($"user_id", $"view_id", $"purchase_id")
+  }
+
+  val viewPurchaseFunnelSql: String =
+    """WITH v AS (SELECT user_id, event_id view_id, CAST(ts AS TIMESTAMP) ts
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id purchase_id, CAST(ts AS TIMESTAMP) ts
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT v.user_id AS user_id, view_id, purchase_id,
+      |  epoch_ms(v.ts) AS view_ms, epoch_ms(p.ts) AS purchase_ms
+      |FROM v JOIN p ON v.user_id = p.user_id AND p.ts >= v.ts
+      |  AND epoch_ms(p.ts) - epoch_ms(v.ts) <= 1800000
+      |ORDER BY user_id, view_id, purchase_id""".stripMargin
+
   // ---- multimodal (binary columns + typed metadata) ----
 
   /** Multimodal column plumbing at the query surface: documents as
@@ -318,6 +376,7 @@ object PipelineQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qm01_media_meta"      -> ((s: SparkSession, d: String) => mediaMeta(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
+    "qe02_interval_join"   -> ((s: SparkSession, d: String) => viewPurchaseFunnel(Tables(s, d))),
     "qt01_token_stats"     -> ((s: SparkSession, d: String) => tokenStats(Tables(s, d))),
     "qt02_lang_id"         -> ((s: SparkSession, d: String) => langId(Tables(s, d))),
     "qt03_quality_score"   -> ((s: SparkSession, d: String) => quality(Tables(s, d))),
@@ -330,11 +389,13 @@ object PipelineQueries {
     "qs01_cosine_topk"     -> ((s: SparkSession, d: String) => cosineTopK(Tables(s, d))),
     "qs02_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(Tables(s, d))),
     "qs03_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(Tables(s, d))),
+    "qs04_ann_lsh_multi"   -> ((s: SparkSession, d: String) => annLshMulti(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
     "qm01_media_meta"      -> mediaMetaSql,
     "qe01_sessionize"      -> sessionizedSql,
+    "qe02_interval_join"   -> viewPurchaseFunnelSql,
     "qt01_token_stats"     -> tokenStatsSql,
     "qt02_lang_id"         -> langIdSql,
     "qt03_quality_score"   -> qualitySql,
@@ -347,5 +408,6 @@ object PipelineQueries {
     "qs01_cosine_topk"     -> cosineTopKSql,
     "qs02_ann_lsh"         -> annLshSql,
     "qs03_ann_ivf"         -> annIvfSql,
+    "qs04_ann_lsh_multi"   -> annLshMultiSql,
   )
 }

@@ -130,6 +130,47 @@ object EventStreams {
         ()
       }
 
+  /** Stream-stream interval join: pair each left event with right
+    * events of the same user arriving within `[0, maxDelay]` after it.
+    * Both sides carry watermarks and the join condition bounds event
+    * time on BOTH ends, so Spark can expire join state — the condition
+    * shape (equi key + closed time interval) is what makes this a
+    * streaming-legal range join. State partitions by user_id. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   maxDelay: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_id"),
+              col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("__r_user"), col("event_id").as("r_id"),
+              col("ts").as("r_ts"), col("event_type").as("r_type"))
+    l.join(r,
+        col("user_id") === col("__r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $maxDelay"))
+      .drop("__r_user")
+  }
+
+  /** Batch twin of [[intervalJoin]] specialized to the
+    * view-followed-by-purchase funnel — the oracle-checkable shape
+    * (qe02): for each view, the purchases by the same user within the
+    * delay window. */
+  def viewToPurchase(events: DataFrame, maxDelayMs: Long): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("__u"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"), col("value"))
+    views.join(purchases,
+        col("user_id") === col("__u") &&
+        col("purchase_ts") >= col("view_ts") &&
+        unix_millis(col("purchase_ts")) - unix_millis(col("view_ts")) <= maxDelayMs)
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+              unix_millis(col("view_ts")).as("view_ms"),
+              unix_millis(col("purchase_ts")).as("purchase_ms"))
+  }
+
   /** Batch-mode gap sessionization (same semantics, pure SQL windows):
     * session boundary where the gap to the previous event exceeds
     * `gapMs`; session id = running count of boundaries per user. This

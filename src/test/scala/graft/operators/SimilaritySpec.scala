@@ -34,6 +34,21 @@ class SimilaritySpec extends SparkTestBase {
     assert(rks == rks.sorted)
   }
 
+  test("multi-table LSH recalls at least as much as single-table") {
+    val t = Tables(spark, sf0001)
+    val qs = (0L until 10L).toSeq
+    val bf = Similarity.bruteForceTopK(t.embeddings, qs, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(tables: Int): Double = {
+      val ann = Similarity.lshTopK(t.embeddings, qs, k = 5, planes = 4, tables = tables)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      bf.intersect(ann).size.toDouble / bf.size
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r2 >= r1, s"multi-table recall $r2 < single-table $r1")
+    assert(r2 > 0.1)
+  }
+
   test("ivfTopK probes nearest cells and recalls most true neighbors") {
     val t = Tables(spark, sf0001)
     val qs = (0L until 10L).toSeq

@@ -50,6 +50,40 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoin pairs events across two real streams within the delay bound") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, Timestamp, Long, String)]
+    val rMem = MemoryStream[(Long, Timestamp, Long, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type")
+    val q = EventStreams.intervalJoin(
+        lMem.toDF.toDF(cols: _*), rMem.toDF.toDF(cols: _*), maxDelay = "10 minutes")
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode("append").start()
+    try {
+      lMem.addData((1L, ts(0), 7L, "view"), (2L, ts(0), 8L, "view"))
+      rMem.addData(
+        (10L, ts(5), 7L, "purchase"),    // within 10m, same user → pair
+        (11L, ts(25), 7L, "purchase"),   // too late → no pair
+        (12L, ts(5), 9L, "purchase"))    // other user → no pair
+      q.processAllAvailable()
+      val out = spark.table("ij_out").select("l_id", "r_id")
+        .as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 10L)))
+    } finally q.stop()
+  }
+
+  test("viewToPurchase batch twin pairs views with in-window purchases only") {
+    val events = Seq(
+      (1L, ts(0), 7L, "view", 1.0),
+      (2L, ts(10), 7L, "purchase", 9.0),   // within 30m of view 1
+      (3L, ts(45), 7L, "purchase", 5.0),   // outside 30m
+      (4L, ts(5), 8L, "purchase", 2.0),    // other user
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStreams.viewToPurchase(events, maxDelayMs = 1800000L)
+      .select("view_id", "purchase_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L)))
+  }
+
   test("sessionize (flatMapGroupsWithState) matches sessionizeBatch on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
