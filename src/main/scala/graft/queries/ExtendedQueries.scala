@@ -96,6 +96,26 @@ object ExtendedQueries {
       |WHERE CAST(spend_dec AS DOUBLE) > seg_avg * 2.0
       |ORDER BY c_mktsegment, o_custkey""".stripMargin
 
+  /** CUBE: segment × priority with all three margin types (row, column,
+    * grand total) — completes the grouping-sets family next to q17's
+    * ROLLUP. Same decimal-exact sum discipline. */
+  def cubeEngagement(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.orders
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .cube($"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+           sum($"o_totalprice".cast(DecimalType(18, 2))).cast("double").as("revenue"))
+      .orderBy($"c_mktsegment".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+  }
+
+  val cubeEngagementSql: String =
+    """SELECT c_mktsegment, o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY CUBE (c_mktsegment, o_orderpriority)
+      |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
   /** Commit-DAG k-hop ancestors (SURVEY.md §1.5.2: the reference's
     * `commit_parents` table, populated + queried). The testdata has no
     * git history, so the walk is modeled on `orders`: each customer's
@@ -133,6 +153,7 @@ object ExtendedQueries {
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
     "q18_dim_stats"        -> ((s: SparkSession, d: String) => dimensionStats(Tables(s, d))),
     "q19_big_spenders"     -> ((s: SparkSession, d: String) => bigSpenders(Tables(s, d))),
+    "q20_cube_engagement"  -> ((s: SparkSession, d: String) => cubeEngagement(Tables(s, d))),
     "qg01_commit_ancestors" -> ((s: SparkSession, d: String) => commitAncestors(Tables(s, d))),
   )
 
@@ -140,6 +161,7 @@ object ExtendedQueries {
     "q17_rollup_revenue"   -> rollupRevenueSql,
     "q18_dim_stats"        -> dimensionStatsSql,
     "q19_big_spenders"     -> bigSpendersSql,
+    "q20_cube_engagement"  -> cubeEngagementSql,
     "qg01_commit_ancestors" -> commitAncestorsSql,
   )
 }
