@@ -12,9 +12,11 @@ object Bench {
       // noop sink forces FULL evaluation of every output column —
       // .count() would let Catalyst prune projection-only queries
       // (sha2/simhash/... would never execute) and undercount work.
-      // min-of-2: first run pays JIT/codegen; the min measures the
-      // engine's steady state and absorbs host CPU-steal episodes.
-      val dt = (1 to 2).map { _ =>
+      // min-of-3: first run pays JIT/codegen; the min measures the
+      // engine's steady state and absorbs host CPU-steal episodes
+      // (observed: an identical trivial query at 0.5 s and 9.3 s in
+      // back-to-back runs — one sample is not a measurement).
+      val dt = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
