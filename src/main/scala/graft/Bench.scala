@@ -8,15 +8,19 @@ object Bench {
     // numbers measure the engine, not first-call classloading.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // noop sink forces FULL evaluation of every output column —
-      // .count() would let Catalyst prune projection-only queries
-      // (sha2/simhash/... would never execute) and undercount work.
-      // min-of-3: first run pays JIT/codegen; the min measures the
-      // engine's steady state and absorbs host CPU-steal episodes
-      // (observed: an identical trivial query at 0.5 s and 9.3 s in
-      // back-to-back runs — one sample is not a measurement).
-      val dt = (1 to 3).map { _ =>
+    // noop sink forces FULL evaluation of every output column —
+    // .count() would let Catalyst prune projection-only queries
+    // (sha2/simhash/... would never execute) and undercount work.
+    // min over 3 INTERLEAVED passes of the whole suite: the first pass
+    // pays JIT/codegen, and pass-level interleaving separates a query's
+    // samples by the pass duration — back-to-back samples share any
+    // host CPU-steal window (observed: an identical trivial query at
+    // 0.5 s and 9.3 s in adjacent runs), interleaved ones usually
+    // don't, so the min survives windows shorter than a pass.
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    (1 to 3).foreach { _ =>
+      named.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
@@ -28,10 +32,12 @@ object Bench {
         // drop per-query persisted state (e.g. minhash signature
         // tables) so queries are measured independently
         spark.catalog.clearCache()
-        t
-      }.min
-      // a failed query must not masquerade as a fast success
-      name -> (if (errors.contains(name)) -1.0 else dt)
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+      }
+    }
+    // a failed query must not masquerade as a fast success
+    val results = named.map { case (name, _) =>
+      name -> (if (errors.contains(name)) -1.0 else best(name))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
