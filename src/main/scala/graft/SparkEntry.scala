@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.ExtendedQueries.queries
+      graft.queries.ExtendedQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
-      graft.queries.ExtendedQueries.oracles
+      graft.queries.ExtendedQueries.oracles ++
+      graft.queries.CurationQueries.oracles
 }

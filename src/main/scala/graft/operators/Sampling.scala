@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data curation:
+  * stratified Bernoulli sampling, fixed-size per-stratum reservoirs,
+  * and mixture rebalancing. The reference has no sampling surface at
+  * all; these are north-star pipeline operators (builder brief), built
+  * so the SAME sample comes out on every engine and every run:
+  * randomness is `md5(id)` — a uniform hash any engine reproduces —
+  * never `rand()`.
+  *
+  * Scale design (100 TB):
+  *  - [[stratifiedSample]] is a pure filter inside the scan projection:
+  *    zero shuffle, zero state — sampling 100 TB costs one pass, and
+  *    Parquet column pruning means only the id + stratum columns are
+  *    read if the caller projects afterwards.
+  *  - [[reservoirPerKey]] is the two-phase salted top-k: a per-(key,
+  *    salt) pre-prune bounds every window partition at `k` rows before
+  *    the per-key window runs, so a 10-stratum 100 TB corpus never
+  *    sorts a whole stratum on one task — the final window sees at most
+  *    `salts × k` rows per key.
+  *  - [[mixtureSample]] computes per-stratum acceptance rates from a
+  *    tiny counts aggregate (broadcast back), then filters like
+  *    [[stratifiedSample]]: one scan + one scalar-sized shuffle.
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) hash coordinate for a row: the first 4 hex digits
+    * of md5(id) as an integer, / 16^4. Cross-engine exact: the integer
+    * is < 2^16 so the double is exact in any engine. */
+  def hashU(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("double") / 65536.0
+
+  /** Per-stratum Bernoulli sampling at deterministic per-stratum rates:
+    * keep a row iff hashU(id) < rate(stratum). Rows in strata missing
+    * from `rates` are dropped. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       rates: Map[String, Double]): DataFrame = {
+    // null fallback (NOT NaN: Spark orders NaN greatest, so `u < NaN`
+    // would KEEP unknown strata; `u < null` is null → filtered out)
+    val rate = rates.foldLeft(lit(null).cast("double")) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashU(col(idCol)) < rate)
+  }
+
+  /** Deterministic fixed-size-`k` sample per key ("reservoir"): the k
+    * rows ranking first by (md5(id), id) within each key. Two-phase so
+    * no single task ever sorts a whole stratum: phase 1 takes the
+    * per-(key, salt) top-k (bounded partitions, salt = spark hash of
+    * the id — engine-internal is fine because the FINAL ranking is
+    * salt-invariant), phase 2 re-ranks the ≤ salts×k survivors per key.
+    * Emits (key, id, rk) with rk in [1, k]. */
+  def reservoirPerKey(df: DataFrame, keyCol: String, idCol: String,
+                      k: Int, salts: Int = 16): DataFrame = {
+    val ord = md5(col(idCol).cast("string"))
+    val salted = df.select(col(keyCol), col(idCol), ord.as("__ord"),
+                           pmod(hash(col(idCol)), lit(salts)).as("__salt"))
+    val w1 = Window.partitionBy(col(keyCol), col("__salt"))
+      .orderBy(col("__ord").asc, col(idCol).asc)
+    val pruned = salted.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+    val w2 = Window.partitionBy(col(keyCol))
+      .orderBy(col("__ord").asc, col(idCol).asc)
+    pruned.withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(keyCol), col(idCol), col("rk"))
+  }
+
+  /** Mixture rebalancing: equalize strata by downsampling every stratum
+    * to the size of the smallest, deterministically. Acceptance rate
+    * per stratum = min_count / count; membership = hashU(id) < rate.
+    * Returns per-stratum (n_orig, rate, n_kept) — the audit frame a
+    * curation run records; pair with [[stratifiedSample]]-style
+    * filtering to materialize the rows themselves. */
+  def mixtureEqualize(df: DataFrame, stratumCol: String, idCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_orig"))
+    val minN = counts.agg(min(col("n_orig")).as("__min"))
+    val rated = counts.crossJoin(broadcast(minN))
+      .select(col(stratumCol), col("n_orig"),
+              (col("__min").cast("double") / col("n_orig").cast("double")).as("rate"))
+    df.select(col(stratumCol), col(idCol))
+      .join(broadcast(rated), stratumCol)
+      .filter(hashU(col(idCol)) < col("rate"))
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_kept"), first(col("n_orig")).as("n_orig"),
+           round(first(col("rate")), 6).as("rate"))
+      .select(col(stratumCol), col("n_orig"), col("rate"), col("n_kept"))
+  }
+}

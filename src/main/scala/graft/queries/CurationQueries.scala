@@ -1,0 +1,222 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{AsOfJoin, Sampling}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-curation plane (round 3): the operators a training-data
+  * pipeline runs BETWEEN ingest and training — temporal feature joins,
+  * deterministic sampling/rebalancing, corpus statistics, and the
+  * composed filter→dedup→report pipeline. All oracle-checked; the
+  * sampling queries derive randomness from md5(id) so every engine
+  * draws the identical sample (no rand()).
+  */
+object CurationQueries {
+
+  // ---- as-of join (temporal feature attachment) ----
+
+  /** Each purchase paired with the same user's most recent view
+    * at-or-before the purchase (null when none) — the "state as of
+    * event time" join, via AsOfJoin's single-shuffle union-scan shape
+    * (never the exploding range join). */
+  def asofViewBeforePurchase(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val purchases = t.events.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts")
+    val views = t.events.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts",
+              unix_millis($"ts").as("view_ms"))
+    AsOfJoin.asOfBackward(purchases, views, key = "user_id",
+        leftTs = "ts", rightTs = "ts", rightSeq = "view_id",
+        rightCols = Seq("view_id", "view_ms"))
+      .select($"user_id", $"purchase_id", unix_millis($"ts").as("purchase_ms"),
+              $"asof_view_id".as("view_id"), $"asof_view_ms".as("view_ms"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  /** Oracle mirrors the union-scan construction itself: one running
+    * last-non-null per user over (ts, marker, seq) — views (marker 0)
+    * sort before same-ts purchases so "at-or-before" is inclusive;
+    * among equal-ts views the id-string-max wins in both engines. */
+  val asofViewBeforePurchaseSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CASE WHEN event_type='view' THEN 0 ELSE 1 END m,
+      |         event_id, CAST(ts AS TIMESTAMP) ts
+      |  FROM events WHERE event_type IN ('view','purchase')),
+      |t AS (SELECT *, CASE WHEN m=0 THEN event_id::VARCHAR ELSE '' END seq FROM e),
+      |w AS (SELECT *,
+      |    last_value(CASE WHEN m=0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, m ASC, seq ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) view_id,
+      |    last_value(CASE WHEN m=0 THEN epoch_ms(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, m ASC, seq ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) view_ms
+      |  FROM t)
+      |SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS purchase_ms, view_id, view_ms
+      |FROM w WHERE m = 1 ORDER BY user_id, purchase_id""".stripMargin
+
+  // ---- deterministic sampling ----
+
+  private val StratRates = Map(
+    "en" -> 0.25, "de" -> 0.5, "es" -> 0.5, "fr" -> 0.75, "zh" -> 0.75)
+
+  /** Stratified Bernoulli sample at fixed per-language rates — a pure
+    * scan-level filter, zero shuffle. */
+  def stratifiedSample(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Sampling.stratifiedSample(t.documents, "lang", "doc_id", StratRates)
+      .select($"doc_id", $"lang").orderBy($"doc_id")
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH u AS (SELECT doc_id, lang,
+      |    list_sum(list_transform(range(0,4), i ->
+      |      (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |    )) / 65536.0 AS u
+      |  FROM documents)
+      |SELECT doc_id, lang FROM u
+      |WHERE u < CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 WHEN 'es' THEN 0.5
+      |                    WHEN 'fr' THEN 0.75 WHEN 'zh' THEN 0.75 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Fixed-size-20 deterministic reservoir per language (two-phase
+    * salted top-k: no task ever sorts a whole stratum). */
+  def reservoirSample(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Sampling.reservoirPerKey(t.documents, "lang", "doc_id", k = 20)
+      .orderBy($"lang", $"rk")
+  }
+
+  val reservoirSampleSql: String =
+    """SELECT lang, doc_id, rk FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC) AS BIGINT) rk
+      |  FROM documents)
+      |WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+
+  /** Mixture rebalance audit: every language deterministically
+    * downsampled to the smallest stratum's size (rate = min/n). */
+  def mixtureSample(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Sampling.mixtureEqualize(t.documents, "lang", "doc_id").orderBy($"lang")
+  }
+
+  val mixtureSampleSql: String =
+    """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) n_orig FROM documents GROUP BY lang),
+      |m AS (SELECT MIN(n_orig) mn FROM c),
+      |r AS (SELECT lang, n_orig, CAST(mn AS DOUBLE)/CAST(n_orig AS DOUBLE) rate FROM c CROSS JOIN m),
+      |u AS (SELECT d.lang, d.doc_id, r.n_orig, r.rate,
+      |    list_sum(list_transform(range(0,4), i ->
+      |      (strpos('0123456789abcdef', substr(md5(d.doc_id::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |    )) / 65536.0 AS u
+      |  FROM documents d JOIN r USING (lang))
+      |SELECT lang, MAX(n_orig) AS n_orig, round(MAX(rate), 6) AS rate, CAST(COUNT(*) AS BIGINT) AS n_kept
+      |FROM u WHERE u < rate GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- corpus statistics: TF-IDF top terms per language ----
+
+  /** Top-5 TF-IDF terms per language. Canonical shapes: explode →
+    * hash-agg tf on (lang, term); distinct → hash-agg df on term;
+    * shuffle join on term (df is vocabulary-sized — NOT broadcast at
+    * 100 TB); scalar N broadcast; per-lang top-k window over the
+    * already-rounded score so cross-engine ordering is stable. */
+  def tfidfTopTerms(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val toks = t.documents.select(
+      $"lang", $"doc_id", explode(tokens(lower($"text"))).as("term"))
+    val tf = toks.groupBy($"lang", $"term").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select($"term", $"doc_id").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val n = t.documents.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .select($"lang", $"term", $"tf",
+        round($"tf".cast("double") * log($"n" / $"df".cast("double")), 4).as("tfidf"))
+    val w = Window.partitionBy($"lang").orderBy($"tfidf".desc, $"term".asc)
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 5)
+      .select($"lang", $"term", $"tf", $"tfidf", $"rk")
+      .orderBy($"lang", $"rk")
+  }
+
+  val tfidfTopTermsSql: String =
+    """WITH t AS (SELECT lang, doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term FROM documents),
+      |tf AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) tf FROM t GROUP BY lang, term),
+      |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) df FROM (SELECT DISTINCT term, doc_id FROM t) GROUP BY term),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) n FROM documents),
+      |s AS (SELECT lang, term, tf, round(CAST(tf AS DOUBLE) * ln(n.n / CAST(df AS DOUBLE)), 4) tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+      |SELECT lang, term, tf, tfidf, rk FROM (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tfidf DESC, term ASC) AS BIGINT) rk FROM s)
+      |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
+  // ---- composed curation pipeline ----
+
+  /** The end-to-end curation run as ONE declarative plan: language
+    * gate (predicted, not labeled) → quality gate → exact dedup
+    * (keepers only) → per-source audit stats. Catalyst fuses the three
+    * scalar gates into the scan projection; the only shuffles are the
+    * dedup hash-partition and the final per-source agg. Decimal-exact
+    * quality sum keeps the average bit-stable cross-engine. */
+  def curationPipeline(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val scored = t.documents.select($"doc_id", $"source", $"text",
+        langIdHeuristic($"text").as("pred_lang"),
+        qualityScore($"text").as("quality"))
+      .filter($"pred_lang" === "en" && $"quality" >= 0.45)
+    val keepers = scored
+      .withColumn("keeper", min($"doc_id").over(Window.partitionBy(md5($"text"))))
+      .filter($"doc_id" === $"keeper")
+    keepers.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(bpeTokenCount($"text").cast("long")).as("sum_bpe_tokens"),
+           (sum($"quality".cast(DecimalType(12, 6))).cast("double") / count(lit(1)))
+             .as("avg_quality"))
+      .orderBy($"source")
+  }
+
+  val curationPipelineSql: String =
+    """WITH s AS (SELECT doc_id, source, text, string_split_regex(trim(lower(text)), '\s+') toks FROM documents),
+      |m AS (SELECT doc_id, source, text,
+      |  CAST(len(toks) AS DOUBLE) n, CAST(len(list_distinct(toks)) AS DOUBLE) d,
+      |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) sw,
+      |  len(list_filter(toks, t -> t IN ('el','la','de','y','que','en','los'))) sc_es,
+      |  len(list_filter(toks, t -> t IN ('le','les','des','et','une','dans','est'))) sc_fr,
+      |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','von','nicht'))) sc_de,
+      |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) chars
+      |FROM s),
+      |q AS (SELECT doc_id, source, text,
+      |  round(0.25*least(1.0, n/100.0) + 0.25*(d/n) + 0.25*least(1.0, sw*5.0/n) + 0.25*least(1.0, chars/n/8.0), 6) quality,
+      |  CASE WHEN sw=0 AND sc_es=0 AND sc_fr=0 AND sc_de=0 THEN 'und'
+      |       WHEN sw>=sc_es AND sw>=sc_fr AND sw>=sc_de THEN 'en'
+      |       WHEN sc_es>=sc_fr AND sc_es>=sc_de THEN 'es'
+      |       WHEN sc_fr>=sc_de THEN 'fr' ELSE 'de' END pred_lang
+      |FROM m),
+      |f AS (SELECT * FROM q WHERE pred_lang='en' AND quality >= 0.45),
+      |k AS (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) keeper FROM f)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+      |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) sum_bpe_tokens,
+      |  CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE)/COUNT(*) AS avg_quality
+      |FROM k WHERE doc_id = keeper GROUP BY source ORDER BY source""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qa01_asof_join"         -> ((s: SparkSession, d: String) => asofViewBeforePurchase(Tables(s, d))),
+    "qp01_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(Tables(s, d))),
+    "qp02_reservoir_sample"  -> ((s: SparkSession, d: String) => reservoirSample(Tables(s, d))),
+    "qp03_mixture_sample"    -> ((s: SparkSession, d: String) => mixtureSample(Tables(s, d))),
+    "qt06_tfidf_terms"       -> ((s: SparkSession, d: String) => tfidfTopTerms(Tables(s, d))),
+    "qc01_curation_pipeline" -> ((s: SparkSession, d: String) => curationPipeline(Tables(s, d))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "qa01_asof_join"         -> asofViewBeforePurchaseSql,
+    "qp01_stratified_sample" -> stratifiedSampleSql,
+    "qp02_reservoir_sample"  -> reservoirSampleSql,
+    "qp03_mixture_sample"    -> mixtureSampleSql,
+    "qt06_tfidf_terms"       -> tfidfTopTermsSql,
+    "qc01_curation_pipeline" -> curationPipelineSql,
+  )
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  // reference (right): (key, ts, payload id)
+  private def refs = Seq(
+    ("u1", 100L, 10L), ("u1", 200L, 11L), ("u1", 300L, 12L),
+    ("u2", 150L, 20L)
+  ).toDF("user_id", "r_ts", "ref_id")
+
+  // probes (left): (key, ts, probe id)
+  private def probes = Seq(
+    ("u1", 50L, 1L),   // before any ref -> null
+    ("u1", 200L, 2L),  // equal ts -> inclusive match 11
+    ("u1", 250L, 3L),  // between 200 and 300 -> 11
+    ("u1", 999L, 4L),  // after all -> 12
+    ("u2", 149L, 5L),  // before u2's only ref -> null
+    ("u3", 500L, 6L)   // key with no refs at all -> null
+  ).toDF("user_id", "p_ts", "probe_id")
+
+  private def runBackward: Map[Long, (Option[Any], Option[Any])] = AsOfJoin
+    .asOfBackward(probes, refs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id", "r_ts"))
+    .select($"probe_id", $"asof_ref_id", $"asof_r_ts")
+    .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+
+  test("backward as-of: latest at-or-before per key, null when none") {
+    val m = runBackward
+    assert(m(1L) === ((None, None)))
+    assert(m(2L) === ((Some(11L), Some(200L))))
+    assert(m(3L) === ((Some(11L), Some(200L))))
+    assert(m(4L) === ((Some(12L), Some(300L))))
+    assert(m(5L) === ((None, None)))
+    assert(m(6L) === ((None, None)))
+  }
+
+  test("forward as-of: earliest at-or-after per key") {
+    val m = AsOfJoin
+      .asOfForward(probes, refs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id"))
+      .select($"probe_id", $"asof_ref_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(m(1L) === Some(10L)) // first ref after ts=50
+    assert(m(2L) === Some(11L)) // equal ts inclusive
+    assert(m(3L) === Some(12L))
+    assert(m(4L) === None)      // nothing after ts=999
+    assert(m(5L) === Some(20L))
+    assert(m(6L) === None)
+  }
+
+  test("equal-ts reference ties resolve by seq (max for backward)") {
+    val dupRefs = Seq(("u1", 100L, 7L), ("u1", 100L, 9L), ("u1", 100L, 8L))
+      .toDF("user_id", "r_ts", "ref_id")
+    val p = Seq(("u1", 100L, 1L)).toDF("user_id", "p_ts", "probe_id")
+    val got = AsOfJoin
+      .asOfBackward(p, dupRefs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id"))
+      .select($"asof_ref_id").collect().head.getLong(0)
+    assert(got === 9L) // string-max of "7","8","9"
+    val fwd = AsOfJoin
+      .asOfForward(p, dupRefs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id"))
+      .select($"asof_ref_id").collect().head.getLong(0)
+    assert(fwd === 7L) // string-min for forward
+  }
+
+  test("result is shuffle-invariant (repartitioned inputs, same rows)") {
+    val shuffledL = probes.repartition(7, $"probe_id")
+    val shuffledR = refs.repartition(5, $"ref_id")
+    val again: Map[Long, (Option[Any], Option[Any])] = AsOfJoin
+      .asOfBackward(shuffledL, shuffledR, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id", "r_ts"))
+      .select($"probe_id", $"asof_ref_id", $"asof_r_ts")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(again === runBackward)
+  }
+
+  test("plan shape: one exchange on the key, no join node") {
+    val plan = AsOfJoin
+      .asOfBackward(probes, refs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly one hash exchange, plan:\n$plan")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs = Tables(spark, sf0001).documents
+
+  test("hashU is uniform-ish and in [0,1)") {
+    val us = docs.select(Sampling.hashU($"doc_id").as("u")).collect().map(_.getDouble(0))
+    assert(us.forall(u => u >= 0.0 && u < 1.0))
+    val mean = us.sum / us.length
+    assert(mean > 0.4 && mean < 0.6, s"suspiciously non-uniform mean $mean")
+  }
+
+  test("stratified sample: rate-proportional, deterministic, unknown strata dropped") {
+    val rates = Map("en" -> 0.5, "de" -> 1.0) // es/fr/zh not listed -> dropped
+    val s1 = Sampling.stratifiedSample(docs, "lang", "doc_id", rates)
+    val byLang = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.keySet.subsetOf(Set("en", "de")), s"unknown strata kept: $byLang")
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("de") === total("de")) // rate 1.0 keeps every row (u < 1 always)
+    val enFrac = byLang("en").toDouble / total("en")
+    assert(enFrac > 0.3 && enFrac < 0.7, s"en fraction $enFrac far from 0.5")
+    // determinism: same sample on a second run
+    val ids1 = s1.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Sampling.stratifiedSample(docs, "lang", "doc_id", rates)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 === ids2)
+  }
+
+  test("reservoir: exactly k per stratum (or stratum size), salt-count invariant") {
+    val k = 7
+    val got = Sampling.reservoirPerKey(docs, "lang", "doc_id", k)
+    val sizes = got.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    total.foreach { case (lang, n) => assert(sizes(lang) === math.min(k.toLong, n)) }
+    // the selected set is the global top-k by (md5, id): salt-invariant
+    val a = got.select("lang", "doc_id", "rk").collect().map(_.toSeq).toSet
+    val b = Sampling.reservoirPerKey(docs, "lang", "doc_id", k, salts = 3)
+      .select("lang", "doc_id", "rk").collect().map(_.toSeq).toSet
+    assert(a === b)
+    // and matches the single-window reference formulation
+    val ref = docs.select($"lang", $"doc_id", md5($"doc_id".cast("string")).as("o"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+          .orderBy($"o".asc, $"doc_id".asc)).cast("long"))
+      .filter($"rk" <= k).select("lang", "doc_id", "rk")
+      .collect().map(_.toSeq).toSet
+    assert(a === ref)
+  }
+
+  test("mixture equalize: every stratum downsampled toward the smallest") {
+    val out = Sampling.mixtureEqualize(docs, "lang", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val minOrig = out.map(_._2).min
+    out.foreach { case (lang, nOrig, rate, nKept) =>
+      assert(rate > 0 && rate <= 1.0)
+      assert(nKept <= nOrig, s"$lang kept more than it had")
+      // Bernoulli at rate min/n: kept count concentrates near minOrig
+      assert(math.abs(nKept - minOrig) <= math.max(6L, minOrig / 2),
+        s"$lang kept $nKept, expected near $minOrig")
+    }
+    // the smallest stratum has rate 1.0 and keeps everything
+    val smallest = out.minBy(_._2)
+    assert(smallest._3 === 1.0 && smallest._4 === smallest._2)
+  }
+}
