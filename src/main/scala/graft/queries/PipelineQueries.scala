@@ -168,6 +168,34 @@ object PipelineQueries {
       |SELECT block, a_id, b_id, cos_sim FROM p WHERE cos_sim >= 0.35
       |ORDER BY block, a_id, b_id""".stripMargin
 
+  /** SimHash near-dup funnel over shingle-simhash: 4-bit banding →
+    * bucket join → exact hamming ≤ 2 (full recall guaranteed since
+    * maxHamming < bands — see Dedup.nearDupsSimhash). */
+  def simhashNearDups(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Dedup.nearDupsSimhash(t.documents, maxHamming = 2, bands = 4)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val simhashNearDupsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
+      |hsh AS (SELECT doc_id, list_distinct([md5(x) for x in sh]) hashes FROM shr),
+      |s AS (SELECT doc_id,
+      |  array_to_string(list_transform(range(0,16), j ->
+      |    CASE WHEN len(list_filter(hashes, h -> substr(h, j+1, 1) >= '8')) * 2 > len(hashes)
+      |         THEN '1' ELSE '0' END), '') sh
+      |FROM hsh),
+      |b AS (SELECT doc_id, sh, i band_idx, substr(sh, 4*i+1, 4) band FROM s, range(0,4) t(i)),
+      |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM b a
+      |  JOIN b b ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+      |v AS (SELECT a_id, b_id,
+      |    list_sum(list_transform(range(1,17), j ->
+      |      CASE WHEN substr(sa.sh, j, 1) <> substr(sb.sh, j, 1) THEN 1 ELSE 0 END)) hamming
+      |  FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
+      |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming FROM v
+      |WHERE hamming <= 2 ORDER BY a_id, b_id""".stripMargin
+
   // ---- similarity search ----
 
   private val QueryIds: Seq[Long] = 0L until 10L
@@ -386,6 +414,7 @@ object PipelineQueries {
     "qd02_jaccard_block"   -> ((s: SparkSession, d: String) => jaccardBlocked(Tables(s, d))),
     "qd03_minhash_neardup" -> ((s: SparkSession, d: String) => minhashNearDups(Tables(s, d))),
     "qd04_embed_neardup"   -> ((s: SparkSession, d: String) => embedNearDups(Tables(s, d))),
+    "qd05_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNearDups(Tables(s, d))),
     "qs01_cosine_topk"     -> ((s: SparkSession, d: String) => cosineTopK(Tables(s, d))),
     "qs02_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(Tables(s, d))),
     "qs03_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(Tables(s, d))),
@@ -405,6 +434,7 @@ object PipelineQueries {
     "qd02_jaccard_block"   -> jaccardBlockedSql,
     "qd03_minhash_neardup" -> minhashNearDupsSql,
     "qd04_embed_neardup"   -> embedNearDupsSql,
+    "qd05_simhash_neardup" -> simhashNearDupsSql,
     "qs01_cosine_topk"     -> cosineTopKSql,
     "qs02_ann_lsh"         -> annLshSql,
     "qs03_ann_ivf"         -> annIvfSql,

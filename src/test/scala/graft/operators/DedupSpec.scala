@@ -76,6 +76,32 @@ class DedupSpec extends SparkTestBase {
     assert(hamming(fp(0L), fp(3L)) > 4)
   }
 
+  test("nearDupsSimhash: banding recall is exact for hamming <= maxHamming") {
+    import graft.functions.TextFunctions.simhash16Shingles
+    val t = Tables(spark, sf0001)
+    // brute-force truth: all pairs within hamming 2 of the shingle-simhash
+    val fp = t.documents.select($"doc_id", simhash16Shingles($"text").as("sh"))
+      .as[(Long, String)].collect()
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    val truth = (for {
+      (a, sa) <- fp; (b, sb) <- fp if a < b
+      h = hamming(sa, sb) if h <= 2
+    } yield (a, b, h.toLong)).toSet
+    val funnel = Dedup.nearDupsSimhash(t.documents, maxHamming = 2, bands = 4)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(funnel == truth, "pigeonhole guarantee: banding must lose no pair")
+    assert(truth.nonEmpty)
+  }
+
+  test("nearDupsSimhash rejects parameters that void the recall guarantee") {
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupsSimhash(docs, maxHamming = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupsSimhash(docs, maxHamming = 2, bands = 3)
+    }
+  }
+
   test("embeddingNearDups finds the planted duplicate vector") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
