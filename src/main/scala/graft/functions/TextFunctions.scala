@@ -111,9 +111,18 @@ object TextFunctions {
     * words: far more discriminative on corpora with a shared
     * vocabulary (word-level simhash saturates — measured on the
     * testdata corpus: 8.7k of 125k pairs at hamming 0; shingle-level:
-    * 8). Same native expression — it hashes whatever strings it is
-    * fed. */
+    * 8). Delegates to the fused native
+    * [[graft.functions.expressions.ShingleSimHash16]] (shingle
+    * construction + hashing + voting in one pass — the unfused
+    * `graft_simhash16(shingles(...))` pays an interpreted HOF to
+    * build every shingle string first); [[simhash16ShinglesUnfused]]
+    * is that reference formulation, kept for the bit-equality spec. */
   def simhash16Shingles(text: Column, n: Int = 3): Column =
+    call_function("graft_shingle_simhash16", tokens(text), lit(n))
+
+  /** Unfused reference implementation of [[simhash16Shingles]] (kept
+    * for the bit-equality spec). */
+  def simhash16ShinglesUnfused(text: Column, n: Int = 3): Column =
     call_function("graft_simhash16", shingles(text, n))
 
   /** Winnowing-style document fingerprint: the 4 smallest shingle

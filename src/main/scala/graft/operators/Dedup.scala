@@ -199,22 +199,24 @@ object Dedup {
     docs.withColumn("simhash", simhash16(col(textCol)))
 
   /** SimHash near-duplicates: band the 16-bit shingle-simhash into
-    * `bands` equal slices, bucket-join on (band_idx, band), verify
-    * candidates by exact hamming distance ≤ `maxHamming`.
+    * `bands` equal slices, bucket-join on every (bands - maxHamming)-band
+    * combination key, verify candidates by exact hamming ≤ `maxHamming`.
     *
     * Completeness: by pigeonhole, a pair within hamming h differs in at
-    * most h bands, so with bands > h at least one band matches — the
-    * banding is EXACT (full recall) for maxHamming < bands. The default
-    * (2 < 4) is therefore a guarantee, not a heuristic; the qd05 oracle
-    * relies on it.
+    * most h bands, so with bands > h at least one (bands - h)-band
+    * subset matches in full — the combination banding is EXACT (full
+    * recall) for maxHamming < bands. The default (2 < 4) is therefore a
+    * guarantee, not a heuristic; the qd05 oracle relies on it.
     *
     * Scale: same funnel shape as MinHash — signature is a native-
-    * expression projection, candidates shuffle on the band key, exact
-    * verification only on candidates. Caveat the scaladoc must state:
-    * a 16-bit fingerprint has only 2^4 values per 4-bit band, so at
-    * 100 TB the buckets themselves become hot — the production shape is
-    * the same code over a 64-bit simhash with 16-bit bands (65k values
-    * per band); 16 bits is the cross-engine-oracle demo size. */
+    * expression projection (fused ShingleSimHash16), candidates shuffle
+    * on the combination key, exact verification only on candidates.
+    * The combination key is what makes 16 bits survive at all: single
+    * 4-bit bands give 2^4 bucket values (hot buckets → n² pairs; the
+    * measured funnel collapse at sf0.1), while 2-band 8-bit keys give
+    * 2^8 per combo. The production shape at 100 TB is the same code
+    * over a 64-bit simhash with 16-bit bands; 16 bits is the
+    * cross-engine-oracle demo size. */
   def nearDupsSimhash(docs: DataFrame, maxHamming: Int = 2, bands: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(16 % bands == 0, s"bands ($bands) must divide 16")
@@ -224,12 +226,24 @@ object Dedup {
     val sigs = docs.select(col(idCol), simhash16Shingles(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count() // materialize: referenced by banding AND both verify sides
-    val banded = sigs.select(col(idCol),
-      posexplode(array((0 until bands).map(b => substring(col("sh"), b * w + 1, w)): _*))
-        .as(Seq("band_idx", "band")))
-    val cands = banded.select(col(idCol).as("a_id"), col("band_idx"), col("band"))
-      .join(banded.select(col(idCol).as("b_id"), col("band_idx"), col("band")),
-            Seq("band_idx", "band"))
+    // Pigeonhole, pushed INTO the join key: hamming <= maxHamming flips
+    // bits in at most maxHamming bands, so some (bands - maxHamming)-band
+    // subset matches EXACTLY. Joining on every such subset (bands
+    // concatenated) instead of single bands keeps recall exact while
+    // widening the key from w to w*(bands - maxHamming) bits — the key
+    // space grows 2^w-fold per extra band, shrinking each bucket (and
+    // the n²-per-bucket candidate join, the funnel's hot-key hazard)
+    // by the same factor. bands=4/maxHamming=2: C(4,2)=6 8-bit keys
+    // instead of 4 4-bit keys → ~16x smaller buckets for 1.5x explode.
+    val keep = bands - maxHamming
+    val combos = (0 until bands).combinations(keep).toSeq
+    val keyed = sigs.select(col(idCol),
+      posexplode(array(combos.map(c =>
+        concat(c.map(b => substring(col("sh"), b * w + 1, w)): _*)): _*))
+        .as(Seq("combo_idx", "band")))
+    val cands = keyed.select(col(idCol).as("a_id"), col("combo_idx"), col("band"))
+      .join(keyed.select(col(idCol).as("b_id"), col("combo_idx"), col("band")),
+            Seq("combo_idx", "band"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()

@@ -70,6 +70,22 @@ object Sampling {
       .select(col(keyCol), col(idCol), col("rk"))
   }
 
+  /** Deterministic train/val/test assignment ("anti-leakage split"):
+    * the split is a pure function of the row id, so re-running the
+    * pipeline — or running it on another engine — can never move a
+    * document across the boundary, and joining any derived table back
+    * by id preserves the split. Adds a `split` column; zero shuffle. */
+  def holdoutSplit(df: DataFrame, idCol: String,
+                   trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    require(trainFrac > 0 && valFrac >= 0 && trainFrac + valFrac < 1.0,
+      s"fractions must leave room for test: train=$trainFrac val=$valFrac")
+    val u = hashU(col(idCol))
+    df.withColumn("split",
+      when(u < trainFrac, "train")
+        .when(u < trainFrac + valFrac, "val")
+        .otherwise("test"))
+  }
+
   /** Mixture rebalancing: equalize strata by downsampling every stratum
     * to the size of the smallest, deterministically. Acceptance rate
     * per stratum = min_count / count; membership = hashU(id) < rate.

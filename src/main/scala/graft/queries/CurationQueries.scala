@@ -117,6 +117,50 @@ object CurationQueries {
       |SELECT lang, MAX(n_orig) AS n_orig, round(MAX(rate), 6) AS rate, CAST(COUNT(*) AS BIGINT) AS n_kept
       |FROM u WHERE u < rate GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Train/val/test census per language over the deterministic
+    * hash-based holdout split. */
+  def holdoutSplit(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Sampling.holdoutSplit(t.documents, "doc_id")
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"split")
+  }
+
+  val holdoutSplitSql: String =
+    """WITH u AS (SELECT doc_id, lang,
+      |    list_sum(list_transform(range(0,4), i ->
+      |      (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |    )) / 65536.0 AS u
+      |  FROM documents),
+      |s AS (SELECT lang, CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END split FROM u)
+      |SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  /** Per-language document-length quantiles via the ANSI ordered-set
+    * aggregate PERCENTILE_DISC — discrete (an actual data value, no
+    * interpolation arithmetic), hence bit-stable cross-engine. */
+  def lengthQuantiles(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents.groupBy($"lang")
+      .agg(
+        expr("cast(percentile_disc(0.25) within group (order by n_chars) as bigint)").as("p25"),
+        expr("cast(percentile_disc(0.5)  within group (order by n_chars) as bigint)").as("p50"),
+        expr("cast(percentile_disc(0.75) within group (order by n_chars) as bigint)").as("p75"),
+        expr("cast(percentile_disc(0.9)  within group (order by n_chars) as bigint)").as("p90"),
+        count(lit(1)).as("n_docs"))
+      .orderBy($"lang")
+  }
+
+  val lengthQuantilesSql: String =
+    """SELECT lang,
+      |  CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p25,
+      |  CAST(percentile_disc(0.5)  WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p50,
+      |  CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p75,
+      |  CAST(percentile_disc(0.9)  WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p90,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- corpus statistics: TF-IDF top terms per language ----
 
   /** Top-5 TF-IDF terms per language. Canonical shapes: explode →
@@ -207,7 +251,9 @@ object CurationQueries {
     "qp01_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(Tables(s, d))),
     "qp02_reservoir_sample"  -> ((s: SparkSession, d: String) => reservoirSample(Tables(s, d))),
     "qp03_mixture_sample"    -> ((s: SparkSession, d: String) => mixtureSample(Tables(s, d))),
+    "qp04_holdout_split"     -> ((s: SparkSession, d: String) => holdoutSplit(Tables(s, d))),
     "qt06_tfidf_terms"       -> ((s: SparkSession, d: String) => tfidfTopTerms(Tables(s, d))),
+    "qt07_length_quantiles"  -> ((s: SparkSession, d: String) => lengthQuantiles(Tables(s, d))),
     "qc01_curation_pipeline" -> ((s: SparkSession, d: String) => curationPipeline(Tables(s, d))),
   )
 
@@ -216,7 +262,9 @@ object CurationQueries {
     "qp01_stratified_sample" -> stratifiedSampleSql,
     "qp02_reservoir_sample"  -> reservoirSampleSql,
     "qp03_mixture_sample"    -> mixtureSampleSql,
+    "qp04_holdout_split"     -> holdoutSplitSql,
     "qt06_tfidf_terms"       -> tfidfTopTermsSql,
+    "qt07_length_quantiles"  -> lengthQuantilesSql,
     "qc01_curation_pipeline" -> curationPipelineSql,
   )
 }

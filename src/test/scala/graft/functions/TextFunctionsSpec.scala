@@ -72,6 +72,23 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("fused shingle-simhash bit-matches the unfused formulation") {
+    val docs = graft.Tables(spark, sf0001).documents
+    val mismatches = docs.select(
+        TextFunctions.simhash16Shingles($"text").as("fused"),
+        TextFunctions.simhash16ShinglesUnfused($"text").as("unfused"))
+      .filter($"fused" =!= $"unfused").count()
+    assert(mismatches == 0)
+    // short doc (no shingles) and repeated shingles (distinctness)
+    val edge = Seq("a b", "x y z x y z x y z").toDF("t")
+      .select(
+        TextFunctions.simhash16Shingles($"t").as("fused"),
+        TextFunctions.simhash16ShinglesUnfused($"t").as("unfused"))
+      .collect()
+    edge.foreach(r => assert(r.getString(0) === r.getString(1)))
+    assert(edge(0).getString(0) === "0" * 16) // no shingles -> all-zero votes
+  }
+
   test("langIdHeuristic picks the dominant stopword set deterministically") {
     val preds = Seq(
       "the cat is on the mat",

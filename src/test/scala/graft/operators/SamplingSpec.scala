@@ -58,6 +58,27 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     assert(a === ref)
   }
 
+  test("holdout split: exhaustive, deterministic, id-stable across subsets") {
+    val s1 = Sampling.holdoutSplit(docs, "doc_id")
+    val bySplit = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count()
+    assert(bySplit.values.sum === n) // partition of the corpus
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit("train") > bySplit.getOrElse("val", 0L))
+    // the split of a row is a function of its id alone: filtering the
+    // input first must not move any surviving row across the boundary
+    val whole = s1.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val subset = Sampling.holdoutSplit(docs.filter($"lang" === "en"), "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.foreach { case (id, sp) => assert(whole(id) === sp) }
+    intercept[IllegalArgumentException] {
+      Sampling.holdoutSplit(docs, "doc_id", trainFrac = 0.9, valFrac = 0.1)
+    }
+  }
+
   test("mixture equalize: every stratum downsampled toward the smallest") {
     val out = Sampling.mixtureEqualize(docs, "lang", "doc_id")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
