@@ -161,6 +161,72 @@ object CurationQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_docs
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- benchmark decontamination ----
+
+  /** Every doc with its count of word 5-grams shared with the
+    * "benchmark" set (doc_id % 50 == 0 stands in for an eval suite):
+    * the exact n-gram-collision test-set-leakage guard. Broadcast
+    * semi-join on the corpus scan — see operators.Decontaminate. */
+  def decontaminate(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val bench = t.documents.filter($"doc_id" % 50 === 0)
+    graft.operators.Decontaminate.flag(t.documents, bench, n = 5)
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
+      |g AS (SELECT doc_id, list_distinct([md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+      |    for i in range(1, len(ws)-3)]) gs FROM w),
+      |bg AS (SELECT DISTINCT unnest(gs) g FROM g WHERE doc_id % 50 = 0),
+      |dg AS (SELECT doc_id, unnest(gs) g FROM g),
+      |h AS (SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) n_hits FROM dg JOIN bg USING (g) GROUP BY dg.doc_id)
+      |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits, h.doc_id IS NOT NULL AS contaminated
+      |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  // ---- repetition quality metrics (Gopher-style) ----
+
+  /** Per-doc repetition metrics over lowercased tokens: most-frequent
+    * word share, most-frequent bigram share, duplicate-word fraction.
+    * Shape: explode → (doc, term) count → per-doc max/sum — the
+    * aggregation form that scales (never a per-row quadratic lambda);
+    * ratios are int/int double divisions rounded to 6, bit-stable
+    * cross-engine. */
+  def repetitionStats(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val uni = t.documents
+      .select($"doc_id", explode(tokens(lower($"text"))).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(
+        sum($"c").as("n_tokens"), max($"c").as("top_word_n"),
+        count(lit(1)).as("n_distinct"))
+    val bi = t.documents
+      .select($"doc_id", explode(shingles(lower($"text"), 2)).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_bigram_n"), sum($"c").as("n_bigrams"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_tokens",
+        round($"top_word_n" / $"n_tokens", 6).as("top_word_frac"),
+        round(coalesce($"top_bigram_n" / $"n_bigrams", lit(0.0)), 6).as("top_bigram_frac"),
+        round(lit(1.0) - $"n_distinct" / $"n_tokens", 6).as("dup_word_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val repetitionStatsSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) tok FROM documents),
+      |uni AS (SELECT doc_id, tok, COUNT(*) c FROM toks GROUP BY 1, 2),
+      |u AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) n_tokens, MAX(c) top_word_n, COUNT(*) n_distinct
+      |  FROM uni GROUP BY 1),
+      |w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') ws FROM documents),
+      |bg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) b FROM w),
+      |bgc AS (SELECT doc_id, b, COUNT(*) c FROM bg GROUP BY 1, 2),
+      |bu AS (SELECT doc_id, MAX(c) top_bigram_n, SUM(c) n_bigrams FROM bgc GROUP BY 1)
+      |SELECT u.doc_id, n_tokens,
+      |  round(top_word_n / CAST(n_tokens AS DOUBLE), 6) AS top_word_frac,
+      |  round(COALESCE(top_bigram_n / CAST(n_bigrams AS DOUBLE), 0), 6) AS top_bigram_frac,
+      |  round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 6) AS dup_word_frac
+      |FROM u LEFT JOIN bu ON bu.doc_id = u.doc_id ORDER BY u.doc_id""".stripMargin
+
   // ---- corpus statistics: TF-IDF top terms per language ----
 
   /** Top-5 TF-IDF terms per language. Canonical shapes: explode →
@@ -255,6 +321,8 @@ object CurationQueries {
     "qt06_tfidf_terms"       -> ((s: SparkSession, d: String) => tfidfTopTerms(Tables(s, d))),
     "qt07_length_quantiles"  -> ((s: SparkSession, d: String) => lengthQuantiles(Tables(s, d))),
     "qc01_curation_pipeline" -> ((s: SparkSession, d: String) => curationPipeline(Tables(s, d))),
+    "qc02_decontaminate"     -> ((s: SparkSession, d: String) => decontaminate(Tables(s, d))),
+    "qt08_repetition"        -> ((s: SparkSession, d: String) => repetitionStats(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -266,5 +334,7 @@ object CurationQueries {
     "qt06_tfidf_terms"       -> tfidfTopTermsSql,
     "qt07_length_quantiles"  -> lengthQuantilesSql,
     "qc01_curation_pipeline" -> curationPipelineSql,
+    "qc02_decontaminate"     -> decontaminateSql,
+    "qt08_repetition"        -> repetitionStatsSql,
   )
 }

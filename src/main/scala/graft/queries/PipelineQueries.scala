@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{ConnectedComponents, Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -151,6 +151,45 @@ object PipelineQueries {
       |          (len(ha.hashes) + len(hb.hashes) - CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)), 6) jaccard
       |  FROM cand JOIN hsh ha ON ha.doc_id = a_id JOIN hsh hb ON hb.doc_id = b_id)
       |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.3 ORDER BY a_id, b_id""".stripMargin
+
+  /** Dedup decisions for the WHOLE corpus: minhash near-dup pairs →
+    * connected components (transitive closure) → every doc mapped to
+    * its cluster keeper. The DuckDB oracle recomputes the identical
+    * funnel and closes the pair graph with a recursive CTE — an exact
+    * cross-engine check of an iterative distributed algorithm. */
+  def dedupClusters(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val pairs = Dedup.nearDupsMinhash(t.documents, threshold = 0.3)
+      .select($"a_id", $"b_id")
+    ConnectedComponents.dedupDecisions(t.documents, pairs)
+      .orderBy($"doc_id")
+  }
+
+  val dedupClustersSql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
+      |hsh AS (SELECT doc_id, list_distinct([md5(x) for x in sh]) hashes FROM shr),
+      |sig AS (SELECT doc_id, [list_aggregate([md5(s::VARCHAR || ':' || x) for x in sh], 'min') for s in range(0,16)] sg FROM shr),
+      |bands AS (SELECT doc_id, [md5(sg[4*b+1] || '|' || sg[4*b+2] || '|' || sg[4*b+3] || '|' || sg[4*b+4]) for b in range(0,4)] bs FROM sig),
+      |bt AS (SELECT doc_id, i band_idx, bs[i] band_hash FROM bands, range(1,5) t(i)),
+      |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM bt a
+      |  JOIN bt b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      |p AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+      |    round(CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE) /
+      |          (len(ha.hashes) + len(hb.hashes) - CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)), 6) jaccard
+      |  FROM cand JOIN hsh ha ON ha.doc_id = a_id JOIN hsh hb ON hb.doc_id = b_id)
+      |  WHERE jaccard >= 0.3),
+      |e AS (SELECT a_id s, b_id d FROM p UNION ALL SELECT b_id, a_id FROM p),
+      |reach(id, comp) AS (
+      |  SELECT DISTINCT s, s FROM e
+      |  UNION
+      |  SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.id),
+      |c AS (SELECT id, MIN(comp) comp FROM reach GROUP BY id)
+      |SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id,
+      |       (d.doc_id <> COALESCE(c.comp, d.doc_id)) AS is_dup
+      |FROM documents d LEFT JOIN c ON c.id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   def embedNearDups(t: Tables): DataFrame = {
     import t.spark.implicits._
@@ -415,6 +454,7 @@ object PipelineQueries {
     "qd03_minhash_neardup" -> ((s: SparkSession, d: String) => minhashNearDups(Tables(s, d))),
     "qd04_embed_neardup"   -> ((s: SparkSession, d: String) => embedNearDups(Tables(s, d))),
     "qd05_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNearDups(Tables(s, d))),
+    "qd06_dedup_clusters"  -> ((s: SparkSession, d: String) => dedupClusters(Tables(s, d))),
     "qs01_cosine_topk"     -> ((s: SparkSession, d: String) => cosineTopK(Tables(s, d))),
     "qs02_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(Tables(s, d))),
     "qs03_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(Tables(s, d))),
@@ -435,6 +475,7 @@ object PipelineQueries {
     "qd03_minhash_neardup" -> minhashNearDupsSql,
     "qd04_embed_neardup"   -> embedNearDupsSql,
     "qd05_simhash_neardup" -> simhashNearDupsSql,
+    "qd06_dedup_clusters"  -> dedupClustersSql,
     "qs01_cosine_topk"     -> cosineTopKSql,
     "qs02_ann_lsh"         -> annLshSql,
     "qs03_ann_ivf"         -> annIvfSql,

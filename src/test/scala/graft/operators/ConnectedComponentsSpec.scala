@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("components: chain + pair + self-loop resolve to min-id labels") {
+    // chain 1-2-3-4 (diameter 3), pair 10-11, self-loop 20
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 20L))
+      .toDF("a_id", "b_id")
+    val out = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+                      10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("long chain converges within its diameter and survives a shuffle") {
+    // path 0-1-...-9: worst case for min propagation (diameter 9)
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+      .repartition(7)
+    val out = ConnectedComponents.run(edges, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == 10 && out.values.forall(_ == 0L))
+  }
+
+  test("maxIter caps the rounds: a too-small budget leaves far labels unconverged") {
+    val edges = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val capped = ConnectedComponents.run(edges, maxIter = 2)
+      .as[(Long, Long)].collect().toMap
+    // near the head labels have converged; the far end cannot have
+    // (information travels <= 2 hops per round... with symmetric
+    // propagation each round halves nothing — label 0 reaches at most
+    // vertex 2*maxIter)
+    assert(capped(1L) == 0L)
+    assert(capped(9L) != 0L)
+  }
+
+  test("dedupDecisions: transitive cluster keeper, singletons keep themselves") {
+    val docs = Seq(0L, 1L, 2L, 3L, 4L).toDF("doc_id")
+    // pairs 0-1 and 1-2 chain into one cluster {0,1,2}; 3 and 4 unpaired
+    val pairs = Seq((0L, 1L), (1L, 2L)).toDF("a_id", "b_id")
+    val out = ConnectedComponents.dedupDecisions(docs, pairs)
+      .as[(Long, Long, Boolean)].collect()
+      .map { case (d, c, f) => d -> ((c, f)) }.toMap
+    assert(out(0L) == (0L, false))
+    assert(out(1L) == (0L, true))
+    assert(out(2L) == (0L, true))   // transitive: never directly paired with 0
+    assert(out(3L) == (3L, false))
+    assert(out(4L) == (4L, false))
+  }
+
+  test("fixture: minhash pairs -> clusters matches brute-force closure") {
+    val t = graft.Tables(spark, sf0001)
+    val pairs = Dedup.nearDupsMinhash(t.documents, threshold = 0.3)
+      .select("a_id", "b_id")
+    val got = ConnectedComponents.run(pairs).as[(Long, Long)].collect().toMap
+    // brute-force union-find on the collected pair list (test-only)
+    val es = pairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == want)
+  }
+}
