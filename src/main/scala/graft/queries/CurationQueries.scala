@@ -227,6 +227,89 @@ object CurationQueries {
       |  round(1.0 - n_distinct / CAST(n_tokens AS DOUBLE), 6) AS dup_word_frac
       |FROM u LEFT JOIN bu ON bu.doc_id = u.doc_id ORDER BY u.doc_id""".stripMargin
 
+  // ---- chunking + sequence packing ----
+
+  /** 32-token chunks with 8-token overlap over every doc — the
+    * RAG/embedding segmentation step. Pure projection + explode:
+    * zero shuffle. */
+  def chunking(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    graft.operators.Chunking.chunkByTokens(t.documents, chunkSize = 32, overlap = 8)
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val chunkingSql: String =
+    """WITH w0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |c AS (SELECT doc_id, unnest(range(0, len(w), 24)) s, w FROM w0)
+      |SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+      |  CAST(len(w[s+1:s+32]) AS BIGINT) AS chunk_tokens,
+      |  array_to_string(w[s+1:s+32], ' ') AS chunk_text
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Sequence-packing audit: docs laid out in id order within md5
+    * shards, cut into 256-token bins; per bin its doc count and token
+    * total. One shard shuffle + one running-sum window. */
+  def packing(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    graft.operators.Chunking.packSequences(t.documents, budget = 256, shards = 8)
+      .orderBy($"shard", $"bin")
+  }
+
+  val packingSql: String =
+    """WITH s AS (SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0,4), i ->
+      |      (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |    )) AS BIGINT) % 8 AS shard,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tokens
+      |  FROM documents),
+      |c AS (SELECT shard, doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+      |  FROM s)
+      |SELECT CAST(shard AS INT) AS shard, CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+
+  // ---- PII scrubbing ----
+
+  /** PII scrub over a corpus with deterministic planted PII (the
+    * synthetic testdata has none, so every 10th doc gets an email and
+    * every 25th a URL appended IN THE QUERY — both engines plant
+    * identically, making the oracle exercise real matches): per doc,
+    * match counts and the redacted text's fingerprint. Pure
+    * projection, zero shuffle; regexes stay in the portable
+    * char-class/quantifier subset (Java regex == RE2 semantics). */
+  def piiScrub(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val urlRe = "https?://[a-z0-9./_-]+"
+    val planted = t.documents.select($"doc_id",
+      concat($"text",
+        when($"doc_id" % 10 === 0,
+          concat(lit(" contact user"), $"doc_id", lit("@example.com"))).otherwise(lit("")),
+        when($"doc_id" % 25 === 0,
+          concat(lit(" see https://data.example.org/doc/"), $"doc_id")).otherwise(lit("")))
+        .as("text"))
+    planted.select($"doc_id",
+        regexp_count($"text", lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count($"text", lit(urlRe)).cast("long").as("n_urls"),
+        md5(regexp_replace(regexp_replace($"text", emailRe, "<EMAIL>"), urlRe, "<URL>"))
+          .as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val piiScrubSql: String =
+    """WITH p AS (SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 10 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END ||
+      |    CASE WHEN doc_id % 25 = 0 THEN ' see https://data.example.org/doc/' || doc_id ELSE '' END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, 'https?://[a-z0-9./_-]+')) AS BIGINT) AS n_urls,
+      |  md5(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |      'https?://[a-z0-9./_-]+', '<URL>', 'g')) AS redacted_md5
+      |FROM p ORDER BY doc_id""".stripMargin
+
   // ---- corpus statistics: TF-IDF top terms per language ----
 
   /** Top-5 TF-IDF terms per language. Canonical shapes: explode →
@@ -323,6 +406,9 @@ object CurationQueries {
     "qc01_curation_pipeline" -> ((s: SparkSession, d: String) => curationPipeline(Tables(s, d))),
     "qc02_decontaminate"     -> ((s: SparkSession, d: String) => decontaminate(Tables(s, d))),
     "qt08_repetition"        -> ((s: SparkSession, d: String) => repetitionStats(Tables(s, d))),
+    "qc03_chunking"          -> ((s: SparkSession, d: String) => chunking(Tables(s, d))),
+    "qc04_packing"           -> ((s: SparkSession, d: String) => packing(Tables(s, d))),
+    "qt09_pii_scrub"         -> ((s: SparkSession, d: String) => piiScrub(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -336,5 +422,8 @@ object CurationQueries {
     "qc01_curation_pipeline" -> curationPipelineSql,
     "qc02_decontaminate"     -> decontaminateSql,
     "qt08_repetition"        -> repetitionStatsSql,
+    "qc03_chunking"          -> chunkingSql,
+    "qc04_packing"           -> packingSql,
+    "qt09_pii_scrub"         -> piiScrubSql,
   )
 }
