@@ -130,6 +130,28 @@ object EventStreams {
         ()
       }
 
+  /** Streaming incremental near-dup detection: each micro-batch of
+    * documents is deduped against the persistent signature store (and
+    * itself) via [[graft.operators.IncrementalDedup.dedupBatch]], its
+    * decisions appended to `decisionsDir`, and the unique docs'
+    * signatures appended to the store — so later batches (and later
+    * runs: the store IS the state, no in-memory carryover) dedup
+    * against everything seen so far without rescanning old text.
+    * foreachBatch because the state is a queryable parquet artifact
+    * shared with the batch path, not opaque operator state. */
+  def dedupStream(docs: DataFrame, storePath: String, decisionsDir: String,
+                  threshold: Double, numHashes: Int = 16, bands: Int = 4)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.IncrementalDedup
+          .dedupBatch(batch, storePath, threshold, numHashes, bands)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(decisionsDir)
+        ()
+      }
+
   /** Stream-stream interval join: pair each left event with right
     * events of the same user arriving within `[0, maxDelay]` after it.
     * Both sides carry watermarks and the join condition bounds event

@@ -131,6 +131,29 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupStream dedups each micro-batch against the growing signature store") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val store = s"$base/store"; val decisions = s"$base/decisions"
+    val text = "the quick brown fox jumps over the lazy dog today again"
+    graft.operators.IncrementalDedup.initStore(
+      Seq((0L, text)).toDF("doc_id", "text"), store)
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupStream(
+      mem.toDF.toDF("doc_id", "text"), store, decisions, threshold = 0.9).start()
+    try {
+      mem.addData((10L, text), (11L, "totally new words never stored before anywhere"))
+      q.processAllAvailable()
+      mem.addData((20L, "totally new words never stored before anywhere"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(decisions)
+        .select("doc_id", "dup_of").as[(Long, Option[Long])].collect().toMap
+      assert(out(10L).contains(0L))   // dup of the seeded store doc
+      assert(out(11L).isEmpty)        // unique -> appended to store
+      assert(out(20L).contains(11L))  // matches the doc batch 1 appended
+    } finally q.stop()
+  }
+
   test("sessionizeBatch on the sf0.001 fixture: sessions partition events") {
     val t = Tables(spark, sf0001)
     val sessions = EventStreams.sessionizeBatch(t.events, gapMs = 1800000L)
