@@ -42,7 +42,25 @@ object GraftExtensions {
      (children: Seq[Expression]) => ShingleSimHash16(children(0), children(1))),
     (FunctionIdentifier("graft_lsh_bucket"),
      new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
-     (children: Seq[Expression]) => LshBucket(children(0), children(1), children(2))))
+     (children: Seq[Expression]) => LshBucket(children(0), children(1), children(2))),
+    // Spark's OWN runtime-join-pruning bloom machinery, exposed as SQL
+    // functions (upstream keeps them internal-only): the agg builds the
+    // serialized filter, the predicate probes it codegen'd. Used by
+    // operators.BloomDedup for exact-dup prescreening.
+    (FunctionIdentifier("graft_bloom_agg"),
+     new ExpressionInfo(
+       classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+       "graft_bloom_agg"),
+     (children: Seq[Expression]) =>
+       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+         children(0), children(1), children(2)).toAggregateExpression()),
+    (FunctionIdentifier("graft_might_contain"),
+     new ExpressionInfo(
+       classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+       "graft_might_contain"),
+     (children: Seq[Expression]) =>
+       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+         children(0), children(1))))
 
   /** idempotent post-hoc registration on a live session */
   def register(spark: SparkSession): Unit =

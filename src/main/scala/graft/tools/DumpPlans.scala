@@ -51,6 +51,22 @@ object DumpPlans {
       ("qp01_stratified_sample — scan-level deterministic sampling",
        "Sampling is a pure filter projection (md5-derived hash coordinate vs per-stratum rate) fused into the parquet scan stage: no shuffle, no state. Sampling 100 TB costs one pass.",
        fmt(graft.queries.CurationQueries.stratifiedSample(t))),
+      ("qc02_decontaminate — broadcast n-gram leakage guard",
+       "The benchmark's distinct n-gram hashes broadcast; the corpus side is one native shingle projection + explode feeding a BroadcastHashJoin — the corpus text is scanned once and never shuffled. Decontaminating 100 TB costs one pass.",
+       fmt(graft.queries.CurationQueries.decontaminate(t))),
+      ("qc03_chunking — zero-shuffle segmentation",
+       "Chunking is a projection + posexplode + slice: each doc expands independently, so segmentation parallelizes perfectly at any scale. The single Exchange in this plan is the oracle harness's ORDER BY (rangepartitioning) — the operator itself (everything below node 5) is shuffle-free.",
+       fmt(graft.queries.CurationQueries.chunking(t))),
+      ("qc04_packing — sharded sequence packing",
+       "One hash exchange on the md5 shard key, one running-sum window within shards, one partial+final aggregate. Greedy packing is sequential by nature; sharding is what makes it parallel — and the md5 shard key makes the layout engine-reproducible.",
+       fmt(graft.queries.CurationQueries.packing(t))),
+      ("qd06_dedup_clusters — iterative connected components",
+       "Each min-label round is a key join + min aggregate over localCheckpoint'd inputs (lineage truncated: round N's plan does not contain rounds 1..N-1 — without this, Catalyst re-analysis cost compounds exponentially). Rounds = cluster diameter (~3 for near-dup graphs).",
+       fmt(graft.operators.ConnectedComponents.dedupDecisions(
+         t.documents,
+         graft.operators.Dedup.nearDupsMinhash(t.documents, 0.3)
+           .select(org.apache.spark.sql.functions.col("a_id"),
+                   org.apache.spark.sql.functions.col("b_id"))))),
       ("qd05_simhash_neardup — banded simhash funnel",
        "Same funnel discipline as MinHash: the shingle-simhash is one native-expression projection (persisted once, read by banding and both verify sides), candidates shuffle on the (band_idx, band) key, exact hamming runs only on candidates. 16-bit fingerprints are the oracle demo size; production is this code over 64-bit simhash with 16-bit bands.",
        fmt(graft.operators.Dedup.nearDupsSimhash(t.documents))),

@@ -1,0 +1,53 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import graft.operators.{ConnectedComponents, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress drive (dev tool): replicate the sf0.1 corpus `reps`
+  * times (id-offset copies) and run the dedup funnels + connected
+  * components on it. Replication makes every doc a member of a
+  * `reps`-sized exact-dup cluster, so this deliberately stresses the
+  * funnels' WORST axis — pair volume and cluster size — not just row
+  * count: band buckets grow reps-fold, candidate pairs reps²-fold,
+  * and CC gets dense clusters instead of pairs. Timings land in
+  * NOTES_r{N}; correctness invariants are asserted inline. */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(10)
+    val dir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = GraftSession.local(appName = "scale-stress")
+    val docs0 = Tables(spark, dir).documents.select("doc_id", "text")
+    val n0 = docs0.count()
+    val big = (0 until reps).map(k =>
+        docs0.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_ union _)
+      .localCheckpoint(true)
+    val n = big.count()
+    println(s"[stress] corpus: $n0 x $reps = $n docs")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[stress] $label%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s"); r
+    }
+    val nExact = time("exact dedup")(
+      Dedup.exactCanonical(big).filter(col("is_dup")).count())
+    // every replica beyond its cluster keeper is an exact dup
+    assert(nExact >= n0 * (reps - 1), s"exact dups $nExact < ${n0 * (reps - 1)}")
+    val minhashPairs = time("minhash funnel") {
+      val p = Dedup.nearDupsMinhash(big, threshold = 0.3).localCheckpoint(true)
+      p.count()
+    }
+    println(s"[stress]   minhash pairs = $minhashPairs")
+    val simhashPairs = time("simhash funnel")(Dedup.nearDupsSimhash(big).count())
+    println(s"[stress]   simhash pairs = $simhashPairs")
+    val pairs = Dedup.nearDupsMinhash(big, threshold = 0.3)
+      .select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val comps = time("connected components") {
+      val c = ConnectedComponents.run(pairs).localCheckpoint(true)
+      c.count()
+    }
+    println(s"[stress]   labeled vertices = $comps")
+    spark.catalog.clearCache()
+    spark.stop()
+  }
+}
