@@ -235,6 +235,31 @@ object PipelineQueries {
       |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming FROM v
       |WHERE hamming <= 2 ORDER BY a_id, b_id""".stripMargin
 
+  /** Per-label centroid of the embedding vectors (mean pooling — the
+    * summary/codebook step of every embedding pipeline, and IVF's
+    * training primitive). Row-per-(label, dim) output keeps the
+    * compare scalar; per-element DECIMAL casts make the sum exact, so
+    * the mean is bit-stable cross-engine regardless of partition
+    * summation order. */
+  def labelCentroids(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.embeddings
+      .select($"label", posexplode($"embedding").as(Seq("dim", "v")))
+      .groupBy($"label", $"dim")
+      .agg(count(lit(1)).as("n"),
+           sum($"v".cast("double").cast("decimal(20,10)")).as("s"))
+      .select($"label", $"dim".cast("long").as("dim"),
+        round($"s".cast("double") / $"n", 6).as("centroid"))
+      .orderBy($"label", $"dim")
+  }
+
+  val labelCentroidsSql: String =
+    """WITH e AS (SELECT label, i AS dim, CAST(embedding[i+1] AS DOUBLE) v
+      |  FROM embeddings, range(0, 64) t(i))
+      |SELECT label, CAST(dim AS BIGINT) AS dim,
+      |  round(CAST(SUM(CAST(v AS DECIMAL(20,10))) AS DOUBLE) / COUNT(*), 6) AS centroid
+      |FROM e GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   // ---- similarity search ----
 
   private val QueryIds: Seq[Long] = 0L until 10L
@@ -459,6 +484,7 @@ object PipelineQueries {
     "qs02_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(Tables(s, d))),
     "qs03_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(Tables(s, d))),
     "qs04_ann_lsh_multi"   -> ((s: SparkSession, d: String) => annLshMulti(Tables(s, d))),
+    "qs05_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -480,5 +506,6 @@ object PipelineQueries {
     "qs02_ann_lsh"         -> annLshSql,
     "qs03_ann_ivf"         -> annIvfSql,
     "qs04_ann_lsh_multi"   -> annLshMultiSql,
+    "qs05_label_centroids" -> labelCentroidsSql,
   )
 }
