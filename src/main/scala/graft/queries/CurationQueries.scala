@@ -310,6 +310,42 @@ object CurationQueries {
       |      'https?://[a-z0-9./_-]+', '<URL>', 'g')) AS redacted_md5
       |FROM p ORDER BY doc_id""".stripMargin
 
+  // ---- snapshot diff ----
+
+  /** Census of what a simulated "next month" snapshot changed: v2 is
+    * derived from v1 deterministically IN THE QUERY (drop %7, edit %5,
+    * add %11 with shifted ids) so both engines diff identical
+    * snapshots; output is the per-change-type count. One full-outer
+    * join on the id — see operators.CorpusDiff. */
+  def corpusDiff(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val v1 = t.documents.select($"doc_id", $"text")
+    val v2 = t.documents.filter($"doc_id" % 7 =!= 0)
+      .select($"doc_id",
+        when($"doc_id" % 5 === 0, concat($"text", lit(" edited"))).otherwise($"text").as("text"))
+      .union(t.documents.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), concat($"text", lit(" new")).as("text")))
+    graft.operators.CorpusDiff.diff(v1, v2)
+      .groupBy($"change_type").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"change_type")
+  }
+
+  val corpusDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, text FROM documents),
+      |v2 AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' edited' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' new' FROM documents WHERE doc_id % 11 = 0),
+      |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) doc_id,
+      |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+      |         WHEN v2.doc_id IS NULL THEN 'removed'
+      |         WHEN md5(v1.text) <> md5(v2.text) THEN 'modified'
+      |         ELSE 'unchanged' END change_type
+      |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |FROM j GROUP BY change_type ORDER BY change_type""".stripMargin
+
   // ---- corpus statistics: TF-IDF top terms per language ----
 
   /** Top-5 TF-IDF terms per language. Canonical shapes: explode →
@@ -409,6 +445,7 @@ object CurationQueries {
     "qc03_chunking"          -> ((s: SparkSession, d: String) => chunking(Tables(s, d))),
     "qc04_packing"           -> ((s: SparkSession, d: String) => packing(Tables(s, d))),
     "qt09_pii_scrub"         -> ((s: SparkSession, d: String) => piiScrub(Tables(s, d))),
+    "qc05_corpus_diff"       -> ((s: SparkSession, d: String) => corpusDiff(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -425,5 +462,6 @@ object CurationQueries {
     "qc03_chunking"          -> chunkingSql,
     "qc04_packing"           -> packingSql,
     "qt09_pii_scrub"         -> piiScrubSql,
+    "qc05_corpus_diff"       -> corpusDiffSql,
   )
 }

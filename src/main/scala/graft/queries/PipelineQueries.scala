@@ -193,7 +193,11 @@ object PipelineQueries {
 
   def embedNearDups(t: Tables): DataFrame = {
     import t.spark.implicits._
-    Dedup.embeddingNearDups(t.embeddings, threshold = 0.35)
+    // hot-block budget wired in: blocks beyond 5000 vectors sub-bucket by
+    // LSH sign bits (recall trade documented at Dedup.embeddingNearDups).
+    // Test scales stay far below the budget, so the DuckDB oracle remains
+    // the exact all-pairs answer; at production scale the guard engages.
+    Dedup.embeddingNearDups(t.embeddings, threshold = 0.35, maxBlockSize = 5000)
       .orderBy($"block", $"a_id", $"b_id")
   }
 

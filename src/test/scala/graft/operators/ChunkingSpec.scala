@@ -33,6 +33,12 @@ class ChunkingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Chunking.chunkByTokens(doc(5), 8, 8))
   }
 
+  test("chunking plan is shuffle-free (projection + generate only)") {
+    val plan = Chunking.chunkByTokens(doc(80), 32, 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("packing: bins cover all docs, respect contiguity, and are shuffle-invariant") {
     val docs = graft.Tables(spark, sf0001).documents
     val out = Chunking.packSequences(docs, budget = 256, shards = 8)
