@@ -21,7 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
-  import graft.functions.expressions.{LshBucket, MinHashSignature, ShingleHashes, ShingleSimHash16, SimHash16}
+  import graft.functions.expressions.{LshBucket, MinHashSignature, ShingleHashes, ShingleSimHash16, ShingleSimHash64, SimHash16}
 
   private val descriptors
       : Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -40,6 +40,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_shingle_simhash16"),
      new ExpressionInfo(classOf[ShingleSimHash16].getName, "graft_shingle_simhash16"),
      (children: Seq[Expression]) => ShingleSimHash16(children(0), children(1))),
+    (FunctionIdentifier("graft_shingle_simhash64"),
+     new ExpressionInfo(classOf[ShingleSimHash64].getName, "graft_shingle_simhash64"),
+     (children: Seq[Expression]) => ShingleSimHash64(children(0), children(1))),
     (FunctionIdentifier("graft_lsh_bucket"),
      new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
      (children: Seq[Expression]) => LshBucket(children(0), children(1), children(2))),

@@ -125,6 +125,12 @@ object TextFunctions {
   def simhash16ShinglesUnfused(text: Column, n: Int = 3): Column =
     call_function("graft_simhash16", shingles(text, n))
 
+  /** 64-bit shingle-SimHash (production fingerprint width; 16 bits is
+    * the oracle-demo size). 64-char '0'/'1' string; delegates to the
+    * fused native [[graft.functions.expressions.ShingleSimHash64]]. */
+  def simhash64Shingles(text: Column, n: Int = 3): Column =
+    call_function("graft_shingle_simhash64", tokens(text), lit(n))
+
   /** Winnowing-style document fingerprint: the 4 smallest shingle
     * hashes, joined. Robust to local edits; join-able for dedup. */
   def fingerprint(text: Column, n: Int = 3): Column =

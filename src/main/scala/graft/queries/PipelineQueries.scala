@@ -191,6 +191,41 @@ object PipelineQueries {
       |FROM documents d LEFT JOIN c ON c.id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** 64-bit (production-width) simhash near-dup funnel: same
+    * combination-banding discipline as qd05, 16-bit band slices of the
+    * 64-bit fingerprint. The oracle votes on the leading 64 BITS of
+    * each shingle digest (the 16-bit demo votes on the high bit of
+    * each leading nibble). */
+  def simhash64NearDups(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Dedup.nearDupsSimhash(t.documents, maxHamming = 2, bands = 4, width = 64)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val simhash64NearDupsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
+      |hsh AS (SELECT doc_id, list_distinct([md5(x) for x in sh]) hashes FROM shr),
+      |s AS (SELECT doc_id,
+      |  array_to_string(list_transform(range(0,64), j ->
+      |    CASE WHEN len(list_filter(hashes, h ->
+      |      ((strpos('0123456789abcdef', substr(h, j//4+1, 1)) - 1) // CAST(power(2, 3 - j%4) AS INT)) % 2 = 1
+      |    )) * 2 > len(hashes) THEN '1' ELSE '0' END), '') sh
+      |FROM hsh),
+      |b AS (SELECT doc_id, sh, i combo_idx,
+      |    CASE i WHEN 0 THEN substr(sh,1,16)||substr(sh,17,16) WHEN 1 THEN substr(sh,1,16)||substr(sh,33,16)
+      |           WHEN 2 THEN substr(sh,1,16)||substr(sh,49,16) WHEN 3 THEN substr(sh,17,16)||substr(sh,33,16)
+      |           WHEN 4 THEN substr(sh,17,16)||substr(sh,49,16) ELSE substr(sh,33,16)||substr(sh,49,16) END band
+      |  FROM s, range(0,6) t(i)),
+      |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM b a
+      |  JOIN b b ON a.combo_idx = b.combo_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+      |v AS (SELECT a_id, b_id,
+      |    list_sum(list_transform(range(1,65), j ->
+      |      CASE WHEN substr(sa.sh, j, 1) <> substr(sb.sh, j, 1) THEN 1 ELSE 0 END)) hamming
+      |  FROM cand JOIN s sa ON sa.doc_id = a_id JOIN s sb ON sb.doc_id = b_id)
+      |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming FROM v
+      |WHERE hamming <= 2 ORDER BY a_id, b_id""".stripMargin
+
   def embedNearDups(t: Tables): DataFrame = {
     import t.spark.implicits._
     // hot-block budget wired in: blocks beyond 5000 vectors sub-bucket by
@@ -484,6 +519,7 @@ object PipelineQueries {
     "qd04_embed_neardup"   -> ((s: SparkSession, d: String) => embedNearDups(Tables(s, d))),
     "qd05_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNearDups(Tables(s, d))),
     "qd06_dedup_clusters"  -> ((s: SparkSession, d: String) => dedupClusters(Tables(s, d))),
+    "qd07_simhash64"       -> ((s: SparkSession, d: String) => simhash64NearDups(Tables(s, d))),
     "qs01_cosine_topk"     -> ((s: SparkSession, d: String) => cosineTopK(Tables(s, d))),
     "qs02_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(Tables(s, d))),
     "qs03_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(Tables(s, d))),
@@ -506,6 +542,7 @@ object PipelineQueries {
     "qd04_embed_neardup"   -> embedNearDupsSql,
     "qd05_simhash_neardup" -> simhashNearDupsSql,
     "qd06_dedup_clusters"  -> dedupClustersSql,
+    "qd07_simhash64"       -> simhash64NearDupsSql,
     "qs01_cosine_topk"     -> cosineTopKSql,
     "qs02_ann_lsh"         -> annLshSql,
     "qs03_ann_ivf"         -> annIvfSql,

@@ -93,12 +93,33 @@ class DedupSpec extends SparkTestBase {
     assert(truth.nonEmpty)
   }
 
+  test("nearDupsSimhash width=64: banding recall is exact vs brute force") {
+    import graft.functions.TextFunctions.simhash64Shingles
+    val t = Tables(spark, sf0001)
+    val fp = t.documents.select($"doc_id", simhash64Shingles($"text").as("sh"))
+      .as[(Long, String)].collect()
+    def hamming(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    val truth = (for {
+      (a, sa) <- fp; (b, sb) <- fp if a < b
+      h = hamming(sa, sb) if h <= 2
+    } yield (a, b, h.toLong)).toSet
+    val funnel = Dedup.nearDupsSimhash(t.documents, maxHamming = 2, bands = 4, width = 64)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect().toSet
+    assert(funnel == truth)
+    // 64-bit fingerprints discriminate: far fewer collisions than 16-bit
+    val truth16 = Dedup.nearDupsSimhash(t.documents, maxHamming = 2, bands = 4).count()
+    assert(truth.size < truth16)
+  }
+
   test("nearDupsSimhash rejects parameters that void the recall guarantee") {
     intercept[IllegalArgumentException] {
       Dedup.nearDupsSimhash(docs, maxHamming = 4, bands = 4)
     }
     intercept[IllegalArgumentException] {
       Dedup.nearDupsSimhash(docs, maxHamming = 2, bands = 3)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupsSimhash(docs, width = 32)
     }
   }
 
