@@ -109,4 +109,21 @@ object IncrementalDedup {
     }
     decisions
   }
+
+  /** Compact the signature store: per-batch appends accumulate one
+    * small file set per batch; periodically rewrite the store into
+    * `targetFiles` files, published crash-safe through the AtomicSwap
+    * rename protocol (a crash mid-compaction leaves either the old or
+    * the new store, never a torn one). Content is unchanged. */
+  def compactStore(spark: SparkSession, storePath: String,
+                   targetFiles: Int = 8): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    graft.hfc.AtomicSwap.recoverDir(fs, storePath)
+    val staging = graft.hfc.AtomicSwap.stagingFor(storePath)
+    spark.read.parquet(storePath)
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(staging)
+    graft.hfc.AtomicSwap.commitDir(fs, storePath, staging)
+  }
 }

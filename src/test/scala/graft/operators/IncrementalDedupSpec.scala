@@ -51,6 +51,31 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(spark.read.parquet(store).count() == 1)
   }
 
+  test("compactStore rewrites to fewer files with identical content") {
+    val store = tmpStore()
+    IncrementalDedup.initStore(Seq((0L, t0)).toDF("doc_id", "text"), store)
+    // several appends -> several file sets
+    (1 to 4).foreach { k =>
+      IncrementalDedup.dedupBatch(
+        Seq((10L * k, s"unique batch $k text with its own words $k")).toDF("doc_id", "text"),
+        store, threshold = 0.9)
+    }
+    val before = spark.read.parquet(store)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val filesBefore = new java.io.File(store).listFiles().count(_.getName.endsWith(".parquet"))
+    IncrementalDedup.compactStore(spark, store, targetFiles = 1)
+    val after = spark.read.parquet(store)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    val filesAfter = new java.io.File(store).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == before)
+    assert(filesAfter < filesBefore && filesAfter == 1)
+    // the compacted store still serves dedup
+    val out = IncrementalDedup.dedupBatch(
+        Seq((99L, t0)).toDF("doc_id", "text"), store, 0.9)
+      .as[(Long, Option[Long], Option[Double])].collect().head
+    assert(out._2.contains(0L))
+  }
+
   test("near (not exact) dup above threshold is found across batches") {
     // single-pair banding recall at 4x4 is ~j^4 per band — use a long doc
     // (one edit => high jaccard) and 8x2 banding so the collision is
