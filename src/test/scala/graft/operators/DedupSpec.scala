@@ -174,6 +174,27 @@ class DedupSpec extends SparkTestBase {
     assert(small == exactPairs)
   }
 
+  test("hot-block guard: measured recall on the real fixture, engaged everywhere") {
+    // force the guard onto every block and quantify what the LSH
+    // sub-bucketing trades: high-similarity pairs must ALL survive
+    // (their hyperplane signs agree), total recall stays high
+    val t = Tables(spark, sf0001)
+    val threshold = 0.35
+    val exact = Dedup.embeddingNearDups(t.embeddings, threshold)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val guarded = Dedup.embeddingNearDups(t.embeddings, threshold,
+        maxBlockSize = 10, subPlanes = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(guarded.subsetOf(exact)) // guard only drops, never invents
+    val recall = guarded.size.toDouble / exact.size
+    assert(exact.nonEmpty && recall >= 0.5,
+      s"recall $recall (${guarded.size}/${exact.size}) under engaged guard")
+    // the near-identical pairs (cos >= 0.9) must all survive
+    val hi = Dedup.embeddingNearDups(t.embeddings, 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(hi.subsetOf(guarded) || hi.isEmpty)
+  }
+
   test("sf0.001 fixture: minhash funnel matches all-pairs jaccard truth") {
     val t = Tables(spark, sf0001)
     val truth = Dedup.jaccardPairsByBlock(t.documents.withColumn("all", lit(1)), "all")
