@@ -36,7 +36,10 @@ object IvfIndex {
   /** Deterministic sampled centroids: (cell, c_vec, c_nrm2). */
   def centroids(corpus: DataFrame, nCells: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val w = Window.orderBy(col("ord"), col(idCol))
+    // constant partition key: the input is already LIMITed to nCells
+    // rows, so the single-partition window is deliberate (and the
+    // explicit spec keeps WindowExec from warning about it on every run)
+    val w = Window.partitionBy(lit(0)).orderBy(col("ord"), col(idCol))
     corpus.select(col(idCol), col(vecCol), md5(col(idCol).cast("string")).as("ord"))
       .orderBy(col("ord"), col(idCol)).limit(nCells)
       .select((row_number().over(w) - 1).as("cell"),
