@@ -40,6 +40,9 @@ object ScaleStress {
     println(s"[stress]   minhash pairs = $minhashPairs")
     val simhashPairs = time("simhash funnel")(Dedup.nearDupsSimhash(big).count())
     println(s"[stress]   simhash pairs = $simhashPairs")
+    val simhash64Pairs = time("simhash64 funnel")(
+      Dedup.nearDupsSimhash(big, width = 64).count())
+    println(s"[stress]   simhash64 pairs = $simhash64Pairs")
     val pairs = Dedup.nearDupsMinhash(big, threshold = 0.3)
       .select(col("a_id"), col("b_id")).localCheckpoint(true)
     val comps = time("connected components") {
