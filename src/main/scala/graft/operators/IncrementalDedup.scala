@@ -57,6 +57,12 @@ object IncrementalDedup {
                  idCol: String = "doc_id", textCol: String = "text",
                  appendUnique: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
+    // repair any torn compaction swap BEFORE reading — without this, a
+    // crash between commitDir's two renames bricks every batch until
+    // the next compaction happens to run
+    graft.hfc.AtomicSwap.recoverDir(
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration),
+      storePath)
     val batchSigs = signatures(newDocs, numHashes, bands, idCol, textCol)
       .localCheckpoint(true) // referenced by banding, verify, and append
     val store = spark.read.parquet(storePath)
@@ -66,8 +72,10 @@ object IncrementalDedup {
 
     val probe = banded(batchSigs)
       .select(col("id").as("new_id"), col("band_idx"), col("band_hash"))
-    // candidate targets: every store doc (contract: batch ids are fresh,
-    // never already in the store), plus smaller-id docs of this batch
+    // candidate targets: every OTHER store doc, plus smaller-id docs of
+    // this batch. The old_id =!= new_id guard makes crash-replay safe:
+    // re-running a batch whose append already landed would otherwise
+    // match every doc to its own stored signature at jaccard 1.0
     val targets = banded(store)
       .select(col("id").as("old_id"), col("band_idx"), col("band_hash"),
               lit(true).as("from_store"))
@@ -75,7 +83,8 @@ object IncrementalDedup {
         .select(col("id").as("old_id"), col("band_idx"), col("band_hash"),
                 lit(false).as("from_store")))
     val cands = probe.join(targets, Seq("band_idx", "band_hash"))
-      .filter(col("from_store") || col("old_id") < col("new_id"))
+      .filter((col("from_store") && col("old_id") =!= col("new_id")) ||
+              (!col("from_store") && col("old_id") < col("new_id")))
       .select(col("new_id"), col("old_id"))
       .distinct()
 
@@ -110,11 +119,37 @@ object IncrementalDedup {
     decisions
   }
 
+  /** Replay bookkeeping for streaming ingest: one empty marker file per
+    * applied batch, created AFTER the batch's store append lands. A
+    * restarted micro-batch whose marker exists skips the append (the
+    * decisions re-compute identically — see [[dedupBatch]]'s replay
+    * guard). The only unprotected window is a crash between append and
+    * marker: that batch replays its append, duplicating its unique
+    * signatures — decisions stay correct (candidates are distinct'd and
+    * best-match picks one row), and [[compactStore]] reclaims the bloat
+    * by id. */
+  private def markerFor(storePath: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"$storePath.applied", s"batch-$batchId")
+
+  def batchApplied(spark: SparkSession, storePath: String, batchId: Long): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.exists(markerFor(storePath, batchId))
+  }
+
+  def markApplied(spark: SparkSession, storePath: String, batchId: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.create(markerFor(storePath, batchId), true).close()
+  }
+
   /** Compact the signature store: per-batch appends accumulate one
     * small file set per batch; periodically rewrite the store into
     * `targetFiles` files, published crash-safe through the AtomicSwap
     * rename protocol (a crash mid-compaction leaves either the old or
-    * the new store, never a torn one). Content is unchanged. */
+    * the new store, never a torn one). Logical content is unchanged
+    * except that replay-duplicated signatures (same id appended twice
+    * by a crash between append and marker) collapse to one row —
+    * signatures are a pure function of the text, so duplicates are
+    * bit-identical. */
   def compactStore(spark: SparkSession, storePath: String,
                    targetFiles: Int = 8): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -122,6 +157,7 @@ object IncrementalDedup {
     graft.hfc.AtomicSwap.recoverDir(fs, storePath)
     val staging = graft.hfc.AtomicSwap.stagingFor(storePath)
     spark.read.parquet(storePath)
+      .dropDuplicates("id")
       .repartition(targetFiles)
       .write.mode("overwrite").parquet(staging)
     graft.hfc.AtomicSwap.commitDir(fs, storePath, staging)

@@ -21,9 +21,22 @@ import scala.sys.process._
   *    also feeds Normalize.commitParents);
   *  - [[deltas]] → the `deltasRaw` contract of Normalize.modifiedFiles
   *    (change_type in PyDriller vocabulary, old/new paths, added/
-  *    deleted lines; `nloc` and `diff` are null — they need file
-  *    contents, which an optional `-p` pass would add; P8's cap
-  *    applies downstream whenever diffs are present).
+  *    deleted lines; with `withContent=true` also `diff` — the unified
+  *    hunks PyDriller exposes as `file.diff`, capped executor-side at
+  *    1 MiB with the P8 sentinel (databaseImport.py:412-416) — and
+  *    `nloc`, the post-image line census. PyDriller's nloc is lizard's
+  *    comment-stripped source-line count for recognized languages;
+  *    without a parser per language we publish the deterministic
+  *    superset — non-blank line count of the post-image — and None for
+  *    binary or deleted files, documented here as the contract).
+  *
+  * Memory shape: all three `git log` passes (--name-status, --numstat,
+  * -p) stream per-commit in lockstep — the walker holds ONE commit's
+  * entries at a time, and each file's diff accumulator is capped at
+  * `maxDiffBytes`, so a mega-repo costs O(files-in-one-commit × 1 MiB),
+  * never O(history). nloc reads stream through one long-lived
+  * `git cat-file --batch` subprocess per repo (no per-file spawns),
+  * counting bytes in fixed 64 KiB chunks without buffering content.
   *
   * Resource governance mirrors the reference: [[commitCount]] is the
   * `git rev-list --count HEAD` probe (:364) and callers skip repos over
@@ -48,7 +61,8 @@ object GitHistorySource {
 
   case class GitDelta(repo_id: String, repo_name: String, sha: String,
                       change_type: String, old_path: String, new_path: String,
-                      added_lines: Option[Int], deleted_lines: Option[Int])
+                      added_lines: Option[Int], deleted_lines: Option[Int],
+                      nloc: Option[Int] = None, diff: Option[String] = None)
 
   /** `git rev-list --count HEAD` — the F3/S8 threshold probe. */
   def commitCount(path: String): Long =
@@ -117,50 +131,169 @@ object GitHistorySource {
     }
   }
 
-  /** one file-delta pass per repo: --name-status for the PyDriller
-    * change-type vocabulary, --numstat for line counts, stitched by
-    * (sha, new_path) inside the same streaming parse. */
-  private def walkDeltas(r: RepoRef): Iterator[GitDelta] = {
-    // name-status pass: change types + old/new paths
-    case class Entry(changeType: String, oldPath: String, newPath: String)
-    val bySha = scala.collection.mutable.LinkedHashMap.empty[String, ArrayBuffer[Entry]]
-    var sha: String = null
-    gitLines(r.path, Seq("-M", "--name-status", "--format=%x01%H")).foreach { line =>
-      if (line.nonEmpty && line.charAt(0) == Rec) {
-        sha = line.substring(1); bySha(sha) = ArrayBuffer.empty
-      } else if (line.nonEmpty && sha != null) {
-        val parts = line.split('\t')
-        parts(0).charAt(0) match {
-          case 'A' => bySha(sha) += Entry("ADD", null, parts(1))
-          case 'D' => bySha(sha) += Entry("DELETE", parts(1), null)
-          case 'M' => bySha(sha) += Entry("MODIFY", parts(1), parts(1))
-          case 'R' => bySha(sha) += Entry("RENAME", parts(1), parts(2))
-          case 'C' => bySha(sha) += Entry("COPY", parts(1), parts(2))
-          case _   => bySha(sha) += Entry("UNKNOWN", parts(1), parts(1))
-        }
+  /** P8's memory bound applied at the walker: a file's diff accumulator
+    * never exceeds this many chars; past it the P8 sentinel replaces the
+    * text (exact byte semantics re-checked downstream by
+    * Transforms.capDiff on octet_length). */
+  private[sources] val MaxDiffBytes: Int = 1 << 20
+
+  /** lazily re-group a `--format=%x01%H` line stream into
+    * (sha, body-lines) chunks — memory = one commit's body. */
+  private[sources] def perCommit(lines: Iterator[String]): Iterator[(String, Vector[String])] = {
+    val it = lines.buffered
+    def atMarker = it.hasNext && it.head.nonEmpty && it.head.charAt(0) == Rec
+    while (it.hasNext && !atMarker) it.next()
+    new Iterator[(String, Vector[String])] {
+      def hasNext: Boolean = it.hasNext
+      def next(): (String, Vector[String]) = {
+        val sha = it.next().substring(1)
+        val buf = Vector.newBuilder[String]
+        while (it.hasNext && !atMarker) buf += it.next()
+        (sha, buf.result())
       }
     }
-    // numstat pass: (sha, printed path) → (added, deleted); "-" = binary
-    val counts = scala.collection.mutable.HashMap.empty[(String, String), (Option[Int], Option[Int])]
-    sha = null
-    gitLines(r.path, Seq("-M", "--numstat", "--format=%x01%H")).foreach { line =>
-      if (line.nonEmpty && line.charAt(0) == Rec) sha = line.substring(1)
-      else if (line.nonEmpty && sha != null) {
+  }
+
+  /** strip git's C-style path quoting (special chars) — fixture-simple
+    * unquote: surrounding double quotes only. */
+  private def unquote(p: String): String =
+    if (p.length >= 2 && p.head == '"' && p.last == '"') p.substring(1, p.length - 1) else p
+
+  /** parse one commit's `-p` body into printed-path → unified-hunk text
+    * (PyDriller's `file.diff`: the text from the first `@@` on; empty
+    * for pure renames and binary files, exactly like GitPython). Each
+    * accumulator caps at [[MaxDiffBytes]] → P8 sentinel. */
+  private[sources] def parseCommitDiffs(body: Vector[String]): Map[String, String] = {
+    val out = scala.collection.mutable.HashMap.empty[String, String]
+    var path: String = null
+    var inHunks = false
+    var capped = false
+    var sb: java.lang.StringBuilder = null
+    def flush(): Unit = if (path != null) {
+      out(path) = if (capped) graft.hfc.Transforms.DiffSentinel else sb.toString
+      path = null; inHunks = false; capped = false; sb = null
+    }
+    body.foreach { line =>
+      if (line.startsWith("diff --git ")) { flush(); sb = new java.lang.StringBuilder }
+      else if (sb != null && !inHunks) {
+        // header zone: resolve the printed path (post-image; pre-image for deletes)
+        if (line.startsWith("rename to ")) path = unquote(line.substring(10))
+        else if (line.startsWith("+++ b/")) path = unquote(line.substring(6))
+        else if (line.startsWith("--- a/") && path == null) path = unquote(line.substring(6))
+        if (line.startsWith("@@")) inHunks = true
+      }
+      if (inHunks && !capped) {
+        if (sb.length + line.length + 1 > MaxDiffBytes) capped = true
+        else { sb.append(line).append('\n') }
+      }
+    }
+    flush()
+    out.toMap
+  }
+
+  /** one long-lived `git cat-file --batch` subprocess per repo:
+    * streaming (sha:path) → post-image non-blank line count, None for
+    * binary (NUL byte) or missing objects. Content is counted in
+    * fixed-size chunks, never buffered. */
+  private final class BatchCat(repoPath: String) {
+    private val proc =
+      new java.lang.ProcessBuilder("git", "-C", repoPath, "cat-file", "--batch").start()
+    private val req = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(proc.getOutputStream, java.nio.charset.StandardCharsets.UTF_8))
+    private val in = new java.io.BufferedInputStream(proc.getInputStream)
+    private val chunk = new Array[Byte](64 * 1024)
+
+    private def readHeader(): String = {
+      val sb = new java.lang.StringBuilder
+      var b = in.read()
+      while (b != -1 && b != '\n') { sb.append(b.toChar); b = in.read() }
+      if (b == -1 && sb.length == 0) null else sb.toString
+    }
+
+    def nloc(sha: String, path: String): Option[Int] = {
+      req.write(s"$sha:$path\n"); req.flush()
+      val hdr = readHeader()
+      if (hdr == null || hdr.endsWith(" missing")) None
+      else {
+        val size = hdr.substring(hdr.lastIndexOf(' ') + 1).toLong
+        var remaining = size
+        var binary = false; var nonBlank = 0; var lineHasContent = false
+        while (remaining > 0) {
+          val n = in.read(chunk, 0, math.min(chunk.length.toLong, remaining).toInt)
+          if (n < 0) remaining = 0
+          else {
+            var i = 0
+            while (i < n) {
+              val b = chunk(i)
+              if (b == 0) binary = true
+              if (b == '\n') { if (lineHasContent) nonBlank += 1; lineHasContent = false }
+              else if (b != ' ' && b != '\t' && b != '\r') lineHasContent = true
+              i += 1
+            }
+            remaining -= n
+          }
+        }
+        in.read() // trailing LF after the object body
+        if (lineHasContent) nonBlank += 1
+        if (binary) None else Some(nonBlank)
+      }
+    }
+
+    def close(): Unit = { try req.close() catch { case _: Exception => }
+                          try in.close() catch { case _: Exception => }
+                          proc.destroy() }
+  }
+
+  /** one file-delta walk per repo: --name-status (PyDriller change-type
+    * vocabulary) and --numstat (line counts) — plus, with content, the
+    * `-p` diff pass and cat-file nloc probes — merged COMMIT-BY-COMMIT
+    * in lockstep (all passes share `git log`'s ordering and -M), so
+    * memory is one commit's entries, not the repo's history. */
+  private def walkDeltas(r: RepoRef, withContent: Boolean): Iterator[GitDelta] = {
+    case class Entry(changeType: String, oldPath: String, newPath: String)
+    val names = perCommit(gitLines(r.path, Seq("-M", "--name-status", "--format=%x01%H")))
+    val nums = perCommit(gitLines(r.path, Seq("-M", "--numstat", "--format=%x01%H")))
+    val diffs: Iterator[(String, Vector[String])] =
+      if (withContent) perCommit(gitLines(r.path, Seq("-M", "-p", "--no-color", "--format=%x01%H")))
+      else Iterator.continually(("", Vector.empty[String]))
+    val cat = if (withContent) Some(new BatchCat(r.path)) else None
+
+    val rows = names.zip(nums).zip(diffs).flatMap { case (((shaN, nameLines), (shaS, numLines)), (shaP, diffLines)) =>
+      require(shaN == shaS && (!withContent || shaN == shaP),
+        s"git log passes diverged in ${r.path}: $shaN vs $shaS vs $shaP")
+      val entries = nameLines.iterator.filter(_.nonEmpty).map { line =>
+        val parts = line.split('\t')
+        parts(0).charAt(0) match {
+          case 'A' => Entry("ADD", null, parts(1))
+          case 'D' => Entry("DELETE", parts(1), null)
+          case 'M' => Entry("MODIFY", parts(1), parts(1))
+          case 'R' => Entry("RENAME", parts(1), parts(2))
+          case 'C' => Entry("COPY", parts(1), parts(2))
+          case _   => Entry("UNKNOWN", parts(1), parts(1))
+        }
+      }.toVector
+      // numstat lines for THIS commit: (printed path) → (added, deleted); "-" = binary
+      val counts = numLines.iterator.filter(_.nonEmpty).flatMap { line =>
         val parts = line.split('\t')
         if (parts.length >= 3) {
           val added = if (parts(0) == "-") None else Some(parts(0).toInt)
           val deleted = if (parts(1) == "-") None else Some(parts(1).toInt)
           val (_, newPath) = renamePaths(parts.drop(2).mkString("\t"))
-          counts((sha, newPath)) = (added, deleted)
-        }
+          Some(newPath -> (added, deleted))
+        } else None
+      }.toMap
+      val diffTexts = if (withContent) parseCommitDiffs(diffLines) else Map.empty[String, String]
+      entries.map { e =>
+        val keyPath = Option(e.newPath).getOrElse(e.oldPath)
+        val (a, d) = counts.getOrElse(keyPath, (None, None))
+        val nl = if (withContent && e.newPath != null) cat.flatMap(_.nloc(shaN, e.newPath)) else None
+        GitDelta(r.repo_id, r.repo_name, shaN, e.changeType, e.oldPath, e.newPath, a, d,
+          nloc = nl, diff = if (withContent) Some(diffTexts.getOrElse(keyPath, "")) else None)
       }
     }
-    bySha.iterator.flatMap { case (s, entries) =>
-      entries.iterator.map { e =>
-        val keyPath = Option(e.newPath).getOrElse(e.oldPath)
-        val (a, d) = counts.getOrElse((s, keyPath), (None, None))
-        GitDelta(r.repo_id, r.repo_name, s, e.changeType, e.oldPath, e.newPath, a, d)
-      }
+    new Iterator[GitDelta] {
+      def hasNext: Boolean = { val h = rows.hasNext; if (!h) cat.foreach(_.close()); h }
+      def next(): GitDelta = rows.next()
     }
   }
 
@@ -171,10 +304,12 @@ object GitHistorySource {
   }
 
   /** Distributed per-commit file-delta walk (the `deltasRaw` feed of
-    * Normalize.modifiedFiles, minus content-derived nloc/diff). */
-  def deltas(repos: Dataset[RepoRef]): Dataset[GitDelta] = {
+    * Normalize.modifiedFiles). `withContent=true` adds the content
+    * pass: per-file unified `diff` hunks (P8-capped, like
+    * databaseImport.py:407-416) and post-image `nloc`. */
+  def deltas(repos: Dataset[RepoRef], withContent: Boolean = false): Dataset[GitDelta] = {
     import repos.sparkSession.implicits._
-    repos.flatMap(walkDeltas _)
+    repos.flatMap(walkDeltas(_, withContent))
   }
 
   /** `commits` silver shape with proper timestamp + tz-offset split

@@ -87,10 +87,8 @@ class GitHistorySourceSpec extends SparkTestBase {
         Set(("DELETE", "b.txt", null, Some(0), Some(1))))
 
       // close the loop: the walker's rows satisfy the deltasRaw
-      // contract of Normalize.modifiedFiles (J1/P2/P9)
+      // contract of Normalize.modifiedFiles (J1/P2/P9) as-is
       val deltasRaw = GitHistorySource.deltas(repos).toDF()
-        .withColumn("diff", lit(null).cast("string"))
-        .withColumn("nloc", lit(null).cast("int"))
       val repoFile = Seq(("f-c", "models/o/r", "c.txt")).toDF("id", "repo_id", "rfilename")
       val mf = graft.hfc.Normalize.modifiedFiles(deltasRaw, repoFile)
       val renamed = mf.filter(col("change_type") === "RENAME")
@@ -99,6 +97,57 @@ class GitHistorySourceSpec extends SparkTestBase {
       val deleted = mf.filter(col("change_type") === "DELETE")
         .select("filename", "repo_file_id").as[(String, Option[String])].head()
       assert(deleted == (("b.txt", None)))    // P9 old-path + reference's dict-miss NULL
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  test("content pass: unified diff hunks, P8 sentinel cap, post-image nloc") {
+    val dir = scriptRepo()
+    try {
+      // c5: a >1 MiB text file (forces the walker-side P8 cap) and a binary file
+      val big = ("x" * 79 + "\n") * 14000  // 1.12 MiB
+      write(dir, "big.txt", big)
+      Files.write(Paths.get(dir.toString, "bin.dat"),
+        Array[Byte](0, 1, 2, 3, 0, 65, 66, 10, 0))
+      run(dir, Nil, "add", "-A")
+      run(dir, Seq("GIT_AUTHOR_DATE" -> "1700000050 +0230",
+                   "GIT_COMMITTER_DATE" -> "1700000055 -0100"), "commit", "-q", "-m", "c5")
+
+      val repos = Seq(RepoRef("models/o/r", "o/r", dir.toString)).toDS()
+      val commits = GitHistorySource.commits(repos).collect().sortBy(_.author_epoch)
+      val ds = GitHistorySource.deltas(repos, withContent = true).collect()
+      val byKey = ds.map(d => (d.sha, Option(d.new_path).getOrElse(d.old_path)) -> d).toMap
+
+      // c1 ADD a.txt: hunks present, post-image = 2 non-blank lines
+      val add = byKey((commits(0).sha, "a.txt"))
+      assert(add.diff.exists(t => t.startsWith("@@") && t.contains("+l1\n+l2\n")))
+      assert(add.nloc == Some(2))
+      // c2 MODIFY a.txt: hunk shows the change, nloc = post-image count
+      val mod = byKey((commits(1).sha, "a.txt"))
+      assert(mod.diff.exists(t => t.contains("-l2\n") && t.contains("+l2-changed\n")))
+      assert(mod.nloc == Some(3))
+      // c3 pure RENAME: empty diff (GitPython/PyDriller contract), post-image carried
+      val ren = byKey((commits(2).sha, "c.txt"))
+      assert(ren.change_type == "RENAME" && ren.diff == Some("") && ren.nloc == Some(3))
+      // c4 DELETE b.txt: diff records the removal, no post-image → nloc None
+      val del = byKey((commits(3).sha, "b.txt"))
+      assert(del.change_type == "DELETE" && del.diff.exists(_.contains("-b1")))
+      assert(del.nloc == None)
+      // c5 big.txt: walker-side P8 cap → the reference's exact sentinel
+      val capped = byKey((commits(4).sha, "big.txt"))
+      assert(capped.diff == Some(graft.hfc.Transforms.DiffSentinel))
+      assert(capped.nloc == Some(14000))
+      // c5 bin.dat: numstat "-" → None counts, binary → nloc None, empty diff text
+      val bin = byKey((commits(4).sha, "bin.dat"))
+      assert(bin.added_lines == None && bin.deleted_lines == None && bin.nloc == None)
+      assert(bin.diff == Some(""))
+
+      // and Normalize carries diff+nloc through with capDiff idempotent on the sentinel
+      val mf = graft.hfc.Normalize.modifiedFiles(
+        GitHistorySource.deltas(repos, withContent = true).toDF(),
+        Seq(("f-big", "models/o/r", "big.txt")).toDF("id", "repo_id", "rfilename"))
+      val row = mf.filter(org.apache.spark.sql.functions.col("filename") === "big.txt")
+        .select("diff", "nloc").as[(String, Int)].head()
+      assert(row == ((graft.hfc.Transforms.DiffSentinel, 14000)))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
