@@ -138,17 +138,36 @@ object EventStreams {
     * runs: the store IS the state, no in-memory carryover) dedup
     * against everything seen so far without rescanning old text.
     * foreachBatch because the state is a queryable parquet artifact
-    * shared with the batch path, not opaque operator state. */
+    * shared with the batch path, not opaque operator state.
+    *
+    * Replay-safe: foreachBatch re-delivers a micro-batch after a crash,
+    * so (a) decisions land in a batch_id=N partition via dynamic
+    * partition overwrite — a replay overwrites its own partition
+    * instead of appending duplicate rows; (b) the store append runs
+    * only when batch N's applied-marker is absent and the marker is
+    * created right after the append, so a replayed batch re-computes
+    * identical decisions (dedupBatch's old_id =!= new_id guard) without
+    * growing the store a second time. */
   def dedupStream(docs: DataFrame, storePath: String, decisionsDir: String,
                   threshold: Double, numHashes: Int = 16, bands: Int = 4)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.IncrementalDedup
-          .dedupBatch(batch, storePath, threshold, numHashes, bands)
+        val applied = graft.operators.IncrementalDedup
+          .batchApplied(batch.sparkSession, storePath, batchId)
+        val decisions = graft.operators.IncrementalDedup
+          .dedupBatch(batch, storePath, threshold, numHashes, bands,
+            appendUnique = !applied)
+        decisions
           .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(decisionsDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(decisionsDir)
+        if (!applied)
+          graft.operators.IncrementalDedup
+            .markApplied(batch.sparkSession, storePath, batchId)
         ()
       }
 

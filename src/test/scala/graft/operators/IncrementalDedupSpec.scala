@@ -76,6 +76,52 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(out._2.contains(0L))
   }
 
+  test("crash-replay of an already-appended batch yields identical, self-dup-free decisions") {
+    val store = tmpStore()
+    IncrementalDedup.initStore(Seq((0L, t0), (1L, t1)).toDF("doc_id", "text"), store)
+    val batch = Seq((10L, t0),
+                    (11L, "fresh unseen sentence with its own novel vocabulary words"),
+                    (12L, "fresh unseen sentence with its own novel vocabulary words"))
+      .toDF("doc_id", "text")
+    def decide() = IncrementalDedup.dedupBatch(batch, store, threshold = 0.9)
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val first = decide()           // append ran: store now holds 11's signature
+    val replay = decide()          // crash-after-append re-run, decisions re-requested
+    assert(replay == first)        // identical decisions, not 11 -> dup_of 11 @ 1.0
+    assert(replay(11L)._1.isEmpty) // the appended unique doc is NOT its own dup
+    // store only duplicated 11's signature (the unprotected window); compaction reclaims
+    IncrementalDedup.compactStore(spark, store, targetFiles = 1)
+    val ids = spark.read.parquet(store).select("id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(0L, 1L, 11L))
+  }
+
+  test("applied-batch markers gate the streaming store append") {
+    val store = tmpStore()
+    IncrementalDedup.initStore(Seq((0L, t0)).toDF("doc_id", "text"), store)
+    assert(!IncrementalDedup.batchApplied(spark, store, 7L))
+    IncrementalDedup.markApplied(spark, store, 7L)
+    assert(IncrementalDedup.batchApplied(spark, store, 7L))
+    assert(!IncrementalDedup.batchApplied(spark, store, 8L))
+  }
+
+  test("dedupBatch recovers a torn compaction swap before reading") {
+    val store = tmpStore()
+    IncrementalDedup.initStore(Seq((0L, t0)).toDF("doc_id", "text"), store)
+    // simulate a crash between commitDir's two renames: target moved to
+    // .old, completed staging never renamed in
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val staging = graft.hfc.AtomicSwap.stagingFor(store)
+    spark.read.parquet(store).repartition(1).write.mode("overwrite").parquet(staging)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(store),
+                     new org.apache.hadoop.fs.Path(store + ".old")))
+    // without recovery this read would fail (no store dir); dedupBatch rolls forward
+    val out = IncrementalDedup.dedupBatch(
+        Seq((10L, t0)).toDF("doc_id", "text"), store, 0.9)
+      .as[(Long, Option[Long], Option[Double])].collect().head
+    assert(out._2.contains(0L))
+  }
+
   test("near (not exact) dup above threshold is found across batches") {
     // single-pair banding recall at 4x4 is ~j^4 per band — use a long doc
     // (one edit => high jaccard) and 8x2 banding so the collision is

@@ -152,6 +152,25 @@ class EventStreamsSpec extends SparkTestBase {
       assert(out(11L).isEmpty)        // unique -> appended to store
       assert(out(20L).contains(11L))  // matches the doc batch 1 appended
     } finally q.stop()
+
+    // crash-replay: restart the stream WITHOUT its checkpoint so batch 0
+    // re-delivers against a store that already holds its appends — the
+    // applied-markers skip the second append and the batch_id partition
+    // overwrite keeps decisions exactly-once
+    val storeRows = spark.read.parquet(store).count()
+    val before = spark.read.parquet(decisions)
+      .select("doc_id", "dup_of").as[(Long, Option[Long])].collect().toMap
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = EventStreams.dedupStream(
+      mem2.toDF.toDF("doc_id", "text"), store, decisions, threshold = 0.9).start()
+    try {
+      mem2.addData((10L, text), (11L, "totally new words never stored before anywhere"))
+      q2.processAllAvailable()
+      val after = spark.read.parquet(decisions)
+        .select("doc_id", "dup_of").as[(Long, Option[Long])].collect().toMap
+      assert(after == before)                              // no dup rows, no self-dups
+      assert(spark.read.parquet(store).count() == storeRows) // store did not grow again
+    } finally q2.stop()
   }
 
   test("sessionizeBatch on the sf0.001 fixture: sessions partition events") {
