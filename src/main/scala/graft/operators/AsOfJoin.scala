@@ -35,26 +35,50 @@ import org.apache.spark.sql.functions._
   * running-last, which Spark evaluates streamingly within the sorted
   * partition). Skewed hot keys are the residual risk, same as any
   * keyed window; AQE does not split window partitions, so a pathological
-  * key would need the [[Skew]] salting pattern with per-salt carry-in.
+  * key needs [[asOfBackwardSalted]], which splits each key's timeline
+  * into quantile-bounded salt ranges and merges per-salt running-lasts
+  * with a boundary carry-in.
+  *
+  * Internal columns are double-underscore-prefixed and the output
+  * attaches `asof_<col>` names; both namespaces are asserted free on
+  * the inputs rather than silently colliding.
   */
 object AsOfJoin {
+
+  /** names the construction claims for itself on the union frame */
+  private val Reserved = Seq("__ts", "__tsd", "__m", "__m2", "__seq", "__ref",
+                             "__match", "__salt", "__lastref", "__carry", "__best")
+
+  private def checkNames(left: DataFrame, right: DataFrame, rightCols: Seq[String]): Unit = {
+    val clash = (left.columns ++ right.columns).filter(Reserved.contains)
+    require(clash.isEmpty,
+      s"input columns collide with as-of internals: ${clash.mkString(", ")}")
+    val outClash = rightCols.map("asof_" + _).filter(left.columns.contains)
+    require(outClash.isEmpty,
+      s"left columns collide with as-of output names: ${outClash.mkString(", ")}")
+  }
 
   private def tagged(left: DataFrame, right: DataFrame, key: String,
                      leftTs: String, rightTs: String, rightSeq: String,
                      rightCols: Seq[String]): (DataFrame, Seq[String]) = {
+    checkNames(left, right, rightCols)
     val leftFields = left.columns.toSeq
     val payload = struct(rightCols.map(col): _*)
 
+    // the tie-break keeps rightSeq's NATIVE type (numeric seqs order
+    // numerically, not "9" > "10"); probe rows carry a typed null —
+    // ordering between probe and reference rows is decided by __m, so
+    // the null's sort position is irrelevant
     val rCols: Seq[Column] =
       Seq(col(key), col(rightTs).as("__ts"), lit(0).as("__m"),
-          col(rightSeq).cast("string").as("__seq"), payload.as("__ref")) ++
+          col(rightSeq).as("__seq"), payload.as("__ref")) ++
         leftFields.filterNot(_ == key)
           .map(f => lit(null).cast(left.schema(f).dataType).as(f))
     val r = right.select(rCols: _*)
 
     val lCols: Seq[Column] =
       Seq(col(key), col(leftTs).as("__ts"), lit(1).as("__m"),
-          lit("").as("__seq"),
+          lit(null).cast(right.schema(rightSeq).dataType).as("__seq"),
           lit(null).cast(r.schema("__ref").dataType).as("__ref")) ++
         leftFields.filterNot(_ == key).map(col)
     val l = left.select(lCols: _*)
@@ -105,5 +129,84 @@ object AsOfJoin {
       .orderBy(col("__ts").desc, col("__m").asc, col("__seq").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     pickMatches(union, key, w, leftFields, rightCols)
+  }
+
+  /** Skew-safe backward as-of: identical results to [[asOfBackward]],
+    * but each key's timeline is split into `salts` quantile-bounded
+    * time ranges so no single task ever sorts a whole hot key.
+    *
+    *  1. salt = time-range bucket of `__ts` (global approx quantiles —
+    *     a stats-only driver fetch of `salts-1` doubles; bucket quality
+    *     affects balance, never correctness),
+    *  2. the running-last window runs per (key, salt) — hot keys now
+    *     spread over `salts` tasks,
+    *  3. a probe whose salt holds no at-or-before reference takes the
+    *     boundary carry-in: the overall last reference among its key's
+    *     STRICTLY earlier salts. Carry-ins come from the same
+    *     union-scan trick one level up: per-(key, salt) top reference
+    *     rows (`max_by` over (ts, seq)) unioned with the probe salt
+    *     domain, probes ordered BEFORE same-salt tops, one running-last
+    *     over salts — so the frame can never leak a same-salt
+    *     reference that sits later than the probe's own timestamp.
+    *
+    * Equal timestamps always bucket identically (salting is a pure
+    * function of ts), so the inclusive at-or-same-ts semantics and the
+    * seq tie-break are preserved bit-for-bit. Null-ts probes bucket to
+    * salt 0 where no carry-in exists — matching the unsalted
+    * nulls-first scan, which sees no reference either.
+    *
+    * Cost vs unsalted: same one big shuffle (now on (key, salt)), plus
+    * two small artifacts — the per-(key, salt) tops aggregate and a
+    * (key, salt)-keyed join of carry-ins back onto probe rows (the big
+    * side is already partitioned by (key, salt); the carry side has at
+    * most |keys|×salts rows). */
+  def asOfBackwardSalted(left: DataFrame, right: DataFrame, key: String,
+                         leftTs: String, rightTs: String, rightSeq: String,
+                         rightCols: Seq[String], salts: Int = 16,
+                         quantileRelErr: Double = 0.01): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val (union0, leftFields) = tagged(left, right, key, leftTs, rightTs, rightSeq, rightCols)
+    val union = union0.withColumn("__tsd", col("__ts").cast("double"))
+    val bounds =
+      if (salts == 1) Array.empty[Double]
+      else union.filter(col("__tsd").isNotNull)
+        .stat.approxQuantile("__tsd", (1 until salts).map(_.toDouble / salts).toArray,
+          quantileRelErr)
+    val saltExpr = bounds.zipWithIndex
+      .foldLeft(when(col("__tsd").isNull, 0)) { case (acc, (b, i)) =>
+        acc.when(col("__tsd") <= b, i)
+      }
+      .otherwise(salts - 1)
+    val salted = union.withColumn("__salt", saltExpr).drop("__tsd")
+
+    val w1 = Window.partitionBy(col(key), col("__salt"))
+      .orderBy(col("__ts").asc, col("__m").asc, col("__seq").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = salted.withColumn("__match", last(col("__ref"), ignoreNulls = true).over(w1))
+
+    // per-(key, salt) overall top reference = argmax over (ts, seq)
+    val tops = salted.filter(col("__m") === 0)
+      .groupBy(col(key), col("__salt"))
+      .agg(max_by(col("__ref"), struct(col("__ts"), col("__seq"))).as("__lastref"))
+    val probeSalts = salted.filter(col("__m") === 1)
+      .select(col(key), col("__salt")).distinct()
+    val dom = tops
+      .select(col(key), col("__salt"), lit(1).as("__m2"), col("__lastref"))
+      .unionByName(probeSalts
+        .select(col(key), col("__salt"), lit(0).as("__m2"),
+          lit(null).cast(tops.schema("__lastref").dataType).as("__lastref")))
+    val w2 = Window.partitionBy(col(key))
+      .orderBy(col("__salt").asc, col("__m2").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry = dom
+      .withColumn("__carry", last(col("__lastref"), ignoreNulls = true).over(w2))
+      .filter(col("__m2") === 0)
+      .select(col(key), col("__salt"), col("__carry"))
+
+    local.filter(col("__m") === 1)
+      .join(carry, Seq(key, "__salt"), "left")
+      .withColumn("__best", coalesce(col("__match"), col("__carry")))
+      .select(leftFields.map(col) ++
+        rightCols.map(c => col(s"__best.$c").as(s"asof_$c")): _*)
   }
 }

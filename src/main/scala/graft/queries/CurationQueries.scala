@@ -41,13 +41,15 @@ object CurationQueries {
   /** Oracle mirrors the union-scan construction itself: one running
     * last-non-null per user over (ts, marker, seq) — views (marker 0)
     * sort before same-ts purchases so "at-or-before" is inclusive;
-    * among equal-ts views the id-string-max wins in both engines. */
+    * among equal-ts views the NATIVE-type max seq wins in both engines
+    * (purchase rows carry a NULL seq — their mutual order is
+    * irrelevant, the marker already separates them from views). */
   val asofViewBeforePurchaseSql: String =
     """WITH e AS (
       |  SELECT user_id, CASE WHEN event_type='view' THEN 0 ELSE 1 END m,
       |         event_id, CAST(ts AS TIMESTAMP) ts
       |  FROM events WHERE event_type IN ('view','purchase')),
-      |t AS (SELECT *, CASE WHEN m=0 THEN event_id::VARCHAR ELSE '' END seq FROM e),
+      |t AS (SELECT *, CASE WHEN m=0 THEN event_id END seq FROM e),
       |w AS (SELECT *,
       |    last_value(CASE WHEN m=0 THEN event_id END IGNORE NULLS)
       |      OVER (PARTITION BY user_id ORDER BY ts ASC, m ASC, seq ASC

@@ -53,18 +53,31 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(m(6L) === None)
   }
 
-  test("equal-ts reference ties resolve by seq (max for backward)") {
-    val dupRefs = Seq(("u1", 100L, 7L), ("u1", 100L, 9L), ("u1", 100L, 8L))
+  test("equal-ts reference ties resolve by seq in its NATIVE order (max for backward)") {
+    // 9 vs 10: numeric order (10 wins backward) diverges from string
+    // order ("9" > "10") — pins that the tie-break is typed
+    val dupRefs = Seq(("u1", 100L, 7L), ("u1", 100L, 9L), ("u1", 100L, 10L))
       .toDF("user_id", "r_ts", "ref_id")
     val p = Seq(("u1", 100L, 1L)).toDF("user_id", "p_ts", "probe_id")
     val got = AsOfJoin
       .asOfBackward(p, dupRefs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id"))
       .select($"asof_ref_id").collect().head.getLong(0)
-    assert(got === 9L) // string-max of "7","8","9"
+    assert(got === 10L) // numeric max, not string-max "9"
     val fwd = AsOfJoin
       .asOfForward(p, dupRefs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id"))
       .select($"asof_ref_id").collect().head.getLong(0)
-    assert(fwd === 7L) // string-min for forward
+    assert(fwd === 7L) // numeric min for forward
+  }
+
+  test("reserved internal and output names are rejected, not silently clobbered") {
+    val badLeft = probes.withColumn("__ts", lit(1))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfBackward(badLeft, refs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id"))
+    }
+    val clashOut = probes.withColumn("asof_ref_id", lit(1))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfBackward(clashOut, refs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id"))
+    }
   }
 
   test("result is shuffle-invariant (repartitioned inputs, same rows)") {
@@ -75,6 +88,40 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
       .select($"probe_id", $"asof_ref_id", $"asof_r_ts")
       .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
     assert(again === runBackward)
+  }
+
+  test("salted as-of matches unsalted exactly on the mixed fixture") {
+    val unsalted = runBackward
+    for (s <- Seq(1, 3, 8)) {
+      val got: Map[Long, (Option[Any], Option[Any])] = AsOfJoin
+        .asOfBackwardSalted(probes, refs, "user_id", "p_ts", "r_ts", "ref_id",
+          Seq("ref_id", "r_ts"), salts = s)
+        .select($"probe_id", $"asof_ref_id", $"asof_r_ts")
+        .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+      assert(got === unsalted, s"salts=$s diverged")
+    }
+  }
+
+  test("salted as-of on one pathological hot key matches unsalted exactly") {
+    // one key owns every row: 4000 probes, 900 refs, colliding ts values
+    // (so same-ts tie-breaks, cross-salt carry-ins, and empty-salt gaps
+    // all occur), plus equal-ts probe/ref pairs for inclusivity
+    val hotRefs = (0 until 900)
+      .map(i => ("hot", (i * 7 % 1100).toLong, 100000L + i))
+      .toDF("user_id", "r_ts", "ref_id")
+    val hotProbes = (0 until 4000)
+      .map(i => ("hot", (i % 1300).toLong, i.toLong))
+      .toDF("user_id", "p_ts", "probe_id")
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select($"probe_id", $"asof_ref_id", $"asof_r_ts")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    val unsalted = collect(AsOfJoin.asOfBackward(
+      hotProbes, hotRefs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id", "r_ts")))
+    val salted = collect(AsOfJoin.asOfBackwardSalted(
+      hotProbes, hotRefs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id", "r_ts"),
+      salts = 16))
+    assert(salted.size === 4000)
+    assert(salted === unsalted)
   }
 
   test("plan shape: one exchange on the key, no join node") {
