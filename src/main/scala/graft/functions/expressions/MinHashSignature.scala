@@ -31,7 +31,10 @@ case class MinHashSignature(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      val v = right.eval(InternalRow.empty)
+      if (v != null && v.asInstanceOf[Int] >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_signature requires numHashes >= 1, got $v")
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_minhash_signature requires (array<string>, literal int)")
   }

@@ -33,7 +33,12 @@ case class ShingleSimHash16(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      // reject degenerate shingle sizes at analysis time (the literal
+      // folds): n <= 0 would vote once on the empty input's md5
+      val v = right.eval(InternalRow.empty)
+      if (v != null && v.asInstanceOf[Int] >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_simhash16 requires shingle size n >= 1, got $v")
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_shingle_simhash16 requires (array<string>, literal int)")
   }

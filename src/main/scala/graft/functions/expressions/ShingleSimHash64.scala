@@ -26,7 +26,13 @@ case class ShingleSimHash64(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
     case (ArrayType(StringType, _), IntegerType) if right.foldable =>
-      TypeCheckResult.TypeCheckSuccess
+      // the literal is foldable, so reject degenerate shingle sizes at
+      // analysis time: n <= 0 would "vote" once on the empty input's
+      // md5 and return a meaningless constant fingerprint
+      val v = right.eval(InternalRow.empty)
+      if (v != null && v.asInstanceOf[Int] >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_shingle_simhash64 requires shingle size n >= 1, got $v")
     case _ => TypeCheckResult.TypeCheckFailure(
       "graft_shingle_simhash64 requires (array<string>, literal int)")
   }

@@ -31,10 +31,39 @@ object BloomDedup {
                   expectedItems: Long = 1000000L,
                   numBits: Long = -1L): Array[Byte] = {
     val bits = if (numBits > 0) numBits else expectedItems * 8
-    corpus
+    // BloomFilterAggregate silently CLAMPS oversized requests to these
+    // session confs instead of erroring — a 10^11-item filter would
+    // quietly degrade to the 64M-bit default and blow the fpp. Fail
+    // loudly and tell the caller which conf to raise.
+    val conf = corpus.sparkSession.conf
+    val maxItems = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      .map(_.toLong).getOrElse(4000000L)
+    val maxBits = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    require(expectedItems <= maxItems,
+      s"expectedItems ($expectedItems) exceeds spark.sql.optimizer.runtime." +
+        s"bloomFilter.maxNumItems ($maxItems) — the aggregate would silently " +
+        "clamp; raise the conf to size the filter honestly")
+    require(bits <= maxBits,
+      s"numBits ($bits) exceeds spark.sql.optimizer.runtime.bloomFilter." +
+        s"maxNumBits ($maxBits) — the aggregate would silently clamp; raise the conf")
+    val built = corpus
       .select(call_function("graft_bloom_agg",
         xxhash64(md5(col(textCol))), lit(expectedItems), lit(bits)).as("bf"))
       .head.getAs[Array[Byte]]("bf")
+    if (built != null) built
+    else {
+      // empty corpus: the aggregate yields NULL, and a lit(null) probe
+      // poisons every downstream predicate — publish a real (empty)
+      // filter instead, from the same sketch implementation the
+      // aggregate serializes, so might_contain stays well-typed and
+      // answers false everywhere
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(
+        math.max(1L, expectedItems), bits)
+      val bos = new java.io.ByteArrayOutputStream()
+      empty.writeTo(bos)
+      bos.toByteArray
+    }
   }
 
   /** Codegen'd membership probe against a built filter (no false

@@ -211,15 +211,20 @@ object Dedup {
     * Scale: same funnel shape as MinHash — signature is a native-
     * expression projection (fused ShingleSimHash16), candidates shuffle
     * on the combination key, exact verification only on candidates.
-    * The combination key is what makes 16 bits survive at all: single
-    * 4-bit bands give 2^4 bucket values (hot buckets → n² pairs; the
-    * measured funnel collapse at sf0.1), while 2-band 8-bit keys give
-    * 2^8 per combo. The production shape at 100 TB is the same code
-    * over a 64-bit simhash with 16-bit bands; 16 bits is the
-    * cross-engine-oracle demo size. */
+    * The combination key is what makes narrow fingerprints survive at
+    * all: single 4-bit bands give 2^4 bucket values (hot buckets → n²
+    * pairs; the measured funnel collapse at sf0.1), while 2-band 8-bit
+    * keys give 2^8 per combo.
+    *
+    * The DEFAULT width (64, 16-bit bands → C(4,2) 32-bit combination
+    * keys) is the production path — measured 3.6x faster than the
+    * 16-bit funnel on the 50k scale stress because wide keys keep
+    * buckets tiny. width=16 is the cross-engine-oracle demo size
+    * (qd05); both satisfy the same pigeonhole recall guarantee. */
   def nearDupsSimhash(docs: DataFrame, maxHamming: Int = 2, bands: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text",
-                      width: Int = 16): DataFrame = {
+                      width: Int = 64,
+                      storagePath: Option[String] = None): DataFrame = {
     require(width == 16 || width == 64, s"width ($width) must be 16 or 64")
     require(width % bands == 0, s"bands ($bands) must divide $width")
     require(maxHamming < bands,
@@ -227,9 +232,22 @@ object Dedup {
     val w = width / bands
     val sigExpr = if (width == 16) simhash16Shingles(col(textCol))
                   else simhash64Shingles(col(textCol))
-    val sigs = docs.select(col(idCol), sigExpr.as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.count() // materialize: referenced by banding AND both verify sides
+    // same materialization contract as signatureTable: with storagePath
+    // the signatures become a parquet artifact (nothing cached — the
+    // long-lived-session shape); without it they persist in the session
+    // cache and live until the caller clears it, since the lazy result
+    // still references them
+    val sigs = storagePath match {
+      case Some(path) =>
+        docs.select(col(idCol), sigExpr.as("sh"))
+          .write.mode("overwrite").parquet(path)
+        docs.sparkSession.read.parquet(path)
+      case None =>
+        val cached = docs.select(col(idCol), sigExpr.as("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        cached.count() // materialize: referenced by banding AND both verify sides
+        cached
+    }
     // Pigeonhole, pushed INTO the join key: hamming <= maxHamming flips
     // bits in at most maxHamming bands, so some (bands - maxHamming)-band
     // subset matches EXACTLY. Joining on every such subset (bands

@@ -246,12 +246,14 @@ object PipelineQueries {
       |SELECT block, a_id, b_id, cos_sim FROM p WHERE cos_sim >= 0.35
       |ORDER BY block, a_id, b_id""".stripMargin
 
-  /** SimHash near-dup funnel over shingle-simhash: 4-bit banding →
-    * bucket join → exact hamming ≤ 2 (full recall guaranteed since
-    * maxHamming < bands — see Dedup.nearDupsSimhash). */
+  /** SimHash near-dup funnel over shingle-simhash at the 16-bit DEMO
+    * width (the DuckDB oracle reconstructs the fingerprint bit-by-bit;
+    * 64 is the library default / production width — qd07): 4-bit
+    * banding → bucket join → exact hamming ≤ 2 (full recall guaranteed
+    * since maxHamming < bands — see Dedup.nearDupsSimhash). */
   def simhashNearDups(t: Tables): DataFrame = {
     import t.spark.implicits._
-    Dedup.nearDupsSimhash(t.documents, maxHamming = 2, bands = 4)
+    Dedup.nearDupsSimhash(t.documents, maxHamming = 2, bands = 4, width = 16)
       .orderBy($"a_id", $"b_id")
   }
 

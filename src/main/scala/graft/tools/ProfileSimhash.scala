@@ -30,7 +30,7 @@ object ProfileSimhash {
         .orderBy(desc("count")).limit(8).collect()
         .foreach(r => println(s"  combo=${r.get(0)}/${r.get(1)} n=${r.get(2)}"))
     }
-    time("full funnel")(println("  pairs=" + Dedup.nearDupsSimhash(docs).count()))
+    time("full funnel")(println("  pairs=" + Dedup.nearDupsSimhash(docs, width = 16).count()))
     spark.stop()
   }
 }

@@ -38,7 +38,7 @@ object ScaleStress {
       p.count()
     }
     println(s"[stress]   minhash pairs = $minhashPairs")
-    val simhashPairs = time("simhash funnel")(Dedup.nearDupsSimhash(big).count())
+    val simhashPairs = time("simhash funnel")(Dedup.nearDupsSimhash(big, width = 16).count())
     println(s"[stress]   simhash pairs = $simhashPairs")
     val simhash64Pairs = time("simhash64 funnel")(
       Dedup.nearDupsSimhash(big, width = 64).count())

@@ -117,6 +117,19 @@ class TextFunctionsSpec extends SparkTestBase {
     assert(fps(0).split('|').forall(_.length == 32))
   }
 
+  test("shingle expressions reject non-positive n at analysis time") {
+    val df = Seq("a b c").toDF("t")
+    for (fn <- Seq("graft_shingle_simhash16", "graft_shingle_simhash64",
+                   "graft_shingle_hashes", "graft_minhash_signature")) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(call_function(fn, split($"t", " "), lit(0))).collect()
+      }
+      assert(e.getMessage.contains(">= 1"), s"$fn: ${e.getMessage}")
+      // n = 1 stays legal
+      df.select(call_function(fn, split($"t", " "), lit(1))).collect()
+    }
+  }
+
   test("letBound evaluates once and binds correctly") {
     val out = Seq("x y z").toDF("t")
       .select(TextFunctions.letBound(TextFunctions.tokens($"t")) { w =>

@@ -32,6 +32,29 @@ class BloomDedupSpec extends SparkTestBase {
     assert(passed < 100, s"filter passed $passed of 1000 novel rows")
   }
 
+  test("empty corpus builds a real filter that answers false everywhere") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val bf = BloomDedup.buildFilter(empty, expectedItems = 100L)
+    assert(bf != null && bf.nonEmpty) // not the aggregate's NULL
+    val batch = (0 until 20).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    assert(batch.filter(BloomDedup.mightContain(bf, $"text")).count() == 0)
+    val out = BloomDedup.exactDedupAgainst(batch, empty, bf)
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect()
+    assert(out.length == 20 && out.forall(!_._2))
+  }
+
+  test("oversized filters fail loudly instead of silently clamping") {
+    val t = Tables(spark, sf0001)
+    val eItems = intercept[IllegalArgumentException] {
+      BloomDedup.buildFilter(t.documents, expectedItems = 100000000000L)
+    }
+    assert(eItems.getMessage.contains("maxNumItems"))
+    val eBits = intercept[IllegalArgumentException] {
+      BloomDedup.buildFilter(t.documents, expectedItems = 1000L, numBits = 1L << 40)
+    }
+    assert(eBits.getMessage.contains("maxNumBits"))
+  }
+
   test("filter bytes survive a round-trip through storage") {
     val t = Tables(spark, sf0001)
     val bf = BloomDedup.buildFilter(t.documents, expectedItems = 1000L)

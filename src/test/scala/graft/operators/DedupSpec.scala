@@ -35,6 +35,24 @@ class DedupSpec extends SparkTestBase {
     assert(out.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 })
   }
 
+  test("nearDupsSimhash storage-backed signatures match the cached path, cache untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-shsigs").toString
+    try {
+      val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+      val stored = Dedup.nearDupsSimhash(docs, storagePath = Some(dir + "/sigs"))
+        .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect().toSet
+      // the storage path must not leak anything into the session cache
+      assert(spark.sparkContext.getPersistentRDDs.size == cachedBefore)
+      val cached = Dedup.nearDupsSimhash(docs)
+        .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect().toSet
+      assert(cached == stored)
+      assert(new java.io.File(dir + "/sigs").exists())
+    } finally {
+      spark.catalog.clearCache()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("nearDupsMinhash storage-backed signature table matches the cached path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sigs").toString
     try {
@@ -87,7 +105,7 @@ class DedupSpec extends SparkTestBase {
       (a, sa) <- fp; (b, sb) <- fp if a < b
       h = hamming(sa, sb) if h <= 2
     } yield (a, b, h.toLong)).toSet
-    val funnel = Dedup.nearDupsSimhash(t.documents, maxHamming = 2, bands = 4)
+    val funnel = Dedup.nearDupsSimhash(t.documents, maxHamming = 2, bands = 4, width = 16)
       .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect().toSet
     assert(funnel == truth, "pigeonhole guarantee: banding must lose no pair")
     assert(truth.nonEmpty)
@@ -107,7 +125,7 @@ class DedupSpec extends SparkTestBase {
       .select("a_id", "b_id", "hamming").as[(Long, Long, Long)].collect().toSet
     assert(funnel == truth)
     // 64-bit fingerprints discriminate: far fewer collisions than 16-bit
-    val truth16 = Dedup.nearDupsSimhash(t.documents, maxHamming = 2, bands = 4).count()
+    val truth16 = Dedup.nearDupsSimhash(t.documents, maxHamming = 2, bands = 4, width = 16).count()
     assert(truth.size < truth16)
   }
 
