@@ -29,12 +29,34 @@ import org.apache.spark.sql.DataFrame
 object ConnectedComponents {
 
   /** (id, component) for every vertex in `edges`; component = min
-    * vertex id of the connected component. Deterministic; converges
-    * in diameter rounds (hard-capped at `maxIter`, then returns the
-    * best labels so far — callers wanting a guarantee size maxIter
-    * above the worst plausible diameter). */
+    * vertex id of the connected component. Deterministic; pointer
+    * doubling converges in ⌈log₂ diameter⌉ + O(1) rounds (hard-capped
+    * at `maxIter`, then returns the best labels so far — callers
+    * wanting a guarantee size maxIter above log₂ of the worst
+    * plausible diameter; ConnectedComponentsSpec pins the bound on a
+    * 10k-vertex path).
+    *
+    * When would this shape stop being enough? Label propagation (even
+    * doubled) keeps the EDGE list as the per-round join input, so a
+    * giant component doesn't concentrate on one task — but the
+    * per-round label table keeps one row per vertex forever. The
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14)
+    * additionally REWRITES edges toward the minimum each round,
+    * shrinking the active edge set and skew together; it becomes worth
+    * its extra per-round shuffles when components span a large
+    * fraction of a 100 TB corpus (web-graph-like, diameter in the
+    * hundreds) rather than the diameter-≤~3 clique clusters near-dup
+    * pair lists produce. */
   def run(edges: DataFrame, aCol: String = "a_id", bCol: String = "b_id",
-          maxIter: Int = 20): DataFrame = {
+          maxIter: Int = 20): DataFrame =
+    runCounted(edges, aCol, bCol, maxIter)._1
+
+  /** [[run]] plus the number of label-propagation rounds executed —
+    * the spec hook that pins O(log diameter) convergence. */
+  private[graft] def runCounted(edges: DataFrame, aCol: String = "a_id",
+                                bCol: String = "b_id",
+                                maxIter: Int = 20): (DataFrame, Int) = {
     // symmetric closure: propagate minima in both directions per round
     val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
@@ -76,7 +98,7 @@ object ConnectedComponents {
       converged = changed == 0
       iter += 1
     }
-    labels.select(col("id"), col("comp"))
+    (labels.select(col("id"), col("comp")), iter)
   }
 
   /** Full-corpus dedup decisions from a near-dup pair list: every doc

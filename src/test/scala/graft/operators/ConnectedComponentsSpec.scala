@@ -51,6 +51,20 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(out(4L) == (4L, false))
   }
 
+  test("high-diameter path graph: rounds stay within the log2(diameter) bound") {
+    // a 10k-vertex path is the adversarial diameter case for label
+    // propagation: plain min-propagation needs ~diameter rounds; the
+    // pointer-doubled loop must finish in ceil(log2(d)) + c
+    val n = 10000
+    val path = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toDF("a_id", "b_id")
+    val (labels, rounds) = ConnectedComponents.runCounted(path, maxIter = 20)
+    val comps = labels.select("comp").distinct().as[Long].collect()
+    assert(comps.toSeq == Seq(0L), "one component labeled by the min id")
+    assert(labels.count() == n)
+    val bound = math.ceil(math.log(n - 1.0) / math.log(2.0)).toInt + 2
+    assert(rounds <= bound, s"took $rounds rounds, bound is $bound")
+  }
+
   test("fixture: minhash pairs -> clusters matches brute-force closure") {
     val t = graft.Tables(spark, sf0001)
     val pairs = Dedup.nearDupsMinhash(t.documents, threshold = 0.3)
