@@ -38,6 +38,43 @@ object CurationQueries {
       .orderBy($"user_id", $"purchase_id")
   }
 
+  /** qa02: the SAME join through the skew-safe salted path (8 time-range
+    * salts + boundary carry-in) — checked against the IDENTICAL oracle
+    * as qa01, which is the cross-engine proof that salting is an
+    * execution-layout choice with zero semantic surface. */
+  def asofViewBeforePurchaseSalted(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val purchases = t.events.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts")
+    val views = t.events.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts",
+              unix_millis($"ts").as("view_ms"))
+    AsOfJoin.asOfBackwardSalted(purchases, views, key = "user_id",
+        leftTs = "ts", rightTs = "ts", rightSeq = "view_id",
+        rightCols = Seq("view_id", "view_ms"), salts = 8)
+      .select($"user_id", $"purchase_id", unix_millis($"ts").as("purchase_ms"),
+              $"asof_view_id".as("view_id"), $"asof_view_ms".as("view_ms"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  /** qa03: forward as-of — each purchase paired with the user's FIRST
+    * view at-or-after it (the "next action" join: follow-up behavior,
+    * conversion attribution windows). */
+  def asofViewAfterPurchase(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val purchases = t.events.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts")
+    val views = t.events.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts",
+              unix_millis($"ts").as("view_ms"))
+    AsOfJoin.asOfForward(purchases, views, key = "user_id",
+        leftTs = "ts", rightTs = "ts", rightSeq = "view_id",
+        rightCols = Seq("view_id", "view_ms"))
+      .select($"user_id", $"purchase_id", unix_millis($"ts").as("purchase_ms"),
+              $"asof_view_id".as("view_id"), $"asof_view_ms".as("view_ms"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
   /** Oracle mirrors the union-scan construction itself: one running
     * last-non-null per user over (ts, marker, seq) — views (marker 0)
     * sort before same-ts purchases so "at-or-before" is inclusive;
@@ -56,6 +93,26 @@ object CurationQueries {
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) view_id,
       |    last_value(CASE WHEN m=0 THEN epoch_ms(ts) END IGNORE NULLS)
       |      OVER (PARTITION BY user_id ORDER BY ts ASC, m ASC, seq ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) view_ms
+      |  FROM t)
+      |SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS purchase_ms, view_id, view_ms
+      |FROM w WHERE m = 1 ORDER BY user_id, purchase_id""".stripMargin
+
+  /** qa03 oracle: the mirrored scan — ts DESC so the running last
+    * becomes "earliest at-or-after", seq DESC so the smallest view id
+    * wins equal-ts ties (the deterministic argmin). */
+  val asofViewAfterPurchaseSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CASE WHEN event_type='view' THEN 0 ELSE 1 END m,
+      |         event_id, CAST(ts AS TIMESTAMP) ts
+      |  FROM events WHERE event_type IN ('view','purchase')),
+      |t AS (SELECT *, CASE WHEN m=0 THEN event_id END seq FROM e),
+      |w AS (SELECT *,
+      |    last_value(CASE WHEN m=0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts DESC, m ASC, seq DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) view_id,
+      |    last_value(CASE WHEN m=0 THEN epoch_ms(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts DESC, m ASC, seq DESC
       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) view_ms
       |  FROM t)
       |SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS purchase_ms, view_id, view_ms
@@ -435,6 +492,8 @@ object CurationQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qa01_asof_join"         -> ((s: SparkSession, d: String) => asofViewBeforePurchase(Tables(s, d))),
+    "qa02_asof_salted"       -> ((s: SparkSession, d: String) => asofViewBeforePurchaseSalted(Tables(s, d))),
+    "qa03_asof_forward"      -> ((s: SparkSession, d: String) => asofViewAfterPurchase(Tables(s, d))),
     "qp01_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(Tables(s, d))),
     "qp02_reservoir_sample"  -> ((s: SparkSession, d: String) => reservoirSample(Tables(s, d))),
     "qp03_mixture_sample"    -> ((s: SparkSession, d: String) => mixtureSample(Tables(s, d))),
@@ -452,6 +511,8 @@ object CurationQueries {
 
   def oracles: Map[String, String] = Map(
     "qa01_asof_join"         -> asofViewBeforePurchaseSql,
+    "qa02_asof_salted"       -> asofViewBeforePurchaseSql, // same oracle: salting must be invisible
+    "qa03_asof_forward"      -> asofViewAfterPurchaseSql,
     "qp01_stratified_sample" -> stratifiedSampleSql,
     "qp02_reservoir_sample"  -> reservoirSampleSql,
     "qp03_mixture_sample"    -> mixtureSampleSql,
