@@ -165,6 +165,18 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** qd08: the SAME clusters via alternating large-star/small-star
+    * (the giant-component algorithm) — checked against qd06's
+    * byte-identical recursive-CTE oracle: cross-engine proof that the
+    * two distributed CC algorithms agree on real funnel output. */
+  def dedupClustersAlternating(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val pairs = Dedup.nearDupsMinhash(t.documents, threshold = 0.3)
+      .select($"a_id", $"b_id")
+    ConnectedComponents.dedupDecisions(t.documents, pairs, alternating = true)
+      .orderBy($"doc_id")
+  }
+
   val dedupClustersSql: String =
     """WITH RECURSIVE
       |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
@@ -521,6 +533,7 @@ object PipelineQueries {
     "qd04_embed_neardup"   -> ((s: SparkSession, d: String) => embedNearDups(Tables(s, d))),
     "qd05_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNearDups(Tables(s, d))),
     "qd06_dedup_clusters"  -> ((s: SparkSession, d: String) => dedupClusters(Tables(s, d))),
+    "qd08_clusters_alternating" -> ((s: SparkSession, d: String) => dedupClustersAlternating(Tables(s, d))),
     "qd07_simhash64"       -> ((s: SparkSession, d: String) => simhash64NearDups(Tables(s, d))),
     "qs01_cosine_topk"     -> ((s: SparkSession, d: String) => cosineTopK(Tables(s, d))),
     "qs02_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(Tables(s, d))),
@@ -544,6 +557,7 @@ object PipelineQueries {
     "qd04_embed_neardup"   -> embedNearDupsSql,
     "qd05_simhash_neardup" -> simhashNearDupsSql,
     "qd06_dedup_clusters"  -> dedupClustersSql,
+    "qd08_clusters_alternating" -> dedupClustersSql, // same oracle: algorithms must agree
     "qd07_simhash64"       -> simhash64NearDupsSql,
     "qs01_cosine_topk"     -> cosineTopKSql,
     "qs02_ann_lsh"         -> annLshSql,

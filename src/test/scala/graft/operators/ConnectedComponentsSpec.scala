@@ -65,6 +65,24 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(rounds <= bound, s"took $rounds rounds, bound is $bound")
   }
 
+  test("alternating large-star/small-star matches label propagation everywhere") {
+    // path (adversarial diameter), clique + bridge (near-dup shape),
+    // self-loops + duplicate + reversed edges (input hygiene)
+    val path = (0 until 2000).map(i => (i.toLong, (i + 1).toLong))
+    val clique = for (a <- 5000 until 5010; b <- 5000 until 5010 if a < b)
+      yield (a.toLong, b.toLong)
+    val messy = Seq((9000L, 9000L), (9001L, 9002L), (9002L, 9001L), (9001L, 9002L))
+    val edges = (path ++ clique ++ messy).toDF("a_id", "b_id")
+    val viaProp = ConnectedComponents.run(edges, maxIter = 25)
+      .as[(Long, Long)].collect().toMap
+    val (labels, rounds) = ConnectedComponents.runAlternatingCounted(edges, maxIter = 30)
+    val viaStars = labels.as[(Long, Long)].collect().toMap
+    assert(viaStars == viaProp)
+    assert(viaStars(1999L) == 0L && viaStars(5009L) == 5000L && viaStars(9000L) == 9000L)
+    assert(rounds <= math.ceil(math.log(2000.0) / math.log(2.0)).toInt + 2,
+      s"alternating took $rounds rounds")
+  }
+
   test("fixture: minhash pairs -> clusters matches brute-force closure") {
     val t = graft.Tables(spark, sf0001)
     val pairs = Dedup.nearDupsMinhash(t.documents, threshold = 0.3)
