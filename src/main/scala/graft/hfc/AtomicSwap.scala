@@ -65,4 +65,32 @@ object AtomicSwap {
     if (fs.exists(s)) fs.delete(s, true)      // uncommitted leftovers
     ()
   }
+
+  /** Publish a set of staged partition directories (written under
+    * `stagingRoot` by one partitionBy job) into the table root, one
+    * crash-safe [[commitDir]] swap per partition. Per-partition staging
+    * dirs carry no `_SUCCESS` of their own, so each is stamped from the
+    * staging root's job-level marker first — that is what lets
+    * [[recoverDir]] tell a completed write from a torn one. Shared by
+    * the hash- and time-partitioned merge writers. */
+  private[hfc] def publishStagedPartitions(fs: FileSystem, tableRoot: String,
+                                           stagingRoot: String,
+                                           partDirNames: Seq[String]): Unit = {
+    val jobComplete = fs.exists(new Path(stagingRoot, "_SUCCESS"))
+    partDirNames.foreach { name =>
+      val staged = s"$stagingRoot/$name"
+      val target = s"$tableRoot/$name"
+      if (jobComplete && fs.exists(new Path(staged))) {
+        fs.create(new Path(staged, "_SUCCESS")).close()
+        // publish under the deterministic name recoverDir knows
+        val canonical = stagingFor(target)
+        fs.delete(new Path(canonical), true)
+        require(fs.rename(new Path(staged), new Path(canonical)),
+          s"rename $staged -> $canonical failed")
+        commitDir(fs, target, canonical)
+      }
+    }
+    fs.delete(new Path(stagingRoot), true)
+    ()
+  }
 }

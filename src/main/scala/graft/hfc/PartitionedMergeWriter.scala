@@ -106,24 +106,8 @@ object PartitionedMergeWriter {
     val stagingRoot = s"$path/.staging"
     merged.write.mode("overwrite").partitionBy(PartCol).parquet(stagingRoot)
 
-    val f = fs(spark)
-    affected.foreach { p =>
-      val staged = s"$stagingRoot/$PartCol=$p"
-      val target = partDir(path, p)
-      // per-partition staging dirs carry no _SUCCESS of their own —
-      // stamp one from the staging root's marker so AtomicSwap can
-      // tell a completed write from a torn one
-      if (f.exists(new Path(stagingRoot, "_SUCCESS")) && f.exists(new Path(staged))) {
-        f.create(new Path(staged, "_SUCCESS")).close()
-        // publish under the deterministic name recoverDir knows
-        val canonical = AtomicSwap.stagingFor(target)
-        f.delete(new Path(canonical), true)
-        require(f.rename(new Path(staged), new Path(canonical)),
-          s"rename $staged -> $canonical failed")
-        AtomicSwap.commitDir(f, target, canonical)
-      }
-    }
-    f.delete(new Path(stagingRoot), true)
+    AtomicSwap.publishStagedPartitions(fs(spark), path, stagingRoot,
+      affected.map(p => s"$PartCol=$p"))
     affected
   }
 
