@@ -405,6 +405,41 @@ object CurationQueries {
       |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_docs
       |FROM j GROUP BY change_type ORDER BY change_type""".stripMargin
 
+  // ---- corpus data card (rollup) ----
+
+  /** qr01: the "data card" a corpus release ships with — doc, token,
+    * and char totals at every (source, lang) granularity PLUS per-source
+    * subtotals and the grand total, in ONE aggregation pass (Spark
+    * ROLLUP plans partial aggregates for all levels together — no
+    * self-union of three groupBys, no second scan). `grouping()` flags
+    * disambiguate subtotal rows from literal NULL group values, and
+    * null ordering is explicit because engines disagree on the
+    * default. */
+  def dataCard(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .rollup($"source", $"lang")
+      .agg(grouping($"source").cast("int").as("g_source"),
+           grouping($"lang").cast("int").as("g_lang"),
+           count(lit(1)).as("n_docs"),
+           sum(bpeTokenCount($"text")).cast("long").as("sum_bpe_tokens"),
+           sum($"n_chars").cast("long").as("sum_chars"))
+      .select($"source", $"lang", $"g_source", $"g_lang",
+              $"n_docs", $"sum_bpe_tokens", $"sum_chars")
+      .orderBy($"g_source", $"g_lang",
+               $"source".asc_nulls_first, $"lang".asc_nulls_first)
+  }
+
+  val dataCardSql: String =
+    """SELECT source, lang,
+      |  CAST(GROUPING(source) AS INTEGER) AS g_source,
+      |  CAST(GROUPING(lang) AS INTEGER) AS g_lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS sum_bpe_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents GROUP BY ROLLUP (source, lang)
+      |ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST""".stripMargin
+
   // ---- corpus statistics: TF-IDF top terms per language ----
 
   /** Top-5 TF-IDF terms per language. Canonical shapes: explode →
@@ -507,6 +542,7 @@ object CurationQueries {
     "qc04_packing"           -> ((s: SparkSession, d: String) => packing(Tables(s, d))),
     "qt09_pii_scrub"         -> ((s: SparkSession, d: String) => piiScrub(Tables(s, d))),
     "qc05_corpus_diff"       -> ((s: SparkSession, d: String) => corpusDiff(Tables(s, d))),
+    "qr01_data_card"         -> ((s: SparkSession, d: String) => dataCard(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -526,5 +562,6 @@ object CurationQueries {
     "qc04_packing"           -> packingSql,
     "qt09_pii_scrub"         -> piiScrubSql,
     "qc05_corpus_diff"       -> corpusDiffSql,
+    "qr01_data_card"         -> dataCardSql,
   )
 }
