@@ -81,4 +81,23 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("qr01: rollup is ONE scan + Expand + partial/final agg, not unioned groupBys") {
+    val p = plan(CurationQueries.dataCard(t))
+    assert(p.contains("Expand"), s"rollup should plan an Expand:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.contains("Union"), s"rollup must not union separate aggregations:\n$p")
+    // exactly one documents scan feeds all grouping levels
+    assert("parquet".r.findAllIn(p.toLowerCase).length >= 1 &&
+      p.linesIterator.count(_.contains("FileScan")) == 1, s"expected a single scan:\n$p")
+  }
+
+  test("qa02: salted as-of keeps equi joins only — no cartesian, no nested loop") {
+    val p = plan(CurationQueries.asofViewBeforePurchaseSalted(t))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // both window levels present: per-(key, salt) running-last + the
+    // per-key carry-in scan; the carry attach broadcasts (tiny side)
+    assert("Window \\[".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
