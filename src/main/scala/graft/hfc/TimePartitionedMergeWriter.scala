@@ -59,7 +59,23 @@ object TimePartitionedMergeWriter {
   /** K2 upsert rewriting only the months the batch touches. Returns
     * the affected month strings. */
   def upsertPartitioned(spark: SparkSession, path: String, updates: DataFrame,
-                        keys: Seq[String], tsCol: String): Seq[String] = {
+                        keys: Seq[String], tsCol: String): Seq[String] =
+    mergePartitioned(spark, path, updates, tsCol) {
+      (existing, u) => MergeWriter.upsert(existing, u, keys :+ PartCol)
+    }
+
+  /** K4 targeted column UPDATE (counters only, non-matching rows
+    * ignored) rewriting only the months the batch touches. */
+  def updateColumnsPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                               keys: Seq[String], cols: Seq[String],
+                               tsCol: String): Seq[String] =
+    mergePartitioned(spark, path, updates, tsCol) {
+      (existing, u) => MergeWriter.updateColumns(existing, u, keys :+ PartCol, cols)
+    }
+
+  private def mergePartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                               tsCol: String)
+                              (consolidate: (DataFrame, DataFrame) => DataFrame): Seq[String] = {
     recover(spark, path)
 
     val u = updates.withColumn(PartCol, partitionOf(col(tsCol)))
@@ -73,8 +89,7 @@ object TimePartitionedMergeWriter {
 
     val existing = spark.read.parquet(path)
       .filter(col(PartCol).isin(months: _*))
-    val merged = MergeWriter.upsert(
-      existing.select(u.columns.map(col): _*), u, keys :+ PartCol)
+    val merged = consolidate(existing.select(u.columns.map(col): _*), u)
 
     val stagingRoot = s"$path/.staging"
     merged.write.mode("overwrite").partitionBy(PartCol).parquet(stagingRoot)

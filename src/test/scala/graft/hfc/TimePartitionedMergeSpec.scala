@@ -75,6 +75,30 @@ class TimePartitionedMergeSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new File(dir))
   }
 
+  test("targeted column update touches only named columns, ignores unknown keys") {
+    val dir = Files.createTempDirectory("graft-tmerge").toString
+    try {
+      val path = s"$dir/t"
+      TimePartitionedMergeWriter.initTable(
+        baseTable.withColumn("likes", lit(0)), path, "ts")
+      val updates = Seq(
+        (3L, "2024-02-03 09:00:00", "IGNORED"),   // payload NOT in cols
+        (99L, "2024-02-10 00:00:00", "IGNORED"))  // unknown key: dropped (K4)
+        .toDF("event_id", "tss", "payload")
+        .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
+        .withColumn("likes", lit(41))
+      val affected = TimePartitionedMergeWriter.updateColumnsPartitioned(
+        spark, path, updates, Seq("event_id"), cols = Seq("likes"), "ts")
+      assert(affected == Seq("2024-02"))
+      val rows = spark.read.parquet(path)
+        .select("event_id", "payload", "likes").as[(Long, String, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(rows(3L) == (("b1", 41)))   // likes updated, payload untouched
+      assert(!rows.contains(99L) && rows.size == 5)
+      assert(rows(1L) == (("a1", 0)))    // other months untouched
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new File(dir))
+  }
+
   test("NULL event times are rejected, not silently dropped into a default partition") {
     val dir = Files.createTempDirectory("graft-tmerge").toString
     try {
