@@ -92,6 +92,45 @@ object Sampling {
     * Returns per-stratum (n_orig, rate, n_kept) — the audit frame a
     * curation run records; pair with [[stratifiedSample]]-style
     * filtering to materialize the rows themselves. */
+  /** Deterministic global shuffle into `nShards` shards for training
+    * export: shard and within-shard order both derive from
+    * `md5(seed:id)` — a reproducible permutation that no engine,
+    * partitioning, or re-run can perturb, with shards statistically
+    * uniform in size and content (adjacent source docs scatter across
+    * unrelated shards/positions — the anti-curriculum-bias property a
+    * sequential trainer needs). Pure projection: zero shuffle HERE;
+    * the writer path is `repartition(nShards, $"shard")` +
+    * `sortWithinPartitions($"sort_key")` — one exchange, per-shard
+    * local sorts, never a global sort. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    seed: Long = 0L): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val h = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
+    df.select(col(idCol), h.as("sort_key"))
+      .withColumn("shard",
+        (conv(substring(col("sort_key"), 1, 4), 16, 10).cast("int") % nShards))
+  }
+
+  /** Deterministic token-budget selection per stratum — "take B tokens
+    * from source s", the unit training mixes are specified in: rank
+    * docs by the md5 coordinate (a reproducible uniform draw), keep
+    * while the running token total stays ≤ `budget` (each kept doc's
+    * own tokens included). One running-sum window per stratum —
+    * streaming evaluation, no buffering; for strata vastly larger than
+    * the budget, compose with [[reservoirPerKey]] to pre-prune before
+    * the window (budget/min-doc-tokens bounds the rows that can ever
+    * be kept). */
+  def tokenBudgetPerKey(df: DataFrame, keyCol: String, idCol: String,
+                        tokensCol: String, budget: Long): DataFrame = {
+    val ord = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(ord.asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(keyCol), col(idCol), col(tokensCol))
+      .withColumn("running_tokens", sum(col(tokensCol)).over(w))
+      .filter(col("running_tokens") <= budget)
+  }
+
   def mixtureEqualize(df: DataFrame, stratumCol: String, idCol: String): DataFrame = {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_orig"))
     val minN = counts.agg(min(col("n_orig")).as("__min"))

@@ -405,6 +405,49 @@ object CurationQueries {
       |SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_docs
       |FROM j GROUP BY change_type ORDER BY change_type""".stripMargin
 
+  // ---- training export: deterministic shuffle + token budgets ----
+
+  /** qp05: reproducible global shuffle of the corpus into 8 training
+    * shards — shard and in-shard position both pure functions of
+    * md5(seed:id), so every engine and every re-run exports the
+    * identical byte order. */
+  def shuffleShards(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Sampling.shuffleShards(t.documents, "doc_id", nShards = 8, seed = 42L)
+      .orderBy($"shard", $"sort_key", $"doc_id")
+  }
+
+  val shuffleShardsSql: String =
+    """WITH h AS (SELECT doc_id, md5('42:' || doc_id::VARCHAR) sort_key FROM documents)
+      |SELECT doc_id, sort_key,
+      |  CAST(list_sum(list_transform(range(0,4), i ->
+      |    (strpos('0123456789abcdef', substr(sort_key, i+1, 1)) - 1) * power(16, 3-i)
+      |  )) AS INTEGER) % 8 AS shard
+      |FROM h ORDER BY shard, sort_key, doc_id""".stripMargin
+
+  /** qp06: token-budget selection — keep a deterministic ~1000 BPE
+    * tokens per language, the unit real training mixes are specified
+    * in. Running-sum window ordered by the md5 draw; each kept doc's
+    * own tokens count against the budget. */
+  def tokenBudget(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val withTokens = t.documents
+      .select($"lang", $"doc_id", bpeTokenCount($"text").cast("long").as("tokens"))
+    Sampling.tokenBudgetPerKey(withTokens, "lang", "doc_id", "tokens", budget = 1000L)
+      .orderBy($"lang", $"running_tokens")
+  }
+
+  val tokenBudgetSql: String =
+    """WITH d AS (SELECT lang, doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) tokens
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id, tokens,
+      |    SUM(tokens) OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) running_tokens
+      |  FROM d)
+      |SELECT lang, doc_id, tokens, running_tokens FROM r
+      |WHERE running_tokens <= 1000 ORDER BY lang, running_tokens""".stripMargin
+
   // ---- corpus data card (rollup) ----
 
   /** qr01: the "data card" a corpus release ships with — doc, token,
@@ -542,6 +585,8 @@ object CurationQueries {
     "qc04_packing"           -> ((s: SparkSession, d: String) => packing(Tables(s, d))),
     "qt09_pii_scrub"         -> ((s: SparkSession, d: String) => piiScrub(Tables(s, d))),
     "qc05_corpus_diff"       -> ((s: SparkSession, d: String) => corpusDiff(Tables(s, d))),
+    "qp05_shuffle_shards"    -> ((s: SparkSession, d: String) => shuffleShards(Tables(s, d))),
+    "qp06_token_budget"      -> ((s: SparkSession, d: String) => tokenBudget(Tables(s, d))),
     "qr01_data_card"         -> ((s: SparkSession, d: String) => dataCard(Tables(s, d))),
   )
 
@@ -562,6 +607,8 @@ object CurationQueries {
     "qc04_packing"           -> packingSql,
     "qt09_pii_scrub"         -> piiScrubSql,
     "qc05_corpus_diff"       -> corpusDiffSql,
+    "qp05_shuffle_shards"    -> shuffleShardsSql,
+    "qp06_token_budget"      -> tokenBudgetSql,
     "qr01_data_card"         -> dataCardSql,
   )
 }

@@ -94,4 +94,42 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     val smallest = out.minBy(_._2)
     assert(smallest._3 === 1.0 && smallest._4 === smallest._2)
   }
+
+  test("shuffleShards: exhaustive, shard-bounded, permutation stable under repartition") {
+    val docs = (0L until 400L).toDF("doc_id")
+    val out = Sampling.shuffleShards(docs, "doc_id", nShards = 8, seed = 42L)
+      .as[(Long, String, Int)].collect()
+    assert(out.length == 400 && out.map(_._1).distinct.length == 400) // every doc once
+    assert(out.forall(r => r._3 >= 0 && r._3 < 8))
+    assert(out.map(_._3).distinct.length == 8) // all shards populated at n=400
+    // deterministic under physical layout changes AND re-runs
+    val again = Sampling.shuffleShards(docs.repartition(7), "doc_id", 8, seed = 42L)
+      .as[(Long, String, Int)].collect()
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a different seed draws a different permutation
+    val other = Sampling.shuffleShards(docs, "doc_id", 8, seed = 43L)
+      .as[(Long, String, Int)].collect()
+    assert(out.sortBy(_._1).map(r => (r._2, r._3)).toSeq !=
+           other.sortBy(_._1).map(r => (r._2, r._3)).toSeq)
+  }
+
+  test("tokenBudgetPerKey keeps exactly the maximal md5-order prefix within budget") {
+    val docs = (0L until 60L).map(i => (s"k${i % 3}", i, 7L + i % 5))
+      .toDF("key", "doc_id", "tokens")
+    val out = Sampling.tokenBudgetPerKey(docs, "key", "doc_id", "tokens", budget = 50L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (key, rows) =>
+      assert(rows.map(_._4).max <= 50L)
+      // reconstruct the expected prefix: order by (md5(id), id), cumsum <= budget
+      def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes).map("%02x".format(_)).mkString
+      val ordered = (0L until 60L).filter(i => s"k${i % 3}" == key)
+        .map(i => (i, 7L + i % 5)).sortBy { case (i, _) => (md5hex(i.toString), i) }
+      val expected = ordered.scanLeft((-1L, 0L, 0L)) { case ((_, _, acc), (i, t)) =>
+        (i, t, acc + t)
+      }.drop(1).takeWhile(_._3 <= 50L).map(r => (r._1, r._2, r._3))
+      assert(rows.sortBy(_._4).map(r => (r._2, r._3, r._4)).toSeq == expected)
+    }
+  }
 }
