@@ -68,8 +68,14 @@ object DumpPlans {
            .select(org.apache.spark.sql.functions.col("a_id"),
                    org.apache.spark.sql.functions.col("b_id"))))),
       ("qd05_simhash_neardup — banded simhash funnel",
-       "Same funnel discipline as MinHash: the shingle-simhash is one native-expression projection (persisted once, read by banding and both verify sides), candidates shuffle on the (band_idx, band) key, exact hamming runs only on candidates. 16-bit fingerprints are the oracle demo size; production is this code over 64-bit simhash with 16-bit bands.",
+       "Same funnel discipline as MinHash: the shingle-simhash is one native-expression projection (persisted once, read by banding and both verify sides), candidates shuffle on the (band_idx, band) key, exact hamming runs only on candidates. Shown here at the production default width (64-bit fingerprint, 16-bit bands → 32-bit combination keys); 16-bit is the oracle demo size.",
        fmt(graft.operators.Dedup.nearDupsSimhash(t.documents))),
+      ("qa02_asof_salted — skew-safe as-of join",
+       "The hot-key variant: the running-last window partitions by (key, time-range salt) so no task ever sorts a whole key (ProfileAsOf: max window partition 22M -> 769k rows at 32 salts). The boundary carry-in is the tiny per-(key, salt) frame on the BuildRight side of a BroadcastHashJoin — the probe side reuses its (key, salt) partitioning and is never reshuffled. Equi joins only; results bit-identical to qa01 (shared oracle).",
+       fmt(graft.queries.CurationQueries.asofViewBeforePurchaseSalted(t))),
+      ("qr01_data_card — single-pass rollup",
+       "All (source, lang) granularities + subtotals + the grand total from ONE scan: Expand replicates each row per grouping set BETWEEN the partial and final aggregates, so the corpus is read once and map-side combine still applies. No unioned groupBys, no second scan.",
+       fmt(graft.queries.CurationQueries.dataCard(t))),
     )
 
     val md = new StringBuilder
