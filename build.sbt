@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked JVMs inherit the container's POSIX locale, under which NIO
+// refuses non-ASCII paths (sun.jnu.encoding=ANSI_X3.4-1968) — the git
+// ingest tests script repos with UTF-8 filenames. C.utf8 ships with
+// the image.
+Test / envVars ++= Map("LC_ALL" -> "C.utf8", "LANG" -> "C.utf8")
+run / envVars ++= Map("LC_ALL" -> "C.utf8", "LANG" -> "C.utf8")
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

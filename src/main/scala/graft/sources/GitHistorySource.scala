@@ -69,8 +69,29 @@ object GitHistorySource {
     try Seq("git", "-C", path, "rev-list", "--count", "HEAD").!!.trim.toLong
     catch { case _: Exception => 0L }
 
-  private def gitLines(path: String, args: Seq[String]): Iterator[String] =
-    (Seq("git", "-C", path, "log") ++ args).lazyLines_!.iterator
+  /** Streaming `git log` lines, decoded as UTF-8 EXPLICITLY — the
+    * default `lazyLines_!` decodes with the JVM's platform charset,
+    * which under a POSIX locale (the common container default) mangles
+    * every non-ASCII byte. core.quotepath=false makes git emit raw
+    * UTF-8 path bytes instead of C-style octal escapes ("\303\244");
+    * together the two keep non-ASCII filenames intact through rename
+    * resolution, numstat stitching, and the cat-file probes. */
+  private def gitLines(path: String, args: Seq[String]): Iterator[String] = {
+    val proc = new java.lang.ProcessBuilder(
+      (Seq("git", "-C", path, "-c", "core.quotepath=false", "log") ++ args): _*)
+      .redirectError(java.lang.ProcessBuilder.Redirect.DISCARD).start()
+    proc.getOutputStream.close()
+    val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
+      proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+    new Iterator[String] {
+      private var nextLine = reader.readLine()
+      def hasNext: Boolean = {
+        if (nextLine == null) { reader.close(); proc.destroy() }
+        nextLine != null
+      }
+      def next(): String = { val l = nextLine; nextLine = reader.readLine(); l }
+    }
+  }
 
   /** parse "1670000000 +0130" → (epochSeconds, offsetMinutes) */
   private def parseRawDate(s: String): (Long, Int) = {

@@ -151,6 +151,25 @@ class GitHistorySourceSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("non-ASCII filenames survive the walk unescaped (core.quotepath)") {
+    val dir = Files.createTempDirectory("graft-git-utf8").toFile
+    try {
+      run(dir, Nil, "init", "-q", "-b", "main")
+      write(dir, "fällø.txt", "eins\nzwei\n")
+      run(dir, Nil, "add", "-A")
+      run(dir, Seq("GIT_AUTHOR_DATE" -> "1700000010 +0000",
+                   "GIT_COMMITTER_DATE" -> "1700000015 +0000"), "commit", "-q", "-m", "c1")
+      val repos = Seq(RepoRef("models/o/u", "o/u", dir.toString)).toDS()
+      val ds = GitHistorySource.deltas(repos, withContent = true).collect()
+      assert(ds.length == 1)
+      val d = ds.head
+      // without quotepath=false git prints "f\303\244ll\303\270.txt"
+      assert(d.new_path == "fällø.txt", s"path was ${d.new_path}")
+      assert(d.added_lines == Some(2) && d.nloc == Some(2))
+      assert(d.diff.exists(_.contains("+eins")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("renamePaths handles brace and plain rename forms") {
     assert(GitHistorySource.renamePaths("src/{old.txt => new.txt}") ==
       (("src/old.txt", "src/new.txt")))
