@@ -163,7 +163,25 @@ object AsOfJoin {
   def asOfBackwardSalted(left: DataFrame, right: DataFrame, key: String,
                          leftTs: String, rightTs: String, rightSeq: String,
                          rightCols: Seq[String], salts: Int = 16,
-                         quantileRelErr: Double = 0.01): DataFrame = {
+                         quantileRelErr: Double = 0.01): DataFrame =
+    salted(left, right, key, leftTs, rightTs, rightSeq, rightCols, salts,
+      quantileRelErr, forward = false)
+
+  /** [[asOfForward]]'s skew-safe twin: identical mechanics mirrored in
+    * time — the per-salt scan runs ts-descending, the per-(key, salt)
+    * top is the argmin over (ts, seq), and the boundary carry-in flows
+    * from strictly LATER salts. */
+  def asOfForwardSalted(left: DataFrame, right: DataFrame, key: String,
+                        leftTs: String, rightTs: String, rightSeq: String,
+                        rightCols: Seq[String], salts: Int = 16,
+                        quantileRelErr: Double = 0.01): DataFrame =
+    salted(left, right, key, leftTs, rightTs, rightSeq, rightCols, salts,
+      quantileRelErr, forward = true)
+
+  private def salted(left: DataFrame, right: DataFrame, key: String,
+                     leftTs: String, rightTs: String, rightSeq: String,
+                     rightCols: Seq[String], salts: Int,
+                     quantileRelErr: Double, forward: Boolean): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     val (union0, leftFields) = tagged(left, right, key, leftTs, rightTs, rightSeq, rightCols)
     val union = union0.withColumn("__tsd", col("__ts").cast("double"))
@@ -177,26 +195,36 @@ object AsOfJoin {
         acc.when(col("__tsd") <= b, i)
       }
       .otherwise(salts - 1)
-    val salted = union.withColumn("__salt", saltExpr).drop("__tsd")
+    val saltedU = union.withColumn("__salt", saltExpr).drop("__tsd")
 
     val w1 = Window.partitionBy(col(key), col("__salt"))
-      .orderBy(col("__ts").asc, col("__m").asc, col("__seq").asc)
+      .orderBy(
+        (if (forward) col("__ts").desc else col("__ts").asc),
+        col("__m").asc,
+        (if (forward) col("__seq").desc else col("__seq").asc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = salted.withColumn("__match", last(col("__ref"), ignoreNulls = true).over(w1))
+    val local = saltedU.withColumn("__match", last(col("__ref"), ignoreNulls = true).over(w1))
 
-    // per-(key, salt) overall top reference = argmax over (ts, seq)
-    val tops = salted.filter(col("__m") === 0)
+    // per-(key, salt) overall top reference: argmax over (ts, seq) for
+    // backward, argmin for forward
+    val topAgg = if (forward) min_by(col("__ref"), struct(col("__ts"), col("__seq")))
+                 else max_by(col("__ref"), struct(col("__ts"), col("__seq")))
+    val tops = saltedU.filter(col("__m") === 0)
       .groupBy(col(key), col("__salt"))
-      .agg(max_by(col("__ref"), struct(col("__ts"), col("__seq"))).as("__lastref"))
-    val probeSalts = salted.filter(col("__m") === 1)
+      .agg(topAgg.as("__lastref"))
+    val probeSalts = saltedU.filter(col("__m") === 1)
       .select(col(key), col("__salt")).distinct()
     val dom = tops
       .select(col(key), col("__salt"), lit(1).as("__m2"), col("__lastref"))
       .unionByName(probeSalts
         .select(col(key), col("__salt"), lit(0).as("__m2"),
           lit(null).cast(tops.schema("__lastref").dataType).as("__lastref")))
+    // carry flows from strictly earlier salts (backward) or strictly
+    // later ones (forward); probes order before same-salt tops either way
     val w2 = Window.partitionBy(col(key))
-      .orderBy(col("__salt").asc, col("__m2").asc)
+      .orderBy(
+        (if (forward) col("__salt").desc else col("__salt").asc),
+        col("__m2").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carry = dom
       .withColumn("__carry", last(col("__lastref"), ignoreNulls = true).over(w2))

@@ -75,6 +75,24 @@ object CurationQueries {
       .orderBy($"user_id", $"purchase_id")
   }
 
+  /** qa04: the forward join through ITS salted path — qa03's oracle
+    * byte-identical, the same execution-layout-invisibility proof as
+    * qa02. */
+  def asofViewAfterPurchaseSalted(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val purchases = t.events.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts")
+    val views = t.events.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts",
+              unix_millis($"ts").as("view_ms"))
+    AsOfJoin.asOfForwardSalted(purchases, views, key = "user_id",
+        leftTs = "ts", rightTs = "ts", rightSeq = "view_id",
+        rightCols = Seq("view_id", "view_ms"), salts = 8)
+      .select($"user_id", $"purchase_id", unix_millis($"ts").as("purchase_ms"),
+              $"asof_view_id".as("view_id"), $"asof_view_ms".as("view_ms"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
   /** Oracle mirrors the union-scan construction itself: one running
     * last-non-null per user over (ts, marker, seq) — views (marker 0)
     * sort before same-ts purchases so "at-or-before" is inclusive;
@@ -572,6 +590,7 @@ object CurationQueries {
     "qa01_asof_join"         -> ((s: SparkSession, d: String) => asofViewBeforePurchase(Tables(s, d))),
     "qa02_asof_salted"       -> ((s: SparkSession, d: String) => asofViewBeforePurchaseSalted(Tables(s, d))),
     "qa03_asof_forward"      -> ((s: SparkSession, d: String) => asofViewAfterPurchase(Tables(s, d))),
+    "qa04_asof_fwd_salted"   -> ((s: SparkSession, d: String) => asofViewAfterPurchaseSalted(Tables(s, d))),
     "qp01_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(Tables(s, d))),
     "qp02_reservoir_sample"  -> ((s: SparkSession, d: String) => reservoirSample(Tables(s, d))),
     "qp03_mixture_sample"    -> ((s: SparkSession, d: String) => mixtureSample(Tables(s, d))),
@@ -594,6 +613,7 @@ object CurationQueries {
     "qa01_asof_join"         -> asofViewBeforePurchaseSql,
     "qa02_asof_salted"       -> asofViewBeforePurchaseSql, // same oracle: salting must be invisible
     "qa03_asof_forward"      -> asofViewAfterPurchaseSql,
+    "qa04_asof_fwd_salted"   -> asofViewAfterPurchaseSql, // same oracle: salting invisible
     "qp01_stratified_sample" -> stratifiedSampleSql,
     "qp02_reservoir_sample"  -> reservoirSampleSql,
     "qp03_mixture_sample"    -> mixtureSampleSql,

@@ -124,6 +124,37 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(salted === unsalted)
   }
 
+  test("salted forward as-of matches unsalted forward everywhere") {
+    // mixed fixture at several salt counts
+    val unsaltedMixed = AsOfJoin
+      .asOfForward(probes, refs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id"))
+      .select($"probe_id", $"asof_ref_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    for (s <- Seq(1, 3, 8)) {
+      val got = AsOfJoin
+        .asOfForwardSalted(probes, refs, "user_id", "p_ts", "r_ts", "ref_id",
+          Seq("ref_id"), salts = s)
+        .select($"probe_id", $"asof_ref_id")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(got === unsaltedMixed, s"salts=$s diverged")
+    }
+    // pathological hot key
+    val hotRefs = (0 until 900)
+      .map(i => ("hot", (i * 7 % 1100).toLong, 100000L + i))
+      .toDF("user_id", "r_ts", "ref_id")
+    val hotProbes = (0 until 4000)
+      .map(i => ("hot", (i % 1300).toLong, i.toLong))
+      .toDF("user_id", "p_ts", "probe_id")
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select($"probe_id", $"asof_ref_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val unsalted = collect(AsOfJoin.asOfForward(
+      hotProbes, hotRefs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id")))
+    val salted = collect(AsOfJoin.asOfForwardSalted(
+      hotProbes, hotRefs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id"), salts = 16))
+    assert(salted === unsalted)
+  }
+
   test("plan shape: one exchange on the key, no join node") {
     val plan = AsOfJoin
       .asOfBackward(probes, refs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id"))

@@ -60,6 +60,44 @@ class AsOfPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("asOfForward == per-probe brute-force argmin on random inputs") {
+    cases.foreach { case (p0, r0) =>
+      val probes = p0.toDF("user_id", "p_ts", "probe_id").dropDuplicates("user_id", "p_ts", "probe_id")
+      val refs = r0.toDF("user_id", "r_ts", "ref_id").dropDuplicates("user_id", "r_ts", "ref_id")
+      val got = AsOfJoin
+        .asOfForward(probes, refs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id"))
+        .select($"user_id", $"p_ts", $"probe_id", $"asof_ref_id")
+        .as[(String, Long, Long, Option[Long])].collect()
+        .map(r => (r._1, r._2, r._3) -> r._4).toMap
+      val want = probes.as[(String, Long, Long)].collect().map { case (k, pts, pid) =>
+        val eligible = refs.as[(String, Long, Long)].collect()
+          .filter { case (rk, rts, _) => rk == k && rts >= pts }
+        (k, pts, pid) -> (if (eligible.isEmpty) None
+                          else Some(eligible.minBy { case (_, rts, rid) => (rts, rid) }._3))
+      }.toMap
+      assert(got == want, s"p=$p0 r=$r0")
+    }
+  }
+
+  test("forward salted == forward unsalted for every salt count on random inputs") {
+    cases.take(4).foreach { case (p0, r0) =>
+      val probes = p0.toDF("user_id", "p_ts", "probe_id").dropDuplicates("user_id", "p_ts", "probe_id")
+      val refs = r0.toDF("user_id", "r_ts", "ref_id").dropDuplicates("user_id", "r_ts", "ref_id")
+      val unsalted = AsOfJoin
+        .asOfForward(probes, refs, "user_id", "p_ts", "r_ts", "ref_id", Seq("ref_id"))
+        .select($"probe_id", $"asof_ref_id")
+        .as[(Long, Option[Long])].collect().toSet
+      for (s <- Seq(1, 2, 5)) {
+        val salted = AsOfJoin
+          .asOfForwardSalted(probes, refs, "user_id", "p_ts", "r_ts", "ref_id",
+            Seq("ref_id"), salts = s)
+          .select($"probe_id", $"asof_ref_id")
+          .as[(Long, Option[Long])].collect().toSet
+        assert(salted == unsalted, s"salts=$s p=$p0 r=$r0")
+      }
+    }
+  }
+
   test("salted == unsalted for every salt count on random inputs") {
     cases.take(4).foreach { case (p0, r0) =>
       val probes = p0.toDF("user_id", "p_ts", "probe_id").dropDuplicates("user_id", "p_ts", "probe_id")
