@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate corpus statistics — the sketches a 100 TB pipeline
+  * reaches for when the exact answer costs a full shuffle it cannot
+  * afford, built on Spark's OWN sketch machinery (the same HLL++ and
+  * CountMinSketch the engine uses internally), never reimplemented:
+  *
+  *  - [[approxDistinctPerKey]]: per-group cardinality via
+  *    `approx_count_distinct` (HyperLogLog++) — one map-side-combining
+  *    aggregate over a few-KB state per group, vs the exact
+  *    distinct's full shuffle of every value. The rsd knob is the
+  *    contract: error concentrates within ~±3·rsd.
+  *  - [[countMinSketch]] / [[estimateCounts]]: item-frequency sketch —
+  *    ONE pass builds a fixed-size (eps, confidence) summary that
+  *    answers "how often does item x occur" for ANY x after the fact,
+  *    without a per-item groupBy. CMS never undercounts (estimates are
+  *    exact-or-over, biased by at most eps·N with prob ≥ confidence) —
+  *    the right direction for over-represented-content guards, where a
+  *    false "frequent" only costs a precise recount.
+  *
+  * Exactness is deliberately NOT oracle-checkable (two engines'
+  * sketches disagree bit-wise), so like the bloom prefilter these are
+  * spec-gated: the specs pin the error CONTRACTS (HLL within 3·rsd,
+  * CMS never-under + eps·N over-bound) against exact twins.
+  */
+object Sketches {
+
+  /** Per-key approximate distinct count of `valueCol` (HLL++),
+    * alongside nothing else — compose into wider aggregates freely;
+    * `rsd` = target relative standard deviation. */
+  def approxDistinctPerKey(df: DataFrame, keyCol: String, valueCol: String,
+                           rsd: Double = 0.05): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
+
+  /** Build a count-min sketch over `valueCol` in one aggregate pass.
+    * The returned bytes are a storable artifact (like the bloom
+    * filter): ship it anywhere and answer frequency queries without
+    * touching the data again. */
+  def countMinSketch(df: DataFrame, valueCol: String,
+                     eps: Double = 0.001, confidence: Double = 0.99,
+                     seed: Int = 42): Array[Byte] =
+    df.select(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
+        .as("cms"))
+      .head.getAs[Array[Byte]]("cms")
+
+  /** Estimate occurrence counts for `items` against a built sketch —
+    * a driver-side probe of the artifact (the sketch IS driver-sized,
+    * like a broadcast). */
+  def estimateCounts(sketch: Array[Byte], items: Seq[String]): Map[String, Long] = {
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketch))
+    items.map(i => i -> cms.estimateCount(i)).toMap
+  }
+
+  /** The composed over-representation guard: flag every item whose
+    * CMS-estimated share of `total` exceeds `maxShare`. Never misses a
+    * truly over-represented item (CMS never undercounts); flagged
+    * items get their exact count from a candidates-only aggregate —
+    * the same screen-then-verify funnel as the bloom dedup. */
+  def overrepresented(df: DataFrame, valueCol: String, total: Long,
+                      candidates: Seq[String], maxShare: Double,
+                      eps: Double = 0.001): DataFrame = {
+    val sketch = countMinSketch(df, valueCol, eps)
+    val flagged = estimateCounts(sketch, candidates)
+      .filter { case (_, est) => est.toDouble / total > maxShare }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val flaggedDf = flagged.toSeq.toDF(valueCol, "est_count")
+    df.join(broadcast(flaggedDf), valueCol)
+      .groupBy(col(valueCol))
+      .agg(first(col("est_count")).as("est_count"),
+           count(lit(1)).as("exact_count"))
+  }
+}

@@ -50,6 +50,13 @@ object ScaleStress {
       c.count()
     }
     println(s"[stress]   labeled vertices = $comps")
+    // the giant-component algorithm on the same dense pair graph:
+    // label parity asserted, timing shows the per-round trade
+    val altComps = time("cc alternating") {
+      val c = ConnectedComponents.runAlternating(pairs).localCheckpoint(true)
+      c.count()
+    }
+    assert(altComps == comps, s"alternating labeled $altComps vs $comps")
     spark.catalog.clearCache()
     spark.stop()
   }

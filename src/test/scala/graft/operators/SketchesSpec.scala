@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Pins the error CONTRACTS of the sketch family against exact twins
+  * (bit-exact cross-engine oracles are impossible for sketches — the
+  * contract IS the semantics). */
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("HLL++ per-key cardinalities land within 3*rsd of exact") {
+    val t = Tables(spark, sf0001)
+    val exact = t.documents.groupBy($"lang")
+      .agg(countDistinct($"doc_id").as("n")).as[(String, Long)].collect().toMap
+    val approx = Sketches.approxDistinctPerKey(t.documents, "lang", "doc_id", rsd = 0.05)
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (k, a) =>
+      val e = exact(k)
+      assert(math.abs(a - e).toDouble / e <= 0.15, s"$k: approx $a vs exact $e")
+    }
+  }
+
+  test("CMS never undercounts and overcounts by at most eps * N") {
+    val n = 20000
+    // zipf-ish: token i appears ~n/(i+1) times
+    val rows = (0 until n).map(i => s"tok${i % 50 match {
+      case m if m < 5 => m          // 5 heavy tokens
+      case m => m
+    }}")
+    val df = rows.toDF("term")
+    val truth = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val sketch = Sketches.countMinSketch(df, "term", eps = 0.001, confidence = 0.99)
+    val est = Sketches.estimateCounts(sketch, truth.keys.toSeq)
+    truth.foreach { case (term, exact) =>
+      assert(est(term) >= exact, s"$term undercounted: ${est(term)} < $exact")
+      assert(est(term) <= exact + (0.001 * n).ceil.toLong + 1,
+        s"$term overcounted beyond eps*N: ${est(term)} vs $exact")
+    }
+  }
+
+  test("sketch bytes survive a storage round-trip") {
+    val df = (0 until 1000).map(i => s"w${i % 10}").toDF("term")
+    val sketch = Sketches.countMinSketch(df, "term")
+    val p = java.nio.file.Files.createTempFile("graft-cms", ".bin")
+    java.nio.file.Files.write(p, sketch)
+    val back = java.nio.file.Files.readAllBytes(p)
+    assert(Sketches.estimateCounts(back, Seq("w0"))("w0") >= 100L)
+  }
+
+  test("overrepresented: screen-then-verify finds every heavy item, exact counts attached") {
+    // 10k filler + one term at 30% share
+    val rows = (0 until 7000).map(i => s"rare$i") ++ (0 until 3000).map(_ => "heavy")
+    val df = rows.toDF("term")
+    val out = Sketches.overrepresented(df, "term", total = rows.size,
+        candidates = Seq("heavy", "rare0", "absent"), maxShare = 0.1)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out.keySet == Set("heavy"))
+    assert(out("heavy")._2 == 3000L)          // exact recount on the flagged item
+    assert(out("heavy")._1 >= 3000L)          // estimate never under
+  }
+}
