@@ -89,7 +89,7 @@ object TimePartitionedMergeWriter {
 
     val existing = spark.read.parquet(path)
       .filter(col(PartCol).isin(months: _*))
-    val merged = consolidate(existing.select(u.columns.map(col): _*), u)
+    val merged = consolidate(existing.select(u.columns.toIndexedSeq.map(col): _*), u)
 
     val stagingRoot = s"$path/.staging"
     merged.write.mode("overwrite").partitionBy(PartCol).parquet(stagingRoot)

@@ -50,7 +50,7 @@ object BloomDedup {
     val built = corpus
       .select(call_function("graft_bloom_agg",
         xxhash64(md5(col(textCol))), lit(expectedItems), lit(bits)).as("bf"))
-      .head.getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf")
     if (built != null) built
     else {
       // empty corpus: the aggregate yields NULL, and a lit(null) probe

@@ -45,7 +45,7 @@ object Sketches {
                      seed: Int = 42): Array[Byte] =
     df.select(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
         .as("cms"))
-      .head.getAs[Array[Byte]]("cms")
+      .head().getAs[Array[Byte]]("cms")
 
   /** Estimate occurrence counts for `items` against a built sketch —
     * a driver-side probe of the artifact (the sketch IS driver-sized,

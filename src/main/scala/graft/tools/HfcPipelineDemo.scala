@@ -74,7 +74,7 @@ object HfcPipelineDemo {
     // second idempotent pass to prove convergence)
     def mergeInto(table: String, batch: DataFrame, keys: Seq[String]): Long = {
       val existing = HfcCatalog.table(spark, table)
-      val merged = MergeWriter.upsert(existing.select(batch.columns.map(col): _*), batch, keys)
+      val merged = MergeWriter.upsert(existing.select(batch.columns.toIndexedSeq.map(col): _*), batch, keys)
       val out = s"$wh/${table}_merged"
       merged.write.mode("overwrite").parquet(out)
       spark.read.parquet(out).count()

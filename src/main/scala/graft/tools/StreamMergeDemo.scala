@@ -16,7 +16,7 @@ object StreamMergeDemo {
     val dir = java.nio.file.Files.createTempDirectory("graft-sm").toString + "/repos"
     val mem = MemoryStream[(String, Int)]
     val q = EventStreams.upsertStream(
-      mem.toDF.toDF("id", "likes"), Seq("id"), dir).start()
+      mem.toDF().toDF("id", "likes"), Seq("id"), dir).start()
     mem.addData(("r1", 1), ("r2", 2))
     q.processAllAvailable()
     println(s"[stream] after batch 0: " +
