@@ -32,10 +32,20 @@ object TimePartitionedMergeWriter {
 
   def partitionOf(ts: Column): Column = date_format(ts, "yyyy-MM")
 
-  /** One-time layout job: write `df` partitioned by event month. */
-  def initTable(df: DataFrame, path: String, tsCol: String): Unit =
+  /** One-time layout job: write `df` partitioned by event month. The
+    * NULL-event-time contract is enforced here too — otherwise those
+    * rows land in the Hive default partition, which no pruned merge
+    * ever reads, stranding stale copies forever. */
+  def initTable(df: DataFrame, path: String, tsCol: String): Unit = {
+    requireNoNullTs(df, tsCol)
     df.withColumn(PartCol, partitionOf(col(tsCol)))
       .write.mode("overwrite").partitionBy(PartCol).parquet(path)
+  }
+
+  private def requireNoNullTs(df: DataFrame, tsCol: String): Unit =
+    require(df.filter(col(tsCol).isNull).limit(1).count() == 0,
+      s"$tsCol contains NULLs — a null event time has no partition and " +
+        "its rows would silently vanish from every pruned merge")
 
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -87,9 +97,12 @@ object TimePartitionedMergeWriter {
     val months = affected.sorted
     if (months.isEmpty) return months
 
+    // the FULL existing slice goes into the consolidation — a narrow
+    // K4 counters frame must not project the table's other columns out
+    // of the rewritten partitions (MergeWriter aligns by name)
     val existing = spark.read.parquet(path)
       .filter(col(PartCol).isin(months: _*))
-    val merged = consolidate(existing.select(u.columns.toIndexedSeq.map(col): _*), u)
+    val merged = consolidate(existing, u)
 
     val stagingRoot = s"$path/.staging"
     merged.write.mode("overwrite").partitionBy(PartCol).parquet(stagingRoot)

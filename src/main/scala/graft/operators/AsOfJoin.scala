@@ -184,7 +184,14 @@ object AsOfJoin {
                      quantileRelErr: Double, forward: Boolean): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
     val (union0, leftFields) = tagged(left, right, key, leftTs, rightTs, rightSeq, rightCols)
+    // materialize the tagged union ONCE: the quantile action plus the
+    // three downstream subtrees (per-salt window, tops aggregate,
+    // probe-salt domain) would otherwise each re-run both inputs'
+    // upstream scans — 4x the cost at exactly the scale this variant
+    // exists for. localCheckpoint also truncates the lineage, same as
+    // the iterative operators.
     val union = union0.withColumn("__tsd", col("__ts").cast("double"))
+      .localCheckpoint(true)
     val bounds =
       if (salts == 1) Array.empty[Double]
       else union.filter(col("__tsd").isNotNull)

@@ -30,6 +30,10 @@ object BloomDedup {
   def buildFilter(corpus: DataFrame, textCol: String = "text",
                   expectedItems: Long = 1000000L,
                   numBits: Long = -1L): Array[Byte] = {
+    require(expectedItems >= 1,
+      s"expectedItems must be >= 1, got $expectedItems — size the filter " +
+        "at the corpus's distinct-hash count (an empty corpus still wants " +
+        "a real capacity so the filter can absorb future appends)")
     val bits = if (numBits > 0) numBits else expectedItems * 8
     // BloomFilterAggregate silently CLAMPS oversized requests to these
     // session confs instead of erroring — a 10^11-item filter would

@@ -175,9 +175,15 @@ object ConnectedComponents {
       e = next
       iter += 1
     }
+    // a maxIter cutoff can leave a vertex with several outgoing star
+    // edges (smallStar emits one per group it appears in); min-reduce
+    // to one best-so-far label per vertex so the contract (exactly one
+    // row per vertex) holds converged or not — at the fixpoint this
+    // aggregate is a no-op on already-unique keys
     val labels = verts
       .join(e.select(col("u").as("id"), col("v").as("comp")), Seq("id"), "left")
-      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .groupBy(col("id"))
+      .agg(min(coalesce(col("comp"), col("id"))).as("comp"))
     (labels, iter)
   }
 

@@ -39,12 +39,18 @@ object Sketches {
   /** Build a count-min sketch over `valueCol` in one aggregate pass.
     * The returned bytes are a storable artifact (like the bloom
     * filter): ship it anywhere and answer frequency queries without
-    * touching the data again. */
+    * touching the data again.
+    *
+    * The column is cast to STRING before sketching so the build side
+    * and [[estimateCounts]]'s string probes hash identically — a
+    * native-typed build (longs hash as longs) would make every string
+    * probe silently read unrelated counters and return ~0 for a
+    * genuinely heavy item. */
   def countMinSketch(df: DataFrame, valueCol: String,
                      eps: Double = 0.001, confidence: Double = 0.99,
                      seed: Int = 42): Array[Byte] =
-    df.select(count_min_sketch(col(valueCol), lit(eps), lit(confidence), lit(seed))
-        .as("cms"))
+    df.select(count_min_sketch(col(valueCol).cast("string"),
+        lit(eps), lit(confidence), lit(seed)).as("cms"))
       .head().getAs[Array[Byte]]("cms")
 
   /** Estimate occurrence counts for `items` against a built sketch —
@@ -70,7 +76,10 @@ object Sketches {
     val spark = df.sparkSession
     import spark.implicits._
     val flaggedDf = flagged.toSeq.toDF(valueCol, "est_count")
-    df.join(broadcast(flaggedDf), valueCol)
+    // string-cast the data side too: the sketch, the probes, and this
+    // verify join all speak the same representation
+    df.withColumn(valueCol, col(valueCol).cast("string"))
+      .join(broadcast(flaggedDf), valueCol)
       .groupBy(col(valueCol))
       .agg(first(col("est_count")).as("est_count"),
            count(lit(1)).as("exact_count"))

@@ -76,6 +76,13 @@ object GitHistorySource {
     * UTF-8 path bytes instead of C-style octal escapes ("\303\244");
     * together the two keep non-ASCII filenames intact through rename
     * resolution, numstat stitching, and the cat-file probes. */
+  /** register cleanup with the surrounding Spark task (when there is
+    * one) so abandoned iterators — limit() pushdown, a thrown require,
+    * task kill — cannot leak subprocesses inside long-lived executors */
+  private def onTaskEnd(cleanup: () => Unit): Unit =
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ => cleanup()))
+
   private def gitLines(path: String, args: Seq[String]): Iterator[String] = {
     val proc = new java.lang.ProcessBuilder(
       (Seq("git", "-C", path, "-c", "core.quotepath=false", "log") ++ args): _*)
@@ -83,10 +90,19 @@ object GitHistorySource {
     proc.getOutputStream.close()
     val reader = new java.io.BufferedReader(new java.io.InputStreamReader(
       proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
+    onTaskEnd(() => proc.destroy())
     new Iterator[String] {
       private var nextLine = reader.readLine()
       def hasNext: Boolean = {
-        if (nextLine == null) { reader.close(); proc.destroy() }
+        if (nextLine == null) {
+          reader.close()
+          // a git that died mid-stream must be an ERROR, not a silently
+          // shorter history — truncation here would drop commits from
+          // the corpus with no signal
+          val code = proc.waitFor()
+          require(code == 0, s"git log ${args.headOption.getOrElse("")} in $path " +
+            s"exited with $code — refusing to treat a truncated stream as complete")
+        }
         nextLine != null
       }
       def next(): String = { val l = nextLine; nextLine = reader.readLine(); l }
@@ -278,6 +294,7 @@ object GitHistorySource {
       if (withContent) perCommit(gitLines(r.path, Seq("-M", "-p", "--no-color", "--format=%x01%H")))
       else Iterator.continually(("", Vector.empty[String]))
     val cat = if (withContent) Some(new BatchCat(r.path)) else None
+    cat.foreach(c => onTaskEnd(() => c.close()))
 
     val rows = names.zip(nums).zip(diffs).flatMap { case (((shaN, nameLines), (shaS, numLines)), (shaP, diffLines)) =>
       require(shaN == shaS && (!withContent || shaN == shaP),
@@ -313,7 +330,19 @@ object GitHistorySource {
       }
     }
     new Iterator[GitDelta] {
-      def hasNext: Boolean = { val h = rows.hasNext; if (!h) cat.foreach(_.close()); h }
+      def hasNext: Boolean = {
+        val h = rows.hasNext
+        if (!h) {
+          // zip stops at the SHORTEST stream; a survivor with commits
+          // left means one pass died early (its own exit-code require
+          // fires on drain) — never report a truncated merge as done
+          require(!names.hasNext && !nums.hasNext && (!withContent || !diffs.hasNext),
+            s"git log passes of ${r.path} ended at different commits — " +
+              "refusing to emit a truncated delta stream")
+          cat.foreach(_.close())
+        }
+        h
+      }
       def next(): GitDelta = rows.next()
     }
   }

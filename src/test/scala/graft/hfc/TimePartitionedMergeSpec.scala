@@ -81,10 +81,12 @@ class TimePartitionedMergeSpec extends SparkTestBase {
       val path = s"$dir/t"
       TimePartitionedMergeWriter.initTable(
         baseTable.withColumn("likes", lit(0)), path, "ts")
+      // NARROW counters frame — no payload column at all: the rewritten
+      // months must keep the table's other columns intact
       val updates = Seq(
-        (3L, "2024-02-03 09:00:00", "IGNORED"),   // payload NOT in cols
-        (99L, "2024-02-10 00:00:00", "IGNORED"))  // unknown key: dropped (K4)
-        .toDF("event_id", "tss", "payload")
+        (3L, "2024-02-03 09:00:00"),   // existing key
+        (99L, "2024-02-10 00:00:00"))  // unknown key: dropped (K4)
+        .toDF("event_id", "tss")
         .withColumn("ts", to_timestamp(col("tss"))).drop("tss")
         .withColumn("likes", lit(41))
       val affected = TimePartitionedMergeWriter.updateColumnsPartitioned(
@@ -111,6 +113,12 @@ class TimePartitionedMergeSpec extends SparkTestBase {
           spark, path, nullTs, Seq("event_id"), "ts")
       }
       assert(e.getMessage.contains("NULL"))
+      // ...and the initial load enforces the same contract — otherwise
+      // null rows land in the Hive default partition no merge ever reads
+      val e2 = intercept[IllegalArgumentException] {
+        TimePartitionedMergeWriter.initTable(nullTs, s"$dir/t2", "ts")
+      }
+      assert(e2.getMessage.contains("NULL"))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new File(dir))
   }
 

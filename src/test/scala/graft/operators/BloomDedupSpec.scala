@@ -53,6 +53,11 @@ class BloomDedupSpec extends SparkTestBase {
       BloomDedup.buildFilter(t.documents, expectedItems = 1000L, numBits = 1L << 40)
     }
     assert(eBits.getMessage.contains("maxNumBits"))
+    // degenerate capacity is rejected, not an exception-from-the-fallback
+    val eZero = intercept[IllegalArgumentException] {
+      BloomDedup.buildFilter(t.documents.limit(0), expectedItems = 0L)
+    }
+    assert(eZero.getMessage.contains("expectedItems"))
   }
 
   test("filter bytes survive a round-trip through storage") {

@@ -83,6 +83,16 @@ class ConnectedComponentsSpec extends SparkTestBase {
       s"alternating took $rounds rounds")
   }
 
+  test("alternating under a maxIter cutoff still yields exactly one label per vertex") {
+    val path = (0 until 500).map(i => (i.toLong, (i + 1).toLong)).toDF("a_id", "b_id")
+    val (labels, rounds) = ConnectedComponents.runAlternatingCounted(path, maxIter = 1)
+    assert(rounds == 1)
+    val rows = labels.as[(Long, Long)].collect()
+    assert(rows.length == 501, "one row per vertex even when unconverged")
+    assert(rows.map(_._1).distinct.length == 501)
+    rows.foreach { case (id, comp) => assert(comp <= id) } // labels only improve downward
+  }
+
   test("fixture: minhash pairs -> clusters matches brute-force closure") {
     val t = graft.Tables(spark, sf0001)
     val pairs = Dedup.nearDupsMinhash(t.documents, threshold = 0.3)

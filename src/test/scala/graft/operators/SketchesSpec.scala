@@ -40,6 +40,19 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("non-string columns sketch and probe consistently (heavy longs are found)") {
+    val rows = (0 until 5000).map(_ => 42L) ++ (0L until 5000L)
+    val df = rows.toDF("user_id")
+    val sketch = Sketches.countMinSketch(df, "user_id")
+    // the probe is the string rendering of the long — must hit the
+    // same counters the build side incremented
+    assert(Sketches.estimateCounts(sketch, Seq("42"))("42") >= 5000L)
+    val out = Sketches.overrepresented(df, "user_id", total = rows.size,
+        candidates = Seq("42", "17"), maxShare = 0.25)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(out == Map("42" -> 5001L)) // 5000 heavy + one from the range
+  }
+
   test("sketch bytes survive a storage round-trip") {
     val df = (0 until 1000).map(i => s"w${i % 10}").toDF("term")
     val sketch = Sketches.countMinSketch(df, "term")

@@ -170,6 +170,18 @@ class GitHistorySourceSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("a failing git is an error, never a silently shorter history") {
+    val notARepo = Files.createTempDirectory("graft-notgit").toFile
+    try {
+      val repos = Seq(RepoRef("models/o/x", "o/x", notARepo.toString)).toDS()
+      val e = intercept[org.apache.spark.SparkException] {
+        GitHistorySource.deltas(repos).collect()
+      }
+      assert(e.getMessage.contains("exited with") ||
+        Option(e.getCause).exists(_.getMessage.contains("exited with")))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(notARepo)
+  }
+
   test("renamePaths handles brace and plain rename forms") {
     assert(GitHistorySource.renamePaths("src/{old.txt => new.txt}") ==
       (("src/old.txt", "src/new.txt")))
