@@ -466,6 +466,48 @@ object CurationQueries {
       |SELECT lang, doc_id, tokens, running_tokens FROM r
       |WHERE running_tokens <= 1000 ORDER BY lang, running_tokens""".stripMargin
 
+  // ---- composed training-mix build (capstone) ----
+
+  /** qc06: the end-to-end mix build a training run starts from —
+    * "800 BPE tokens per source, shuffled into 4 shards" — composing
+    * [[Sampling.tokenBudgetPerKey]] (the mix specification) with
+    * [[Sampling.shuffleShards]] (the reproducible export layout) into
+    * one declarative plan, reported as the per-shard manifest
+    * (docs, tokens, distinct sources). Every stage is a pure function
+    * of md5(id), so two engines — or two re-runs on different
+    * clusters — build byte-identical mixes. */
+  def trainingMix(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val withTokens = t.documents
+      .select($"source", $"doc_id", bpeTokenCount($"text").cast("long").as("tokens"))
+    val selected = Sampling.tokenBudgetPerKey(withTokens, "source", "doc_id", "tokens",
+      budget = 800L)
+    val sharded = Sampling.shuffleShards(selected, "doc_id", nShards = 4, seed = 7L)
+    selected.join(sharded.select($"doc_id", $"shard"), "doc_id")
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"tokens").as("sum_tokens"),
+           countDistinct($"source").as("n_sources"))
+      .orderBy($"shard")
+  }
+
+  val trainingMixSql: String =
+    """WITH d AS (SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) tokens
+      |  FROM documents),
+      |r AS (SELECT source, doc_id, tokens,
+      |    SUM(tokens) OVER (PARTITION BY source ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) running
+      |  FROM d),
+      |sel AS (SELECT source, doc_id, tokens FROM r WHERE running <= 800),
+      |h AS (SELECT source, doc_id, tokens, md5('7:' || doc_id::VARCHAR) sort_key FROM sel),
+      |s AS (SELECT *, CAST(list_sum(list_transform(range(0,4), i ->
+      |    (strpos('0123456789abcdef', substr(sort_key, i+1, 1)) - 1) * power(16, 3-i)
+      |  )) AS INTEGER) % 4 AS shard FROM h)
+      |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+      |       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+      |FROM s GROUP BY shard ORDER BY shard""".stripMargin
+
   // ---- corpus data card (rollup) ----
 
   /** qr01: the "data card" a corpus release ships with — doc, token,
@@ -607,6 +649,7 @@ object CurationQueries {
     "qp05_shuffle_shards"    -> ((s: SparkSession, d: String) => shuffleShards(Tables(s, d))),
     "qp06_token_budget"      -> ((s: SparkSession, d: String) => tokenBudget(Tables(s, d))),
     "qr01_data_card"         -> ((s: SparkSession, d: String) => dataCard(Tables(s, d))),
+    "qc06_training_mix"      -> ((s: SparkSession, d: String) => trainingMix(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -630,5 +673,6 @@ object CurationQueries {
     "qp05_shuffle_shards"    -> shuffleShardsSql,
     "qp06_token_budget"      -> tokenBudgetSql,
     "qr01_data_card"         -> dataCardSql,
+    "qc06_training_mix"      -> trainingMixSql,
   )
 }
