@@ -33,19 +33,18 @@ object TimePartitionedMergeWriter {
   def partitionOf(ts: Column): Column = date_format(ts, "yyyy-MM")
 
   /** One-time layout job: write `df` partitioned by event month. The
-    * NULL-event-time contract is enforced here too — otherwise those
-    * rows land in the Hive default partition, which no pruned merge
-    * ever reads, stranding stale copies forever. */
-  def initTable(df: DataFrame, path: String, tsCol: String): Unit = {
-    requireNoNullTs(df, tsCol)
-    df.withColumn(PartCol, partitionOf(col(tsCol)))
+    * NULL-event-time contract is enforced IN the write projection
+    * (raise_error inside the partition expression) — one pass, no
+    * second validation scan — otherwise null rows would land in the
+    * Hive default partition, which no pruned merge ever reads,
+    * stranding stale copies forever. */
+  def initTable(df: DataFrame, path: String, tsCol: String): Unit =
+    df.withColumn(PartCol,
+        when(col(tsCol).isNull, raise_error(lit(
+          s"$tsCol contains NULLs — a null event time has no partition and " +
+            "its rows would silently vanish from every pruned merge")))
+          .otherwise(partitionOf(col(tsCol))))
       .write.mode("overwrite").partitionBy(PartCol).parquet(path)
-  }
-
-  private def requireNoNullTs(df: DataFrame, tsCol: String): Unit =
-    require(df.filter(col(tsCol).isNull).limit(1).count() == 0,
-      s"$tsCol contains NULLs — a null event time has no partition and " +
-        "its rows would silently vanish from every pruned merge")
 
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)

@@ -62,8 +62,7 @@ object BloomDedup {
       // filter instead, from the same sketch implementation the
       // aggregate serializes, so might_contain stays well-typed and
       // answers false everywhere
-      val empty = org.apache.spark.util.sketch.BloomFilter.create(
-        math.max(1L, expectedItems), bits)
+      val empty = org.apache.spark.util.sketch.BloomFilter.create(expectedItems, bits)
       val bos = new java.io.ByteArrayOutputStream()
       empty.writeTo(bos)
       bos.toByteArray

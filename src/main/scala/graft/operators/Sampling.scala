@@ -105,8 +105,11 @@ object Sampling {
   def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
                     seed: Long = 0L): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    // appended, not projected: the input's payload columns ride along,
+    // so composing pipelines (e.g. the qc06 training mix) never need a
+    // self-join back onto their own expensive subtree
     val h = md5(concat_ws(":", lit(seed.toString), col(idCol).cast("string")))
-    df.select(col(idCol), h.as("sort_key"))
+    df.withColumn("sort_key", h)
       .withColumn("shard",
         (conv(substring(col("sort_key"), 1, 4), 16, 10).cast("int") % nShards))
   }

@@ -432,6 +432,7 @@ object CurationQueries {
   def shuffleShards(t: Tables): DataFrame = {
     import t.spark.implicits._
     Sampling.shuffleShards(t.documents, "doc_id", nShards = 8, seed = 42L)
+      .select($"doc_id", $"sort_key", $"shard")
       .orderBy($"shard", $"sort_key", $"doc_id")
   }
 
@@ -482,8 +483,10 @@ object CurationQueries {
       .select($"source", $"doc_id", bpeTokenCount($"text").cast("long").as("tokens"))
     val selected = Sampling.tokenBudgetPerKey(withTokens, "source", "doc_id", "tokens",
       budget = 800L)
-    val sharded = Sampling.shuffleShards(selected, "doc_id", nShards = 4, seed = 7L)
-    selected.join(sharded.select($"doc_id", $"shard"), "doc_id")
+    // shuffleShards appends its columns, so the expensive selection
+    // subtree (scan + token count + budget window) runs exactly once —
+    // no self-join back onto it
+    Sampling.shuffleShards(selected, "doc_id", nShards = 4, seed = 7L)
       .groupBy($"shard")
       .agg(count(lit(1)).as("n_docs"),
            sum($"tokens").as("sum_tokens"),

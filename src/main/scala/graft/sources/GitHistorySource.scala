@@ -83,6 +83,12 @@ object GitHistorySource {
     Option(org.apache.spark.TaskContext.get()).foreach(
       _.addTaskCompletionListener[Unit](_ => cleanup()))
 
+  /** does `path` hold a git repository at all? (an EMPTY repo — unborn
+    * HEAD — answers yes; a plain directory answers no) */
+  private def isGitRepo(path: String): Boolean =
+    scala.sys.process.Process(Seq("git", "-C", path, "rev-parse", "--git-dir"))
+      .!(scala.sys.process.ProcessLogger(_ => ())) == 0
+
   private def gitLines(path: String, args: Seq[String]): Iterator[String] = {
     val proc = new java.lang.ProcessBuilder(
       (Seq("git", "-C", path, "-c", "core.quotepath=false", "log") ++ args): _*)
@@ -92,20 +98,26 @@ object GitHistorySource {
       proc.getInputStream, java.nio.charset.StandardCharsets.UTF_8))
     onTaskEnd(() => proc.destroy())
     new Iterator[String] {
+      private var emitted = 0L
       private var nextLine = reader.readLine()
       def hasNext: Boolean = {
         if (nextLine == null) {
           reader.close()
           // a git that died mid-stream must be an ERROR, not a silently
-          // shorter history — truncation here would drop commits from
-          // the corpus with no signal
+          // shorter history. One legitimate nonzero-exit case: `git log`
+          // on an unborn HEAD (freshly initialized, zero commits) exits
+          // 128 with no output — that IS an empty history, not a failure
           val code = proc.waitFor()
-          require(code == 0, s"git log ${args.headOption.getOrElse("")} in $path " +
-            s"exited with $code — refusing to treat a truncated stream as complete")
+          require(code == 0 || (emitted == 0 && isGitRepo(path)),
+            s"git log ${args.headOption.getOrElse("")} in $path exited with " +
+              s"$code after $emitted lines — refusing to treat a truncated " +
+              "stream as complete")
         }
         nextLine != null
       }
-      def next(): String = { val l = nextLine; nextLine = reader.readLine(); l }
+      def next(): String = {
+        val l = nextLine; emitted += 1; nextLine = reader.readLine(); l
+      }
     }
   }
 

@@ -113,12 +113,15 @@ class TimePartitionedMergeSpec extends SparkTestBase {
           spark, path, nullTs, Seq("event_id"), "ts")
       }
       assert(e.getMessage.contains("NULL"))
-      // ...and the initial load enforces the same contract — otherwise
-      // null rows land in the Hive default partition no merge ever reads
-      val e2 = intercept[IllegalArgumentException] {
+      // ...and the initial load enforces the same contract in-pass
+      // (raise_error in the write projection) — otherwise null rows
+      // land in the Hive default partition no merge ever reads
+      val e2 = intercept[Exception] {
         TimePartitionedMergeWriter.initTable(nullTs, s"$dir/t2", "ts")
       }
-      assert(e2.getMessage.contains("NULL"))
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e2).exists(_.contains("NULL")))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new File(dir))
   }
 

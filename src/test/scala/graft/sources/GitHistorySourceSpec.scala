@@ -170,6 +170,17 @@ class GitHistorySourceSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("an EMPTY repo (unborn HEAD) is an empty history, not an error") {
+    val dir = Files.createTempDirectory("graft-git-empty").toFile
+    try {
+      run(dir, Nil, "init", "-q", "-b", "main")   // zero commits
+      val repos = Seq(RepoRef("models/o/e", "o/e", dir.toString)).toDS()
+      assert(GitHistorySource.commitCount(dir.toString) == 0)
+      assert(GitHistorySource.commits(repos).collect().isEmpty)
+      assert(GitHistorySource.deltas(repos, withContent = true).collect().isEmpty)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("a failing git is an error, never a silently shorter history") {
     val notARepo = Files.createTempDirectory("graft-notgit").toFile
     try {
