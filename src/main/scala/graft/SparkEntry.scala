@@ -18,7 +18,8 @@ object SparkEntry {
     graft.queries.RelationalQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.QualityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
     graft.queries.RelationalQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.ExtendedQueries.oracles ++
-      graft.queries.CurationQueries.oracles
+      graft.queries.CurationQueries.oracles ++
+      graft.queries.QualityQueries.oracles
 }

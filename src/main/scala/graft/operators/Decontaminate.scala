@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions.shingleHashes
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
@@ -45,5 +46,76 @@ object Decontaminate {
       .select(col(idCol),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         col("n_hits").isNotNull.as("contaminated"))
+  }
+
+  /** Fuzzy decontamination: flag corpus documents whose n-gram Jaccard
+    * similarity with ANY benchmark document reaches `threshold` — the
+    * near-duplicate leakage the exact n-gram rule misses (lightly
+    * paraphrased or reformatted eval items; the Llama/GPT-4-report
+    * style "contamination by high n-gram overlap").
+    *
+    * Same MinHash→LSH→verify funnel as [[Dedup.nearDupsMinhash]] but
+    * ASYMMETRIC: band keys and shingle hashes of the (small) benchmark
+    * side are broadcast, so the corpus is never self-joined — the scan
+    * side streams once through a broadcast-hash join per stage, and
+    * only corpus×bench band collisions are verified. Nothing shuffles
+    * but the per-doc max aggregation.
+    *
+    * Output (one row per corpus doc): `max_jaccard` against the
+    * benchmark (null when no candidate), the `bench_id` achieving it
+    * (smallest id on ties — deterministic), and `contaminated`.
+    * A doc PRESENT in the benchmark flags at jaccard 1.0 against other
+    * bench copies but never against itself (`doc != bench` candidate
+    * filter — the IncrementalDedup replay lesson). */
+  def fuzzyFlag(docs: DataFrame, bench: DataFrame, threshold: Double,
+                numHashes: Int = 16, bands: Int = 4,
+                idCol: String = "doc_id", benchIdCol: String = "doc_id",
+                textCol: String = "text",
+                storagePath: Option[String] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0,1], got $threshold")
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val corpusSigs = Dedup.signatureTable(docs, numHashes, bands, idCol, textCol,
+      storagePath)
+    // bench side is small by contract: computed lazily and recomputed
+    // per reference (nothing persisted — no session cache to leak) and
+    // broadcast into both join stages
+    val benchSigs = {
+      import graft.functions.TextFunctions._
+      bench.select(col(benchIdCol),
+        shingleHashes(col(textCol)).as("hashes"),
+        letBound(minhashSignature(col(textCol), numHashes)) { sig =>
+          minhashBands(sig, bands, numHashes / bands)
+        }.as("bands"))
+    }
+    val corpusBanded = corpusSigs.select(col(idCol),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val benchBanded = benchSigs.select(col(benchIdCol).as("bench_id"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    val cands = corpusBanded
+      .join(broadcast(benchBanded), Seq("band_idx", "band_hash"))
+      .filter(col(idCol) =!= col("bench_id"))
+      .select(col(idCol), col("bench_id"))
+      .distinct()
+    val common = size(array_intersect(col("hashes"), col("b_hashes"))).cast("double")
+    val verified = cands
+      .join(corpusSigs.select(col(idCol), col("hashes")), Seq(idCol))
+      .join(broadcast(benchSigs.select(col(benchIdCol).as("bench_id"),
+        col("hashes").as("b_hashes"))), Seq("bench_id"))
+      .select(col(idCol), col("bench_id"),
+        round(common / (size(col("hashes")) + size(col("b_hashes")) - common), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val best = verified
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("jaccard").desc, col("bench_id").asc)))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("jaccard").as("max_jaccard"), col("bench_id"))
+    docs.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("max_jaccard"), col("bench_id"),
+        col("max_jaccard").isNotNull.as("contaminated"))
   }
 }

@@ -292,6 +292,54 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Exact-substring duplication census (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * span duplicated VERBATIM across documents is the strongest dedup
+    * signal there is, and it is invisible to whole-document hashing
+    * when the surrounding text differs. The paper builds a suffix
+    * array; the shape that survives 100 TB on Spark is the hashed
+    * fixed-width window equivalent: every k-token window, hashed,
+    * grouped — a window shared by ≥2 docs is a duplicated span.
+    *
+    * Per doc this emits:
+    *  - `n_windows`   — distinct k-token windows in the doc,
+    *  - `n_shared`    — windows also present in ANY other doc,
+    *  - `n_dup_before`— windows whose earliest owner (min doc id) is an
+    *                    EARLIER doc — the "later copy" census that
+    *                    makes keep-first dedup decisions,
+    *  - `shared_frac` — n_shared / n_windows (round 6; null when the
+    *                    doc is shorter than k tokens).
+    *
+    * Scale: one scan projection (native shingle hashing) + explode,
+    * one hash shuffle on the window hash (count + min-owner per hash),
+    * one join back, one per-doc aggregation. No pair materialization
+    * at all — unlike the similarity funnels this is linear in corpus
+    * size, which is why exact-substring dedup is routinely run on
+    * full web-scale corpora. */
+  def substringDupStats(docs: DataFrame, k: Int = 10,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val win = docs.select(col(idCol),
+        explode(shingleHashes(col(textCol), k)).as("h"))
+    // shingleHashes is distinct-per-doc, so count(*) per hash == the
+    // number of distinct owning docs
+    val owners = win.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_owner"))
+    val perDoc = win.join(owners, "h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+           sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"),
+           sum(when(col("first_owner") < col(idCol), 1L).otherwise(0L))
+             .as("n_dup_before"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        coalesce(col("n_dup_before"), lit(0L)).as("n_dup_before"),
+        round(col("n_shared") / col("n_windows"), 6).as("shared_frac"))
+  }
+
   /** Embedding-cosine near-duplicates within a blocking key. Norms are
     * precomputed per vector BEFORE the pair join (1 dot product per
     * pair instead of 3 — at n² pairs that factor matters).

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rule-based document quality filters from the published LLM-corpus
+  * recipes: the Gopher quality rules (Rae et al. 2021, "Scaling
+  * Language Models", App. A1.1) and the C4 line-level cleaning rules
+  * (Raffel et al. 2020, "Exploring the Limits of Transfer Learning",
+  * §2.2). These run BEFORE model-based filtering in every production
+  * pipeline — they are cheap, transparent, and remove the bulk of
+  * boilerplate/garbage.
+  *
+  * Scale design (100 TB): every rule is a pure Column expression over
+  * the tokenized text — whole-stage-codegen'd scan projections, zero
+  * shuffle, embarrassingly parallel. The line filter rebuilds the
+  * document with `filter` + `array_join` instead of exploding to a
+  * line table and re-aggregating (which would shuffle every line of
+  * the corpus just to glue it back together).
+  *
+  * Cross-engine determinism: counts are int, ratios are int/int double
+  * divisions rounded to 6 — bit-stable vs the DuckDB oracle.
+  */
+object QualityRules {
+
+  /** Gopher stopword probe set (the paper's "must contain 2 of":
+    * the, be, to, of, and, that, have, with). */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-doc Gopher rule census: raw metrics, one boolean per rule,
+    * and the conjunctive `pass`. Bounds are parameters because the
+    * paper's absolute values (50..100k words) are corpus-specific;
+    * defaults are the paper's.
+    *
+    * Rules (paper numbering):
+    *  1. word count within [minWords, maxWords]
+    *  2. mean word length within [3, 10] characters
+    *  3. fraction of words with at least one alphabetic char ≥ 0.8
+    *  4. contains ≥ 2 of the stopword probe set
+    */
+  def gopherFlags(docs: DataFrame, minWords: Long = 50L, maxWords: Long = 100000L,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val out = letBound(tokens(lower(col(textCol)))) { toks =>
+      val n = size(toks).cast("long")
+      val meanLen = round(
+        aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / n, 6)
+      val alphaFrac = round(
+        size(filter(toks, w => w.rlike("[a-z]"))).cast("double") / n, 6)
+      val stopHits = size(filter(toks, w => w.isin(GopherStops.map(lit): _*)))
+        .cast("long")
+      struct(
+        n.as("n_words"), meanLen.as("mean_word_len"),
+        alphaFrac.as("alpha_frac"), stopHits.as("n_stop_hits"),
+        (n >= minWords && n <= maxWords).as("ok_words"),
+        (meanLen >= 3.0 && meanLen <= 10.0).as("ok_word_len"),
+        (alphaFrac >= 0.8).as("ok_alpha"),
+        (stopHits >= 2L).as("ok_stops"))
+    }
+    docs.select(col(idCol), out.as("g"))
+      .select(col(idCol), col("g.*"))
+      .withColumn("pass",
+        col("ok_words") && col("ok_word_len") && col("ok_alpha") && col("ok_stops"))
+  }
+
+  /** C4 terminal-punctuation set: a line must end in one of these to
+    * be kept ('.', '!', '?', closing quote). */
+  private def endsTerminal(line: Column): Column =
+    substring(line, -1, 1).isin(".", "!", "?", "\"")
+
+  /** C4-style line-level cleaning over newline-delimited text:
+    *  - keep only lines with ≥ `minWordsPerLine` words that end in
+    *    terminal punctuation;
+    *  - drop the whole document if it mentions "lorem ipsum" or
+    *    contains a curly brace (code/boilerplate tell), or if fewer
+    *    than `minLinesKept` lines survive.
+    *
+    * Output per doc: line census (`n_lines`, `n_kept`), the cleaned
+    * text's md5 + word count, and `dropped` with its reason. The
+    * cleaned text is rebuilt in place (`filter` + `array_join`) so the
+    * whole operator stays a scan projection. */
+  def c4LineFilter(docs: DataFrame, minWordsPerLine: Int = 5, minLinesKept: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keepLine = (l: Column) =>
+      size(tokens(l)) >= minWordsPerLine && endsTerminal(l)
+    val out = letBound(split(col(textCol), "\n")) { lines =>
+      letBound(array_join(filter(lines, keepLine), "\n")) { cleaned =>
+        val nKept = size(filter(lines, keepLine)).cast("long")
+        val badDoc = lower(col(textCol)).contains("lorem ipsum") ||
+          col(textCol).contains("{") || col(textCol).contains("}")
+        struct(
+          size(lines).cast("long").as("n_lines"),
+          nKept.as("n_kept"),
+          when(badDoc, "boilerplate")
+            .when(nKept < minLinesKept, "too_few_lines")
+            .otherwise(lit(null).cast("string")).as("drop_reason"),
+          md5(cleaned).as("clean_md5"),
+          when(length(cleaned) === 0, lit(0L))
+            .otherwise(size(tokens(cleaned)).cast("long")).as("clean_words"))
+      }
+    }
+    docs.select(col(idCol), out.as("c"))
+      .select(col(idCol), col("c.*"))
+      .withColumn("dropped", col("drop_reason").isNotNull)
+  }
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Decontaminate, LinearClassifier, NgramLM, QualityRules}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Quality-filtering plane (round 4 widening): the published LLM-corpus
+  * filter recipes as first-class operators — Gopher rule census, C4
+  * line-level cleaning, fastText-style hashed classifier scoring,
+  * CCNet-style n-gram LM cross-entropy, fuzzy (near-dup) benchmark
+  * decontamination, and the exact-substring duplication census. All
+  * oracle-checked against DuckDB.
+  */
+object QualityQueries {
+
+  /** qt10: per-doc Gopher rule census (Rae et al. 2021 App. A1.1) —
+    * raw metrics + one boolean per rule + conjunctive pass. Word-count
+    * bounds tightened to the fixture's ~30-70-word docs so the flag
+    * actually splits the corpus. Pure scan projection. */
+  def gopherRules(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    QualityRules.gopherFlags(t.documents, minWords = 40L, maxWords = 60L)
+      .orderBy($"doc_id")
+  }
+
+  val gopherRulesSql: String =
+    """WITH s AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') ws FROM documents),
+      |m AS (SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) n_words,
+      |    round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws), 6) mean_word_len,
+      |    round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws), 6) alpha_frac,
+      |    CAST(len(list_filter(ws, w -> w IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) n_stop_hits
+      |  FROM s),
+      |f AS (SELECT *,
+      |    n_words >= 40 AND n_words <= 60 AS ok_words,
+      |    mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_word_len,
+      |    alpha_frac >= 0.8 AS ok_alpha,
+      |    n_stop_hits >= 2 AS ok_stops
+      |  FROM m)
+      |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop_hits,
+      |  ok_words, ok_word_len, ok_alpha, ok_stops,
+      |  ok_words AND ok_word_len AND ok_alpha AND ok_stops AS pass
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  /** qt11: C4 line-level cleaning (Raffel et al. 2020 §2.2) over
+    * deterministically planted lines (the fixture corpus is single-line
+    * word soup, so lines are built IN THE QUERY — 12-token lines,
+    * terminal '.' on lines where (doc_id + line_idx) % 3 != 0 — both
+    * engines plant identically, the qt09 planted-PII precedent). Keep
+    * lines with ≥5 words ending in terminal punctuation; drop docs
+    * with < 3 surviving lines. */
+  def c4LineClean(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val planted = t.documents.select($"doc_id",
+      letBound(tokens($"text")) { w =>
+        array_join(
+          transform(sequence(lit(0), ceil(size(w) / lit(12.0)).cast("int") - 1), i =>
+            concat(concat_ws(" ", slice(w, i * lit(12) + 1, lit(12))),
+                   when((($"doc_id" + i) % 3) =!= 0, ".").otherwise(""))),
+          "\n")
+      }.as("text"))
+    QualityRules.c4LineFilter(planted, minWordsPerLine = 5, minLinesKept = 3)
+      .orderBy($"doc_id")
+  }
+
+  val c4LineCleanSql: String =
+    """WITH w0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |p AS (SELECT doc_id, array_to_string([
+      |    array_to_string(w[i*12+1:i*12+12], ' ') ||
+      |      CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END
+      |    for i in range(0, CAST(ceil(len(w)/12.0) AS INT))], chr(10)) AS text FROM w0),
+      |c AS (SELECT doc_id, text, string_split(text, chr(10)) lines FROM p),
+      |f AS (SELECT doc_id, text, lines,
+      |    list_filter(lines, l -> len(string_split_regex(trim(l), '\s+')) >= 5
+      |                        AND right(l, 1) IN ('.', '!', '?', '"')) kept
+      |  FROM c),
+      |-- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+      |-- array_join([]) is '' — normalize to the Spark/empty semantics
+      |f2 AS (SELECT *, COALESCE(array_to_string(kept, chr(10)), '') cleaned FROM f),
+      |r AS (SELECT doc_id,
+      |    CAST(len(lines) AS BIGINT) n_lines,
+      |    CAST(len(kept) AS BIGINT) n_kept,
+      |    CASE WHEN lower(text) LIKE '%lorem ipsum%' OR text LIKE '%{%' OR text LIKE '%}%'
+      |           THEN 'boilerplate'
+      |         WHEN len(kept) < 3 THEN 'too_few_lines' END drop_reason,
+      |    md5(cleaned) clean_md5,
+      |    CASE WHEN length(cleaned) = 0 THEN 0
+      |         ELSE CAST(len(string_split_regex(trim(cleaned), '\s+')) AS BIGINT)
+      |    END clean_words
+      |  FROM f2)
+      |SELECT doc_id, n_lines, n_kept, drop_reason, clean_md5, clean_words,
+      |  drop_reason IS NOT NULL AS dropped
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** qt12: CCNet-style LM filter scoring — bigram add-one LM fitted on
+    * the reference half (doc_id % 2 = 0), every doc scored by mean
+    * bigram nll (cross-entropy, nats). Model = two count tables;
+    * scoring = two equi-joins; per-term decimal sum keeps the mean
+    * bit-stable. */
+  def lmScore(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val model = NgramLM.fit(t.documents.filter($"doc_id" % 2 === 0))
+    NgramLM.crossEntropy(t.documents, model).orderBy($"doc_id")
+  }
+
+  val lmScoreSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') w FROM documents),
+      |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) c_w FROM (
+      |    SELECT unnest(w) tok FROM toks WHERE doc_id % 2 = 0) GROUP BY tok),
+      |v AS (SELECT CAST(COUNT(*) AS DOUBLE) v FROM uni),
+      |bgm AS (SELECT bg, CAST(COUNT(*) AS BIGINT) c_bg FROM (
+      |    SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) bg
+      |    FROM toks WHERE doc_id % 2 = 0) GROUP BY bg),
+      |db AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) bg FROM toks),
+      |t2 AS (SELECT doc_id, bg, string_split(bg, ' ')[1] w1 FROM db),
+      |s AS (SELECT doc_id,
+      |    CAST(round(-ln((COALESCE(c_bg, 0) + 1) / (COALESCE(c_w, 0) + v.v)), 6) AS DECIMAL(24,6)) nll
+      |  FROM t2 LEFT JOIN bgm USING (bg) LEFT JOIN uni ON uni.tok = t2.w1 CROSS JOIN v),
+      |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_bigrams,
+      |    CAST(SUM(nll) AS DOUBLE) / COUNT(*) cross_entropy
+      |  FROM s GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(g.n_bigrams, 0) AS n_bigrams, g.cross_entropy
+      |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** qt13: fastText/DCLM-style hashed linear classifier scoring —
+    * deterministic md5-derived weights (no trained artifact can ship
+    * here; the SHAPE is production: scan projection + per-doc agg,
+    * zero joins). */
+  def classifierScore(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    LinearClassifier.score(t.documents, dim = 64).orderBy($"doc_id")
+  }
+
+  val classifierScoreSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) tok FROM documents),
+      |b AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,4), i ->
+      |    (strpos('0123456789abcdef', substr(md5(tok), i+1, 1)) - 1) * power(16, 3-i)
+      |  )) AS BIGINT) % 64 AS bkt FROM tok),
+      |wt AS (SELECT doc_id, CAST(round(list_sum(list_transform(range(0,4), i ->
+      |    (strpos('0123456789abcdef', substr(md5(bkt::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |  )) / 65536.0 * 2.0 - 1.0, 6) AS DECIMAL(18,6)) w FROM b),
+      |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_tokens,
+      |    CAST(SUM(w) AS DOUBLE) / COUNT(*) logit
+      |  FROM wt GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(g.n_tokens, 0) AS n_tokens, g.logit,
+      |  round(1.0 / (1.0 + exp(-g.logit)), 6) AS prob
+      |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** qc07: FUZZY benchmark decontamination — MinHash→LSH→verify
+    * between the corpus and the benchmark set (doc_id % 50 = 0), the
+    * near-dup leakage the exact rule (qc02) misses. Benchmark side
+    * broadcast; corpus never self-joined. */
+  def fuzzyDecontaminate(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val bench = t.documents.filter($"doc_id" % 50 === 0)
+    Decontaminate.fuzzyFlag(t.documents, bench, threshold = 0.3)
+      .orderBy($"doc_id")
+  }
+
+  val fuzzyDecontaminateSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
+      |hsh AS (SELECT doc_id, list_distinct([md5(x) for x in sh]) hashes FROM shr),
+      |sig AS (SELECT doc_id, [list_aggregate([md5(s::VARCHAR || ':' || x) for x in sh], 'min') for s in range(0,16)] sg FROM shr),
+      |bands AS (SELECT doc_id, [md5(sg[4*b+1] || '|' || sg[4*b+2] || '|' || sg[4*b+3] || '|' || sg[4*b+4]) for b in range(0,4)] bs FROM sig),
+      |bt AS (SELECT doc_id, i band_idx, bs[i] band_hash FROM bands, range(1,5) t(i)),
+      |cand AS (SELECT DISTINCT c.doc_id, b.doc_id bench_id FROM bt c
+      |  JOIN bt b ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
+      |  WHERE b.doc_id % 50 = 0 AND c.doc_id <> b.doc_id),
+      |j AS (SELECT cand.doc_id, bench_id,
+      |    round(CAST(len(list_intersect(hc.hashes, hb.hashes)) AS DOUBLE) /
+      |          (len(hc.hashes) + len(hb.hashes) - CAST(len(list_intersect(hc.hashes, hb.hashes)) AS DOUBLE)), 6) jaccard
+      |  FROM cand JOIN hsh hc ON hc.doc_id = cand.doc_id JOIN hsh hb ON hb.doc_id = bench_id),
+      |jj AS (SELECT * FROM j WHERE jaccard >= 0.3),
+      |best AS (SELECT doc_id, jaccard max_jaccard, bench_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, bench_id ASC) rk
+      |    FROM jj) WHERE rk = 1)
+      |SELECT d.doc_id, best.max_jaccard, best.bench_id,
+      |  best.doc_id IS NOT NULL AS contaminated
+      |FROM documents d LEFT JOIN best ON best.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** qd09: exact-substring duplication census (hashed 10-token
+    * windows) — the Lee-et-al substring dedup signal in the linear,
+    * pair-free shape. */
+  def substringDedup(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Dedup.substringDupStats(t.documents, k = 10).orderBy($"doc_id")
+  }
+
+  val substringDedupSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |win AS (SELECT doc_id, unnest(list_distinct(
+      |    [md5(array_to_string(w[i:i+9], ' ')) for i in range(1, len(w)-8)])) h FROM toks),
+      |own AS (SELECT h, COUNT(*) n_docs, MIN(doc_id) first_owner FROM win GROUP BY h),
+      |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_windows,
+      |    CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) n_shared,
+      |    CAST(SUM(CASE WHEN first_owner < doc_id THEN 1 ELSE 0 END) AS BIGINT) n_dup_before
+      |  FROM win JOIN own USING (h) GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(per.n_windows, 0) AS n_windows,
+      |  COALESCE(per.n_shared, 0) AS n_shared,
+      |  COALESCE(per.n_dup_before, 0) AS n_dup_before,
+      |  round(CAST(per.n_shared AS DOUBLE) / per.n_windows, 6) AS shared_frac
+      |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt10_gopher_rules"      -> ((s: SparkSession, d: String) => gopherRules(Tables(s, d))),
+    "qt11_c4_line_clean"     -> ((s: SparkSession, d: String) => c4LineClean(Tables(s, d))),
+    "qt12_lm_score"          -> ((s: SparkSession, d: String) => lmScore(Tables(s, d))),
+    "qt13_classifier_score"  -> ((s: SparkSession, d: String) => classifierScore(Tables(s, d))),
+    "qc07_fuzzy_decontam"    -> ((s: SparkSession, d: String) => fuzzyDecontaminate(Tables(s, d))),
+    "qd09_substring_dedup"   -> ((s: SparkSession, d: String) => substringDedup(Tables(s, d))),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "qt10_gopher_rules"      -> gopherRulesSql,
+    "qt11_c4_line_clean"     -> c4LineCleanSql,
+    "qt12_lm_score"          -> lmScoreSql,
+    "qt13_classifier_score"  -> classifierScoreSql,
+    "qc07_fuzzy_decontam"    -> fuzzyDecontaminateSql,
+    "qd09_substring_dedup"   -> substringDedupSql,
+  )
+}

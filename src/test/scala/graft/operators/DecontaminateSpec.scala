@@ -44,4 +44,62 @@ class DecontaminateSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  // ---- fuzzy (near-dup) decontamination ----
+
+  // 30 tokens: a single-token edit leaves 25 of 28+3 3-gram shingles
+  // shared (jaccard ~0.81) — high enough that the 4x4 LSH banding
+  // deterministically lands a band collision
+  private val benchText = (1 to 30).map(i => s"tok$i").mkString(" ")
+
+  private lazy val fuzzyBench = Seq((100L, benchText)).toDF("doc_id", "text")
+
+  private lazy val fuzzyCorpus = Seq(
+    (0L, benchText),                                    // verbatim copy
+    (1L, benchText.replace("tok30", "EDITED")),         // near copy (1 token edited)
+    (2L, "one two three four five six seven eight"),    // unrelated
+    (100L, benchText))                                   // the bench doc ITSELF
+    .toDF("doc_id", "text")
+
+  test("fuzzyFlag: verbatim copy flags at jaccard 1.0; near copy above threshold") {
+    val out = Decontaminate.fuzzyFlag(fuzzyCorpus, fuzzyBench, threshold = 0.3)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(1)), Option(r.get(2)), r.getBoolean(3)))).toMap
+    assert(out(0L) == ((Some(1.0), Some(100L), true)))
+    val (nearJ, nearB, nearC) = out(1L)
+    assert(nearC && nearB == Some(100L) && nearJ.exists(_.asInstanceOf[Double] >= 0.3))
+    assert(out(2L) == ((None, None, false)))
+  }
+
+  test("fuzzyFlag: a doc never matches ITSELF in the benchmark (replay lesson)") {
+    // doc 100 appears in both corpus and bench with the same id: its only
+    // candidate is itself, which the id filter removes
+    val r = Decontaminate.fuzzyFlag(fuzzyCorpus, fuzzyBench, threshold = 0.3)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 100L).collect().head
+    assert(!r.getBoolean(3))
+  }
+
+  test("fuzzyFlag: ties on max_jaccard resolve to the smallest bench id") {
+    val twoBench = Seq((200L, benchText), (50L, benchText)).toDF("doc_id", "text")
+    val r = Decontaminate.fuzzyFlag(fuzzyCorpus.filter(
+        org.apache.spark.sql.functions.col("doc_id") === 0L),
+        twoBench, threshold = 0.3).collect().head
+    assert(r.getLong(2) == 50L && r.getDouble(1) == 1.0)
+  }
+
+  test("fuzzyFlag: bench side is broadcast in both funnel stages") {
+    val plan = Decontaminate.fuzzyFlag(fuzzyCorpus, fuzzyBench, threshold = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("fuzzyFlag: parameter contracts fail loudly") {
+    intercept[IllegalArgumentException] {
+      Decontaminate.fuzzyFlag(fuzzyCorpus, fuzzyBench, threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Decontaminate.fuzzyFlag(fuzzyCorpus, fuzzyBench, threshold = 0.5,
+        numHashes = 16, bands = 5)
+    }
+  }
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.Row
+
+class QualityRulesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- Gopher rules ----
+
+  private lazy val gopherDocs = Seq(
+    // 10 words, mean len 32/10 = 3.2, all alpha, stops {the,the,with} = 3
+    (1L, "the cat sat on the mat with joy today now"),
+    // 5 tokens, mean len 11/5 = 2.2 (too short), alpha 3/5 = 0.6, 0 stops
+    (2L, "aa bb cc 123 !!"),
+    // 8 words, mean 27/8 = 3.375, all alpha, stops {the,and,the,with} = 4
+    (3L, "the dog and the fox run with speed"))
+    .toDF("doc_id", "text")
+
+  test("gopherFlags: exact metrics and per-rule booleans") {
+    val out = QualityRules.gopherFlags(gopherDocs, minWords = 5L, maxWords = 8L)
+      .orderBy($"doc_id").collect()
+    assert(out(0) == Row(1L, 10L, 3.2, 1.0, 3L, false, true, true, true, false))
+    assert(out(1) == Row(2L, 5L, 2.2, 0.6, 0L, true, false, false, false, false))
+    assert(out(2) == Row(3L, 8L, 3.375, 1.0, 4L, true, true, true, true, true))
+  }
+
+  test("gopherFlags: uppercase text is lowercased before token probes") {
+    val caps = Seq((1L, "THE Dog AND the Fox")).toDF("doc_id", "text")
+    val r = QualityRules.gopherFlags(caps, minWords = 1L, maxWords = 10L)
+      .select($"n_stop_hits").as[Long].head()
+    assert(r == 3L) // the, and, the
+  }
+
+  // ---- C4 line filter ----
+
+  private val goodA = "one two three four five."
+  private val goodB = "another good line with words."
+  private val goodC = "third fine line is here too."
+
+  private lazy val c4Docs = Seq(
+    // 3 good lines + 1 short + 1 no-terminal -> kept
+    (1L, s"$goodA\ntoo short.\n$goodB\nno terminal punct on this line\n$goodC"),
+    // good lines but boilerplate marker
+    (2L, s"$goodA\n$goodB\n$goodC\nlorem ipsum filler here."),
+    // only 2 surviving lines -> too_few_lines
+    (3L, s"$goodA\n$goodB\nshort one."),
+    // curly brace -> boilerplate
+    (4L, s"$goodA\n$goodB\n$goodC\nif (x) { return; }"),
+    // nothing survives -> cleaned text is EMPTY, not null
+    (5L, "all\nlines\nare\nshort."))
+    .toDF("doc_id", "text")
+
+  test("c4LineFilter: keeps >=5-word terminal-punct lines; census exact") {
+    val out = QualityRules.c4LineFilter(c4Docs).orderBy($"doc_id")
+      .select($"doc_id", $"n_lines", $"n_kept", $"drop_reason", $"clean_words", $"dropped")
+      .collect()
+    // clean_words: goodA 5 + goodB 5 + goodC 6 = 16
+    assert(out(0) == Row(1L, 5L, 3L, null, 16L, false))
+    assert(out(1) == Row(2L, 4L, 3L, "boilerplate", 16L, true))
+    assert(out(2) == Row(3L, 3L, 2L, "too_few_lines", 10L, true))
+    assert(out(3) == Row(4L, 4L, 3L, "boilerplate", 16L, true))
+    assert(out(4) == Row(5L, 4L, 0L, "too_few_lines", 0L, true))
+  }
+
+  test("c4LineFilter: cleaned text preserves line order; empty clean has md5 of ''") {
+    val r = QualityRules.c4LineFilter(c4Docs).orderBy($"doc_id").collect()
+    val md5OfDoc1 = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$goodA\n$goodB\n$goodC".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r(0).getAs[String]("clean_md5") == md5OfDoc1)
+    assert(r(4).getAs[String]("clean_md5") == "d41d8cd98f00b204e9800998ecf8427e")
+  }
+
+  test("c4LineFilter: '!'/'?'/closing-quote are terminal; ',' is not") {
+    val docs = Seq((1L,
+      "does this line have five words?\nyes this one has six words!\n" +
+      "he said \"five words in quotes\"\nfive words but trailing comma,"))
+      .toDF("doc_id", "text")
+    val r = QualityRules.c4LineFilter(docs, minLinesKept = 1).collect().head
+    assert(r.getAs[Long]("n_kept") == 3L)
+    assert(!r.getAs[Boolean]("dropped"))
+  }
+}
