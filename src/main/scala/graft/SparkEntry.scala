@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.ExtendedQueries.queries ++
       graft.queries.CurationQueries.queries ++
-      graft.queries.QualityQueries.queries
+      graft.queries.QualityQueries.queries ++
+      graft.queries.LayoutQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.ExtendedQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
-      graft.queries.QualityQueries.oracles
+      graft.queries.QualityQueries.oracles ++
+      graft.queries.LayoutQueries.oracles
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("zValue2: hand-computed Morton codes") {
+    val df = Seq((1L, 0L), (0L, 1L), (3L, 5L), (4095L, 4095L))
+      .toDF("x", "y")
+      .select(Layout.zValue2(col("x"), col("y"), bits = 12).as("z"))
+    // z(3,5): x bits 011 at even positions -> 1+4, y bits 101 at odd -> 2+32
+    assert(df.as[Long].collect().toSeq == Seq(1L, 2L, 39L, (1L << 24) - 1))
+  }
+
+  test("zorderAudit: z-prefix buckets are tight rectangles on BOTH dimensions") {
+    // the full 64x64 grid at bits=6, bucketBits=4 -> 16 quadrants of 16x16
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val out = Layout.zorderAudit(grid, col("x"), col("y"), bits = 6, bucketBits = 4)
+      .collect()
+    assert(out.length == 16)
+    assert(out.forall(_.getAs[Long]("n_rows") == 256L))
+    assert(out.forall { r =>
+      r.getAs[Long]("x_max") - r.getAs[Long]("x_min") == 15L &&
+      r.getAs[Long]("y_max") - r.getAs[Long]("y_min") == 15L })
+  }
+
+  test("zorderAudit: parameter contracts fail loudly") {
+    val df = Seq((1L, 1L)).toDF("x", "y")
+    intercept[IllegalArgumentException] { Layout.zValue2(col("x"), col("y"), bits = 0) }
+    intercept[IllegalArgumentException] {
+      Layout.zorderAudit(df, col("x"), col("y"), bits = 4, bucketBits = 9)
+    }
+  }
+
+  test("globalOrdinal: matches ROW_NUMBER over the global order, shuffled input") {
+    val ids = scala.util.Random.shuffle((1 to 1000).map(_ * 7L - 3500L)).toSeq
+    val df = ids.toDF("id").repartition(13)
+    val out = Layout.globalOrdinal(df, "id", numBuckets = 8)
+      .select($"id", $"ordinal").as[(Long, Long)].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq == (1L to 1000L))       // contiguous 1-based ranks
+    assert(out.map(_._1).toSeq == ids.sorted)          // rank order == value order
+  }
+
+  test("globalOrdinal: no data-scale window — every window is bucket-partitioned") {
+    val df = (1 to 100).map(_.toLong).toDF("id")
+    val plan = Layout.globalOrdinal(df, "id", numBuckets = 4)
+      .queryExecution.optimizedPlan.toString
+    // the only unpartitioned-looking window runs over the numBuckets-row
+    // offsets frame (constant lit partition); the data window partitions
+    // by the bucket id
+    assert(plan.contains("windowspecdefinition(__pid"))
+  }
+
+  test("globalOrdinal: single bucket degenerates gracefully") {
+    val df = Seq(5L, 1L, 3L).toDF("id")
+    val out = Layout.globalOrdinal(df, "id", numBuckets = 1)
+      .select($"id", $"ordinal").as[(Long, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((1L, 1L), (3L, 2L), (5L, 3L)))
+  }
+}
