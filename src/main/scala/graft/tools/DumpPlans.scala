@@ -76,6 +76,18 @@ object DumpPlans {
       ("qr01_data_card — single-pass rollup",
        "All (source, lang) granularities + subtotals + the grand total from ONE scan: Expand replicates each row per grouping set BETWEEN the partial and final aggregates, so the corpus is read once and map-side combine still applies. No unioned groupBys, no second scan.",
        fmt(graft.queries.CurationQueries.dataCard(t))),
+      ("qc07_fuzzy_decontam — asymmetric MinHash funnel",
+       "Both funnel stages broadcast the benchmark side: band collision candidates and Jaccard verification are each a BroadcastHashJoin against bench-derived frames, so the corpus is banded and verified WITHOUT ever self-joining — the only corpus shuffles are the candidate distinct and the per-doc max. Decontaminating 100 TB against a fixed eval suite stays one corpus pass plus small aggregations.",
+       fmt(graft.queries.QualityQueries.fuzzyDecontaminate(t))),
+      ("qd09_substring_dedup — linear duplication census",
+       "No pair materialization anywhere: window hashes explode from a native shingle projection, ONE hash shuffle builds the per-window owner census (count + min owner, partial+final), one join attributes windows back to docs, one aggregate summarizes per doc. Linear in corpus size — the property that lets exact-substring dedup run on full web-scale corpora where pairwise funnels cannot.",
+       fmt(graft.queries.QualityQueries.substringDedup(t))),
+      ("qt12_lm_score — n-gram LM scoring",
+       "The fitted model is DATA (bigram + unigram count tables), not driver state: scoring is two equi joins on the n-gram string — shuffle joins by default because a web-scale reference model is itself huge (broadcastModel is the knob for small ones) — followed by a per-doc decimal-exact aggregation. Nothing is collected.",
+       fmt(graft.queries.QualityQueries.lmScore(t))),
+      ("qz02_global_ordinal — global rank without the global window",
+       "ROW_NUMBER-over-everything semantics with no single-partition window: deterministic value-range buckets from a broadcast min/max, per-bucket counts rolled into offsets over a numBuckets-row frame (constant partition — driver-scale), then offset + row_number within each bounded bucket. The naive formulation funnels the entire table through one task; this one never creates a window partition larger than ~1/numBuckets of the data.",
+       fmt(graft.queries.LayoutQueries.globalOrdinal(t))),
     )
 
     val md = new StringBuilder

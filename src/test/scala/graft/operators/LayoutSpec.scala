@@ -60,4 +60,35 @@ class LayoutSpec extends SparkTestBase {
       .select($"id", $"ordinal").as[(Long, Long)].collect().sortBy(_._2)
     assert(out.toSeq == Seq((1L, 1L), (3L, 2L), (5L, 3L)))
   }
+
+  test("z-ordered WRITE produces files tight on BOTH dims (the file-skipping evidence)") {
+    // 64x64 grid -> 16 range partitions by z vs 16 by a linear (x, y) sort.
+    // Z-order: every file's x-span AND y-span stay <= half the domain
+    // (a contiguous Morton range is a compact rectangle-ish region).
+    // Linear: files are x-slices that span the ENTIRE y domain, so a
+    // y-predicate can never skip a file.
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x.toLong, y.toLong)))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    try {
+      val z = grid.withColumn("z", Layout.zValue2(col("x"), col("y"), bits = 6))
+      z.repartitionByRange(16, col("z")).sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(s"$dir/zorder")
+      grid.repartitionByRange(16, col("x"), col("y"))
+        .write.mode("overwrite").parquet(s"$dir/linear")
+      def spans(path: String) = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg((max($"x") - min($"x")).as("xs"), (max($"y") - min($"y")).as("ys"))
+        .select($"xs", $"ys").as[(Long, Long)].collect()
+      val zSpans = spans(s"$dir/zorder")
+      val linSpans = spans(s"$dir/linear")
+      assert(zSpans.forall { case (xs, ys) => xs <= 32 && ys <= 32 },
+        s"z-order files must be tight on both dims: ${zSpans.mkString(",")}")
+      // the linear layout's files each cover (almost) the whole y domain
+      assert(linSpans.count { case (_, ys) => ys >= 60 } >= linSpans.length / 2,
+        s"linear layout should be y-wide: ${linSpans.mkString(",")}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
 }

@@ -100,4 +100,44 @@ class PlanAuditSpec extends SparkTestBase {
     assert("Window \\[".r.findAllIn(p).length >= 2, p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("qt10/qt13: rule census and classifier scoring are join-free scan shapes") {
+    val pRules = plan(QualityQueries.gopherRules(t))
+    assert(!pRules.contains("Join"), s"gopher rules should be a pure projection:\n$pRules")
+    val pCls = plan(QualityQueries.classifierScore(t))
+    // classifier: explode + per-doc agg + the keep-empty-docs left join
+    // back onto ids — but never a shuffle of the weight "model"
+    assert(!pCls.contains("CartesianProduct") &&
+           !pCls.contains("BroadcastNestedLoopJoin"), pCls)
+  }
+
+  test("qc07: fuzzy decontamination broadcasts the bench side in BOTH stages") {
+    val p = plan(QualityQueries.fuzzyDecontaminate(t))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"bench band + bench hash joins must both broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("qd09: substring census is linear — no candidate-pair self-join columns") {
+    val p = plan(QualityQueries.substringDedup(t))
+    assert(!p.contains("a_id") && !p.contains("b_id"),
+      s"substring dedup must never materialize pairs:\n$p")
+    assert(p.contains("partial_"), s"owner census should combine map-side:\n$p")
+  }
+
+  test("qt12: LM scoring joins are equi joins on the n-gram key") {
+    val p = plan(QualityQueries.lmScore(t))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("qz02: global ordinal never plans a data-scale unpartitioned window") {
+    val df = LayoutQueries.globalOrdinal(t)
+    val windows = df.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    // the data window partitions by the bucket id; the only constant-
+    // partition window is the numBuckets-row offsets frame
+    assert(windows.exists(_.contains("windowspecdefinition(__pid")),
+      s"expected bucket-partitioned data window:\n${windows.mkString("\n")}")
+  }
 }
