@@ -118,4 +118,54 @@ object Decontaminate {
       .select(col(idCol), col("max_jaccard"), col("bench_id"),
         col("max_jaccard").isNotNull.as("contaminated"))
   }
+
+  /** SURGICAL decontamination: instead of flagging or dropping a
+    * contaminated document, remove exactly the n-gram spans it shares
+    * with the benchmark and keep the rest — the GPT-3-appendix "remove
+    * the overlapping window" remedy, which preserves the bulk of a
+    * long document that merely quotes one eval item.
+    *
+    * Mechanics: POSITIONAL n-grams this time (duplicates and order
+    * kept — a doc repeating a benchmark phrase twice must lose both
+    * sites), hash-joined against the broadcast benchmark gram set;
+    * each doc's hit starts collect into one bounded array (≤ its own
+    * token count), and the document is rebuilt in a single projection
+    * that drops every token covered by any hit window. A benchmark doc
+    * present in the corpus is scrubbed to nothing — by design: every
+    * one of its grams IS benchmark content.
+    *
+    * Scale: one corpus pass + broadcast join + per-doc agg; the
+    * rebuild join is id-keyed. Output per doc: `n_spans`,
+    * `n_tokens_removed`, `clean_md5` (of the space-joined surviving
+    * tokens), `contaminated`. */
+  def scrubSpans(docs: DataFrame, bench: DataFrame, n: Int = 5,
+                 idCol: String = "doc_id", textCol: String = "text",
+                 broadcastBench: Boolean = true): DataFrame = {
+    import graft.functions.TextFunctions._
+    val benchGrams0 = bench
+      .select(explode(shingleHashes(col(textCol), n)).as("h")).distinct()
+    val benchGrams = if (broadcastBench) broadcast(benchGrams0) else benchGrams0
+    val positioned = docs
+      .select(col(idCol), posexplode(shingles(col(textCol), n)).as(Seq("pos", "sh")))
+      .select(col(idCol), col("pos"), md5(col("sh")).as("h"))
+    val starts = positioned.join(benchGrams, "h")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    val rebuilt = letBound(tokens(col(textCol))) { w =>
+      letBound(coalesce(col("starts"), array().cast("array<int>"))) { st =>
+        letBound(filter(w, (tok, i) =>
+          !exists(st, s => i >= s && i <= s + lit(n - 1)))) { kept =>
+          struct(
+            size(st).cast("long").as("n_spans"),
+            (size(w) - size(kept)).cast("long").as("n_tokens_removed"),
+            md5(array_join(kept, " ")).as("clean_md5"),
+            (size(st) > 0).as("contaminated"))
+        }
+      }
+    }
+    docs.select(col(idCol), col(textCol))
+      .join(starts, Seq(idCol), "left")
+      .select(col(idCol), rebuilt.as("r"))
+      .select(col(idCol), col("r.*"))
+  }
 }

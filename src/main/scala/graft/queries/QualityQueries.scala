@@ -207,12 +207,116 @@ object QualityQueries {
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** qc08: SURGICAL decontamination — remove exactly the 5-gram spans
+    * shared with the benchmark set (doc_id % 50 = 0), keep the rest of
+    * the document. Positional grams (order + duplicates), broadcast
+    * bench set, single-projection rebuild. Benchmark docs present in
+    * the corpus scrub to nothing by design. */
+  def scrubSpans(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val bench = t.documents.filter($"doc_id" % 50 === 0)
+    Decontaminate.scrubSpans(t.documents, bench, n = 5)
+      .orderBy($"doc_id")
+  }
+
+  val scrubSpansSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, w, [md5(array_to_string(w[i:i+4], ' ')) for i in range(1, len(w)-3)] hs FROM toks),
+      |bl AS (SELECT list(DISTINCT h) grams FROM (SELECT unnest(hs) h FROM shr WHERE doc_id % 50 = 0)),
+      |st AS (SELECT doc_id, w, [i for i in range(1, len(hs)+1) if list_contains(grams, hs[i])] starts
+      |  FROM shr CROSS JOIN bl),
+      |rb AS (SELECT doc_id,
+      |    CAST(len(starts) AS BIGINT) n_spans,
+      |    CAST(len(w) AS BIGINT) n_tokens,
+      |    list_filter(w, (x, i) -> len(list_filter(starts, s -> i >= s AND i <= s + 4)) = 0) kept
+      |  FROM st)
+      |SELECT doc_id, n_spans,
+      |  n_tokens - CAST(len(kept) AS BIGINT) AS n_tokens_removed,
+      |  md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5,
+      |  n_spans > 0 AS contaminated
+      |FROM rb ORDER BY doc_id""".stripMargin
+
+  /** qc09: the composed corpus-release build — Gopher rule gate →
+    * classifier gate (logit ≥ 0, i.e. prob ≥ 0.5, WITHOUT evaluating
+    * the engine-ulp sigmoid in a filter) → surgical benchmark span
+    * scrubbing on the survivors → per-source release manifest
+    * (docs, contaminated count, tokens removed/kept). One declarative
+    * plan over the three quality operators; every stage deterministic,
+    * so two engines build the identical release. */
+  def corpusRelease(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val pass = QualityRules.gopherFlags(t.documents, minWords = 40L, maxWords = 60L)
+      .filter($"pass").select($"doc_id")
+    val confident = LinearClassifier.score(t.documents)
+      .filter($"logit" >= 0.0).select($"doc_id")
+    val kept = t.documents
+      .join(pass, "doc_id").join(confident, "doc_id")
+      .select($"doc_id", $"source", $"text")
+    val bench = t.documents.filter($"doc_id" % 50 === 0)
+    val scrubbed = Decontaminate.scrubSpans(kept, bench, n = 5)
+    scrubbed
+      .join(kept.select($"doc_id", $"source",
+        tokenCount($"text").cast("long").as("n_tokens")), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum(when($"contaminated", 1L).otherwise(0L)).as("n_contaminated"),
+           sum($"n_tokens_removed").as("tokens_removed"),
+           sum($"n_tokens" - $"n_tokens_removed").as("tokens_kept"))
+      .orderBy($"source")
+  }
+
+  val corpusReleaseSql: String =
+    """WITH s AS (SELECT doc_id, source, text, string_split_regex(trim(lower(text)), '\s+') ws FROM documents),
+      |m AS (SELECT doc_id,
+      |    len(ws) n_words,
+      |    round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws), 6) mean_word_len,
+      |    round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws), 6) alpha_frac,
+      |    len(list_filter(ws, w -> w IN ('the','be','to','of','and','that','have','with'))) n_stop_hits
+      |  FROM s),
+      |f AS (SELECT doc_id FROM m
+      |  WHERE n_words >= 40 AND n_words <= 60 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+      |    AND alpha_frac >= 0.8 AND n_stop_hits >= 2),
+      |tok AS (SELECT doc_id, unnest(ws) tok FROM s),
+      |b AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,4), i ->
+      |    (strpos('0123456789abcdef', substr(md5(tok), i+1, 1)) - 1) * power(16, 3-i)
+      |  )) AS BIGINT) % 64 AS bkt FROM tok),
+      |wt AS (SELECT doc_id, CAST(round(list_sum(list_transform(range(0,4), i ->
+      |    (strpos('0123456789abcdef', substr(md5(bkt::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |  )) / 65536.0 * 2.0 - 1.0, 6) AS DECIMAL(18,6)) w FROM b),
+      |g AS (SELECT doc_id FROM wt GROUP BY doc_id
+      |  HAVING CAST(SUM(w) AS DOUBLE) / COUNT(*) >= 0.0),
+      |kept AS (SELECT d.doc_id, d.source, d.text FROM documents d
+      |  JOIN f USING (doc_id) JOIN g USING (doc_id)),
+      |ktoks AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') w FROM kept),
+      |allt AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |bl AS (SELECT list(DISTINCT h) grams FROM (
+      |    SELECT unnest([md5(array_to_string(w[i:i+4], ' ')) for i in range(1, len(w)-3)]) h
+      |    FROM allt WHERE doc_id % 50 = 0)),
+      |shr AS (SELECT doc_id, source, w,
+      |    [md5(array_to_string(w[i:i+4], ' ')) for i in range(1, len(w)-3)] hs FROM ktoks),
+      |st AS (SELECT doc_id, source, w,
+      |    [i for i in range(1, len(hs)+1) if list_contains(grams, hs[i])] starts
+      |  FROM shr CROSS JOIN bl),
+      |rb AS (SELECT doc_id, source,
+      |    CAST(len(w) AS BIGINT) n_tokens,
+      |    CAST(len(w) - len(list_filter(w, (x, i) ->
+      |      len(list_filter(starts, s2 -> i >= s2 AND i <= s2 + 4)) = 0)) AS BIGINT) n_removed,
+      |    len(starts) > 0 contaminated
+      |  FROM st)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+      |  CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT) n_contaminated,
+      |  CAST(SUM(n_removed) AS BIGINT) tokens_removed,
+      |  CAST(SUM(n_tokens - n_removed) AS BIGINT) tokens_kept
+      |FROM rb GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qt10_gopher_rules"      -> ((s: SparkSession, d: String) => gopherRules(Tables(s, d))),
     "qt11_c4_line_clean"     -> ((s: SparkSession, d: String) => c4LineClean(Tables(s, d))),
     "qt12_lm_score"          -> ((s: SparkSession, d: String) => lmScore(Tables(s, d))),
     "qt13_classifier_score"  -> ((s: SparkSession, d: String) => classifierScore(Tables(s, d))),
     "qc07_fuzzy_decontam"    -> ((s: SparkSession, d: String) => fuzzyDecontaminate(Tables(s, d))),
+    "qc08_scrub_spans"       -> ((s: SparkSession, d: String) => scrubSpans(Tables(s, d))),
+    "qc09_corpus_release"    -> ((s: SparkSession, d: String) => corpusRelease(Tables(s, d))),
     "qd09_substring_dedup"   -> ((s: SparkSession, d: String) => substringDedup(Tables(s, d))),
   )
 
@@ -222,6 +326,8 @@ object QualityQueries {
     "qt12_lm_score"          -> lmScoreSql,
     "qt13_classifier_score"  -> classifierScoreSql,
     "qc07_fuzzy_decontam"    -> fuzzyDecontaminateSql,
+    "qc08_scrub_spans"       -> scrubSpansSql,
+    "qc09_corpus_release"    -> corpusReleaseSql,
     "qd09_substring_dedup"   -> substringDedupSql,
   )
 }

@@ -57,6 +57,20 @@ object ScaleStress {
       c.count()
     }
     assert(altComps == comps, s"alternating labeled $altComps vs $comps")
+    // the LINEAR substring census on the same pair-adversarial corpus:
+    // replication makes every window a reps-owner window, but the
+    // census never materializes pairs, so cost stays ~linear in rows
+    // (vs the funnels' reps² pair volume) — the structural claim,
+    // measured
+    val subDocs = time("substring census") {
+      val s = Dedup.substringDupStats(big, k = 10).localCheckpoint(true)
+      s.count()
+    }
+    assert(subDocs == n, s"substring census covered $subDocs of $n docs")
+    val fullyShared = Dedup.substringDupStats(big, k = 10)
+      .filter(col("n_windows") > 0 && col("n_shared") === col("n_windows")).count()
+    // every replicated doc shares ALL its windows with its copies
+    println(s"[stress]   fully-shared docs = $fullyShared of $n")
     spark.catalog.clearCache()
     spark.stop()
   }

@@ -93,6 +93,52 @@ class DecontaminateSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  // ---- surgical span scrubbing ----
+
+  test("scrubSpans: removes exactly the covered tokens, keeps the rest") {
+    // bench "alpha..zeta" (6 tokens) has two 5-grams; the corpus doc
+    // hits both at starts {1, 2}, covering tokens 1..6 of 8 — only
+    // "prefix" and "suffix" survive
+    val out = Decontaminate.scrubSpans(corpus, bench, n = 5)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id")).collect()
+    val d0 = out(0)
+    assert(d0.getAs[Long]("n_spans") == 2L)
+    assert(d0.getAs[Long]("n_tokens_removed") == 6L)
+    assert(d0.getAs[Boolean]("contaminated"))
+    assert(d0.getAs[String]("clean_md5") == md5Hex("prefix suffix"))
+    // word-overlap-only, unrelated, and sub-gram docs keep everything
+    Seq(1, 2, 3).foreach { i =>
+      assert(out(i).getAs[Long]("n_spans") == 0L)
+      assert(out(i).getAs[Long]("n_tokens_removed") == 0L)
+      assert(!out(i).getAs[Boolean]("contaminated"))
+    }
+    assert(out(1).getAs[String]("clean_md5") ==
+      md5Hex("alpha beta gamma xxx delta epsilon zeta alpha beta"))
+  }
+
+  test("scrubSpans: a repeated benchmark phrase is removed at EVERY site") {
+    val rep = Seq((0L,
+      "alpha beta gamma delta epsilon x alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val r = Decontaminate.scrubSpans(rep, bench, n = 5).collect().head
+    // hits at starts 0 and 6 cover tokens 0..4 and 6..10: only "x" survives
+    assert(r.getAs[Long]("n_spans") == 2L)
+    assert(r.getAs[Long]("n_tokens_removed") == 10L)
+    assert(r.getAs[String]("clean_md5") == md5Hex("x"))
+  }
+
+  test("scrubSpans: a benchmark doc in the corpus scrubs to nothing") {
+    val withBench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val r = Decontaminate.scrubSpans(withBench, bench, n = 5).collect().head
+    assert(r.getAs[Long]("n_tokens_removed") == 6L)
+    assert(r.getAs[String]("clean_md5") == md5Hex(""))
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   test("fuzzyFlag: parameter contracts fail loudly") {
     intercept[IllegalArgumentException] {
       Decontaminate.fuzzyFlag(fuzzyCorpus, fuzzyBench, threshold = 0.0)
