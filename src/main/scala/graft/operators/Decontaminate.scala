@@ -64,38 +64,38 @@ object Decontaminate {
     * Output (one row per corpus doc): `max_jaccard` against the
     * benchmark (null when no candidate), the `bench_id` achieving it
     * (smallest id on ties — deterministic), and `contaminated`.
-    * A doc PRESENT in the benchmark flags at jaccard 1.0 against other
-    * bench copies but never against itself (`doc != bench` candidate
-    * filter — the IncrementalDedup replay lesson). */
+    *
+    * Id-space contract: with `sharedIdSpace = true` (default — the
+    * bench-is-a-corpus-subset shape) equal ids mean THE SAME document,
+    * so a doc never matches itself but still flags at 1.0 against
+    * other copies (the IncrementalDedup replay lesson). When the
+    * benchmark carries its OWN ids, equal ids are a coincidence, not
+    * identity — pass `sharedIdSpace = false` or a numeric collision
+    * silently suppresses a genuine contamination hit. */
   def fuzzyFlag(docs: DataFrame, bench: DataFrame, threshold: Double,
                 numHashes: Int = 16, bands: Int = 4,
                 idCol: String = "doc_id", benchIdCol: String = "doc_id",
                 textCol: String = "text",
+                sharedIdSpace: Boolean = true,
                 storagePath: Option[String] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
-    require(numHashes % bands == 0,
-      s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val corpusSigs = Dedup.signatureTable(docs, numHashes, bands, idCol, textCol,
       storagePath)
-    // bench side is small by contract: computed lazily and recomputed
-    // per reference (nothing persisted — no session cache to leak) and
-    // broadcast into both join stages
-    val benchSigs = {
-      import graft.functions.TextFunctions._
-      bench.select(col(benchIdCol),
-        shingleHashes(col(textCol)).as("hashes"),
-        letBound(minhashSignature(col(textCol), numHashes)) { sig =>
-          minhashBands(sig, bands, numHashes / bands)
-        }.as("bands"))
-    }
+    // bench side is small by contract: the SAME projection the corpus
+    // funnel uses (hash compatibility by construction), computed lazily
+    // and recomputed per reference (nothing persisted — no session
+    // cache to leak), broadcast into both join stages
+    val benchSigs = Dedup.signatureProjection(bench, numHashes, bands,
+      benchIdCol, textCol)
     val corpusBanded = corpusSigs.select(col(idCol),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val benchBanded = benchSigs.select(col(benchIdCol).as("bench_id"),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
-    val cands = corpusBanded
+    val collided = corpusBanded
       .join(broadcast(benchBanded), Seq("band_idx", "band_hash"))
-      .filter(col(idCol) =!= col("bench_id"))
+    val cands = (if (sharedIdSpace) collided.filter(col(idCol) =!= col("bench_id"))
+                 else collided)
       .select(col(idCol), col("bench_id"))
       .distinct()
     val common = size(array_intersect(col("hashes"), col("b_hashes"))).cast("double")

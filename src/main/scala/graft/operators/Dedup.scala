@@ -55,18 +55,28 @@ object Dedup {
     *    the caller drops it (`spark.catalog.clearCache()`, as Verify
     *    and Bench do between queries) — the funnel's result is lazy, so
     *    this function cannot unpersist it itself. */
-  private[graft] def signatureTable(docs: DataFrame, numHashes: Int, bands: Int,
-                                    idCol: String, textCol: String,
-                                    storagePath: Option[String] = None): DataFrame = {
+  /** The one (id, shingle hashes, band keys) projection every MinHash
+    * consumer must share — signatureTable persists it, fuzzy
+    * decontamination broadcasts it unpersisted for the bench side. A
+    * single definition keeps corpus and bench hashes join-compatible
+    * by construction. */
+  private[graft] def signatureProjection(docs: DataFrame, numHashes: Int,
+                                         bands: Int, idCol: String,
+                                         textCol: String): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands): " +
         "trailing signature rows would silently never enter any band")
-    val rows = numHashes / bands
-    val sigs = docs.select(col(idCol),
-        shingleHashes(col(textCol)).as("hashes"),
-        letBound(minhashSignature(col(textCol), numHashes)) { sig =>
-          minhashBands(sig, bands, rows)
-        }.as("bands"))
+    docs.select(col(idCol),
+      shingleHashes(col(textCol)).as("hashes"),
+      letBound(minhashSignature(col(textCol), numHashes)) { sig =>
+        minhashBands(sig, bands, numHashes / bands)
+      }.as("bands"))
+  }
+
+  private[graft] def signatureTable(docs: DataFrame, numHashes: Int, bands: Int,
+                                    idCol: String, textCol: String,
+                                    storagePath: Option[String] = None): DataFrame = {
+    val sigs = signatureProjection(docs, numHashes, bands, idCol, textCol)
     storagePath match {
       case Some(path) =>
         sigs.write.mode("overwrite").parquet(path)

@@ -45,8 +45,16 @@ object Layout {
                   bits: Int = 12, bucketBits: Int = 6): DataFrame = {
     require(bucketBits >= 1 && bucketBits <= 2 * bits,
       s"bucketBits ($bucketBits) must be in [1, ${2 * bits}]")
-    val z = zValue2(xCol, yCol, bits)
-    df.select(xCol.as("x"), yCol.as("y"), z.as("z"))
+    // out-of-domain values would silently alias (zValue2 drops high
+    // bits), making the min/max spans meaningless — fail loudly instead
+    val lim = 1L << bits
+    def guarded(c: Column, nm: String): Column =
+      when(c < 0 || c >= lim,
+        raise_error(lit(s"zorderAudit: $nm outside [0, $lim) for bits=$bits — " +
+          "mod/scale the column into the z-domain first")).cast("long"))
+        .otherwise(c)
+    val z = zValue2(guarded(xCol, "x"), guarded(yCol, "y"), bits)
+    df.select(guarded(xCol, "x").as("x"), guarded(yCol, "y").as("y"), z.as("z"))
       .withColumn("bucket", shiftright(col("z"), 2 * bits - bucketBits))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
@@ -58,10 +66,14 @@ object Layout {
     * (unique values — ties would make the rank ambiguous), without a
     * single-partition window. Three declarative steps:
     *
-    *  1. value-range bucket: `p = floor((v - min) / (max - min + 1) * P)`
-    *     from a broadcast min/max — deterministic (never sampling, the
+    *  1. value-range bucket: `p = floor((v - min) / (max - min) * P)`
+    *     (clamped; degenerate single-value range → bucket 0) from a
+    *     broadcast min/max — deterministic (never sampling, the
     *     `repartitionByRange` trap: its sampled boundaries can differ
-    *     between the two plan subtrees that need them);
+    *     between the two plan subtrees that need them), and correct for
+    *     ANY numeric scale including sub-1.0 ranges (scores, ratios);
+    *     NULL order values are rejected loudly — they have no rank in
+    *     the `ROW_NUMBER() OVER (ORDER BY v)` contract;
     *  2. per-bucket counts → running offsets (a window over P rows —
     *     driver-scale, not data-scale);
     *  3. offset + row_number within the bucket (each window partition
@@ -76,11 +88,16 @@ object Layout {
     require(numBuckets >= 1, s"numBuckets must be positive, got $numBuckets")
     val v = col(orderCol)
     val mm = df.agg(min(v).cast("double").as("__mn"), max(v).cast("double").as("__mx"))
+    val span = col("__mx") - col("__mn")
     val bucketed = df.crossJoin(broadcast(mm))
       .withColumn("__pid",
-        least(floor((v.cast("double") - col("__mn")) /
-                    (col("__mx") - col("__mn") + 1.0) * numBuckets),
-              lit(numBuckets - 1L)).cast("long"))
+        when(v.isNull, raise_error(lit(
+          s"globalOrdinal: NULL in order column '$orderCol' — nulls have " +
+            "no rank under the ROW_NUMBER contract")).cast("long"))
+          .when(span === 0.0, lit(0L))
+          .otherwise(least(
+            floor((v.cast("double") - col("__mn")) / span * numBuckets),
+            lit(numBuckets - 1L)).cast("long")))
       .drop("__mn", "__mx")
     // constant partition key: the frame is numBuckets rows, so the
     // single-partition running sum is deliberate (and the explicit

@@ -83,20 +83,25 @@ object QualityRules {
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val keepLine = (l: Column) =>
       size(tokens(l)) >= minWordsPerLine && endsTerminal(l)
+    // the kept-line array is let-bound so the per-line tokenization in
+    // keepLine runs ONCE per doc (an unbound second `filter` would
+    // re-split every line — the letBound lesson)
     val out = letBound(split(col(textCol), "\n")) { lines =>
-      letBound(array_join(filter(lines, keepLine), "\n")) { cleaned =>
-        val nKept = size(filter(lines, keepLine)).cast("long")
-        val badDoc = lower(col(textCol)).contains("lorem ipsum") ||
-          col(textCol).contains("{") || col(textCol).contains("}")
-        struct(
-          size(lines).cast("long").as("n_lines"),
-          nKept.as("n_kept"),
-          when(badDoc, "boilerplate")
-            .when(nKept < minLinesKept, "too_few_lines")
-            .otherwise(lit(null).cast("string")).as("drop_reason"),
-          md5(cleaned).as("clean_md5"),
-          when(length(cleaned) === 0, lit(0L))
-            .otherwise(size(tokens(cleaned)).cast("long")).as("clean_words"))
+      letBound(filter(lines, keepLine)) { keptLines =>
+        letBound(array_join(keptLines, "\n")) { cleaned =>
+          val nKept = size(keptLines).cast("long")
+          val badDoc = lower(col(textCol)).contains("lorem ipsum") ||
+            col(textCol).contains("{") || col(textCol).contains("}")
+          struct(
+            size(lines).cast("long").as("n_lines"),
+            nKept.as("n_kept"),
+            when(badDoc, "boilerplate")
+              .when(nKept < minLinesKept, "too_few_lines")
+              .otherwise(lit(null).cast("string")).as("drop_reason"),
+            md5(cleaned).as("clean_md5"),
+            when(length(cleaned) === 0, lit(0L))
+              .otherwise(size(tokens(cleaned)).cast("long")).as("clean_words"))
+        }
       }
     }
     docs.select(col(idCol), out.as("c"))

@@ -62,12 +62,12 @@ object ScaleStress {
     // census never materializes pairs, so cost stays ~linear in rows
     // (vs the funnels' reps² pair volume) — the structural claim,
     // measured
-    val subDocs = time("substring census") {
+    val subStats = time("substring census") {
       val s = Dedup.substringDupStats(big, k = 10).localCheckpoint(true)
-      s.count()
+      s.count(); s
     }
-    assert(subDocs == n, s"substring census covered $subDocs of $n docs")
-    val fullyShared = Dedup.substringDupStats(big, k = 10)
+    assert(subStats.count() == n, s"substring census covered ${subStats.count()} of $n docs")
+    val fullyShared = subStats
       .filter(col("n_windows") > 0 && col("n_shared") === col("n_windows")).count()
     // every replicated doc shares ALL its windows with its copies
     println(s"[stress]   fully-shared docs = $fullyShared of $n")

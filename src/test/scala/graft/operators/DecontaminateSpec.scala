@@ -79,6 +79,16 @@ class DecontaminateSpec extends SparkTestBase {
     assert(!r.getBoolean(3))
   }
 
+  test("fuzzyFlag: sharedIdSpace=false treats equal ids as a coincidence, not identity") {
+    // the benchmark has its OWN id space: corpus doc 100 and bench item
+    // 100 are different things that happen to share a number — the hit
+    // must NOT be suppressed
+    val r = Decontaminate.fuzzyFlag(fuzzyCorpus, fuzzyBench, threshold = 0.3,
+        sharedIdSpace = false)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 100L).collect().head
+    assert(r.getBoolean(3) && r.getDouble(1) == 1.0)
+  }
+
   test("fuzzyFlag: ties on max_jaccard resolve to the smallest bench id") {
     val twoBench = Seq((200L, benchText), (50L, benchText)).toDF("doc_id", "text")
     val r = Decontaminate.fuzzyFlag(fuzzyCorpus.filter(

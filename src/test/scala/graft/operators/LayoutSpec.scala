@@ -61,6 +61,45 @@ class LayoutSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1L, 1L), (3L, 2L), (5L, 3L)))
   }
 
+  test("globalOrdinal: sub-1.0 value ranges bucket correctly (scores, ratios)") {
+    // values in [0, 0.01): the old integer-spacing formula collapsed
+    // these into one bucket (a data-scale window); ranks must hold AND
+    // spread across buckets
+    val vals = scala.util.Random.shuffle((1 to 500).map(_ * 0.00002)).toSeq
+    val out = Layout.globalOrdinal(vals.toDF("score"), "score", numBuckets = 8)
+      .select($"score", $"ordinal").as[(Double, Long)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq == vals.sorted)
+    // pin the spread via the bucket formula on the known min/max
+    val (mn, mx) = (vals.min, vals.max)
+    val pids = vals.map(v => math.min(math.floor((v - mn) / (mx - mn) * 8).toLong, 7L))
+    assert(pids.distinct.size == 8, s"expected 8 buckets, got ${pids.distinct.size}")
+  }
+
+  test("globalOrdinal: identical values everywhere degenerate to one bucket, not NaN") {
+    val out = Layout.globalOrdinal(Seq(2L, 2L).toDF("id").withColumn("id", $"id" * 0 + 7),
+        "id", numBuckets = 4)
+      .select($"ordinal").as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L)) // ties broken arbitrarily but ranks contiguous
+  }
+
+  test("globalOrdinal: NULL order values fail loudly, never mis-rank") {
+    val df = Seq(Some(1L), None, Some(3L)).toDF("id")
+    val e = intercept[Exception] {
+      Layout.globalOrdinal(df, "id", numBuckets = 4).collect()
+    }
+    assert(e.getMessage.contains("NULL in order column") ||
+      Option(e.getCause).exists(_.getMessage.contains("NULL in order column")))
+  }
+
+  test("zorderAudit: out-of-domain values fail loudly instead of aliasing") {
+    val df = Seq((5000L, 1L)).toDF("x", "y") // 5000 >= 2^12
+    val e = intercept[Exception] {
+      Layout.zorderAudit(df, col("x"), col("y"), bits = 12).collect()
+    }
+    assert(e.getMessage.contains("outside [0,") ||
+      Option(e.getCause).exists(_.getMessage.contains("outside [0,")))
+  }
+
   test("z-ordered WRITE produces files tight on BOTH dims (the file-skipping evidence)") {
     // 64x64 grid -> 16 range partitions by z vs 16 by a linear (x, y) sort.
     // Z-order: every file's x-span AND y-span stay <= half the domain
