@@ -204,6 +204,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Edit-distance near-duplicates: MinHash LSH candidates verified by
+    * exact Levenshtein distance ≤ `maxDist` — the verify to reach for
+    * when the dedup CONTRACT is character-level ("differs by at most k
+    * edits": ids, titles, template instantiations), which set-based
+    * Jaccard cannot express (one repeated token swap moves Jaccard a
+    * lot or not at all depending on shingle width).
+    *
+    * Scale notes, honestly: (a) the verify joins candidate TEXT pairs
+    * — unlike the Jaccard funnel, whose verify reads the materialized
+    * hash sets — so candidate fan-out moves document text through a
+    * shuffle; (b) Levenshtein is O(|a|·|b|) per pair. Both are fine
+    * for short text fields and bounded candidate sets (what LSH
+    * delivers); for long documents use the Jaccard/simhash funnels.
+    * Recall is the banding's: a pair within maxDist edits that shares
+    * no band never surfaces — candidates, not a guarantee (the
+    * pigeonhole guarantee belongs to the simhash funnel). */
+  def nearDupsEditDistance(docs: DataFrame, maxDist: Int,
+                           numHashes: Int = 16, bands: Int = 4,
+                           idCol: String = "doc_id", textCol: String = "text",
+                           storagePath: Option[String] = None): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val sigs = signatureTable(docs, numHashes, bands, idCol, textCol, storagePath)
+    val cands = candidatesFrom(sigs, idCol)
+    val texts = docs.select(col(idCol), col(textCol))
+    cands
+      .join(texts.select(col(idCol).as("a_id"), col(textCol).as("a_text")), "a_id")
+      .join(texts.select(col(idCol).as("b_id"), col(textCol).as("b_text")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_text"), col("b_text")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= maxDist)
+  }
+
   /** Per-doc 16-bit SimHash fingerprint. */
   def withSimhash(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.withColumn("simhash", simhash16(col(textCol)))

@@ -38,9 +38,14 @@ object QualityRules {
     *  2. mean word length within [3, 10] characters
     *  3. fraction of words with at least one alphabetic char ≥ 0.8
     *  4. contains ≥ 2 of the stopword probe set
-    */
+    *
+    * `extraCols` carries input columns through unchanged (e.g. the
+    * text itself, when the census is a streaming pre-gate feeding a
+    * downstream consumer). Being a pure projection, this operator
+    * composes directly into Structured Streaming plans. */
   def gopherFlags(docs: DataFrame, minWords: Long = 50L, maxWords: Long = 100000L,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  extraCols: Seq[String] = Nil): DataFrame = {
     val out = letBound(tokens(lower(col(textCol)))) { toks =>
       val n = size(toks).cast("long")
       val meanLen = round(
@@ -57,8 +62,8 @@ object QualityRules {
         (alphaFrac >= 0.8).as("ok_alpha"),
         (stopHits >= 2L).as("ok_stops"))
     }
-    docs.select(col(idCol), out.as("g"))
-      .select(col(idCol), col("g.*"))
+    docs.select(col(idCol) +: extraCols.map(col) :+ out.as("g"): _*)
+      .select(col(idCol) +: extraCols.map(col) :+ col("g.*"): _*)
       .withColumn("pass",
         col("ok_words") && col("ok_word_len") && col("ok_alpha") && col("ok_stops"))
   }

@@ -36,6 +36,26 @@ object Sketches {
     df.groupBy(col(keyCol))
       .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
 
+  /** Per-key approximate quantiles via `percentile_approx`
+    * (Greenwald-Khanna style): one map-side-combining aggregate with a
+    * bounded-size summary per group, vs the exact ordered-set
+    * aggregate's full sort of every group. The `accuracy` knob IS the
+    * contract: each returned value's true rank is within
+    * ±ceil(n / accuracy) of the requested p·n — pinned by
+    * SketchesSpec against the exact quantiles. Use the exact
+    * PERCENTILE_DISC (qt07) when bit-stable cross-engine values
+    * matter; use this when the group is too large to sort. */
+  def approxQuantilesPerKey(df: DataFrame, keyCol: String, valueCol: String,
+                            probs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0,1], got $probs")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    df.groupBy(col(keyCol))
+      .agg(percentile_approx(col(valueCol),
+             array(probs.map(lit): _*), lit(accuracy)).as("quantiles"),
+           count(lit(1)).as("n"))
+  }
+
   /** Build a count-min sketch over `valueCol` in one aggregate pass.
     * The returned bytes are a storable artifact (like the bloom
     * filter): ship it anywhere and answer frequency queries without

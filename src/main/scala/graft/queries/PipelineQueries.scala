@@ -214,6 +214,32 @@ object PipelineQueries {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** qd10: edit-distance near-dups — LSH candidates verified by exact
+    * Levenshtein ≤ 5, the character-level dedup contract ("differs by
+    * at most k edits") set-based Jaccard cannot express. Both engines
+    * implement classic Levenshtein, so the funnel is cross-engine
+    * exact. */
+  def editDistanceNearDups(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Dedup.nearDupsEditDistance(t.documents, maxDist = 5)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  /** Oracle: qd03's signature/band pyramid, then Levenshtein verify on
+    * the candidate pairs' raw text. */
+  val editDistanceNearDupsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
+      |sig AS (SELECT doc_id, [list_aggregate([md5(s::VARCHAR || ':' || x) for x in sh], 'min') for s in range(0,16)] sg FROM shr),
+      |bands AS (SELECT doc_id, [md5(sg[4*b+1] || '|' || sg[4*b+2] || '|' || sg[4*b+3] || '|' || sg[4*b+4]) for b in range(0,4)] bs FROM sig),
+      |bt AS (SELECT doc_id, i band_idx, bs[i] band_hash FROM bands, range(1,5) t(i)),
+      |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM bt a
+      |  JOIN bt b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      |v AS (SELECT a_id, b_id,
+      |    CAST(levenshtein(da.text, db.text) AS BIGINT) edit_dist
+      |  FROM cand JOIN documents da ON da.doc_id = a_id JOIN documents db ON db.doc_id = b_id)
+      |SELECT a_id, b_id, edit_dist FROM v WHERE edit_dist <= 5 ORDER BY a_id, b_id""".stripMargin
+
   val simhash64NearDupsSql: String =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
       |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
@@ -535,6 +561,7 @@ object PipelineQueries {
     "qd06_dedup_clusters"  -> ((s: SparkSession, d: String) => dedupClusters(Tables(s, d))),
     "qd08_clusters_alternating" -> ((s: SparkSession, d: String) => dedupClustersAlternating(Tables(s, d))),
     "qd07_simhash64"       -> ((s: SparkSession, d: String) => simhash64NearDups(Tables(s, d))),
+    "qd10_editdist_neardup" -> ((s: SparkSession, d: String) => editDistanceNearDups(Tables(s, d))),
     "qs01_cosine_topk"     -> ((s: SparkSession, d: String) => cosineTopK(Tables(s, d))),
     "qs02_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(Tables(s, d))),
     "qs03_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(Tables(s, d))),
@@ -559,6 +586,7 @@ object PipelineQueries {
     "qd06_dedup_clusters"  -> dedupClustersSql,
     "qd08_clusters_alternating" -> dedupClustersSql, // same oracle: algorithms must agree
     "qd07_simhash64"       -> simhash64NearDupsSql,
+    "qd10_editdist_neardup" -> editDistanceNearDupsSql,
     "qs01_cosine_topk"     -> cosineTopKSql,
     "qs02_ann_lsh"         -> annLshSql,
     "qs03_ann_ivf"         -> annIvfSql,

@@ -73,4 +73,39 @@ class SketchesSpec extends SparkTestBase {
     assert(out("heavy")._2 == 3000L)          // exact recount on the flagged item
     assert(out("heavy")._1 >= 3000L)          // estimate never under
   }
+
+  test("approx quantiles: every returned value's rank is within n/accuracy of p*n") {
+    // two skewed keys: a power-law-ish long tail and a uniform one
+    val rows = (1 to 5000).map(i => ("pow", (i.toDouble / 5).toLong * i % 9973)) ++
+               (1 to 3000).map(i => ("uni", i.toLong))
+    val df = rows.toDF("k", "v")
+    val probs = Seq(0.1, 0.5, 0.9, 0.99)
+    val accuracy = 100
+    val out = Sketches.approxQuantilesPerKey(df, "k", "v", probs, accuracy)
+      .as[(String, Seq[Long], Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val byKey = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    out.foreach { case (k, (qs, n)) =>
+      assert(n == byKey(k).size)
+      val sortedVals = byKey(k)
+      probs.zip(qs).foreach { case (p, q) =>
+        // rank bracket of q among the exact sorted values
+        val lo = sortedVals.count(_ < q)       // smallest possible rank
+        val hi = sortedVals.count(_ <= q)      // largest possible rank
+        val target = p * n
+        val tol = math.ceil(n.toDouble / accuracy) + 1
+        assert(target >= lo - tol && target <= hi + tol,
+          s"key=$k p=$p q=$q rank-bracket=[$lo,$hi] target=$target tol=$tol")
+      }
+    }
+  }
+
+  test("approx quantiles: parameter contracts fail loudly") {
+    val df = Seq(("a", 1L)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Sketches.approxQuantilesPerKey(df, "k", "v", Seq(1.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.approxQuantilesPerKey(df, "k", "v", Seq(0.5), accuracy = 0)
+    }
+  }
 }

@@ -173,6 +173,41 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("quality-gated dedup stream: the rule census composes as a streaming pre-gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-qgate").toString
+    val store = s"$base/store"; val decisions = s"$base/decisions"
+    val good = "the quick brown fox jumps with the dog and the cat today"
+    graft.operators.IncrementalDedup.initStore(
+      Seq((0L, good)).toDF("doc_id", "text"), store)
+    val mem = MemoryStream[(Long, String)]
+    // gopherFlags is a pure projection, so it drops straight into the
+    // streaming plan; only passing docs reach the dedup store
+    val gated = graft.operators.QualityRules.gopherFlags(
+        mem.toDF.toDF("doc_id", "text"),
+        minWords = 5L, maxWords = 50L, extraCols = Seq("text"))
+      .filter($"pass").select($"doc_id", $"text")
+    val q = EventStreams.dedupStream(gated, store, decisions, threshold = 0.9).start()
+    try {
+      mem.addData(
+        (10L, good),                                               // dup of the stored doc
+        (11L, "aa bb !!"),                                         // fails every rule -> gated out
+        (12L, "a fresh group of words with the dog and the cat here now")) // unique keeper
+      q.processAllAvailable()
+      // a batch the gate empties entirely must not break the stream
+      mem.addData((13L, "zz !!"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(decisions)
+        .select("doc_id", "dup_of").as[(Long, Option[Long])].collect().toMap
+      assert(out(10L).contains(0L))
+      assert(out(12L).isEmpty)
+      assert(!out.contains(11L) && !out.contains(13L)) // never reached the pipeline
+      // the store grew only by the passing unique doc
+      assert(spark.read.parquet(store).select("id")
+        .as[Long].collect().toSet == Set(0L, 12L))
+    } finally q.stop()
+  }
+
   test("sessionizeBatch on the sf0.001 fixture: sessions partition events") {
     val t = Tables(spark, sf0001)
     val sessions = EventStreams.sessionizeBatch(t.events, gapMs = 1800000L)
