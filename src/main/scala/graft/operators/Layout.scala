@@ -62,6 +62,60 @@ object Layout {
            min(col("y")).as("y_min"), max(col("y")).as("y_max"))
   }
 
+  /** Small-file census of a parquet table: file count, byte totals,
+    * and the file count a `targetFileBytes` layout needs — the
+    * decision a compaction job starts from. Driver-side FileSystem
+    * listing only; no data is read. */
+  final case class CompactionPlan(nFiles: Int, totalBytes: Long,
+                                  minBytes: Long, maxBytes: Long,
+                                  targetFiles: Int) {
+    /** Worth compacting when the table holds many files well under
+      * target size. */
+    def needed: Boolean = nFiles > targetFiles * 2
+  }
+
+  def compactionPlan(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     targetFileBytes: Long = 128L << 20): CompactionPlan = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive")
+    // flat (unpartitioned) layout by contract: a partitioned table
+    // compacts per partition directory — call this on each leaf
+    // (fails loudly on a no-parquet dir rather than mis-measuring)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"no parquet files under $dir")
+    val sizes = files.map(_.getLen)
+    val total = sizes.sum
+    CompactionPlan(files.length, total, sizes.min, sizes.max,
+      math.max(1, math.ceil(total.toDouble / targetFileBytes).toInt))
+  }
+
+  /** Compact a parquet table to ~`targetFileBytes` files — the
+    * small-files maintenance every long-lived streaming/incremental
+    * sink needs (thousands of KB-sized micro-batch files turn a 100 TB
+    * scan into a listing + open-file storm). The rewrite goes through
+    * AtomicSwap's staging + rename, so a crash mid-compaction leaves
+    * the table readable (old or new, never half); optional `sortCols`
+    * re-clusters during the rewrite (compose with [[zValue2]] for
+    * z-ordered compaction). Returns the post-compaction plan. */
+  def compact(spark: org.apache.spark.sql.SparkSession, dir: String,
+              targetFileBytes: Long = 128L << 20,
+              sortCols: Seq[String] = Nil): CompactionPlan = {
+    val before = compactionPlan(spark, dir, targetFileBytes)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val staging = graft.hfc.AtomicSwap.stagingFor(dir)
+    val df = spark.read.parquet(dir)
+    val writer =
+      if (sortCols.isEmpty) df.repartition(before.targetFiles)
+      else df.repartitionByRange(before.targetFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
+    writer.write.mode("overwrite").parquet(staging)
+    graft.hfc.AtomicSwap.commitDir(fs, dir, staging)
+    compactionPlan(spark, dir, targetFileBytes)
+  }
+
   /** Deterministic global rank of every row by a NUMERIC order column
     * (unique values — ties would make the rank ambiguous), without a
     * single-partition window. Three declarative steps:

@@ -91,6 +91,43 @@ class LayoutSpec extends SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("NULL in order column")))
   }
 
+  test("compact: many small files collapse to the plan's target, data byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    try {
+      // 64 micro-files (the streaming-sink pathology)
+      (1 to 6400).map(i => (i.toLong, s"row$i")).toDF("id", "v")
+        .repartition(64).write.mode("overwrite").parquet(dir)
+      val before = Layout.compactionPlan(spark, dir, targetFileBytes = 1L << 20)
+      assert(before.nFiles == 64 && before.needed)
+      val after = Layout.compact(spark, dir, targetFileBytes = 1L << 20)
+      assert(after.nFiles == after.targetFiles && !after.needed)
+      val data = spark.read.parquet(dir).as[(Long, String)].collect().sorted
+      assert(data.length == 6400 && data.head == ((1L, "row1")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
+  test("compact with sortCols re-clusters during the rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString + "/t"
+    try {
+      (1 to 1000).map(i => ((i * 37) % 1000L, i.toLong)).toDF("k", "v")
+        .repartition(16).write.mode("overwrite").parquet(dir)
+      Layout.compact(spark, dir, targetFileBytes = 16L << 10, sortCols = Seq("k"))
+      // post-compaction files hold disjoint k ranges (range-clustered)
+      val ranges = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"k").as("lo"), max($"k").as("hi"))
+        .select($"lo", $"hi").as[(Long, Long)].collect().sortBy(_._1)
+      ranges.zip(ranges.tail).foreach { case ((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"overlapping file ranges: $hi > $lo2") }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+    }
+  }
+
   test("zorderAudit: out-of-domain values fail loudly instead of aliasing") {
     val df = Seq((5000L, 1L)).toDF("x", "y") // 5000 >= 2^12
     val e = intercept[Exception] {
