@@ -39,22 +39,6 @@ object Dedup {
                   textCol: String = "text"): DataFrame =
     docs.withColumn("minhash_sig", minhashSignature(col(textCol), numHashes))
 
-  /** Signature table: per doc, distinct shingle hashes + LSH band keys,
-    * computed in ONE pass over the text and materialized. Everything
-    * downstream (banding self-join, Jaccard verification) references
-    * this table from both join sides — without materialization Spark
-    * would re-run the signature scan once per side.
-    *
-    * Materialization contract:
-    *  - `storagePath = Some(dir)` — the 100 TB shape: the signature
-    *    table is written to storage as a first-class artifact (tiny
-    *    next to the text) and every downstream reference scans the
-    *    parquet, not the text. Survives executor loss; no cache memory.
-    *  - `storagePath = None` (default, test/bench scale) — persisted to
-    *    MEMORY_AND_DISK and eagerly materialized. The cache lives until
-    *    the caller drops it (`spark.catalog.clearCache()`, as Verify
-    *    and Bench do between queries) — the funnel's result is lazy, so
-    *    this function cannot unpersist it itself. */
   /** The one (id, shingle hashes, band keys) projection every MinHash
     * consumer must share — signatureTable persists it, fuzzy
     * decontamination broadcasts it unpersisted for the bench side. A
@@ -73,22 +57,41 @@ object Dedup {
       }.as("bands"))
   }
 
-  private[graft] def signatureTable(docs: DataFrame, numHashes: Int, bands: Int,
-                                    idCol: String, textCol: String,
-                                    storagePath: Option[String] = None): DataFrame = {
-    val sigs = signatureProjection(docs, numHashes, bands, idCol, textCol)
+  /** Materialization contract shared by the funnels:
+    *  - `storagePath = Some(dir)` — the 100 TB shape: the frame is
+    *    written to storage as a first-class artifact (tiny next to the
+    *    text) and every downstream reference scans the parquet, not
+    *    the text. Survives executor loss; no cache memory.
+    *  - `storagePath = None` (default, test/bench scale) — persisted to
+    *    MEMORY_AND_DISK and eagerly materialized. The cache lives until
+    *    the caller drops it (`spark.catalog.clearCache()`, as Verify
+    *    and Bench do between queries) — the funnel's result is lazy, so
+    *    this function cannot unpersist it itself. */
+  private def materialized(frame: DataFrame,
+                           storagePath: Option[String]): DataFrame =
     storagePath match {
       case Some(path) =>
-        sigs.write.mode("overwrite").parquet(path)
-        docs.sparkSession.read.parquet(path)
+        frame.write.mode("overwrite").parquet(path)
+        frame.sparkSession.read.parquet(path)
       case None =>
-        val cached = sigs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cached = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cached.count() // materialize NOW: the downstream self-join would
                        // otherwise race both sides into the cold cache and
                        // compute every signature twice
         cached
     }
-  }
+
+  /** Signature table: per doc, distinct shingle hashes + LSH band keys,
+    * computed in ONE pass over the text and materialized (see
+    * [[materialized]] for the storage-vs-cache contract). Everything
+    * downstream (banding self-join, Jaccard verification) references
+    * this table from both join sides — without materialization Spark
+    * would re-run the signature scan once per side. */
+  private[graft] def signatureTable(docs: DataFrame, numHashes: Int, bands: Int,
+                                    idCol: String, textCol: String,
+                                    storagePath: Option[String] = None): DataFrame =
+    materialized(
+      signatureProjection(docs, numHashes, bands, idCol, textCol), storagePath)
 
   /** LSH banding → distinct candidate pairs (a_id < b_id).
     * Shuffles on (band_idx, band_hash); only bucket-internal pairs are
@@ -225,7 +228,12 @@ object Dedup {
                            idCol: String = "doc_id", textCol: String = "text",
                            storagePath: Option[String] = None): DataFrame = {
     require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
-    val sigs = signatureTable(docs, numHashes, bands, idCol, textCol, storagePath)
+    // bands-only materialization: this funnel verifies on raw text, so
+    // persisting the (largest) shingle-hash arrays the Jaccard verify
+    // needs would be pure cache/storage waste here
+    val sigs = materialized(
+      signatureProjection(docs, numHashes, bands, idCol, textCol)
+        .select(col(idCol), col("bands")), storagePath)
     val cands = candidatesFrom(sigs, idCol)
     val texts = docs.select(col(idCol), col(textCol))
     cands

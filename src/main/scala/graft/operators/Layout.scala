@@ -45,16 +45,19 @@ object Layout {
                   bits: Int = 12, bucketBits: Int = 6): DataFrame = {
     require(bucketBits >= 1 && bucketBits <= 2 * bits,
       s"bucketBits ($bucketBits) must be in [1, ${2 * bits}]")
-    // out-of-domain values would silently alias (zValue2 drops high
-    // bits), making the min/max spans meaningless — fail loudly instead
+    // out-of-domain (or NULL) values would silently alias (zValue2
+    // drops high bits; null flows through comparisons), making the
+    // min/max spans meaningless — fail loudly instead. Guards are
+    // PROJECTED once and z computed from the projected columns, so the
+    // raise_error tree appears once per dimension, not 2*bits times.
     val lim = 1L << bits
     def guarded(c: Column, nm: String): Column =
-      when(c < 0 || c >= lim,
-        raise_error(lit(s"zorderAudit: $nm outside [0, $lim) for bits=$bits — " +
+      when(c.isNull || c < 0 || c >= lim,
+        raise_error(lit(s"zorderAudit: $nm NULL or outside [0, $lim) for bits=$bits — " +
           "mod/scale the column into the z-domain first")).cast("long"))
         .otherwise(c)
-    val z = zValue2(guarded(xCol, "x"), guarded(yCol, "y"), bits)
-    df.select(guarded(xCol, "x").as("x"), guarded(yCol, "y").as("y"), z.as("z"))
+    df.select(guarded(xCol, "x").as("x"), guarded(yCol, "y").as("y"))
+      .withColumn("z", zValue2(col("x"), col("y"), bits))
       .withColumn("bucket", shiftright(col("z"), 2 * bits - bucketBits))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
@@ -82,6 +85,10 @@ object Layout {
     // (fails loudly on a no-parquet dir rather than mis-measuring)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    // roll forward any torn swap FIRST (the AtomicSwap protocol:
+    // recover before reading) — a crash inside a previous compact's
+    // commitDir otherwise leaves the listing empty/missing
+    graft.hfc.AtomicSwap.recoverDir(fs, dir)
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     require(files.nonEmpty, s"no parquet files under $dir")

@@ -109,6 +109,28 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("compactionPlan rolls a torn swap forward before reading (crash inside commitDir)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact3").toString
+    val dir = s"$base/t"
+    try {
+      (1 to 100).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      // simulate the crash window: target renamed away, staging complete
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      spark.read.parquet(dir).repartition(2)
+        .write.mode("overwrite").parquet(s"$dir.staging")
+      assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+                       new org.apache.hadoop.fs.Path(s"$dir.old")))
+      // the table dir no longer exists — a guard-less read would throw
+      val plan = Layout.compactionPlan(spark, dir, targetFileBytes = 1L << 20)
+      assert(plan.nFiles == 2) // the staged (new) layout won the roll-forward
+      assert(spark.read.parquet(dir).count() == 100L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
   test("compact with sortCols re-clusters during the rewrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString + "/t"
     try {
