@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -32,6 +32,29 @@ object Dedup {
     hashed
       .withColumn("keeper", min(col(idCol)).over(w))
       .withColumn("is_dup", col(idCol) =!= col("keeper"))
+  }
+
+  /** Exact dedup with a KEEPER POLICY: real pipelines don't keep the
+    * minimum id — they keep the copy from the most trusted source, or
+    * the longest/most complete one, and only then break ties by id.
+    * `preference` is that ordering (applied within each content-hash
+    * group; id ascending is always appended as the final deterministic
+    * tie-break). Same single-hash-shuffle shape as [[exactCanonical]].
+    *
+    * Example: `Seq(col("source_rank").asc, length(col("text")).desc)`
+    * keeps the highest-ranked source's longest copy. */
+  def exactCanonicalBy(docs: DataFrame, preference: Seq[Column],
+                       idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    require(preference.nonEmpty,
+      "empty preference — use exactCanonical for plain min-id dedup")
+    val hashed = docs.withColumn("content_hash", md5(col(textCol)))
+    val w = Window.partitionBy(col("content_hash"))
+      .orderBy(preference :+ col(idCol).asc: _*)
+    hashed
+      .withColumn("keeper", first(col(idCol)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("keeper"))
+      .select(col(idCol), col("content_hash"), col("keeper"), col("is_dup"))
   }
 
   /** Per-doc MinHash signature column (array of hex-string minima). */

@@ -214,6 +214,33 @@ object PipelineQueries {
       .orderBy($"a_id", $"b_id")
   }
 
+  /** qd11: keeper-policy dedup — the corpus unioned with planted
+    * verbatim copies (doc_id + 1e6, source 'copy', both engines plant
+    * identically); the policy keeps ORIGINALS over copies, id as the
+    * final tie-break — the "keep the trusted source's copy" decision
+    * real pipelines make instead of min-id. */
+  def keeperPolicy(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val copies = t.documents.filter($"doc_id" % 10 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text", lit("copy").as("source"))
+    val all = t.documents.select($"doc_id", $"text", $"source").union(copies)
+    Dedup.exactCanonicalBy(all,
+        preference = Seq(when($"source" === "copy", 1).otherwise(0).asc))
+      .orderBy($"doc_id")
+  }
+
+  val keeperPolicySql: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text, source FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, 'copy' FROM documents WHERE doc_id % 10 = 0),
+      |w AS (SELECT doc_id, md5(text) content_hash,
+      |    FIRST_VALUE(doc_id) OVER (PARTITION BY md5(text)
+      |      ORDER BY CASE WHEN source = 'copy' THEN 1 ELSE 0 END ASC, doc_id ASC) keeper
+      |  FROM all_docs)
+      |SELECT doc_id, content_hash, keeper, doc_id <> keeper AS is_dup
+      |FROM w ORDER BY doc_id""".stripMargin
+
   /** qd10: edit-distance near-dups — LSH candidates verified by exact
     * Levenshtein ≤ 5, the character-level dedup contract ("differs by
     * at most k edits") set-based Jaccard cannot express. Both engines
@@ -562,6 +589,7 @@ object PipelineQueries {
     "qd08_clusters_alternating" -> ((s: SparkSession, d: String) => dedupClustersAlternating(Tables(s, d))),
     "qd07_simhash64"       -> ((s: SparkSession, d: String) => simhash64NearDups(Tables(s, d))),
     "qd10_editdist_neardup" -> ((s: SparkSession, d: String) => editDistanceNearDups(Tables(s, d))),
+    "qd11_keeper_policy"   -> ((s: SparkSession, d: String) => keeperPolicy(Tables(s, d))),
     "qs01_cosine_topk"     -> ((s: SparkSession, d: String) => cosineTopK(Tables(s, d))),
     "qs02_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(Tables(s, d))),
     "qs03_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(Tables(s, d))),
@@ -587,6 +615,7 @@ object PipelineQueries {
     "qd08_clusters_alternating" -> dedupClustersSql, // same oracle: algorithms must agree
     "qd07_simhash64"       -> simhash64NearDupsSql,
     "qd10_editdist_neardup" -> editDistanceNearDupsSql,
+    "qd11_keeper_policy"   -> keeperPolicySql,
     "qs01_cosine_topk"     -> cosineTopKSql,
     "qs02_ann_lsh"         -> annLshSql,
     "qs03_ann_ivf"         -> annIvfSql,

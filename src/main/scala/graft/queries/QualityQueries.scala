@@ -309,6 +309,25 @@ object QualityQueries {
       |  CAST(SUM(n_tokens - n_removed) AS BIGINT) tokens_kept
       |FROM rb GROUP BY source ORDER BY source""".stripMargin
 
+  /** qt14: k-anonymity census — group the corpus by its
+    * quasi-identifiers (language, 100-char length bucket) and flag
+    * groups smaller than k=5: the re-identification-risk audit a
+    * privacy review runs before release. One aggregation pass. */
+  def kAnonymity(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .groupBy($"lang", (floor($"n_chars" / 100) * 100).cast("long").as("chars_bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("at_risk", $"n_docs" < 5)
+      .orderBy($"lang", $"chars_bucket")
+  }
+
+  val kAnonymitySql: String =
+    """SELECT lang, CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS chars_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  COUNT(*) < 5 AS at_risk
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, chars_bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qt10_gopher_rules"      -> ((s: SparkSession, d: String) => gopherRules(Tables(s, d))),
     "qt11_c4_line_clean"     -> ((s: SparkSession, d: String) => c4LineClean(Tables(s, d))),
@@ -318,6 +337,7 @@ object QualityQueries {
     "qc08_scrub_spans"       -> ((s: SparkSession, d: String) => scrubSpans(Tables(s, d))),
     "qc09_corpus_release"    -> ((s: SparkSession, d: String) => corpusRelease(Tables(s, d))),
     "qd09_substring_dedup"   -> ((s: SparkSession, d: String) => substringDedup(Tables(s, d))),
+    "qt14_k_anonymity"       -> ((s: SparkSession, d: String) => kAnonymity(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -329,5 +349,6 @@ object QualityQueries {
     "qc08_scrub_spans"       -> scrubSpansSql,
     "qc09_corpus_release"    -> corpusReleaseSql,
     "qd09_substring_dedup"   -> substringDedupSql,
+    "qt14_k_anonymity"       -> kAnonymitySql,
   )
 }

@@ -22,6 +22,26 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) == (3L, false))
   }
 
+  test("exactCanonicalBy: the keeper follows the preference, not the min id") {
+    val srcDocs = Seq(
+      (1L, "same text here", "web"),      // min id but LOW-trust source
+      (2L, "same text here", "curated"),  // the policy keeper
+      (3L, "same text here", "web"),
+      (4L, "other text", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.exactCanonicalBy(srcDocs,
+        preference = Seq(when(col("source") === "curated", 0).otherwise(1).asc))
+      .select("doc_id", "keeper", "is_dup")
+      .as[(Long, Long, Boolean)].collect().map { case (a, b, c) => a -> ((b, c)) }.toMap
+    assert(out(1L) == (2L, true))   // min id LOSES to the curated copy
+    assert(out(2L) == (2L, false))
+    assert(out(3L) == (2L, true))
+    assert(out(4L) == (4L, false))
+    intercept[IllegalArgumentException] {
+      Dedup.exactCanonicalBy(srcDocs, preference = Nil)
+    }
+  }
+
   test("minhash candidates find exact+near dup pairs, skip unrelated") {
     val pairs = Dedup.minhashCandidatePairs(docs)
       .as[(Long, Long)].collect().toSet
