@@ -68,6 +68,47 @@ object QualityRules {
         col("ok_words") && col("ok_word_len") && col("ok_alpha") && col("ok_stops"))
   }
 
+  /** Duplicate-n-gram character fraction — the literal Gopher
+    * repetition metric (Rae et al. 2021 App. A1.1: "fraction of
+    * characters contained in duplicate n-grams"): per doc, the share
+    * of token characters covered by n-gram windows that occur MORE
+    * THAN ONCE within the document.
+    *
+    * Shape: positional windows explode, per-(doc, hash) counts via a
+    * bounded window (partitions are within-doc), duplicate starts
+    * collect into one per-doc array, and coverage is a single indexed
+    * projection — the aggregation form, never a per-row O(n²) nested
+    * lambda (the scrubSpans discipline). */
+  def dupNgramCharFrac(docs: DataFrame, n: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be positive, got $n")
+    val win = docs
+      .select(col(idCol), posexplode(shingles(col(textCol), n)).as(Seq("pos", "sh")))
+      .select(col(idCol), col("pos"), md5(col("sh")).as("h"))
+    val perHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol), col("h"))
+    val dupStarts = win
+      .withColumn("cnt", count(lit(1)).over(perHash))
+      .filter(col("cnt") >= 2)
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    val rebuilt = letBound(tokens(col(textCol))) { w =>
+      letBound(coalesce(col("starts"), array().cast("array<int>"))) { st =>
+        letBound(filter(w, (tok, i) =>
+          exists(st, s => i >= s && i <= s + lit(n - 1)))) { covered =>
+          struct(
+            aggregate(w, lit(0L), (a, x) => a + length(x)).as("total_chars"),
+            aggregate(covered, lit(0L), (a, x) => a + length(x)).as("dup_chars"))
+        }
+      }
+    }
+    docs.select(col(idCol), col(textCol))
+      .join(dupStarts, Seq(idCol), "left")
+      .select(col(idCol), rebuilt.as("r"))
+      .select(col(idCol), col("r.*"))
+      .withColumn("dup_char_frac", round(col("dup_chars") / col("total_chars"), 6))
+  }
+
   /** C4 terminal-punctuation set: a line must end in one of these to
     * be kept ('.', '!', '?', closing quote). */
   private def endsTerminal(line: Column): Column =

@@ -309,6 +309,31 @@ object QualityQueries {
       |  CAST(SUM(n_tokens - n_removed) AS BIGINT) tokens_kept
       |FROM rb GROUP BY source ORDER BY source""".stripMargin
 
+  /** qt15: duplicate-3-gram character fraction — the literal Gopher
+    * repetition metric (share of token characters covered by within-doc
+    * repeated n-grams). 3-grams because the fixture's ~50-token docs
+    * rarely repeat anything longer; the production call uses n=10. */
+  def dupNgramChars(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    QualityRules.dupNgramCharFrac(t.documents, n = 3).orderBy($"doc_id")
+  }
+
+  val dupNgramCharsSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, w, [md5(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w)-1)] hs FROM toks),
+      |st AS (SELECT doc_id, w,
+      |    [i for i in range(1, len(hs)+1) if len(list_filter(hs, h -> h = hs[i])) >= 2] starts
+      |  FROM shr),
+      |rb AS (SELECT doc_id,
+      |    CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) total_chars,
+      |    CAST(COALESCE(list_sum(list_transform(
+      |      list_filter(w, (x, i) -> len(list_filter(starts, s -> i >= s AND i <= s + 2)) > 0),
+      |      x -> length(x))), 0) AS BIGINT) dup_chars
+      |  FROM st)
+      |SELECT doc_id, total_chars, dup_chars,
+      |  round(dup_chars / CAST(total_chars AS DOUBLE), 6) AS dup_char_frac
+      |FROM rb ORDER BY doc_id""".stripMargin
+
   /** qt14: k-anonymity census — group the corpus by its
     * quasi-identifiers (language, 100-char length bucket) and flag
     * groups smaller than k=5: the re-identification-risk audit a
@@ -338,6 +363,7 @@ object QualityQueries {
     "qc09_corpus_release"    -> ((s: SparkSession, d: String) => corpusRelease(Tables(s, d))),
     "qd09_substring_dedup"   -> ((s: SparkSession, d: String) => substringDedup(Tables(s, d))),
     "qt14_k_anonymity"       -> ((s: SparkSession, d: String) => kAnonymity(Tables(s, d))),
+    "qt15_dup_ngram_chars"   -> ((s: SparkSession, d: String) => dupNgramChars(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -350,5 +376,6 @@ object QualityQueries {
     "qc09_corpus_release"    -> corpusReleaseSql,
     "qd09_substring_dedup"   -> substringDedupSql,
     "qt14_k_anonymity"       -> kAnonymitySql,
+    "qt15_dup_ngram_chars"   -> dupNgramCharsSql,
   )
 }

@@ -72,6 +72,27 @@ class QualityRulesSpec extends SparkTestBase {
     assert(r(4).getAs[String]("clean_md5") == "d41d8cd98f00b204e9800998ecf8427e")
   }
 
+  test("dupNgramCharFrac: covered characters of repeated 3-grams, exact") {
+    // "a b c a b c d": 3-gram "a b c" occurs at starts 0 and 3 (dup);
+    // others once. Covered tokens = 0..2 ∪ 3..5 = all but "d".
+    // chars: 6 tokens of length 1 covered, total 7.
+    val docs = Seq(
+      (1L, "a b c a b c d"),
+      (2L, "x y z w v u"),  // no repeats
+      (3L, "t t t t"))      // "t t t" at starts 0,1 -> all 4 tokens covered
+      .toDF("doc_id", "text")
+    val out = QualityRules.dupNgramCharFrac(docs, n = 3).orderBy($"doc_id").collect()
+    assert(out(0) == Row(1L, 7L, 6L, math.rint(6.0 / 7 * 1e6) / 1e6))
+    assert(out(1) == Row(2L, 6L, 0L, 0.0))
+    assert(out(2) == Row(3L, 4L, 4L, 1.0))
+  }
+
+  test("dupNgramCharFrac: sub-n docs emit zero coverage, not null explosions") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    val r = QualityRules.dupNgramCharFrac(docs, n = 3).collect().head
+    assert(r == Row(1L, 2L, 0L, 0.0))
+  }
+
   test("c4LineFilter: '!'/'?'/closing-quote are terminal; ',' is not") {
     val docs = Seq((1L,
       "does this line have five words?\nyes this one has six words!\n" +
