@@ -37,21 +37,31 @@ object Dedup {
   /** Exact dedup with a KEEPER POLICY: real pipelines don't keep the
     * minimum id — they keep the copy from the most trusted source, or
     * the longest/most complete one, and only then break ties by id.
-    * `preference` is that ordering (applied within each content-hash
-    * group; id ascending is always appended as the final deterministic
-    * tie-break). Same single-hash-shuffle shape as [[exactCanonical]].
+    * `preference` is that ordering as VALUE expressions sorted
+    * ascending (encode "prefer larger" by negation, e.g.
+    * `-length(col("text"))`); id ascending is always appended as the
+    * final deterministic tie-break.
     *
-    * Example: `Seq(col("source_rank").asc, length(col("text")).desc)`
-    * keeps the highest-ranked source's longest copy. */
+    * The preference expressions are materialized BEFORE the hash
+    * shuffle and everything else is projected away, so only
+    * (id, hash, preference values) move — the same slim shuffle
+    * payload as [[exactCanonical]], even when a preference reads the
+    * full text.
+    *
+    * Example: `Seq(col("source_rank"), -length(col("text")))` keeps
+    * the highest-ranked source's longest copy. */
   def exactCanonicalBy(docs: DataFrame, preference: Seq[Column],
                        idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
     require(preference.nonEmpty,
       "empty preference — use exactCanonical for plain min-id dedup")
-    val hashed = docs.withColumn("content_hash", md5(col(textCol)))
+    val prefNames = preference.indices.map(i => s"__pref$i")
+    val slim = docs.select(
+      col(idCol) +: md5(col(textCol)).as("content_hash") +:
+        preference.zip(prefNames).map { case (c, nm) => c.as(nm) }: _*)
     val w = Window.partitionBy(col("content_hash"))
-      .orderBy(preference :+ col(idCol).asc: _*)
-    hashed
+      .orderBy(prefNames.map(col(_).asc) :+ col(idCol).asc: _*)
+    slim
       .withColumn("keeper", first(col(idCol)).over(w))
       .withColumn("is_dup", col(idCol) =!= col("keeper"))
       .select(col(idCol), col("content_hash"), col("keeper"), col("is_dup"))

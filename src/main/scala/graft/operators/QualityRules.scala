@@ -12,12 +12,15 @@ import org.apache.spark.sql.functions._
   * pipeline — they are cheap, transparent, and remove the bulk of
   * boilerplate/garbage.
   *
-  * Scale design (100 TB): every rule is a pure Column expression over
-  * the tokenized text — whole-stage-codegen'd scan projections, zero
-  * shuffle, embarrassingly parallel. The line filter rebuilds the
+  * Scale design (100 TB): the rule census and line filter are pure
+  * Column expressions over the tokenized text — whole-stage-codegen'd
+  * scan projections, zero shuffle, embarrassingly parallel (safe to
+  * drop into a streaming pre-gate). The line filter rebuilds the
   * document with `filter` + `array_join` instead of exploding to a
   * line table and re-aggregating (which would shuffle every line of
-  * the corpus just to glue it back together).
+  * the corpus just to glue it back together). The ONE exception:
+  * [[dupNgramCharFrac]] needs per-(doc, n-gram) counts, so it carries
+  * a within-doc window shuffle + join — see its doc for the shape.
   *
   * Cross-engine determinism: counts are int, ratios are int/int double
   * divisions rounded to 6 — bit-stable vs the DuckDB oracle.
@@ -76,9 +79,11 @@ object QualityRules {
     *
     * Shape: positional windows explode, per-(doc, hash) counts via a
     * bounded window (partitions are within-doc), duplicate starts
-    * collect into one per-doc array, and coverage is a single indexed
-    * projection — the aggregation form, never a per-row O(n²) nested
-    * lambda (the scrubSpans discipline). */
+    * collect into one per-doc array, and coverage is ONE sorted
+    * interval-merge fold over the starts (O(starts · n), n = the
+    * constant shingle width) — never a per-token × per-start scan,
+    * which would be quadratic on exactly the highly repetitive
+    * documents this metric exists to flag. */
   def dupNgramCharFrac(docs: DataFrame, n: Int = 3,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n must be positive, got $n")
@@ -94,12 +99,24 @@ object QualityRules {
       .agg(sort_array(collect_set(col("pos"))).as("starts"))
     val rebuilt = letBound(tokens(col(textCol))) { w =>
       letBound(coalesce(col("starts"), array().cast("array<int>"))) { st =>
-        letBound(filter(w, (tok, i) =>
-          exists(st, s => i >= s && i <= s + lit(n - 1)))) { covered =>
-          struct(
-            aggregate(w, lit(0L), (a, x) => a + length(x)).as("total_chars"),
-            aggregate(covered, lit(0L), (a, x) => a + length(x)).as("dup_chars"))
-        }
+        // sorted interval merge: fold (coveredUpTo, chars) over the
+        // ascending starts; each window contributes only its not-yet-
+        // covered token slice, so overlapping repeats never recount
+        val dupChars = aggregate(st,
+          struct(lit(-1).as("hi"), lit(0L).as("chars")),
+          (acc, s) => {
+            val from = greatest(s, acc.getField("hi") + 1)
+            val hi = s + lit(n - 1)
+            val len = greatest(hi - from + 1, lit(0))
+            val add = aggregate(slice(w, from + 1, len), lit(0L),
+              (a, x) => a + length(x))
+            struct(greatest(hi, acc.getField("hi")).as("hi"),
+                   (acc.getField("chars") + add).as("chars"))
+          },
+          acc => acc.getField("chars"))
+        struct(
+          aggregate(w, lit(0L), (a, x) => a + length(x)).as("total_chars"),
+          dupChars.as("dup_chars"))
       }
     }
     docs.select(col(idCol), col(textCol))

@@ -225,7 +225,7 @@ object PipelineQueries {
       .select(($"doc_id" + 1000000L).as("doc_id"), $"text", lit("copy").as("source"))
     val all = t.documents.select($"doc_id", $"text", $"source").union(copies)
     Dedup.exactCanonicalBy(all,
-        preference = Seq(when($"source" === "copy", 1).otherwise(0).asc))
+        preference = Seq(when($"source" === "copy", 1).otherwise(0)))
       .orderBy($"doc_id")
   }
 

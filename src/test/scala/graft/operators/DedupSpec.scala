@@ -30,7 +30,7 @@ class DedupSpec extends SparkTestBase {
       (4L, "other text", "web"))
       .toDF("doc_id", "text", "source")
     val out = Dedup.exactCanonicalBy(srcDocs,
-        preference = Seq(when(col("source") === "curated", 0).otherwise(1).asc))
+        preference = Seq(when(col("source") === "curated", 0).otherwise(1)))
       .select("doc_id", "keeper", "is_dup")
       .as[(Long, Long, Boolean)].collect().map { case (a, b, c) => a -> ((b, c)) }.toMap
     assert(out(1L) == (2L, true))   // min id LOSES to the curated copy

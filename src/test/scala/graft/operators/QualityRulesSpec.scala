@@ -87,6 +87,15 @@ class QualityRulesSpec extends SparkTestBase {
     assert(out(2) == Row(3L, 4L, 4L, 1.0))
   }
 
+  test("dupNgramCharFrac: a pathologically repetitive doc (every window a dup) stays linear") {
+    // 2000 identical tokens at n=10: ~1991 dup starts — the per-token ×
+    // per-start scan this operator used to do would run ~4M interpreted
+    // lambda steps on this one row; the interval merge is O(starts · n)
+    val rep = Seq((1L, Seq.fill(2000)("spam").mkString(" "))).toDF("doc_id", "text")
+    val r = QualityRules.dupNgramCharFrac(rep, n = 10).collect().head
+    assert(r == Row(1L, 8000L, 8000L, 1.0))
+  }
+
   test("dupNgramCharFrac: sub-n docs emit zero coverage, not null explosions") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     val r = QualityRules.dupNgramCharFrac(docs, n = 3).collect().head
