@@ -77,17 +77,28 @@ object Decontaminate {
                 idCol: String = "doc_id", benchIdCol: String = "doc_id",
                 textCol: String = "text",
                 sharedIdSpace: Boolean = true,
+                benchIsSubset: Boolean = false,
                 storagePath: Option[String] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     val corpusSigs = Dedup.signatureTable(docs, numHashes, bands, idCol, textCol,
       storagePath)
     // bench side is small by contract: the SAME projection the corpus
-    // funnel uses (hash compatibility by construction), computed lazily
-    // and recomputed per reference (nothing persisted — no session
-    // cache to leak), broadcast into both join stages
-    val benchSigs = Dedup.signatureProjection(bench, numHashes, bands,
-      benchIdCol, textCol)
+    // funnel uses (hash compatibility by construction), broadcast into
+    // both join stages. With `benchIsSubset` (bench rows ARE corpus
+    // rows, the eval-set-inside-the-corpus shape) the signatures come
+    // from the already-materialized corpus table by id — skipping a
+    // second signature pass over text; otherwise they are recomputed
+    // lazily per reference (nothing persisted — no session cache to
+    // leak). benchIsSubset implies a shared id space.
+    val benchSigs =
+      if (benchIsSubset)
+        corpusSigs.join(
+            broadcast(bench.select(col(benchIdCol).as("__bench_id")).distinct()),
+            col(idCol) === col("__bench_id"))
+          .select(col("__bench_id").as(benchIdCol), col("hashes"), col("bands"))
+      else Dedup.signatureProjection(bench, numHashes, bands,
+        benchIdCol, textCol)
     val corpusBanded = corpusSigs.select(col(idCol),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
     val benchBanded = benchSigs.select(col(benchIdCol).as("bench_id"),

@@ -155,7 +155,8 @@ object QualityQueries {
   def fuzzyDecontaminate(t: Tables): DataFrame = {
     import t.spark.implicits._
     val bench = t.documents.filter($"doc_id" % 50 === 0)
-    Decontaminate.fuzzyFlag(t.documents, bench, threshold = 0.3)
+    Decontaminate.fuzzyFlag(t.documents, bench, threshold = 0.3,
+        benchIsSubset = true) // bench ⊆ corpus: reuse the corpus signatures
       .orderBy($"doc_id")
   }
 

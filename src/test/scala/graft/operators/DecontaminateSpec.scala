@@ -97,6 +97,17 @@ class DecontaminateSpec extends SparkTestBase {
     assert(r.getLong(2) == 50L && r.getDouble(1) == 1.0)
   }
 
+  test("fuzzyFlag: benchIsSubset reuses corpus signatures with identical results") {
+    // fuzzyBench's doc 100 IS fuzzyCorpus's doc 100, so the subset fast
+    // path applies and must be decision-identical to the recompute path
+    val slow = Decontaminate.fuzzyFlag(fuzzyCorpus, fuzzyBench, threshold = 0.3)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id")).collect().toSeq
+    val fast = Decontaminate.fuzzyFlag(fuzzyCorpus, fuzzyBench, threshold = 0.3,
+        benchIsSubset = true)
+      .orderBy(org.apache.spark.sql.functions.col("doc_id")).collect().toSeq
+    assert(fast == slow)
+  }
+
   test("fuzzyFlag: bench side is broadcast in both funnel stages") {
     val plan = Decontaminate.fuzzyFlag(fuzzyCorpus, fuzzyBench, threshold = 0.3)
       .queryExecution.executedPlan.toString
