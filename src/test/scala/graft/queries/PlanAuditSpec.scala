@@ -131,6 +131,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
   }
 
+  test("qd10: edit-distance funnel joins are equi joins, never a nested loop") {
+    val p = plan(PipelineQueries.editDistanceNearDups(t))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("levenshtein"), s"expected codegen'd levenshtein verify:\n$p")
+  }
+
   test("qz02: global ordinal never plans a data-scale unpartitioned window") {
     val df = LayoutQueries.globalOrdinal(t)
     val windows = df.queryExecution.optimizedPlan.toString.linesIterator
