@@ -81,6 +81,9 @@ object Decontaminate {
                 storagePath: Option[String] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
+    require(!benchIsSubset || sharedIdSpace,
+      "benchIsSubset pulls signatures from the corpus row with the same id — " +
+        "meaningless unless ids are a shared space (sharedIdSpace = true)")
     val corpusSigs = Dedup.signatureTable(docs, numHashes, bands, idCol, textCol,
       storagePath)
     // bench side is small by contract: the SAME projection the corpus
@@ -92,12 +95,23 @@ object Decontaminate {
     // lazily per reference (nothing persisted — no session cache to
     // leak). benchIsSubset implies a shared id space.
     val benchSigs =
-      if (benchIsSubset)
-        corpusSigs.join(
+      if (benchIsSubset) {
+        val joined = corpusSigs.join(
             broadcast(bench.select(col(benchIdCol).as("__bench_id")).distinct()),
             col(idCol) === col("__bench_id"))
           .select(col("__bench_id").as(benchIdCol), col("hashes"), col("bands"))
-      else Dedup.signatureProjection(bench, numHashes, bands,
+        // a bench id absent from the corpus would silently drop that
+        // eval item from the funnel — the exact under-flagging this
+        // operator exists to prevent. One cheap count over the already-
+        // materialized signature table buys the loud failure.
+        val nBench = bench.select(col(benchIdCol)).distinct().count()
+        val nFound = joined.count()
+        require(nFound == nBench,
+          s"benchIsSubset: ${nBench - nFound} of $nBench benchmark ids are " +
+            "not in the corpus — pass benchIsSubset=false to compute their " +
+            "signatures from the benchmark text")
+        joined
+      } else Dedup.signatureProjection(bench, numHashes, bands,
         benchIdCol, textCol)
     val corpusBanded = corpusSigs.select(col(idCol),
       posexplode(col("bands")).as(Seq("band_idx", "band_hash")))

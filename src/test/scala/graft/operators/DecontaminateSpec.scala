@@ -108,6 +108,22 @@ class DecontaminateSpec extends SparkTestBase {
     assert(fast == slow)
   }
 
+  test("fuzzyFlag: benchIsSubset contract violations fail loudly") {
+    // subset mode without a shared id space is meaningless
+    intercept[IllegalArgumentException] {
+      Decontaminate.fuzzyFlag(fuzzyCorpus, fuzzyBench, threshold = 0.3,
+        sharedIdSpace = false, benchIsSubset = true)
+    }
+    // a bench id missing from the corpus must not silently drop the item
+    val strayBench = fuzzyBench.union(
+      Seq((999L, "never in the corpus at all here")).toDF("doc_id", "text"))
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.fuzzyFlag(fuzzyCorpus, strayBench, threshold = 0.3,
+        benchIsSubset = true)
+    }
+    assert(e.getMessage.contains("not in the corpus"))
+  }
+
   test("fuzzyFlag: bench side is broadcast in both funnel stages") {
     val plan = Decontaminate.fuzzyFlag(fuzzyCorpus, fuzzyBench, threshold = 0.3)
       .queryExecution.executedPlan.toString
