@@ -134,6 +134,51 @@ object Sampling {
       .filter(col("running_tokens") <= budget)
   }
 
+  /** Quality-WEIGHTED deterministic sampling — the DCLM/FineWeb-style
+    * mix move: keep each doc with probability proportional to its
+    * quality/importance weight, scaled so the expected kept fraction
+    * is `targetFrac`. Keep iff hashU(id) < w · (targetFrac · n / Σw):
+    * a pure per-row decision from one broadcast scalar (the weight
+    * sum), zero data shuffle, engine-reproducible (the qp01 md5 draw).
+    * Weights must be non-negative; docs with scaled probability ≥ 1
+    * are always kept (the scale is an expectation, not a cap). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     targetFrac: Double): DataFrame = {
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac must be in (0,1], got $targetFrac")
+    // DECIMAL sum: exact and partition-order-independent — a raw double
+    // sum would differ in ulps across engines/partitionings and flip
+    // keep decisions at the rounded boundary
+    val tot = df.agg(
+      sum(col(weightCol).cast("decimal(24,8)")).cast("double").as("__sumw"),
+      count(lit(1)).cast("double").as("__n"))
+    val scale = when(col("__sumw") <= 0.0,
+        raise_error(lit("weightedSample: non-positive weight sum — " +
+          "every doc would be silently dropped")).cast("double"))
+      .otherwise(lit(targetFrac) * col("__n") / col("__sumw"))
+    df.crossJoin(broadcast(tot))
+      .withColumn("keep_p", round(col(weightCol) * scale, 9))
+      .filter(hashU(col(idCol)) < col("keep_p"))
+      .drop("__sumw", "__n")
+  }
+
+  /** Curriculum-ordered export: shard deterministically by md5(id)
+    * (every shard sees the same difficulty distribution) but order
+    * WITHIN each shard by the difficulty score — the curriculum-
+    * learning layout, where a trainer reads each shard easy→hard.
+    * Same write shape as [[shuffleShards]]: one exchange + per-shard
+    * local sorts, never a global sort. */
+  def curriculumShards(df: DataFrame, idCol: String, scoreCol: String,
+                       nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    df.withColumn("shard",
+        (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+          .cast("int") % nShards))
+      .withColumn("position",
+        row_number().over(Window.partitionBy(col("shard"))
+          .orderBy(col(scoreCol).asc, col(idCol).asc)).cast("long"))
+  }
+
   def mixtureEqualize(df: DataFrame, stratumCol: String, idCol: String): DataFrame = {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_orig"))
     val minN = counts.agg(min(col("n_orig")).as("__min"))

@@ -467,6 +467,66 @@ object CurationQueries {
       |SELECT lang, doc_id, tokens, running_tokens FROM r
       |WHERE running_tokens <= 1000 ORDER BY lang, running_tokens""".stripMargin
 
+  /** qp07: quality-WEIGHTED sampling — keep each doc with probability
+    * proportional to its quality score, scaled to an expected 30% of
+    * the corpus (the DCLM/FineWeb mix-weighting move). Pure per-row
+    * decision from one broadcast scalar; the md5 draw makes the kept
+    * set engine-exact. */
+  def weightedSample(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val scored = t.documents.select($"doc_id",
+      qualityScore($"text").as("quality"))
+    Sampling.weightedSample(scored, "doc_id", "quality", targetFrac = 0.3)
+      .select($"doc_id", $"quality", $"keep_p")
+      .orderBy($"doc_id")
+  }
+
+  val weightedSampleSql: String =
+    """WITH s AS (SELECT doc_id, text, string_split_regex(trim(lower(text)), '\s+') toks FROM documents),
+      |m AS (SELECT doc_id,
+      |    CAST(len(toks) AS DOUBLE) n,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE) d,
+      |    CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) sw,
+      |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) chars
+      |  FROM s),
+      |q AS (SELECT doc_id,
+      |    round(0.25 * least(1.0, n / 100.0) + 0.25 * (d / n) +
+      |          0.25 * least(1.0, sw * 5.0 / n) + 0.25 * least(1.0, chars / n / 8.0), 6) AS quality
+      |  FROM m),
+      |t AS (SELECT CAST(SUM(CAST(quality AS DECIMAL(24,8))) AS DOUBLE) sumw,
+      |             CAST(COUNT(*) AS DOUBLE) n FROM q),
+      |k AS (SELECT doc_id, quality, round(quality * (0.3 * t.n / t.sumw), 9) keep_p
+      |  FROM q CROSS JOIN t),
+      |u AS (SELECT *, list_sum(list_transform(range(0,4), i ->
+      |    (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |  )) / 65536.0 AS u FROM k)
+      |SELECT doc_id, quality, keep_p FROM u WHERE u < keep_p ORDER BY doc_id""".stripMargin
+
+  /** qp08: curriculum-ordered export — md5 shards (each sees the same
+    * difficulty distribution) ordered easy→hard within the shard by
+    * BPE token count; the curriculum-learning training layout. */
+  def curriculumShards(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val scored = t.documents.select($"doc_id",
+      bpeTokenCount($"text").cast("long").as("score"))
+    Sampling.curriculumShards(scored, "doc_id", "score", nShards = 4)
+      .select($"doc_id", $"score", $"shard", $"position")
+      .orderBy($"shard", $"position")
+  }
+
+  val curriculumShardsSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) score
+      |  FROM documents),
+      |s AS (SELECT doc_id, score,
+      |    CAST(list_sum(list_transform(range(0,4), i ->
+      |      (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |    )) AS INTEGER) % 4 AS shard
+      |  FROM d)
+      |SELECT doc_id, score, shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY score ASC, doc_id ASC) AS BIGINT) AS position
+      |FROM s ORDER BY shard, position""".stripMargin
+
   // ---- composed training-mix build (capstone) ----
 
   /** qc06: the end-to-end mix build a training run starts from —
@@ -651,6 +711,8 @@ object CurationQueries {
     "qc05_corpus_diff"       -> ((s: SparkSession, d: String) => corpusDiff(Tables(s, d))),
     "qp05_shuffle_shards"    -> ((s: SparkSession, d: String) => shuffleShards(Tables(s, d))),
     "qp06_token_budget"      -> ((s: SparkSession, d: String) => tokenBudget(Tables(s, d))),
+    "qp07_weighted_sample"   -> ((s: SparkSession, d: String) => weightedSample(Tables(s, d))),
+    "qp08_curriculum"        -> ((s: SparkSession, d: String) => curriculumShards(Tables(s, d))),
     "qr01_data_card"         -> ((s: SparkSession, d: String) => dataCard(Tables(s, d))),
     "qc06_training_mix"      -> ((s: SparkSession, d: String) => trainingMix(Tables(s, d))),
   )
@@ -675,6 +737,8 @@ object CurationQueries {
     "qc05_corpus_diff"       -> corpusDiffSql,
     "qp05_shuffle_shards"    -> shuffleShardsSql,
     "qp06_token_budget"      -> tokenBudgetSql,
+    "qp07_weighted_sample"   -> weightedSampleSql,
+    "qp08_curriculum"        -> curriculumShardsSql,
     "qr01_data_card"         -> dataCardSql,
     "qc06_training_mix"      -> trainingMixSql,
   )

@@ -132,4 +132,45 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       assert(rows.sortBy(_._4).map(r => (r._2, r._3, r._4)).toSeq == expected)
     }
   }
+
+  test("weightedSample: kept set matches the per-row hashU < keep_p rule exactly") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    val weights = (0L until 200L).map(i => i -> ((i % 10) + 1).toDouble)
+    val df = weights.toDF("id", "w")
+    val out = Sampling.weightedSample(df, "id", "w", targetFrac = 0.4)
+      .select($"id").as[Long].collect().toSet
+    val sumw = weights.map(_._2).sum // integers: exact
+    val expected = weights.filter { case (i, w) =>
+      val u = java.lang.Long.parseLong(md5hex(i.toString).take(4), 16) / 65536.0
+      u < math.rint(w * (0.4 * 200 / sumw) * 1e9) / 1e9
+    }.map(_._1).toSet
+    assert(out == expected)
+    // higher weight -> higher keep rate, and the total lands near target
+    assert(out.size > 40 && out.size < 130)
+  }
+
+  test("weightedSample: contracts fail loudly") {
+    val df = Seq((1L, 0.0), (2L, 0.0)).toDF("id", "w")
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, "id", "w", targetFrac = 0.0)
+    }
+    val e = intercept[Exception] {
+      Sampling.weightedSample(df, "id", "w", targetFrac = 0.5).collect()
+    }
+    assert(e.getMessage.contains("non-positive weight sum") ||
+      Option(e.getCause).exists(_.getMessage.contains("non-positive weight sum")))
+  }
+
+  test("curriculumShards: positions are contiguous easy-to-hard within each shard") {
+    val df = (0L until 100L).map(i => (i, (i * 37) % 50)).toDF("id", "score")
+    val out = Sampling.curriculumShards(df, "id", "score", nShards = 4)
+      .select($"shard", $"position", $"score").as[(Int, Long, Long)].collect()
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to rows.length)) // contiguous ranks
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sortBy(identity).toSeq) // easy->hard
+    }
+    assert(out.map(_._1).distinct.length == 4)
+  }
 }
