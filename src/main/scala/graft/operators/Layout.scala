@@ -123,6 +123,51 @@ object Layout {
     compactionPlan(spark, dir, targetFileBytes)
   }
 
+  /** Per-KEY deterministic rank: `ordinal` = ROW_NUMBER() OVER
+    * (PARTITION BY key ORDER BY v, id) — the [[globalOrdinal]]
+    * machinery applied within each key, so no window task ever holds a
+    * whole key (the naive per-key window degenerates exactly like the
+    * global one when keys are few or skewed — a 4-shard training
+    * export would push 25 TB per task through one sort).
+    *
+    * Same three bounded steps, compounded by key: per-key min/max
+    * (one broadcast aggregate), per-(key, value-range bucket) counts
+    * rolled into offsets (a window over numBuckets rows PER KEY —
+    * bounded), then offset + row_number within the (key, bucket).
+    * Ties in `orderCol` are fine: equal values land in the same bucket
+    * and the id tie-break makes the rank deterministic. NULL order
+    * values are rejected loudly. */
+  def ordinalPerKey(df: DataFrame, keyCol: String, orderCol: String,
+                    idCol: String, numBuckets: Int = 32): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be positive, got $numBuckets")
+    val v = col(orderCol)
+    val mm = df.groupBy(col(keyCol))
+      .agg(min(v).cast("double").as("__mn"), max(v).cast("double").as("__mx"))
+    val span = col("__mx") - col("__mn")
+    val bucketed = df.join(broadcast(mm), keyCol)
+      .withColumn("__pid",
+        when(v.isNull, raise_error(lit(
+          s"ordinalPerKey: NULL in order column '$orderCol'")).cast("long"))
+          .when(span === 0.0, lit(0L))
+          .otherwise(least(
+            floor((v.cast("double") - col("__mn")) / span * numBuckets),
+            lit(numBuckets - 1L)).cast("long")))
+      .drop("__mn", "__mx")
+    val offsets = bucketed.groupBy(col(keyCol), col("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset",
+        coalesce(sum(col("__n")).over(
+          Window.partitionBy(col(keyCol)).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(keyCol), col("__pid"), col("__offset"))
+    bucketed.join(broadcast(offsets), Seq(keyCol, "__pid"))
+      .withColumn("ordinal",
+        col("__offset") + row_number().over(
+          Window.partitionBy(col(keyCol), col("__pid"))
+            .orderBy(v, col(idCol))))
+      .drop("__pid", "__offset")
+  }
+
   /** Deterministic global rank of every row by a NUMERIC order column
     * (unique values — ties would make the rank ambiguous), without a
     * single-partition window. Three declarative steps:

@@ -166,17 +166,20 @@ object Sampling {
     * (every shard sees the same difficulty distribution) but order
     * WITHIN each shard by the difficulty score — the curriculum-
     * learning layout, where a trainer reads each shard easy→hard.
-    * Same write shape as [[shuffleShards]]: one exchange + per-shard
-    * local sorts, never a global sort. */
+    *
+    * The explicit per-shard `position` comes from
+    * [[Layout.ordinalPerKey]] (score-range buckets + offsets), NOT a
+    * window partitioned by shard alone: shard counts are small by
+    * construction, so the naive per-shard window would push a whole
+    * shard — 1/nShards of the corpus — through one sort task. */
   def curriculumShards(df: DataFrame, idCol: String, scoreCol: String,
                        nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
-    df.withColumn("shard",
-        (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-          .cast("int") % nShards))
-      .withColumn("position",
-        row_number().over(Window.partitionBy(col("shard"))
-          .orderBy(col(scoreCol).asc, col(idCol).asc)).cast("long"))
+    val sharded = df.withColumn("shard",
+      (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+        .cast("int") % nShards))
+    Layout.ordinalPerKey(sharded, "shard", scoreCol, idCol)
+      .withColumnRenamed("ordinal", "position")
   }
 
   def mixtureEqualize(df: DataFrame, stratumCol: String, idCol: String): DataFrame = {

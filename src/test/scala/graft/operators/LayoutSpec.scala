@@ -82,6 +82,25 @@ class LayoutSpec extends SparkTestBase {
     assert(out.toSeq == Seq(1L, 2L)) // ties broken arbitrarily but ranks contiguous
   }
 
+  test("ordinalPerKey: matches the per-key window reference, with ties and skew") {
+    // skewed keys (one key holds 80%), tied scores — ranks must equal
+    // ROW_NUMBER() OVER (PARTITION BY k ORDER BY score, id)
+    val rows = (1 to 800).map(i => ("big", i.toLong, (i % 7).toLong)) ++
+               (1 to 200).map(i => ("small", 1000L + i, (i % 3).toLong))
+    val df = scala.util.Random.shuffle(rows).toDF("k", "id", "score").repartition(9)
+    val out = Layout.ordinalPerKey(df, "k", "score", "id", numBuckets = 8)
+      .select($"k", $"id", $"ordinal").as[(String, Long, Long)].collect()
+    val expected = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      rs.sortBy(r => (r._3, r._2)).zipWithIndex.map { case (r, i) => (k, r._2, i + 1L) }
+    }.toSet
+    assert(out.toSet == expected)
+    // every ranking window is (key, bucket)-partitioned — no whole-key sort
+    val windows = Layout.ordinalPerKey(df, "k", "score", "id")
+      .queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).mkString("\n")
+    assert(windows.contains("__pid"), windows)
+  }
+
   test("globalOrdinal: NULL order values fail loudly, never mis-rank") {
     val df = Seq(Some(1L), None, Some(3L)).toDF("id")
     val e = intercept[Exception] {
