@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.ExtendedQueries.queries ++
       graft.queries.CurationQueries.queries ++
       graft.queries.QualityQueries.queries ++
-      graft.queries.LayoutQueries.queries
+      graft.queries.LayoutQueries.queries ++
+      graft.queries.RetrievalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.ExtendedQueries.oracles ++
       graft.queries.CurationQueries.oracles ++
       graft.queries.QualityQueries.oracles ++
-      graft.queries.LayoutQueries.oracles
+      graft.queries.LayoutQueries.oracles ++
+      graft.queries.RetrievalQueries.oracles
 }

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lexical + hybrid retrieval over the document corpus — the query
+  * plane a training-data pipeline uses for corpus exploration, eval-set
+  * neighbor audits, and RAG-style chunk search.
+  *
+  *  - [[bm25TopK]] — Okapi BM25 (the Lucene `1 +` idf variant, so every
+  *    term contributes positively) over lowercased whitespace tokens.
+  *  - [[rrfFuse]] — reciprocal-rank fusion (Cormack et al. 2009) of two
+  *    rankings, the standard hybrid lexical+dense combiner: no score
+  *    calibration needed, only ranks.
+  *
+  * Scale shape (100 TB): the corpus side is ONE explode + two hash
+  * aggregations — the postings table `(doc, term, tf, dl)` (map-side
+  * combined; `dl` rides along so no second doc-keyed join) and the
+  * document-frequency table `(term, df)`. The query workload is small
+  * by definition and is broadcast after picking up per-term idf, so
+  * scoring is a broadcast hash join ON the postings scan — the corpus
+  * is never self-joined and never shuffled by query. Per-query ranking
+  * windows partition on query_id (cardinality = workload size, never
+  * corpus size).
+  *
+  * Cross-engine determinism: the one transcendental (idf's `ln`) is
+  * rounded to 6 decimals TOGETHER with its tf factor per (query, term,
+  * doc) contribution and accumulated as DECIMAL(24,6) — the exact,
+  * partition-order-independent sum (the qt12 nll pattern); `avgdl` is
+  * one IEEE division of exact integer aggregates.
+  */
+object Retrieval {
+
+  /** Top-k BM25 matches for each query doc: the query string is the
+    * doc's first `qLen` tokens (distinct), the query doc itself is
+    * excluded from its results. Output: `query_id, doc_id, score, rk`. */
+  def bm25TopK(docs: DataFrame, queryIds: Seq[Long], k: Int,
+               qLen: Int = 4, k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(qLen >= 1, s"qLen must be >= 1, got $qLen")
+    val toks = docs.select(col(idCol), tokens(lower(col(textCol))).as("w"))
+    // postings with dl riding along: one corpus shuffle, map-side combined
+    val post = toks
+      .select(col(idCol).as("p_doc"), size(col("w")).as("dl"), explode(col("w")).as("term"))
+      .groupBy(col("p_doc"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dft = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = toks.agg(
+      count(lit(1)).cast("double").as("n"),
+      (sum(size(col("w"))).cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val q = toks.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"),
+              explode(array_distinct(slice(col("w"), 1, qLen))).as("term"))
+    // per-(query, term) idf: tiny — build it small, THEN broadcast into
+    // the postings scan so the corpus side streams through one
+    // broadcast hash join
+    val qidf = q.join(dft, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("term"),
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))).as("idf"),
+        col("avgdl"))
+    val tfc = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = post.join(broadcast(qidf), Seq("term"))
+      .filter(col("p_doc") =!= col("query_id"))
+      .select(col("query_id"), col("p_doc").as(idCol),
+        round(col("idf") * tfc, 6).cast("decimal(24,6)").as("s"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(col("s")).cast("double").as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol).asc)
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
+  /** Reciprocal-rank fusion of two rankings `(query_id, doc_id, rk)`:
+    * rrf = Σ 1/(kConst + rk) over the rankings that contain the doc,
+    * re-ranked per query, top `k` kept. Each reciprocal is rounded to 6
+    * decimals and summed as DECIMAL so the fused score is exact and
+    * engine-independent. Output: `query_id, doc_id, rrf_score, rk`. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kConst: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def r(df: DataFrame, as: String) =
+      df.select(col("query_id"), col("doc_id"), col("rk").as(as))
+    val fused = r(a, "rk_a").join(r(b, "rk_b"), Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(round(lit(1.0) / (lit(kConst) + col("rk_a")), 6).cast("decimal(18,6)"),
+                  lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")) +
+         coalesce(round(lit(1.0) / (lit(kConst) + col("rk_b")), 6).cast("decimal(18,6)"),
+                  lit(java.math.BigDecimal.ZERO).cast("decimal(18,6)")))
+          .cast("double").as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{SparkTestBase, Tables}
+import org.apache.spark.sql.functions._
+
+class RetrievalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def fixture = Seq(
+    // doc 0's query = its first 4 tokens; "zebra" is rare (docs 0,1),
+    // "the" is everywhere — idf must rank doc 1 above the the-only docs
+    (0L, "zebra quantum the alpha"),
+    (1L, "zebra runs"),
+    (2L, "the the the the the the"),
+    (3L, "alpha beta gamma delta extra"),
+    (4L, "unrelated the words")
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK: rare-term match outranks stopword-only match, self excluded") {
+    val out = Retrieval.bm25TopK(fixture, Seq(0L), k = 4)
+      .orderBy($"rk")
+      .select("doc_id", "rk").as[(Long, Long)].collect()
+    assert(!out.map(_._1).contains(0L), "query doc must be excluded")
+    assert(out.map(_._2).toSeq == (1L to out.length).toSeq, "ranks contiguous from 1")
+    // doc 1 shares "zebra" (df=2) — highest idf — must be rank 1
+    assert(out.head._1 == 1L, s"expected zebra doc first, got ${out.toSeq}")
+  }
+
+  test("bm25TopK: scores are non-increasing with rank within each query") {
+    val t = Tables(spark, sf0001)
+    val rows = Retrieval.bm25TopK(t.documents, Seq(0L, 1L, 2L), k = 10)
+      .select("query_id", "rk", "score").as[(Long, Long, Double)].collect()
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val byRk = rs.sortBy(_._2).map(_._3)
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not monotone: ${byRk.toSeq}")
+    }
+  }
+
+  test("bm25TopK: longer doc scores below shorter doc at equal tf (length normalization)") {
+    val docs = Seq(
+      (0L, "needle haystack"),
+      (1L, "needle one two"),
+      (2L, "needle one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, Seq(0L), k = 2, qLen = 1)
+      .orderBy($"rk").select("doc_id").as[Long].collect()
+    assert(out.toSeq == Seq(1L, 2L), s"short doc must outrank long at equal tf: ${out.toSeq}")
+  }
+
+  test("rrfFuse: doc present in both rankings beats docs in only one; ties by doc_id") {
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "doc_id", "rk")
+    val b = Seq((0L, 10L, 2L), (0L, 12L, 1L)).toDF("query_id", "doc_id", "rk")
+    val out = Retrieval.rrfFuse(a, b, k = 3)
+      .orderBy($"rk").select("doc_id", "rrf_score").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(10L, 12L, 11L), s"got ${out.toSeq}")
+    // 10: 1/61 + 1/62; 12: 1/61; 11: 1/62 — fused score exact at 6dp
+    assert(math.abs(out.head._2 - (0.016393 + 0.016129)) < 1e-9)
+  }
+
+  test("bm25 plan: corpus is never shuffled by the query side (broadcast scoring join)") {
+    val t = Tables(spark, sf0001)
+    val plan = Retrieval.bm25TopK(t.documents, Seq(0L), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast scoring join")
+  }
+}
