@@ -423,6 +423,60 @@ object Dedup {
         round(col("n_shared") / col("n_windows"), 6).as("shared_frac"))
   }
 
+  /** Exact-substring dedup REMOVAL — the scrub half of Lee et al. 2022
+    * ([[substringDupStats]] is the census half): every k-token window
+    * duplicated across ≥2 documents survives only in its first owner
+    * (min doc id); every later doc has ALL occurrences of that window
+    * cut, token-exact, and the document rebuilt from the surviving
+    * tokens. Windows repeated only WITHIN one doc are untouched —
+    * the contract is cross-document dedup, matching the census.
+    *
+    * Scale: the census's linear shape plus positions — one positional
+    * shingle projection (no pair materialization), one window-hash
+    * shuffle for the owner table (filtered to duplicated hashes BEFORE
+    * the join back, so the hot side of the join carries only dup
+    * windows), one per-doc position aggregation, and an id-keyed
+    * rebuild join. Per-doc state is O(dup windows in the doc), never
+    * O(corpus).
+    *
+    * Output per doc: `n_spans` (distinct removal start positions),
+    * `n_tokens_removed`, `clean_md5` (md5 of the space-joined surviving
+    * tokens), `scrubbed`. */
+  def substringScrub(docs: DataFrame, k: Int = 10,
+                     idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"window width k must be >= 1, got $k")
+    val positioned = docs
+      .select(col(idCol), posexplode(shingles(col(textCol), k)).as(Seq("pos", "sh")))
+      .select(col(idCol), col("pos"), md5(col("sh")).as("h"))
+    // first owner per window hash, duplicated-across-docs hashes only
+    val owners = positioned.select(col(idCol), col("h")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("first_owner"))
+      .filter(col("n_docs") >= 2)
+      .select(col("h"), col("first_owner"))
+    val starts = positioned.join(owners, "h")
+      .filter(col(idCol) > col("first_owner"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("pos"))).as("starts"))
+    val rebuilt = letBound(tokens(col(textCol))) { w =>
+      letBound(coalesce(col("starts"), array().cast("array<int>"))) { st =>
+        letBound(filter(w, (tok, i) =>
+          !exists(st, s => i >= s && i <= s + lit(k - 1)))) { kept =>
+          struct(
+            size(st).cast("long").as("n_spans"),
+            (size(w) - size(kept)).cast("long").as("n_tokens_removed"),
+            md5(array_join(kept, " ")).as("clean_md5"),
+            (size(st) > 0).as("scrubbed"))
+        }
+      }
+    }
+    docs.select(col(idCol), col(textCol))
+      .join(starts, Seq(idCol), "left")
+      .select(col(idCol), rebuilt.as("r"))
+      .select(col(idCol), col("r.*"))
+  }
+
   /** Embedding-cosine near-duplicates within a blocking key. Norms are
     * precomputed per vector BEFORE the pair join (1 dot product per
     * pair instead of 3 — at n² pairs that factor matters).

@@ -354,7 +354,37 @@ object QualityQueries {
       |  COUNT(*) < 5 AS at_risk
       |FROM documents GROUP BY 1, 2 ORDER BY lang, chars_bucket""".stripMargin
 
+  /** qd12: exact-substring dedup REMOVAL (the scrub half of qd09's
+    * census) — every 10-token window shared across docs is cut from
+    * every doc but its first owner, and the doc rebuilt. */
+  def substringScrub(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Dedup.substringScrub(t.documents, k = 10).orderBy($"doc_id")
+  }
+
+  val substringScrubSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, w,
+      |    [md5(array_to_string(w[i:i+9], ' ')) for i in range(1, len(w)-8)] hs FROM toks),
+      |pidx AS (SELECT doc_id, unnest(hs) h, unnest(range(1, len(hs)+1)) i FROM shr),
+      |own AS (SELECT h, MIN(doc_id) first_owner FROM (SELECT DISTINCT doc_id, h FROM pidx)
+      |  GROUP BY h HAVING COUNT(*) >= 2),
+      |starts AS (SELECT p.doc_id, list_sort(list(DISTINCT p.i)) starts
+      |  FROM pidx p JOIN own o USING (h) WHERE p.doc_id > o.first_owner GROUP BY p.doc_id),
+      |rb AS (SELECT s.doc_id,
+      |    CAST(len(COALESCE(starts, [])) AS BIGINT) n_spans,
+      |    CAST(len(w) AS BIGINT) n_tokens,
+      |    list_filter(w, (x, i) ->
+      |      len(list_filter(COALESCE(starts, []), st -> i >= st AND i <= st + 9)) = 0) kept
+      |  FROM shr s LEFT JOIN starts USING (doc_id))
+      |SELECT doc_id, n_spans,
+      |  n_tokens - CAST(len(kept) AS BIGINT) AS n_tokens_removed,
+      |  md5(COALESCE(array_to_string(kept, ' '), '')) AS clean_md5,
+      |  n_spans > 0 AS scrubbed
+      |FROM rb ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd12_substring_scrub"   -> ((s: SparkSession, d: String) => substringScrub(Tables(s, d))),
     "qt10_gopher_rules"      -> ((s: SparkSession, d: String) => gopherRules(Tables(s, d))),
     "qt11_c4_line_clean"     -> ((s: SparkSession, d: String) => c4LineClean(Tables(s, d))),
     "qt12_lm_score"          -> ((s: SparkSession, d: String) => lmScore(Tables(s, d))),
@@ -368,6 +398,7 @@ object QualityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qd12_substring_scrub"   -> substringScrubSql,
     "qt10_gopher_rules"      -> gopherRulesSql,
     "qt11_c4_line_clean"     -> c4LineCleanSql,
     "qt12_lm_score"          -> lmScoreSql,

@@ -31,6 +31,35 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(out(4) == Row(5L, 0L, 0L, 0L, null))
   }
 
+  test("substringScrub: first owner untouched, exact copy erased, partial overlap cut token-exact") {
+    val out = Dedup.substringScrub(docs, k = 10).orderBy($"doc_id")
+      .select("doc_id", "n_spans", "n_tokens_removed", "clean_md5", "scrubbed")
+      .as[(Long, Long, Long, String, Boolean)].collect()
+    def md5Of(s: String) =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 1 owns every window it shares — nothing removed
+    assert(out(0) == ((1L, 0L, 0L, md5Of(w.mkString(" ")), false)))
+    // doc 2: one shared window at token positions 5..14 (0-based) — 10 tokens cut
+    val doc2Kept = ((1 to 5).map(i => s"x$i") ++ (1 to 3).map(i => s"y$i")).mkString(" ")
+    assert(out(1) == ((2L, 1L, 10L, md5Of(doc2Kept), true)))
+    // doc 3: no shared windows
+    assert(out(2)._2 == 0L && !out(2)._5)
+    // doc 4: exact copy of doc 1 — every position covered, doc erased
+    assert(out(3) == ((4L, 11L, 20L, md5Of(""), true)))
+    // doc 5: shorter than the window — untouched
+    assert(out(4) == ((5L, 0L, 0L, md5Of("a b c"), false)))
+  }
+
+  test("substringScrub agrees with the census: scrubbed iff n_dup_before > 0") {
+    val census = Dedup.substringDupStats(docs, k = 10)
+      .select($"doc_id", ($"n_dup_before" > 0).as("expect"))
+    val scrub = Dedup.substringScrub(docs, k = 10).select($"doc_id", $"scrubbed")
+    val joined = census.join(scrub, "doc_id")
+      .filter($"expect" =!= $"scrubbed").count()
+    assert(joined == 0L)
+  }
+
   test("substringDupStats: no pair materialization — linear explode + two shuffles") {
     val plan = Dedup.substringDupStats(docs, k = 10)
       .queryExecution.optimizedPlan.toString
