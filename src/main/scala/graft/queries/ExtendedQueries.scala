@@ -149,7 +149,38 @@ object ExtendedQueries {
       |FROM anc GROUP BY commit_sha, ancestor_sha
       |ORDER BY commit_sha, ancestor_sha""".stripMargin
 
+  /** qg02: exact triangle census of the user co-activity graph — two
+    * users are adjacent when they act on the same event type within the
+    * same minute. Edge generation is a per-(type, minute)-bucket pair
+    * join (bucket occupancy is small by construction, so fan-out is
+    * bounded); the count itself is GraphMetrics.triangleCount's
+    * degree-oriented wedge join vs DuckDB's naive a<b<c three-way
+    * join — identical exact integers, very different join volume. */
+  def triangleCensus(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import graft.operators.GraphMetrics
+    val b = t.events.select($"user_id".as("u"), $"event_type".as("et"),
+                            date_trunc("minute", $"ts").as("m")).distinct()
+    val edges = b.select($"u".as("a"), $"et", $"m")
+      .join(b.select($"u".as("b"), $"et", $"m"), Seq("et", "m"))
+      .filter($"a" < $"b")
+      .select($"a", $"b")
+    GraphMetrics.triangleCount(edges)
+  }
+
+  val triangleCensusSql: String =
+    """WITH b AS (SELECT DISTINCT user_id u, event_type et, date_trunc('minute', ts) m FROM events),
+      |e AS (SELECT DISTINCT a.u a, b2.u b
+      |  FROM b a JOIN b b2 ON a.et = b2.et AND a.m = b2.m AND a.u < b2.u),
+      |v AS (SELECT a v FROM e UNION SELECT b FROM e),
+      |tri AS (SELECT COUNT(*) c
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_nodes,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+      |       (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qg02_triangle_census" -> ((s: SparkSession, d: String) => triangleCensus(Tables(s, d))),
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
     "q18_dim_stats"        -> ((s: SparkSession, d: String) => dimensionStats(Tables(s, d))),
     "q19_big_spenders"     -> ((s: SparkSession, d: String) => bigSpenders(Tables(s, d))),
@@ -158,6 +189,7 @@ object ExtendedQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qg02_triangle_census" -> triangleCensusSql,
     "q17_rollup_revenue"   -> rollupRevenueSql,
     "q18_dim_stats"        -> dimensionStatsSql,
     "q19_big_spenders"     -> bigSpendersSql,

@@ -571,7 +571,59 @@ object PipelineQueries {
       |  md5(text) AS content_key
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** qt16: top bigram collocations by pointwise mutual information —
+    * PMI(w1 w2) = ln(p(w1 w2) / (p(w1) p(w2))) over corpus occurrence
+    * counts (NOT per-doc-distinct), support ≥ 5. The standard
+    * collocation-mining signal (Church & Hanks 1990), useful for
+    * tokenizer vocabulary audits and boilerplate discovery.
+    *
+    * Scale: two corpus aggregations (unigram + bigram counts, map-side
+    * combined), support filter BEFORE the two unigram joins (the
+    * ≥5 filter prunes the long tail — most of the bigram table — ahead
+    * of any join), scalar totals broadcast, TakeOrderedAndProject for
+    * the top-k. The one `ln` per surviving bigram is rounded to 6dp
+    * (single transcendental, integer operands — the qt12 contract). */
+  def pmiBigrams(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val toks = t.documents.select(tokens(lower($"text")).as("w"))
+    val uni = toks.select(explode($"w").as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("c_w"))
+    val nW = uni.agg(sum($"c_w").cast("double").as("n_w"))
+    val bg = t.documents.select(explode(shingles(lower($"text"), 2)).as("bg"))
+      .groupBy($"bg").agg(count(lit(1)).as("c_bg"))
+    val nBg = bg.agg(sum($"c_bg").cast("double").as("n_bg"))
+    bg.filter($"c_bg" >= 5)
+      .withColumn("w1", substring_index($"bg", " ", 1))
+      .withColumn("w2", substring_index($"bg", " ", -1))
+      .join(uni.select($"tok".as("w1"), $"c_w".as("c_w1")), "w1")
+      .join(uni.select($"tok".as("w2"), $"c_w".as("c_w2")), "w2")
+      .crossJoin(broadcast(nW)).crossJoin(broadcast(nBg))
+      .select($"bg".as("bigram"), $"c_bg",
+        round(log(($"c_bg" / $"n_bg") / (($"c_w1" / $"n_w") * ($"c_w2" / $"n_w"))), 6)
+          .as("pmi"))
+      .orderBy($"pmi".desc, $"bigram".asc)
+      .limit(20)
+  }
+
+  val pmiBigramsSql: String =
+    """WITH toks AS (SELECT string_split_regex(trim(lower(text)), '\s+') w FROM documents),
+      |uni AS (SELECT tok, COUNT(*) c_w FROM (SELECT unnest(w) tok FROM toks) GROUP BY 1),
+      |nw AS (SELECT CAST(SUM(c_w) AS DOUBLE) n_w FROM uni),
+      |bgs AS (SELECT bg, COUNT(*) c_bg FROM (
+      |    SELECT unnest([array_to_string(w[i:i+1], ' ') for i in range(1, len(w))]) bg
+      |    FROM toks) GROUP BY 1),
+      |nbg AS (SELECT CAST(SUM(c_bg) AS DOUBLE) n_bg FROM bgs),
+      |parts AS (SELECT bg, c_bg,
+      |    string_split(bg, ' ')[1] w1, string_split(bg, ' ')[-1] w2
+      |  FROM bgs WHERE c_bg >= 5)
+      |SELECT bg AS bigram, CAST(c_bg AS BIGINT) AS c_bg,
+      |  round(ln((c_bg / n_bg) / ((u1.c_w / n_w) * (u2.c_w / n_w))), 6) AS pmi
+      |FROM parts JOIN uni u1 ON u1.tok = w1 JOIN uni u2 ON u2.tok = w2
+      |CROSS JOIN nw CROSS JOIN nbg
+      |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt16_pmi_bigrams"     -> ((s: SparkSession, d: String) => pmiBigrams(Tables(s, d))),
     "qm01_media_meta"      -> ((s: SparkSession, d: String) => mediaMeta(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
     "qe02_interval_join"   -> ((s: SparkSession, d: String) => viewPurchaseFunnel(Tables(s, d))),
@@ -598,6 +650,7 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qt16_pmi_bigrams"     -> pmiBigramsSql,
     "qm01_media_meta"      -> mediaMetaSql,
     "qe01_sessionize"      -> sessionizedSql,
     "qe02_interval_join"   -> viewPurchaseFunnelSql,

@@ -137,6 +137,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("levenshtein"), s"expected codegen'd levenshtein verify:\n$p")
   }
 
+  test("qs06: BM25 scoring is a broadcast join on the postings scan — corpus never query-shuffled") {
+    val p = plan(RetrievalQueries.bm25TopK(t))
+    assert(p.contains("BroadcastHashJoin"), p)
+    // no unbounded pair joins; the only nested-loop is the 1-row stats
+    // broadcast (crossJoin of two scalar aggregates)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qt16: PMI top-k plans as TakeOrderedAndProject with the support filter before the joins") {
+    val df = PipelineQueries.pmiBigrams(t)
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains(">= 5"), s"support filter missing from optimized plan:\n$opt")
+  }
+
+  test("qg02: triangle census is equi joins only — no nested loop, no cartesian pair join") {
+    val p = plan(ExtendedQueries.triangleCensus(t))
+    assert(!p.contains("CartesianProduct"), p)
+    // the edge/wedge/closing joins are hash equi joins; nested-loop
+    // appears only in the 1-row scalar combines at the very top
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"), p)
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"expected only the two scalar combines as nested-loop, got $bnlj:\n$p")
+  }
+
   test("qz02: global ordinal never plans a data-scale unpartitioned window") {
     val df = LayoutQueries.globalOrdinal(t)
     val windows = df.queryExecution.optimizedPlan.toString.linesIterator
