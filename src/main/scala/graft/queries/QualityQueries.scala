@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Decontaminate, LinearClassifier, NgramLM, QualityRules}
+import graft.operators.{Dedup, Decontaminate, Dsir, LinearClassifier, NgramLM, QualityRules}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -383,7 +383,39 @@ object QualityQueries {
       |  n_spans > 0 AS scrubbed
       |FROM rb ORDER BY doc_id""".stripMargin
 
+  /** qp09: DSIR importance weights — every doc scored by how
+    * English-corpus-like its hashed unigram distribution is
+    * (target = lang 'en', dim = 256, add-one smoothing). */
+  def dsirWeights(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Dsir.importanceWeights(t.documents, $"lang" === "en", dim = 256)
+      .orderBy($"doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    """WITH f AS (SELECT doc_id, lang,
+      |    CAST(list_sum(list_transform(range(0,4), i ->
+      |      (strpos('0123456789abcdef', substr(md5(tok), i+1, 1)) - 1) * power(16, 3-i)
+      |    )) AS BIGINT) % 256 AS bkt
+      |  FROM (SELECT doc_id, lang, unnest(string_split_regex(trim(lower(text)), '\s+')) tok
+      |        FROM documents)),
+      |rawc AS (SELECT bkt, COUNT(*) r_c FROM f GROUP BY 1),
+      |tgtc AS (SELECT bkt, COUNT(*) t_c FROM f WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(r_c) AS DOUBLE) r_tot FROM rawc),
+      |ttot AS (SELECT CAST(COALESCE(SUM(t_c), 0) AS DOUBLE) t_tot FROM tgtc),
+      |terms AS (SELECT bkt,
+      |    CAST(round(ln((COALESCE(t_c, 0) + 1) / (t_tot + 256.0))
+      |             - ln((r_c + 1) / (r_tot + 256.0)), 6) AS DECIMAL(18,6)) w
+      |  FROM rawc LEFT JOIN tgtc USING (bkt) CROSS JOIN tot CROSS JOIN ttot),
+      |per AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_feats,
+      |    CAST(SUM(w) AS DOUBLE) dsir_logw
+      |  FROM f JOIN terms USING (bkt) GROUP BY 1)
+      |SELECT d.doc_id, COALESCE(per.n_feats, 0) AS n_feats, per.dsir_logw
+      |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp09_dsir_weights"      -> ((s: SparkSession, d: String) => dsirWeights(Tables(s, d))),
     "qd12_substring_scrub"   -> ((s: SparkSession, d: String) => substringScrub(Tables(s, d))),
     "qt10_gopher_rules"      -> ((s: SparkSession, d: String) => gopherRules(Tables(s, d))),
     "qt11_c4_line_clean"     -> ((s: SparkSession, d: String) => c4LineClean(Tables(s, d))),
@@ -398,6 +430,7 @@ object QualityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qp09_dsir_weights"      -> dsirWeightsSql,
     "qd12_substring_scrub"   -> substringScrubSql,
     "qt10_gopher_rules"      -> gopherRulesSql,
     "qt11_c4_line_clean"     -> c4LineCleanSql,
