@@ -477,6 +477,50 @@ object Dedup {
       .select(col(idCol), col("r.*"))
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by
+    * cluster-then-prune — assign every embedding to its nearest
+    * coarse centroid ([[IvfIndex]]'s deterministic sampled-centroid
+    * quantizer, so the whole funnel stays oracle-able), then inside
+    * each cell mark every vector whose cosine to an EARLIER cell-mate
+    * reaches `threshold` as a duplicate of its smallest-id match.
+    * Semantic near-dups land in the same cell because they are near
+    * the same centroid — the cells are exactly the blocking structure
+    * [[embeddingNearDups]] takes as a given column, but learned from
+    * the geometry instead of metadata.
+    *
+    * Scale: centroid table is `nCells` rows (broadcast); assignment is
+    * one corpus pass + id-keyed argmin agg; pairing shuffles on the
+    * cell key and is quadratic ONLY within a cell — cell size is
+    * corpus/nCells in expectation, and a skewed cell is the same
+    * hot-block problem [[embeddingNearDups]]'s sub-bucket guard
+    * handles. Output per vector: cell, dup_of, cos_sim, is_dup. */
+  def semanticDedup(emb: DataFrame, nCells: Int, threshold: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import VectorFunctions._
+    val cents = IvfIndex.centroids(emb, nCells, idCol, vecCol)
+    val assigned = IvfIndex.assign(emb, cents, idCol, vecCol)
+    val v = assigned.select(col("cell"), col(idCol), col(vecCol),
+                            sqrt(norm2(col(vecCol))).as("nrm"))
+    val a = v.select(col("cell"), col(idCol).as("a_id"),
+                     col(vecCol).as("a_vec"), col("nrm").as("a_nrm"))
+    val b = v.select(col("cell"), col(idCol).as("b_id"),
+                     col(vecCol).as("b_vec"), col("nrm").as("b_nrm"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("b_id"), col("a_id"),
+        round(dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    val best = pairs.groupBy(col("b_id"))
+      .agg(min(struct(col("a_id"), col("cos_sim"))).as("m"))
+      .select(col("b_id").as(idCol), col("m.a_id").as("dup_of"),
+              col("m.cos_sim").as("cos_sim"))
+    assigned.select(col(idCol), col("cell"))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("dup_of"), col("cos_sim"),
+              col("dup_of").isNotNull.as("is_dup"))
+  }
+
   /** Embedding-cosine near-duplicates within a blocking key. Norms are
     * precomputed per vector BEFORE the pair join (1 dot product per
     * pair instead of 3 — at n² pairs that factor matters).

@@ -571,6 +571,40 @@ object PipelineQueries {
       |  md5(text) AS content_key
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** qd13: SemDeDup — cluster-then-prune semantic dedup: IVF cells
+    * (8 deterministic sampled centroids) as learned blocks, within-cell
+    * cosine ≥ 0.35 marks the later vector a dup of its smallest-id
+    * match. */
+  def semanticDedup(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Dedup.semanticDedup(t.embeddings, nCells = 8, threshold = 0.35)
+      .orderBy($"vec_id")
+  }
+
+  val semanticDedupSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e,
+      |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) nrm2 FROM embeddings),
+      |cent AS (SELECT (ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)) - 1 AS cell,
+      |    e c_vec, nrm2 c_nrm2
+      |  FROM v ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+      |scored AS (SELECT v.vec_id, v.e, v.nrm2, cent.cell,
+      |    cent.c_nrm2 - 2 * list_dot_product(v.e, cent.c_vec) AS score
+      |  FROM v CROSS JOIN cent),
+      |assigned AS (SELECT vec_id, e, nrm2, cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) rn
+      |    FROM scored) WHERE rn = 1),
+      |pairs AS (SELECT b.vec_id b_id, a.vec_id a_id,
+      |    round(list_dot_product(a.e, b.e) / (sqrt(a.nrm2) * sqrt(b.nrm2)), 6) cos_sim
+      |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+      |hits AS (SELECT * FROM pairs WHERE cos_sim >= 0.35),
+      |best AS (SELECT b_id vec_id, a_id dup_of, cos_sim FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY a_id ASC, cos_sim ASC) rn
+      |    FROM hits) WHERE rn = 1)
+      |SELECT s.vec_id, CAST(s.cell AS INT) AS cell, best.dup_of, best.cos_sim,
+      |  best.dup_of IS NOT NULL AS is_dup
+      |FROM assigned s LEFT JOIN best ON best.vec_id = s.vec_id
+      |ORDER BY s.vec_id""".stripMargin
+
   /** qt16: top bigram collocations by pointwise mutual information —
     * PMI(w1 w2) = ln(p(w1 w2) / (p(w1) p(w2))) over corpus occurrence
     * counts (NOT per-doc-distinct), support ≥ 5. The standard
@@ -623,6 +657,7 @@ object PipelineQueries {
       |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd13_semantic_dedup"  -> ((s: SparkSession, d: String) => semanticDedup(Tables(s, d))),
     "qt16_pmi_bigrams"     -> ((s: SparkSession, d: String) => pmiBigrams(Tables(s, d))),
     "qm01_media_meta"      -> ((s: SparkSession, d: String) => mediaMeta(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
@@ -650,6 +685,7 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qd13_semantic_dedup"  -> semanticDedupSql,
     "qt16_pmi_bigrams"     -> pmiBigramsSql,
     "qm01_media_meta"      -> mediaMetaSql,
     "qe01_sessionize"      -> sessionizedSql,

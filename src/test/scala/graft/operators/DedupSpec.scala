@@ -233,6 +233,28 @@ class DedupSpec extends SparkTestBase {
     assert(hi.subsetOf(guarded) || hi.isEmpty)
   }
 
+  test("semanticDedup: planted copy lands in its original's cell and is pruned against it") {
+    val t = Tables(spark, sf0001)
+    // clone vector 3 under a fresh id: identical geometry → same cell,
+    // cos 1.0 → dup_of the original (or an even earlier exact match)
+    val v3 = t.embeddings.filter($"vec_id" === 3L)
+      .select(lit(9001L).as("vec_id"), $"embedding", $"label")
+    val out = Dedup.semanticDedup(t.embeddings.unionByName(v3), nCells = 8, threshold = 0.35)
+    val clone = out.filter($"vec_id" === 9001L)
+      .select("dup_of", "cos_sim", "is_dup")
+      .as[(Option[Long], Option[Double], Boolean)].collect().head
+    assert(clone._3, s"planted copy not marked dup: $clone")
+    assert(clone._2.get >= 0.35)
+    val cells = out.filter($"vec_id".isin(3L, 9001L)).select("cell")
+      .as[Int].collect().toSet
+    assert(cells.size == 1, "identical vectors must share a cell")
+    // every dup decision references an earlier id and meets the threshold
+    val dups = out.filter($"is_dup")
+      .select("vec_id", "dup_of", "cos_sim").as[(Long, Long, Double)].collect()
+    assert(dups.nonEmpty)
+    assert(dups.forall(d => d._2 < d._1 && d._3 >= 0.35))
+  }
+
   test("sf0.001 fixture: minhash funnel matches all-pairs jaccard truth") {
     val t = Tables(spark, sf0001)
     val truth = Dedup.jaccardPairsByBlock(t.documents.withColumn("all", lit(1)), "all")
