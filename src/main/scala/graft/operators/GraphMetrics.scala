@@ -65,4 +65,47 @@ object GraphMetrics {
       .crossJoin(broadcast(triangles))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
   }
+
+  /** Fixed-iteration PageRank over the undirected graph (each edge
+    * walks both ways), damping 0.85, ranks over the nodes that have at
+    * least one edge. Output: `node, pagerank` after `iters` rounds.
+    *
+    * Per round: one equi join of the directed edge list against the
+    * current rank vector on the source key, one hash aggregation on
+    * the destination key — the standard message-passing shape, k
+    * shuffles for k rounds, no driver-side state. The rank vector
+    * never leaves the cluster.
+    *
+    * Cross-engine determinism: floating-point addition is order-
+    * sensitive and Spark's aggregation order is not deterministic, so
+    * each edge's contribution `rank/out_degree` is rounded to 9
+    * decimals and accumulated as DECIMAL — the exact sum — before the
+    * damped update is applied and itself rounded. The oracle unrolls
+    * the same five rounds as chained CTEs. */
+  def pageRank(edges0: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und = canonicalEdges(edges0)
+    val edges = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("od"))
+      .select(col("a").as("node"), col("od"))
+    val nN = deg.agg(count(lit(1)).cast("double").as("n"))
+    var r = deg.select(col("node")).crossJoin(broadcast(nN))
+      .select(col("node"), (lit(1.0) / col("n")).as("r"))
+    for (_ <- 1 to iters) {
+      r = edges
+        .join(r, edges("a") === r("node")).drop("node")
+        .join(deg, edges("a") === deg("node")).drop("node")
+        .select(col("b"),
+          round(col("r") / col("od"), 9).cast("decimal(28,9)").as("contrib"))
+        .groupBy(col("b"))
+        .agg(sum(col("contrib")).as("s"))
+        .crossJoin(broadcast(nN))
+        .select(col("b").as("node"),
+          // (1.0 - damping) evaluated in-plan so the oracle's literal
+          // `(1.0 - 0.85)` is the bit-identical IEEE subtraction
+          round((lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("s").cast("double"), 9)
+            .as("r"))
+    }
+    r.select(col("node"), col("r").as("pagerank"))
+  }
 }

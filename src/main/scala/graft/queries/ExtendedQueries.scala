@@ -156,17 +156,21 @@ object ExtendedQueries {
     * bounded); the count itself is GraphMetrics.triangleCount's
     * degree-oriented wedge join vs DuckDB's naive a<b<c three-way
     * join — identical exact integers, very different join volume. */
-  def triangleCensus(t: Tables): DataFrame = {
+  /** User co-activity edges: same event type within the same minute.
+    * Bucket occupancy is small by construction, so the per-bucket pair
+    * join has bounded fan-out. */
+  private def coActivityEdges(t: Tables): DataFrame = {
     import t.spark.implicits._
-    import graft.operators.GraphMetrics
     val b = t.events.select($"user_id".as("u"), $"event_type".as("et"),
                             date_trunc("minute", $"ts").as("m")).distinct()
-    val edges = b.select($"u".as("a"), $"et", $"m")
+    b.select($"u".as("a"), $"et", $"m")
       .join(b.select($"u".as("b"), $"et", $"m"), Seq("et", "m"))
       .filter($"a" < $"b")
       .select($"a", $"b")
-    GraphMetrics.triangleCount(edges)
   }
+
+  def triangleCensus(t: Tables): DataFrame =
+    graft.operators.GraphMetrics.triangleCount(coActivityEdges(t))
 
   val triangleCensusSql: String =
     """WITH b AS (SELECT DISTINCT user_id u, event_type et, date_trunc('minute', ts) m FROM events),
@@ -179,8 +183,40 @@ object ExtendedQueries {
       |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
       |       (SELECT CAST(c AS BIGINT) FROM tri) AS n_triangles""".stripMargin
 
+  /** qg03: 5-iteration PageRank (damping 0.85) on the user co-activity
+    * graph — per-round message passing with decimal-exact contribution
+    * sums, vs DuckDB's five unrolled CTE rounds. */
+  def pageRank(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    graft.operators.GraphMetrics.pageRank(coActivityEdges(t), iters = 5)
+      .select($"node".as("user_id"), $"pagerank")
+      .orderBy($"user_id")
+  }
+
+  val pageRankSql: String = {
+    def iter(prev: String, k: Int) =
+      s"""it$k AS (SELECT e.b node,
+         |    round((1.0 - 0.85)/n + 0.85*CAST(SUM(CAST(round(r.r/d.od, 9) AS DECIMAL(28,9))) AS DOUBLE), 9) r
+         |  FROM e JOIN $prev r ON r.node = e.a JOIN deg d ON d.node = e.a CROSS JOIN nn
+         |  GROUP BY e.b, nn.n)""".stripMargin
+    s"""WITH bkt AS (SELECT DISTINCT user_id u, event_type et, date_trunc('minute', ts) m FROM events),
+       |und AS (SELECT DISTINCT a.u a, b2.u b
+       |  FROM bkt a JOIN bkt b2 ON a.et = b2.et AND a.m = b2.m AND a.u < b2.u),
+       |e AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT a node, COUNT(*) od FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) n FROM deg),
+       |it0 AS (SELECT node, 1.0/n r FROM deg CROSS JOIN nn),
+       |${iter("it0", 1)},
+       |${iter("it1", 2)},
+       |${iter("it2", 3)},
+       |${iter("it3", 4)},
+       |${iter("it4", 5)}
+       |SELECT node AS user_id, r AS pagerank FROM it5 ORDER BY user_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qg02_triangle_census" -> ((s: SparkSession, d: String) => triangleCensus(Tables(s, d))),
+    "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
     "q18_dim_stats"        -> ((s: SparkSession, d: String) => dimensionStats(Tables(s, d))),
     "q19_big_spenders"     -> ((s: SparkSession, d: String) => bigSpenders(Tables(s, d))),
@@ -190,6 +226,7 @@ object ExtendedQueries {
 
   def oracles: Map[String, String] = Map(
     "qg02_triangle_census" -> triangleCensusSql,
+    "qg03_pagerank"        -> pageRankSql,
     "q17_rollup_revenue"   -> rollupRevenueSql,
     "q18_dim_stats"        -> dimensionStatsSql,
     "q19_big_spenders"     -> bigSpendersSql,

@@ -26,6 +26,33 @@ class GraphMetricsSpec extends SparkTestBase {
     assert(count3(star) == ((51L, 50L, 0L)))
   }
 
+  test("pageRank: symmetric ring stays uniform; star concentrates rank at the hub") {
+    val ring = (0L until 10L).map(i => (i, (i + 1) % 10)).toDF("a", "b")
+    val rr = GraphMetrics.pageRank(ring, iters = 5)
+      .select("pagerank").as[Double].collect()
+    assert(rr.length == 10)
+    // uniform start on a vertex-transitive graph is the fixed point
+    assert(rr.forall(r => math.abs(r - 0.1) < 1e-6), rr.toSeq.toString)
+    val star = (1L to 20L).map(l => (0L, l)).toDF("a", "b")
+    val sr = GraphMetrics.pageRank(star, iters = 5)
+      .orderBy($"node").select("node", "pagerank").as[(Long, Double)].collect()
+    val hub = sr.head._2; val leaves = sr.tail.map(_._2)
+    assert(leaves.forall(hub > _), s"hub $hub not above leaves ${leaves.max}")
+    assert(leaves.toSet.size == 1, "leaves are symmetric — equal ranks")
+    // total rank is conserved (no dangling mass in a symmetric graph)
+    assert(math.abs(sr.map(_._2).sum - 1.0) < 1e-5)
+  }
+
+  test("pageRank is partition-invariant (decimal-exact contribution sums)") {
+    val edges = (0L until 30L).flatMap(i => Seq((i, (i + 1) % 30), (i, (i + 7) % 30)))
+      .toDF("a", "b")
+    val a = GraphMetrics.pageRank(edges, iters = 4)
+      .orderBy($"node").collect().toSeq
+    val b = GraphMetrics.pageRank(edges.repartition(13), iters = 4)
+      .orderBy($"node").collect().toSeq
+    assert(a == b)
+  }
+
   test("degree-oriented count equals naive ordered count on the co-activity graph") {
     val t = Tables(spark, sf0001)
     val b = t.events.select($"user_id".as("u"), $"event_type".as("et"),
