@@ -545,6 +545,72 @@ object PipelineQueries {
       |  AND epoch_ms(p.ts) - epoch_ms(v.ts) <= 1800000
       |ORDER BY user_id, view_id, purchase_id""".stripMargin
 
+  /** qe03: cohort retention matrix — users grouped by first-activity
+    * date, activity counted per whole-day offset from that cohort day.
+    * The canonical product-analytics rollup; everything is exact
+    * integer arithmetic (dates, datediffs, distinct counts).
+    *
+    * Scale: one user-keyed aggregation for the cohort table, one join
+    * back (user-keyed — at web scale this broadcast-misses and becomes
+    * a co-partitioned shuffle join, which is the right shape), one
+    * (cohort, offset) aggregation. */
+  def retentionCohorts(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val firstDay = t.events.groupBy($"user_id")
+      .agg(min(to_date($"ts")).as("cohort_d"))
+    t.events.select($"user_id", to_date($"ts").as("d"))
+      .join(firstDay, "user_id")
+      .groupBy($"cohort_d", datediff($"d", $"cohort_d").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+      .orderBy($"cohort_d", $"day_offset")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH fd AS (SELECT user_id, MIN(CAST(ts AS DATE)) cohort_d FROM events GROUP BY 1)
+      |SELECT cohort_d, CAST(datediff('day', cohort_d, CAST(ts AS DATE)) AS INT) AS day_offset,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+      |FROM events e JOIN fd ON fd.user_id = e.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_d, day_offset""".stripMargin
+
+  /** qe04: per-user daily-volume anomaly scores — each (user, day)
+    * event count z-scored against that user's own daily history
+    * (population variance). Everything is derived from exact integer
+    * sums; the variance expression and sqrt are bit-deterministic
+    * IEEE, so the z-scores oracle cell-exact. Users with a single
+    * active day or zero variance score NULL. */
+  def userAnomalies(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val daily = t.events.groupBy($"user_id", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("c"))
+    val stats = daily.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_days"), sum($"c").as("s"), sum($"c" * $"c").as("sq"))
+    val mean = col("s").cast("double") / col("n_days")
+    val variance = (col("sq").cast("double") - col("s").cast("double") * col("s") / col("n_days")) / col("n_days")
+    daily.join(stats, "user_id")
+      .select($"user_id", $"d", $"c".as("n_events"),
+        when(variance > 0.0,
+          round(($"c" - mean) / sqrt(variance), 6)).as("z"))
+      .withColumn("anomalous", coalesce(abs($"z") >= 2.0, lit(false)))
+      .orderBy($"user_id", $"d")
+  }
+
+  val userAnomaliesSql: String =
+    """WITH daily AS (SELECT user_id, CAST(ts AS DATE) d, COUNT(*) c
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT user_id, COUNT(*) n_days, SUM(c) s, SUM(c * c) sq
+      |  FROM daily GROUP BY 1)
+      |SELECT daily.user_id, d, c AS n_events,
+      |  CASE WHEN (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days) / n_days > 0.0
+      |    THEN round((c - CAST(s AS DOUBLE) / n_days)
+      |      / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days) / n_days), 6)
+      |  END AS z,
+      |  COALESCE(abs(CASE WHEN (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days) / n_days > 0.0
+      |    THEN round((c - CAST(s AS DOUBLE) / n_days)
+      |      / sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * s / n_days) / n_days), 6)
+      |  END) >= 2.0, false) AS anomalous
+      |FROM daily JOIN st ON st.user_id = daily.user_id
+      |ORDER BY daily.user_id, d""".stripMargin
+
   // ---- multimodal (binary columns + typed metadata) ----
 
   /** Multimodal column plumbing at the query surface: documents as
@@ -658,6 +724,8 @@ object PipelineQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qd13_semantic_dedup"  -> ((s: SparkSession, d: String) => semanticDedup(Tables(s, d))),
+    "qe03_retention"       -> ((s: SparkSession, d: String) => retentionCohorts(Tables(s, d))),
+    "qe04_user_anomaly"    -> ((s: SparkSession, d: String) => userAnomalies(Tables(s, d))),
     "qt16_pmi_bigrams"     -> ((s: SparkSession, d: String) => pmiBigrams(Tables(s, d))),
     "qm01_media_meta"      -> ((s: SparkSession, d: String) => mediaMeta(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
@@ -686,6 +754,8 @@ object PipelineQueries {
 
   def oracles: Map[String, String] = Map(
     "qd13_semantic_dedup"  -> semanticDedupSql,
+    "qe03_retention"       -> retentionCohortsSql,
+    "qe04_user_anomaly"    -> userAnomaliesSql,
     "qt16_pmi_bigrams"     -> pmiBigramsSql,
     "qm01_media_meta"      -> mediaMetaSql,
     "qe01_sessionize"      -> sessionizedSql,
