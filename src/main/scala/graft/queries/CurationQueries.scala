@@ -715,6 +715,7 @@ object CurationQueries {
     "qp08_curriculum"        -> ((s: SparkSession, d: String) => curriculumShards(Tables(s, d))),
     "qr01_data_card"         -> ((s: SparkSession, d: String) => dataCard(Tables(s, d))),
     "qc06_training_mix"      -> ((s: SparkSession, d: String) => trainingMix(Tables(s, d))),
+    "qt17_source_overlap"    -> ((s: SparkSession, d: String) => sourceOverlap(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -741,5 +742,47 @@ object CurationQueries {
     "qp08_curriculum"        -> curriculumShardsSql,
     "qr01_data_card"         -> dataCardSql,
     "qc06_training_mix"      -> trainingMixSql,
+    "qt17_source_overlap"    -> sourceOverlapSql,
   )
+
+  /** qt17: inter-source content-overlap matrix — exact shingle Jaccard
+    * and containment between every pair of sources that share at least
+    * one 3-gram. The census a mix designer reads before weighting
+    * sources: high overlap means double-counting, high containment
+    * means one source is (nearly) inside another.
+    *
+    * Scale: per-source distinct shingle hashes are one explode + one
+    * distinct (shingle-keyed shuffle); the pair intersection joins on
+    * the SHINGLE hash, so fan-out per hash is bounded by the number of
+    * sources containing it (≤ |sources|, a few dozen) — never a
+    * doc-level pair join. Source-level sizes join at |sources| rows. */
+  def sourceOverlap(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val sh = t.documents
+      .select($"source", explode(shingleHashes($"text", 3)).as("h")).distinct()
+    val sizes = sh.groupBy($"source").agg(count(lit(1)).as("sz"))
+    sh.select($"source".as("s1"), $"h")
+      .join(sh.select($"source".as("s2"), $"h"), Seq("h"))
+      .filter($"s1" < $"s2")
+      .groupBy($"s1", $"s2").agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select($"source".as("s1"), $"sz".as("sz1")), "s1")
+      .join(sizes.select($"source".as("s2"), $"sz".as("sz2")), "s2")
+      .select($"s1", $"s2", $"n_shared",
+        round($"n_shared".cast("double") / ($"sz1" + $"sz2" - $"n_shared"), 6).as("jaccard"),
+        round($"n_shared".cast("double") / $"sz1", 6).as("containment"))
+      .orderBy($"s1", $"s2")
+  }
+
+  val sourceOverlapSql: String =
+    """WITH sh AS (SELECT DISTINCT source, unnest(list_distinct(
+      |    [md5(array_to_string(w[i:i+2], ' ')) for i in range(1, len(w)-1)])) h
+      |  FROM (SELECT source, string_split_regex(trim(text), '\s+') w FROM documents)),
+      |sz AS (SELECT source, COUNT(*) sz FROM sh GROUP BY 1),
+      |p AS (SELECT a.source s1, b.source s2, CAST(COUNT(*) AS BIGINT) n_shared
+      |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source GROUP BY 1, 2)
+      |SELECT s1, s2, n_shared,
+      |  round(CAST(n_shared AS DOUBLE) / (z1.sz + z2.sz - n_shared), 6) AS jaccard,
+      |  round(CAST(n_shared AS DOUBLE) / z1.sz, 6) AS containment
+      |FROM p JOIN sz z1 ON z1.source = p.s1 JOIN sz z2 ON z2.source = p.s2
+      |ORDER BY s1, s2""".stripMargin
 }

@@ -71,6 +71,39 @@ object ScaleStress {
       .filter(col("n_windows") > 0 && col("n_shared") === col("n_windows")).count()
     // every replicated doc shares ALL its windows with its copies
     println(s"[stress]   fully-shared docs = $fullyShared of $n")
+
+    // triangle counting on a hub-adversarial graph: a star hub of
+    // degree H glued to a sparse ring. In the naive a<b<c wedge join
+    // the apex is the MIDDLE id — a hub whose id splits its
+    // neighborhood produces (H/2)² wedges; the degree-oriented
+    // formulation gives the hub out-degree ~0 (all its edges point
+    // INTO it) and leaves out-degree ≤ 3, collapsing wedge volume to
+    // O(m). Counts must agree; the timing gap is the claim, measured.
+    {
+      import graft.operators.GraphMetrics
+      import spark.implicits._
+      val hubDeg = 20000L
+      val hub = hubDeg / 2 // mid-id hub: the naive join's worst case
+      val leaves = (1L to hubDeg + 1).filter(_ != hub)
+      val star = leaves.map(l => (hub, l))
+      val ring = leaves.zip(leaves.tail :+ leaves.head)
+      val g = (star ++ ring).toDF("a", "b").repartition(32).localCheckpoint(true)
+      val oriented = time("triangles deg-oriented") {
+        GraphMetrics.triangleCount(g).select("n_triangles").as[Long].collect().head
+      }
+      val naive = time("triangles naive a<b<c") {
+        val e = GraphMetrics.canonicalEdges(g).localCheckpoint(true)
+        e.select(col("a"), col("b"))
+          .join(e.select(col("a").as("b"), col("b").as("c")), "b")
+          .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+          .count()
+      }
+      assert(oriented == naive, s"triangle counts diverge: $oriented vs $naive")
+      // hub–ring gluing: every consecutive leaf pair closes a triangle
+      // through the hub (the ring's wrap edge included)
+      assert(oriented == hubDeg, s"expected $hubDeg hub triangles, got $oriented")
+      println(s"[stress]   triangles = $oriented (hub degree $hubDeg, hub id $hub)")
+    }
     spark.catalog.clearCache()
     spark.stop()
   }
