@@ -107,13 +107,50 @@ object RetrievalQueries {
       |  FROM fused)
       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
+  /** qs08: ANN over int8-quantized embeddings — per-dimension min/max
+    * calibration, search on the dequantized reconstruction. The memory
+    * lever for the embedding tier; exactness of the whole quantize →
+    * dequantize → rank funnel is oracle-checked, recall vs float
+    * search is spec-checked. */
+  def int8Ann(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val deq = graft.operators.Quantization.int8(t.embeddings)
+      .select($"vec_id", $"deq".as("embedding"))
+    Similarity.bruteForceTopK(deq, QueryIds, k = 5).orderBy($"query_id", $"rk")
+  }
+
+  val int8AnnSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e FROM embeddings),
+      |d AS (SELECT i, MIN(e[i+1]) mn, MAX(e[i+1]) mx
+      |  FROM v CROSS JOIN (SELECT unnest(range(0,64)) i) t GROUP BY i),
+      |cal AS (SELECT list(mn ORDER BY i) mins, list(mx ORDER BY i) maxs FROM d),
+      |q AS (SELECT vec_id, list_transform(e, (x, i) ->
+      |    CASE WHEN maxs[i] = mins[i] THEN 0.0
+      |      ELSE round((x - mins[i]) / (maxs[i] - mins[i]) * 255.0, 0) END) q8
+      |  FROM v CROSS JOIN cal),
+      |dq AS (SELECT vec_id, list_transform(q8, (qv, i) ->
+      |    mins[i] + qv / 255.0 * (maxs[i] - mins[i])) e
+      |  FROM q CROSS JOIN cal),
+      |qs AS (SELECT vec_id query_id, e q_vec, sqrt(list_dot_product(e, e)) q_nrm
+      |  FROM dq WHERE vec_id < 10),
+      |c AS (SELECT vec_id neighbor_id, e c_vec, sqrt(list_dot_product(e, e)) c_nrm FROM dq),
+      |sims AS (SELECT query_id, neighbor_id,
+      |    round(list_dot_product(q_vec, c_vec) / (q_nrm * c_nrm), 6) cos_sim
+      |  FROM c JOIN qs ON neighbor_id <> query_id)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+      |  FROM sims)
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs06_bm25_topk"  -> ((s: SparkSession, d: String) => bm25TopK(Tables(s, d))),
     "qs07_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(Tables(s, d))),
+    "qs08_int8_ann"   -> ((s: SparkSession, d: String) => int8Ann(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
     "qs06_bm25_topk"  -> bm25TopKSql,
     "qs07_hybrid_rrf" -> hybridRrfSql,
+    "qs08_int8_ann"   -> int8AnnSql,
   )
 }
