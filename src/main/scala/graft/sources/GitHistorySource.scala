@@ -139,7 +139,7 @@ object GitHistorySource {
 
   /** one commit-metadata pass per repo: sha, parents, names, raw dates,
     * plus per-commit insertion/deletion totals from --shortstat. */
-  private def walkCommits(r: RepoRef): Iterator[GitCommit] = {
+  private[sources] def walkCommits(r: RepoRef): Iterator[GitCommit] = {
     val fmt = "%x01%H%x02%P%x02%an%x02%cn%x02%ad%x02%cd"
     val out = ArrayBuffer.empty[GitCommit]
     var cur: GitCommit = null
@@ -298,7 +298,7 @@ object GitHistorySource {
     * `-p` diff pass and cat-file nloc probes — merged COMMIT-BY-COMMIT
     * in lockstep (all passes share `git log`'s ordering and -M), so
     * memory is one commit's entries, not the repo's history. */
-  private def walkDeltas(r: RepoRef, withContent: Boolean): Iterator[GitDelta] = {
+  private[sources] def walkDeltas(r: RepoRef, withContent: Boolean): Iterator[GitDelta] = {
     case class Entry(changeType: String, oldPath: String, newPath: String)
     val names = perCommit(gitLines(r.path, Seq("-M", "--name-status", "--format=%x01%H")))
     val nums = perCommit(gitLines(r.path, Seq("-M", "--numstat", "--format=%x01%H")))
