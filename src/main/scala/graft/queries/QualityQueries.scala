@@ -414,7 +414,60 @@ object QualityQueries {
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** qc10: SEMANTIC decontamination — flag corpus docs whose embedding
+    * cosine to ANY benchmark doc (doc_id % 50 = 0, the qc02/qc08
+    * benchmark set) reaches 0.35: the contamination the n-gram rules
+    * miss entirely (translations, heavy paraphrases). The benchmark
+    * side is tiny by definition and BROADCAST with precomputed norms,
+    * so the corpus streams once through a broadcast nested-loop scoring
+    * pass — no corpus self-join, no shuffle of the embedding tier.
+    * Output per doc: best-matching bench doc, its cosine, the flag. */
+  def semanticDecontaminate(t: Tables): DataFrame = {
+    import graft.functions.VectorFunctions._
+    import t.spark.implicits._
+    val v = t.embeddings.select($"vec_id", $"embedding",
+      sqrt(norm2($"embedding")).as("nrm"))
+    val bench = v.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("bench_id"), $"embedding".as("b_vec"), $"nrm".as("b_nrm"))
+    val corpus = v.filter($"vec_id" % 50 =!= 0)
+    val best = corpus.join(broadcast(bench))
+      .select($"vec_id",
+        struct(round(dot($"embedding", $"b_vec") / ($"nrm" * $"b_nrm"), 6).as("cos_sim"),
+               $"bench_id").as("m"))
+      .groupBy($"vec_id")
+      .agg(max($"m").as("m"))
+      .select($"vec_id", $"m.bench_id".as("bench_id"), $"m.cos_sim".as("max_cos"))
+    corpus.select($"vec_id")
+      .join(best, Seq("vec_id"), "left")
+      .select($"vec_id",
+        when($"max_cos" >= 0.35, $"bench_id").as("bench_id"),
+        when($"max_cos" >= 0.35, $"max_cos").as("max_cos"),
+        coalesce($"max_cos" >= 0.35, lit(false)).as("contaminated"))
+      .orderBy($"vec_id")
+  }
+
+  val semanticDecontaminateSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+      |  FROM embeddings),
+      |bench AS (SELECT vec_id bench_id, e b_vec, nrm b_nrm FROM v WHERE vec_id % 50 = 0),
+      |corpus AS (SELECT * FROM v WHERE vec_id % 50 <> 0),
+      |scored AS (SELECT c.vec_id, b.bench_id,
+      |    round(list_dot_product(c.e, b.b_vec) / (c.nrm * b.b_nrm), 6) cos_sim
+      |  FROM corpus c CROSS JOIN bench b),
+      |best AS (SELECT vec_id, bench_id, cos_sim max_cos FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY cos_sim DESC, bench_id DESC) rn
+      |    FROM scored) WHERE rn = 1)
+      |SELECT c.vec_id,
+      |  CASE WHEN max_cos >= 0.35 THEN bench_id END AS bench_id,
+      |  CASE WHEN max_cos >= 0.35 THEN max_cos END AS max_cos,
+      |  COALESCE(max_cos >= 0.35, false) AS contaminated
+      |FROM corpus c LEFT JOIN best ON best.vec_id = c.vec_id
+      |ORDER BY c.vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qc10_semantic_decontam" -> ((s: SparkSession, d: String) => semanticDecontaminate(Tables(s, d))),
     "qp09_dsir_weights"      -> ((s: SparkSession, d: String) => dsirWeights(Tables(s, d))),
     "qd12_substring_scrub"   -> ((s: SparkSession, d: String) => substringScrub(Tables(s, d))),
     "qt10_gopher_rules"      -> ((s: SparkSession, d: String) => gopherRules(Tables(s, d))),
@@ -430,6 +483,7 @@ object QualityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qc10_semantic_decontam" -> semanticDecontaminateSql,
     "qp09_dsir_weights"      -> dsirWeightsSql,
     "qd12_substring_scrub"   -> substringScrubSql,
     "qt10_gopher_rules"      -> gopherRulesSql,

@@ -88,6 +88,24 @@ object DumpPlans {
       ("qz02_global_ordinal — global rank without the global window",
        "ROW_NUMBER-over-everything semantics with no single-partition window: deterministic value-range buckets from a broadcast min/max, per-bucket counts rolled into offsets over a numBuckets-row frame (constant partition — driver-scale), then offset + row_number within each bounded bucket. The naive formulation funnels the entire table through one task; this one never creates a window partition larger than ~1/numBuckets of the data.",
        fmt(graft.queries.LayoutQueries.globalOrdinal(t))),
+      ("qs06_bm25_topk — inverted-index lexical search",
+       "The corpus contributes exactly two hash aggregations (postings with doc length riding along, then document frequencies); the query workload picks up per-term idf on the tiny side and is BROADCAST into the postings scan, so scoring is a broadcast hash join on the corpus side — the corpus is never shuffled by the query set. Ranking windows partition on query_id (workload-sized, never corpus-sized).",
+       fmt(graft.queries.RetrievalQueries.bm25TopK(t))),
+      ("qd12_substring_scrub — linear substring removal",
+       "The scrub keeps qd09's linear pair-free shape: positional shingle projection, one window-hash shuffle where the owner table is filtered to duplicated hashes BEFORE the join back, per-doc position aggregation, and an id-keyed rebuild join. No candidate-pair columns anywhere in the plan.",
+       fmt(graft.queries.QualityQueries.substringScrub(t))),
+      ("qg02/qg03 — degree-oriented triangles, decimal-exact PageRank",
+       "Triangle census: every join is a hash equi join (edge canonicalization, degree attach, apex wedge join, closing-edge semi join); the only nested-loop joins are the two 1-row scalar combines at the top. PageRank: each round is one equi join + one hash aggregation whose per-edge contributions are DECIMAL — exact, aggregation-order-independent, which is what lets an iterative float computation match DuckDB cell-exact.",
+       fmt(graft.queries.ExtendedQueries.triangleCensus(t))),
+      ("qp09_dsir_weights — broadcast model scoring",
+       "Both DSIR models ARE one dim-row bucket-count table each; the per-bucket log-ratio term is precomputed on that table and broadcast, so corpus scoring is scan → explode → BroadcastHashJoin → per-doc aggregation. The corpus never shuffles except by doc id for the final aggregation.",
+       fmt(graft.queries.QualityQueries.dsirWeights(t))),
+      ("qd13_semantic_dedup — cluster-then-prune SemDeDup",
+       "Centroids broadcast (nCells rows); assignment is a corpus pass + id-keyed argmin aggregation; pairing shuffles on the learned cell key and is quadratic only within a cell. The same funnel discipline as every other dedup path: blocking key first, pairs only inside blocks.",
+       fmt(graft.queries.PipelineQueries.semanticDedup(t))),
+      ("qc10_semantic_decontam — broadcast embedding contamination guard",
+       "The benchmark embeddings (tiny by definition) broadcast with precomputed norms; the corpus streams once through the scoring pass and a per-doc max-struct aggregation. No corpus self-join, no shuffle of the embedding tier.",
+       fmt(graft.queries.QualityQueries.semanticDecontaminate(t))),
     )
 
     val md = new StringBuilder

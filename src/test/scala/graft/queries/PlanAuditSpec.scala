@@ -164,6 +164,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(bnlj <= 2, s"expected only the two scalar combines as nested-loop, got $bnlj:\n$p")
   }
 
+  test("qd12: substring scrub stays linear — no candidate-pair self-join columns") {
+    val p = QualityQueries.substringScrub(t).queryExecution.optimizedPlan.toString
+    assert(!p.contains("a_id") && !p.contains("b_id"), p)
+  }
+
+  test("qp09: DSIR model table is broadcast; corpus never model-shuffled") {
+    val p = plan(QualityQueries.dsirWeights(t))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qd13: SemDeDup centroids broadcast; pairing is an equi join on the cell key") {
+    val p = plan(PipelineQueries.semanticDedup(t))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the pair join keys on the learned cell
+    assert(p.contains("cell"), p)
+  }
+
+  test("qc10: benchmark embeddings broadcast — corpus streams once, no self-shuffle") {
+    val p = plan(QualityQueries.semanticDecontaminate(t))
+    // bench side is a broadcast (nested-loop on the tiny side is the
+    // expected shape for an unconditioned scoring join)
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("SortMergeJoin") ||
+           p.linesIterator.count(_.contains("SortMergeJoin")) <= 1, p)
+  }
+
   test("qz02: global ordinal never plans a data-scale unpartitioned window") {
     val df = LayoutQueries.globalOrdinal(t)
     val windows = df.queryExecution.optimizedPlan.toString.linesIterator
