@@ -99,6 +99,96 @@ object EventStreams {
       }
   }
 
+  // ---- streaming anomaly detection (prequential z-score) ----
+
+  case class AnomalyState(curDay: Long, curCount: Long,
+                          nDays: Long, s: Long, sq: Long)
+  case class AnomalyOut(user_id: Long, day: String,
+                        n_events: Long, z: Option[Double])
+
+  /** Streaming per-user daily-volume anomaly scores — the PREQUENTIAL
+    * twin of the batch qe04 scorer: a user's day closes when a LATER
+    * day's event arrives, and the closed day's count is z-scored
+    * against the user's previously-closed days only (never the
+    * future — the honest online semantics; qe04's batch z uses the
+    * full history both ways). `z` is NULL until two prior days exist
+    * and their variance is positive. The still-open day is never
+    * emitted; late events for already-closed days are dropped (the
+    * stream's watermark contract, documented rather than silently
+    * miscounted). State per user is five longs — O(users), not
+    * O(events). [[anomalyBatch]] computes identical rows with window
+    * functions; AnomalySpec pins stream == batch across micro-batch
+    * splits. */
+  def anomalyStream(events: Dataset[Event],
+                    timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()
+                   ): Dataset[AnomalyOut] = {
+    import events.sparkSession.implicits._
+    def close(userId: Long, st: AnomalyState): AnomalyOut = {
+      val z =
+        if (st.nDays >= 2) {
+          val mean = st.s.toDouble / st.nDays
+          val variance = (st.sq.toDouble - st.s.toDouble * st.s / st.nDays) / st.nDays
+          if (variance > 0.0)
+            // HALF_UP at 6dp — the same rounding Spark's round() applies
+            // in the batch twin, so stream == batch is exact
+            Some(BigDecimal((st.curCount - mean) / math.sqrt(variance))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          else None
+        } else None
+      // ISO string day — immune to JVM/session timezone skew (the
+      // session runs UTC; epoch-day IS the UTC day)
+      AnomalyOut(userId, java.time.LocalDate.ofEpochDay(st.curDay).toString, st.curCount, z)
+    }
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AnomalyState, AnomalyOut](OutputMode.Append(), timeout) {
+        case (userId, it, state: GroupState[AnomalyState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var out = List.empty[AnomalyOut]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val day = Math.floorDiv(e.ts.getTime, 86400000L)
+            cur match {
+              case Some(st) if day == st.curDay =>
+                cur = Some(st.copy(curCount = st.curCount + 1))
+              case Some(st) if day > st.curDay =>
+                out ::= close(userId, st)
+                cur = Some(AnomalyState(day, 1,
+                  st.nDays + 1, st.s + st.curCount, st.sq + st.curCount * st.curCount))
+              case Some(_) => () // late event for a closed day: dropped
+              case None =>
+                cur = Some(AnomalyState(day, 1, 0L, 0L, 0L))
+            }
+          }
+          cur.foreach(state.update)
+          out.reverseIterator
+      }
+  }
+
+  /** Batch twin of [[anomalyStream]]: identical prequential rows via
+    * window functions — prior-days-only running stats, each user's
+    * last (still-open) day excluded. */
+  def anomalyBatch(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col("user_id"))
+    val n = count(col("n_events")).over(w)
+    val s = sum(col("n_events")).over(w)
+    val sq = sum(col("n_events") * col("n_events")).over(w)
+    val mean = s.cast("double") / n
+    val variance = (sq.cast("double") - s.cast("double") * s / n) / n
+    daily
+      .withColumn("z", when(n >= 2 && variance > 0.0,
+        round((col("n_events") - mean) / sqrt(variance), 6)))
+      .withColumn("__last", max(col("day")).over(wAll))
+      .filter(col("day") < col("__last"))
+      .drop("__last")
+  }
+
   /** Streaming ingest → MERGE (SURVEY.md §2.A Streaming extension:
     * `foreachBatch` upsert, Trigger.AvailableNow-compatible): each
     * micro-batch is consolidated into the parquet target with

@@ -84,6 +84,37 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out == Set((1L, 2L)))
   }
 
+  test("anomalyStream matches anomalyBatch across micro-batch splits") {
+    implicit val sqlCtx = spark.sqlContext
+    def day(d: Int, n: Int): Seq[EventStreams.Event] =
+      (1 to n).map(i => EventStreams.Event(d * 100L + i,
+        Timestamp.valueOf(f"2024-01-$d%02d 10:00:${i % 60}%02d"), 7L, "click", 1.0))
+    // user 7: daily counts 3, 5, 4, 20, 1 — day 4 is the anomaly
+    val all = day(1, 3) ++ day(2, 5) ++ day(3, 4) ++ day(4, 20) ++ day(5, 1)
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.anomalyStream(mem.toDS())
+      .writeStream.format("memory").queryName("anomalies").outputMode("append").start()
+    try {
+      // split mid-day-2 to prove state carries across micro-batches
+      mem.addData(all.take(5): _*); q.processAllAvailable()
+      mem.addData(all.drop(5): _*); q.processAllAvailable()
+      val stream = spark.table("anomalies")
+        .as[EventStreams.AnomalyOut].collect()
+        .map(a => (a.user_id, a.day, a.n_events, a.z)).toSet
+      val batch = EventStreams.anomalyBatch(all.toDF())
+        .select($"user_id", $"day", $"n_events", $"z")
+        .as[(Long, String, Long, Option[Double])].collect().toSet
+      assert(stream == batch, s"stream $stream\nbatch $batch")
+      // closed days 1..4 emitted (day 5 still open); day 4 flags hard
+      assert(stream.map(_._2) ==
+        Set("2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"))
+      val day4 = stream.find(_._2 == "2024-01-04").get
+      assert(day4._4.exists(_ > 2.0), s"day-4 z not anomalous: $day4")
+      // first two days have no scoreable history
+      assert(stream.filter(r => r._2 <= "2024-01-02").forall(_._4.isEmpty))
+    } finally q.stop()
+  }
+
   test("sessionize (flatMapGroupsWithState) matches sessionizeBatch on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
