@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import graft.operators.{ConnectedComponents, Dedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline plane: text analysis, dedup, similarity
@@ -611,6 +612,96 @@ object PipelineQueries {
       |FROM daily JOIN st ON st.user_id = daily.user_id
       |ORDER BY daily.user_id, d""".stripMargin
 
+  /** qt18: lexical diversity census — per doc: token count, distinct
+    * types, type-token ratio, hapax fraction (types occurring once).
+    * The cheap vocabulary-richness signals used alongside qt03/qt10 in
+    * quality gates. One explode + one (doc, token) aggregation + one
+    * per-doc aggregation — all integer until the two final ratios. */
+  def lexicalDiversity(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val perTok = t.documents
+      .select($"doc_id", explode(tokens(lower($"text"))).as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+    val perDoc = perTok.groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+           count(lit(1)).as("n_types"),
+           sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
+    t.documents.select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"n_types", lit(0L)).as("n_types"),
+        round($"n_types".cast("double") / $"n_tokens", 6).as("ttr"),
+        round($"n_hapax".cast("double") / $"n_types", 6).as("hapax_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val lexicalDiversitySql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) tok
+      |  FROM documents),
+      |pt AS (SELECT doc_id, tok, COUNT(*) c FROM tok GROUP BY 1, 2),
+      |pd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) n_types,
+      |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) n_hapax
+      |  FROM pt GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(n_tokens, 0) AS n_tokens,
+      |  COALESCE(n_types, 0) AS n_types,
+      |  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+      |  round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_frac
+      |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** qt19: Zipf rank-frequency fit per language — least-squares slope
+    * of ln(freq) against ln(rank) over each language's top-100 terms.
+    * Natural corpora sit near −1; a corpus whose slope drifts is
+    * boilerplate-heavy or template-generated. Per-term log terms are
+    * rounded to 6dp and summed as DECIMAL (exact), and the closed-form
+    * slope is left UNROUNDED — IEEE arithmetic of identical operands
+    * (the qt13 rounding lesson). */
+  def zipfFit(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val freq = t.documents
+      .select($"lang", explode(tokens(lower($"text"))).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy($"lang").orderBy($"f".desc, $"tok".asc)
+    val ranked = freq.withColumn("r", row_number().over(w)).filter($"r" <= 100)
+      .select($"lang",
+        round(log($"r"), 6).cast("decimal(18,6)").as("x"),
+        round(log($"f"), 6).cast("decimal(18,6)").as("y"),
+        round(log($"r") * log($"r"), 6).cast("decimal(24,6)").as("xx"),
+        round(log($"r") * log($"f"), 6).cast("decimal(24,6)").as("xy"))
+    ranked.groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+           sum($"x").cast("double").as("sx"),
+           sum($"y").cast("double").as("sy"),
+           sum($"xx").cast("double").as("sxx"),
+           sum($"xy").cast("double").as("sxy"))
+      .select($"lang", $"n",
+        (($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
+          .as("zipf_slope"))
+      .orderBy($"lang")
+  }
+
+  val zipfFitSql: String =
+    """WITH tok AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) tok
+      |  FROM documents),
+      |freq AS (SELECT lang, tok, COUNT(*) f FROM tok GROUP BY 1, 2),
+      |ranked AS (SELECT lang,
+      |    CAST(round(ln(r), 6) AS DECIMAL(18,6)) x,
+      |    CAST(round(ln(f), 6) AS DECIMAL(18,6)) y,
+      |    CAST(round(ln(r) * ln(r), 6) AS DECIMAL(24,6)) xx,
+      |    CAST(round(ln(r) * ln(f), 6) AS DECIMAL(24,6)) xy
+      |  FROM (SELECT lang, f,
+      |      ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, tok ASC) r
+      |    FROM freq) WHERE r <= 100),
+      |agg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) n,
+      |    CAST(SUM(x) AS DOUBLE) sx, CAST(SUM(y) AS DOUBLE) sy,
+      |    CAST(SUM(xx) AS DOUBLE) sxx, CAST(SUM(xy) AS DOUBLE) sxy
+      |  FROM ranked GROUP BY 1)
+      |SELECT lang, n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope
+      |FROM agg ORDER BY lang""".stripMargin
+
   // ---- multimodal (binary columns + typed metadata) ----
 
   /** Multimodal column plumbing at the query surface: documents as
@@ -726,6 +817,8 @@ object PipelineQueries {
     "qd13_semantic_dedup"  -> ((s: SparkSession, d: String) => semanticDedup(Tables(s, d))),
     "qe03_retention"       -> ((s: SparkSession, d: String) => retentionCohorts(Tables(s, d))),
     "qe04_user_anomaly"    -> ((s: SparkSession, d: String) => userAnomalies(Tables(s, d))),
+    "qt18_lexical_diversity" -> ((s: SparkSession, d: String) => lexicalDiversity(Tables(s, d))),
+    "qt19_zipf_fit"        -> ((s: SparkSession, d: String) => zipfFit(Tables(s, d))),
     "qt16_pmi_bigrams"     -> ((s: SparkSession, d: String) => pmiBigrams(Tables(s, d))),
     "qm01_media_meta"      -> ((s: SparkSession, d: String) => mediaMeta(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
@@ -756,6 +849,8 @@ object PipelineQueries {
     "qd13_semantic_dedup"  -> semanticDedupSql,
     "qe03_retention"       -> retentionCohortsSql,
     "qe04_user_anomaly"    -> userAnomaliesSql,
+    "qt18_lexical_diversity" -> lexicalDiversitySql,
+    "qt19_zipf_fit"        -> zipfFitSql,
     "qt16_pmi_bigrams"     -> pmiBigramsSql,
     "qm01_media_meta"      -> mediaMetaSql,
     "qe01_sessionize"      -> sessionizedSql,
