@@ -702,6 +702,61 @@ object PipelineQueries {
       |SELECT lang, n, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope
       |FROM agg ORDER BY lang""".stripMargin
 
+  /** qt20: vocabulary coverage census — the tokenizer-design question
+    * "how many vocabulary entries cover 90/95/99% of corpus tokens".
+    * Terms rank by frequency and the running token share is read at
+    * each coverage target.
+    *
+    * Scale: the ranked running sum NEVER uses a vocabulary-wide single
+    * window — terms bucket by floor(log2(f)) (monotone in f, so bucket
+    * order extends the global order), within-bucket windows are
+    * bounded, and the ~64-row bucket-total frame rolls into broadcast
+    * offsets (the qz02 global-ordinal machinery, reapplied to a
+    * running SUM). All integers — cross-engine exact regardless of the
+    * two engines bucketing differently. */
+  def vocabCoverage(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val freq = t.documents
+      .select(explode(tokens(lower($"text"))).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("f"))
+    val total = freq.agg(sum($"f").as("total"))
+    val bucketed = freq.withColumn("bkt", floor(log2($"f")))
+    val wIn = Window.partitionBy($"bkt").orderBy($"f".desc, $"tok".asc)
+    val within = bucketed
+      .withColumn("rn", row_number().over(wIn))
+      .withColumn("cs", sum($"f").over(
+        wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wb = Window.partitionBy(lit(0)).orderBy($"bkt".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // ~64 rows: the constant-partition window is driver-scale by design
+    val offsets = bucketed.groupBy($"bkt")
+      .agg(count(lit(1)).as("bc"), sum($"f").as("bs"))
+      .withColumn("oc", coalesce(sum($"bc").over(wb), lit(0L)))
+      .withColumn("os", coalesce(sum($"bs").over(wb), lit(0L)))
+      .select($"bkt", $"oc", $"os")
+    val ranked = within.join(broadcast(offsets), "bkt")
+      .select(($"oc" + $"rn").as("rank"), ($"os" + $"cs").as("cum"))
+    val targets = Seq(0.9, 0.95, 0.99).toDF("target")
+    ranked.crossJoin(broadcast(targets)).crossJoin(broadcast(total))
+      .filter($"cum" >= $"target" * $"total")
+      .groupBy($"target").agg(min($"rank").as("vocab_size"))
+      .orderBy($"target")
+  }
+
+  val vocabCoverageSql: String =
+    """WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) tok
+      |  FROM documents),
+      |freq AS (SELECT tok, COUNT(*) f FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(f) AS BIGINT) total FROM freq),
+      |ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY f DESC, tok ASC) rank,
+      |    SUM(f) OVER (ORDER BY f DESC, tok ASC ROWS UNBOUNDED PRECEDING) cum
+      |  FROM freq),
+      |t AS (SELECT CAST(x AS DOUBLE) target FROM (VALUES (0.9), (0.95), (0.99)) v(x))
+      |SELECT target, CAST(MIN(rank) AS BIGINT) AS vocab_size
+      |FROM ranked CROSS JOIN t CROSS JOIN tot
+      |WHERE cum >= target * total
+      |GROUP BY target ORDER BY target""".stripMargin
+
   // ---- multimodal (binary columns + typed metadata) ----
 
   /** Multimodal column plumbing at the query surface: documents as
@@ -819,6 +874,7 @@ object PipelineQueries {
     "qe04_user_anomaly"    -> ((s: SparkSession, d: String) => userAnomalies(Tables(s, d))),
     "qt18_lexical_diversity" -> ((s: SparkSession, d: String) => lexicalDiversity(Tables(s, d))),
     "qt19_zipf_fit"        -> ((s: SparkSession, d: String) => zipfFit(Tables(s, d))),
+    "qt20_vocab_coverage"  -> ((s: SparkSession, d: String) => vocabCoverage(Tables(s, d))),
     "qt16_pmi_bigrams"     -> ((s: SparkSession, d: String) => pmiBigrams(Tables(s, d))),
     "qm01_media_meta"      -> ((s: SparkSession, d: String) => mediaMeta(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
@@ -851,6 +907,7 @@ object PipelineQueries {
     "qe04_user_anomaly"    -> userAnomaliesSql,
     "qt18_lexical_diversity" -> lexicalDiversitySql,
     "qt19_zipf_fit"        -> zipfFitSql,
+    "qt20_vocab_coverage"  -> vocabCoverageSql,
     "qt16_pmi_bigrams"     -> pmiBigramsSql,
     "qm01_media_meta"      -> mediaMetaSql,
     "qe01_sessionize"      -> sessionizedSql,

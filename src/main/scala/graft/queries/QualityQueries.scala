@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Decontaminate, Dsir, LinearClassifier, NgramLM, QualityRules}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Quality-filtering plane (round 4 widening): the published LLM-corpus
@@ -414,6 +415,44 @@ object QualityQueries {
       |FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** qp10: RELATIVE quality gate — keep each source's top 20% of docs
+    * by classifier logit (the DCLM practice: absolute thresholds drift
+    * across sources, percentile thresholds don't). One window per
+    * source (bounded by per-source doc counts, never a global window);
+    * the logit is qt13's unrounded decimal-sum quotient, so rank order
+    * is cross-engine identical, with doc_id as the unique tie-break. */
+  def relativeQualityGate(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val scored = LinearClassifier.score(t.documents)
+      .join(t.documents.select($"doc_id", $"source"), "doc_id")
+      .filter($"logit".isNotNull)
+    val w = Window.partitionBy($"source").orderBy($"logit".desc, $"doc_id".asc)
+    val wAll = Window.partitionBy($"source")
+    scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_src", count(lit(1)).over(wAll))
+      .select($"doc_id", $"source", $"logit",
+        ($"rk" <= ceil($"n_src" * 0.2)).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val relativeQualityGateSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) tok FROM documents),
+      |b AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,4), i ->
+      |    (strpos('0123456789abcdef', substr(md5(tok), i+1, 1)) - 1) * power(16, 3-i)
+      |  )) AS BIGINT) % 64 AS bkt FROM tok),
+      |wt AS (SELECT doc_id, CAST(round(list_sum(list_transform(range(0,4), i ->
+      |    (strpos('0123456789abcdef', substr(md5(bkt::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |  )) / 65536.0 * 2.0 - 1.0, 6) AS DECIMAL(18,6)) w FROM b),
+      |g AS (SELECT doc_id, CAST(SUM(w) AS DOUBLE) / COUNT(*) logit
+      |  FROM wt GROUP BY doc_id),
+      |s AS (SELECT d.doc_id, d.source, g.logit,
+      |    ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY g.logit DESC, d.doc_id ASC) rk,
+      |    COUNT(*) OVER (PARTITION BY d.source) n_src
+      |  FROM documents d JOIN g USING (doc_id) WHERE g.logit IS NOT NULL)
+      |SELECT doc_id, source, logit, rk <= ceil(n_src * 0.2) AS kept
+      |FROM s ORDER BY doc_id""".stripMargin
+
   /** qc10: SEMANTIC decontamination — flag corpus docs whose embedding
     * cosine to ANY benchmark doc (doc_id % 50 = 0, the qc02/qc08
     * benchmark set) reaches 0.35: the contamination the n-gram rules
@@ -466,8 +505,75 @@ object QualityQueries {
       |FROM corpus c LEFT JOIN best ON best.vec_id = c.vec_id
       |ORDER BY c.vec_id""".stripMargin
 
+  /** qc11: defense-in-depth contamination report — the three
+    * decontamination layers (qc02 exact n-gram, qc07 fuzzy MinHash,
+    * qc10 semantic embedding) composed into one per-doc verdict over
+    * the non-benchmark corpus. Each layer catches what the previous
+    * misses: verbatim spans → paraphrases above lexical overlap →
+    * semantic rewrites with no lexical overlap at all. One declarative
+    * plan; the layers stay broadcast-shaped (the corpus is scanned,
+    * never self-joined). */
+  def contaminationReport(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val bench = t.documents.filter($"doc_id" % 50 === 0)
+    val corpus = t.documents.filter($"doc_id" % 50 =!= 0)
+    val exact = Decontaminate.flag(corpus, bench, n = 5)
+      .select($"doc_id", ($"n_hits" > 0).as("exact_hit"))
+    val fuzzy = Decontaminate.fuzzyFlag(t.documents, bench, threshold = 0.3,
+        benchIsSubset = true)
+      .filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id", $"contaminated".as("fuzzy_hit"))
+    val semantic = semanticDecontaminate(t)
+      .select($"vec_id".as("doc_id"), $"contaminated".as("semantic_hit"))
+    exact.join(fuzzy, "doc_id").join(semantic, "doc_id")
+      .select($"doc_id", $"exact_hit", $"fuzzy_hit", $"semantic_hit",
+        ($"exact_hit" || $"fuzzy_hit" || $"semantic_hit").as("flagged"))
+      .orderBy($"doc_id")
+  }
+
+  val contaminationReportSql: String =
+    """WITH w0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
+      |eg AS (SELECT doc_id, list_distinct([md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+      |    for i in range(1, len(ws)-3)]) gs FROM w0),
+      |ebg AS (SELECT DISTINCT unnest(gs) g FROM eg WHERE doc_id % 50 = 0),
+      |edg AS (SELECT doc_id, unnest(gs) g FROM eg WHERE doc_id % 50 <> 0),
+      |eh AS (SELECT edg.doc_id FROM edg JOIN ebg USING (g) GROUP BY edg.doc_id),
+      |shr AS (SELECT doc_id, [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws)-1)] sh FROM w0),
+      |hsh AS (SELECT doc_id, list_distinct([md5(x) for x in sh]) hashes FROM shr),
+      |sig AS (SELECT doc_id, [list_aggregate([md5(s::VARCHAR || ':' || x) for x in sh], 'min') for s in range(0,16)] sg FROM shr),
+      |bands AS (SELECT doc_id, [md5(sg[4*b+1] || '|' || sg[4*b+2] || '|' || sg[4*b+3] || '|' || sg[4*b+4]) for b in range(0,4)] bs FROM sig),
+      |bt AS (SELECT doc_id, i band_idx, bs[i] band_hash FROM bands, range(1,5) t(i)),
+      |cand AS (SELECT DISTINCT c.doc_id, b.doc_id bench_id FROM bt c
+      |  JOIN bt b ON c.band_idx = b.band_idx AND c.band_hash = b.band_hash
+      |  WHERE b.doc_id % 50 = 0 AND c.doc_id <> b.doc_id),
+      |fj AS (SELECT cand.doc_id,
+      |    round(CAST(len(list_intersect(hc.hashes, hb.hashes)) AS DOUBLE) /
+      |          (len(hc.hashes) + len(hb.hashes) - CAST(len(list_intersect(hc.hashes, hb.hashes)) AS DOUBLE)), 6) jaccard
+      |  FROM cand JOIN hsh hc ON hc.doc_id = cand.doc_id JOIN hsh hb ON hb.doc_id = bench_id),
+      |fh AS (SELECT DISTINCT doc_id FROM fj WHERE jaccard >= 0.3),
+      |v AS (SELECT vec_id, embedding::DOUBLE[] e,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm FROM embeddings),
+      |sb AS (SELECT vec_id bench_id, e b_vec, nrm b_nrm FROM v WHERE vec_id % 50 = 0),
+      |sc AS (SELECT * FROM v WHERE vec_id % 50 <> 0),
+      |sh2 AS (SELECT c.vec_id doc_id FROM sc c CROSS JOIN sb b
+      |  GROUP BY c.vec_id
+      |  HAVING MAX(round(list_dot_product(c.e, b.b_vec) / (c.nrm * b.b_nrm), 6)) >= 0.35)
+      |SELECT d.doc_id,
+      |  eh.doc_id IS NOT NULL AS exact_hit,
+      |  fh.doc_id IS NOT NULL AS fuzzy_hit,
+      |  sh2.doc_id IS NOT NULL AS semantic_hit,
+      |  (eh.doc_id IS NOT NULL OR fh.doc_id IS NOT NULL OR sh2.doc_id IS NOT NULL) AS flagged
+      |FROM documents d
+      |LEFT JOIN eh ON eh.doc_id = d.doc_id
+      |LEFT JOIN fh ON fh.doc_id = d.doc_id
+      |LEFT JOIN sh2 ON sh2.doc_id = d.doc_id
+      |WHERE d.doc_id % 50 <> 0
+      |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qc10_semantic_decontam" -> ((s: SparkSession, d: String) => semanticDecontaminate(Tables(s, d))),
+    "qc11_contamination_report" -> ((s: SparkSession, d: String) => contaminationReport(Tables(s, d))),
+    "qp10_relative_gate"     -> ((s: SparkSession, d: String) => relativeQualityGate(Tables(s, d))),
     "qp09_dsir_weights"      -> ((s: SparkSession, d: String) => dsirWeights(Tables(s, d))),
     "qd12_substring_scrub"   -> ((s: SparkSession, d: String) => substringScrub(Tables(s, d))),
     "qt10_gopher_rules"      -> ((s: SparkSession, d: String) => gopherRules(Tables(s, d))),
@@ -484,6 +590,8 @@ object QualityQueries {
 
   def oracles: Map[String, String] = Map(
     "qc10_semantic_decontam" -> semanticDecontaminateSql,
+    "qc11_contamination_report" -> contaminationReportSql,
+    "qp10_relative_gate"     -> relativeQualityGateSql,
     "qp09_dsir_weights"      -> dsirWeightsSql,
     "qd12_substring_scrub"   -> substringScrubSql,
     "qt10_gopher_rules"      -> gopherRulesSql,
