@@ -757,6 +757,108 @@ object PipelineQueries {
       |WHERE cum >= target * total
       |GROUP BY target ORDER BY target""".stripMargin
 
+  /** qd14: chunk-level exact dedup — the RAG-store hygiene pass:
+    * non-overlapping 32-token chunks hashed, every chunk marked
+    * against its first owner (min (doc, idx)). Catches the repeated
+    * boilerplate blocks whole-doc hashing is blind to, at exact-dedup
+    * cost: chunking is a pure projection, dedup one hash shuffle. */
+  def chunkDedup(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val ch = graft.operators.Chunking.chunkByTokens(t.documents, chunkSize = 32, overlap = 0)
+      .select($"doc_id", $"chunk_idx", md5($"chunk_text").as("h"))
+    val owners = ch.groupBy($"h")
+      .agg(min(struct($"doc_id", $"chunk_idx")).as("o"), count(lit(1)).as("n_copies"))
+    ch.join(owners, "h")
+      .select($"doc_id", $"chunk_idx", $"h".as("chunk_md5"), $"n_copies",
+        ($"o.doc_id" =!= $"doc_id" || $"o.chunk_idx" =!= $"chunk_idx").as("is_dup"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val chunkDedupSql: String =
+    """WITH w0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |c AS (SELECT doc_id, unnest(range(0, len(w), 32)) s, w FROM w0),
+      |ch AS (SELECT doc_id, CAST(s // 32 AS BIGINT) chunk_idx,
+      |    md5(array_to_string(w[s+1:s+32], ' ')) h FROM c),
+      |own AS (SELECT h, doc_id od, chunk_idx oc FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, chunk_idx) rn
+      |    FROM ch) WHERE rn = 1),
+      |cnt AS (SELECT h, CAST(COUNT(*) AS BIGINT) n_copies FROM ch GROUP BY h)
+      |SELECT ch.doc_id, ch.chunk_idx, ch.h AS chunk_md5, cnt.n_copies,
+      |  (own.od <> ch.doc_id OR own.oc <> ch.chunk_idx) AS is_dup
+      |FROM ch JOIN own USING (h) JOIN cnt USING (h)
+      |ORDER BY ch.doc_id, ch.chunk_idx""".stripMargin
+
+  /** qg04: co-activity component census — connected components of the
+    * user co-activity graph (ConnectedComponents' pointer-doubled
+    * propagation) rolled into a component-size histogram: the "is this
+    * graph one giant blob or many small groups" question asked before
+    * any per-component work is scheduled. */
+  def coActivityComponents(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val b = t.events.select($"user_id".as("u"), $"event_type".as("et"),
+                            date_trunc("minute", $"ts").as("m")).distinct()
+    val edges = b.select($"u".as("a_id"), $"et", $"m")
+      .join(b.select($"u".as("b_id"), $"et", $"m"), Seq("et", "m"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    ConnectedComponents.run(edges)
+      .groupBy($"comp").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz".as("component_size"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy($"component_size")
+  }
+
+  val coActivityComponentsSql: String =
+    """WITH RECURSIVE bkt AS (SELECT DISTINCT user_id u, event_type et, date_trunc('minute', ts) m FROM events),
+      |und AS (SELECT DISTINCT a.u a, b2.u b
+      |  FROM bkt a JOIN bkt b2 ON a.et = b2.et AND a.m = b2.m AND a.u < b2.u),
+      |e AS (SELECT a s, b d FROM und UNION ALL SELECT b, a FROM und),
+      |reach(id, comp) AS (
+      |  SELECT DISTINCT s, s FROM e
+      |  UNION
+      |  SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.id),
+      |c AS (SELECT id, MIN(comp) comp FROM reach GROUP BY id),
+      |szs AS (SELECT comp, CAST(COUNT(*) AS BIGINT) sz FROM c GROUP BY comp)
+      |SELECT sz AS component_size, CAST(COUNT(*) AS BIGINT) AS n_components
+      |FROM szs GROUP BY sz ORDER BY component_size""".stripMargin
+
+  /** qe05: daily view→purchase conversion rates — views converted when
+    * the same user purchases within 30 minutes (qe02's interval-join
+    * window, aggregated to the funnel metric). Counts exact; the rate
+    * is one unrounded IEEE division of identical integer operands. */
+  def conversionFunnel(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val v = t.events.filter($"event_type" === "view")
+      .select($"user_id", $"event_id", $"ts")
+    val p = t.events.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"))
+    val conv = v.join(p,
+        v("user_id") === p("user_id") && $"p_ts" >= $"ts" &&
+        unix_millis($"p_ts") - unix_millis($"ts") <= 1800000L, "left_semi")
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n_converted"))
+    val views = v.groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n_views"))
+    views.join(conv, Seq("day"), "left")
+      .select($"day", $"n_views",
+        coalesce($"n_converted", lit(0L)).as("n_converted"),
+        (coalesce($"n_converted", lit(0L)).cast("double") / $"n_views").as("conversion_rate"))
+      .orderBy($"day")
+  }
+
+  val conversionFunnelSql: String =
+    """WITH v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) p_ts FROM events WHERE event_type = 'purchase'),
+      |conv AS (SELECT CAST(v.ts AS DATE) AS "day", CAST(COUNT(*) AS BIGINT) n_converted
+      |  FROM v WHERE EXISTS (SELECT 1 FROM p WHERE p.user_id = v.user_id
+      |    AND p.p_ts >= v.ts AND epoch_ms(p.p_ts) - epoch_ms(v.ts) <= 1800000)
+      |  GROUP BY 1),
+      |vw AS (SELECT CAST(ts AS DATE) AS "day", CAST(COUNT(*) AS BIGINT) n_views FROM v GROUP BY 1)
+      |SELECT vw."day", vw.n_views,
+      |  COALESCE(conv.n_converted, 0) AS n_converted,
+      |  CAST(COALESCE(conv.n_converted, 0) AS DOUBLE) / vw.n_views AS conversion_rate
+      |FROM vw LEFT JOIN conv ON conv."day" = vw."day"
+      |ORDER BY vw."day"""".stripMargin
+
   // ---- multimodal (binary columns + typed metadata) ----
 
   /** Multimodal column plumbing at the query surface: documents as
@@ -875,6 +977,9 @@ object PipelineQueries {
     "qt18_lexical_diversity" -> ((s: SparkSession, d: String) => lexicalDiversity(Tables(s, d))),
     "qt19_zipf_fit"        -> ((s: SparkSession, d: String) => zipfFit(Tables(s, d))),
     "qt20_vocab_coverage"  -> ((s: SparkSession, d: String) => vocabCoverage(Tables(s, d))),
+    "qd14_chunk_dedup"     -> ((s: SparkSession, d: String) => chunkDedup(Tables(s, d))),
+    "qg04_coactivity_comps" -> ((s: SparkSession, d: String) => coActivityComponents(Tables(s, d))),
+    "qe05_conversion_funnel" -> ((s: SparkSession, d: String) => conversionFunnel(Tables(s, d))),
     "qt16_pmi_bigrams"     -> ((s: SparkSession, d: String) => pmiBigrams(Tables(s, d))),
     "qm01_media_meta"      -> ((s: SparkSession, d: String) => mediaMeta(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
@@ -908,6 +1013,9 @@ object PipelineQueries {
     "qt18_lexical_diversity" -> lexicalDiversitySql,
     "qt19_zipf_fit"        -> zipfFitSql,
     "qt20_vocab_coverage"  -> vocabCoverageSql,
+    "qd14_chunk_dedup"     -> chunkDedupSql,
+    "qg04_coactivity_comps" -> coActivityComponentsSql,
+    "qe05_conversion_funnel" -> conversionFunnelSql,
     "qt16_pmi_bigrams"     -> pmiBigramsSql,
     "qm01_media_meta"      -> mediaMetaSql,
     "qe01_sessionize"      -> sessionizedSql,
