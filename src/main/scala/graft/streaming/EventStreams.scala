@@ -120,9 +120,10 @@ object EventStreams {
     * functions; AnomalySpec pins stream == batch across micro-batch
     * splits. */
   def anomalyStream(events: Dataset[Event],
-                    timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout()
-                   ): Dataset[AnomalyOut] = {
+                    timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout(),
+                    timeoutMs: Long = 0L): Dataset[AnomalyOut] = {
     import events.sparkSession.implicits._
+    val useTimeout = timeout != GroupStateTimeout.NoTimeout()
     def close(userId: Long, st: AnomalyState): AnomalyOut = {
       val z =
         if (st.nDays >= 2) {
@@ -143,25 +144,36 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AnomalyState, AnomalyOut](OutputMode.Append(), timeout) {
         case (userId, it, state: GroupState[AnomalyState]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          var out = List.empty[AnomalyOut]
-          var cur = state.getOption
-          sorted.foreach { e =>
-            val day = Math.floorDiv(e.ts.getTime, 86400000L)
-            cur match {
-              case Some(st) if day == st.curDay =>
-                cur = Some(st.copy(curCount = st.curCount + 1))
-              case Some(st) if day > st.curDay =>
-                out ::= close(userId, st)
-                cur = Some(AnomalyState(day, 1,
-                  st.nDays + 1, st.s + st.curCount, st.sq + st.curCount * st.curCount))
-              case Some(_) => () // late event for a closed day: dropped
-              case None =>
-                cur = Some(AnomalyState(day, 1, 0L, 0L, 0L))
+          if (state.hasTimedOut) {
+            // wall-clock close of the still-open day (mirrors
+            // sessionize's timeout discipline)
+            val s = state.get
+            state.remove()
+            Iterator.single(close(userId, s))
+          } else {
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var out = List.empty[AnomalyOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val day = Math.floorDiv(e.ts.getTime, 86400000L)
+              cur match {
+                case Some(st) if day == st.curDay =>
+                  cur = Some(st.copy(curCount = st.curCount + 1))
+                case Some(st) if day > st.curDay =>
+                  out ::= close(userId, st)
+                  cur = Some(AnomalyState(day, 1,
+                    st.nDays + 1, st.s + st.curCount, st.sq + st.curCount * st.curCount))
+                case Some(_) => () // late event for a closed day: dropped
+                case None =>
+                  cur = Some(AnomalyState(day, 1, 0L, 0L, 0L))
+              }
             }
+            cur.foreach { st =>
+              state.update(st)
+              if (useTimeout && timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            }
+            out.reverseIterator
           }
-          cur.foreach(state.update)
-          out.reverseIterator
       }
   }
 
