@@ -192,6 +192,17 @@ class PlanAuditSpec extends SparkTestBase {
            p.linesIterator.count(_.contains("SortMergeJoin")) <= 1, p)
   }
 
+  test("qt20: vocab coverage never plans a vocabulary-scale unpartitioned window") {
+    val df = PipelineQueries.vocabCoverage(t)
+    val windows = df.queryExecution.optimizedPlan.toString.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    // the term-scale windows partition by the log2-frequency bucket;
+    // the only constant-partition window is the ~64-row bucket-offset
+    // frame (partitionBy(lit(0)) → a literal, not a column reference)
+    assert(windows.exists(_.contains("windowspecdefinition(bkt")),
+      s"expected bkt-partitioned running sum:\n${windows.mkString("\n")}")
+  }
+
   test("qz02: global ordinal never plans a data-scale unpartitioned window") {
     val df = LayoutQueries.globalOrdinal(t)
     val windows = df.queryExecution.optimizedPlan.toString.linesIterator
