@@ -75,6 +75,72 @@ object Retrieval {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    * 1998) — the standard diversified-retrieval pass: from a
+    * `poolSize` candidate pool per query, greedily select `k` docs
+    * maximizing `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` (the
+    * first pick has no selected set, so its score is `λ·rel`).
+    *
+    * Scale shape: the pool is top-`poolSize` per query (workload-
+    * sized); pairwise sims exist only WITHIN a query's pool (pool²
+    * per query, never corpus²); each greedy round is a couple of
+    * equi joins + one per-query window on pool-sized frames, rounds
+    * are driver-iterated like PageRank/CC with per-round
+    * localCheckpoint. Determinism: rel and sims are round-6 cosines,
+    * the MMR combination is mirrored IEEE arithmetic, ties break on
+    * doc id — so the greedy trajectory is cross-engine identical and
+    * the whole iterative selection has an exact unrolled-CTE oracle. */
+  def mmrTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+              poolSize: Int = 20, lambdaRel: Double = 0.7,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(k >= 1 && poolSize >= k, s"need poolSize ($poolSize) >= k ($k) >= 1")
+    val cands = Similarity.bruteForceTopK(corpus, queryIds, poolSize, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"), col("cos_sim").as("rel"))
+      .localCheckpoint(true)
+    val v = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
+                          sqrt(norm2(col(vecCol))).as("nrm"))
+    val ps = cands.select(col("query_id"), col("doc_id").as("d"))
+      .join(v.select(col("doc_id").as("d"), col("vec").as("d_vec"), col("nrm").as("d_nrm")), "d")
+      .join(cands.select(col("query_id"), col("doc_id").as("s")), "query_id")
+      .filter(col("d") =!= col("s"))
+      .join(v.select(col("doc_id").as("s"), col("vec").as("s_vec"), col("nrm").as("s_nrm")), "s")
+      .select(col("query_id"), col("d"), col("s"),
+        round(dot(col("d_vec"), col("s_vec")) / (col("d_nrm") * col("s_nrm")), 6).as("sim"))
+      .localCheckpoint(true)
+    val lam = lit(lambdaRel)
+    val oneMinusLam = lit(1.0) - lit(lambdaRel)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr").desc, col("doc_id").asc)
+    // UNROUNDED score: λ·rel − (1−λ)·ms of round-6 inputs lands ON
+    // 7-decimal half boundaries, exactly where Spark's BigDecimal
+    // HALF_UP and DuckDB's double rounding disagree (the qt13 lesson);
+    // the raw IEEE double of identical operands is bit-identical
+    def pick(scored: DataFrame, rk: Int) = scored
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("query_id"), col("doc_id"), col("mmr").as("mmr_score"),
+              lit(rk.toLong).as("rk"))
+    var selected = pick(cands.withColumn("mmr", lam * col("rel")), 1).localCheckpoint(true)
+    var remaining = cands.join(selected.select(col("query_id"), col("doc_id")),
+      Seq("query_id", "doc_id"), "left_anti")
+    for (i <- 2 to k) {
+      // max similarity of every pool doc to the selected set, then the
+      // MMR combination on the remaining docs
+      val selSims = ps
+        .join(selected.select(col("query_id"), col("doc_id").as("s")), Seq("query_id", "s"))
+        .groupBy(col("query_id"), col("d").as("doc_id"))
+        .agg(max(col("sim")).as("ms"))
+      val scored = remaining.join(selSims, Seq("query_id", "doc_id"))
+        .select(col("query_id"), col("doc_id"),
+          (lam * col("rel") - oneMinusLam * col("ms")).as("mmr"))
+      val next = pick(scored, i).localCheckpoint(true)
+      selected = selected.unionByName(next)
+      remaining = remaining.join(next.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"), "left_anti")
+    }
+    selected
+  }
+
   /** Reciprocal-rank fusion of two rankings `(query_id, doc_id, rk)`:
     * rrf = Σ 1/(kConst + rk) over the rankings that contain the doc,
     * re-ranked per query, top `k` kept. Each reciprocal is rounded to 6

@@ -142,15 +142,72 @@ object RetrievalQueries {
       |  FROM sims)
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** qs09: MMR diversified retrieval — greedy λ=0.7 re-ranking of the
+    * top-20 cosine pool down to 5 diverse picks per query. The greedy
+    * trajectory is deterministic (round-6 cosines, mirrored IEEE MMR
+    * arithmetic, doc-id ties), so the iterative selection matches an
+    * unrolled-CTE DuckDB oracle step for step. */
+  def mmrDiverse(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Retrieval.mmrTopK(t.embeddings, QueryIds, k = 5, poolSize = 20)
+      .orderBy($"query_id", $"rk")
+  }
+
+  val mmrDiverseSql: String = {
+    def step(i: Int, prevSel: String) =
+      s"""m$i AS (SELECT ps.query_id, ps.d doc_id, MAX(ps.sim) ms
+         |  FROM ps JOIN $prevSel sl ON sl.query_id = ps.query_id AND sl.doc_id = ps.s
+         |  GROUP BY 1, 2),
+         |sc$i AS (SELECT r.query_id, r.doc_id,
+         |    CAST(0.7 AS DOUBLE) * r.rel - (1.0 - CAST(0.7 AS DOUBLE)) * m.ms mmr
+         |  FROM cand r JOIN m$i m USING (query_id, doc_id)
+         |  WHERE NOT EXISTS (SELECT 1 FROM $prevSel s0
+         |    WHERE s0.query_id = r.query_id AND s0.doc_id = r.doc_id)),
+         |s$i AS (SELECT query_id, doc_id, mmr mmr_score, CAST($i AS BIGINT) rk FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, doc_id ASC) rn
+         |    FROM sc$i) WHERE rn = 1),
+         |sel$i AS (SELECT query_id, doc_id FROM $prevSel UNION ALL SELECT query_id, doc_id FROM s$i)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] e,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id query_id, e q_vec, nrm q_nrm FROM v WHERE vec_id < 10),
+       |sims AS (SELECT query_id, v.vec_id doc_id,
+       |    round(list_dot_product(q_vec, v.e) / (q_nrm * v.nrm), 6) rel
+       |  FROM v JOIN q ON v.vec_id <> query_id),
+       |cand AS (SELECT query_id, doc_id, rel FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) rn
+       |    FROM sims) WHERE rn <= 20),
+       |ps AS (SELECT c1.query_id, c1.doc_id d, c2.doc_id s,
+       |    round(list_dot_product(v1.e, v2.e) / (v1.nrm * v2.nrm), 6) sim
+       |  FROM cand c1 JOIN cand c2 ON c1.query_id = c2.query_id AND c1.doc_id <> c2.doc_id
+       |  JOIN v v1 ON v1.vec_id = c1.doc_id JOIN v v2 ON v2.vec_id = c2.doc_id),
+       |s1 AS (SELECT query_id, doc_id,
+       |    CAST(0.7 AS DOUBLE) * rel mmr_score, CAST(1 AS BIGINT) rk FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY CAST(0.7 AS DOUBLE) * rel DESC, doc_id ASC) rn
+       |    FROM cand) WHERE rn = 1),
+       |sel1 AS (SELECT query_id, doc_id FROM s1),
+       |${step(2, "sel1")},
+       |${step(3, "sel2")},
+       |${step(4, "sel3")},
+       |${step(5, "sel4")}
+       |SELECT query_id, doc_id, mmr_score, rk FROM (
+       |  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+       |  UNION ALL SELECT * FROM s4 UNION ALL SELECT * FROM s5)
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qs06_bm25_topk"  -> ((s: SparkSession, d: String) => bm25TopK(Tables(s, d))),
     "qs07_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(Tables(s, d))),
     "qs08_int8_ann"   -> ((s: SparkSession, d: String) => int8Ann(Tables(s, d))),
+    "qs09_mmr_diverse" -> ((s: SparkSession, d: String) => mmrDiverse(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
     "qs06_bm25_topk"  -> bm25TopKSql,
     "qs07_hybrid_rrf" -> hybridRrfSql,
     "qs08_int8_ann"   -> int8AnnSql,
+    "qs09_mmr_diverse" -> mmrDiverseSql,
   )
 }

@@ -58,6 +58,42 @@ class RetrievalSpec extends SparkTestBase {
     assert(math.abs(out.head._2 - (0.016393 + 0.016129)) < 1e-9)
   }
 
+  test("mmrTopK: identical twin is deferred in favor of a diverse pick") {
+    // query 0; docs 1 and 2 are identical near-copies of the query
+    // direction; doc 3 is distinct but still relevant. Plain top-k
+    // ranks (1, 2, 3); MMR must rank the redundant twin BELOW the
+    // diverse doc: (1, 3, 2).
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0, 0.0, 0.1)),
+      (1L, Seq(0.99, 0.1, 0.0, 0.1)),
+      (2L, Seq(0.99, 0.1, 0.0, 0.1)),
+      (3L, Seq(0.6, 0.0, 0.75, 0.1))
+    ).toDF("vec_id", "embedding")
+    val topk = Similarity.bruteForceTopK(vecs, Seq(0L), k = 3)
+      .orderBy($"rk").select("neighbor_id").as[Long].collect().toSeq
+    assert(topk == Seq(1L, 2L, 3L), s"plain ranking: $topk")
+    // λ=0.5: the twin's penalty (sim 1.0 to the pick) must outweigh
+    // its relevance edge over the diverse doc
+    val mmr = Retrieval.mmrTopK(vecs, Seq(0L), k = 3, poolSize = 3, lambdaRel = 0.5)
+      .orderBy($"rk").select("doc_id").as[Long].collect().toSeq
+    assert(mmr == Seq(1L, 3L, 2L), s"mmr ranking: $mmr")
+  }
+
+  test("mmrTopK: ranks contiguous, picks within the pool, first pick is top-1") {
+    val t = Tables(spark, sf0001)
+    val out = Retrieval.mmrTopK(t.embeddings, Seq(0L, 1L), k = 5, poolSize = 10)
+      .select("query_id", "doc_id", "rk").as[(Long, Long, Long)].collect()
+    out.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to 5L), s"query $q ranks")
+      val pool = Similarity.bruteForceTopK(t.embeddings, Seq(q), k = 10)
+        .select("neighbor_id").as[Long].collect().toSet
+      assert(rows.map(_._2).forall(pool.contains), s"query $q picked outside pool")
+      val top1 = Similarity.bruteForceTopK(t.embeddings, Seq(q), k = 1)
+        .select("neighbor_id").as[Long].collect().head
+      assert(rows.find(_._3 == 1L).get._2 == top1, s"query $q first pick != top-1")
+    }
+  }
+
   test("bm25 plan: corpus is never shuffled by the query side (broadcast scoring join)") {
     val t = Tables(spark, sf0001)
     val plan = Retrieval.bm25TopK(t.documents, Seq(0L), k = 5)
