@@ -716,6 +716,7 @@ object CurationQueries {
     "qr01_data_card"         -> ((s: SparkSession, d: String) => dataCard(Tables(s, d))),
     "qc06_training_mix"      -> ((s: SparkSession, d: String) => trainingMix(Tables(s, d))),
     "qt17_source_overlap"    -> ((s: SparkSession, d: String) => sourceOverlap(Tables(s, d))),
+    "qp11_temperature_mix"   -> ((s: SparkSession, d: String) => temperatureMix(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -743,7 +744,42 @@ object CurationQueries {
     "qr01_data_card"         -> dataCardSql,
     "qc06_training_mix"      -> trainingMixSql,
     "qt17_source_overlap"    -> sourceOverlapSql,
+    "qp11_temperature_mix"   -> temperatureMixSql,
   )
+
+  /** qp11: temperature-scaled mixture weights — sampling weight per
+    * source ∝ share^α (α = 0.3, the multilingual temperature-sampling
+    * recipe: upsample the tail, downsample the head, α = 1 recovers
+    * natural sampling). One aggregation + a |sources|-row projection;
+    * the α-power is the one transcendental (round-6, decimal-summed
+    * denominator), the normalized weight an unrounded IEEE quotient,
+    * and the 10k-doc allocation its floor. */
+  def temperatureMix(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val counts = t.documents.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum($"n_docs").cast("double").as("n"))
+    val raw = counts.crossJoin(broadcast(total))
+      .select($"source", $"n_docs",
+        round(pow($"n_docs" / $"n", lit(0.3)), 6).cast("decimal(18,6)").as("w_raw"))
+    val denom = raw.agg(sum($"w_raw").as("denom"))
+    raw.crossJoin(broadcast(denom))
+      .select($"source", $"n_docs",
+        ($"w_raw".cast("double") / $"denom".cast("double")).as("weight"))
+      .withColumn("alloc_10k", floor($"weight" * 10000).cast("long"))
+      .orderBy($"source")
+  }
+
+  val temperatureMixSql: String =
+    """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_docs FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_docs) AS DOUBLE) n FROM c),
+      |raw AS (SELECT source, n_docs,
+      |    CAST(round(pow(n_docs / n, CAST(0.3 AS DOUBLE)), 6) AS DECIMAL(18,6)) w_raw
+      |  FROM c CROSS JOIN t),
+      |d AS (SELECT SUM(w_raw) denom FROM raw)
+      |SELECT source, n_docs,
+      |  CAST(w_raw AS DOUBLE) / CAST(denom AS DOUBLE) AS weight,
+      |  CAST(FLOOR(CAST(w_raw AS DOUBLE) / CAST(denom AS DOUBLE) * 10000) AS BIGINT) AS alloc_10k
+      |FROM raw CROSS JOIN d ORDER BY source""".stripMargin
 
   /** qt17: inter-source content-overlap matrix — exact shingle Jaccard
     * and containment between every pair of sources that share at least
