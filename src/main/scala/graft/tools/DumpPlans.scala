@@ -106,6 +106,12 @@ object DumpPlans {
       ("qc10_semantic_decontam — broadcast embedding contamination guard",
        "The benchmark embeddings (tiny by definition) broadcast with precomputed norms; the corpus streams once through the scoring pass and a per-doc max-struct aggregation. No corpus self-join, no shuffle of the embedding tier.",
        fmt(graft.queries.QualityQueries.semanticDecontaminate(t))),
+      ("qs09_mmr_diverse — iterative greedy re-ranking, pool-bounded",
+       "MMR's pairwise similarities exist only WITHIN each query's candidate pool (pool² per query, never corpus²), and every greedy round is pool-sized equi joins + one per-query window, checkpointed per round like the other iterative operators. The plan shows the final round's shape; the corpus appears only in the initial top-k pool build.",
+       fmt(graft.queries.RetrievalQueries.mmrDiverse(t))),
+      ("qt20_vocab_coverage — running sum without the vocabulary window",
+       "The ranked running sum partitions by the log2-frequency bucket (monotone in frequency, so bucket order extends the global order); only the ~64-row bucket-offset frame uses a constant partition. A naive cumulative SUM OVER () would funnel the entire vocabulary through one task.",
+       fmt(graft.queries.PipelineQueries.vocabCoverage(t))),
     )
 
     val md = new StringBuilder
