@@ -108,4 +108,49 @@ object GraphMetrics {
     }
     r.select(col("node"), col("r").as("pagerank"))
   }
+
+  /** Bounded k-core peeling census: `rounds` iterations of "drop every
+    * vertex with degree < k, restrict edges to survivors", reporting
+    * `(peel_round, n_vertices, n_edges)` for round 0 (the input graph)
+    * through round `rounds`. The trajectory IS the convergence
+    * evidence — when two consecutive rows match, the k-core has been
+    * reached — and a fixed round count is what makes an iterative
+    * graph computation oracle-able as unrolled SQL (the qg03 lesson).
+    *
+    * k-core membership is the standard graph-quality gate for derived
+    * link/co-occurrence graphs (spam and template farms live in low
+    * cores; a dedup candidate graph's dense cores are the clusters
+    * worth verifying first).
+    *
+    * Scale shape: each round is one endpoint-explode hash aggregation
+    * (degree census) plus two semi joins keyed on the edge endpoints —
+    * all key-partitioned shuffles, no driver-side data, and the edge
+    * set only ever shrinks. `localCheckpoint` truncates lineage per
+    * round exactly like [[ConnectedComponents]], so round r's plan
+    * never re-derives rounds 0..r−1. */
+  def kCorePeelCensus(edges0: DataFrame, k: Int = 2, rounds: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    def degrees(e: DataFrame): DataFrame =
+      e.select(explode(array(col("a"), col("b"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    def censusRow(r: Int, e: DataFrame, deg: DataFrame): DataFrame =
+      deg.agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+        .select(lit(r.toLong).as("peel_round"), col("n_vertices"), col("n_edges"))
+    var e = canonicalEdges(edges0).localCheckpoint()
+    var deg = degrees(e)
+    val rows = Seq.newBuilder[DataFrame]
+    rows += censusRow(0, e, deg)
+    for (r <- 1 to rounds) {
+      val keep = deg.filter(col("deg") >= k).select(col("node"))
+      e = e.join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      deg = degrees(e)
+      rows += censusRow(r, e, deg)
+    }
+    rows.result().reduce(_ unionByName _).orderBy(col("peel_round"))
+  }
 }

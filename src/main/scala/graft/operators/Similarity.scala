@@ -95,6 +95,35 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * query vector, the top-k most-similar corpus vectors whose label
+    * DIFFERS from the query's — the near-misses a trainer wants as
+    * negatives (random negatives are too easy; same-label neighbors are
+    * positives, not negatives). The label inequality also excludes the
+    * query row itself.
+    *
+    * Same plan shape as [[bruteForceTopK]]: the query set (with its
+    * labels) is broadcast, the corpus streams through one projection +
+    * per-query window — the label filter rides the broadcast join
+    * condition, so mismatched pairs are dropped before any dot product
+    * is computed. At 100 TB the exact corpus pass swaps for [[lshTopK]]
+    * or [[IvfIndex]] candidates with the identical label filter. */
+  def hardNegatives(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label"): DataFrame = {
+    val q = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+              col(labelCol).as("q_label"), sqrt(norm2(col(vecCol))).as("q_nrm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+                          col(labelCol).as("c_label"), sqrt(norm2(col(vecCol))).as("c_nrm"))
+    val sims = c.join(broadcast(q), col("c_label") =!= col("q_label"))
+      .select(col("query_id"), col("neighbor_id"), col("c_label").as("neighbor_label"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
   /** IVF (inverted-file) approximate top-k over the deterministic
     * sampled-centroid quantizer — see [[IvfIndex]]. Fit and apply are
     * split: [[IvfIndex.centroids]]/[[IvfIndex.assign]] are the build

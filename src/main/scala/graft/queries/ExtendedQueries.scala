@@ -214,9 +214,43 @@ object ExtendedQueries {
        |SELECT node AS user_id, r AS pagerank FROM it5 ORDER BY user_id""".stripMargin
   }
 
+  /** qg05: bounded k-core peeling census (k=2, 3 rounds) of the user
+    * co-activity graph — per-round vertex/edge counts as low-degree
+    * vertices peel away, vs DuckDB's unrolled CTE rounds. The census
+    * trajectory is the convergence evidence (consecutive equal rows =
+    * the 2-core); see GraphMetrics.kCorePeelCensus for the per-round
+    * shuffle shape. */
+  def kCoreCensus(t: Tables): DataFrame =
+    graft.operators.GraphMetrics.kCorePeelCensus(coActivityEdges(t), k = 2, rounds = 3)
+
+  val kCoreCensusSql: String = {
+    def peel(r: Int) =
+      s"""v$r AS (SELECT node FROM d${r - 1} WHERE deg >= 2),
+         |e$r AS (SELECT a, b FROM e${r - 1}
+         |  WHERE a IN (SELECT node FROM v$r) AND b IN (SELECT node FROM v$r)),
+         |d$r AS (SELECT node, COUNT(*) deg
+         |  FROM (SELECT a node FROM e$r UNION ALL SELECT b FROM e$r) GROUP BY 1)""".stripMargin
+    def census(r: Int) =
+      s"""SELECT CAST($r AS BIGINT) peel_round,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM d$r) n_vertices,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e$r) n_edges""".stripMargin
+    s"""WITH bkt AS (SELECT DISTINCT user_id u, event_type et, date_trunc('minute', ts) m FROM events),
+       |e0 AS (SELECT DISTINCT a.u a, b2.u b
+       |  FROM bkt a JOIN bkt b2 ON a.et = b2.et AND a.m = b2.m AND a.u < b2.u),
+       |d0 AS (SELECT node, COUNT(*) deg
+       |  FROM (SELECT a node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+       |${peel(1)},
+       |${peel(2)},
+       |${peel(3)}
+       |SELECT peel_round, n_vertices, n_edges FROM (
+       |${census(0)} UNION ALL ${census(1)} UNION ALL ${census(2)} UNION ALL ${census(3)})
+       |ORDER BY peel_round""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qg02_triangle_census" -> ((s: SparkSession, d: String) => triangleCensus(Tables(s, d))),
     "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
+    "qg05_kcore_census"    -> ((s: SparkSession, d: String) => kCoreCensus(Tables(s, d))),
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
     "q18_dim_stats"        -> ((s: SparkSession, d: String) => dimensionStats(Tables(s, d))),
     "q19_big_spenders"     -> ((s: SparkSession, d: String) => bigSpenders(Tables(s, d))),
@@ -227,6 +261,7 @@ object ExtendedQueries {
   def oracles: Map[String, String] = Map(
     "qg02_triangle_census" -> triangleCensusSql,
     "qg03_pagerank"        -> pageRankSql,
+    "qg05_kcore_census"    -> kCoreCensusSql,
     "q17_rollup_revenue"   -> rollupRevenueSql,
     "q18_dim_stats"        -> dimensionStatsSql,
     "q19_big_spenders"     -> bigSpendersSql,

@@ -970,7 +970,119 @@ object PipelineQueries {
       |CROSS JOIN nw CROSS JOIN nbg
       |ORDER BY pmi DESC, bigram ASC LIMIT 20""".stripMargin
 
+  /** qe06: within-session Markov transition matrix — for every ordered
+    * pair of event types, how often one follows the other inside a
+    * session (qe01's 30-minute-gap sessions) and the conditional
+    * probability of the transition. The per-user window computes BOTH
+    * the session boundary (lag) and the next event (lead) in one
+    * partition spec — no second shuffle on (user, session); a
+    * transition survives iff the next row does not open a new session.
+    * Counts are exact integers; the probability is one unrounded IEEE
+    * division. The `from_type` window for the denominator runs over the
+    * aggregated |types|² matrix, not the events — a constant-size
+    * frame, no hot partition at any scale. */
+  def transitionMatrix(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val g = t.events.select($"user_id", $"event_id", $"ts", $"event_type")
+      .withColumn("prev_ts", lag($"ts", 1).over(w))
+      .withColumn("new_session",
+        when($"prev_ts".isNull ||
+             unix_millis($"ts") - unix_millis($"prev_ts") > 1800000L, 1).otherwise(0))
+    val p = g.withColumn("to_type", lead($"event_type", 1).over(w))
+      .withColumn("nxt_new", lead($"new_session", 1).over(w))
+      .filter($"to_type".isNotNull && $"nxt_new" === 0)
+    val c = p.groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n_transitions"))
+    val wf = Window.partitionBy($"from_type")
+    c.select($"from_type", $"to_type", $"n_transitions",
+        ($"n_transitions".cast("double") /
+          sum($"n_transitions").over(wf).cast("double")).as("p_transition"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val transitionMatrixSql: String =
+    """WITH g AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts, event_type,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) prev_ts
+      |  FROM events),
+      |s AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_ms(ts) - epoch_ms(prev_ts) > 1800000
+      |                     THEN 1 ELSE 0 END new_session FROM g),
+      |p AS (SELECT event_type from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) to_type,
+      |    lead(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) nxt_new
+      |  FROM s),
+      |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) n_transitions
+      |  FROM p WHERE to_type IS NOT NULL AND nxt_new = 0 GROUP BY 1, 2)
+      |SELECT from_type, to_type, n_transitions,
+      |  CAST(n_transitions AS DOUBLE) /
+      |    CAST(SUM(n_transitions) OVER (PARTITION BY from_type) AS DOUBLE) AS p_transition
+      |FROM c ORDER BY from_type, to_type""".stripMargin
+
+  /** qs10: hard-negative mining — each query's top-5 nearest neighbors
+    * among OTHER-label vectors (Similarity.hardNegatives; the label
+    * filter rides the broadcast join condition). */
+  def hardNegativesTopK(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Similarity.hardNegatives(t.embeddings, QueryIds, k = 5).orderBy($"query_id", $"rk")
+  }
+
+  val hardNegativesSql: String =
+    """WITH q AS (SELECT vec_id query_id, label q_label, embedding::DOUBLE[] q_vec,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) q_nrm
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id neighbor_id, label c_label, embedding::DOUBLE[] c_vec,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) c_nrm
+      |  FROM embeddings),
+      |sims AS (SELECT query_id, neighbor_id, c_label neighbor_label,
+      |    round(list_dot_product(q_vec, c_vec) / (q_nrm * c_nrm), 6) cos_sim
+      |  FROM c JOIN q ON c_label <> q_label)
+      |SELECT query_id, neighbor_id, neighbor_label, cos_sim, rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+      |  FROM sims)
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** qt21: per-language token-distribution Shannon entropy — the
+    * gibberish/boilerplate signal: natural language sits in a narrow
+    * entropy band; template spam collapses it, random noise inflates
+    * it. Per-type contributions −p·ln(p) follow the transcendental
+    * contract (round-6 per term → DECIMAL exact sum → cast, no final
+    * rounding). The per-language totals join is a broadcast of a
+    * |langs|-row aggregate — the running shape stays (lang, token)
+    * hash aggregation, no language-wide window anywhere. */
+  def tokenEntropy(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val counts = t.documents
+      .select($"lang", explode(tokens(lower($"text"))).as("tok"))
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy($"lang")
+      .agg(sum($"c").as("n_tokens"), count(lit(1)).as("n_types"))
+    counts.join(broadcast(totals), Seq("lang"))
+      .select($"lang", $"n_tokens", $"n_types",
+        round(-(($"c".cast("double") / $"n_tokens") *
+                log($"c".cast("double") / $"n_tokens")), 6)
+          .cast("decimal(20,6)").as("term"))
+      .groupBy($"lang", $"n_tokens", $"n_types")
+      .agg(sum($"term").cast("double").as("entropy"))
+      .orderBy($"lang")
+  }
+
+  val tokenEntropySql: String =
+    """WITH tok AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) tok
+      |  FROM documents),
+      |cnt AS (SELECT lang, tok, COUNT(*) c FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) n_tokens, CAST(COUNT(*) AS BIGINT) n_types
+      |  FROM cnt GROUP BY 1),
+      |terms AS (SELECT cnt.lang, n_tokens, n_types,
+      |    CAST(round(-((CAST(c AS DOUBLE) / n_tokens) * ln(CAST(c AS DOUBLE) / n_tokens)), 6)
+      |         AS DECIMAL(20,6)) term
+      |  FROM cnt JOIN tot ON tot.lang = cnt.lang)
+      |SELECT lang, n_tokens, n_types, CAST(SUM(term) AS DOUBLE) AS entropy
+      |FROM terms GROUP BY lang, n_tokens, n_types ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe06_transition_matrix" -> ((s: SparkSession, d: String) => transitionMatrix(Tables(s, d))),
+    "qs10_hard_negatives"  -> ((s: SparkSession, d: String) => hardNegativesTopK(Tables(s, d))),
+    "qt21_token_entropy"   -> ((s: SparkSession, d: String) => tokenEntropy(Tables(s, d))),
     "qd13_semantic_dedup"  -> ((s: SparkSession, d: String) => semanticDedup(Tables(s, d))),
     "qe03_retention"       -> ((s: SparkSession, d: String) => retentionCohorts(Tables(s, d))),
     "qe04_user_anomaly"    -> ((s: SparkSession, d: String) => userAnomalies(Tables(s, d))),
@@ -1007,6 +1119,9 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qe06_transition_matrix" -> transitionMatrixSql,
+    "qs10_hard_negatives"  -> hardNegativesSql,
+    "qt21_token_entropy"   -> tokenEntropySql,
     "qd13_semantic_dedup"  -> semanticDedupSql,
     "qe03_retention"       -> retentionCohortsSql,
     "qe04_user_anomaly"    -> userAnomaliesSql,

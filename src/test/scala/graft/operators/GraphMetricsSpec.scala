@@ -69,4 +69,24 @@ class GraphMetricsSpec extends SparkTestBase {
       .count()
     assert(oriented == naive, s"degree-oriented $oriented != naive $naive")
   }
+
+  test("kCorePeelCensus: pendant path peels away, the triangle core survives") {
+    // triangle {1,2,3} with a pendant path 3-4-5: round 1 drops 5
+    // (deg 1), round 2 drops 4 (deg fell to 1), round 3 is stable
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val census = GraphMetrics.kCorePeelCensus(edges, k = 2, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(census == Seq((0L, 5L, 5L), (1L, 4L, 4L), (2L, 3L, 3L), (3L, 3L, 3L)))
+  }
+
+  test("kCorePeelCensus: a tree peels to nothing; canonicalization applies") {
+    val tree = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (3L, 3L)).toDF("a", "b")
+    val census = GraphMetrics.kCorePeelCensus(tree, k = 2, rounds = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    // canonical edge set: {1-2, 1-3, 3-4} — a path; 2-core is empty
+    assert(census.head == ((0L, 4L, 3L)))
+    assert(census.last == ((3L, 0L, 0L)))
+    intercept[IllegalArgumentException](GraphMetrics.kCorePeelCensus(tree, k = 0))
+    intercept[IllegalArgumentException](GraphMetrics.kCorePeelCensus(tree, rounds = 0))
+  }
 }

@@ -78,4 +78,29 @@ class SimilaritySpec extends SparkTestBase {
     val recall = bf.intersect(ivf).size.toDouble / bf.size
     assert(recall > 0.3, s"KMeans IVF recall $recall suspiciously low")
   }
+
+  test("hardNegatives: every neighbor has a different label and matches the filtered brute force") {
+    val t = Tables(spark, sf0001)
+    val qs = (0L until 10L).toSeq
+    val labels = t.embeddings.select("vec_id", "label")
+      .as[(Long, Int)].collect().toMap
+    val out = Similarity.hardNegatives(t.embeddings, qs, k = 5)
+      .select("query_id", "neighbor_id", "neighbor_label", "rk")
+      .as[(Long, Long, Int, Long)].collect()
+    assert(out.length == qs.size * 5)
+    out.foreach { case (q, n, nl, _) =>
+      assert(labels(n) == nl)
+      assert(labels(q) != nl, s"neighbor $n shares query $q's label $nl")
+      assert(q != n)
+    }
+    // reference: the unfiltered exact ranking with same-label rows dropped
+    // and ranks recomputed must produce the identical neighbor sets
+    val bfAll = Similarity.bruteForceTopK(t.embeddings, qs, k = Int.MaxValue)
+      .select("query_id", "neighbor_id", "rk")
+      .as[(Long, Long, Long)].collect()
+    val expected = bfAll.groupBy(_._1).toSeq.flatMap { case (q, rows) =>
+      rows.sortBy(_._3).filter(r => labels(r._2) != labels(q)).take(5).map(r => (q, r._2)).toSeq
+    }.toSet
+    assert(out.map(r => (r._1, r._2)).toSet == expected)
+  }
 }
