@@ -606,6 +606,90 @@ object CurationQueries {
       |FROM documents GROUP BY ROLLUP (source, lang)
       |ORDER BY g_source, g_lang, source NULLS FIRST, lang NULLS FIRST""".stripMargin
 
+  /** qr02: snapshot drift report — the pipeline-monitoring query run
+    * between two crawl/ingest snapshots before a corpus is promoted.
+    * The two "snapshots" are the first and second halves of the event
+    * timeline (split at the integer midpoint of the epoch-µs range —
+    * `us*2 <= lo+hi` keeps the comparison pure 64-bit integer math,
+    * identical in both engines). Per event type: counts and shares in
+    * each half, the KL(first‖second) contribution, and the two-sample
+    * chi-square contribution ((o−e)²/e summed over both halves'
+    * cells); one TOTAL row carries the DECIMAL-exact sums. Shapes: one
+    * scan + one hash agg on (type); the min/max frame and the totals
+    * are broadcast scalars; the transcendental `ln` follows the
+    * round-6-per-term → DECIMAL-sum contract (qt12/qt21); the
+    * chi-square terms are pure IEEE arithmetic with an identical
+    * expression tree in both engines. Types absent from either half
+    * are excluded from the report (their KL term is undefined) — at
+    * these volumes all types appear in both halves. */
+  def driftReport(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val e = t.events.select($"event_type", unix_micros($"ts").as("us"))
+    val mm = e.agg(min($"us").as("lo"), max($"us").as("hi"))
+    val c = e.crossJoin(broadcast(mm))
+      .select($"event_type", when($"us" * 2 <= $"lo" + $"hi", 1L).otherwise(0L).as("in_a"))
+      .groupBy($"event_type")
+      .agg(sum($"in_a").as("c_a"), sum(lit(1L) - $"in_a").as("c_b"))
+      .filter($"c_a" > 0 && $"c_b" > 0)
+    val tt = c.agg(sum($"c_a").cast("double").as("ta"), sum($"c_b").cast("double").as("tb"))
+    val terms = c.crossJoin(broadcast(tt))
+      .select($"event_type", $"c_a", $"c_b",
+        ($"c_a".cast("double") / $"ta").as("share_a"),
+        ($"c_b".cast("double") / $"tb").as("share_b"),
+        $"ta", $"tb")
+      .select($"event_type", $"c_a", $"c_b", $"share_a", $"share_b",
+        round($"share_a" * log($"share_a" / $"share_b"), 6)
+          .cast("decimal(24,6)").as("kl_term"),
+        letBound(($"c_a" + $"c_b").cast("double") * $"ta" / ($"ta" + $"tb")) { ea =>
+          letBound(($"c_a" + $"c_b").cast("double") * $"tb" / ($"ta" + $"tb")) { eb =>
+            round(($"c_a".cast("double") - ea) * ($"c_a".cast("double") - ea) / ea +
+                  ($"c_b".cast("double") - eb) * ($"c_b".cast("double") - eb) / eb, 6)
+          }
+        }.cast("decimal(24,6)").as("chi2_term"))
+    val total = terms.agg(
+        sum($"c_a").as("c_a"), sum($"c_b").as("c_b"),
+        sum($"kl_term").as("klS"), sum($"chi2_term").as("chiS"))
+      .select(lit("TOTAL").as("event_type"), $"c_a", $"c_b",
+        lit(1.0).as("share_a"), lit(1.0).as("share_b"),
+        $"klS".cast("double").as("kl_term"), $"chiS".cast("double").as("chi2_term"))
+    terms
+      .select($"event_type", $"c_a", $"c_b", $"share_a", $"share_b",
+        $"kl_term".cast("double").as("kl_term"), $"chi2_term".cast("double").as("chi2_term"))
+      .unionByName(total)
+      .orderBy($"event_type")
+  }
+
+  val driftReportSql: String =
+    """WITH e AS (SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) us FROM events),
+      |mm AS (SELECT MIN(us) lo, MAX(us) hi FROM e),
+      |c0 AS (SELECT event_type,
+      |    CAST(SUM(CASE WHEN us * 2 <= lo + hi THEN 1 ELSE 0 END) AS BIGINT) c_a,
+      |    CAST(SUM(CASE WHEN us * 2 <= lo + hi THEN 0 ELSE 1 END) AS BIGINT) c_b
+      |  FROM e CROSS JOIN mm GROUP BY 1),
+      |c AS (SELECT * FROM c0 WHERE c_a > 0 AND c_b > 0),
+      |tt AS (SELECT CAST(SUM(c_a) AS DOUBLE) ta, CAST(SUM(c_b) AS DOUBLE) tb FROM c),
+      |terms AS (SELECT event_type, c_a, c_b,
+      |    CAST(c_a AS DOUBLE) / ta share_a, CAST(c_b AS DOUBLE) / tb share_b,
+      |    CAST(round((CAST(c_a AS DOUBLE) / ta) * ln((CAST(c_a AS DOUBLE) / ta) / (CAST(c_b AS DOUBLE) / tb)), 6)
+      |         AS DECIMAL(24,6)) kl_term,
+      |    CAST(round(
+      |      (CAST(c_a AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) * ta / (ta + tb)) *
+      |      (CAST(c_a AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) * ta / (ta + tb)) /
+      |        (CAST(c_a + c_b AS DOUBLE) * ta / (ta + tb)) +
+      |      (CAST(c_b AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) * tb / (ta + tb)) *
+      |      (CAST(c_b AS DOUBLE) - CAST(c_a + c_b AS DOUBLE) * tb / (ta + tb)) /
+      |        (CAST(c_a + c_b AS DOUBLE) * tb / (ta + tb)), 6)
+      |         AS DECIMAL(24,6)) chi2_term
+      |  FROM c CROSS JOIN tt),
+      |tot AS (SELECT 'TOTAL' event_type,
+      |    CAST(SUM(c_a) AS BIGINT) c_a, CAST(SUM(c_b) AS BIGINT) c_b,
+      |    1.0 share_a, 1.0 share_b,
+      |    CAST(SUM(kl_term) AS DOUBLE) kl_term, CAST(SUM(chi2_term) AS DOUBLE) chi2_term
+      |  FROM terms)
+      |SELECT event_type, c_a, c_b, share_a, share_b,
+      |  CAST(kl_term AS DOUBLE) kl_term, CAST(chi2_term AS DOUBLE) chi2_term FROM terms
+      |UNION ALL SELECT * FROM tot ORDER BY event_type""".stripMargin
+
   // ---- corpus statistics: TF-IDF top terms per language ----
 
   /** Top-5 TF-IDF terms per language. Canonical shapes: explode →
@@ -714,6 +798,7 @@ object CurationQueries {
     "qp07_weighted_sample"   -> ((s: SparkSession, d: String) => weightedSample(Tables(s, d))),
     "qp08_curriculum"        -> ((s: SparkSession, d: String) => curriculumShards(Tables(s, d))),
     "qr01_data_card"         -> ((s: SparkSession, d: String) => dataCard(Tables(s, d))),
+    "qr02_drift_report"      -> ((s: SparkSession, d: String) => driftReport(Tables(s, d))),
     "qc06_training_mix"      -> ((s: SparkSession, d: String) => trainingMix(Tables(s, d))),
     "qt17_source_overlap"    -> ((s: SparkSession, d: String) => sourceOverlap(Tables(s, d))),
     "qp11_temperature_mix"   -> ((s: SparkSession, d: String) => temperatureMix(Tables(s, d))),
@@ -742,6 +827,7 @@ object CurationQueries {
     "qp07_weighted_sample"   -> weightedSampleSql,
     "qp08_curriculum"        -> curriculumShardsSql,
     "qr01_data_card"         -> dataCardSql,
+    "qr02_drift_report"      -> driftReportSql,
     "qc06_training_mix"      -> trainingMixSql,
     "qt17_source_overlap"    -> sourceOverlapSql,
     "qp11_temperature_mix"   -> temperatureMixSql,

@@ -1079,7 +1079,89 @@ object PipelineQueries {
       |SELECT lang, n_tokens, n_types, CAST(SUM(term) AS DOUBLE) AS entropy
       |FROM terms GROUP BY lang, n_tokens, n_types ORDER BY lang""".stripMargin
 
+  /** qe07: trailing-7-day distinct users per day — the exact sliding
+    * MAU/WAU census. Engines cannot run `count(distinct)` over a range
+    * window (and a per-day hot partition would not scale anyway), so
+    * the distributed shape is: (1) collapse raw events to the DISTINCT
+    * (day, user) frame — one hash shuffle that removes the per-day
+    * event volume entirely; (2) explode each (day, user) into the ≤ 7
+    * trailing windows it is visible in — a BOUNDED 7× amplification of
+    * the already-collapsed frame, never of raw events; (3) distinct +
+    * count per window day. The observed-day filter is a broadcast of
+    * the tiny day dimension. No events range self-join, no
+    * window-function distinct, every stage a plain hash shuffle. */
+  def slidingDistinct(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val dayUser = t.events.select(to_date($"ts").as("day"), $"user_id").distinct()
+    val days = dayUser.select($"day".as("win_day")).distinct()
+    val contrib = dayUser
+      .select($"day", $"user_id", explode(sequence(lit(0), lit(6))).as("off"))
+      .select(date_add($"day", $"off").as("win_day"), $"user_id")
+      .distinct()
+    val u7 = contrib.join(broadcast(days), "win_day")
+      .groupBy($"win_day").agg(count(lit(1)).as("u7"))
+    val u1 = dayUser.groupBy($"day").agg(count(lit(1)).as("u1"))
+      .withColumnRenamed("day", "win_day")
+    u1.join(u7, "win_day")
+      .select($"win_day".as("day"), $"u1", $"u7")
+      .orderBy($"day")
+  }
+
+  val slidingDistinctSql: String =
+    """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |days AS (SELECT DISTINCT d FROM du),
+      |u1 AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) u1 FROM du GROUP BY 1),
+      |u7 AS (SELECT dd.d AS day, CAST(COUNT(DISTINCT du.user_id) AS BIGINT) u7
+      |  FROM days dd JOIN du ON du.d BETWEEN dd.d - 6 AND dd.d GROUP BY 1)
+      |SELECT day, u1, u7 FROM u1 JOIN u7 USING (day) ORDER BY day""".stripMargin
+
+  /** qd15: intra-document line dedup (the RefinedWeb/C4 "repeated
+    * boilerplate inside one page" remedy, distinct from qt11's quality
+    * line filter): repeated lines WITHIN a doc are removed, first
+    * occurrence kept, order preserved, doc rebuilt. Lines are planted
+    * in-query (the fixture corpus is single-line word soup — qt11's
+    * precedent): 8-token lines where line i reuses the token window of
+    * i mod 5, so every doc past 40 tokens carries guaranteed repeats.
+    * The operator is a pure scan projection — zero shuffle, zero
+    * joins; keep-first is an indexed higher-order filter
+    * (`array_position(lines, l) = i+1`), O(L²) in the PER-DOC line
+    * count only, which is bounded — corpus scale never enters. */
+  def intradocDedup(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val planted = t.documents.select($"doc_id",
+      letBound(tokens($"text")) { w =>
+        transform(sequence(lit(0), ceil(size(w) / lit(8.0)).cast("int") - 1), i =>
+          concat_ws(" ", slice(w, (i % 5) * lit(8) + 1, lit(8))))
+      }.as("lines"))
+    planted
+      .select($"doc_id", $"lines",
+        letBound(filter($"lines", (l, i) => array_position($"lines", l) === i + 1)) { ded =>
+          struct(size(ded).cast("long").as("n_unique"),
+                 md5(array_join(ded, "\n")).as("clean_md5"))
+        }.as("d"))
+      .select($"doc_id",
+        size($"lines").cast("long").as("n_lines"),
+        $"d.n_unique".as("n_unique"),
+        (size($"lines").cast("long") - $"d.n_unique").as("n_removed"),
+        $"d.clean_md5".as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val intradocDedupSql: String =
+    """WITH w0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |p AS (SELECT doc_id, [array_to_string(w[(i%5)*8+1:(i%5)*8+8], ' ')
+      |    for i in range(0, CAST(ceil(len(w)/8.0) AS INT))] lines FROM w0),
+      |d AS (SELECT doc_id, lines,
+      |    list_filter(lines, (l, i) -> list_position(lines, l) = i) ded FROM p)
+      |SELECT doc_id, CAST(len(lines) AS BIGINT) n_lines,
+      |  CAST(len(ded) AS BIGINT) n_unique,
+      |  CAST(len(lines) - len(ded) AS BIGINT) n_removed,
+      |  md5(COALESCE(array_to_string(ded, chr(10)), '')) clean_md5
+      |FROM d ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe07_sliding_distinct" -> ((s: SparkSession, d: String) => slidingDistinct(Tables(s, d))),
+    "qd15_intradoc_dedup"  -> ((s: SparkSession, d: String) => intradocDedup(Tables(s, d))),
     "qe06_transition_matrix" -> ((s: SparkSession, d: String) => transitionMatrix(Tables(s, d))),
     "qs10_hard_negatives"  -> ((s: SparkSession, d: String) => hardNegativesTopK(Tables(s, d))),
     "qt21_token_entropy"   -> ((s: SparkSession, d: String) => tokenEntropy(Tables(s, d))),
@@ -1119,6 +1201,8 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qe07_sliding_distinct" -> slidingDistinctSql,
+    "qd15_intradoc_dedup"  -> intradocDedupSql,
     "qe06_transition_matrix" -> transitionMatrixSql,
     "qs10_hard_negatives"  -> hardNegativesSql,
     "qt21_token_entropy"   -> tokenEntropySql,

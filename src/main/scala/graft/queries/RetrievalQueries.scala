@@ -197,7 +197,83 @@ object RetrievalQueries {
        |ORDER BY query_id, rk""".stripMargin
   }
 
+  /** qs11: retrieval quality metrics — the eval half of the retrieval
+    * plane: score the dense brute-force top-10 (qs01's ranking, k=10)
+    * against label agreement as the relevance truth (a neighbor is
+    * relevant iff it shares the query's `label`; self excluded by the
+    * ranking). Per query: rank of the first relevant hit, reciprocal
+    * rank, precision@10; one TOTAL row macro-averages them (MRR /
+    * mean P@10). Shapes: the ranking is qs01's (broadcast queries into
+    * the corpus scan, per-query top-k window); neighbor labels attach
+    * by equi join on the TOP-K frame only (queries×k rows, not the
+    * corpus); metrics are one tiny agg. Exactness: rr = round-6 of
+    * 1/rank (no 6-decimal midpoints exist among 1/1..1/10), macro
+    * averages are DECIMAL sums divided by integer counts — one IEEE
+    * division, left unrounded per the cross-engine contract. */
+  def retrievalMetrics(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val qLabels = t.embeddings.filter($"vec_id".isin(QueryIds: _*))
+      .select($"vec_id".as("query_id"), $"label".as("q_label"))
+    val nLabels = t.embeddings.select($"vec_id".as("neighbor_id"), $"label".as("n_label"))
+    val per0 = Similarity.bruteForceTopK(t.embeddings, QueryIds, k = 10)
+      .join(nLabels, Seq("neighbor_id"))
+      .join(broadcast(qLabels), Seq("query_id"))
+      .withColumn("rel", ($"n_label" === $"q_label").cast("long"))
+      .groupBy($"query_id", $"q_label")
+      .agg(min(when($"rel" === 1L, $"rk")).as("first_rel_rank"),
+           sum($"rel").as("n_rel"))
+      .select($"query_id", $"q_label", $"first_rel_rank",
+        when($"first_rel_rank".isNotNull,
+             round(lit(1.0) / $"first_rel_rank".cast("double"), 6))
+          .otherwise(lit(0.0)).as("rr"),
+        ($"n_rel".cast("double") / lit(10.0)).as("p_at_10"),
+        $"n_rel")
+    // materialize the queries-row frame once so the TOTAL branch of the
+    // union aggregates the 10-row result instead of re-scoring the
+    // corpus (a Union recomputes each branch's full subtree)
+    val per = per0.localCheckpoint()
+    val total = per.agg(
+        sum($"rr".cast("decimal(20,6)")).as("rrS"),
+        sum($"n_rel").as("n_rel"),
+        count(lit(1)).as("nq"))
+      .select(lit(-1L).as("query_id"), lit(null).cast("int").as("q_label"),
+        lit(null).cast("long").as("first_rel_rank"),
+        ($"rrS".cast("double") / $"nq".cast("double")).as("rr"),
+        ($"n_rel".cast("double") / ($"nq" * 10).cast("double")).as("p_at_10"),
+        $"n_rel")
+    per.unionByName(total).orderBy($"query_id")
+  }
+
+  val retrievalMetricsSql: String =
+    """WITH q AS (SELECT vec_id query_id, label q_label, embedding::DOUBLE[] q_vec,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) q_nrm
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id neighbor_id, label n_label, embedding::DOUBLE[] c_vec,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) c_nrm
+      |  FROM embeddings),
+      |sims AS (SELECT query_id, q_label, neighbor_id, n_label,
+      |    round(list_dot_product(q_vec, c_vec) / (q_nrm * c_nrm), 6) cos_sim
+      |  FROM c JOIN q ON neighbor_id <> query_id),
+      |top AS (SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+      |    FROM sims) WHERE rk <= 10),
+      |per AS (SELECT query_id, q_label,
+      |    CAST(MIN(CASE WHEN n_label = q_label THEN rk END) AS BIGINT) first_rel_rank,
+      |    CAST(SUM(CASE WHEN n_label = q_label THEN 1 ELSE 0 END) AS BIGINT) n_rel
+      |  FROM top GROUP BY 1, 2),
+      |per2 AS (SELECT query_id, q_label, first_rel_rank,
+      |    CASE WHEN first_rel_rank IS NOT NULL THEN round(1.0 / first_rel_rank, 6)
+      |         ELSE 0.0 END rr,
+      |    CAST(n_rel AS DOUBLE) / 10.0 p_at_10, n_rel FROM per),
+      |tot AS (SELECT CAST(-1 AS BIGINT) query_id, CAST(NULL AS INTEGER) q_label,
+      |    CAST(NULL AS BIGINT) first_rel_rank,
+      |    CAST(SUM(CAST(rr AS DECIMAL(20,6))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) rr,
+      |    CAST(SUM(n_rel) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 10.0) p_at_10,
+      |    CAST(SUM(n_rel) AS BIGINT) n_rel FROM per2)
+      |SELECT * FROM per2 UNION ALL SELECT * FROM tot ORDER BY query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qs11_retrieval_metrics" -> ((s: SparkSession, d: String) => retrievalMetrics(Tables(s, d))),
     "qs06_bm25_topk"  -> ((s: SparkSession, d: String) => bm25TopK(Tables(s, d))),
     "qs07_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(Tables(s, d))),
     "qs08_int8_ann"   -> ((s: SparkSession, d: String) => int8Ann(Tables(s, d))),
@@ -205,6 +281,7 @@ object RetrievalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qs11_retrieval_metrics" -> retrievalMetricsSql,
     "qs06_bm25_topk"  -> bm25TopKSql,
     "qs07_hybrid_rrf" -> hybridRrfSql,
     "qs08_int8_ann"   -> int8AnnSql,

@@ -314,6 +314,67 @@ object EventStreams {
               unix_millis(col("purchase_ts")).as("purchase_ms"))
   }
 
+  /** Streaming drift monitor — the continuous twin of the qr02 drift
+    * report: per tumbling window, the event-type distribution is
+    * scored against a released reference distribution (KL(window‖ref)
+    * terms per type). The reference defines the monitored type domain
+    * and arrives as driver-side pairs, so the whole comparison
+    * compiles into ONE streaming aggregation per window (per-type
+    * conditional sums — streaming forbids chained aggs, so the
+    * per-window total is an expression over the same row, not a second
+    * groupBy) followed by a stateless explode projection. State =
+    * one row per open window, bounded by the watermark. Types with a
+    * zero window count contribute a 0 KL term (lim x→0 x·ln x = 0);
+    * reference shares must be positive. */
+  def driftStream(events: DataFrame, refShares: Seq[(String, Double)],
+                  windowDur: String = "1 hour",
+                  watermark: String = "30 minutes"): DataFrame = {
+    require(refShares.nonEmpty && refShares.forall(_._2 > 0.0),
+      "reference shares must be positive (zero-mass types make KL undefined)")
+    driftProject(
+      events.withWatermark("ts", watermark)
+        .groupBy(window(col("ts"), windowDur).as("win"))
+        .agg(typeCounts(refShares).head, typeCounts(refShares).tail: _*),
+      refShares)
+  }
+
+  /** Batch twin of [[driftStream]] — identical plan minus the
+    * watermark; EventStreamsSpec pins stream == batch across
+    * micro-batch splits. */
+  def driftBatch(events: DataFrame, refShares: Seq[(String, Double)],
+                 windowDur: String = "1 hour"): DataFrame = {
+    require(refShares.nonEmpty && refShares.forall(_._2 > 0.0),
+      "reference shares must be positive (zero-mass types make KL undefined)")
+    driftProject(
+      events.groupBy(window(col("ts"), windowDur).as("win"))
+        .agg(typeCounts(refShares).head, typeCounts(refShares).tail: _*),
+      refShares)
+  }
+
+  private def typeCounts(refShares: Seq[(String, Double)]) =
+    refShares.zipWithIndex.map { case ((t, _), i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"__n_$i") }
+
+  private def driftProject(agg: DataFrame, refShares: Seq[(String, Double)]): DataFrame = {
+    val total = refShares.indices.map(i => col(s"__n_$i")).reduce(_ + _)
+    val perType = refShares.zipWithIndex.map { case ((t, ref), i) =>
+      // a window whose events are all outside the monitored domain has
+      // __total = 0 — report share 0, not NaN
+      val share = when(col("__total") > 0,
+        col(s"__n_$i").cast("double") / col("__total").cast("double")).otherwise(lit(0.0))
+      struct(lit(t).as("event_type"), col(s"__n_$i").as("n"), share.as("share"),
+        lit(ref).as("ref_share"),
+        when(col(s"__n_$i") > 0, round(share * log(share / lit(ref)), 6))
+          .otherwise(lit(0.0)).as("kl_term"))
+    }
+    agg.withColumn("__total", total)
+      .select(col("win.start").as("window_start"), col("win.end").as("window_end"),
+              col("__total").as("n_events"), explode(array(perType: _*)).as("m"))
+      .select(col("window_start"), col("window_end"), col("n_events"),
+              col("m.event_type"), col("m.n"), col("m.share"),
+              col("m.ref_share"), col("m.kl_term"))
+  }
+
   /** Batch-mode gap sessionization (same semantics, pure SQL windows):
     * session boundary where the gap to the previous event exceeds
     * `gapMs`; session id = running count of boundaries per user. This

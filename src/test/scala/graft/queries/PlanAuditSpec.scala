@@ -212,4 +212,37 @@ class PlanAuditSpec extends SparkTestBase {
     assert(windows.exists(_.contains("windowspecdefinition(__pid")),
       s"expected bucket-partitioned data window:\n${windows.mkString("\n")}")
   }
+
+  test("qe07: sliding distinct has no events range self-join and no window distinct") {
+    val p = plan(PipelineQueries.slidingDistinct(t))
+    // exact sliding-window distinct must come from the bounded explode
+    // of the collapsed (day,user) frame — never a range self-join of
+    // raw events (a non-equi join would plan nested-loop/cartesian)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"day-dimension filter should broadcast:\n$p")
+    assert(!p.contains("Window"), s"no window-function distinct:\n$p")
+  }
+
+  test("qd15: intra-doc line dedup is a pure scan projection (zero Exchange)") {
+    val p = plan(PipelineQueries.intradocDedup(t))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    // the single Exchange is the final orderBy's range partitioning for
+    // presentation; the dedup itself must not shuffle
+    assert(exchanges <= 1, s"expected at most the presentation sort exchange:\n$p")
+    assert(!p.contains("Join"), s"no joins in a per-doc projection:\n$p")
+  }
+
+  test("qr02: drift report broadcasts the scalar frames, no data-scale join") {
+    val p = plan(CurationQueries.driftReport(t))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Broadcast"), s"min/max + totals frames should broadcast:\n$p")
+  }
+
+  test("qs11: metrics attach labels on the top-k frame via equi joins only") {
+    val p = plan(RetrievalQueries.retrievalMetrics(t))
+    // one nested-loop is inherent to the unconditioned query×corpus
+    // scoring join (qs01's shape); label attachment must stay equi
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -252,4 +252,42 @@ class EventStreamsSpec extends SparkTestBase {
       }
     assert(bad.isEmpty)
   }
+
+  test("driftStream matches driftBatch across a micro-batch split and scores drift") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq("click" -> 0.5, "view" -> 0.5)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val df = mem.toDF.toDF("event_id", "ts", "event_type")
+    val q = EventStreams.driftStream(df, ref, windowDur = "10 minutes")
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("complete").start()
+    // window 1: balanced (zero drift); window 2: all clicks + one
+    // unmonitored type (excluded from the domain total)
+    val w1 = Seq((1L, ts(1), "click"), (2L, ts(3), "view"),
+                 (3L, ts(5), "click"), (4L, ts(7), "view"))
+    val w2 = Seq((5L, ts(11), "click"), (6L, ts(13), "click"),
+                 (7L, ts(15), "error"), (8L, ts(17), "click"))
+    try {
+      mem.addData(w1: _*); q.processAllAvailable()   // split mid-stream:
+      mem.addData(w2: _*); q.processAllAvailable()   // w2 is a later batch
+      val streamed = spark.table("drift").as[
+        (Timestamp, Timestamp, Long, String, Long, Double, Double, Double)]
+        .collect().toSet
+      val batch = EventStreams.driftBatch(
+          (w1 ++ w2).toDF("event_id", "ts", "event_type"), ref, windowDur = "10 minutes")
+        .as[(Timestamp, Timestamp, Long, String, Long, Double, Double, Double)]
+        .collect().toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      val byKey = streamed.map(r => (r._1, r._4) -> r).toMap
+      // balanced window: share == ref → KL terms exactly 0
+      assert(byKey(ts(0) -> "click")._8 == 0.0 && byKey(ts(0) -> "view")._8 == 0.0)
+      // drifted window: all mass on click → its KL term is ln(2) rounded
+      val drifted = byKey(ts(10) -> "click")
+      assert(drifted._5 == 3L && drifted._6 == 1.0)
+      assert(math.abs(drifted._8 - 0.693147) < 1e-12)
+      assert(byKey(ts(10) -> "view")._8 == 0.0)  // zero-count type: 0, not NaN
+      // the unmonitored 'error' event is outside the domain total
+      assert(drifted._3 == 3L)
+    } finally q.stop()
+  }
 }
