@@ -131,6 +131,36 @@ object AsOfJoin {
     pickMatches(union, key, w, leftFields, rightCols)
   }
 
+  /** Tolerance-bounded backward as-of — the feature-store staleness
+    * contract ("a feature older than X at serving time is as good as
+    * missing"): [[asOfBackward]] whose attached columns all null out
+    * when the matched reference is older than `toleranceMs` at probe
+    * time. A pure post-projection: the match carries its own epoch-ms
+    * via `rightMs` (one of `rightCols`, the caller's `unix_millis` of
+    * the reference time — the qa01 convention), so the staleness test
+    * is scan-local and adds zero shuffles to the one-exchange
+    * union-scan shape. Probes with no match at all stay null (the
+    * backward join's own semantics). */
+  def asOfBackwardTolerant(left: DataFrame, right: DataFrame, key: String,
+                           leftTs: String, rightTs: String, rightSeq: String,
+                           rightCols: Seq[String], rightMs: String,
+                           toleranceMs: Long): DataFrame = {
+    require(rightCols.contains(rightMs),
+      s"rightMs '$rightMs' must be one of rightCols so the match carries its timestamp")
+    require(toleranceMs >= 0, s"toleranceMs must be >= 0, got $toleranceMs")
+    val joined = asOfBackward(left, right, key, leftTs, rightTs, rightSeq, rightCols)
+    // probe time in epoch-ms: converted when leftTs is a timestamp,
+    // taken as already-ms when numeric (the fixture/long-ts shape)
+    val probeMs =
+      if (joined.schema(leftTs).dataType == org.apache.spark.sql.types.TimestampType)
+        unix_millis(col(leftTs))
+      else col(leftTs).cast("long")
+    val fresh = col(s"asof_$rightMs").isNotNull &&
+      probeMs - col(s"asof_$rightMs") <= toleranceMs
+    rightCols.foldLeft(joined) { (df, c) =>
+      df.withColumn(s"asof_$c", when(fresh, col(s"asof_$c"))) }
+  }
+
   /** Skew-safe backward as-of: identical results to [[asOfBackward]],
     * but each key's timeline is split into `salts` quantile-bounded
     * time ranges so no single task ever sorts a whole hot key.

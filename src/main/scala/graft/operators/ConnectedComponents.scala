@@ -205,4 +205,30 @@ object ConnectedComponents {
         coalesce(col("comp"), col(idCol)).as("cluster_id"))
       .withColumn("is_dup", col(idCol) =!= col("cluster_id"))
   }
+
+  /** [[dedupDecisions]] with a quality-aware keeper policy: instead of
+    * the min-id member, each cluster keeps the member that sorts FIRST
+    * by `prefCols` descending (id ascending as the final tie-break) —
+    * "keep the best copy", the decision real pipelines make when
+    * near-dups differ in quality (qd11's policy at exact-group level,
+    * lifted to transitive clusters). `prefCols` must exist on `docs`.
+    * The keeper argmax is a per-cluster window ORDER BY — near-dup
+    * clusters are small by construction (the funnels bound pair
+    * volume), so no hot partition; the cluster label itself still
+    * comes from the O(log d) pointer-doubling run. */
+  def dedupDecisionsBy(docs: DataFrame, pairs: DataFrame,
+                       prefCols: Seq[String],
+                       idCol: String = "doc_id",
+                       aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    require(prefCols.nonEmpty, "prefCols must name at least one quality column")
+    val base = dedupDecisions(docs, pairs, idCol, aCol, bCol)
+      .join(docs.select(col(idCol) +: prefCols.map(col): _*), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(prefCols.map(c => col(c).desc) :+ col(idCol).asc: _*)
+    base
+      .withColumn("keeper_id", first(col(idCol)).over(w))
+      .select(col(idCol), col("cluster_id"), col("keeper_id"),
+        (col(idCol) =!= col("keeper_id")).as("is_dup"))
+  }
 }

@@ -36,6 +36,34 @@ object Sketches {
     df.groupBy(col(keyCol))
       .agg(approx_count_distinct(col(valueCol), rsd).as("approx_distinct"))
 
+  /** Approximate trailing-window distinct via mergeable HLL sketches —
+    * the 100 TB path for qe07's exact sliding distinct: each day's
+    * sketch is built ONCE from that day's rows (one pass over raw
+    * data), and every trailing window then merges `windowDays`
+    * FIXED-SIZE sketches (≈ 2^lgConfigK bytes each) instead of
+    * re-distincting its rows — the second shuffle moves day-count ×
+    * sketch-size bytes, independent of data volume. Same bounded
+    * explode discipline as the exact operator; observed-day filter
+    * broadcast. Datasketches HLL (`hll_sketch_agg`/`hll_union_agg`)
+    * rather than `approx_count_distinct` because union-mergeability IS
+    * the operator; error ≈ 1.04/√2^lgConfigK relative (≈1.6% at the
+    * default 12), pinned against the exact operator in SketchesSpec. */
+  def slidingApproxDistinct(df: DataFrame, tsCol: String, valueCol: String,
+                            windowDays: Int = 7, lgConfigK: Int = 12): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val daily = df.select(to_date(col(tsCol)).as("day"), col(valueCol).as("v"))
+      .groupBy(col("day")).agg(hll_sketch_agg(col("v"), lgConfigK).as("sk"))
+    val days = daily.select(col("day").as("win_day"))
+    daily
+      .select(col("day"), col("sk"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select(date_add(col("day"), col("off")).as("win_day"), col("sk"))
+      .join(broadcast(days), "win_day")
+      .groupBy(col("win_day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_distinct"))
+      .withColumnRenamed("win_day", "day")
+  }
+
   /** Per-key approximate quantiles via `percentile_approx`
     * (Greenwald-Khanna style): one map-side-combining aggregate with a
     * bounded-size summary per group, vs the exact ordered-set

@@ -38,6 +38,46 @@ object CurationQueries {
       .orderBy($"user_id", $"purchase_id")
   }
 
+  /** qa05: qa01's join under a 30-minute staleness tolerance — the
+    * feature-store serving contract: a last view older than 30 minutes
+    * at purchase time is as good as absent, so the attached columns
+    * null out. Same one-exchange union scan; the staleness test is a
+    * scan-local projection over the match's own carried epoch-ms. */
+  def asofViewBeforePurchaseTolerant(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val purchases = t.events.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts")
+    val views = t.events.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts",
+              unix_millis($"ts").as("view_ms"))
+    AsOfJoin.asOfBackwardTolerant(purchases, views, key = "user_id",
+        leftTs = "ts", rightTs = "ts", rightSeq = "view_id",
+        rightCols = Seq("view_id", "view_ms"), rightMs = "view_ms",
+        toleranceMs = 1800000L)
+      .select($"user_id", $"purchase_id", unix_millis($"ts").as("purchase_ms"),
+              $"asof_view_id".as("view_id"), $"asof_view_ms".as("view_ms"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val asofViewBeforePurchaseTolerantSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CASE WHEN event_type='view' THEN 0 ELSE 1 END m,
+      |         event_id, CAST(ts AS TIMESTAMP) ts
+      |  FROM events WHERE event_type IN ('view','purchase')),
+      |t AS (SELECT *, CASE WHEN m=0 THEN event_id END seq FROM e),
+      |w AS (SELECT *,
+      |    last_value(CASE WHEN m=0 THEN event_id END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, m ASC, seq ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) view_id,
+      |    last_value(CASE WHEN m=0 THEN epoch_ms(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, m ASC, seq ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) view_ms
+      |  FROM t)
+      |SELECT user_id, event_id AS purchase_id, epoch_ms(ts) AS purchase_ms,
+      |  CASE WHEN epoch_ms(ts) - view_ms <= 1800000 THEN view_id END AS view_id,
+      |  CASE WHEN epoch_ms(ts) - view_ms <= 1800000 THEN view_ms END AS view_ms
+      |FROM w WHERE m = 1 ORDER BY user_id, purchase_id""".stripMargin
+
   /** qa02: the SAME join through the skew-safe salted path (8 time-range
     * salts + boundary carry-in) — checked against the IDENTICAL oracle
     * as qa01, which is the cross-engine proof that salting is an
@@ -799,6 +839,7 @@ object CurationQueries {
     "qp08_curriculum"        -> ((s: SparkSession, d: String) => curriculumShards(Tables(s, d))),
     "qr01_data_card"         -> ((s: SparkSession, d: String) => dataCard(Tables(s, d))),
     "qr02_drift_report"      -> ((s: SparkSession, d: String) => driftReport(Tables(s, d))),
+    "qa05_asof_tolerant"     -> ((s: SparkSession, d: String) => asofViewBeforePurchaseTolerant(Tables(s, d))),
     "qc06_training_mix"      -> ((s: SparkSession, d: String) => trainingMix(Tables(s, d))),
     "qt17_source_overlap"    -> ((s: SparkSession, d: String) => sourceOverlap(Tables(s, d))),
     "qp11_temperature_mix"   -> ((s: SparkSession, d: String) => temperatureMix(Tables(s, d))),
@@ -828,6 +869,7 @@ object CurationQueries {
     "qp08_curriculum"        -> curriculumShardsSql,
     "qr01_data_card"         -> dataCardSql,
     "qr02_drift_report"      -> driftReportSql,
+    "qa05_asof_tolerant"     -> asofViewBeforePurchaseTolerantSql,
     "qc06_training_mix"      -> trainingMixSql,
     "qt17_source_overlap"    -> sourceOverlapSql,
     "qp11_temperature_mix"   -> temperatureMixSql,

@@ -1079,6 +1079,92 @@ object PipelineQueries {
       |SELECT lang, n_tokens, n_types, CAST(SUM(term) AS DOUBLE) AS entropy
       |FROM terms GROUP BY lang, n_tokens, n_types ORDER BY lang""".stripMargin
 
+  /** qd16: quality-aware cluster keepers — qd06's transitive near-dup
+    * clusters with qd11's "keep the best copy" policy lifted from
+    * exact groups to clusters: each cluster keeps its longest member
+    * (`n_chars` desc, id asc tie-break) instead of the min id. The
+    * keeper argmax is a per-cluster window — near-dup clusters are
+    * funnel-bounded and small, so no hot partition; the labels still
+    * come from the O(log d) pointer-doubling run, and the oracle
+    * closes the same pair graph with a recursive CTE + argmax
+    * window. */
+  def clusterCanonical(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val pairs = Dedup.nearDupsMinhash(t.documents, threshold = 0.3)
+      .select($"a_id", $"b_id")
+    ConnectedComponents.dedupDecisionsBy(t.documents, pairs, prefCols = Seq("n_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val clusterCanonicalSql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
+      |hsh AS (SELECT doc_id, list_distinct([md5(x) for x in sh]) hashes FROM shr),
+      |sig AS (SELECT doc_id, [list_aggregate([md5(s::VARCHAR || ':' || x) for x in sh], 'min') for s in range(0,16)] sg FROM shr),
+      |bands AS (SELECT doc_id, [md5(sg[4*b+1] || '|' || sg[4*b+2] || '|' || sg[4*b+3] || '|' || sg[4*b+4]) for b in range(0,4)] bs FROM sig),
+      |bt AS (SELECT doc_id, i band_idx, bs[i] band_hash FROM bands, range(1,5) t(i)),
+      |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM bt a
+      |  JOIN bt b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      |p AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+      |    round(CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE) /
+      |          (len(ha.hashes) + len(hb.hashes) - CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)), 6) jaccard
+      |  FROM cand JOIN hsh ha ON ha.doc_id = a_id JOIN hsh hb ON hb.doc_id = b_id)
+      |  WHERE jaccard >= 0.3),
+      |e AS (SELECT a_id s, b_id d FROM p UNION ALL SELECT b_id, a_id FROM p),
+      |reach(id, comp) AS (
+      |  SELECT DISTINCT s, s FROM e
+      |  UNION
+      |  SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.id),
+      |c AS (SELECT id, MIN(comp) comp FROM reach GROUP BY id),
+      |lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id, d.n_chars
+      |  FROM documents d LEFT JOIN c ON c.id = d.doc_id)
+      |SELECT doc_id, cluster_id,
+      |  first_value(doc_id) OVER (PARTITION BY cluster_id
+      |    ORDER BY n_chars DESC, doc_id ASC) AS keeper_id,
+      |  doc_id <> first_value(doc_id) OVER (PARTITION BY cluster_id
+      |    ORDER BY n_chars DESC, doc_id ASC) AS is_dup
+      |FROM lab ORDER BY doc_id""".stripMargin
+
+  /** qt22: language-ID confusion matrix — the eval half of the qt02
+    * classifier: predicted vs labeled language counts and the per-true-
+    * language fraction (the diagonal is per-class recall). One scan +
+    * one hash agg; the denominator window runs over the aggregated
+    * |langs|² matrix — a constant-size frame (qe06 precedent), never
+    * the corpus. */
+  def langIdEval(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val cm = t.documents
+      .select($"lang".as("true_lang"), langIdHeuristic($"text").as("pred_lang"))
+      .groupBy($"true_lang", $"pred_lang").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"true_lang")
+    cm.select($"true_lang", $"pred_lang", $"n",
+        ($"n".cast("double") / sum($"n").over(w).cast("double")).as("frac"))
+      .orderBy($"true_lang", $"pred_lang")
+  }
+
+  val langIdEvalSql: String =
+    """WITH s AS (SELECT lang, string_split_regex(trim(lower(text)), '\s+') toks FROM documents),
+      |c AS (SELECT lang,
+      |  len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) sc_en,
+      |  len(list_filter(toks, t -> t IN ('el','la','de','y','que','en','los'))) sc_es,
+      |  len(list_filter(toks, t -> t IN ('le','les','des','et','une','dans','est'))) sc_fr,
+      |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist','von','nicht'))) sc_de
+      |FROM s),
+      |pred AS (SELECT lang AS true_lang,
+      |  CASE WHEN sc_en=0 AND sc_es=0 AND sc_fr=0 AND sc_de=0 THEN 'und'
+      |       WHEN sc_en>=sc_es AND sc_en>=sc_fr AND sc_en>=sc_de THEN 'en'
+      |       WHEN sc_es>=sc_fr AND sc_es>=sc_de THEN 'es'
+      |       WHEN sc_fr>=sc_de THEN 'fr'
+      |       ELSE 'de' END AS pred_lang
+      |FROM c),
+      |cm AS (SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) n
+      |  FROM pred GROUP BY 1, 2)
+      |SELECT true_lang, pred_lang, n,
+      |  CAST(n AS DOUBLE) /
+      |    CAST(SUM(n) OVER (PARTITION BY true_lang) AS DOUBLE) AS frac
+      |FROM cm ORDER BY true_lang, pred_lang""".stripMargin
+
   /** qe07: trailing-7-day distinct users per day — the exact sliding
     * MAU/WAU census. Engines cannot run `count(distinct)` over a range
     * window (and a per-day hot partition would not scale anyway), so
@@ -1162,6 +1248,8 @@ object PipelineQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qe07_sliding_distinct" -> ((s: SparkSession, d: String) => slidingDistinct(Tables(s, d))),
     "qd15_intradoc_dedup"  -> ((s: SparkSession, d: String) => intradocDedup(Tables(s, d))),
+    "qd16_cluster_canonical" -> ((s: SparkSession, d: String) => clusterCanonical(Tables(s, d))),
+    "qt22_langid_eval"     -> ((s: SparkSession, d: String) => langIdEval(Tables(s, d))),
     "qe06_transition_matrix" -> ((s: SparkSession, d: String) => transitionMatrix(Tables(s, d))),
     "qs10_hard_negatives"  -> ((s: SparkSession, d: String) => hardNegativesTopK(Tables(s, d))),
     "qt21_token_entropy"   -> ((s: SparkSession, d: String) => tokenEntropy(Tables(s, d))),
@@ -1203,6 +1291,8 @@ object PipelineQueries {
   def oracles: Map[String, String] = Map(
     "qe07_sliding_distinct" -> slidingDistinctSql,
     "qd15_intradoc_dedup"  -> intradocDedupSql,
+    "qd16_cluster_canonical" -> clusterCanonicalSql,
+    "qt22_langid_eval"     -> langIdEvalSql,
     "qe06_transition_matrix" -> transitionMatrixSql,
     "qs10_hard_negatives"  -> hardNegativesSql,
     "qt21_token_entropy"   -> tokenEntropySql,

@@ -53,6 +53,33 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(m(6L) === None)
   }
 
+  test("tolerant backward as-of nulls stale matches, keeps fresh ones, leaves misses null") {
+    // refs carry their own ms (the r_ts fixture values ARE ms)
+    val refsMs = refs.withColumn("ref_ms", $"r_ts")
+    val m = AsOfJoin.asOfBackwardTolerant(probes, refsMs, "user_id",
+        "p_ts", "r_ts", "ref_id", Seq("ref_id", "ref_ms"),
+        rightMs = "ref_ms", toleranceMs = 60L)
+      .select($"probe_id", $"asof_ref_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(m(1L) === None)           // no match at all
+    assert(m(2L) === Some(11L))      // equal ts: age 0 <= 60
+    assert(m(3L) === Some(11L))      // age 50 <= 60
+    assert(m(4L) === None)           // age 699 > 60: match nulled
+    assert(m(5L) === None && m(6L) === None)
+    // zero tolerance keeps only exact-ts matches
+    val z = AsOfJoin.asOfBackwardTolerant(probes, refsMs, "user_id",
+        "p_ts", "r_ts", "ref_id", Seq("ref_id", "ref_ms"),
+        rightMs = "ref_ms", toleranceMs = 0L)
+      .select($"probe_id", $"asof_ref_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(z(2L) === Some(11L) && z(3L) === None && z(4L) === None)
+    // contracts fail loudly
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOfBackwardTolerant(probes, refsMs, "user_id", "p_ts", "r_ts",
+        "ref_id", Seq("ref_id"), rightMs = "ref_ms", toleranceMs = 60L)
+    }
+  }
+
   test("equal-ts reference ties resolve by seq in its NATIVE order (max for backward)") {
     // 9 vs 10: numeric order (10 wins backward) diverges from string
     // order ("9" > "10") — pins that the tie-break is typed

@@ -109,4 +109,20 @@ class ConnectedComponentsSpec extends SparkTestBase {
     val want = parent.keys.map(k => k -> find(k)).toMap
     assert(got == want)
   }
+
+  test("dedupDecisionsBy keeps the best-quality member, id as tie-break") {
+    // cluster {1,2,3}: 2 has top quality; cluster {5,6}: tie -> min id 5;
+    // singleton 9 keeps itself
+    val docs = Seq((1L, 10L), (2L, 99L), (3L, 50L), (5L, 7L), (6L, 7L), (9L, 1L))
+      .toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = ConnectedComponents.dedupDecisionsBy(docs, pairs, Seq("n_chars"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got(1L) === ((2L, true)) && got(2L) === ((2L, false)) && got(3L) === ((2L, true)))
+    assert(got(5L) === ((5L, false)) && got(6L) === ((5L, true)))
+    assert(got(9L) === ((9L, false)))
+    intercept[IllegalArgumentException] {
+      ConnectedComponents.dedupDecisionsBy(docs, pairs, Seq.empty)
+    }
+  }
 }

@@ -108,4 +108,21 @@ class SketchesSpec extends SparkTestBase {
       Sketches.approxQuantilesPerKey(df, "k", "v", Seq(0.5), accuracy = 0)
     }
   }
+
+  test("sliding HLL distinct tracks the exact 7-day distinct within sketch error") {
+    val t = graft.Tables(spark, sf0001)
+    val exact = graft.queries.PipelineQueries.slidingDistinct(t)
+      .select($"day", $"u7").as[(java.sql.Date, Long)].collect()
+      .map { case (d, u) => d.toLocalDate -> u }.toMap
+    val approx = Sketches.slidingApproxDistinct(t.events, "ts", "user_id")
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, u) => d.toLocalDate -> u }.toMap
+    assert(approx.keySet == exact.keySet, "window-day domains must match")
+    exact.foreach { case (d, u) =>
+      val a = approx(d)
+      // lgConfigK=12 → rsd ≈ 1.6%; allow 3σ
+      assert(math.abs(a - u) <= math.max(3, (0.05 * u).toLong),
+        s"$d: approx $a vs exact $u drifts past sketch error")
+    }
+  }
 }
