@@ -112,6 +112,18 @@ object DumpPlans {
       ("qt20_vocab_coverage — running sum without the vocabulary window",
        "The ranked running sum partitions by the log2-frequency bucket (monotone in frequency, so bucket order extends the global order); only the ~64-row bucket-offset frame uses a constant partition. A naive cumulative SUM OVER () would funnel the entire vocabulary through one task.",
        fmt(graft.queries.PipelineQueries.vocabCoverage(t))),
+      ("qe07_sliding_distinct — exact sliding distinct without a range self-join",
+       "Raw events collapse to the distinct (day,user) frame FIRST (one hash shuffle kills per-day volume); the trailing windows come from a bounded 7x explode of that collapsed frame, the observed-day filter is a BroadcastHashJoin on the tiny day dimension. A range self-join of raw events — the naive shape — would be a nested-loop over the full event table.",
+       fmt(PipelineQueries.slidingDistinct(t))),
+      ("qd15_intradoc_dedup — per-doc projection dedup",
+       "Keep-first repeated-line removal is pure scan projection: the only Exchange in the plan is the presentation orderBy. Corpus scale never enters the dedup itself — the O(L^2) indexed-filter cost is bounded by per-doc line count.",
+       fmt(PipelineQueries.intradocDedup(t))),
+      ("qr02_drift_report — broadcast scalar frames",
+       "The epoch range (min/max) and the per-half totals are single-row frames broadcast into the per-type projection; the only data-scale operation is one hash aggregation on event_type. The TOTAL row aggregates the |types|-row terms frame.",
+       fmt(graft.queries.CurationQueries.driftReport(t))),
+      ("qa05_asof_tolerant — staleness as a scan-local projection",
+       "Identical one-exchange union-scan shape as qa01 (window running-last, no join node); the tolerance test reads the match's own carried epoch-ms in the final projection — the staleness contract adds ZERO shuffles.",
+       fmt(graft.queries.CurationQueries.asofViewBeforePurchaseTolerant(t))),
     )
 
     val md = new StringBuilder
