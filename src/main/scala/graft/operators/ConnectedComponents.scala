@@ -28,6 +28,26 @@ import org.apache.spark.sql.DataFrame
   */
 object ConnectedComponents {
 
+  /** Checkpoint + STATISTICS truncation. `localCheckpoint` truncates
+    * the logical plan but Spark's LogicalRDD inherits the child plan's
+    * ESTIMATED `sizeInBytes` — and join estimation multiplies them, so
+    * iterative composition compounds the estimate superexponentially:
+    * folding [[mergeBatch]] over 10 tiny batches was measured growing
+    * the BigInt estimate 16× in DIGITS per fold (543 → 8,680 →
+    * 138,871 → 2,221,938 digits by fold 4) until plan costing spent
+    * minutes in BigInteger multiplication. When the inherited estimate
+    * exceeds any physically possible size (2^128 bytes), rebuild the
+    * frame from the checkpointed RDD — fresh default stats, plan
+    * costing stays O(1) forever. The rebuild pays a Row conversion, so
+    * it's applied only in the pathological case: single [[run]] calls
+    * on real data never trigger it. */
+  private def checkpointTruncated(df: DataFrame): DataFrame = {
+    val c = df.localCheckpoint(true)
+    if (c.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength > 128)
+      c.sparkSession.createDataFrame(c.rdd, c.schema)
+    else c
+  }
+
   /** (id, component) for every vertex in `edges`; component = min
     * vertex id of the connected component. Deterministic; pointer
     * doubling converges in ⌈log₂ diameter⌉ + O(1) rounds (hard-capped
@@ -67,10 +87,10 @@ object ConnectedComponents {
     // the materialized result, keeping every round's planning O(1).
     // (On a cluster, swap for reliable checkpoint()+checkpoint dir if
     // executor loss during the loop must be survivable.)
-    val symC = sym.localCheckpoint(true)
-    var labels = symC.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    val symC = checkpointTruncated(sym)
+    var labels = checkpointTruncated(
+      symC.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -85,11 +105,10 @@ object ConnectedComponents {
       val compressed = labels.select(col("id"), col("comp").as("mid"))
         .join(labels.select(col("id").as("mid"), col("comp")), "mid")
         .select(col("id"), col("comp"))
-      val next = viaNeighbors
+      val next = checkpointTruncated(viaNeighbors
         .union(labels.select(col("id"), col("comp")))
         .union(compressed)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
+        .groupBy("id").agg(min("comp").as("comp")))
       val changed = next
         .join(labels.select(col("id"), col("comp").as("prev")), "id")
         .filter(col("comp") =!= col("prev"))
@@ -134,14 +153,14 @@ object ConnectedComponents {
   private[graft] def runAlternatingCounted(edges: DataFrame, aCol: String = "a_id",
                                            bCol: String = "b_id",
                                            maxIter: Int = 30): (DataFrame, Int) = {
-    val verts = edges.select(col(aCol).as("id"))
-      .union(edges.select(col(bCol).as("id"))).distinct()
-      .localCheckpoint(true)
+    val verts = checkpointTruncated(
+      edges.select(col(aCol).as("id"))
+        .union(edges.select(col(bCol).as("id"))).distinct())
     // star edges always point child -> candidate-root; self-loops drop
-    var e = edges.select(col(aCol).as("u"), col(bCol).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
+    var e = checkpointTruncated(
+      edges.select(col(aCol).as("u"), col(bCol).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
 
     def largeStar(cur: DataFrame): DataFrame = {
       val sym = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
@@ -169,7 +188,7 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = checkpointTruncated(smallStar(largeStar(e)))
       converged = next.count() == e.count() &&
         next.exceptAll(e).limit(1).count() == 0
       e = next
@@ -204,6 +223,27 @@ object ConnectedComponents {
       .select(col(idCol),
         coalesce(col("comp"), col(idCol)).as("cluster_id"))
       .withColumn("is_dup", col(idCol) =!= col("cluster_id"))
+  }
+
+  /** Incremental label maintenance: fold a NEW batch's pairs into
+    * existing component labels without re-closing the full historical
+    * pair graph. Correctness rests on labels being a lossless quotient
+    * of connectivity: prior components are preserved by adding one
+    * (id → comp) edge per previously-labeled vertex — a star to its
+    * component root — so the rerun closes `newPairs` ∪ stars instead
+    * of every pair ever seen. The rerun's input is |prior vertices| +
+    * |batch pairs| edges; the full recompute would be |all historical
+    * pairs| and grows without bound. Output shape matches [[run]]:
+    * (id, comp), comp = min id across the MERGED components (labels
+    * can only coarsen — merged clusters relabel to the global min,
+    * exactly as a full recompute would). Pair this with
+    * IncrementalDedup's signature store: the store finds cross-batch
+    * pairs, this folds them into standing clusters. */
+  def mergeBatch(labels: DataFrame, newPairs: DataFrame,
+                 aCol: String = "a_id", bCol: String = "b_id",
+                 maxIter: Int = 20): DataFrame = {
+    val stars = labels.select(col("id").as(aCol), col("comp").as(bCol))
+    run(stars.unionByName(newPairs.select(col(aCol), col(bCol))), aCol, bCol, maxIter)
   }
 
   /** [[dedupDecisions]] with a quality-aware keeper policy: instead of

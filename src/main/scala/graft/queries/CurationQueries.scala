@@ -730,6 +730,73 @@ object CurationQueries {
       |  CAST(kl_term AS DOUBLE) kl_term, CAST(chi2_term AS DOUBLE) chi2_term FROM terms
       |UNION ALL SELECT * FROM tot ORDER BY event_type""".stripMargin
 
+  /** qr03: per-source Kolmogorov-Smirnov drift — the continuous-
+    * distribution complement to qr02's categorical KL: for each
+    * source, the two-sample KS statistic (max CDF gap) between its
+    * document-length distribution and the REST of the corpus, plus the
+    * length where the gap is attained (min such value — deterministic
+    * argmax). Shapes: one (source, value) hash agg, then CDFs on the
+    * DENSE |sources|×|values| frame (sources cross-joined with the
+    * distinct value domain so zero-count values still advance both
+    * CDFs); running sums partition per source — never a corpus-scale
+    * window. The CDF gaps are IEEE divisions of exact longs with
+    * mirrored expression trees, so max/argmin agree bitwise
+    * cross-engine. At 100 TB a continuous value column gets bucketed
+    * (qt07's quantile sketch) before this — the dense frame's size IS
+    * the |values| knob. */
+  def ksDrift(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val counts = t.documents.groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
+    val values = t.documents.select($"n_chars").distinct()
+    val sources = t.documents.groupBy($"source").agg(count(lit(1)).as("n_s"))
+    val totals = t.documents.groupBy($"n_chars").agg(count(lit(1)).as("ct"))
+    val n = t.documents.agg(count(lit(1)).as("n"))
+    val dense = sources.crossJoin(values)
+      .join(counts, Seq("source", "n_chars"), "left").na.fill(0L, Seq("c"))
+      .join(totals, Seq("n_chars"))
+      .crossJoin(broadcast(n))
+    val w = Window.partitionBy($"source").orderBy($"n_chars".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val diff = dense
+      .select($"source", $"n_chars", $"n_s", $"n",
+        sum($"c").over(w).as("cum_s"), sum($"ct").over(w).as("cum_t"))
+      .select($"source", $"n_chars", $"n_s",
+        abs($"cum_s".cast("double") / $"n_s".cast("double") -
+            ($"cum_t" - $"cum_s").cast("double") / ($"n" - $"n_s").cast("double")).as("d"))
+    val ks = diff.groupBy($"source").agg(max($"d").as("ks"))
+    diff.join(ks, "source").filter($"d" === $"ks")
+      .groupBy($"source", $"ks").agg(min($"n_chars").as("at_value"))
+      .join(sources, "source")
+      .select($"source", $"n_s", $"ks", $"at_value")
+      .orderBy($"source")
+  }
+
+  val ksDriftSql: String =
+    """WITH counts AS (SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) c FROM documents GROUP BY 1, 2),
+      |vals AS (SELECT DISTINCT n_chars FROM documents),
+      |srcs AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_s FROM documents GROUP BY 1),
+      |tot AS (SELECT n_chars, CAST(COUNT(*) AS BIGINT) ct FROM documents GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM documents),
+      |dense AS (SELECT s.source, v.n_chars, s.n_s, COALESCE(c.c, 0) c, t.ct, nn.n
+      |  FROM srcs s CROSS JOIN vals v
+      |  LEFT JOIN counts c ON c.source = s.source AND c.n_chars = v.n_chars
+      |  JOIN tot t ON t.n_chars = v.n_chars CROSS JOIN nn),
+      |cdf AS (SELECT source, n_chars, n_s, n,
+      |    SUM(c) OVER (PARTITION BY source ORDER BY n_chars
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_s,
+      |    SUM(ct) OVER (PARTITION BY source ORDER BY n_chars
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_t
+      |  FROM dense),
+      |diff AS (SELECT source, n_chars, n_s,
+      |    abs(CAST(cum_s AS DOUBLE) / CAST(n_s AS DOUBLE) -
+      |        CAST(cum_t - cum_s AS DOUBLE) / CAST(n - n_s AS DOUBLE)) d
+      |  FROM cdf),
+      |ks AS (SELECT source, MAX(d) ks FROM diff GROUP BY 1)
+      |SELECT d.source, s.n_s, k.ks, MIN(d.n_chars) AS at_value
+      |FROM diff d JOIN ks k ON d.source = k.source AND d.d = k.ks
+      |JOIN srcs s ON s.source = d.source
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
+
   // ---- corpus statistics: TF-IDF top terms per language ----
 
   /** Top-5 TF-IDF terms per language. Canonical shapes: explode →
@@ -840,6 +907,7 @@ object CurationQueries {
     "qr01_data_card"         -> ((s: SparkSession, d: String) => dataCard(Tables(s, d))),
     "qr02_drift_report"      -> ((s: SparkSession, d: String) => driftReport(Tables(s, d))),
     "qa05_asof_tolerant"     -> ((s: SparkSession, d: String) => asofViewBeforePurchaseTolerant(Tables(s, d))),
+    "qr03_ks_drift"          -> ((s: SparkSession, d: String) => ksDrift(Tables(s, d))),
     "qc06_training_mix"      -> ((s: SparkSession, d: String) => trainingMix(Tables(s, d))),
     "qt17_source_overlap"    -> ((s: SparkSession, d: String) => sourceOverlap(Tables(s, d))),
     "qp11_temperature_mix"   -> ((s: SparkSession, d: String) => temperatureMix(Tables(s, d))),
@@ -870,6 +938,7 @@ object CurationQueries {
     "qr01_data_card"         -> dataCardSql,
     "qr02_drift_report"      -> driftReportSql,
     "qa05_asof_tolerant"     -> asofViewBeforePurchaseTolerantSql,
+    "qr03_ks_drift"          -> ksDriftSql,
     "qc06_training_mix"      -> trainingMixSql,
     "qt17_source_overlap"    -> sourceOverlapSql,
     "qp11_temperature_mix"   -> temperatureMixSql,

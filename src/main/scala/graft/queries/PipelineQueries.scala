@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{ConnectedComponents, Dedup, Similarity}
+import graft.operators.{ConnectedComponents, Dedup, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1126,6 +1126,56 @@ object PipelineQueries {
       |    ORDER BY n_chars DESC, doc_id ASC) AS is_dup
       |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** qp12: cluster-aware holdout split — the leakage-proof train/test
+    * split: hashing DOC ids (qp04) puts near-duplicates on both sides
+    * of the split, and a model that memorizes a train doc aces its
+    * test near-twin. Here the split coordinate is the CLUSTER id
+    * (qd06's transitive labels), a pure function every member
+    * inherits, so a near-dup pair can never straddle the boundary.
+    * Same md5 coordinate discipline as qp04 — cross-engine exact,
+    * never rand(). */
+  def clusterHoldout(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val pairs = Dedup.nearDupsMinhash(t.documents, threshold = 0.3)
+      .select($"a_id", $"b_id")
+    Sampling.holdoutSplit(
+        ConnectedComponents.dedupDecisions(t.documents, pairs), "cluster_id")
+      .select($"doc_id", $"cluster_id", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val clusterHoldoutSql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
+      |hsh AS (SELECT doc_id, list_distinct([md5(x) for x in sh]) hashes FROM shr),
+      |sig AS (SELECT doc_id, [list_aggregate([md5(s::VARCHAR || ':' || x) for x in sh], 'min') for s in range(0,16)] sg FROM shr),
+      |bands AS (SELECT doc_id, [md5(sg[4*b+1] || '|' || sg[4*b+2] || '|' || sg[4*b+3] || '|' || sg[4*b+4]) for b in range(0,4)] bs FROM sig),
+      |bt AS (SELECT doc_id, i band_idx, bs[i] band_hash FROM bands, range(1,5) t(i)),
+      |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM bt a
+      |  JOIN bt b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      |p AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+      |    round(CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE) /
+      |          (len(ha.hashes) + len(hb.hashes) - CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)), 6) jaccard
+      |  FROM cand JOIN hsh ha ON ha.doc_id = a_id JOIN hsh hb ON hb.doc_id = b_id)
+      |  WHERE jaccard >= 0.3),
+      |e AS (SELECT a_id s, b_id d FROM p UNION ALL SELECT b_id, a_id FROM p),
+      |reach(id, comp) AS (
+      |  SELECT DISTINCT s, s FROM e
+      |  UNION
+      |  SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.id),
+      |c AS (SELECT id, MIN(comp) comp FROM reach GROUP BY id),
+      |lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN c ON c.id = d.doc_id),
+      |u AS (SELECT doc_id, cluster_id,
+      |    list_sum(list_transform(range(0,4), i ->
+      |      (strpos('0123456789abcdef', substr(md5(cluster_id::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |    )) / 65536.0 AS u
+      |  FROM lab)
+      |SELECT doc_id, cluster_id,
+      |  CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+      |FROM u ORDER BY doc_id""".stripMargin
+
   /** qt22: language-ID confusion matrix — the eval half of the qt02
     * classifier: predicted vs labeled language counts and the per-true-
     * language fraction (the diagonal is per-class recall). One scan +
@@ -1250,6 +1300,7 @@ object PipelineQueries {
     "qd15_intradoc_dedup"  -> ((s: SparkSession, d: String) => intradocDedup(Tables(s, d))),
     "qd16_cluster_canonical" -> ((s: SparkSession, d: String) => clusterCanonical(Tables(s, d))),
     "qt22_langid_eval"     -> ((s: SparkSession, d: String) => langIdEval(Tables(s, d))),
+    "qp12_cluster_holdout" -> ((s: SparkSession, d: String) => clusterHoldout(Tables(s, d))),
     "qe06_transition_matrix" -> ((s: SparkSession, d: String) => transitionMatrix(Tables(s, d))),
     "qs10_hard_negatives"  -> ((s: SparkSession, d: String) => hardNegativesTopK(Tables(s, d))),
     "qt21_token_entropy"   -> ((s: SparkSession, d: String) => tokenEntropy(Tables(s, d))),
@@ -1293,6 +1344,7 @@ object PipelineQueries {
     "qd15_intradoc_dedup"  -> intradocDedupSql,
     "qd16_cluster_canonical" -> clusterCanonicalSql,
     "qt22_langid_eval"     -> langIdEvalSql,
+    "qp12_cluster_holdout" -> clusterHoldoutSql,
     "qe06_transition_matrix" -> transitionMatrixSql,
     "qs10_hard_negatives"  -> hardNegativesSql,
     "qt21_token_entropy"   -> tokenEntropySql,

@@ -110,6 +110,27 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(got == want)
   }
 
+  test("mergeBatch: incremental fold over batches equals the full recompute") {
+    def lbl(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b1 = Seq((1L, 2L), (3L, 4L)).toDF("a_id", "b_id")
+    // merges the two prior clusters, adds a fresh one, extends {3,4}
+    val b2 = Seq((2L, 3L), (5L, 6L), (4L, 9L)).toDF("a_id", "b_id")
+    val inc = lbl(ConnectedComponents.mergeBatch(ConnectedComponents.run(b1), b2))
+    val full = lbl(ConnectedComponents.run(b1.unionByName(b2)))
+    assert(inc == full, s"incremental $inc != full $full")
+    // batch-wise chain growth: 10 sequential folds == one closure
+    val batches = (0L until 10L).map(i =>
+      Seq((i * 3, i * 3 + 1), (i * 3 + 1, i * 3 + 2), (i * 3 + 2, i * 3 + 3))
+        .toDF("a_id", "b_id"))
+    val folded = lbl(batches.tail.foldLeft(ConnectedComponents.run(batches.head)) {
+      (l, b) => ConnectedComponents.mergeBatch(l, b).localCheckpoint() })
+    val whole = lbl(ConnectedComponents.run(
+      batches.reduce(_ unionByName _)))
+    assert(folded == whole)
+    assert(folded.values.toSet == Set(0L), "one chain, one component")
+  }
+
   test("dedupDecisionsBy keeps the best-quality member, id as tie-break") {
     // cluster {1,2,3}: 2 has top quality; cluster {5,6}: tie -> min id 5;
     // singleton 9 keeps itself

@@ -61,6 +61,42 @@ class MonitoringEvalSpec extends SparkTestBase {
     }
   }
 
+  test("qp12: no near-dup cluster straddles the split boundary") {
+    val rows = PipelineQueries.clusterHoldout(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val perCluster = rows.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    perCluster.foreach { case (c, splits) =>
+      assert(splits.length == 1, s"cluster $c split across $splits")
+    }
+    assert(rows.map(_._3).distinct.sorted.sameElements(Array("test", "train", "val"))
+           || rows.map(_._3).distinct.nonEmpty)
+    // sanity: at least one multi-member cluster exists, so the property bites
+    assert(perCluster.exists { case (c, _) => rows.count(_._2 == c) > 1 },
+      "fixture produced no multi-doc cluster — the test is vacuous")
+  }
+
+  test("qr03: KS statistic is a valid CDF gap attained at the reported value") {
+    val rows = CurationQueries.ksDrift(t).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ks = r.getDouble(2)
+      assert(ks >= 0.0 && ks <= 1.0, s"${r.getString(0)}: KS $ks out of [0,1]")
+      assert(r.getLong(1) > 0)
+    }
+    // recompute one source's KS by brute force
+    val docs = t.documents.select("source", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val src = rows.head.getString(0)
+    val mine = docs.filter(_._1 == src).map(_._2).sorted
+    val rest = docs.filter(_._1 != src).map(_._2).sorted
+    val domain = docs.map(_._2).distinct.sorted
+    val brute = domain.map { v =>
+      math.abs(mine.count(_ <= v).toDouble / mine.length -
+               rest.count(_ <= v).toDouble / rest.length) }.max
+    assert(math.abs(rows.head.getDouble(2) - brute) < 1e-12,
+      s"$src: reported ${rows.head.getDouble(2)} vs brute $brute")
+  }
+
   test("qs11: metric ranges hold and the TOTAL row is the macro average") {
     val rows = RetrievalQueries.retrievalMetrics(t).collect()
     val (total, perQ) = rows.partition(_.getLong(0) == -1L)
