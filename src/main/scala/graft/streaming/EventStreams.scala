@@ -375,6 +375,38 @@ object EventStreams {
               col("m.ref_share"), col("m.kl_term"))
   }
 
+  /** Streaming trailing-window approximate distinct — the continuous
+    * member of the sliding-distinct family (exact batch: qe07;
+    * mergeable-sketch batch: Sketches.slidingApproxDistinct).
+    * Streaming forbids the batch shape's two aggregations (day
+    * sketches, then window merges), so the explode moves BEFORE the
+    * single aggregation: each event feeds the ≤ `windowDays` trailing
+    * window-days it is visible in, and one streaming HLL aggregate per
+    * window-day unions as rows arrive. Cost: the sketch build sees
+    * each event `windowDays` times (the batch twin dedups to day
+    * grain first) — the price of the single-agg rule; state stays one
+    * sketch (≈2^lgConfigK bytes) per open window-day under the
+    * watermark. Emits (day, approx_distinct) with the same estimator
+    * as the batch twin, so estimates agree exactly on identical input
+    * sets (HLL union is insertion-order-free). */
+  def slidingDistinctStream(events: DataFrame, windowDays: Int = 7,
+                            lgConfigK: Int = 12,
+                            watermark: String = "1 day"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    events
+      .select(col("ts"), col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      // re-anchor each contribution's event time on its window-day so
+      // ONE watermarked tumbling window both groups and evicts state
+      .select(col("user_id"),
+        expr("timestamp_micros(unix_micros(ts) + off * 86400000000L)").as("win_ts"))
+      .withWatermark("win_ts", watermark)
+      .groupBy(window(col("win_ts"), "1 day").as("win"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lgConfigK))
+        .as("approx_distinct"))
+      .select(to_date(col("win.start")).as("day"), col("approx_distinct"))
+  }
+
   /** Batch-mode gap sessionization (same semantics, pure SQL windows):
     * session boundary where the gap to the previous event exceeds
     * `gapMs`; session id = running count of boundaries per user. This

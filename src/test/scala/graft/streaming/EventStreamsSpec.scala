@@ -253,6 +253,37 @@ class EventStreamsSpec extends SparkTestBase {
     assert(bad.isEmpty)
   }
 
+  test("slidingDistinctStream agrees with the batch sketch on every observed day") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long)]
+    val df = mem.toDF.toDF("event_id", "ts", "user_id")
+    val q = EventStreams.slidingDistinctStream(df, windowDays = 7)
+      .writeStream.format("memory").queryName("sliding_hll")
+      .outputMode("complete").start()
+    def day(d: Int, h: Int = 10): Timestamp =
+      Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    // three days of activity with overlapping users, split mid-stream
+    val b1 = Seq((1L, day(1), 100L), (2L, day(1), 101L), (3L, day(2), 100L))
+    val b2 = Seq((4L, day(2), 102L), (5L, day(3), 103L), (6L, day(3), 100L))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.table("sliding_hll")
+        .as[(java.sql.Date, Long)].collect().toMap
+      val batch = graft.operators.Sketches.slidingApproxDistinct(
+          (b1 ++ b2).toDF("event_id", "ts", "user_id"), "ts", "user_id")
+        .as[(java.sql.Date, Long)].collect().toMap
+      // batch restricts to observed days; the stream also carries the
+      // trailing days past the last event — agree on the batch domain
+      assert(batch.keySet.subsetOf(streamed.keySet))
+      batch.foreach { case (d, n) =>
+        assert(streamed(d) == n, s"$d: stream ${streamed(d)} != batch $n") }
+      // small exact cardinalities: HLL is exact in sparse mode
+      assert(batch(java.sql.Date.valueOf("2024-01-01")) == 2L)
+      assert(batch(java.sql.Date.valueOf("2024-01-03")) == 4L)
+    } finally q.stop()
+  }
+
   test("driftStream matches driftBatch across a micro-batch split and scores drift") {
     implicit val sqlCtx = spark.sqlContext
     val ref = Seq("click" -> 0.5, "view" -> 0.5)
