@@ -51,8 +51,11 @@ object Sketches {
   def slidingApproxDistinct(df: DataFrame, tsCol: String, valueCol: String,
                             windowDays: Int = 7, lgConfigK: Int = 12): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    // one raw-data pass: the per-day sketch table feeds both the day
+    // domain and the window explode
     val daily = df.select(to_date(col(tsCol)).as("day"), col(valueCol).as("v"))
       .groupBy(col("day")).agg(hll_sketch_agg(col("v"), lgConfigK).as("sk"))
+      .localCheckpoint()
     val days = daily.select(col("day").as("win_day"))
     daily
       .select(col("day"), col("sk"),

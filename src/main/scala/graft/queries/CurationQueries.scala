@@ -666,11 +666,16 @@ object CurationQueries {
     import t.spark.implicits._
     val e = t.events.select($"event_type", unix_micros($"ts").as("us"))
     val mm = e.agg(min($"us").as("lo"), max($"us").as("hi"))
+    // materialize the |types|-row counts once: every downstream frame
+    // (totals, terms, TOTAL row — two union branches) derives from it,
+    // so the corpus is scanned exactly twice (min/max + counts), not
+    // once per branch
     val c = e.crossJoin(broadcast(mm))
       .select($"event_type", when($"us" * 2 <= $"lo" + $"hi", 1L).otherwise(0L).as("in_a"))
       .groupBy($"event_type")
       .agg(sum($"in_a").as("c_a"), sum(lit(1L) - $"in_a").as("c_b"))
       .filter($"c_a" > 0 && $"c_b" > 0)
+      .localCheckpoint()
     val tt = c.agg(sum($"c_a").cast("double").as("ta"), sum($"c_b").cast("double").as("tb"))
     val terms = c.crossJoin(broadcast(tt))
       .select($"event_type", $"c_a", $"c_b",
@@ -686,6 +691,7 @@ object CurationQueries {
                   ($"c_b".cast("double") - eb) * ($"c_b".cast("double") - eb) / eb, 6)
           }
         }.cast("decimal(24,6)").as("chi2_term"))
+      .localCheckpoint()
     val total = terms.agg(
         sum($"c_a").as("c_a"), sum($"c_b").as("c_b"),
         sum($"kl_term").as("klS"), sum($"chi2_term").as("chiS"))
@@ -746,11 +752,16 @@ object CurationQueries {
     * the |values| knob. */
   def ksDrift(t: Tables): DataFrame = {
     import t.spark.implicits._
+    // ONE corpus scan: the (source, value) counts are materialized and
+    // every other frame (value domain, per-source totals, per-value
+    // totals, grand total) is an aggregate of that tiny table — the
+    // naive shape scans the corpus five times
     val counts = t.documents.groupBy($"source", $"n_chars").agg(count(lit(1)).as("c"))
-    val values = t.documents.select($"n_chars").distinct()
-    val sources = t.documents.groupBy($"source").agg(count(lit(1)).as("n_s"))
-    val totals = t.documents.groupBy($"n_chars").agg(count(lit(1)).as("ct"))
-    val n = t.documents.agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val values = counts.select($"n_chars").distinct()
+    val sources = counts.groupBy($"source").agg(sum($"c").as("n_s"))
+    val totals = counts.groupBy($"n_chars").agg(sum($"c").as("ct"))
+    val n = counts.agg(sum($"c").as("n"))
     val dense = sources.crossJoin(values)
       .join(counts, Seq("source", "n_chars"), "left").na.fill(0L, Seq("c"))
       .join(totals, Seq("n_chars"))
@@ -763,6 +774,7 @@ object CurationQueries {
       .select($"source", $"n_chars", $"n_s",
         abs($"cum_s".cast("double") / $"n_s".cast("double") -
             ($"cum_t" - $"cum_s").cast("double") / ($"n" - $"n_s").cast("double")).as("d"))
+      .localCheckpoint()  // read twice: the max agg and the argmin join
     val ks = diff.groupBy($"source").agg(max($"d").as("ks"))
     diff.join(ks, "source").filter($"d" === $"ks")
       .groupBy($"source", $"ks").agg(min($"n_chars").as("at_value"))

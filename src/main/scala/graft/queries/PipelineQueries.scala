@@ -1215,6 +1215,43 @@ object PipelineQueries {
       |    CAST(SUM(n) OVER (PARTITION BY true_lang) AS DOUBLE) AS frac
       |FROM cm ORDER BY true_lang, pred_lang""".stripMargin
 
+  /** qd17: similarity-threshold sweep — the calibration census behind
+    * choosing qd03's threshold (and the DedupEval table's third axis):
+    * every banded candidate pair histogrammed by exact-Jaccard decile.
+    * Run once per corpus before committing a threshold: the mass below
+    * a candidate decile is what that threshold would discard. Same
+    * funnel cost as qd03 (signatures once, band-key shuffle,
+    * verify-on-candidates-only) at threshold 0 — the histogram is a
+    * constant-size aggregate of the candidate frame. Bins are
+    * floor(round-6-jaccard × 10) clamped to 9, identical arithmetic in
+    * both engines. */
+  def jaccardSweep(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Dedup.nearDupsMinhash(t.documents, threshold = 0.0)
+      .select(least(floor($"jaccard" * 10).cast("int"), lit(9)).as("bin"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_pairs"))
+      .select($"bin", ($"bin".cast("double") / 10.0).as("bin_lo"), $"n_pairs")
+      .orderBy($"bin")
+  }
+
+  val jaccardSweepSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
+      |hsh AS (SELECT doc_id, list_distinct([md5(x) for x in sh]) hashes FROM shr),
+      |sig AS (SELECT doc_id, [list_aggregate([md5(s::VARCHAR || ':' || x) for x in sh], 'min') for s in range(0,16)] sg FROM shr),
+      |bands AS (SELECT doc_id, [md5(sg[4*b+1] || '|' || sg[4*b+2] || '|' || sg[4*b+3] || '|' || sg[4*b+4]) for b in range(0,4)] bs FROM sig),
+      |bt AS (SELECT doc_id, i band_idx, bs[i] band_hash FROM bands, range(1,5) t(i)),
+      |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM bt a
+      |  JOIN bt b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      |j AS (SELECT a_id, b_id,
+      |    round(CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE) /
+      |          (len(ha.hashes) + len(hb.hashes) - CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)), 6) jaccard
+      |  FROM cand JOIN hsh ha ON ha.doc_id = a_id JOIN hsh hb ON hb.doc_id = b_id),
+      |b AS (SELECT least(CAST(floor(jaccard * 10) AS INT), 9) bin FROM j)
+      |SELECT bin, CAST(bin AS DOUBLE) / 10.0 AS bin_lo, CAST(COUNT(*) AS BIGINT) n_pairs
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
+
   /** qe07: trailing-7-day distinct users per day — the exact sliding
     * MAU/WAU census. Engines cannot run `count(distinct)` over a range
     * window (and a per-day hot partition would not scale anyway), so
@@ -1228,7 +1265,10 @@ object PipelineQueries {
     * window-function distinct, every stage a plain hash shuffle. */
   def slidingDistinct(t: Tables): DataFrame = {
     import t.spark.implicits._
+    // the collapsed frame feeds three branches (day domain, u1, the
+    // window explode) — materialize it so raw events shuffle ONCE
     val dayUser = t.events.select(to_date($"ts").as("day"), $"user_id").distinct()
+      .localCheckpoint()
     val days = dayUser.select($"day".as("win_day")).distinct()
     val contrib = dayUser
       .select($"day", $"user_id", explode(sequence(lit(0), lit(6))).as("off"))
@@ -1301,6 +1341,7 @@ object PipelineQueries {
     "qd16_cluster_canonical" -> ((s: SparkSession, d: String) => clusterCanonical(Tables(s, d))),
     "qt22_langid_eval"     -> ((s: SparkSession, d: String) => langIdEval(Tables(s, d))),
     "qp12_cluster_holdout" -> ((s: SparkSession, d: String) => clusterHoldout(Tables(s, d))),
+    "qd17_jaccard_sweep"   -> ((s: SparkSession, d: String) => jaccardSweep(Tables(s, d))),
     "qe06_transition_matrix" -> ((s: SparkSession, d: String) => transitionMatrix(Tables(s, d))),
     "qs10_hard_negatives"  -> ((s: SparkSession, d: String) => hardNegativesTopK(Tables(s, d))),
     "qt21_token_entropy"   -> ((s: SparkSession, d: String) => tokenEntropy(Tables(s, d))),
@@ -1345,6 +1386,7 @@ object PipelineQueries {
     "qd16_cluster_canonical" -> clusterCanonicalSql,
     "qt22_langid_eval"     -> langIdEvalSql,
     "qp12_cluster_holdout" -> clusterHoldoutSql,
+    "qd17_jaccard_sweep"   -> jaccardSweepSql,
     "qe06_transition_matrix" -> transitionMatrixSql,
     "qs10_hard_negatives"  -> hardNegativesSql,
     "qt21_token_entropy"   -> tokenEntropySql,

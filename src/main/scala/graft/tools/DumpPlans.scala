@@ -118,8 +118,8 @@ object DumpPlans {
       ("qd15_intradoc_dedup — per-doc projection dedup",
        "Keep-first repeated-line removal is pure scan projection: the only Exchange in the plan is the presentation orderBy. Corpus scale never enters the dedup itself — the O(L^2) indexed-filter cost is bounded by per-doc line count.",
        fmt(PipelineQueries.intradocDedup(t))),
-      ("qr02_drift_report — broadcast scalar frames",
-       "The epoch range (min/max) and the per-half totals are single-row frames broadcast into the per-type projection; the only data-scale operation is one hash aggregation on event_type. The TOTAL row aggregates the |types|-row terms frame.",
+      ("qr02_drift_report — one materialized terms frame",
+       "The corpus is scanned exactly twice upstream (min/max + per-type counts, scalar frames broadcast during that pass); the |types|-row terms frame is checkpointed, so BOTH union branches (per-type rows, TOTAL sums) read the materialized RDD instead of re-running the corpus aggregation per branch.",
        fmt(graft.queries.CurationQueries.driftReport(t))),
       ("qa05_asof_tolerant — staleness as a scan-local projection",
        "Identical one-exchange union-scan shape as qa01 (window running-last, no join node); the tolerance test reads the match's own carried epoch-ms in the final projection — the staleness contract adds ZERO shuffles.",

@@ -232,10 +232,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"no joins in a per-doc projection:\n$p")
   }
 
-  test("qr02: drift report broadcasts the scalar frames, no data-scale join") {
+  test("qr02: drift report unions the materialized terms frame, no data-scale join") {
     val p = plan(CurationQueries.driftReport(t))
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
-    assert(p.contains("Broadcast"), s"min/max + totals frames should broadcast:\n$p")
+    // the |types|-row terms frame is checkpointed once (corpus scanned
+    // exactly twice, upstream); both union branches read the
+    // materialized RDD instead of re-scanning events per branch
+    assert(p.contains("Scan ExistingRDD"), s"expected the checkpointed terms frame:\n$p")
+    assert(!p.contains("FileScan"), s"no events re-scan in the union:\n$p")
   }
 
   test("qs11: metrics attach labels on the top-k frame via equi joins only") {
