@@ -37,9 +37,11 @@ object IvfIndex {
   def centroids(corpus: DataFrame, nCells: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // constant partition key: the input is already LIMITed to nCells
-    // rows, so the single-partition window is deliberate (and the
-    // explicit spec keeps WindowExec from warning about it on every run)
-    val w = Window.partitionBy(lit(0)).orderBy(col("ord"), col(idCol))
+    // rows, so the single-partition window is deliberate. The key is
+    // id*0, not lit(0): Spark 4 constant-folds a literal partition spec
+    // to empty and then WindowExec warns on every run; a non-foldable
+    // constant expresses the same single partition silently.
+    val w = Window.partitionBy(col(idCol) * 0).orderBy(col("ord"), col(idCol))
     corpus.select(col(idCol), col(vecCol), md5(col(idCol).cast("string")).as("ord"))
       .orderBy(col("ord"), col(idCol)).limit(nCells)
       .select((row_number().over(w) - 1).as("cell"),

@@ -205,14 +205,15 @@ object Layout {
             floor((v.cast("double") - col("__mn")) / span * numBuckets),
             lit(numBuckets - 1L)).cast("long")))
       .drop("__mn", "__mx")
-    // constant partition key: the frame is numBuckets rows, so the
-    // single-partition running sum is deliberate (and the explicit
-    // spec keeps WindowExec from warning on every run)
+    // constant partition key (__pid*0, non-foldable — a lit(0) spec
+    // gets constant-folded to empty and WindowExec then warns): the
+    // frame is numBuckets rows, the single-partition running sum is
+    // deliberate
     val offsets = bucketed.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__offset",
         coalesce(sum(col("__n")).over(
-          Window.partitionBy(lit(0)).orderBy(col("__pid"))
+          Window.partitionBy(col("__pid") * 0).orderBy(col("__pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__pid"), col("__offset"))
     bucketed.join(broadcast(offsets), "__pid")

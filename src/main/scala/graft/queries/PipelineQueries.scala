@@ -726,7 +726,7 @@ object PipelineQueries {
       .withColumn("rn", row_number().over(wIn))
       .withColumn("cs", sum($"f").over(
         wIn.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val wb = Window.partitionBy(lit(0)).orderBy($"bkt".desc)
+    val wb = Window.partitionBy($"bkt" * 0).orderBy($"bkt".desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     // ~64 rows: the constant-partition window is driver-scale by design
     val offsets = bucketed.groupBy($"bkt")
