@@ -809,6 +809,51 @@ object CurationQueries {
       |JOIN srcs s ON s.source = d.source
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  /** qp13: target-mix solver — the inverse of qp11's descriptive
+    * temperature weights: given TARGET shares (here derived
+    * deterministically from the source name: weight = suffix+1,
+    * integer-summed so the normalization is exact), compute the
+    * largest token budget B achievable at exactly those proportions
+    * without upsampling — B = min over sources of avail/share, binding
+    * on the scarcest source — and each source's take and acceptance
+    * rate. One corpus scan into the per-source token counts; every
+    * derived frame aggregates that |sources|-row table; the min and
+    * the rates are IEEE expressions mirrored in the oracle (the
+    * binding source's rate lands at 1.0 up to one ulp, identically in
+    * both engines). */
+  def targetMix(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val c = t.documents.groupBy($"source")
+      .agg(sum(bpeTokenCount($"text")).cast("long").as("tokens_avail"))
+      .withColumn("w", regexp_extract($"source", "(\\d+)", 1).cast("long") + 1L)
+      .localCheckpoint()
+    val tot = c.agg(sum($"w").as("sw"))
+    val s = c.crossJoin(broadcast(tot))
+      .select($"source", $"tokens_avail",
+        ($"w".cast("double") / $"sw".cast("double")).as("target_share"))
+    val b = s.agg(min($"tokens_avail".cast("double") / $"target_share").as("b"))
+    s.crossJoin(broadcast(b))
+      .select($"source", $"tokens_avail", $"target_share",
+        ($"target_share" * $"b").as("budget_tokens"),
+        (($"target_share" * $"b") / $"tokens_avail".cast("double")).as("rate"))
+      .orderBy($"source")
+  }
+
+  val targetMixSql: String =
+    """WITH c0 AS (SELECT source,
+      |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) tokens_avail
+      |  FROM documents GROUP BY source),
+      |c AS (SELECT source, tokens_avail,
+      |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) + 1 w FROM c0),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) sw FROM c),
+      |s AS (SELECT source, tokens_avail,
+      |    CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) target_share FROM c CROSS JOIN tot),
+      |b AS (SELECT MIN(CAST(tokens_avail AS DOUBLE) / target_share) b FROM s)
+      |SELECT source, tokens_avail, target_share,
+      |  target_share * b AS budget_tokens,
+      |  (target_share * b) / CAST(tokens_avail AS DOUBLE) AS rate
+      |FROM s CROSS JOIN b ORDER BY source""".stripMargin
+
   // ---- corpus statistics: TF-IDF top terms per language ----
 
   /** Top-5 TF-IDF terms per language. Canonical shapes: explode →
@@ -920,6 +965,7 @@ object CurationQueries {
     "qr02_drift_report"      -> ((s: SparkSession, d: String) => driftReport(Tables(s, d))),
     "qa05_asof_tolerant"     -> ((s: SparkSession, d: String) => asofViewBeforePurchaseTolerant(Tables(s, d))),
     "qr03_ks_drift"          -> ((s: SparkSession, d: String) => ksDrift(Tables(s, d))),
+    "qp13_target_mix"        -> ((s: SparkSession, d: String) => targetMix(Tables(s, d))),
     "qc06_training_mix"      -> ((s: SparkSession, d: String) => trainingMix(Tables(s, d))),
     "qt17_source_overlap"    -> ((s: SparkSession, d: String) => sourceOverlap(Tables(s, d))),
     "qp11_temperature_mix"   -> ((s: SparkSession, d: String) => temperatureMix(Tables(s, d))),
@@ -951,6 +997,7 @@ object CurationQueries {
     "qr02_drift_report"      -> driftReportSql,
     "qa05_asof_tolerant"     -> asofViewBeforePurchaseTolerantSql,
     "qr03_ks_drift"          -> ksDriftSql,
+    "qp13_target_mix"        -> targetMixSql,
     "qc06_training_mix"      -> trainingMixSql,
     "qt17_source_overlap"    -> sourceOverlapSql,
     "qp11_temperature_mix"   -> temperatureMixSql,

@@ -97,6 +97,23 @@ class MonitoringEvalSpec extends SparkTestBase {
       s"$src: reported ${rows.head.getDouble(2)} vs brute $brute")
   }
 
+  test("qp13: the mix is feasible, proportional, and binds on the scarcest source") {
+    val rows = CurationQueries.targetMix(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_._3).sum
+    assert(math.abs(shareSum - 1.0) < 1e-12, s"target shares sum to $shareSum")
+    rows.foreach { case (s, avail, _, budget, rate) =>
+      assert(rate <= 1.0 + 1e-12, s"$s upsamples: rate $rate")
+      assert(budget <= avail * (1.0 + 1e-12), s"$s takes $budget of $avail")
+    }
+    // exactly the binding source(s) sit at rate ~1; at least one must
+    assert(rows.exists(r => math.abs(r._5 - 1.0) < 1e-9), "no source binds the budget")
+    // taken tokens are exactly proportional to the target shares
+    val b = rows.map(r => r._4 / r._3).toSeq
+    assert(b.max - b.min < 1e-6 * b.max, s"budget not proportional: $b")
+  }
+
   test("qs11: metric ranges hold and the TOTAL row is the macro average") {
     val rows = RetrievalQueries.retrievalMetrics(t).collect()
     val (total, perQ) = rows.partition(_.getLong(0) == -1L)
