@@ -13,16 +13,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader only surfaces as LONG (`spark.sql.legacy.parquet.nanosAsLong`,
-    * set in [[graft.GraftSession]]). Normalize to a proper microsecond
-    * TimestampType here; the driver's fixtures are µs-aligned so `div
-    * 1000` is lossless (verified over sf0.1).
+  /** The driver's fixtures have carried `events.ts` as parquet
+    * TIMESTAMP(NANOS) (Spark's vectorized reader surfaces it as LONG
+    * under `spark.sql.legacy.parquet.nanosAsLong`, set in
+    * [[graft.GraftSession]]) and, since the r5 regeneration, as
+    * timezone-less timestamp[us] (surfaced as TIMESTAMP_NTZ). Normalize
+    * both to a proper instant TimestampType here: the session timezone
+    * is pinned UTC, so the NTZ→instant cast reads the wall-clock as
+    * UTC — exactly how DuckDB treats the same naive column in epoch
+    * math, keeping the oracles engine-identical. `div 1000` on the
+    * nanos leg is lossless (fixtures are µs-aligned; verified at sf0.1).
     */
   private def withTsNormalized(df: DataFrame): DataFrame =
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   lazy val region: DataFrame     = table("region")
   lazy val nation: DataFrame     = table("nation")

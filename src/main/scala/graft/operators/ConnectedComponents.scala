@@ -41,7 +41,7 @@ object ConnectedComponents {
     * costing stays O(1) forever. The rebuild pays a Row conversion, so
     * it's applied only in the pathological case: single [[run]] calls
     * on real data never trigger it. */
-  private def checkpointTruncated(df: DataFrame): DataFrame = {
+  private[operators] def checkpointTruncated(df: DataFrame): DataFrame = {
     val c = df.localCheckpoint(true)
     if (c.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength > 128)
       c.sparkSession.createDataFrame(c.rdd, c.schema)

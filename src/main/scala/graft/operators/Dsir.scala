@@ -46,7 +46,7 @@ object Dsir {
     val tTot = tgtc.agg(coalesce(sum(col("t_c")), lit(0L)).cast("double").as("t_tot"))
     // dim-row model table with the per-bucket log-ratio term, broadcast
     val terms = rawc.join(tgtc, Seq("bkt"), "left")
-      .crossJoin(rTot).crossJoin(tTot)
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
       .select(col("bkt"),
         round(log((coalesce(col("t_c"), lit(0L)) + lit(1)) / (col("t_tot") + lit(dim.toDouble))) -
               log((col("r_c") + lit(1)) / (col("r_tot") + lit(dim.toDouble))), 6)

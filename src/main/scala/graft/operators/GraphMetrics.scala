@@ -91,7 +91,7 @@ object GraphMetrics {
     val nN = deg.agg(count(lit(1)).cast("double").as("n"))
     var r = deg.select(col("node")).crossJoin(broadcast(nN))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       r = edges
         .join(r, edges("a") === r("node")).drop("node")
         .join(deg, edges("a") === deg("node")).drop("node")
@@ -105,6 +105,13 @@ object GraphMetrics {
           // `(1.0 - 0.85)` is the bit-identical IEEE subtraction
           round((lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("s").cast("double"), 9)
             .as("r"))
+      // truncate lineage every 3 rounds: values are unchanged (the
+      // checkpoint is a materialization barrier, not a rewrite), but
+      // without it iters=30+ compounds the join plan until analysis
+      // time dominates — the same pathology checkpointTruncated was
+      // built for in ConnectedComponents
+      if (i % 3 == 0 && i < iters)
+        r = ConnectedComponents.checkpointTruncated(r)
     }
     r.select(col("node"), col("r").as("pagerank"))
   }

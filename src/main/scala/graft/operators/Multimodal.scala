@@ -56,6 +56,92 @@ object Multimodal {
     }
   }
 
+  /** Real in-JVM codec over `javax.imageio` — JPEG/PNG/GIF/BMP, the
+    * formats the JDK ships readers for; no native libraries, no
+    * network. [[StubDecoder]] stays the default where cross-engine
+    * oracle determinism matters (the stub's outputs are pure byte
+    * functions both engines can mirror); this is the production path
+    * for real image corpora.
+    *
+    *  - `imageMeta`: decoded width/height plus the color model's
+    *    component count (3 for RGB JPEG, 4 for RGBA PNG, 1 for gray).
+    *  - `resize`: bilinear rescale, re-encoded as PNG (lossless, so
+    *    repeated pipeline passes don't compound JPEG artifacts).
+    *  - `frameSample`: multi-frame containers the JDK can read
+    *    (animated GIF) yield n evenly-spaced frames as PNG; a
+    *    single-frame image yields itself once.
+    *
+    * Throws on undecodable payloads — wrap in [[FailSoft]] when the
+    * corpus may contain garbage (at 100 TB it will). */
+  object ImageIoDecoder extends Decoder {
+    import java.awt.RenderingHints
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    private def decode(bytes: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "payload not decodable by any registered ImageIO reader")
+      img
+    }
+
+    def imageMeta(bytes: Array[Byte]): (Int, Int, Int) = {
+      val img = decode(bytes)
+      (img.getWidth, img.getHeight, img.getColorModel.getNumComponents)
+    }
+
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"target dims must be positive, got ${w}x$h")
+      val img = decode(bytes)
+      val out = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+      } finally g.dispose()
+      val bos = new ByteArrayOutputStream()
+      ImageIO.write(out, "png", bos)
+      bos.toByteArray
+    }
+
+    def frameSample(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      require(n > 0, s"n must be positive, got $n")
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "payload not decodable by any registered ImageIO reader")
+        val reader = readers.next()
+        reader.setInput(iis)
+        try {
+          val total = reader.getNumImages(true)
+          val idxs =
+            if (total <= n) 0 until total
+            else (0 until n).map(i => i * total / n)
+          idxs.map { i =>
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(reader.read(i), "png", bos)
+            bos.toByteArray
+          }
+        } finally reader.dispose()
+      } finally iis.close()
+    }
+  }
+
+  /** Corruption guard for real corpora: delegates to `inner`, mapping
+    * any decode failure to sentinel outputs ((-1,-1,-1) meta, empty
+    * payloads) instead of failing the task — one bad JPEG must not
+    * kill a 100 TB pass. Pair with a downstream
+    * `filter($"image_meta.width" >= 0)` quarantine. */
+  final case class FailSoft(inner: Decoder) extends Decoder {
+    def imageMeta(bytes: Array[Byte]): (Int, Int, Int) =
+      try inner.imageMeta(bytes) catch { case scala.util.control.NonFatal(_) => (-1, -1, -1) }
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] =
+      try inner.resize(bytes, w, h) catch { case scala.util.control.NonFatal(_) => Array.emptyByteArray }
+    def frameSample(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+      try inner.frameSample(bytes, n) catch { case scala.util.control.NonFatal(_) => Seq.empty }
+  }
+
   val imageMetaType: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),

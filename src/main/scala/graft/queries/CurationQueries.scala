@@ -501,8 +501,8 @@ object CurationQueries {
       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) tokens
       |  FROM documents),
       |r AS (SELECT lang, doc_id, tokens,
-      |    SUM(tokens) OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC
-      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) running_tokens
+      |    CAST(SUM(tokens) OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) running_tokens
       |  FROM d)
       |SELECT lang, doc_id, tokens, running_tokens FROM r
       |WHERE running_tokens <= 1000 ORDER BY lang, running_tokens""".stripMargin

@@ -25,10 +25,14 @@ import scala.sys.process._
   *    hunks PyDriller exposes as `file.diff`, capped executor-side at
   *    1 MiB with the P8 sentinel (databaseImport.py:412-416) — and
   *    `nloc`, the post-image line census. PyDriller's nloc is lizard's
-  *    comment-stripped source-line count for recognized languages;
-  *    without a parser per language we publish the deterministic
-  *    superset — non-blank line count of the post-image — and None for
-  *    binary or deleted files, documented here as the contract).
+  *    comment-stripped source-line count for recognized languages; the
+  *    default publishes the deterministic superset — non-blank line
+  *    count of the post-image — and None for binary or deleted files.
+  *    Pass `nlocMode = Nloc.NlocMode.CommentStripped` for the
+  *    lizard-parity count ([[Nloc]] drops comment-only lines for the
+  *    common comment syntaxes; unrecognized extensions keep the
+  *    superset), shrinking divergence from published dumps to exotic
+  *    languages and tokenizer corner cases).
   *
   * Memory shape: all three `git log` passes (--name-status, --numstat,
   * -p) stream per-commit in lockstep — the walker holds ONE commit's
@@ -259,7 +263,8 @@ object GitHistorySource {
       if (b == -1 && sb.length == 0) null else sb.toString
     }
 
-    def nloc(sha: String, path: String): Option[Int] = {
+    def nloc(sha: String, path: String,
+             mode: Nloc.NlocMode = Nloc.NlocMode.Superset): Option[Int] = {
       req.write(s"$sha:$path\n"); req.flush()
       val hdr = readHeader()
       if (hdr == null || hdr.endsWith(" missing")) None
@@ -267,6 +272,24 @@ object GitHistorySource {
         val size = hdr.substring(hdr.lastIndexOf(' ') + 1).toLong
         var remaining = size
         var binary = false; var nonBlank = 0; var lineHasContent = false
+        // comment-stripped mode still streams: one bounded line buffer
+        // plus one boolean of cross-line state (open block comment)
+        val lang = mode match {
+          case Nloc.NlocMode.CommentStripped => Nloc.langFor(path)
+          case _ => None
+        }
+        val lineBuf = if (lang.isDefined) new java.lang.StringBuilder else null
+        val MaxLine = 64 * 1024
+        var blockOpen = false
+        def endLine(): Unit = lang match {
+          case Some(l) =>
+            val (hasCode, next) = Nloc.lineHasCode(lineBuf.toString, l, blockOpen)
+            if (hasCode) nonBlank += 1
+            blockOpen = next
+            lineBuf.setLength(0)
+          case None =>
+            if (lineHasContent) nonBlank += 1
+          }
         while (remaining > 0) {
           val n = in.read(chunk, 0, math.min(chunk.length.toLong, remaining).toInt)
           if (n < 0) remaining = 0
@@ -275,15 +298,19 @@ object GitHistorySource {
             while (i < n) {
               val b = chunk(i)
               if (b == 0) binary = true
-              if (b == '\n') { if (lineHasContent) nonBlank += 1; lineHasContent = false }
-              else if (b != ' ' && b != '\t' && b != '\r') lineHasContent = true
+              if (b == '\n') { endLine(); lineHasContent = false }
+              else {
+                if (b != ' ' && b != '\t' && b != '\r') lineHasContent = true
+                if (lineBuf != null && lineBuf.length < MaxLine && b != '\r')
+                  lineBuf.append(b.toChar)
+              }
               i += 1
             }
             remaining -= n
           }
         }
         in.read() // trailing LF after the object body
-        if (lineHasContent) nonBlank += 1
+        if (lineHasContent || (lineBuf != null && lineBuf.length > 0)) endLine()
         if (binary) None else Some(nonBlank)
       }
     }
@@ -298,7 +325,8 @@ object GitHistorySource {
     * `-p` diff pass and cat-file nloc probes — merged COMMIT-BY-COMMIT
     * in lockstep (all passes share `git log`'s ordering and -M), so
     * memory is one commit's entries, not the repo's history. */
-  private[sources] def walkDeltas(r: RepoRef, withContent: Boolean): Iterator[GitDelta] = {
+  private[sources] def walkDeltas(r: RepoRef, withContent: Boolean,
+                                  nlocMode: Nloc.NlocMode = Nloc.NlocMode.Superset): Iterator[GitDelta] = {
     case class Entry(changeType: String, oldPath: String, newPath: String)
     val names = perCommit(gitLines(r.path, Seq("-M", "--name-status", "--format=%x01%H")))
     val nums = perCommit(gitLines(r.path, Seq("-M", "--numstat", "--format=%x01%H")))
@@ -336,7 +364,7 @@ object GitHistorySource {
       entries.map { e =>
         val keyPath = Option(e.newPath).getOrElse(e.oldPath)
         val (a, d) = counts.getOrElse(keyPath, (None, None))
-        val nl = if (withContent && e.newPath != null) cat.flatMap(_.nloc(shaN, e.newPath)) else None
+        val nl = if (withContent && e.newPath != null) cat.flatMap(_.nloc(shaN, e.newPath, nlocMode)) else None
         GitDelta(r.repo_id, r.repo_name, shaN, e.changeType, e.oldPath, e.newPath, a, d,
           nloc = nl, diff = if (withContent) Some(diffTexts.getOrElse(keyPath, "")) else None)
       }
@@ -369,9 +397,10 @@ object GitHistorySource {
     * Normalize.modifiedFiles). `withContent=true` adds the content
     * pass: per-file unified `diff` hunks (P8-capped, like
     * databaseImport.py:407-416) and post-image `nloc`. */
-  def deltas(repos: Dataset[RepoRef], withContent: Boolean = false): Dataset[GitDelta] = {
+  def deltas(repos: Dataset[RepoRef], withContent: Boolean = false,
+             nlocMode: Nloc.NlocMode = Nloc.NlocMode.Superset): Dataset[GitDelta] = {
     import repos.sparkSession.implicits._
-    repos.flatMap(walkDeltas(_, withContent))
+    repos.flatMap(walkDeltas(_, withContent, nlocMode))
   }
 
   /** `commits` silver shape with proper timestamp + tz-offset split

@@ -53,6 +53,23 @@ class GraphMetricsSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("pageRank iters=30 on a 10k-node path: in-loop truncation keeps the plan flat") {
+    // without checkpointTruncated every 3 rounds this compounds 30
+    // join+agg layers into one plan and analysis time dominates; with
+    // it, each segment is 3 layers deep regardless of iters
+    val path = (0L until 9999L).map(i => (i, i + 1)).toDF("a", "b")
+    val pr = GraphMetrics.pageRank(path, iters = 30)
+    val (n, total) = pr.agg(count(lit(1)), sum($"pagerank")).as[(Long, Double)].head()
+    assert(n == 10000L)
+    // rank mass conserved through every truncation (checkpoint is a
+    // materialization barrier, not a value rewrite)
+    assert(math.abs(total - 1.0) < 1e-3, s"rank mass drifted: $total")
+    // interior symmetry: all interior path nodes converge to equal rank
+    val interior = pr.filter($"node" > 100L && $"node" < 9899L)
+      .agg(max($"pagerank") - min($"pagerank")).as[Double].head()
+    assert(interior < 1e-6, s"interior spread $interior")
+  }
+
   test("degree-oriented count equals naive ordered count on the co-activity graph") {
     val t = Tables(spark, sf0001)
     val b = t.events.select($"user_id".as("u"), $"event_type".as("et"),

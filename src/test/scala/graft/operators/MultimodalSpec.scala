@@ -52,4 +52,73 @@ class MultimodalSpec extends SparkTestBase {
     assert(frames.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3))
     assert(frames.forall(_._3.nonEmpty))
   }
+
+  // ---- real codec: javax.imageio over a checked-in fixture ----
+
+  private def fixtureBytes: Array[Byte] = {
+    val in = getClass.getResourceAsStream("/fixtures/gradient_8x5.png")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("ImageIoDecoder reads real PNG metadata from the checked-in fixture") {
+    val (w, h, c) = Multimodal.ImageIoDecoder.imageMeta(fixtureBytes)
+    assert((w, h, c) == (8, 5, 3))
+  }
+
+  test("ImageIoDecoder resize re-encodes at the target dimensions") {
+    val thumb = Multimodal.ImageIoDecoder.resize(fixtureBytes, 4, 3)
+    val (w, h, _) = Multimodal.ImageIoDecoder.imageMeta(thumb)
+    assert((w, h) == (4, 3))
+    // PNG magic: lossless re-encode, not a raw buffer
+    assert((thumb(0) & 0xff) == 0x89 && thumb(1) == 'P'.toByte)
+  }
+
+  test("ImageIoDecoder frameSample: single-frame image yields itself once") {
+    val frames = Multimodal.ImageIoDecoder.frameSample(fixtureBytes, 3)
+    assert(frames.length == 1)
+    assert(Multimodal.ImageIoDecoder.imageMeta(frames.head)._1 == 8)
+  }
+
+  test("ImageIoDecoder frameSample: animated GIF sampled evenly") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.{IIOImage, ImageIO}
+    // build a 4-frame animated GIF in-memory with the JDK's own writer
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    (0 until 4).foreach { i =>
+      val img = new BufferedImage(6, 6, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(i * 60, 0, 0)); g.fillRect(0, 0, 6, 6) }
+      finally g.dispose()
+      writer.writeToSequence(new IIOImage(img, null, null), writer.getDefaultWriteParam)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = bos.toByteArray
+    assert(Multimodal.ImageIoDecoder.frameSample(gif, 2).length == 2)
+    assert(Multimodal.ImageIoDecoder.frameSample(gif, 8).length == 4)
+    val all = Multimodal.ImageIoDecoder.frameSample(gif, 4)
+    assert(all.forall(f => Multimodal.ImageIoDecoder.imageMeta(f) == (6, 6, 3)))
+  }
+
+  test("FailSoft maps corrupt payloads to sentinels instead of failing the task") {
+    val soft = Multimodal.FailSoft(Multimodal.ImageIoDecoder)
+    assert(soft.imageMeta("not an image".getBytes) == (-1, -1, -1))
+    assert(soft.resize("junk".getBytes, 4, 4).isEmpty)
+    assert(soft.frameSample("junk".getBytes, 2).isEmpty)
+    assert(soft.imageMeta(fixtureBytes) == (8, 5, 3)) // delegation intact
+  }
+
+  test("withImageMeta with FailSoft(ImageIoDecoder): real dims, quarantine-able garbage") {
+    val df = Seq((1L, fixtureBytes), (2L, "garbage".getBytes("UTF-8")))
+      .toDF("media_id", "media")
+    val out = Multimodal.withImageMeta(df, "media",
+        decoder = Multimodal.FailSoft(Multimodal.ImageIoDecoder))
+      .select($"media_id", $"image_meta.width", $"image_meta.height", $"image_meta.channels")
+      .as[(Long, Int, Int, Int)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 8, 5, 3)))
+    assert(out(1) == ((2L, -1, -1, -1)))
+  }
 }

@@ -151,6 +151,32 @@ class GitHistorySourceSpec extends SparkTestBase {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 
+  test("nloc modes: superset counts non-blank lines; CommentStripped drops comment-only lines") {
+    val dir = Files.createTempDirectory("graft-git-nloc").toFile
+    try {
+      run(dir, Nil, "init", "-q", "-b", "main")
+      // 2 comment-only lines + 1 blank + 3 code lines (one with trailing comment)
+      write(dir, "mod.py", "# header\n# more docs\n\nx = 1  # inline\ndef f():\n    return x\n")
+      // 1 line comment + 2-line block comment + 2 code lines
+      write(dir, "Mod.scala", "// top\n/* block\n   comment */\nval a = 1\nval b = \"// not a comment\"\n")
+      // unrecognized extension: superset either way
+      write(dir, "notes.txt", "// kept\n\nbody\n")
+      run(dir, Nil, "add", "-A")
+      run(dir, Seq("GIT_AUTHOR_DATE" -> "1700000010 +0000",
+                   "GIT_COMMITTER_DATE" -> "1700000015 +0000"), "commit", "-q", "-m", "c1")
+      val repos = Seq(RepoRef("models/o/r", "o/r", dir.toString)).toDS()
+      def nlocs(mode: Nloc.NlocMode) =
+        GitHistorySource.deltas(repos, withContent = true, nlocMode = mode)
+          .collect().map(d => d.new_path -> d.nloc).toMap
+      val sup = nlocs(Nloc.NlocMode.Superset)
+      assert(sup("mod.py") == Some(5) && sup("Mod.scala") == Some(5) && sup("notes.txt") == Some(2))
+      val strip = nlocs(Nloc.NlocMode.CommentStripped)
+      assert(strip("mod.py") == Some(3), s"py: ${strip("mod.py")}")
+      assert(strip("Mod.scala") == Some(2), s"scala: ${strip("Mod.scala")}")
+      assert(strip("notes.txt") == Some(2)) // fallback = superset
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   test("non-ASCII filenames survive the walk unescaped (core.quotepath)") {
     val dir = Files.createTempDirectory("graft-git-utf8").toFile
     try {
