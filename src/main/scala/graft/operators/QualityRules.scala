@@ -171,4 +171,43 @@ object QualityRules {
       .select(col(idCol), col("c.*"))
       .withColumn("dropped", col("drop_reason").isNotNull)
   }
+
+  /** Corpus-GLOBAL line-level boilerplate removal — C4's "discard any
+    * line that repeats across the corpus" / FineWeb's boilerplate pass,
+    * the step [[c4LineFilter]] (per-doc, rule-based) cannot do because
+    * it never sees other documents. A "line" is a non-overlapping
+    * `lineTokens`-token window ([[Chunking.chunkByTokens]] with zero
+    * overlap); a line whose distinct-document frequency reaches
+    * `maxDocFreq` is boilerplate and removed from EVERY document.
+    *
+    * Output per doc: `n_lines`, `n_kept`, and `clean_md5` — the
+    * fingerprint of the surviving text in original line order.
+    *
+    * Scale shape (100 TB): one line-hash-keyed census (map-side
+    * combined count-distinct — linear, the substring-dedup shape, no
+    * pair join anywhere), one hash-keyed join back, one per-doc
+    * re-aggregation. Joining on md5(line) keeps the shuffled key
+    * narrow; the census table is corpus-sized but each partition only
+    * meets its own hash range. */
+  def globalLineDedup(docs: DataFrame, lineTokens: Int = 10, maxDocFreq: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(lineTokens > 0, s"lineTokens must be positive, got $lineTokens")
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    val lines = Chunking.chunkByTokens(docs, lineTokens, 0, idCol, textCol)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"),
+        md5(col("chunk_text")).as("lh"))
+    val census = lines.groupBy(col("lh"))
+      .agg(countDistinct(col(idCol)).as("line_df"))
+    lines.join(census, "lh")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("line_df") < maxDocFreq, 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("line_df") < maxDocFreq,
+              struct(col("chunk_idx"), col("chunk_text"))))),
+            s => s.getField("chunk_text")),
+          " ")).as("clean_md5"))
+  }
 }

@@ -95,6 +95,49 @@ object QualityQueries {
       |  drop_reason IS NOT NULL AS dropped
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** qt23: corpus-GLOBAL line boilerplate removal — the C4/FineWeb
+    * step qt11 cannot do per-doc: a 10-token line that appears in ≥3
+    * DISTINCT documents is boilerplate and removed from every doc.
+    * The fixture corpus is word soup with no natural boilerplate, so
+    * two footer lines are planted IN THE QUERY (the qt09/qt11
+    * precedent): every even doc is PREFIXED with one 10-token footer,
+    * every 5th doc with another — prefixing keeps the planted lines
+    * aligned to the 10-token line grid for every document. Census +
+    * join-back + per-doc reassembly: one linear line-hash shuffle,
+    * never a pair join (see [[graft.operators.QualityRules.globalLineDedup]]). */
+  def lineBoilerplate(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val f1 = "join our mailing list today for updates and exclusive offers"
+    val f2 = "copyright notice all rights reserved contact us terms of service"
+    val planted = t.documents.select($"doc_id",
+      concat(
+        when($"doc_id" % 5 === 0, lit(f2 + " ")).otherwise(lit("")),
+        when($"doc_id" % 2 === 0, lit(f1 + " ")).otherwise(lit("")),
+        $"text").as("text"))
+    QualityRules.globalLineDedup(planted, lineTokens = 10, maxDocFreq = 3)
+      .orderBy($"doc_id")
+  }
+
+  val lineBoilerplateSql: String = {
+    val f1 = "join our mailing list today for updates and exclusive offers"
+    val f2 = "copyright notice all rights reserved contact us terms of service"
+    s"""WITH p AS (SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN '$f2 ' ELSE '' END ||
+       |    CASE WHEN doc_id % 2 = 0 THEN '$f1 ' ELSE '' END || text AS text
+       |  FROM documents),
+       |w0 AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM p),
+       |c AS (SELECT doc_id, unnest(range(0, len(w), 10)) s, w FROM w0),
+       |l AS (SELECT doc_id, CAST(s // 10 AS BIGINT) idx,
+       |    array_to_string(w[s+1:s+10], ' ') line FROM c),
+       |census AS (SELECT line, COUNT(DISTINCT doc_id) line_df FROM l GROUP BY 1),
+       |j AS (SELECT l.doc_id, l.idx, l.line, census.line_df FROM l JOIN census USING (line))
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN line_df < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(COALESCE(array_to_string(list(line ORDER BY idx) FILTER (WHERE line_df < 3), ' '), '')) AS clean_md5
+       |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** qt12: CCNet-style LM filter scoring — bigram add-one LM fitted on
     * the reference half (doc_id % 2 = 0), every doc scored by mean
     * bigram nll (cross-entropy, nats). Model = two count tables;
@@ -578,6 +621,7 @@ object QualityQueries {
     "qd12_substring_scrub"   -> ((s: SparkSession, d: String) => substringScrub(Tables(s, d))),
     "qt10_gopher_rules"      -> ((s: SparkSession, d: String) => gopherRules(Tables(s, d))),
     "qt11_c4_line_clean"     -> ((s: SparkSession, d: String) => c4LineClean(Tables(s, d))),
+    "qt23_line_boilerplate"  -> ((s: SparkSession, d: String) => lineBoilerplate(Tables(s, d))),
     "qt12_lm_score"          -> ((s: SparkSession, d: String) => lmScore(Tables(s, d))),
     "qt13_classifier_score"  -> ((s: SparkSession, d: String) => classifierScore(Tables(s, d))),
     "qc07_fuzzy_decontam"    -> ((s: SparkSession, d: String) => fuzzyDecontaminate(Tables(s, d))),
@@ -596,6 +640,7 @@ object QualityQueries {
     "qd12_substring_scrub"   -> substringScrubSql,
     "qt10_gopher_rules"      -> gopherRulesSql,
     "qt11_c4_line_clean"     -> c4LineCleanSql,
+    "qt23_line_boilerplate"  -> lineBoilerplateSql,
     "qt12_lm_score"          -> lmScoreSql,
     "qt13_classifier_score"  -> classifierScoreSql,
     "qc07_fuzzy_decontam"    -> fuzzyDecontaminateSql,

@@ -111,4 +111,35 @@ class QualityRulesSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_kept") == 3L)
     assert(!r.getAs[Boolean]("dropped"))
   }
+
+  test("globalLineDedup: a line in >= maxDocFreq distinct docs is scrubbed everywhere") {
+    import org.apache.spark.sql.functions.{lit, md5}
+    val docs = Seq(
+      (1L, "a b x y"),   // "a b" + "x y"
+      (2L, "a b p q"),   // "a b" repeats (df=4 incl. partial doc 5)
+      (3L, "a b r s"),
+      (4L, "u v"),       // unique line untouched
+      (5L, "a b c"),     // partial trailing line "c" survives
+    ).toDF("doc_id", "text")
+    val out = QualityRules.globalLineDedup(docs, lineTokens = 2, maxDocFreq = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect()
+    def h(s: String) = docs.sparkSession.range(1).select(md5(lit(s))).as[String].head()
+    assert(out(0) == ((1L, 2L, 1L, h("x y"))))
+    assert(out(1) == ((2L, 2L, 1L, h("p q"))))
+    assert(out(2) == ((3L, 2L, 1L, h("r s"))))
+    assert(out(3) == ((4L, 1L, 1L, h("u v"))))
+    assert(out(4) == ((5L, 2L, 1L, h("c"))))
+  }
+
+  test("globalLineDedup: kept lines reassemble in original order; duplicate line within ONE doc survives") {
+    import org.apache.spark.sql.functions.{lit, md5}
+    // "z z" occurs twice in doc 1 but in only one DISTINCT doc → kept;
+    // order of kept lines must be line order, not hash order
+    val docs = Seq((1L, "z z m n z z")).toDF("doc_id", "text")
+    val out = QualityRules.globalLineDedup(docs, lineTokens = 2, maxDocFreq = 2)
+      .as[(Long, Long, Long, String)].head()
+    def h(s: String) = docs.sparkSession.range(1).select(md5(lit(s))).as[String].head()
+    assert(out == ((1L, 3L, 3L, h("z z m n z z"))))
+  }
 }
