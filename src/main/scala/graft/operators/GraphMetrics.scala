@@ -105,12 +105,15 @@ object GraphMetrics {
           // `(1.0 - 0.85)` is the bit-identical IEEE subtraction
           round((lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("s").cast("double"), 9)
             .as("r"))
-      // truncate lineage every 3 rounds: values are unchanged (the
-      // checkpoint is a materialization barrier, not a rewrite), but
-      // without it iters=30+ compounds the join plan until analysis
-      // time dominates — the same pathology checkpointTruncated was
-      // built for in ConnectedComponents
-      if (i % 3 == 0 && i < iters)
+      // truncate lineage every 3 rounds IN DEEP LOOPS: values are
+      // unchanged (the checkpoint is a materialization barrier, not a
+      // rewrite), but without it iters=30+ compounds the join plan
+      // until analysis time dominates — the ConnectedComponents
+      // pathology. Shallow loops skip it: an eager checkpoint costs a
+      // materialization + Row conversion per application, measured
+      // +1.6 s on the 5-iteration qg03 for a plan depth Catalyst
+      // handles fine.
+      if (iters > 8 && i % 3 == 0 && i < iters)
         r = ConnectedComponents.checkpointTruncated(r)
     }
     r.select(col("node"), col("r").as("pagerank"))

@@ -249,4 +249,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("qt23: global line dedup is census + equi join-back — no pair join, map-side combine") {
+    val p = plan(QualityQueries.lineBoilerplate(t))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the doc-frequency census partial-aggregates before its shuffle
+    assert(p.contains("partial_"), s"line census should combine map-side:\n$p")
+    // join back rides the md5 line-hash key (lh), an equi join
+    assert(p.contains("lh"), s"join-back must key on the line hash:\n$p")
+  }
 }
