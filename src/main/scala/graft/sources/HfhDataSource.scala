@@ -1,0 +1,221 @@
+package graft.sources
+
+import java.util
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** DataSource V2 face of the live Hub API — the `spark.read` spelling
+  * of [[HttpHfhSource]], mirroring [[GitHistoryDataSource]]:
+  *
+  * {{{
+  *   spark.read.format("hfh")
+  *     .option("baseUrl", "https://huggingface.co")
+  *     .option("table", "listing")          // or "files"
+  *     .option("type", "model")             // listing: repo type
+  *     .option("limit", "1000")             // listing: pushed to the API
+  *     .option("repos", "models/a,models/b")// files: the listed slice
+  *     .option("reposPerPartition", "32")   // files: fan-out granularity
+  *     .load()
+  * }}}
+  *
+  * Planning: `listing` is ONE partition — it IS one API call with the
+  * sort/limit pushed (databaseImport.py:597's params). `files` is the
+  * N+1 detail fan-out: repo ids are grouped into partitions so the
+  * fetches parallelize across executors, each partition pacing itself
+  * with [[ResilientFetch]]'s limiter/backoff; a repo that exhausts
+  * retries emits a row with `fetch_error` set and null file columns —
+  * quarantine as data, one `filter` away, never a task failure.
+  * Rows stream out as each repo's JSON arrives (no per-partition
+  * buffering beyond one repo's siblings).
+  */
+class HfhDataSource extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "hfh"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    HfhDataSource.schemaFor(options.getOrDefault("table", "listing"))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new HfhTable(HfhDataSource.Config(
+      table = opts.getOrDefault("table", "listing"),
+      baseUrl = Option(opts.get("baseUrl")).getOrElse(
+        throw new IllegalArgumentException("hfh source requires a baseUrl option")),
+      repoType = opts.getOrDefault("type", "model"),
+      limit = opts.getInt("limit", 1000),
+      repos = opts.getOrDefault("repos", ""),
+      reposPerPartition = opts.getInt("reposPerPartition", 32),
+      token = Option(opts.get("token")),
+      maxAttempts = opts.getInt("maxAttempts", 4),
+      perPartitionRps = opts.getDouble("perPartitionRps", 5.0)))
+  }
+}
+
+object HfhDataSource {
+
+  /** one listing row — the [[graft.hfc.Normalize.repositories]] bronze
+    * shape plus the prefixed repo_id. Field names here are the LEGAL
+    * Scala spellings; the published column names (`type`, `private`)
+    * live in [[listingSchema]] and the serializer maps positionally. */
+  case class ListingRow(name: String, repoType: String, author: String, sha: String,
+                        lastModified: java.sql.Timestamp, isPrivate: Boolean,
+                        cardData: String, gated: String, disabled: Boolean,
+                        likes: Long, repoId: String)
+
+  private[sources] val listingSchema: StructType = {
+    val enc = ExpressionEncoder[ListingRow]().schema
+    // positional rename to the bronze contract's reserved-word columns
+    val names = Seq("name", "type", "author", "sha", "last_modified", "private",
+      "card_data", "gated", "disabled", "likes", "repo_id")
+    StructType(enc.fields.zip(names).map { case (f, n) => f.copy(name = n) })
+  }
+
+  /** one file row — siblings flattened to the silver-adjacent shape;
+    * `fetch_error` non-null marks a quarantined repo (file cols null) */
+  case class FileRow(repo_id: String, rfilename: String, size: Option[Long],
+                     blob_id: String, lfs_size: Option[Long], lfs_sha256: String,
+                     lfs_pointer_size: Option[Long], fetch_error: String)
+
+  final case class Config(table: String, baseUrl: String, repoType: String,
+                          limit: Int, repos: String, reposPerPartition: Int,
+                          token: Option[String], maxAttempts: Int,
+                          perPartitionRps: Double) extends Serializable {
+    def policy: ResilientFetch.Policy =
+      ResilientFetch.Policy(maxAttempts = maxAttempts, perPartitionRps = perPartitionRps)
+  }
+
+  private[sources] def schemaFor(table: String): StructType = table match {
+    case "listing" => listingSchema
+    case "files"   => ExpressionEncoder[FileRow]().schema
+    case other => throw new IllegalArgumentException(
+      s"hfh table must be 'listing' or 'files', got '$other'")
+  }
+
+  private[sources] def get(cfg: Config, url: String): String = {
+    val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(30)).GET()
+    cfg.token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    val resp = java.net.http.HttpClient.newHttpClient()
+      .send(b.build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+    if (resp.statusCode() != 200)
+      throw ResilientFetch.HttpStatusException(resp.statusCode(), url)
+    resp.body()
+  }
+
+  private[sources] def plural(t: String): String = t match {
+    case "model" => "models"; case "dataset" => "datasets"; case "space" => "spaces"
+    case other => throw new IllegalArgumentException(s"unknown repoType: $other")
+  }
+
+  private def textOrNull(n: JsonNode, field: String): String = {
+    val f = n.get(field)
+    if (f == null || f.isNull) null
+    else if (f.isTextual) f.asText()
+    else f.toString
+  }
+
+  private[sources] def parseListing(cfg: Config, json: String): Iterator[ListingRow] = {
+    val p = plural(cfg.repoType)
+    new ObjectMapper().readTree(json).elements().asScala.map { n =>
+      val name = textOrNull(n, "id")
+      ListingRow(name, cfg.repoType, textOrNull(n, "author"), textOrNull(n, "sha"),
+        Option(textOrNull(n, "lastModified"))
+          .map(s => java.sql.Timestamp.from(java.time.Instant.parse(s))).orNull,
+        Option(n.get("private")).exists(_.asBoolean(false)),
+        textOrNull(n, "cardData"), textOrNull(n, "gated"),
+        Option(n.get("disabled")).exists(_.asBoolean(false)),
+        Option(n.get("likes")).map(_.asLong(0L)).getOrElse(0L),
+        s"$p/$name")
+    }
+  }
+
+  private[sources] def parseSiblings(repoId: String, json: String): Iterator[FileRow] = {
+    val sibs = new ObjectMapper().readTree(json).get("siblings")
+    if (sibs == null || !sibs.elements().hasNext) Iterator.empty
+    else sibs.elements().asScala.map { s =>
+      val lfs = s.get("lfs")
+      FileRow(repoId, textOrNull(s, "rfilename"),
+        Option(s.get("size")).filterNot(_.isNull).map(_.asLong()),
+        textOrNull(s, "blobId"),
+        Option(lfs).flatMap(l => Option(l.get("size")).filterNot(_.isNull)).map(_.asLong()),
+        Option(lfs).map(l => textOrNull(l, "sha256")).orNull,
+        Option(lfs).flatMap(l => Option(l.get("pointerSize")).filterNot(_.isNull)).map(_.asLong()),
+        fetch_error = null)
+    }
+  }
+}
+
+private[sources] class HfhTable(cfg: HfhDataSource.Config)
+    extends Table with SupportsRead {
+  override def name(): String = s"hfh(${cfg.table})"
+  override def schema(): StructType = HfhDataSource.schemaFor(cfg.table)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with Scan with Batch {
+      override def build(): Scan = this
+      override def readSchema(): StructType = schema()
+      override def toBatch: Batch = this
+      override def planInputPartitions(): Array[InputPartition] = cfg.table match {
+        case "listing" => Array(new HfhPartition(Seq.empty))
+        case "files" =>
+          cfg.repos.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
+            .grouped(math.max(1, cfg.reposPerPartition))
+            .map(new HfhPartition(_)).toArray
+        case other => throw new IllegalArgumentException(s"unknown hfh table '$other'")
+      }
+      override def createReaderFactory(): PartitionReaderFactory =
+        new HfhReaderFactory(cfg)
+    }
+}
+
+private[sources] class HfhPartition(val repoIds: Seq[String]) extends InputPartition
+
+private[sources] class HfhReaderFactory(cfg: HfhDataSource.Config)
+    extends PartitionReaderFactory {
+  import HfhDataSource._
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val repoIds = partition.asInstanceOf[HfhPartition].repoIds
+    new PartitionReader[InternalRow] {
+      private val rows: Iterator[InternalRow] = cfg.table match {
+        case "listing" =>
+          val ser = ExpressionEncoder[ListingRow]().createSerializer()
+          val url = s"${cfg.baseUrl.stripSuffix("/")}/api/${plural(cfg.repoType)}" +
+            s"?sort=lastModified&direction=-1&limit=${cfg.limit}"
+          parseListing(cfg, HfhDataSource.get(cfg, url)).map(r => ser(r).copy())
+        case "files" =>
+          val ser = ExpressionEncoder[FileRow]().createSerializer()
+          val limiter = new ResilientFetch.RateLimiter(
+            cfg.perPartitionRps, () => System.nanoTime(), Thread.sleep)
+          repoIds.iterator.flatMap { id =>
+            val url = s"${cfg.baseUrl.stripSuffix("/")}/api/$id"
+            val out = ResilientFetch.fetchOne[String](id, _ => HfhDataSource.get(cfg, url),
+              cfg.policy, limiter, Thread.sleep)
+            out.value match {
+              case Some(json) => parseSiblings(id, json)
+              case None => Iterator.single(
+                FileRow(id, null, None, null, None, null, None, out.error.orNull))
+            }
+          }.map(r => ser(r).copy())
+        case other => throw new IllegalArgumentException(s"unknown hfh table '$other'")
+      }
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
