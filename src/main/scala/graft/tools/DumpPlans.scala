@@ -124,6 +124,9 @@ object DumpPlans {
       ("qa05_asof_tolerant — staleness as a scan-local projection",
        "Identical one-exchange union-scan shape as qa01 (window running-last, no join node); the tolerance test reads the match's own carried epoch-ms in the final projection — the staleness contract adds ZERO shuffles.",
        fmt(graft.queries.CurationQueries.asofViewBeforePurchaseTolerant(t))),
+      ("qt23_line_boilerplate — corpus-global line census, no pair join",
+       "The doc-frequency census partial-aggregates (map-side count-distinct) before its single line-hash shuffle; the join back to lines is an equi join on the md5 key; reassembly is one per-doc aggregation. Linear in corpus lines end-to-end — the same no-pair-join discipline as the substring census, which is what makes corpus-global boilerplate removal affordable at 100 TB.",
+       fmt(graft.queries.QualityQueries.lineBoilerplate(t))),
     )
 
     val md = new StringBuilder
