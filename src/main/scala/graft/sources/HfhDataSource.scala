@@ -20,7 +20,7 @@ import scala.jdk.CollectionConverters._
   * {{{
   *   spark.read.format("hfh")
   *     .option("baseUrl", "https://huggingface.co")
-  *     .option("table", "listing")          // or "files"
+  *     .option("table", "listing")          // or "files" / "discussions"
   *     .option("type", "model")             // listing: repo type
   *     .option("limit", "1000")             // listing: pushed to the API
   *     .option("repos", "models/a,models/b")// files: the listed slice
@@ -87,6 +87,13 @@ object HfhDataSource {
                      blob_id: String, lfs_size: Option[Long], lfs_sha256: String,
                      lfs_pointer_size: Option[Long], fetch_error: String)
 
+  /** one discussion row (all pages concatenated per repo);
+    * `fetch_error` non-null marks a quarantined repo */
+  case class DiscussionRow(repo_id: String, num: Option[Long], title: String,
+                           status: String, created_at: java.sql.Timestamp,
+                           author: String, is_pull_request: Boolean,
+                           full_data: String, fetch_error: String)
+
   final case class Config(table: String, baseUrl: String, repoType: String,
                           limit: Int, repos: String, reposPerPartition: Int,
                           token: Option[String], maxAttempts: Int,
@@ -96,10 +103,11 @@ object HfhDataSource {
   }
 
   private[sources] def schemaFor(table: String): StructType = table match {
-    case "listing" => listingSchema
-    case "files"   => ExpressionEncoder[FileRow]().schema
+    case "listing"     => listingSchema
+    case "files"       => ExpressionEncoder[FileRow]().schema
+    case "discussions" => ExpressionEncoder[DiscussionRow]().schema
     case other => throw new IllegalArgumentException(
-      s"hfh table must be 'listing' or 'files', got '$other'")
+      s"hfh table must be 'listing', 'files' or 'discussions', got '$other'")
   }
 
   private[sources] def get(cfg: Config, url: String): String = {
@@ -140,6 +148,32 @@ object HfhDataSource {
     }
   }
 
+  /** page through /discussions?p=K until an empty page; one concatenated
+    * row iterator (the reference's get_repo_discussions generator —
+    * databaseImport.py:467 — collapsed per repo) */
+  private[sources] def fetchDiscussions(cfg: Config, repoId: String,
+                                        maxPages: Int = 100): Iterator[DiscussionRow] = {
+    val mapper = new ObjectMapper()
+    Iterator.from(0).take(maxPages)
+      .map { p =>
+        val page = mapper.readTree(
+          get(cfg, s"${cfg.baseUrl.stripSuffix("/")}/api/$repoId/discussions?p=$p"))
+        Option(page.get("discussions")).toSeq.flatMap(_.elements().asScala)
+      }
+      .takeWhile(_.nonEmpty)
+      .flatten
+      .map { d =>
+        DiscussionRow(repoId,
+          Option(d.get("num")).filterNot(_.isNull).map(_.asLong()),
+          textOrNull(d, "title"), textOrNull(d, "status"),
+          Option(textOrNull(d, "createdAt"))
+            .map(s => java.sql.Timestamp.from(java.time.Instant.parse(s))).orNull,
+          Option(d.get("author")).map(a => textOrNull(a, "name")).orNull,
+          Option(d.get("isPullRequest")).exists(_.asBoolean(false)),
+          d.toString, fetch_error = null)
+      }
+  }
+
   private[sources] def parseSiblings(repoId: String, json: String): Iterator[FileRow] = {
     val sibs = new ObjectMapper().readTree(json).get("siblings")
     if (sibs == null || !sibs.elements().hasNext) Iterator.empty
@@ -169,7 +203,7 @@ private[sources] class HfhTable(cfg: HfhDataSource.Config)
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] = cfg.table match {
         case "listing" => Array(new HfhPartition(Seq.empty))
-        case "files" =>
+        case "files" | "discussions" =>
           cfg.repos.split(",").iterator.map(_.trim).filter(_.nonEmpty).toSeq
             .grouped(math.max(1, cfg.reposPerPartition))
             .map(new HfhPartition(_)).toArray
@@ -207,6 +241,21 @@ private[sources] class HfhReaderFactory(cfg: HfhDataSource.Config)
               case Some(json) => parseSiblings(id, json)
               case None => Iterator.single(
                 FileRow(id, null, None, null, None, null, None, out.error.orNull))
+            }
+          }.map(r => ser(r).copy())
+        case "discussions" =>
+          val ser = ExpressionEncoder[DiscussionRow]().createSerializer()
+          val limiter = new ResilientFetch.RateLimiter(
+            cfg.perPartitionRps, () => System.nanoTime(), Thread.sleep)
+          repoIds.iterator.flatMap { id =>
+            // retry/quarantine wrap the WHOLE repo's pagination walk
+            val out = ResilientFetch.fetchOne[Seq[DiscussionRow]](
+              id, _ => fetchDiscussions(cfg, id).toSeq, cfg.policy, limiter, Thread.sleep)
+            out.value match {
+              case Some(rows) => rows.iterator
+              case None => Iterator.single(DiscussionRow(
+                id, None, null, null, null, null, is_pull_request = false,
+                null, out.error.orNull))
             }
           }.map(r => ser(r).copy())
         case other => throw new IllegalArgumentException(s"unknown hfh table '$other'")

@@ -194,4 +194,35 @@ final class HttpHfhSource(baseUrl: String, token: Option[String] = None,
 
   override def discussions(spark: SparkSession, listed: DataFrame): DataFrame =
     discussionsWithQuarantine(spark, listed)._1
+
+  /** S6: space runtime enrichment — GET /api/{repo_id}/runtime per
+    * listed space (databaseImport.py:801-806 `get_space_runtime`),
+    * returned RAW as `runtime_raw` so
+    * [[graft.hfc.HfcViews.withRuntimeView]] parses it columnar-ly.
+    * Same quarantine split as the other N+1 fetches. */
+  def spaceRuntimesWithQuarantine(spark: SparkSession, listed: DataFrame): (DataFrame, DataFrame) = {
+    val out = detailOutcomes(spark, listed, id => get(s"$base/api/$id/runtime")).toDF()
+    val good = out.filter(col("error").isNull)
+      .select(col("key").as("repo_id"), col("value").as("runtime_raw"))
+    val quarantine = out.filter(col("error").isNotNull)
+      .select(col("key").as("repo_id"), col("attempts"), col("error"))
+    (good, quarantine)
+  }
+
+  def spaceRuntimes(spark: SparkSession, listed: DataFrame): DataFrame =
+    spaceRuntimesWithQuarantine(spark, listed)._1
+
+  /** S10: the token-validation probe the reference runs before
+    * crawling (databaseImport.py's hub auth check; huggingface_hub
+    * `whoami`): GET /api/whoami-v2 with the bearer token.
+    * Right(username) on 200; Left(status) on 401/403/…; IO failures
+    * propagate (they mean "can't reach the Hub", not "bad token"). */
+  def whoami(): Either[Int, String] =
+    try {
+      val json = get(s"$base/api/whoami-v2")
+      Right(Option(new ObjectMapper().readTree(json).get("name"))
+        .filterNot(_.isNull).map(_.asText()).getOrElse(""))
+    } catch {
+      case ResilientFetch.HttpStatusException(status, _) => Left(status)
+    }
 }

@@ -36,7 +36,15 @@ class HfhDataSourceSpec extends SparkTestBase {
             """{"siblings":[{"rfilename":"README.md","size":10,"blobId":"b1"},
               |  {"rfilename":"w.bin","size":99,"blobId":"b2",
               |   "lfs":{"size":99,"sha256":"h","pointerSize":134}}]}""".stripMargin)
+        case "/api/models/o/a/discussions" =>
+          if (Option(x.getRequestURI.getQuery).exists(_.contains("p=0")))
+            respond(x, 200,
+              """{"discussions":[{"num":1,"title":"t","status":"open",
+                |  "createdAt":"2024-02-01T00:00:00Z","author":{"name":"zed"},
+                |  "isPullRequest":false}]}""".stripMargin)
+          else respond(x, 200, """{"discussions":[]}""")
         case "/api/models/o/b" => respond(x, 404, "gone")
+        case p if p.startsWith("/api/models/o/b/") => respond(x, 404, "gone")
         case _ => respond(x, 404, "no route")
       }
     })
@@ -73,6 +81,21 @@ class HfhDataSourceSpec extends SparkTestBase {
     val bad = df.filter($"fetch_error".isNotNull).collect()
     assert(bad.length == 1 && bad(0).getAs[String]("repo_id") == "models/o/b")
     assert(bad(0).getAs[String]("fetch_error").contains("404"))
+  }
+
+  test("discussions table: paged per-repo walk, quarantine rows for dead repos") {
+    val df = spark.read.format("hfh")
+      .option("baseUrl", base).option("table", "discussions")
+      .option("repos", "models/o/a,models/o/b")
+      .option("maxAttempts", "2").option("perPartitionRps", "1000000").load()
+    val rows = df.collect()
+    val good = rows.filter(_.getAs[String]("fetch_error") == null)
+    assert(good.length == 1)
+    assert(good(0).getAs[String]("repo_id") == "models/o/a")
+    assert(good(0).getAs[Long]("num") == 1L && good(0).getAs[String]("author") == "zed")
+    assert(good(0).getAs[String]("full_data").contains("\"title\":\"t\""))
+    val bad = rows.filter(_.getAs[String]("fetch_error") != null)
+    assert(bad.map(_.getAs[String]("repo_id")).toSeq == Seq("models/o/b"))
   }
 
   test("unknown table name fails loudly at schema inference") {

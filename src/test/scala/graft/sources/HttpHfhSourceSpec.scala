@@ -75,6 +75,25 @@ class HttpHfhSourceSpec extends SparkTestBase {
         case _ => respond(x, 404, "no route")
       }
     })
+    s.createContext("/api/spaces", (x: HttpExchange) => {
+      x.getRequestURI.getPath match {
+        case "/api/spaces" =>
+          respond(x, 200,
+            """[{"id":"o/s1","author":"o","sha":"sp1","lastModified":"2024-04-01T00:00:00Z",
+              |  "private":false,"gated":false,"disabled":false,"likes":5}]""".stripMargin)
+        case "/api/spaces/o/s1/runtime" =>
+          respond(x, 200,
+            """{"stage":"RUNNING","hardware":{"current":"cpu-basic","requested":"cpu-upgrade"},
+              | "storage":"small"}""".stripMargin)
+        case _ => respond(x, 404, "no route")
+      }
+    })
+    s.createContext("/api/whoami-v2", (x: HttpExchange) => {
+      Option(x.getRequestHeaders.getFirst("Authorization")) match {
+        case Some("Bearer hf_valid") => respond(x, 200, """{"name":"tester"}""")
+        case _ => respond(x, 401, "unauthorized")
+      }
+    })
     s.start(); s
   }
 
@@ -119,6 +138,42 @@ class HttpHfhSourceSpec extends SparkTestBase {
     assert(bin.getAs[String]("lfs_sha") == "abc123")
     val readme = files.filter($"rfilename" === "README.md").head()
     assert(readme.isNullAt(readme.fieldIndex("lfs_size"))) // non-LFS → null struct
+  }
+
+  test("whoami: S10 token validation — valid token names the user, bad token is Left(401)") {
+    val port = server.getAddress.getPort
+    val authed = new HttpHfhSource(s"http://127.0.0.1:$port", token = Some("hf_valid"))
+    assert(authed.whoami() == Right("tester"))
+    val anon = new HttpHfhSource(s"http://127.0.0.1:$port")
+    assert(anon.whoami() == Left(401))
+    val badTok = new HttpHfhSource(s"http://127.0.0.1:$port", token = Some("hf_stale"))
+    assert(badTok.whoami() == Left(401))
+  }
+
+  test("live listing feeds Normalize.repositories: P4 prefix + P10 gated normalization end-to-end") {
+    val models = src.listing(spark, "model", limit = 3)
+    val empty = models.filter(lit(false))
+    val silver = graft.hfc.Normalize.repositories(models, empty, empty)
+    val byName = silver.collect().map(r => r.getAs[String]("name") -> r).toMap
+    assert(silver.count() == 3)
+    // P4: canonical plural-prefixed id derived from (type, name)
+    assert(byName("o/m1").getAs[String]("id") == "models/o/m1")
+    // P10: "manual"/"auto" → NULL; the API's boolean false ("false") survives
+    assert(byName("o/m2").getAs[String]("gated") == null)
+    assert(byName("o/m3").getAs[String]("gated") == null)
+    assert(byName("o/m1").getAs[String]("gated") == "false")
+  }
+
+  test("space runtime (S6): raw fetch parses through HfcViews.withRuntimeView") {
+    val listed = src.listing(spark, "space", limit = 1)
+    assert(listed.select("repo_id").as[String].head() == "spaces/o/s1")
+    val (good, quarantine) = src.spaceRuntimesWithQuarantine(spark, listed)
+    assert(quarantine.count() == 0)
+    val parsed = graft.hfc.HfcViews.withRuntimeView(good)
+      .select($"repo_id", $"runtime_parsed.stage", $"runtime_parsed.hardware.requested",
+              $"runtime_parsed.storage")
+      .as[(String, String, String, String)].head()
+    assert(parsed == (("spaces/o/s1", "RUNNING", "cpu-upgrade", "small")))
   }
 
   test("discussions: pagination concatenated, fields parsed, empty repos absent") {
