@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -195,12 +196,17 @@ private[sources] class HfhTable(cfg: HfhDataSource.Config)
   override def name(): String = s"hfh(${cfg.table})"
   override def schema(): StructType = HfhDataSource.schemaFor(cfg.table)
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with Scan with Batch {
       override def build(): Scan = this
       override def readSchema(): StructType = schema()
       override def toBatch: Batch = this
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+        require(cfg.table == "listing",
+          s"hfh streaming supports only the listing table, got '${cfg.table}'")
+        new HfhListingStream(cfg)
+      }
       override def planInputPartitions(): Array[InputPartition] = cfg.table match {
         case "listing" => Array(new HfhPartition(Seq.empty))
         case "files" | "discussions" =>
@@ -215,6 +221,102 @@ private[sources] class HfhTable(cfg: HfhDataSource.Config)
 }
 
 private[sources] class HfhPartition(val repoIds: Seq[String]) extends InputPartition
+
+/** offset = (poll counter, listing content hash) — the hash makes
+  * change detection survive restarts (a resumed query re-polls; same
+  * hash → no duplicate snapshot batch) */
+private[sources] case class HfhOffset(n: Long, h: String) extends Offset {
+  override def json: String = s"""{"n":$n,"h":"$h"}"""
+}
+private[sources] object HfhOffset {
+  def fromJson(j: String): HfhOffset = {
+    val node = new ObjectMapper().readTree(j)
+    HfhOffset(node.get("n").asLong(), node.get("h").asText())
+  }
+}
+
+/** Streaming face of the listing table: each trigger polls the listing
+  * endpoint; a batch is emitted ONLY when the content hash changes —
+  * the continuous form of the reference's periodic re-crawl, feeding
+  * foreachBatch + [[graft.hfc.MergeWriter]] upserts (the E1 incremental
+  * loop as a stream). Snapshot semantics: every emitted batch is the
+  * FULL current listing (bounded by the pushed limit); downstream MERGE
+  * makes it incremental. The snapshot rides inside the InputPartition —
+  * executors never re-fetch what the driver already paid for. */
+private[sources] class HfhListingStream(cfg: HfhDataSource.Config) extends MicroBatchStream {
+  @volatile private var lastSeen: HfhOffset = HfhOffset(0, "")
+  // snapshots for planned-but-unread batch ends (replay after restart refetches)
+  private val snapshots = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, String]()
+
+  private def listingUrl: String =
+    s"${cfg.baseUrl.stripSuffix("/")}/api/${HfhDataSource.plural(cfg.repoType)}" +
+      s"?sort=lastModified&direction=-1&limit=${cfg.limit}"
+
+  override def initialOffset(): Offset = HfhOffset(0, "")
+
+  override def latestOffset(): Offset = {
+    val json = HfhDataSource.get(cfg, listingUrl)
+    val h = java.security.MessageDigest.getInstance("MD5").digest(json.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    if (h == lastSeen.h) lastSeen
+    else {
+      lastSeen = HfhOffset(lastSeen.n + 1, h)
+      snapshots.put(lastSeen.n, json)
+      lastSeen
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset = {
+    val o = HfhOffset.fromJson(json)
+    // resume: remember the committed hash so an unchanged listing does
+    // not re-emit after restart
+    if (o.n >= lastSeen.n) lastSeen = o
+    o
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[HfhOffset]
+    val e = end.asInstanceOf[HfhOffset]
+    // the change-detection contract is HASH inequality, not counter
+    // order: a restarted run's counter restarts at 0, so its first
+    // poll can collide with the committed n while carrying new content
+    if (e.h == s.h || e.h.isEmpty) Array.empty
+    else {
+      // replay after restart: the snapshot cache is empty → refetch
+      val snap = Option(snapshots.get(e.n))
+        .getOrElse(HfhDataSource.get(cfg, listingUrl))
+      Array(new HfhSnapshotPartition(snap))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HfhSnapshotReaderFactory(cfg)
+
+  override def commit(end: Offset): Unit = {
+    val n = end.asInstanceOf[HfhOffset].n
+    snapshots.keySet().removeIf((k: java.lang.Long) => k <= n)
+  }
+
+  override def stop(): Unit = snapshots.clear()
+}
+
+private[sources] class HfhSnapshotPartition(val snapshot: String) extends InputPartition
+
+private[sources] class HfhSnapshotReaderFactory(cfg: HfhDataSource.Config)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val snap = partition.asInstanceOf[HfhSnapshotPartition].snapshot
+    new PartitionReader[InternalRow] {
+      private val ser = ExpressionEncoder[HfhDataSource.ListingRow]().createSerializer()
+      private val rows = HfhDataSource.parseListing(cfg, snap).map(r => ser(r).copy())
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { current = rows.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
 
 private[sources] class HfhReaderFactory(cfg: HfhDataSource.Config)
     extends PartitionReaderFactory {
