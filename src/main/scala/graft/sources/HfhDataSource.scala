@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -243,8 +243,12 @@ private[sources] object HfhOffset {
   * FULL current listing (bounded by the pushed limit); downstream MERGE
   * makes it incremental. The snapshot rides inside the InputPartition —
   * executors never re-fetch what the driver already paid for. */
-private[sources] class HfhListingStream(cfg: HfhDataSource.Config) extends MicroBatchStream {
+private[sources] class HfhListingStream(cfg: HfhDataSource.Config)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   @volatile private var lastSeen: HfhOffset = HfhOffset(0, "")
+  // AvailableNow: the offset frozen at prepare time, so the run drains
+  // exactly what existed when it started (no mid-run chasing)
+  @volatile private var fixedTarget: Offset = _
   // snapshots for planned-but-unread batch ends (replay after restart refetches)
   private val snapshots = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, String]()
 
@@ -254,7 +258,7 @@ private[sources] class HfhListingStream(cfg: HfhDataSource.Config) extends Micro
 
   override def initialOffset(): Offset = HfhOffset(0, "")
 
-  override def latestOffset(): Offset = {
+  private def pollOnce(): Offset = {
     val json = HfhDataSource.get(cfg, listingUrl)
     val h = java.security.MessageDigest.getInstance("MD5").digest(json.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -265,6 +269,15 @@ private[sources] class HfhListingStream(cfg: HfhDataSource.Config) extends Micro
       lastSeen
     }
   }
+
+  override def latestOffset(): Offset = pollOnce()
+
+  // SupportsTriggerAvailableNow / admission control
+  override def prepareForTriggerAvailableNow(): Unit = fixedTarget = pollOnce()
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    if (fixedTarget != null) fixedTarget else pollOnce()
+  override def reportLatestOffset(): Offset = lastSeen
 
   override def deserializeOffset(json: String): Offset = {
     val o = HfhOffset.fromJson(json)

@@ -52,6 +52,15 @@ object AnnEval {
       score(s"ivf cells=$nCells probe=$nProbe",
         Similarity.ivfTopK(emb, queryIds, k, nCells = nCells, nProbe = nProbe))
 
+    // int8 row: how much recall the 4x-smaller dequantized index loses
+    // against the float baseline (exact search over dequantized vectors
+    // — isolates QUANTIZATION loss from bucketing loss)
+    score("int8 dequantized exact", {
+      val deq = graft.operators.Quantization.int8(emb)
+        .select($"vec_id", $"deq".as("embedding"))
+      Similarity.bruteForceTopK(deq, queryIds, k)
+    })
+
     spark.stop()
   }
 }

@@ -73,4 +73,59 @@ class HfhStreamingSpec extends SparkTestBase {
     assert(r3.map(_.getAs[String]("repo_id")) == Seq("models/o/m9"))
     assert(r3.head.getAs[Long]("likes") == 9L)
   }
+
+  test("listing stream → silver repository MERGE: the E1 refresh loop, continuous") {
+    import graft.hfc.Transforms
+    import org.apache.spark.sql.functions._
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hfh-merge-ck").toString
+    val target = java.nio.file.Files.createTempDirectory("graft-hfh-merge").toString + "/repository"
+
+    listingBody.set(
+      """[{"id":"o/r1","author":"o","sha":"a1","lastModified":"2024-03-01T00:00:00Z",
+        |  "private":false,"gated":"manual","likes":1},
+        | {"id":"o/r2","author":"o","sha":"a2","lastModified":"2024-02-01T00:00:00Z",
+        |  "private":false,"gated":false,"likes":2}]""".stripMargin)
+
+    def refreshOnce(): Unit = {
+      val stream = spark.readStream.format("hfh")
+        .option("baseUrl", base).option("type", "model").option("limit", "10").load()
+      // the P4/P10/P6 silver projection, applied to the stream itself
+      // (pure Column transforms — no batch/stream divide)
+      val silver = stream.select(
+        Transforms.repoId(lit("model"), col("name")).as("id"),
+        col("name"), lit("model").as("type"), col("author"), col("sha"),
+        col("last_modified"), col("private"),
+        Transforms.cleanText(col("card_data")).as("card_data"),
+        Transforms.normalizeGated(col("gated")).as("gated"),
+        col("disabled"), col("likes"))
+      val q = graft.streaming.EventStreams.upsertStream(silver, Seq("id"), target)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "refresh did not drain")
+    }
+
+    refreshOnce()
+    val v1 = spark.read.parquet(target).collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(v1.keySet == Set("models/o/r1", "models/o/r2"))
+    assert(v1("models/o/r1").getAs[String]("gated") == null) // P10 applied in-stream
+    assert(v1("models/o/r2").getAs[Long]("likes") == 2L)
+
+    // upstream changes: r2's metadata moves, r3 appears, r1 unchanged
+    listingBody.set(
+      """[{"id":"o/r3","author":"o","sha":"a3","lastModified":"2024-05-01T00:00:00Z",
+        |  "private":false,"gated":false,"likes":30},
+        | {"id":"o/r1","author":"o","sha":"a1","lastModified":"2024-03-01T00:00:00Z",
+        |  "private":false,"gated":"manual","likes":1},
+        | {"id":"o/r2","author":"o","sha":"a2b","lastModified":"2024-04-01T00:00:00Z",
+        |  "private":false,"gated":false,"likes":7}]""".stripMargin)
+    refreshOnce()
+    val v2 = spark.read.parquet(target).collect().map(r => r.getAs[String]("id") -> r).toMap
+    assert(v2.keySet == Set("models/o/r1", "models/o/r2", "models/o/r3")) // K2: insert + update
+    assert(v2("models/o/r2").getAs[String]("sha") == "a2b")               // updated in place
+    assert(v2("models/o/r2").getAs[Long]("likes") == 7L)
+    assert(v2("models/o/r1").getAs[String]("sha") == "a1")                // untouched survives
+    assert(v2("models/o/r3").getAs[Long]("likes") == 30L)                 // new key inserted
+  }
 }
