@@ -939,7 +939,47 @@ object CurationQueries {
       |  CAST(SUM(CAST(quality AS DECIMAL(12,6))) AS DOUBLE)/COUNT(*) AS avg_quality
       |FROM k WHERE doc_id = keeper GROUP BY source ORDER BY source""".stripMargin
 
+  /** qp14: per-domain cap — the web-corpus quota every crawl pipeline
+    * applies before mixing (a handful of mega-domains otherwise
+    * dominate the token budget). The fixture has no URLs, so
+    * deterministic ones are planted IN THE QUERY (the qt09 precedent:
+    * domain = doc_id mod 7); each domain keeps its first `cap` docs in
+    * md5-coordinate order (the qp04 discipline — never rand()), the
+    * rest are marked dropped but all rows are emitted for audit.
+    *
+    * Scale shape: one window keyed by domain. Fine while per-domain
+    * cardinality is bounded; a true mega-domain (hundreds of millions
+    * of rows under one key) would use qz02's per-partition-count +
+    * offset-join ordinal instead of a single-key window — same
+    * md5 coordinate, no hot partition. */
+  def domainCap(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val planted = t.documents.select($"doc_id",
+      concat(lit("https://d"), ($"doc_id" % 7).cast("string"),
+             lit(".example.com/p/"), $"doc_id".cast("string")).as("url"))
+    val dom = planted.withColumn("domain",
+      regexp_extract($"url", "^https?://([^/]+)/", 1))
+    val w = Window.partitionBy($"domain")
+      .orderBy(md5(concat(lit("14:"), $"doc_id".cast("string"))).asc, $"doc_id".asc)
+    dom.withColumn("dom_rank", row_number().over(w).cast("long"))
+      .select($"doc_id", $"domain", $"dom_rank", ($"dom_rank" <= 40).as("kept"))
+      .orderBy($"doc_id")
+  }
+
+  val domainCapSql: String =
+    """WITH u AS (SELECT doc_id,
+      |    'https://d' || (doc_id % 7) || '.example.com/p/' || doc_id AS url
+      |  FROM documents),
+      |d AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)/', 1) AS domain FROM u),
+      |r AS (SELECT doc_id, domain,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY domain
+      |      ORDER BY md5('14:' || doc_id::VARCHAR) ASC, doc_id ASC) AS BIGINT) dom_rank
+      |  FROM d)
+      |SELECT doc_id, domain, dom_rank, dom_rank <= 40 AS kept
+      |FROM r ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qp14_domain_cap"        -> ((s: SparkSession, d: String) => domainCap(Tables(s, d))),
     "qa01_asof_join"         -> ((s: SparkSession, d: String) => asofViewBeforePurchase(Tables(s, d))),
     "qa02_asof_salted"       -> ((s: SparkSession, d: String) => asofViewBeforePurchaseSalted(Tables(s, d))),
     "qa03_asof_forward"      -> ((s: SparkSession, d: String) => asofViewAfterPurchase(Tables(s, d))),
@@ -972,6 +1012,7 @@ object CurationQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qp14_domain_cap"        -> domainCapSql,
     "qa01_asof_join"         -> asofViewBeforePurchaseSql,
     "qa02_asof_salted"       -> asofViewBeforePurchaseSql, // same oracle: salting must be invisible
     "qa03_asof_forward"      -> asofViewAfterPurchaseSql,

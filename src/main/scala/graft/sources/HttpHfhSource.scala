@@ -212,6 +212,29 @@ final class HttpHfhSource(baseUrl: String, token: Option[String] = None,
   def spaceRuntimes(spark: SparkSession, listed: DataFrame): DataFrame =
     spaceRuntimesWithQuarantine(spark, listed)._1
 
+  /** Space detail fetch feeding [[graft.hfc.Normalize.spaceDeps]] (J4):
+    * GET /api/{repo_id} per listed space, returning (space_id, models,
+    * datasets) with the dependency arrays parsed columnar-ly. Spaces
+    * with no declared deps get empty arrays (explode-safe). */
+  def spaceDepsWithQuarantine(spark: SparkSession, listed: DataFrame): (DataFrame, DataFrame) = {
+    val out = detailOutcomes(spark, listed, id => get(s"$base/api/$id")).toDF()
+    val depsSchema = StructType(Seq(
+      StructField("models", ArrayType(StringType)),
+      StructField("datasets", ArrayType(StringType))))
+    val good = out.filter(col("error").isNull)
+      .select(col("key").as("space_id"),
+        from_json(col("value"), depsSchema).as("d"))
+      .select(col("space_id"),
+        coalesce(col("d.models"), array()).as("models"),
+        coalesce(col("d.datasets"), array()).as("datasets"))
+    val quarantine = out.filter(col("error").isNotNull)
+      .select(col("key").as("space_id"), col("attempts"), col("error"))
+    (good, quarantine)
+  }
+
+  def spaceDeps(spark: SparkSession, listed: DataFrame): DataFrame =
+    spaceDepsWithQuarantine(spark, listed)._1
+
   /** S10: the token-validation probe the reference runs before
     * crawling (databaseImport.py's hub auth check; huggingface_hub
     * `whoami`): GET /api/whoami-v2 with the bearer token.

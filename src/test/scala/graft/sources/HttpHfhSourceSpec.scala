@@ -85,6 +85,9 @@ class HttpHfhSourceSpec extends SparkTestBase {
           respond(x, 200,
             """{"stage":"RUNNING","hardware":{"current":"cpu-basic","requested":"cpu-upgrade"},
               | "storage":"small"}""".stripMargin)
+        case "/api/spaces/o/s1" =>
+          respond(x, 200,
+            """{"id":"o/s1","models":["o/m1","other/m7"],"datasets":["o/d1"]}""")
         case _ => respond(x, 404, "no route")
       }
     })
@@ -174,6 +177,17 @@ class HttpHfhSourceSpec extends SparkTestBase {
               $"runtime_parsed.storage")
       .as[(String, String, String, String)].head()
     assert(parsed == (("spaces/o/s1", "RUNNING", "cpu-upgrade", "small")))
+  }
+
+  test("space deps (J4): detail arrays feed Normalize.spaceDeps with P4 prefixes") {
+    val listed = src.listing(spark, "space", limit = 1)
+    val (good, quarantine) = src.spaceDepsWithQuarantine(spark, listed)
+    assert(quarantine.count() == 0)
+    val (m, d) = graft.hfc.Normalize.spaceDeps(good)
+    assert(m.as[(String, String)].collect().toSet ==
+      Set(("models/o/m1", "spaces/o/s1"), ("models/other/m7", "spaces/o/s1")))
+    assert(d.as[(String, String)].collect().toSet ==
+      Set(("datasets/o/d1", "spaces/o/s1")))
   }
 
   test("discussions: pagination concatenated, fields parsed, empty repos absent") {
