@@ -95,6 +95,75 @@ object QualityQueries {
       |  drop_reason IS NOT NULL AS dropped
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** qr04: gate-ablation census over the Gopher rules — per gate, its
+    * total kills, UNIQUE kills (docs no other gate also catches), and
+    * the survivor count if that gate alone were dropped; the baseline
+    * survivor count rides on every row. The audit a mix designer reads
+    * before relaxing a gate: unique kills are what only this gate
+    * protects against; survivors-without minus baseline is exactly
+    * what relaxing it would admit.
+    *
+    * One corpus scan into ONE aggregation row (all 13 conditional sums
+    * map-side combined), materialized once (the qr02 terms-frame
+    * precedent) and unpivoted into 4 rows — the unpivot branches read
+    * the 1-row checkpoint, never the corpus. */
+  def gateAblation(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val gates = Seq("alpha" -> "ok_alpha", "stops" -> "ok_stops",
+                    "word_len" -> "ok_word_len", "words" -> "ok_words")
+    val f = QualityRules.gopherFlags(t.documents, minWords = 40L, maxWords = 60L)
+      .select(gates.map(g => col(g._2)): _*)
+    def others(c: String) = gates.map(_._2).filter(_ != c).map(col).reduce(_ && _)
+    val all = gates.map(_._2).map(col).reduce(_ && _)
+    val aggCols = gates.flatMap { case (n, c) => Seq(
+      sum(when(!col(c), 1L).otherwise(0L)).as(s"kill_$n"),
+      sum(when(!col(c) && others(c), 1L).otherwise(0L)).as(s"uniq_$n"),
+      sum(when(others(c), 1L).otherwise(0L)).as(s"wo_$n")) } :+
+      sum(when(all, 1L).otherwise(0L)).as("base")
+    val a = f.agg(aggCols.head, aggCols.tail: _*).localCheckpoint(true)
+    gates.map { case (n, _) =>
+      a.select(lit(n).as("gate"), col(s"kill_$n").as("n_kill"),
+               col(s"uniq_$n").as("n_unique_kill"),
+               col(s"wo_$n").as("n_survivors_without"),
+               col("base").as("n_survivors_all"))
+    }.reduce(_ unionByName _).orderBy($"gate")
+  }
+
+  val gateAblationSql: String =
+    """WITH s AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') ws FROM documents),
+      |m AS (SELECT doc_id,
+      |    CAST(len(ws) AS BIGINT) n_words,
+      |    round(CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE) / len(ws), 6) mean_word_len,
+      |    round(CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) / len(ws), 6) alpha_frac,
+      |    CAST(len(list_filter(ws, w -> w IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) n_stop_hits
+      |  FROM s),
+      |fl AS (SELECT
+      |    n_words >= 40 AND n_words <= 60 AS ok_words,
+      |    mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS ok_word_len,
+      |    alpha_frac >= 0.8 AS ok_alpha,
+      |    n_stop_hits >= 2 AS ok_stops
+      |  FROM m),
+      |a AS (SELECT
+      |  CAST(SUM(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT) kill_alpha,
+      |  CAST(SUM(CASE WHEN NOT ok_alpha AND ok_stops AND ok_word_len AND ok_words THEN 1 ELSE 0 END) AS BIGINT) uniq_alpha,
+      |  CAST(SUM(CASE WHEN ok_stops AND ok_word_len AND ok_words THEN 1 ELSE 0 END) AS BIGINT) wo_alpha,
+      |  CAST(SUM(CASE WHEN NOT ok_stops THEN 1 ELSE 0 END) AS BIGINT) kill_stops,
+      |  CAST(SUM(CASE WHEN NOT ok_stops AND ok_alpha AND ok_word_len AND ok_words THEN 1 ELSE 0 END) AS BIGINT) uniq_stops,
+      |  CAST(SUM(CASE WHEN ok_alpha AND ok_word_len AND ok_words THEN 1 ELSE 0 END) AS BIGINT) wo_stops,
+      |  CAST(SUM(CASE WHEN NOT ok_word_len THEN 1 ELSE 0 END) AS BIGINT) kill_word_len,
+      |  CAST(SUM(CASE WHEN NOT ok_word_len AND ok_alpha AND ok_stops AND ok_words THEN 1 ELSE 0 END) AS BIGINT) uniq_word_len,
+      |  CAST(SUM(CASE WHEN ok_alpha AND ok_stops AND ok_words THEN 1 ELSE 0 END) AS BIGINT) wo_word_len,
+      |  CAST(SUM(CASE WHEN NOT ok_words THEN 1 ELSE 0 END) AS BIGINT) kill_words,
+      |  CAST(SUM(CASE WHEN NOT ok_words AND ok_alpha AND ok_stops AND ok_word_len THEN 1 ELSE 0 END) AS BIGINT) uniq_words,
+      |  CAST(SUM(CASE WHEN ok_alpha AND ok_stops AND ok_word_len THEN 1 ELSE 0 END) AS BIGINT) wo_words,
+      |  CAST(SUM(CASE WHEN ok_alpha AND ok_stops AND ok_word_len AND ok_words THEN 1 ELSE 0 END) AS BIGINT) base
+      |FROM fl)
+      |SELECT 'alpha' AS gate, kill_alpha AS n_kill, uniq_alpha AS n_unique_kill, wo_alpha AS n_survivors_without, base AS n_survivors_all FROM a
+      |UNION ALL SELECT 'stops', kill_stops, uniq_stops, wo_stops, base FROM a
+      |UNION ALL SELECT 'word_len', kill_word_len, uniq_word_len, wo_word_len, base FROM a
+      |UNION ALL SELECT 'words', kill_words, uniq_words, wo_words, base FROM a
+      |ORDER BY gate""".stripMargin
+
   /** qt23: corpus-GLOBAL line boilerplate removal — the C4/FineWeb
     * step qt11 cannot do per-doc: a 10-token line that appears in ≥3
     * DISTINCT documents is boilerplate and removed from every doc.
@@ -622,6 +691,7 @@ object QualityQueries {
     "qt10_gopher_rules"      -> ((s: SparkSession, d: String) => gopherRules(Tables(s, d))),
     "qt11_c4_line_clean"     -> ((s: SparkSession, d: String) => c4LineClean(Tables(s, d))),
     "qt23_line_boilerplate"  -> ((s: SparkSession, d: String) => lineBoilerplate(Tables(s, d))),
+    "qr04_gate_ablation"     -> ((s: SparkSession, d: String) => gateAblation(Tables(s, d))),
     "qt12_lm_score"          -> ((s: SparkSession, d: String) => lmScore(Tables(s, d))),
     "qt13_classifier_score"  -> ((s: SparkSession, d: String) => classifierScore(Tables(s, d))),
     "qc07_fuzzy_decontam"    -> ((s: SparkSession, d: String) => fuzzyDecontaminate(Tables(s, d))),
@@ -641,6 +711,7 @@ object QualityQueries {
     "qt10_gopher_rules"      -> gopherRulesSql,
     "qt11_c4_line_clean"     -> c4LineCleanSql,
     "qt23_line_boilerplate"  -> lineBoilerplateSql,
+    "qr04_gate_ablation"     -> gateAblationSql,
     "qt12_lm_score"          -> lmScoreSql,
     "qt13_classifier_score"  -> classifierScoreSql,
     "qc07_fuzzy_decontam"    -> fuzzyDecontaminateSql,
