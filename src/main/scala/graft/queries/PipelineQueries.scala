@@ -204,6 +204,58 @@ object PipelineQueries {
       |FROM documents d LEFT JOIN c ON c.id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** qd18: cluster-size census — qd06's transitive clusters histogrammed
+    * by log2 size bucket (singletons land in bucket 0): per bucket its
+    * cluster count, doc mass, and largest member. This is the census a
+    * dedup operator reads BEFORE running the pair-quadratic stages at
+    * a new scale: a fat tail (mega-cluster) is the signal to switch CC
+    * to the alternating large-star/small-star variant (qd08) and to
+    * re-calibrate the banding threshold (qd17). The histogram is a
+    * |clusters|-row aggregation on top of the already-audited funnel —
+    * constant-size output, no new shuffle shape. */
+  def clusterCensus(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val pairs = Dedup.nearDupsMinhash(t.documents, threshold = 0.3)
+      .select($"a_id", $"b_id")
+    ConnectedComponents.dedupDecisions(t.documents, pairs)
+      .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+      .groupBy(floor(log2($"sz")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_clusters"),
+           sum($"sz").as("n_docs"),
+           max($"sz").as("max_size"))
+      .orderBy($"bucket")
+  }
+
+  val clusterCensusSql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
+      |hsh AS (SELECT doc_id, list_distinct([md5(x) for x in sh]) hashes FROM shr),
+      |sig AS (SELECT doc_id, [list_aggregate([md5(s::VARCHAR || ':' || x) for x in sh], 'min') for s in range(0,16)] sg FROM shr),
+      |bands AS (SELECT doc_id, [md5(sg[4*b+1] || '|' || sg[4*b+2] || '|' || sg[4*b+3] || '|' || sg[4*b+4]) for b in range(0,4)] bs FROM sig),
+      |bt AS (SELECT doc_id, i band_idx, bs[i] band_hash FROM bands, range(1,5) t(i)),
+      |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM bt a
+      |  JOIN bt b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      |p AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+      |    round(CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE) /
+      |          (len(ha.hashes) + len(hb.hashes) - CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)), 6) jaccard
+      |  FROM cand JOIN hsh ha ON ha.doc_id = a_id JOIN hsh hb ON hb.doc_id = b_id)
+      |  WHERE jaccard >= 0.3),
+      |e AS (SELECT a_id s, b_id d FROM p UNION ALL SELECT b_id, a_id FROM p),
+      |reach(id, comp) AS (
+      |  SELECT DISTINCT s, s FROM e
+      |  UNION
+      |  SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.id),
+      |c AS (SELECT id, MIN(comp) comp FROM reach GROUP BY id),
+      |lab AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN c ON c.id = d.doc_id),
+      |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) sz FROM lab GROUP BY 1)
+      |SELECT CAST(FLOOR(log2(sz)) AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+      |  CAST(MAX(sz) AS BIGINT) AS max_size
+      |FROM sz GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** 64-bit (production-width) simhash near-dup funnel: same
     * combination-banding discipline as qd05, 16-bit band slices of the
     * 64-bit fingerprint. The oracle votes on the leading 64 BITS of
@@ -1369,6 +1421,7 @@ object PipelineQueries {
     "qd04_embed_neardup"   -> ((s: SparkSession, d: String) => embedNearDups(Tables(s, d))),
     "qd05_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNearDups(Tables(s, d))),
     "qd06_dedup_clusters"  -> ((s: SparkSession, d: String) => dedupClusters(Tables(s, d))),
+    "qd18_cluster_census"  -> ((s: SparkSession, d: String) => clusterCensus(Tables(s, d))),
     "qd08_clusters_alternating" -> ((s: SparkSession, d: String) => dedupClustersAlternating(Tables(s, d))),
     "qd07_simhash64"       -> ((s: SparkSession, d: String) => simhash64NearDups(Tables(s, d))),
     "qd10_editdist_neardup" -> ((s: SparkSession, d: String) => editDistanceNearDups(Tables(s, d))),
@@ -1414,6 +1467,7 @@ object PipelineQueries {
     "qd04_embed_neardup"   -> embedNearDupsSql,
     "qd05_simhash_neardup" -> simhashNearDupsSql,
     "qd06_dedup_clusters"  -> dedupClustersSql,
+    "qd18_cluster_census"  -> clusterCensusSql,
     "qd08_clusters_alternating" -> dedupClustersSql, // same oracle: algorithms must agree
     "qd07_simhash64"       -> simhash64NearDupsSql,
     "qd10_editdist_neardup" -> editDistanceNearDupsSql,

@@ -250,6 +250,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("qp14: domain cap is one window over the planted projection — no join, no cartesian") {
+    val p = plan(CurationQueries.domainCap(t))
+    assert(!p.contains("Join"), s"domain cap must be join-free:\n$p")
+    assert(p.contains("Window"), p)
+    // exactly one data shuffle: the domain hash partition for the window
+    // (plus the presentation sort's range exchange)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("qr04: gate ablation unpivot reads the 1-row checkpoint, never rescans the corpus") {
+    val p = plan(QualityQueries.gateAblation(t))
+    // four union branches over the materialized aggregate row
+    assert(p.contains("Scan ExistingRDD"), s"expected the checkpointed agg row:\n$p")
+    assert(!p.contains("FileScan"), s"corpus must not be rescanned per gate row:\n$p")
+  }
+
   test("qt23: global line dedup is census + equi join-back — no pair join, map-side combine") {
     val p = plan(QualityQueries.lineBoilerplate(t))
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
