@@ -193,21 +193,33 @@ object QualityRules {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(lineTokens > 0, s"lineTokens must be positive, got $lineTokens")
     require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
-    val lines = Chunking.chunkByTokens(docs, lineTokens, 0, idCol, textCol)
-      .select(col(idCol), col("chunk_idx"), col("chunk_text"),
-        md5(col("chunk_text")).as("lh"))
+    val lines = linesOf(docs, lineTokens, idCol, textCol)
     val census = lines.groupBy(col("lh"))
       .agg(countDistinct(col(idCol)).as("line_df"))
+    val aggs = lineDedupAggs(maxDocFreq)
     lines.join(census, "lh")
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_lines"),
-        sum(when(col("line_df") < maxDocFreq, 1L).otherwise(0L)).as("n_kept"),
-        md5(array_join(
-          transform(
-            array_sort(collect_list(when(col("line_df") < maxDocFreq,
-              struct(col("chunk_idx"), col("chunk_text"))))),
-            s => s.getField("chunk_text")),
-          " ")).as("clean_md5"))
+      .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** the line grid both the batch and incremental paths share:
+    * (id, chunk_idx, chunk_text, lh = md5(line)) */
+  private[operators] def linesOf(docs: DataFrame, lineTokens: Int,
+                                 idCol: String, textCol: String): DataFrame =
+    Chunking.chunkByTokens(docs, lineTokens, 0, idCol, textCol)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"),
+        md5(col("chunk_text")).as("lh"))
+
+  /** per-doc reassembly aggregates over a lines frame carrying
+    * `line_df`: count, kept count, and the kept text's md5 in original
+    * line order */
+  private[operators] def lineDedupAggs(maxDocFreq: Int): Seq[Column] = Seq(
+    count(lit(1)).as("n_lines"),
+    sum(when(col("line_df") < maxDocFreq, 1L).otherwise(0L)).as("n_kept"),
+    md5(array_join(
+      transform(
+        array_sort(collect_list(when(col("line_df") < maxDocFreq,
+          struct(col("chunk_idx"), col("chunk_text"))))),
+        s => s.getField("chunk_text")),
+      " ")).as("clean_md5"))
 }
