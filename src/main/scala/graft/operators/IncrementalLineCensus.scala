@@ -46,11 +46,21 @@ object IncrementalLineCensus {
   /** scrub decisions for `newDocs` against store + batch, with the
     * same output shape as [[QualityRules.globalLineDedup]]
     * (id, n_lines, n_kept, clean_md5); when `updateStore`, the merged
-    * census is atomically published before returning. */
+    * census is atomically published before returning.
+    *
+    * `batchAlreadyCounted = true` is the REPLAY mode (the streaming
+    * wrapper's crashed-after-store-commit path): the store already
+    * contains this batch's counts, so the effective frequency is the
+    * store count alone — adding the batch again would double-count and
+    * make replayed decisions MORE aggressive than the originals. */
   def scrubBatch(newDocs: DataFrame, storePath: String,
                  lineTokens: Int = 10, maxDocFreq: Int = 3,
                  updateStore: Boolean = true,
+                 batchAlreadyCounted: Boolean = false,
+                 batchMarker: Option[Long] = None,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(!(updateStore && batchAlreadyCounted),
+      "a replayed batch must not grow the store again")
     val spark = newDocs.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     graft.hfc.AtomicSwap.recoverDir(fs, storePath)
@@ -60,8 +70,11 @@ object IncrementalLineCensus {
     val batchDf = lines.select(col("lh"), col(idCol)).distinct()
       .groupBy(col("lh")).agg(count(lit(1)).as("b_df"))
     // effective frequency at processing time = store + this batch
+    // (store alone on replay — the store already holds the batch)
+    val batchContribution =
+      if (batchAlreadyCounted) lit(0L) else col("b_df")
     val eff = batchDf.join(store.withColumnRenamed("line_df", "s_df"), Seq("lh"), "left")
-      .select(col("lh"), (col("b_df") + coalesce(col("s_df"), lit(0L))).as("line_df"),
+      .select(col("lh"), (batchContribution + coalesce(col("s_df"), lit(0L))).as("line_df"),
         col("b_df"))
     // decide BEFORE the store is touched (decisions must not see
     // themselves applied twice on a replay)
@@ -79,9 +92,24 @@ object IncrementalLineCensus {
           (coalesce(col("s_df"), lit(0L)) + coalesce(col("b_df"), lit(0L))).as("line_df"))
       val staging = graft.hfc.AtomicSwap.stagingFor(storePath)
       merged.write.mode("overwrite").parquet(staging)
+      // the applied marker rides INSIDE the staged directory, so
+      // counts and marker become one atomic rename — unlike the dedup
+      // store (where a replayed append is benign), a replayed COUNT
+      // add would change decisions, so the commit-vs-marker window
+      // must not exist. Underscore prefix: parquet readers skip it.
+      batchMarker.foreach { id =>
+        fs.create(new org.apache.hadoop.fs.Path(staging, s"_applied_batch_$id"), true).close()
+      }
       graft.hfc.AtomicSwap.commitDir(fs, storePath, staging)
     }
     decisions
+  }
+
+  /** was batch `batchId`'s count merge already committed? (the marker
+    * travels inside the store directory — see [[scrubBatch]]) */
+  def batchCounted(spark: SparkSession, storePath: String, batchId: Long): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(storePath, s"_applied_batch_$batchId"))
   }
 
   /** current census size — monitoring hook */

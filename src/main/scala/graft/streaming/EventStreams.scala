@@ -273,6 +273,37 @@ object EventStreams {
         ()
       }
 
+  /** Streaming corpus-global line boilerplate removal — the continuous
+    * form of [[graft.operators.IncrementalLineCensus]]: each
+    * micro-batch is scrubbed against the persistent line census,
+    * decisions land in a batch_id partition (dynamic overwrite, so a
+    * replay overwrites itself), and the census merge carries its own
+    * applied marker INSIDE the atomically-swapped store directory —
+    * counts and marker commit as one rename, so a replayed batch runs
+    * in `batchAlreadyCounted` mode (store-only frequency, which at
+    * that point IS the frequency the original saw) and reproduces its
+    * decisions bit-identically instead of double-counting. */
+  def lineScrubStream(docs: DataFrame, storePath: String, decisionsDir: String,
+                      lineTokens: Int = 10, maxDocFreq: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val counted = graft.operators.IncrementalLineCensus
+          .batchCounted(batch.sparkSession, storePath, batchId)
+        val decisions = graft.operators.IncrementalLineCensus
+          .scrubBatch(batch, storePath, lineTokens, maxDocFreq,
+            updateStore = !counted, batchAlreadyCounted = counted,
+            batchMarker = if (counted) None else Some(batchId))
+        decisions
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(decisionsDir)
+        ()
+      }
+
   /** Stream-stream interval join: pair each left event with right
     * events of the same user arriving within `[0, maxDelay]` after it.
     * Both sides carry watermarks and the join condition bounds event

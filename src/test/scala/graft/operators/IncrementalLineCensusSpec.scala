@@ -64,6 +64,46 @@ class IncrementalLineCensusSpec extends SparkTestBase {
     // history, which is a recompute, not an increment)
   }
 
+  test("lineScrubStream: micro-batches scrub against the growing census; replay is bit-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("graft-ilc-stream").toString
+    val store = s"$base/census"; val decisions = s"$base/decisions"
+    IncrementalLineCensus.initStore(
+      Seq((0L, "f f g g"), (90L, "f f h h")).toDF("doc_id", "text"), store, LT)
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.lineScrubStream(
+      mem.toDF.toDF("doc_id", "text"), store, decisions, LT, DF).start()
+    try {
+      // "f f" store-df 2 + this doc = 3 → scrubbed from the new doc
+      mem.addData((1L, "f f n n"))
+      q.processAllAvailable()
+      val d1 = spark.read.parquet(decisions)
+        .select("doc_id", "n_kept").as[(Long, Long)].collect().toMap
+      assert(d1(1L) == 1L)
+    } finally q.stop()
+
+    // crash-replay: restart WITHOUT the checkpoint so batch 0 re-delivers
+    // against a store that already counted it — the in-store marker
+    // switches the replay to store-only frequency and decisions match
+    val before = spark.read.parquet(decisions)
+      .select("doc_id", "n_lines", "n_kept", "clean_md5").collect().toSet
+    val storeBefore = spark.read.parquet(store)
+      .as[(String, Long)].collect().toMap
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.EventStreams.lineScrubStream(
+      mem2.toDF.toDF("doc_id", "text"), store, decisions, LT, DF).start()
+    try {
+      mem2.addData((1L, "f f n n"))
+      q2.processAllAvailable()
+      val after = spark.read.parquet(decisions)
+        .select("doc_id", "n_lines", "n_kept", "clean_md5").collect().toSet
+      assert(after == before, "replayed decisions must be bit-identical")
+      val storeAfter = spark.read.parquet(store).as[(String, Long)].collect().toMap
+      assert(storeAfter == storeBefore, "replay must not double-count the census")
+    } finally q2.stop()
+  }
+
   test("decisions are computed before the store update (replay-safe ordering)") {
     val store = Files.createTempDirectory("graft-ilc3").toString + "/census"
     IncrementalLineCensus.initStore(
