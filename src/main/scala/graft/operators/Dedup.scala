@@ -135,6 +135,31 @@ object Dedup {
                             storagePath: Option[String] = None): DataFrame =
     candidatesFrom(signatureTable(docs, numHashes, bands, idCol, textCol, storagePath), idCol)
 
+  /** Band-bucket skew census — the histogram a funnel operator reads
+    * BEFORE launching the bucket self-join: per band, LSH bucket sizes
+    * log2-bucketed with the candidate-pair mass each size class implies
+    * (`sum sz·(sz−1)/2`). The pair join's shuffle volume IS this
+    * implied-pair count, so a fat tail here (one hot band_hash holding
+    * thousands of docs) is the advance warning to widen bands, raise
+    * the shingle width, or pre-split the hot bucket — before paying a
+    * quadratic join, not after. Cost: the same one-pass signature
+    * projection the funnel itself runs (Catalyst prunes the unused
+    * shingle-hash column), one (band_idx, band_hash) aggregation, one
+    * constant-size histogram — no pair materialization anywhere. */
+  def bandCensus(docs: DataFrame, numHashes: Int = 16, bands: Int = 4,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val banded = signatureProjection(docs, numHashes, bands, idCol, textCol)
+      .select(posexplode(col("bands")).as(Seq("band_idx", "band_hash")))
+    banded.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("sz"))
+      .withColumn("pairs", expr("sz * (sz - 1) DIV 2"))
+      .groupBy(col("band_idx"), floor(log2(col("sz"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_docs"),
+        sum(col("pairs")).as("implied_pairs"),
+        max(col("sz")).as("max_bucket"))
+  }
+
   private def candidatesFrom(sigTable: DataFrame, idCol: String): DataFrame = {
     val banded = sigTable
       .select(col(idCol), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))

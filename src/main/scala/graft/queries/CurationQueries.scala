@@ -387,6 +387,56 @@ object CurationQueries {
       |  CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
       |FROM c GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
 
+  /** qp15: packing-efficiency census — the audit a packer reads AFTER
+    * laying out bins and BEFORE shipping shards to trainers: per shard,
+    * how many bins, how full they are on average, how many bins a
+    * single over-budget doc blew past the budget, and the fattest bin.
+    * A shard whose fill_pct sags (fragmentation) or whose overflow
+    * count spikes (long-doc skew) gets re-packed with a different
+    * budget or a chunking pre-pass (qc03). One |bins|-row aggregation
+    * on top of qc04's already-audited layout — constant-size output,
+    * no new shuffle shape; at 100 TB the bins table is ~corpus/budget
+    * rows and this is a single map-side-combined pass over it. */
+  def packStats(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val budget = 256
+    val bins = graft.operators.Chunking.packSequences(t.documents, budget = budget, shards = 8)
+    bins.groupBy($"shard")
+      .agg(
+        count(lit(1)).as("n_bins"),
+        sum($"n_docs").as("n_docs"),
+        sum($"bin_tokens").as("tokens_total"),
+        sum(when($"bin_tokens" > budget, 1L).otherwise(0L)).as("overflow_bins"),
+        max($"bin_tokens").as("max_bin_tokens"))
+      .select($"shard", $"n_bins", $"n_docs", $"tokens_total", $"overflow_bins",
+        $"max_bin_tokens",
+        round($"tokens_total".cast("double") / ($"n_bins" * budget).cast("double"), 6)
+          .as("fill_pct"))
+      .orderBy($"shard")
+  }
+
+  val packStatsSql: String =
+    """WITH s AS (SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0,4), i ->
+      |      (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |    )) AS BIGINT) % 8 AS shard,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) n_tokens
+      |  FROM documents),
+      |c AS (SELECT shard, doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+      |  FROM s),
+      |b AS (SELECT CAST(shard AS INT) AS shard, CAST((cum - n_tokens) // 256 AS BIGINT) AS bin,
+      |    CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+      |  FROM c GROUP BY 1, 2)
+      |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_bins,
+      |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(SUM(bin_tokens) AS BIGINT) AS tokens_total,
+      |  CAST(SUM(CASE WHEN bin_tokens > 256 THEN 1 ELSE 0 END) AS BIGINT) AS overflow_bins,
+      |  MAX(bin_tokens) AS max_bin_tokens,
+      |  round(CAST(SUM(bin_tokens) AS DOUBLE) / (COUNT(*) * 256), 6) AS fill_pct
+      |FROM b GROUP BY shard ORDER BY shard""".stripMargin
+
   // ---- PII scrubbing ----
 
   /** PII scrub over a corpus with deterministic planted PII (the
@@ -995,6 +1045,7 @@ object CurationQueries {
     "qt08_repetition"        -> ((s: SparkSession, d: String) => repetitionStats(Tables(s, d))),
     "qc03_chunking"          -> ((s: SparkSession, d: String) => chunking(Tables(s, d))),
     "qc04_packing"           -> ((s: SparkSession, d: String) => packing(Tables(s, d))),
+    "qp15_pack_stats"        -> ((s: SparkSession, d: String) => packStats(Tables(s, d))),
     "qt09_pii_scrub"         -> ((s: SparkSession, d: String) => piiScrub(Tables(s, d))),
     "qc05_corpus_diff"       -> ((s: SparkSession, d: String) => corpusDiff(Tables(s, d))),
     "qp05_shuffle_shards"    -> ((s: SparkSession, d: String) => shuffleShards(Tables(s, d))),
@@ -1028,6 +1079,7 @@ object CurationQueries {
     "qt08_repetition"        -> repetitionStatsSql,
     "qc03_chunking"          -> chunkingSql,
     "qc04_packing"           -> packingSql,
+    "qp15_pack_stats"        -> packStatsSql,
     "qt09_pii_scrub"         -> piiScrubSql,
     "qc05_corpus_diff"       -> corpusDiffSql,
     "qp05_shuffle_shards"    -> shuffleShardsSql,

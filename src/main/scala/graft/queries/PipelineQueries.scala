@@ -256,6 +256,33 @@ object PipelineQueries {
       |  CAST(MAX(sz) AS BIGINT) AS max_size
       |FROM sz GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** qd19: band-bucket skew census — [[Dedup.bandCensus]] over the
+    * production funnel configuration. Where qd18 reads cluster sizes
+    * AFTER the funnel ran, this reads LSH bucket sizes BEFORE the pair
+    * join: `implied_pairs` is exactly the row count the bucket
+    * self-join would shuffle, so this one-pass histogram prices the
+    * funnel's quadratic stage in advance (the switch signal for
+    * widening bands / raising shingle width at a new corpus scale). */
+  def bandCensus(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Dedup.bandCensus(t.documents)
+      .orderBy($"band_idx", $"bucket")
+  }
+
+  val bandCensusSql: String =
+    """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
+      |sig AS (SELECT doc_id, [list_aggregate([md5(s::VARCHAR || ':' || x) for x in sh], 'min') for s in range(0,16)] sg FROM shr),
+      |bands AS (SELECT doc_id, [md5(sg[4*b+1] || '|' || sg[4*b+2] || '|' || sg[4*b+3] || '|' || sg[4*b+4]) for b in range(0,4)] bs FROM sig),
+      |bt AS (SELECT doc_id, CAST(i - 1 AS INT) band_idx, bs[i] band_hash FROM bands, range(1,5) t(i)),
+      |bk AS (SELECT band_idx, band_hash, CAST(COUNT(*) AS BIGINT) sz FROM bt GROUP BY 1, 2)
+      |SELECT band_idx, CAST(FLOOR(log2(sz)) AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      |  CAST(SUM(sz) AS BIGINT) AS n_docs,
+      |  CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS implied_pairs,
+      |  CAST(MAX(sz) AS BIGINT) AS max_bucket
+      |FROM bk GROUP BY 1, 2 ORDER BY band_idx, bucket""".stripMargin
+
   /** 64-bit (production-width) simhash near-dup funnel: same
     * combination-banding discipline as qd05, 16-bit band slices of the
     * 64-bit fingerprint. The oracle votes on the leading 64 BITS of
@@ -1422,6 +1449,7 @@ object PipelineQueries {
     "qd05_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNearDups(Tables(s, d))),
     "qd06_dedup_clusters"  -> ((s: SparkSession, d: String) => dedupClusters(Tables(s, d))),
     "qd18_cluster_census"  -> ((s: SparkSession, d: String) => clusterCensus(Tables(s, d))),
+    "qd19_band_census"     -> ((s: SparkSession, d: String) => bandCensus(Tables(s, d))),
     "qd08_clusters_alternating" -> ((s: SparkSession, d: String) => dedupClustersAlternating(Tables(s, d))),
     "qd07_simhash64"       -> ((s: SparkSession, d: String) => simhash64NearDups(Tables(s, d))),
     "qd10_editdist_neardup" -> ((s: SparkSession, d: String) => editDistanceNearDups(Tables(s, d))),
@@ -1468,6 +1496,7 @@ object PipelineQueries {
     "qd05_simhash_neardup" -> simhashNearDupsSql,
     "qd06_dedup_clusters"  -> dedupClustersSql,
     "qd18_cluster_census"  -> clusterCensusSql,
+    "qd19_band_census"     -> bandCensusSql,
     "qd08_clusters_alternating" -> dedupClustersSql, // same oracle: algorithms must agree
     "qd07_simhash64"       -> simhash64NearDupsSql,
     "qd10_editdist_neardup" -> editDistanceNearDupsSql,

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Decontaminate, Dsir, LinearClassifier, NgramLM, QualityRules}
+import graft.operators.{Dedup, Decontaminate, Dsir, LinearClassifier, LogisticTrainer, NgramLM, QualityRules, UrlFilter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -682,7 +682,122 @@ object QualityQueries {
       |WHERE d.doc_id % 50 <> 0
       |ORDER BY d.doc_id""".stripMargin
 
+  /** qt24: URL/domain blocklist gate — [[UrlFilter.applyBlocklist]]
+    * over planted URLs (the synthetic corpus has none, so both engines
+    * plant the same five-host × casino-path scheme: qp14's convention).
+    * Exercises all three semantics: exact host block
+    * (`media.spam-hub.test` via suffix `spam-hub.test`), parent-suffix
+    * block (`cdn.ads.example.net` via `ads.example.net`), and the path
+    * keyword (`/casino/`), with domain taking precedence in `reason`.
+    * The blocklist side is broadcast; the corpus never shuffles. */
+  def urlBlocklist(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val planted = t.documents.select($"doc_id",
+      concat(lit("https://"),
+        when($"doc_id" % 5 === 0, lit("media.spam-hub.test"))
+          .when($"doc_id" % 5 === 1,
+            concat(lit("d"), ($"doc_id" % 7).cast("string"), lit(".example.com")))
+          .when($"doc_id" % 5 === 2, lit("news.example.org"))
+          .when($"doc_id" % 5 === 3, lit("cdn.ads.example.net"))
+          .otherwise(lit("shop.example.com")),
+        when($"doc_id" % 13 === 0, concat(lit("/casino/"), $"doc_id".cast("string")))
+          .otherwise(concat(lit("/p/"), $"doc_id".cast("string")))).as("url"))
+    val blocklist = Seq("spam-hub.test", "ads.example.net").toDF("domain")
+    UrlFilter.applyBlocklist(planted, blocklist, Seq("/casino/"))
+      .select($"doc_id", $"host", $"blocked", $"reason")
+      .orderBy($"doc_id")
+  }
+
+  val urlBlocklistSql: String =
+    """WITH u AS (SELECT doc_id,
+      |    'https://' ||
+      |    CASE doc_id % 5
+      |      WHEN 0 THEN 'media.spam-hub.test'
+      |      WHEN 1 THEN 'd' || (doc_id % 7) || '.example.com'
+      |      WHEN 2 THEN 'news.example.org'
+      |      WHEN 3 THEN 'cdn.ads.example.net'
+      |      ELSE 'shop.example.com' END ||
+      |    CASE WHEN doc_id % 13 = 0 THEN '/casino/' || doc_id ELSE '/p/' || doc_id END AS url
+      |  FROM documents),
+      |h AS (SELECT doc_id, url, regexp_extract(url, '^https?://([^/]+)', 1) AS host FROM u),
+      |s AS (SELECT doc_id, url, host,
+      |    len(list_intersect(
+      |      [array_to_string(l[i+1:], '.') for i in range(0, len(l) - 1)],
+      |      ['spam-hub.test', 'ads.example.net'])) > 0 AS domain_blocked
+      |  FROM (SELECT doc_id, url, host, string_split(host, '.') l FROM h))
+      |SELECT doc_id, host,
+      |  (domain_blocked OR contains(url, '/casino/')) AS blocked,
+      |  CASE WHEN domain_blocked THEN 'domain'
+      |       WHEN contains(url, '/casino/') THEN 'path' END AS reason
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** qt25: in-engine quality-classifier TRAINING —
+    * [[LogisticTrainer.train]] doing 3 full-batch GD steps on four
+    * deterministic document features (bias, chars/1000, tokens/100,
+    * chars-per-token) against the "is English" label, emitting the
+    * whole weight PATH (step × feature). The oracle replays the same
+    * three steps as chained SQL CTEs; exact-decimal gradient sums and
+    * the rational sigmoid make every intermediate weight bit-identical
+    * across engines, so this checks the full optimization trajectory,
+    * not just a converged neighborhood. Per step: one scan, one
+    * K-cell aggregation; driver holds K doubles (gradient metadata —
+    * the MLlib treeAggregate shape). */
+  def lrTrain(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val ntok = size(tokens(trim($"text"))).cast("double")
+    val feats = t.documents.select(
+      when($"lang" === "en", 1.0).otherwise(0.0).as("y"),
+      lit(1.0).as("x0"),
+      ($"n_chars" / 1000.0).as("x1"),
+      (ntok / 100.0).as("x2"),
+      ($"n_chars".cast("double") / ntok).as("x3"))
+    val path = LogisticTrainer.train(feats, Seq("x0", "x1", "x2", "x3"),
+      labelCol = "y", lr = 0.5, steps = 3)
+    val rows = for {
+      (w, t0) <- path.toSeq.zipWithIndex
+      (wj, j) <- w.toSeq.zipWithIndex
+    } yield (t0 + 1, j, wj)
+    rows.toDF("step", "feature_idx", "weight")
+      .orderBy($"step", $"feature_idx")
+  }
+
+  val lrTrainSql: String = {
+    val xs = Seq("x0", "x1", "x2", "x3")
+    def grads(src: String, sCol: String): String = xs.zipWithIndex.map { case (x, j) =>
+      s"CAST(SUM(CAST(round(($sCol - y) * $x, 10) AS DECIMAL(28,10))) AS DOUBLE) g$j"
+    }.mkString(s"SELECT ", ", ", s" FROM $src")
+    def update(prevW: String, g: String): String = xs.indices.map { j =>
+      s"$prevW.w$j - 0.5 * ($g.g$j / nn.n) AS w$j"
+    }.mkString("SELECT ", ", ", s" FROM $prevW, $g, nn")
+    def dot(w: String): String = xs.zipWithIndex.map { case (x, j) => s"$w.w$j*$x" }.mkString(" + ")
+    s"""WITH f AS (SELECT
+       |    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+       |    1.0 AS x0,
+       |    n_chars / 1000.0 AS x1,
+       |    len(string_split_regex(trim(text), '\\s+')) / 100.0 AS x2,
+       |    CAST(n_chars AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS x3
+       |  FROM documents),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) n FROM f),
+       |g1 AS (${grads("f", "0.5")}),
+       |w1 AS (${xs.indices.map(j => s"0.0 - 0.5 * (g1.g$j / nn.n) AS w$j").mkString("SELECT ", ", ", " FROM g1, nn")}),
+       |z2 AS (SELECT y, x0, x1, x2, x3, ${dot("w1")} AS z FROM f, w1),
+       |s2 AS (SELECT y, x0, x1, x2, x3, 0.5 * (1.0 + z / (1.0 + abs(z))) AS s FROM z2),
+       |g2 AS (${grads("s2", "s")}),
+       |w2 AS (${update("w1", "g2")}),
+       |z3 AS (SELECT y, x0, x1, x2, x3, ${dot("w2")} AS z FROM f, w2),
+       |s3 AS (SELECT y, x0, x1, x2, x3, 0.5 * (1.0 + z / (1.0 + abs(z))) AS s FROM z3),
+       |g3 AS (${grads("s3", "s")}),
+       |w3 AS (${update("w2", "g3")})
+       |SELECT step, feature_idx, weight FROM (
+       |${(1 to 3).flatMap(t => xs.indices.map(j =>
+            s"  SELECT CAST($t AS INT) step, CAST($j AS INT) feature_idx, w$j AS weight FROM w$t"))
+          .mkString("\n  UNION ALL\n")}
+       |) ORDER BY step, feature_idx""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt24_url_blocklist"     -> ((s: SparkSession, d: String) => urlBlocklist(Tables(s, d))),
+    "qt25_lr_train"          -> ((s: SparkSession, d: String) => lrTrain(Tables(s, d))),
     "qc10_semantic_decontam" -> ((s: SparkSession, d: String) => semanticDecontaminate(Tables(s, d))),
     "qc11_contamination_report" -> ((s: SparkSession, d: String) => contaminationReport(Tables(s, d))),
     "qp10_relative_gate"     -> ((s: SparkSession, d: String) => relativeQualityGate(Tables(s, d))),
@@ -703,6 +818,8 @@ object QualityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qt24_url_blocklist"     -> urlBlocklistSql,
+    "qt25_lr_train"          -> lrTrainSql,
     "qc10_semantic_decontam" -> semanticDecontaminateSql,
     "qc11_contamination_report" -> contaminationReportSql,
     "qp10_relative_gate"     -> relativeQualityGateSql,
