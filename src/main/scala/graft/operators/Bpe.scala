@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding — learning a subword vocabulary from
+  * the corpus itself (Sennrich et al. 2016), the tokenizer-training
+  * step of an LLM data pipeline.
+  *
+  * Scale shape: training never iterates over the CORPUS — it iterates
+  * over the distinct-WORD census (vocabulary-sized: the corpus is read
+  * exactly once to build `(word, count)`, after which 100 TB of text
+  * is out of the picture). Each merge round is one map-side-combined
+  * pair-count aggregation over the words table plus a 1-row argmax
+  * collect (merge metadata, the justified-collect class), and the
+  * symbol rewrite is a pure per-row expression. Lineage is truncated
+  * every round (`checkpointTruncated` — the LogicalRDD compounding
+  * lesson), so round K plans like round 1.
+  *
+  * Encoding follows the same census discipline: DISTINCT words are
+  * encoded once (a vocabulary-sized table, per-word imperative merge
+  * loop — one of the rare genuinely-imperative shapes, so a Scala
+  * function over the census, never over the corpus) and joined back;
+  * per-doc token counts are then one aggregation.
+  *
+  * Determinism: ties on pair count break lexicographically (smallest
+  * (left, right) wins), so the learned vocabulary is a pure function
+  * of the corpus — same merges on any partitioning, any cluster.
+  */
+object Bpe {
+
+  /** End-of-word sentinel appended to every word's symbol sequence —
+    * merges learned across word boundaries stay impossible, and a
+    * token ending in it is a word-final subword (Sennrich's `</w>`). */
+  val EndOfWord = "</w>"
+
+  final case class Merge(rank: Int, left: String, right: String, pairCount: Long) {
+    def merged: String = left + right
+  }
+
+  /** One pass over the corpus: whitespace word census. */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+
+  /** word → [c, h, a, r, s, </w>] */
+  private def initialSymbols(word: Column): Column =
+    concat(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      array(lit(EndOfWord)))
+
+  /** Greedy left-to-right merge of one adjacent pair inside a symbol
+    * sequence — the exact rewrite classic BPE applies: scan left to
+    * right, fusing (a,b) wherever the surviving left neighbor is `a`.
+    * `try_element_at` keeps the empty-accumulator probe NULL-safe
+    * under ANSI. */
+  private[operators] def mergeOnce(syms: Column, a: String, b: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, x) =>
+        when(try_element_at(acc, lit(-1)) === a && x === b,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          .otherwise(concat(acc, array(x))))
+
+  /** Adjacent symbol pairs of each word, weighted by word count. */
+  private def pairCounts(syms: DataFrame): DataFrame =
+    syms.select(col("wc"),
+        explode(
+          when(size(col("syms")) >= 2,
+            transform(sequence(lit(1), size(col("syms")) - 1),
+              i => struct(element_at(col("syms"), i).as("l"),
+                          element_at(col("syms"), i + 1).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("wc")).as("c"))
+
+  /** Learn up to `numMerges` merges. Returns the merge table (rank
+    * order) and the final per-word symbol table (word, wc, syms) —
+    * useful to continue training or to audit segmentations. */
+  def train(docs: DataFrame, numMerges: Int,
+            textCol: String = "text"): (Seq[Merge], DataFrame) = {
+    require(numMerges > 0)
+    var syms = ConnectedComponents.checkpointTruncated(
+      wordCounts(docs, textCol)
+        .select(col("word"), col("wc"), initialSymbols(col("word")).as("syms")))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val top = pairCounts(syms)
+        .orderBy(desc("c"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += Merge(rank, l, r, c)
+        syms = ConnectedComponents.checkpointTruncated(
+          syms.withColumn("syms", mergeOnce(col("syms"), l, r)))
+        rank += 1
+      }
+    }
+    (merges.result(), syms)
+  }
+
+  /** Encode one word by applying merges in rank order — bit-equivalent
+    * to what training did to that word (spec-pinned). Imperative on
+    * purpose: this runs per DISTINCT word, never per corpus row. */
+  def encodeWord(word: String, merges: Seq[(String, String)]): Vector[String] = {
+    var s: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
+    merges.foreach { case (a, b) =>
+      if (s.length >= 2 && s.contains(a)) {
+        val out = Vector.newBuilder[String]
+        var last: String = null
+        var first = true
+        s.foreach { x =>
+          if (!first && last == a && x == b) last = a + b
+          else { if (!first) out += last; last = x; first = false }
+        }
+        out += last
+        s = out.result()
+      }
+    }
+    s
+  }
+
+  /** Per-doc subword census under a learned vocabulary: distinct words
+    * are encoded once and joined back (shuffle keyed on the word — the
+    * vocabulary-discipline join; broadcast instead if the vocab side is
+    * known-small), then one per-doc aggregation. Output:
+    * (id, n_words, n_subwords, ratio = subwords per word). */
+  def encodedTokenCounts(docs: DataFrame, merges: Seq[Merge],
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
+    val bc = docs.sparkSession.sparkContext.broadcast(pairs)
+    val encLen = udf((w: String) => encodeWord(w, bc.value).size)
+    val words = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+    val vocab = words.select(col("word")).distinct()
+      .withColumn("n_sub", encLen(col("word")))
+    words.join(vocab, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+      .withColumn("ratio",
+        round(col("n_subwords").cast("double") / col("n_words").cast("double"), 6))
+  }
+}

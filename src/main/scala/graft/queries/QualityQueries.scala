@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Decontaminate, Dsir, LinearClassifier, LogisticTrainer, NgramLM, QualityRules, UrlFilter}
+import graft.operators.{Bpe, Dedup, Decontaminate, Dsir, LinearClassifier, LogisticTrainer, NgramLM, QualityRules, UrlFilter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -795,9 +795,40 @@ object QualityQueries {
        |) ORDER BY step, feature_idx""".stripMargin
   }
 
+  /** qt26: tokenizer training in-engine — [[Bpe.train]] learning 16
+    * merges from the document corpus; the output IS the learned
+    * vocabulary (rank-ordered merge table with pair frequencies).
+    * Non-SQL-expressible (iterated argmax over a rewritten census), so
+    * this rides the rows-only gate; the algorithm itself is pinned by
+    * BpeSpec against hand-computed merges and the corpus-independent
+    * invariants (tie-break determinism, partitioning invariance). */
+  def bpeVocab(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val (merges, _) = Bpe.train(t.documents, numMerges = 16)
+    t.spark.catalog.clearCache()
+    merges.map(m => (m.rank, m.left, m.right, m.merged, m.pairCount))
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy($"rank")
+  }
+
+  /** qt27: the learned vocabulary APPLIED — per-doc subword counts
+    * under qt26's merges ([[Bpe.encodedTokenCounts]]: distinct words
+    * encoded once, joined back). `ratio` < chars-per-word shows the
+    * vocabulary compressing; rows-only gate for the same reason as
+    * qt26. */
+  def bpeEncode(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val (merges, _) = Bpe.train(t.documents, numMerges = 16)
+    t.spark.catalog.clearCache()
+    Bpe.encodedTokenCounts(t.documents, merges)
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qt24_url_blocklist"     -> ((s: SparkSession, d: String) => urlBlocklist(Tables(s, d))),
     "qt25_lr_train"          -> ((s: SparkSession, d: String) => lrTrain(Tables(s, d))),
+    "qt26_bpe_vocab"         -> ((s: SparkSession, d: String) => bpeVocab(Tables(s, d))),
+    "qt27_bpe_encode"        -> ((s: SparkSession, d: String) => bpeEncode(Tables(s, d))),
     "qc10_semantic_decontam" -> ((s: SparkSession, d: String) => semanticDecontaminate(Tables(s, d))),
     "qc11_contamination_report" -> ((s: SparkSession, d: String) => contaminationReport(Tables(s, d))),
     "qp10_relative_gate"     -> ((s: SparkSession, d: String) => relativeQualityGate(Tables(s, d))),
