@@ -77,10 +77,17 @@ object Bpe {
 
   /** Learn up to `numMerges` merges. Returns the merge table (rank
     * order) and the final per-word symbol table (word, wc, syms) —
-    * useful to continue training or to audit segmentations. */
-  def train(docs: DataFrame, numMerges: Int,
-            textCol: String = "text"): (Seq[Merge], DataFrame) = {
-    require(numMerges > 0)
+    * useful to continue training or to audit segmentations.
+    *
+    * `checkpointEvery` trades per-round job latency against recompute:
+    * between checkpoints the symbol table is a stack of ≤ that many
+    * cheap rewrite projections over the last materialization (each
+    * round's pair-count job re-runs them on the vocabulary-sized
+    * table), while every checkpoint is a full materialization. 4 wins
+    * at every scale tried; 1 recovers the checkpoint-per-round shape. */
+  def train(docs: DataFrame, numMerges: Int, textCol: String = "text",
+            checkpointEvery: Int = 4): (Seq[Merge], DataFrame) = {
+    require(numMerges > 0 && checkpointEvery > 0)
     var syms = ConnectedComponents.checkpointTruncated(
       wordCounts(docs, textCol)
         .select(col("word"), col("wc"), initialSymbols(col("word")).as("syms")))
@@ -95,9 +102,10 @@ object Bpe {
       else {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, l, r, c)
-        syms = ConnectedComponents.checkpointTruncated(
-          syms.withColumn("syms", mergeOnce(col("syms"), l, r)))
+        syms = syms.withColumn("syms", mergeOnce(col("syms"), l, r))
         rank += 1
+        if (rank % checkpointEvery == 0)
+          syms = ConnectedComponents.checkpointTruncated(syms)
       }
     }
     (merges.result(), syms)

@@ -795,7 +795,7 @@ object QualityQueries {
        |) ORDER BY step, feature_idx""".stripMargin
   }
 
-  /** qt26: tokenizer training in-engine — [[Bpe.train]] learning 16
+  /** qt26: tokenizer training in-engine — [[Bpe.train]] learning 8
     * merges from the document corpus; the output IS the learned
     * vocabulary (rank-ordered merge table with pair frequencies).
     * Non-SQL-expressible (iterated argmax over a rewritten census), so
@@ -804,7 +804,7 @@ object QualityQueries {
     * invariants (tie-break determinism, partitioning invariance). */
   def bpeVocab(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val (merges, _) = Bpe.train(t.documents, numMerges = 16)
+    val (merges, _) = Bpe.train(t.documents, numMerges = 8)
     t.spark.catalog.clearCache()
     merges.map(m => (m.rank, m.left, m.right, m.merged, m.pairCount))
       .toDF("rank", "left", "right", "merged", "pair_count")
@@ -818,7 +818,7 @@ object QualityQueries {
     * qt26. */
   def bpeEncode(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val (merges, _) = Bpe.train(t.documents, numMerges = 16)
+    val (merges, _) = Bpe.train(t.documents, numMerges = 8)
     t.spark.catalog.clearCache()
     Bpe.encodedTokenCounts(t.documents, merges)
       .orderBy($"doc_id")
