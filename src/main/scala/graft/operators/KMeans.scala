@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.functions.VectorFunctions.norm2
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the
+  * clustering workhorse of the embedding plane: SemDeDup's
+  * cluster-then-prune (qd13) and the IVF coarse quantizer (qs03) both
+  * take a centroid table as input; this operator REFINES the
+  * deterministic sampled seeds those consumers start from.
+  *
+  * Scale shape per iteration (the textbook two-shuffle plan):
+  *  - assign: centroids broadcast, nearest-cell argmin is a
+  *    min-of-struct aggregate fused into the corpus scan — no shuffle
+  *    of the corpus beyond the per-id agg;
+  *  - update: (cell, dim) explode → one map-side-combined mean per
+  *    centroid coordinate → rebuild the (tiny) centroid table.
+  *    Dim-explode multiplies ROWS by the dimension but carries only
+  *    (int, int, double) triples; partial aggregation collapses them
+  *    to |cells|×dim cells per partition before any exchange.
+  * Centroid lineage is truncated every iteration (tiny table, and the
+  * broadcast side of round t should not drag round t−1's plan).
+  *
+  * Cross-engine exactness (oracle-gated like qt25's GD): per-member
+  * contributions — both centroid-mean coordinates and inertia terms —
+  * are rounded to 6 decimals and summed as DECIMAL (order-free);
+  * means are then single IEEE divisions; distances reuse the
+  * [[graft.functions.expressions.DotProduct]] left-fold that DuckDB's
+  * `list_dot_product` bit-matches. Ties in the argmin break by cell
+  * id (min-of-struct), never by arrival order.
+  */
+object KMeans {
+
+  /** Element-wise member mean per cell with exact-decimal sums:
+    * (cell, c_vec: array<double>, c_nrm2, n_members). Cells with no
+    * members disappear (standard Lloyd's: dead centroids drop). */
+  def update(assigned: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    val d = assigned.select(col("cell"),
+      posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+    val means = d.groupBy(col("cell"), col("dim"))
+      .agg((sum(round(col("v"), 6).cast("decimal(28,6)")).cast("double") /
+              count(lit(1))).as("mv"),
+           count(lit(1)).as("n"))
+    means.groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("mv")))),
+             x => x.getField("mv")).as("c_vec"),
+           first(col("n")).as("n_members"))
+      .withColumn("c_nrm2", norm2(col("c_vec")))
+  }
+
+  /** `iters` Lloyd rounds from the deterministic sampled seeds.
+    * Returns (final centroids, the assignment that produced them). */
+  def lloyd(corpus: DataFrame, k: Int, iters: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding")
+      : (DataFrame, DataFrame) = {
+    require(k > 0 && iters > 0)
+    var cents = ConnectedComponents.checkpointTruncated(
+      IvfIndex.centroids(corpus, k, idCol, vecCol))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = IvfIndex.assign(corpus, cents, idCol, vecCol)
+      cents = ConnectedComponents.checkpointTruncated(update(assigned, vecCol))
+    }
+    (cents, assigned)
+  }
+
+  /** Per-cluster quality census after `iters` rounds: member count,
+    * centroid norm², and inertia (Σ members' squared L2 distance to
+    * their FINAL centroid, exact-decimal summed). The convergence /
+    * cluster-balance report read before trusting the clustering for
+    * SemDeDup pruning or IVF cell layout. */
+  def census(corpus: DataFrame, k: Int, iters: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (cents, assigned) = lloyd(corpus, k, iters, idCol, vecCol)
+    val dist = col("nrm2") - lit(2.0) * graft.functions.VectorFunctions.dot(
+      col(vecCol), col("c_vec")) + col("c_nrm2")
+    assigned.withColumn("nrm2", norm2(col(vecCol)))
+      .join(broadcast(cents.select(col("cell"), col("c_vec"), col("c_nrm2"))), Seq("cell"))
+      .groupBy(col("cell"), col("c_nrm2"))
+      .agg(count(lit(1)).as("n_members"),
+           sum(round(dist, 6).cast("decimal(28,6)")).cast("double").as("inertia"))
+      .select(col("cell").cast("int").as("cell"), col("n_members"),
+              round(col("c_nrm2"), 6).as("c_nrm2"), col("inertia"))
+  }
+}

@@ -889,6 +889,56 @@ object CurationQueries {
       .orderBy($"source")
   }
 
+  /** qp16: data-constrained epoch allocation (Muennighoff et al. 2023)
+    * — qp13's complement: there the budget is capped so no source
+    * repeats; here the budget EXCEEDS the unique supply (B = 2× total
+    * unique tokens) and each source is repeated up to the 4-epoch
+    * value cap, with the unfillable remainder surfaced as `deficit`
+    * (what the mix designer must re-source or re-weight). Same
+    * |sources|-row arithmetic frame as qp13: one corpus scan, then
+    * pure IEEE expressions mirrored in the oracle. */
+  def epochMix(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val maxEpochs = 4.0
+    val c = t.documents.groupBy($"source")
+      .agg(sum(bpeTokenCount($"text")).cast("long").as("unique_tokens"))
+      .withColumn("w", regexp_extract($"source", "(\\d+)", 1).cast("long") + 1L)
+      .localCheckpoint()
+    val tot = c.agg(sum($"w").as("sw"), sum($"unique_tokens").as("su"))
+    c.crossJoin(broadcast(tot))
+      .select($"source", $"unique_tokens",
+        ($"w".cast("double") / $"sw".cast("double")).as("target_share"),
+        (lit(2.0) * $"su".cast("double")).as("b"))
+      .select($"source", $"unique_tokens", $"target_share",
+        ($"target_share" * $"b").as("target_tokens"),
+        (($"target_share" * $"b") / $"unique_tokens".cast("double")).as("epochs_uncapped"))
+      .select($"source", $"unique_tokens", $"target_share", $"target_tokens",
+        least(lit(maxEpochs), $"epochs_uncapped").as("epochs"),
+        ($"epochs_uncapped" > maxEpochs).as("capped"),
+        greatest(lit(0.0),
+          $"target_tokens" - lit(maxEpochs) * $"unique_tokens".cast("double")).as("deficit"))
+      .orderBy($"source")
+  }
+
+  val epochMixSql: String =
+    """WITH c0 AS (SELECT source,
+      |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) unique_tokens
+      |  FROM documents GROUP BY source),
+      |c AS (SELECT source, unique_tokens,
+      |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) + 1 w FROM c0),
+      |tot AS (SELECT CAST(SUM(w) AS BIGINT) sw, CAST(SUM(unique_tokens) AS BIGINT) su FROM c),
+      |s AS (SELECT source, unique_tokens,
+      |    CAST(w AS DOUBLE) / CAST(sw AS DOUBLE) target_share,
+      |    2.0 * CAST(su AS DOUBLE) b FROM c CROSS JOIN tot),
+      |e AS (SELECT source, unique_tokens, target_share,
+      |    target_share * b AS target_tokens,
+      |    (target_share * b) / CAST(unique_tokens AS DOUBLE) AS epochs_uncapped FROM s)
+      |SELECT source, unique_tokens, target_share, target_tokens,
+      |  least(4.0, epochs_uncapped) AS epochs,
+      |  epochs_uncapped > 4.0 AS capped,
+      |  greatest(0.0, target_tokens - 4.0 * CAST(unique_tokens AS DOUBLE)) AS deficit
+      |FROM e ORDER BY source""".stripMargin
+
   val targetMixSql: String =
     """WITH c0 AS (SELECT source,
       |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) tokens_avail
@@ -1057,6 +1107,7 @@ object CurationQueries {
     "qa05_asof_tolerant"     -> ((s: SparkSession, d: String) => asofViewBeforePurchaseTolerant(Tables(s, d))),
     "qr03_ks_drift"          -> ((s: SparkSession, d: String) => ksDrift(Tables(s, d))),
     "qp13_target_mix"        -> ((s: SparkSession, d: String) => targetMix(Tables(s, d))),
+    "qp16_epoch_mix"         -> ((s: SparkSession, d: String) => epochMix(Tables(s, d))),
     "qc06_training_mix"      -> ((s: SparkSession, d: String) => trainingMix(Tables(s, d))),
     "qt17_source_overlap"    -> ((s: SparkSession, d: String) => sourceOverlap(Tables(s, d))),
     "qp11_temperature_mix"   -> ((s: SparkSession, d: String) => temperatureMix(Tables(s, d))),
@@ -1091,6 +1142,7 @@ object CurationQueries {
     "qa05_asof_tolerant"     -> asofViewBeforePurchaseTolerantSql,
     "qr03_ks_drift"          -> ksDriftSql,
     "qp13_target_mix"        -> targetMixSql,
+    "qp16_epoch_mix"         -> epochMixSql,
     "qc06_training_mix"      -> trainingMixSql,
     "qt17_source_overlap"    -> sourceOverlapSql,
     "qp11_temperature_mix"   -> temperatureMixSql,

@@ -575,6 +575,46 @@ object PipelineQueries {
       |  FROM sims)
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** qs12: Lloyd's k-means census — [[KMeans.census]], k=8, 2 rounds
+    * from the qs03 sampled seeds. The oracle replays both full rounds
+    * (assign → exact-decimal coordinate means → reassign → update) in
+    * chained CTEs, so the cross-engine check covers the whole
+    * clustering trajectory: assignments, every centroid coordinate
+    * (through the means), member counts, and the final inertia. */
+  def kmeansCensus(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    graft.operators.KMeans.census(t.embeddings, k = 8, iters = 2)
+      .orderBy($"cell")
+  }
+
+  val kmeansCensusSql: String = {
+    def iter(n: Int, cents: String): String =
+      s"""s$n AS (SELECT v.vec_id, v.e, v.nrm2, c.cell,
+         |    c.c_nrm2 - 2 * list_dot_product(v.e, c.c_vec) AS score
+         |  FROM v CROSS JOIN $cents c),
+         |a$n AS (SELECT vec_id, e, nrm2, cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) rn
+         |    FROM s$n) WHERE rn = 1),
+         |m$n AS (SELECT cell, i,
+         |    CAST(SUM(CAST(round(e[i], 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) mv
+         |  FROM a$n, range(1, 65) t(i) GROUP BY cell, i),
+         |c$n AS (SELECT cell, list(mv ORDER BY i) c_vec FROM m$n GROUP BY cell),
+         |cn$n AS (SELECT cell, c_vec, list_dot_product(c_vec, c_vec) c_nrm2 FROM c$n)""".stripMargin
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] e,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) nrm2 FROM embeddings),
+       |c0 AS (SELECT (ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)) - 1 AS cell,
+       |    e c_vec, nrm2 c_nrm2
+       |  FROM v ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+       |${iter(1, "c0")},
+       |${iter(2, "cn1")},
+       |f AS (SELECT a2.cell, c.c_nrm2, CAST(COUNT(*) AS BIGINT) n_members,
+       |    CAST(SUM(CAST(round(a2.nrm2 - 2 * list_dot_product(a2.e, c.c_vec) + c.c_nrm2, 6)
+       |      AS DECIMAL(28,6))) AS DOUBLE) inertia
+       |  FROM a2 JOIN cn2 c ON a2.cell = c.cell GROUP BY a2.cell, c.c_nrm2)
+       |SELECT CAST(cell AS INT) AS cell, n_members, round(c_nrm2, 6) AS c_nrm2, inertia
+       |FROM f ORDER BY cell""".stripMargin
+  }
+
   // ---- sessionization (batch twin of the streaming operator) ----
 
   /** Gap-based sessionization over the event stream (30-min gap);
@@ -1450,6 +1490,7 @@ object PipelineQueries {
     "qd06_dedup_clusters"  -> ((s: SparkSession, d: String) => dedupClusters(Tables(s, d))),
     "qd18_cluster_census"  -> ((s: SparkSession, d: String) => clusterCensus(Tables(s, d))),
     "qd19_band_census"     -> ((s: SparkSession, d: String) => bandCensus(Tables(s, d))),
+    "qs12_kmeans"          -> ((s: SparkSession, d: String) => kmeansCensus(Tables(s, d))),
     "qd08_clusters_alternating" -> ((s: SparkSession, d: String) => dedupClustersAlternating(Tables(s, d))),
     "qd07_simhash64"       -> ((s: SparkSession, d: String) => simhash64NearDups(Tables(s, d))),
     "qd10_editdist_neardup" -> ((s: SparkSession, d: String) => editDistanceNearDups(Tables(s, d))),
@@ -1497,6 +1538,7 @@ object PipelineQueries {
     "qd06_dedup_clusters"  -> dedupClustersSql,
     "qd18_cluster_census"  -> clusterCensusSql,
     "qd19_band_census"     -> bandCensusSql,
+    "qs12_kmeans"          -> kmeansCensusSql,
     "qd08_clusters_alternating" -> dedupClustersSql, // same oracle: algorithms must agree
     "qd07_simhash64"       -> simhash64NearDupsSql,
     "qd10_editdist_neardup" -> editDistanceNearDupsSql,

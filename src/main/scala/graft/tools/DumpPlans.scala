@@ -127,6 +127,15 @@ object DumpPlans {
       ("qt23_line_boilerplate — corpus-global line census, no pair join",
        "The doc-frequency census partial-aggregates (map-side count-distinct) before its single line-hash shuffle; the join back to lines is an equi join on the md5 key; reassembly is one per-doc aggregation. Linear in corpus lines end-to-end — the same no-pair-join discipline as the substring census, which is what makes corpus-global boilerplate removal affordable at 100 TB.",
        fmt(graft.queries.QualityQueries.lineBoilerplate(t))),
+      ("qd19_band_census — join-free funnel pricing",
+       "One signature projection (Catalyst prunes the unused shingle-hash column), one partial-aggregated (band, hash) count, one constant-size histogram — not a single Join node anywhere. This is what lets the census price the pair join's shuffle (implied_pairs) WITHOUT running it.",
+       fmt(graft.operators.Dedup.bandCensus(t.documents))),
+      ("qt24_url_blocklist — broadcast suffix gate, corpus unshuffled",
+       "The host's bounded suffix chain explodes (≤ ~9 rows per doc), semi-joins the BROADCAST blocklist, and rejoins the corpus on the id; path rules are scan-local predicates. The corpus side never hash-exchanges for the lookup — the only non-broadcast exchange is the presentation orderBy.",
+       fmt(graft.queries.QualityQueries.urlBlocklist(t))),
+      ("qs12_kmeans — broadcast-centroid rounds, exact-decimal means",
+       "Every Lloyd round: centroids (tiny, lineage-truncated) broadcast into the corpus scan for the argmin assignment; the update is a (cell, dim) explode into a partial-aggregated decimal mean. The corpus is never shuffle-joined — the only wide exchanges are the per-id argmin agg and the (cell,dim) mean agg.",
+       fmt(graft.operators.KMeans.census(t.embeddings, k = 4, iters = 1))),
     )
 
     val md = new StringBuilder

@@ -274,4 +274,17 @@ class PlanAuditSpec extends SparkTestBase {
     // join back rides the md5 line-hash key (lh), an equi join
     assert(p.contains("lh"), s"join-back must key on the line hash:\n$p")
   }
+
+  test("qd19: band census is join-free with map-side partial aggregation") {
+    val p = plan(graft.operators.Dedup.bandCensus(t.documents))
+    assert(!p.contains("Join"), s"census must price the join, not run it:\n$p")
+    assert(p.contains("partial_"), s"bucket counts should combine map-side:\n$p")
+  }
+
+  test("qs12: kmeans touches the corpus only through broadcast joins") {
+    val p = plan(graft.operators.KMeans.census(t.embeddings, k = 4, iters = 1))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus must never shuffle-join the centroid side:\n$p")
+    assert(p.contains("Broadcast"), p)
+  }
 }
