@@ -119,6 +119,53 @@ object GraphMetrics {
     r.select(col("node"), col("r").as("pagerank"))
   }
 
+  /** Synchronous label-propagation community detection (Raghavan et
+    * al. 2007, made deterministic): every node starts as its own
+    * community, and each round EVERY node simultaneously adopts the
+    * plurality label of its neighborhood, ties broken by the smallest
+    * label. Synchronous update + total-order tie-break makes the
+    * trajectory a pure function of the graph — the asynchronous,
+    * random-order variant of the paper is faster to converge but
+    * unreproducible, which disqualifies it for a curation pipeline
+    * (the community assignment feeds downstream keeper policies, so
+    * re-running it must not reshuffle the corpus).
+    *
+    * Community detection is the cheap mid-ground between connected
+    * components (too coarse: one bridge edge fuses two template farms)
+    * and dense-subgraph mining (too expensive): on a dedup candidate
+    * graph, LPA communities ARE the near-dup neighborhoods worth
+    * verifying pair-wise.
+    *
+    * Scale shape: per round, one equi join of the directed edge list
+    * against the label vector (shuffle keyed on the source vertex) and
+    * TWO key-partitioned aggregations — (node, label) plurality counts,
+    * then a per-node argmax via `min(struct(-count, label))` so partial
+    * aggregation applies (a window would sort whole partitions for the
+    * same answer). Label vector never leaves the cluster; the directed
+    * edge list is materialized once (`localCheckpoint`) because every
+    * round re-reads it. Deep loops truncate label lineage every 3
+    * rounds — the [[ConnectedComponents]] plan-compounding lesson,
+    * gated exactly like [[pageRank]] so shallow oracle-able runs skip
+    * the materialization cost. */
+  def labelPropagation(edges0: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = canonicalEdges(edges0)
+    val e = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var l = e.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (i <- 1 to rounds) {
+      l = e.join(l, e("a") === l("node")).drop("node")
+        .groupBy(col("b"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("b"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("lab"))).as("m"))
+        .select(col("b").as("node"), col("m.lab").as("label"))
+      if (rounds > 8 && i % 3 == 0 && i < rounds)
+        l = ConnectedComponents.checkpointTruncated(l)
+    }
+    l
+  }
+
   /** Bounded k-core peeling census: `rounds` iterations of "drop every
     * vertex with degree < k, restrict edges to survivors", reporting
     * `(peel_round, n_vertices, n_edges)` for round 0 (the input graph)

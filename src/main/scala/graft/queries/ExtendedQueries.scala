@@ -247,8 +247,41 @@ object ExtendedQueries {
        |ORDER BY peel_round""".stripMargin
   }
 
+  /** qg06: 3-round synchronous label-propagation communities on the
+    * user co-activity graph — plurality label with min-label
+    * tie-break, vs DuckDB's unrolled CTE rounds (argmax expressed as a
+    * per-node ORDER BY c DESC, label ASC row_number; the Spark side's
+    * min(struct(-c, label)) is the same total order with partial
+    * aggregation instead of a partition sort). */
+  def labelPropagation(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    graft.operators.GraphMetrics.labelPropagation(coActivityEdges(t), rounds = 3)
+      .select($"node".as("user_id"), $"label".as("community"))
+      .orderBy($"user_id")
+  }
+
+  val labelPropagationSql: String = {
+    def round(k: Int) =
+      s"""r$k AS (SELECT e.b node, l.lbl, COUNT(*) c
+         |  FROM e JOIN l${k - 1} l ON l.node = e.a GROUP BY 1, 2),
+         |l$k AS (SELECT node, lbl FROM (
+         |    SELECT node, lbl,
+         |      row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) rn
+         |    FROM r$k) WHERE rn = 1)""".stripMargin
+    s"""WITH bkt AS (SELECT DISTINCT user_id u, event_type et, date_trunc('minute', ts) m FROM events),
+       |und AS (SELECT DISTINCT a.u a, b2.u b
+       |  FROM bkt a JOIN bkt b2 ON a.et = b2.et AND a.m = b2.m AND a.u < b2.u),
+       |e AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |l0 AS (SELECT DISTINCT a node, a lbl FROM e),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT node AS user_id, lbl AS community FROM l3 ORDER BY user_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qg02_triangle_census" -> ((s: SparkSession, d: String) => triangleCensus(Tables(s, d))),
+    "qg06_label_prop"      -> ((s: SparkSession, d: String) => labelPropagation(Tables(s, d))),
     "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
     "qg05_kcore_census"    -> ((s: SparkSession, d: String) => kCoreCensus(Tables(s, d))),
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
@@ -260,6 +293,7 @@ object ExtendedQueries {
 
   def oracles: Map[String, String] = Map(
     "qg02_triangle_census" -> triangleCensusSql,
+    "qg06_label_prop"      -> labelPropagationSql,
     "qg03_pagerank"        -> pageRankSql,
     "qg05_kcore_census"    -> kCoreCensusSql,
     "q17_rollup_revenue"   -> rollupRevenueSql,

@@ -96,6 +96,50 @@ class GraphMetricsSpec extends SparkTestBase {
     assert(census == Seq((0L, 5L, 5L), (1L, 4L, 4L), (2L, 3L, 3L), (3L, 3L, 3L)))
   }
 
+  test("labelPropagation: disjoint triangles each converge to their min id") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+                    (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val labels = GraphMetrics.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+                         10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("labelPropagation: plurality beats id order — a big community pulls a bridge node") {
+    // clique {5,6,7,8} + node 9 attached to 6,7,8 (three clique votes)
+    // and to 1 (one vote, smaller id): plurality must win over min-id
+    val clique = Seq((5L, 6L), (5L, 7L), (5L, 8L), (6L, 7L), (6L, 8L), (7L, 8L))
+    val edges = (clique ++ Seq((9L, 6L), (9L, 7L), (9L, 8L), (9L, 1L))).toDF("a", "b")
+    val labels = GraphMetrics.labelPropagation(edges, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // the clique converges to label 5; node 9's three clique neighbors
+    // outvote the single label-1 neighbor
+    assert(labels(9L) == 5L, labels.toString)
+    assert(Seq(5L, 6L, 7L, 8L).forall(labels(_) == 5L), labels.toString)
+  }
+
+  test("labelPropagation is partition-invariant and canonicalization-invariant") {
+    val edges = (0L until 40L).flatMap(i => Seq((i, (i + 1) % 40), (i, (i + 5) % 40)))
+      .toDF("a", "b")
+    val a = GraphMetrics.labelPropagation(edges, rounds = 3)
+      .orderBy($"node").collect().toSeq
+    val b = GraphMetrics.labelPropagation(edges.repartition(13), rounds = 3)
+      .orderBy($"node").collect().toSeq
+    assert(a == b)
+    val messy = edges.unionByName(edges.select($"b".as("a"), $"a".as("b")))
+      .unionByName(Seq((3L, 3L)).toDF("a", "b"))
+    val c = GraphMetrics.labelPropagation(messy, rounds = 3)
+      .orderBy($"node").collect().toSeq
+    assert(a == c)
+  }
+
+  test("labelPropagation: deep loop (rounds=12) truncates lineage and still labels every node") {
+    val path = (0L until 2000L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = GraphMetrics.labelPropagation(path, rounds = 12)
+    assert(labels.count() == 2001L)
+    intercept[IllegalArgumentException](GraphMetrics.labelPropagation(path, rounds = 0))
+  }
+
   test("kCorePeelCensus: a tree peels to nothing; canonicalization applies") {
     val tree = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (3L, 3L)).toDF("a", "b")
     val census = GraphMetrics.kCorePeelCensus(tree, k = 2, rounds = 3)
