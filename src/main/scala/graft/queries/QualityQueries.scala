@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Bpe, Dedup, Decontaminate, Dsir, LinearClassifier, LogisticTrainer, NgramLM, QualityRules, UrlFilter}
+import graft.operators.{Bpe, Dedup, Decontaminate, Dsir, HeavyHitters, LinearClassifier, LogisticTrainer, NgramLM, QualityRules, UrlFilter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -824,7 +824,36 @@ object QualityQueries {
       .orderBy($"doc_id")
   }
 
+  /** qt28: exact frequent tokens via [[HeavyHitters.exactFrequent]] —
+    * per-partition Misra–Gries candidate discovery (bounded memory, no
+    * full-vocabulary shuffle) + candidates-only exact verification.
+    * The output is EXACT (every token with share ≥ 1/200), which is
+    * what makes a sketch-screened operator oracle-checkable: the
+    * oracle is the plain GROUP BY ... HAVING census, and any MG
+    * false-negative anywhere would hash-mismatch. */
+  def heavyHitters(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val words = t.documents
+      .select(explode(tokens(lower($"text"))).as("token"))
+      .filter(length($"token") > 0)
+    HeavyHitters.exactFrequent(words, "token", denom = 200, capacity = 256)
+      .select($"item".as("token"), $"cnt", $"share")
+      .orderBy($"cnt".desc, $"token")
+  }
+
+  val heavyHittersSql: String =
+    """WITH w AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) token FROM documents),
+      |wnz AS (SELECT token FROM w WHERE len(token) > 0),
+      |tot AS (SELECT COUNT(*) n FROM wnz)
+      |SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
+      |  round(CAST(COUNT(*) AS DOUBLE) / n, 6) AS share
+      |FROM wnz CROSS JOIN tot
+      |GROUP BY token, n
+      |HAVING COUNT(*) * 200 >= n
+      |ORDER BY cnt DESC, token""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt28_heavy_hitters"     -> ((s: SparkSession, d: String) => heavyHitters(Tables(s, d))),
     "qt24_url_blocklist"     -> ((s: SparkSession, d: String) => urlBlocklist(Tables(s, d))),
     "qt25_lr_train"          -> ((s: SparkSession, d: String) => lrTrain(Tables(s, d))),
     "qt26_bpe_vocab"         -> ((s: SparkSession, d: String) => bpeVocab(Tables(s, d))),
@@ -849,6 +878,7 @@ object QualityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qt28_heavy_hitters"     -> heavyHittersSql,
     "qt24_url_blocklist"     -> urlBlocklistSql,
     "qt25_lr_train"          -> lrTrainSql,
     "qc10_semantic_decontam" -> semanticDecontaminateSql,
