@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Distributed unigram-LM tokenizer training (Kudo 2018, the
+  * SentencePiece "unigram" model) — the second tokenizer-training
+  * family next to [[Bpe]]: instead of greedy merge learning, a piece
+  * VOCABULARY with probabilities is fit by EM and words segment by
+  * maximum likelihood.
+  *
+  * Same census discipline as BPE: the corpus is read exactly once (the
+  * distinct-word census); seeding and every EM round iterate over the
+  * census, never the corpus, so training cost is vocabulary-shaped and
+  * flat in corpus size. Per round: one census-sized flatMap (Viterbi
+  * best segmentation per DISTINCT word — the imperative per-word step,
+  * like [[Bpe.encodeWord]]) + one map-side-combined piece-count
+  * aggregation; the driver holds only the piece table (seedSize rows —
+  * the broadcast-model shape, like the LR weights and BPE merges).
+  *
+  * Deliberate simplifications vs the paper, chosen for determinism
+  * (the property that makes a tokenizer trustworthy in a pipeline —
+  * retraining on the same corpus must yield the same vocabulary):
+  *  - hard EM (Viterbi counts) instead of forward–backward expected
+  *    counts: piece counts stay exact integers, so the M-step
+  *    probabilities are pure functions of the corpus, immune to
+  *    float-sum aggregation order;
+  *  - pruning = "drop pieces the E-step stopped using" rather than the
+  *    likelihood-loss ranking: monotone and deterministic;
+  *  - unknown characters score a fixed per-char penalty instead of a
+  *    learned UNK probability, making segmentation total (any string
+  *    encodes) without a coverage special case.
+  * Ties in the DP break toward the longest final piece (smallest
+  * split point), so segmentations are deterministic too.
+  */
+object Unigram {
+
+  final case class Piece(piece: String, cnt: Long, logprob: Double)
+
+  /** Fixed per-character penalty for out-of-vocabulary characters —
+    * worse than any in-vocabulary piece can score, so it is used only
+    * when nothing else covers the character. */
+  val UnknownLogProb: Double = -100.0
+
+  /** Viterbi maximum-likelihood segmentation of `word` under piece
+    * log-probabilities `logp`. dp[i] = best score of word[0,i); at each
+    * i the candidate pieces are the ≤ maxPieceLen suffixes of the
+    * prefix, plus the single-char unknown fallback. Ties prefer the
+    * longer final piece. Pure per-word function: runs on the DISTINCT
+    * word census, never the corpus. */
+  def segmentWord(word: String, logp: Map[String, Double],
+                  maxPieceLen: Int): Vector[String] = {
+    val n = word.length
+    if (n == 0) return Vector.empty
+    val score = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = Double.NegativeInfinity
+      var bestJ = -1
+      // longest piece first: on exact ties the earlier (longer) wins
+      var j = math.max(0, i - maxPieceLen)
+      while (j < i) {
+        val piece = word.substring(j, i)
+        val lp =
+          if (logp.contains(piece)) logp(piece)
+          else if (i - j == 1) UnknownLogProb
+          else Double.NegativeInfinity
+        if (lp != Double.NegativeInfinity) {
+          val s = score(j) + lp
+          if (s > best) { best = s; bestJ = j }
+        }
+        j += 1
+      }
+      score(i) = best
+      back(i) = bestJ
+      i += 1
+    }
+    val out = List.newBuilder[String]
+    val rev = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var k = n
+    while (k > 0) { val j = back(k); rev += ((j, k)); k = j }
+    rev.reverseIterator.foreach { case (a, b) => out += word.substring(a, b) }
+    out.result().toVector
+  }
+
+  /** Seed candidate pieces from the word census: every substring of
+    * every distinct word up to `maxPieceLen`, weighted by word count ×
+    * occurrences; ALL single characters are kept (coverage), plus the
+    * top multi-char pieces by (frequency desc, piece asc) up to
+    * `seedSize` total. One census-sized flatMap + one aggregation. */
+  def seedPieces(census: DataFrame, seedSize: Int, maxPieceLen: Int): DataFrame = {
+    val freqs = census.select(col("word"), col("wc"))
+      .as(Encoders.product[(String, Long)])
+      .flatMap { case (w, wc) =>
+        for {
+          len <- 1 to math.min(maxPieceLen, w.length)
+          start <- 0 to w.length - len
+        } yield (w.substring(start, start + len), wc)
+      }(Encoders.product[(String, Long)])
+      .toDF("piece", "f")
+      .groupBy(col("piece")).agg(sum(col("f")).as("freq"))
+    val chars = freqs.filter(length(col("piece")) === 1)
+    val nChars = chars.count()
+    val multi = freqs.filter(length(col("piece")) > 1)
+      .orderBy(desc("freq"), asc("piece"))
+      .limit(math.max(0, seedSize - nChars.toInt))
+    chars.unionByName(multi)
+  }
+
+  /** Fit the unigram vocabulary: seed, then `emRounds` of Viterbi
+    * E-step (exact integer piece counts over the census) + closed-form
+    * M-step (p = cnt / total). Zero-count pieces drop each round.
+    * Returns the final piece table ordered (cnt desc, piece asc). */
+  def train(docs: DataFrame, seedSize: Int = 48, maxPieceLen: Int = 4,
+            emRounds: Int = 3, textCol: String = "text"): Seq[Piece] = {
+    require(seedSize >= 1 && maxPieceLen >= 1 && emRounds >= 1)
+    val spark = docs.sparkSession
+    val census = ConnectedComponents.checkpointTruncated(
+      Bpe.wordCounts(docs, textCol))
+    val seed = seedPieces(census, seedSize, maxPieceLen)
+      .select(col("piece"), col("freq")).as(Encoders.product[(String, Long)])
+      .collect() // vocab metadata: seedSize rows, the broadcast-model shape
+    var logp: Map[String, Double] = {
+      val total = seed.map(_._2).sum.toDouble
+      seed.map { case (p, f) => p -> (math.log(f.toDouble) - math.log(total)) }.toMap
+    }
+    var counts: Seq[(String, Long)] = Seq.empty
+    for (_ <- 1 to emRounds) {
+      val bc = spark.sparkContext.broadcast((logp, maxPieceLen))
+      counts = census.select(col("word"), col("wc"))
+        .as(Encoders.product[(String, Long)])
+        .flatMap { case (w, wc) =>
+          segmentWord(w, bc.value._1, bc.value._2).map(p => (p, wc))
+        }(Encoders.product[(String, Long)])
+        .toDF("piece", "c")
+        .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+        .as(Encoders.product[(String, Long)])
+        .collect().toSeq // vocab-sized: ≤ current vocab, like the seed
+      val total = counts.map(_._2).sum.toDouble
+      logp = counts.map { case (p, c) =>
+        p -> (math.log(c.toDouble) - math.log(total))
+      }.toMap
+    }
+    counts.map { case (p, c) => Piece(p, c, logp(p)) }
+      .sortBy(pc => (-pc.cnt, pc.piece))
+  }
+
+  /** Per-doc piece census under a trained vocabulary — the same
+    * distinct-word join-back as [[Bpe.encodedTokenCounts]]: DISTINCT
+    * words segment once (Viterbi, vocabulary-sized work), the corpus
+    * joins back on the word, one per-doc aggregation. Output:
+    * (id, n_words, n_pieces, ratio). */
+  def encodedPieceCounts(docs: DataFrame, vocab: Seq[Piece],
+                         maxPieceLen: Int = 4,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    val bc = docs.sparkSession.sparkContext.broadcast(
+      vocab.map(p => p.piece -> p.logprob).toMap)
+    val segLen = udf((w: String) => segmentWord(w, bc.value, maxPieceLen).size)
+    val words = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+    val distinctWords = words.select(col("word")).distinct()
+      .withColumn("n_p", segLen(col("word")))
+    words.join(distinctWords, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_p")).as("n_pieces"))
+      .withColumn("ratio",
+        round(col("n_pieces").cast("double") / col("n_words").cast("double"), 6))
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Bpe, Dedup, Decontaminate, Dsir, HeavyHitters, LinearClassifier, LogisticTrainer, NgramLM, QualityRules, UrlFilter}
+import graft.operators.{Bpe, Dedup, Decontaminate, Dsir, HeavyHitters, LinearClassifier, LogisticTrainer, NgramLM, QualityRules, Unigram, UrlFilter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -852,7 +852,35 @@ object QualityQueries {
       |HAVING COUNT(*) * 200 >= n
       |ORDER BY cnt DESC, token""".stripMargin
 
+  /** qt29: the SECOND tokenizer-training family in-engine —
+    * [[Unigram.train]]'s hard-EM unigram LM (SentencePiece model) over
+    * the same corpus qt26's BPE trains on. Output IS the fitted
+    * vocabulary: piece, exact Viterbi count, log-probability. Iterated
+    * EM over a rewritten census is not SQL-expressible, so this rides
+    * the rows-only gate like qt26; UnigramSpec pins the algorithm
+    * (hand-computed EM round, DP-vs-brute-force segmentation,
+    * partitioning invariance, train/encode parity). */
+  def unigramVocab(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Unigram.train(t.documents, seedSize = 48, maxPieceLen = 4, emRounds = 3)
+      .map(p => (p.piece, p.cnt, math.rint(p.logprob * 1e6) / 1e6))
+      .toDF("piece", "cnt", "logprob")
+      .orderBy($"cnt".desc, $"piece")
+  }
+
+  /** qt30: qt29's vocabulary APPLIED — per-doc piece counts via the
+    * distinct-word segment-once join-back. Rows-only for the same
+    * reason as qt29. */
+  def unigramEncode(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val vocab = Unigram.train(t.documents, seedSize = 48, maxPieceLen = 4, emRounds = 3)
+    Unigram.encodedPieceCounts(t.documents, vocab, maxPieceLen = 4)
+      .orderBy($"doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qt29_unigram_vocab"     -> ((s: SparkSession, d: String) => unigramVocab(Tables(s, d))),
+    "qt30_unigram_encode"    -> ((s: SparkSession, d: String) => unigramEncode(Tables(s, d))),
     "qt28_heavy_hitters"     -> ((s: SparkSession, d: String) => heavyHitters(Tables(s, d))),
     "qt24_url_blocklist"     -> ((s: SparkSession, d: String) => urlBlocklist(Tables(s, d))),
     "qt25_lr_train"          -> ((s: SparkSession, d: String) => lrTrain(Tables(s, d))),
