@@ -136,6 +136,12 @@ object DumpPlans {
       ("qs12_kmeans — broadcast-centroid rounds, exact-decimal means",
        "Every Lloyd round: centroids (tiny, lineage-truncated) broadcast into the corpus scan for the argmin assignment; the update is a (cell, dim) explode into a partial-aggregated decimal mean. The corpus is never shuffle-joined — the only wide exchanges are the per-id argmin agg and the (cell,dim) mean agg.",
        fmt(graft.operators.KMeans.census(t.embeddings, k = 4, iters = 1))),
+      ("qg06_label_prop — plurality argmax as a combining aggregate",
+       "Each LPA round is one equi join of the (localCheckpoint-materialized) directed edge list against the label vector plus TWO hash aggregates: (node,label) plurality counts, then per-node argmax via min(struct(-c,label)) — both with partial_ map-side combine. No Window node anywhere: a row_number-over-node formulation would sort whole partitions for the same answer.",
+       fmt(graft.queries.ExtendedQueries.labelPropagation(t))),
+      ("qt28_heavy_hitters — Misra-Gries screen, candidates-only verify",
+       "The candidate scan is the mapPartitions MG summary (bounded memory, no exchange); the verify pass semi-joins the BROADCAST candidate set into the token scan and counts with partial_ combine, so the only wide exchange carries candidate tokens — never the vocabulary. The full-vocab groupBy this replaces would shuffle one row per distinct token.",
+       fmt(graft.queries.QualityQueries.heavyHitters(t))),
     )
 
     val md = new StringBuilder

@@ -287,4 +287,21 @@ class PlanAuditSpec extends SparkTestBase {
       s"corpus must never shuffle-join the centroid side:\n$p")
     assert(p.contains("Broadcast"), p)
   }
+
+  test("qg06: label propagation aggregates with map-side combine, no window sort") {
+    val p = plan(ExtendedQueries.labelPropagation(t))
+    // the per-node argmax is min(struct(-c, label)) — a hash aggregate
+    // with partial combine, never a Window over node partitions
+    assert(!p.contains("Window"), s"argmax must not plan as a window:\n$p")
+    assert(p.contains("partial_min"), s"argmax should combine map-side:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("qt28: heavy-hitter verify joins the broadcast candidate set; counts combine map-side") {
+    val p = plan(QualityQueries.heavyHitters(t))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"verify pass must semi-join the broadcast candidates:\n$p")
+    assert(p.contains("partial_count"), s"verify counts should combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus must never shuffle for the candidates:\n$p")
+  }
 }
