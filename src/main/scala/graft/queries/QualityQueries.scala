@@ -878,7 +878,65 @@ object QualityQueries {
       .orderBy($"doc_id")
   }
 
+  /** qr05: declarative data-contract report over the orders table —
+    * [[Expectations.suite]] compiles eight checks (nullability,
+    * uniqueness, value ranges, priority enum, row count, customer FK)
+    * into ONE map-side-combined aggregation pass + one broadcast
+    * anti-join orphan count; the 1-row metrics frame is checkpointed
+    * and unpivoted (the qr04 pattern). The contract a pipeline runs
+    * before letting a snapshot into the silver layer. */
+  def expectations(t: Tables): DataFrame = {
+    import graft.operators.Expectations._
+    suite(t.orders, Seq(
+      NotNull("o_orderkey"),
+      NotNull("o_custkey"),
+      Unique("o_orderkey"),
+      MinValue("o_totalprice", 0.0),
+      MaxValue("o_totalprice", 600000.0),
+      InSet("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")),
+      RowCountBetween(1L, 100000000L),
+      ForeignKey("o_custkey", t.customer, "c_custkey", "customer")))
+  }
+
+  val expectationsSql: String =
+    """WITH a AS (SELECT
+      |    COUNT(*) n_rows,
+      |    SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) nul_ok,
+      |    SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) nul_ck,
+      |    COUNT(DISTINCT o_orderkey) dist_ok, COUNT(o_orderkey) nn_ok,
+      |    CAST(MIN(o_totalprice) AS DOUBLE) min_tp,
+      |    CAST(MAX(o_totalprice) AS DOUBLE) max_tp,
+      |    SUM(CASE WHEN o_orderpriority IS NOT NULL AND o_orderpriority NOT IN
+      |        ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+      |      THEN 1 ELSE 0 END) viol_pr
+      |  FROM orders),
+      |fk AS (SELECT CAST(COUNT(*) AS DOUBLE) orphans
+      |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      |  WHERE c.c_custkey IS NULL)
+      |SELECT * FROM (
+      |  SELECT 'not_null' expectation, 'o_orderkey' col_name,
+      |    round(CAST(nul_ok AS DOUBLE) / n_rows, 6) metric, 0.0 threshold,
+      |    round(CAST(nul_ok AS DOUBLE) / n_rows, 6) <= 0.0 pass FROM a
+      |  UNION ALL SELECT 'not_null', 'o_custkey',
+      |    round(CAST(nul_ck AS DOUBLE) / n_rows, 6), 0.0,
+      |    round(CAST(nul_ck AS DOUBLE) / n_rows, 6) <= 0.0 FROM a
+      |  UNION ALL SELECT 'unique', 'o_orderkey',
+      |    CAST(nn_ok - dist_ok AS DOUBLE), 0.0, CAST(nn_ok - dist_ok AS DOUBLE) <= 0.0 FROM a
+      |  UNION ALL SELECT 'min_value', 'o_totalprice', min_tp, 0.0,
+      |    COALESCE(min_tp >= 0.0, FALSE) FROM a
+      |  UNION ALL SELECT 'max_value', 'o_totalprice', max_tp, 600000.0,
+      |    COALESCE(max_tp <= 600000.0, FALSE) FROM a
+      |  UNION ALL SELECT 'in_set', 'o_orderpriority',
+      |    CAST(viol_pr AS DOUBLE), 0.0, CAST(viol_pr AS DOUBLE) <= 0.0 FROM a
+      |  UNION ALL SELECT 'row_count', '*', CAST(n_rows AS DOUBLE), 100000000.0,
+      |    CAST(n_rows AS DOUBLE) >= 1.0 AND CAST(n_rows AS DOUBLE) <= 100000000.0 FROM a
+      |  UNION ALL SELECT 'foreign_key', 'o_custkey->customer.c_custkey',
+      |    orphans, 0.0, orphans <= 0.0 FROM fk)
+      |ORDER BY expectation, col_name""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qr05_expectations"      -> ((s: SparkSession, d: String) => expectations(Tables(s, d))),
     "qt29_unigram_vocab"     -> ((s: SparkSession, d: String) => unigramVocab(Tables(s, d))),
     "qt30_unigram_encode"    -> ((s: SparkSession, d: String) => unigramEncode(Tables(s, d))),
     "qt28_heavy_hitters"     -> ((s: SparkSession, d: String) => heavyHitters(Tables(s, d))),
@@ -906,6 +964,7 @@ object QualityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qr05_expectations"      -> expectationsSql,
     "qt28_heavy_hitters"     -> heavyHittersSql,
     "qt24_url_blocklist"     -> urlBlocklistSql,
     "qt25_lr_train"          -> lrTrainSql,

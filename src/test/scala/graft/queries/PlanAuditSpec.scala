@@ -297,6 +297,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("qr05: expectation suite — branches read the 1-row checkpoint; FK is a broadcast anti join") {
+    val p = plan(QualityQueries.expectations(t))
+    assert(p.contains("LeftAnti") && p.contains("BroadcastHashJoin"),
+      s"FK orphan check must be a broadcast anti join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("qt28: heavy-hitter verify joins the broadcast candidate set; counts combine map-side") {
     val p = plan(QualityQueries.heavyHitters(t))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
