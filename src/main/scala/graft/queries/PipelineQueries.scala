@@ -1454,7 +1454,45 @@ object PipelineQueries {
       |  md5(COALESCE(array_to_string(ded, chr(10)), '')) clean_md5
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** qd20: content-defined chunking profile —
+    * [[graft.operators.ContentChunks.chunkProfile]] over every doc:
+    * rolling-hash boundaries make chunk hashes survive insertions
+    * (shift-robust dedup, the qd14 fixed-grid complement). Pure
+    * integer window hash ⇒ cell-exact oracle; `total_chars` must
+    * reconcile with the text length (chunking is a partition). */
+  def cdcProfile(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    graft.operators.ContentChunks.chunkProfile(t.documents)
+      .orderBy($"doc_id")
+  }
+
+  val cdcProfileSql: String = {
+    // H(i) = sum_k cs[i-k] * 31^k  (k = 0..7), boundary at H % 1000003 % 64 == 63
+    val hash = (0 until 8).map(k =>
+      s"cs[i-$k]*${Iterator.iterate(1L)(_ * 31L).drop(k).next()}").mkString(" + ")
+    s"""WITH c AS (SELECT doc_id, text, len(text) n,
+       |    list_transform(range(1, len(text)+1), i -> CAST(ord(text[i]) AS BIGINT)) cs
+       |  FROM documents),
+       |b AS (SELECT doc_id, n,
+       |    list_filter(range(8, n+1), i -> ($hash) % 1000003 % 64 = 63) bs
+       |  FROM c),
+       |ch AS (SELECT doc_id, n,
+       |    list_prepend(1, list_transform(bs, x -> x + 1)) ss,
+       |    list_append(bs, n) es
+       |  FROM b),
+       |lens AS (SELECT doc_id,
+       |    list_filter(list_transform(range(1, len(ss)+1), j -> es[j] - ss[j] + 1),
+       |                l -> l >= 1) ls
+       |  FROM ch)
+       |SELECT doc_id, CAST(len(ls) AS BIGINT) n_chunks,
+       |  CAST(list_max(ls) AS BIGINT) max_chunk_len,
+       |  CAST(list_sum(ls) AS BIGINT) total_chars,
+       |  round(CAST(list_sum(ls) AS DOUBLE) / len(ls), 6) mean_chunk_len
+       |FROM lens ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qd20_cdc_chunks"      -> ((s: SparkSession, d: String) => cdcProfile(Tables(s, d))),
     "qe07_sliding_distinct" -> ((s: SparkSession, d: String) => slidingDistinct(Tables(s, d))),
     "qd15_intradoc_dedup"  -> ((s: SparkSession, d: String) => intradocDedup(Tables(s, d))),
     "qd16_cluster_canonical" -> ((s: SparkSession, d: String) => clusterCanonical(Tables(s, d))),
@@ -1519,6 +1557,7 @@ object PipelineQueries {
     "qt19_zipf_fit"        -> zipfFitSql,
     "qt20_vocab_coverage"  -> vocabCoverageSql,
     "qd14_chunk_dedup"     -> chunkDedupSql,
+    "qd20_cdc_chunks"      -> cdcProfileSql,
     "qg04_coactivity_comps" -> coActivityComponentsSql,
     "qe05_conversion_funnel" -> conversionFunnelSql,
     "qt16_pmi_bigrams"     -> pmiBigramsSql,
