@@ -34,6 +34,31 @@ object Skew {
       .agg(combine(col("__partial")).as(outCol))
   }
 
+  /** Pre-join mass census — qd19's funnel pricing generalized to ANY
+    * equi join: per-key row counts on each side, joined on the KEY
+    * COUNT tables (|distinct keys| rows, never the data), with
+    * per-key output mass = cl × cr — exactly the rows the real join
+    * would produce for that key. Log2-bucketed histogram + the fattest
+    * key per bucket: the census a 100 TB pipeline reads BEFORE running
+    * a join, because one hot key (mass ≫ rest) is the signal to salt
+    * ([[saltedJoin]]), broadcast, or blocklist — after the join it's a
+    * straggler task you discover at hour three.
+    *
+    * Cost: one map-side-combined count per side + one join of the
+    * count tables. Output is constant-size (≤ 64 buckets). Exact
+    * integers throughout → oracle-checkable. */
+  def joinMass(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String): DataFrame = {
+    val cl = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
+    val cr = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
+    cl.join(cr, "k")
+      .select(col("k"), (col("cl") * col("cr")).as("mass"))
+      .groupBy(floor(log2(col("mass"))).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("mass")).cast("long").as("implied_rows"),
+        max(col("mass")).cast("long").as("max_key_mass"))
+  }
+
   /** Salted equi-join: the (skewed) left side gets a random salt in
     * [0,n); the right side is exploded n× so every salted key finds its
     * match. Preserves inner-join semantics exactly; costs n× the right

@@ -279,9 +279,32 @@ object ExtendedQueries {
        |SELECT node AS user_id, lbl AS community FROM l3 ORDER BY user_id""".stripMargin
   }
 
+  /** qj01: pre-join mass census of orders ⨝ lineitem on the order key
+    * — [[graft.operators.Skew.joinMass]]: per-key count tables joined
+    * (key-cardinality rows, never the data), per-key output mass
+    * cl × cr log2-histogrammed with the fattest key per bucket. The
+    * read-before-you-join skew detector; Σ implied_rows IS the join's
+    * exact output size, priced without running it. */
+  def joinMassCensus(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    graft.operators.Skew.joinMass(t.orders, t.lineitem, "o_orderkey", "l_orderkey")
+      .orderBy($"bucket")
+  }
+
+  val joinMassCensusSql: String =
+    """WITH cl AS (SELECT o_orderkey k, COUNT(*) c1 FROM orders GROUP BY 1),
+      |cr AS (SELECT l_orderkey k, COUNT(*) c2 FROM lineitem GROUP BY 1),
+      |m AS (SELECT cl.k, cl.c1 * cr.c2 mass FROM cl JOIN cr ON cl.k = cr.k)
+      |SELECT CAST(floor(log2(mass)) AS BIGINT) bucket,
+      |  CAST(COUNT(*) AS BIGINT) n_keys,
+      |  CAST(SUM(mass) AS BIGINT) implied_rows,
+      |  CAST(MAX(mass) AS BIGINT) max_key_mass
+      |FROM m GROUP BY 1 ORDER BY bucket""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qg02_triangle_census" -> ((s: SparkSession, d: String) => triangleCensus(Tables(s, d))),
     "qg06_label_prop"      -> ((s: SparkSession, d: String) => labelPropagation(Tables(s, d))),
+    "qj01_join_mass"       -> ((s: SparkSession, d: String) => joinMassCensus(Tables(s, d))),
     "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
     "qg05_kcore_census"    -> ((s: SparkSession, d: String) => kCoreCensus(Tables(s, d))),
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
@@ -294,6 +317,7 @@ object ExtendedQueries {
   def oracles: Map[String, String] = Map(
     "qg02_triangle_census" -> triangleCensusSql,
     "qg06_label_prop"      -> labelPropagationSql,
+    "qj01_join_mass"       -> joinMassCensusSql,
     "qg03_pagerank"        -> pageRankSql,
     "qg05_kcore_census"    -> kCoreCensusSql,
     "q17_rollup_revenue"   -> rollupRevenueSql,

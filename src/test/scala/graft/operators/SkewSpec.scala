@@ -30,6 +30,26 @@ class SkewSpec extends SparkTestBase {
     assert(salted(1L) == 5001L)   // the hot key's full multiplicity survives
   }
 
+  test("joinMass: hand-computed histogram; implied_rows equals the real join size") {
+    // keys: 1 → 3×2=6 rows (bucket 2), 2 → 1×1=1 (bucket 0), 3 left-only
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("lk").withColumn("pl", lit("x"))
+    val r = Seq(1L, 1L, 2L, 4L).toDF("rk").withColumn("pr", lit("y"))
+    val census = Skew.joinMass(l, r, "lk", "rk")
+      .orderBy($"bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(census == Seq((0L, 1L, 1L, 1L), (2L, 1L, 6L, 6L)))
+    val actual = l.join(r, l("lk") === r("rk")).count()
+    assert(census.map(_._3).sum == actual, "census must price the join exactly")
+  }
+
+  test("joinMass: a planted hot key dominates the top bucket before any join runs") {
+    val l = ((1 to 2000).map(_ => 77L) ++ (1L to 50L)).toDF("k").withColumn("p", lit(1))
+    val r = ((1 to 300).map(_ => 77L) ++ (1L to 50L)).toDF("k").withColumn("q", lit(2))
+    val top = Skew.joinMass(l, r, "k", "k").orderBy($"bucket".desc)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(top._4 == 2000L * 300L, s"hot key mass not surfaced: $top")
+    assert(top._2 == 1L)
+  }
+
   test("salted join on the lineitem fixture matches the unsalted plan") {
     val t = Tables(spark, sf0001)
     val plain = t.lineitem.join(t.part, t.lineitem("l_partkey") === t.part("p_partkey"))
