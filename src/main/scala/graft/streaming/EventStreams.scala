@@ -345,6 +345,32 @@ object EventStreams {
               unix_millis(col("purchase_ts")).as("purchase_ms"))
   }
 
+  /** Streaming data contract — the continuous form of the qr05
+    * expectation suite: every micro-batch is scored against the same
+    * declarative checks ([[graft.operators.Expectations.suite]], one
+    * aggregation pass per batch) and its PASS/FAIL report lands in a
+    * `batch_id` partition with dynamic overwrite, so a crash-replayed
+    * batch overwrites its own report (suite output is a pure function
+    * of batch content — replay-idempotent by construction, no marker
+    * needed). The admission-control read: downstream stages gate on
+    * the latest batch's report before consuming it. */
+  def expectationsStream(rows: DataFrame,
+                         checks: Seq[graft.operators.Expectations.Check],
+                         reportDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Expectations.suite(batch, checks)
+          .withColumn("batch_id", lit(batchId))
+          .coalesce(1)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(reportDir)
+        ()
+      }
+
   /** Streaming drift monitor — the continuous twin of the qr02 drift
     * report: per tumbling window, the event-type distribution is
     * scored against a released reference distribution (KL(window‖ref)

@@ -162,6 +162,46 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("expectationsStream: per-batch contract reports, batch twin, replay overwrite") {
+    import graft.operators.Expectations.{MinValue, RowCountBetween, Unique}
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sexp").toString
+    val checks = Seq(Unique("id"), MinValue("amount", 0.0), RowCountBetween(1L, 10L))
+    val mem = MemoryStream[(Long, Double)]
+    val q = EventStreams.expectationsStream(
+      mem.toDF.toDF("id", "amount"), checks, dir).start()
+    try {
+      mem.addData((1L, 5.0), (2L, 7.0))                 // clean batch
+      q.processAllAvailable()
+      mem.addData((3L, -4.0), (3L, 1.0))                // dup id + negative
+      q.processAllAvailable()
+      val rep = spark.read.parquet(dir)
+        .select(col("batch_id"), col("expectation"), col("pass"))
+        .as[(Long, String, Boolean)].collect().toSet
+      assert(rep.filter(_._1 == 0L).forall(_._3), s"clean batch flagged: $rep")
+      assert(rep.contains((1L, "unique", false)) && rep.contains((1L, "min_value", false)))
+      assert(rep.contains((1L, "row_count", true)))
+      // batch twin: the streaming report rows equal the batch suite on
+      // the same content
+      val twin = graft.operators.Expectations
+        .suite(Seq((3L, -4.0), (3L, 1.0)).toDF("id", "amount"), checks)
+        .select(col("expectation"), col("pass")).as[(String, Boolean)].collect().toSet
+      assert(rep.filter(_._1 == 1L).map(r => (r._2, r._3)) == twin)
+    } finally q.stop()
+
+    // replay without the checkpoint: batch 0 re-delivers; the dynamic
+    // partition overwrite keeps exactly one report per batch_id
+    val before = spark.read.parquet(dir).count()
+    val mem2 = MemoryStream[(Long, Double)]
+    val q2 = EventStreams.expectationsStream(
+      mem2.toDF.toDF("id", "amount"), checks, dir).start()
+    try {
+      mem2.addData((1L, 5.0), (2L, 7.0))
+      q2.processAllAvailable()
+      assert(spark.read.parquet(dir).count() == before, "replayed report duplicated rows")
+    } finally q2.stop()
+  }
+
   test("dedupStream dedups each micro-batch against the growing signature store") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
