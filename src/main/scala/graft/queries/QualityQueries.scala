@@ -467,6 +467,30 @@ object QualityQueries {
       |  COUNT(*) < 5 AS at_risk
       |FROM documents GROUP BY 1, 2 ORDER BY lang, chars_bucket""".stripMargin
 
+  /** qt31: l-diversity census — the canonical companion to qt14's
+    * k-anonymity: a quasi-identifier group can be large enough to hide
+    * in (k-anonymous) yet still leak its members' sensitive attribute
+    * if every member shares one value (the homogeneity attack).
+    * Same QI buckets as qt14; `source` plays the sensitive attribute;
+    * a group is safe only when it is BOTH populous and diverse. One
+    * map-side-combined aggregation (count + count distinct). */
+  def lDiversity(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents
+      .groupBy($"lang", (floor($"n_chars" / 100) * 100).cast("long").as("chars_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+           countDistinct($"source").as("n_sensitive"))
+      .withColumn("at_risk", $"n_docs" < 5 || $"n_sensitive" < 3)
+      .orderBy($"lang", $"chars_bucket")
+  }
+
+  val lDiversitySql: String =
+    """SELECT lang, CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS chars_bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sensitive,
+      |  COUNT(*) < 5 OR COUNT(DISTINCT source) < 3 AS at_risk
+      |FROM documents GROUP BY 1, 2 ORDER BY lang, chars_bucket""".stripMargin
+
   /** qd12: exact-substring dedup REMOVAL (the scrub half of qd09's
     * census) — every 10-token window shared across docs is cut from
     * every doc but its first owner, and the doc rebuilt. */
@@ -960,6 +984,7 @@ object QualityQueries {
     "qc09_corpus_release"    -> ((s: SparkSession, d: String) => corpusRelease(Tables(s, d))),
     "qd09_substring_dedup"   -> ((s: SparkSession, d: String) => substringDedup(Tables(s, d))),
     "qt14_k_anonymity"       -> ((s: SparkSession, d: String) => kAnonymity(Tables(s, d))),
+    "qt31_l_diversity"       -> ((s: SparkSession, d: String) => lDiversity(Tables(s, d))),
     "qt15_dup_ngram_chars"   -> ((s: SparkSession, d: String) => dupNgramChars(Tables(s, d))),
   )
 
@@ -984,6 +1009,7 @@ object QualityQueries {
     "qc09_corpus_release"    -> corpusReleaseSql,
     "qd09_substring_dedup"   -> substringDedupSql,
     "qt14_k_anonymity"       -> kAnonymitySql,
+    "qt31_l_diversity"       -> lDiversitySql,
     "qt15_dup_ngram_chars"   -> dupNgramCharsSql,
   )
 }
