@@ -43,6 +43,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_shingle_simhash64"),
      new ExpressionInfo(classOf[ShingleSimHash64].getName, "graft_shingle_simhash64"),
      (children: Seq[Expression]) => ShingleSimHash64(children(0), children(1))),
+    (FunctionIdentifier("graft_cdc_chunks"),
+     new ExpressionInfo(classOf[graft.functions.expressions.CdcChunks].getName,
+       "graft_cdc_chunks"),
+     (children: Seq[Expression]) =>
+       graft.functions.expressions.CdcChunks(children(0))),
     (FunctionIdentifier("graft_lsh_bucket"),
      new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
      (children: Seq[Expression]) => LshBucket(children(0), children(1), children(2))),

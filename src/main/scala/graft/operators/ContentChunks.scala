@@ -57,8 +57,19 @@ object ContentChunks {
     }
 
   /** The chunk list: substrings between consecutive boundaries,
-    * concatenating back to the exact input. */
+    * concatenating back to the exact input. Delegates to the native
+    * [[graft.functions.expressions.CdcChunks]] (one imperative pass
+    * per row — the HOF formulation below interprets ~Window lambda
+    * applications per character and measured 5.9 s at sf0.1, the
+    * bench's slowest query; the native pass is the ShingleHashes
+    * remedy). [[cdcChunksHof]] is the built-ins-only reference it
+    * must bit-match (spec-pinned on ASCII, where `ascii`, `ord`, and
+    * code points agree). */
   def cdcChunks(text: Column): Column =
+    call_function("graft_cdc_chunks", text)
+
+  /** HOF reference implementation of [[cdcChunks]]. */
+  def cdcChunksHof(text: Column): Column =
     letBound(cdcBoundaries(text)) { bs =>
       letBound(concat(array(lit(1)), transform(bs, b => b + 1))) { ss =>
         letBound(concat(bs, array(length(text)))) { es =>

@@ -17,6 +17,17 @@ class ContentChunksSpec extends SparkTestBase {
       .select($"doc_id", ContentChunks.cdcChunks($"text").as("ch"))
       .orderBy($"doc_id").as[(Long, Seq[String])].collect().map(_._2).toSeq
 
+  test("native graft_cdc_chunks bit-matches the HOF reference on ASCII inputs") {
+    val texts = (0 until 40).map(i => mkText(100 + i, 20 + i * 13)) ++
+      Seq("", "a", "12345678", mkText(999, 577))
+    val df = texts.zipWithIndex.map { case (t0, i) => (i.toLong, t0) }.toDF("doc_id", "text")
+    val got = df.select($"doc_id", ContentChunks.cdcChunks($"text").as("ch"))
+      .orderBy($"doc_id").as[(Long, Seq[String])].collect().toSeq
+    val ref = df.select($"doc_id", ContentChunks.cdcChunksHof($"text").as("ch"))
+      .orderBy($"doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(got == ref)
+  }
+
   test("chunks partition the text exactly (concat reconstructs the input)") {
     val texts = Seq(mkText(1, 400), mkText(2, 97), "short", "", mkText(3, 8))
     (chunksOf(texts) zip texts).foreach { case (ch, t0) =>
