@@ -119,6 +119,54 @@ object GraphMetrics {
     r.select(col("node"), col("r").as("pagerank"))
   }
 
+  /** Personalized PageRank — [[pageRank]] with the teleport mass
+    * concentrated on a SEED set instead of spread uniformly: random
+    * walks restart at the seeds, so rank measures proximity TO the
+    * seeds (similar-users / related-docs queries on the co-activity
+    * graph), not global centrality. Same per-round shape (one equi
+    * join + one hash aggregation, decimal-exact rounded contributions
+    * so the trajectory is aggregation-order-independent and
+    * oracle-able) and the same deep-loop lineage gate. Nodes with no
+    * inbound mass in a round simply take their teleport share (0 for
+    * non-seeds — the walk cannot be there), matching the unrolled
+    * oracle's left-join COALESCE. */
+  def personalizedPageRank(edges0: DataFrame, seeds: Seq[Long], iters: Int = 3,
+                           damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(seeds.nonEmpty, "seed set must be non-empty")
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val und = canonicalEdges(edges0)
+    val edges = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("od"))
+      .select(col("a").as("node"), col("od"))
+    val nodes = deg.select(col("node"))
+    val seedDf = seeds.distinct.sorted.toDF("node")
+      .withColumn("tele", lit(1.0) / lit(seeds.distinct.size.toDouble))
+    // teleport vector: 1/|S| on seeds, 0 elsewhere
+    val tele = nodes.join(broadcast(seedDf), Seq("node"), "left")
+      .select(col("node"), coalesce(col("tele"), lit(0.0)).as("tele"))
+      .localCheckpoint()
+    var r = tele.select(col("node"), col("tele").as("r"))
+    for (i <- 1 to iters) {
+      val inbound = edges
+        .join(r, edges("a") === r("node")).drop("node")
+        .join(deg, edges("a") === deg("node")).drop("node")
+        .select(col("b"),
+          round(col("r") / col("od"), 9).cast("decimal(28,9)").as("contrib"))
+        .groupBy(col("b"))
+        .agg(sum(col("contrib")).as("s"))
+      r = tele.join(inbound, tele("node") === inbound("b"), "left")
+        .select(tele("node"),
+          round((lit(1.0) - lit(damping)) * col("tele") +
+            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 9).as("r"))
+      if (iters > 8 && i % 3 == 0 && i < iters)
+        r = ConnectedComponents.checkpointTruncated(r)
+    }
+    r.select(col("node"), col("r").as("ppr"))
+  }
+
   /** Synchronous label-propagation community detection (Raghavan et
     * al. 2007, made deterministic): every node starts as its own
     * community, and each round EVERY node simultaneously adopts the

@@ -279,6 +279,41 @@ object ExtendedQueries {
        |SELECT node AS user_id, lbl AS community FROM l3 ORDER BY user_id""".stripMargin
   }
 
+  /** qg07: 3-iteration personalized PageRank seeded at users {0, 1} —
+    * proximity-to-seed ranking on the co-activity graph (the
+    * similar-users query), vs DuckDB's unrolled CTE rounds with the
+    * teleport CASE and LEFT JOIN COALESCE mirroring the Spark plan's
+    * broadcast seed join and no-inbound-mass default. */
+  def personalizedPageRank(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    graft.operators.GraphMetrics
+      .personalizedPageRank(coActivityEdges(t), seeds = Seq(0L, 1L), iters = 3)
+      .select($"node".as("user_id"), $"ppr")
+      .orderBy($"user_id")
+  }
+
+  val personalizedPageRankSql: String = {
+    def iter(prev: String, k: Int) =
+      s"""in$k AS (SELECT e.b, SUM(CAST(round(r.r / d.od, 9) AS DECIMAL(28,9))) s
+         |  FROM e JOIN $prev r ON r.node = e.a JOIN deg d ON d.node = e.a
+         |  GROUP BY e.b),
+         |it$k AS (SELECT t.node,
+         |    round((1.0 - 0.85) * t.tele + 0.85 * COALESCE(CAST(i.s AS DOUBLE), 0.0), 9) r
+         |  FROM tele t LEFT JOIN in$k i ON i.b = t.node)""".stripMargin
+    s"""WITH bkt AS (SELECT DISTINCT user_id u, event_type et, date_trunc('minute', ts) m FROM events),
+       |und AS (SELECT DISTINCT a.u a, b2.u b
+       |  FROM bkt a JOIN bkt b2 ON a.et = b2.et AND a.m = b2.m AND a.u < b2.u),
+       |e AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT a node, COUNT(*) od FROM e GROUP BY 1),
+       |tele AS (SELECT node, CASE WHEN node IN (0, 1) THEN 1.0/2 ELSE 0.0 END tele
+       |  FROM (SELECT DISTINCT a node FROM e)),
+       |it0 AS (SELECT node, tele r FROM tele),
+       |${iter("it0", 1)},
+       |${iter("it1", 2)},
+       |${iter("it2", 3)}
+       |SELECT node AS user_id, r AS ppr FROM it3 ORDER BY user_id""".stripMargin
+  }
+
   /** qj01: pre-join mass census of orders ⨝ lineitem on the order key
     * — [[graft.operators.Skew.joinMass]]: per-key count tables joined
     * (key-cardinality rows, never the data), per-key output mass
@@ -305,6 +340,7 @@ object ExtendedQueries {
     "qg02_triangle_census" -> ((s: SparkSession, d: String) => triangleCensus(Tables(s, d))),
     "qg06_label_prop"      -> ((s: SparkSession, d: String) => labelPropagation(Tables(s, d))),
     "qj01_join_mass"       -> ((s: SparkSession, d: String) => joinMassCensus(Tables(s, d))),
+    "qg07_seeded_pagerank" -> ((s: SparkSession, d: String) => personalizedPageRank(Tables(s, d))),
     "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
     "qg05_kcore_census"    -> ((s: SparkSession, d: String) => kCoreCensus(Tables(s, d))),
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
@@ -318,6 +354,7 @@ object ExtendedQueries {
     "qg02_triangle_census" -> triangleCensusSql,
     "qg06_label_prop"      -> labelPropagationSql,
     "qj01_join_mass"       -> joinMassCensusSql,
+    "qg07_seeded_pagerank" -> personalizedPageRankSql,
     "qg03_pagerank"        -> pageRankSql,
     "qg05_kcore_census"    -> kCoreCensusSql,
     "q17_rollup_revenue"   -> rollupRevenueSql,
