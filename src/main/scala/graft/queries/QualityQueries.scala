@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Bpe, Dedup, Decontaminate, Dsir, HeavyHitters, LinearClassifier, LogisticTrainer, NgramLM, QualityRules, Unigram, UrlFilter}
+import graft.operators.{Bpe, Dedup, Decontaminate, Dsir, HeavyHitters, LinearClassifier, LogisticTrainer, NgramLM, QualityRules, RecordLinkage, Unigram, UrlFilter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -490,6 +490,65 @@ object QualityQueries {
       |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sensitive,
       |  COUNT(*) < 5 OR COUNT(DISTINCT source) < 3 AS at_risk
       |FROM documents GROUP BY 1, 2 ORDER BY lang, chars_bucket""".stripMargin
+
+  /** ql01: Fellegi–Sunter record linkage over a planted dirty-copy
+    * registry — every customer gets a derived duplicate (md5-chosen
+    * ~25% with a perturbed name, ~6% with the segment blanked, the
+    * qt09/qp14 planted-data discipline), and
+    * [[RecordLinkage.linkScores]] scores all within-nation candidate
+    * pairs on name / segment / balance-bucket agreement. Log-weights
+    * are Scala-computed literals injected into BOTH plans, so neither
+    * engine evaluates a transcendental (the qt25 discipline). Kept
+    * rows: the FS match + review bands (weight ≥ 0). */
+  def recordLinkage(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val digit1 = substring(md5($"c_custkey".cast("string")), 1, 1)
+    val digit2 = substring(md5($"c_custkey".cast("string")), 2, 1)
+    val l = t.customer.select(
+      $"c_custkey".as("l_id"), $"c_nationkey".as("l_nation"),
+      $"c_name".as("l_name"), $"c_mktsegment".as("l_segment"),
+      floor($"c_acctbal" / 1000).cast("long").as("l_balbkt"))
+    val r = t.customer.select(
+      ($"c_custkey" + 1000000L).as("r_id"), $"c_nationkey".as("r_nation"),
+      when(digit1.isin("0", "1", "2", "3"), concat($"c_name", lit("x")))
+        .otherwise($"c_name").as("r_name"),
+      when(digit2 === "0", lit("UNKNOWN")).otherwise($"c_mktsegment").as("r_segment"),
+      floor($"c_acctbal" / 1000).cast("long").as("r_balbkt"))
+    val scores = RecordLinkage.linkScores(l, r, "l_nation", "r_nation",
+      "l_id", "r_id", linkageRules)
+    RecordLinkage.classify(scores, upper = 10.0, lower = 0.0)
+      .filter($"weight" >= 0.0)
+      .orderBy($"l_id", $"r_id")
+  }
+
+  private val linkageRules = Seq(
+    RecordLinkage.FieldRule("l_name", "r_name", 0.75, 0.0001),
+    RecordLinkage.FieldRule("l_segment", "r_segment", 0.875, 0.2),
+    RecordLinkage.FieldRule("l_balbkt", "r_balbkt", 0.95, 0.1))
+
+  val recordLinkageSql: String = {
+    val cases = Seq(
+      ("l_name = r_name", linkageRules(0)),
+      ("l_segment = r_segment", linkageRules(1)),
+      ("l_balbkt = r_balbkt", linkageRules(2))).map { case (cond, r) =>
+      s"(CASE WHEN $cond THEN ${r.wAgree} ELSE ${r.wDisagree} END)"
+    }.mkString(" + ")
+    s"""WITH l AS (SELECT c_custkey l_id, c_nationkey l_nation, c_name l_name,
+       |    c_mktsegment l_segment, CAST(FLOOR(c_acctbal / 1000) AS BIGINT) l_balbkt
+       |  FROM customer),
+       |r AS (SELECT c_custkey + 1000000 r_id, c_nationkey r_nation,
+       |    CASE WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+       |         THEN c_name || 'x' ELSE c_name END r_name,
+       |    CASE WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 2, 1) = '0'
+       |         THEN 'UNKNOWN' ELSE c_mktsegment END r_segment,
+       |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) r_balbkt
+       |  FROM customer),
+       |p AS (SELECT l_id, r_id, round($cases, 6) weight
+       |  FROM l JOIN r ON l_nation = r_nation)
+       |SELECT l_id, r_id, weight,
+       |  CASE WHEN weight >= 10.0 THEN 'match' ELSE 'possible' END verdict
+       |FROM p WHERE weight >= 0.0 ORDER BY l_id, r_id""".stripMargin
+  }
 
   /** qd12: exact-substring dedup REMOVAL (the scrub half of qd09's
     * census) — every 10-token window shared across docs is cut from
@@ -985,6 +1044,7 @@ object QualityQueries {
     "qd09_substring_dedup"   -> ((s: SparkSession, d: String) => substringDedup(Tables(s, d))),
     "qt14_k_anonymity"       -> ((s: SparkSession, d: String) => kAnonymity(Tables(s, d))),
     "qt31_l_diversity"       -> ((s: SparkSession, d: String) => lDiversity(Tables(s, d))),
+    "ql01_record_linkage"    -> ((s: SparkSession, d: String) => recordLinkage(Tables(s, d))),
     "qt15_dup_ngram_chars"   -> ((s: SparkSession, d: String) => dupNgramChars(Tables(s, d))),
   )
 
@@ -1010,6 +1070,7 @@ object QualityQueries {
     "qd09_substring_dedup"   -> substringDedupSql,
     "qt14_k_anonymity"       -> kAnonymitySql,
     "qt31_l_diversity"       -> lDiversitySql,
+    "ql01_record_linkage"    -> recordLinkageSql,
     "qt15_dup_ngram_chars"   -> dupNgramCharsSql,
   )
 }

@@ -96,6 +96,22 @@ class GraphMetricsSpec extends SparkTestBase {
     assert(census == Seq((0L, 5L, 5L), (1L, 4L, 4L), (2L, 3L, 3L), (3L, 3L, 3L)))
   }
 
+  test("personalizedPageRank: rank decays with distance from the seed; unreachable stays 0") {
+    // path 0-1-2-3-4 plus a disjoint edge 10-11
+    val edges = (Seq((10L, 11L)) ++ (0L until 4L).map(i => (i, i + 1))).toDF("a", "b")
+    val r = GraphMetrics.personalizedPageRank(edges, seeds = Seq(0L), iters = 3)
+      .as[(Long, Double)].collect().toMap
+    // near-seed nodes dominate far ones (exact per-node values
+    // oscillate with path parity, so compare the 1-hop and 3-hop sets)
+    assert(math.min(r(0L), r(1L)) > math.max(r(2L), r(3L)), r.toString)
+    assert(r(4L) == 0.0, "mass reached a node beyond the iteration horizon")
+    assert(r(10L) == 0.0 && r(11L) == 0.0, "teleport mass leaked off the seed component")
+    // mass is bounded by 1 (walk mass + teleport, damping < 1)
+    assert(r.values.sum <= 1.0 + 1e-9)
+    intercept[IllegalArgumentException](
+      GraphMetrics.personalizedPageRank(edges, seeds = Seq.empty))
+  }
+
   test("labelPropagation: disjoint triangles each converge to their min id") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
                     (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
