@@ -314,6 +314,38 @@ object ExtendedQueries {
        |SELECT node AS user_id, r AS ppr FROM it3 ORDER BY user_id""".stripMargin
   }
 
+  /** qk01: SCD2 dimension history built by [[graft.hfc.Scd2]] — each
+    * customer's order-priority trail becomes a version chain: a row
+    * per actual change (consecutive repeats collapse), valid_from =
+    * change time, valid_to = next change (NULL = current). The
+    * K-plane's history-keeping member next to MergeWriter's
+    * overwrite upsert; the oracle replays the same lag-dedupe +
+    * lead-close windows. */
+  def scd2History(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val updates = t.orders.select(
+      $"o_custkey".as("cust"), $"o_orderpriority".as("priority"),
+      // o_orderdate reads as TIMESTAMP_NTZ; the session is UTC-pinned,
+      // so the instant cast matches DuckDB's naive-as-UTC epoch_ms
+      unix_millis($"o_orderdate".cast("timestamp")).as("ts"), $"o_orderkey".as("tie"))
+    val emptyHistory = updates
+      .select($"cust", $"priority", $"ts".as("valid_from"), $"ts".as("valid_to"))
+      .filter(lit(false))
+    graft.hfc.Scd2.applyChanges(emptyHistory, updates,
+        keyCol = "cust", attrCol = "priority", tsCol = "ts", tieCol = "tie")
+      .orderBy($"cust", $"valid_from", $"priority")
+  }
+
+  val scd2HistorySql: String =
+    """WITH u AS (SELECT o_custkey cust, o_orderpriority priority,
+      |    CAST(epoch_ms(o_orderdate) AS BIGINT) ts, o_orderkey tie FROM orders),
+      |c AS (SELECT cust, priority, ts, tie,
+      |    lag(priority) OVER (PARTITION BY cust ORDER BY ts, tie) prev FROM u),
+      |f AS (SELECT cust, priority, ts, tie FROM c WHERE prev IS NULL OR prev <> priority)
+      |SELECT cust, priority, ts AS valid_from,
+      |  lead(ts) OVER (PARTITION BY cust ORDER BY ts, tie) AS valid_to
+      |FROM f ORDER BY cust, valid_from, priority""".stripMargin
+
   /** qj01: pre-join mass census of orders ⨝ lineitem on the order key
     * — [[graft.operators.Skew.joinMass]]: per-key count tables joined
     * (key-cardinality rows, never the data), per-key output mass
@@ -341,6 +373,7 @@ object ExtendedQueries {
     "qg06_label_prop"      -> ((s: SparkSession, d: String) => labelPropagation(Tables(s, d))),
     "qj01_join_mass"       -> ((s: SparkSession, d: String) => joinMassCensus(Tables(s, d))),
     "qg07_seeded_pagerank" -> ((s: SparkSession, d: String) => personalizedPageRank(Tables(s, d))),
+    "qk01_scd2_history"    -> ((s: SparkSession, d: String) => scd2History(Tables(s, d))),
     "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
     "qg05_kcore_census"    -> ((s: SparkSession, d: String) => kCoreCensus(Tables(s, d))),
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
@@ -355,6 +388,7 @@ object ExtendedQueries {
     "qg06_label_prop"      -> labelPropagationSql,
     "qj01_join_mass"       -> joinMassCensusSql,
     "qg07_seeded_pagerank" -> personalizedPageRankSql,
+    "qk01_scd2_history"    -> scd2HistorySql,
     "qg03_pagerank"        -> pageRankSql,
     "qg05_kcore_census"    -> kCoreCensusSql,
     "q17_rollup_revenue"   -> rollupRevenueSql,

@@ -1491,7 +1491,46 @@ object PipelineQueries {
        |FROM lens ORDER BY doc_id""".stripMargin
   }
 
+  /** qe08: event-time disorder census under a planted md5 arrival
+    * permutation (events arrive event-id-ordered in the fixture, so
+    * the permutation is the qp05 planted-shuffle discipline) —
+    * [[graft.streaming.EventStreams.disorderCensus]]: per-event
+    * lateness behind the running high watermark, histogrammed. THE
+    * measurement a `withWatermark` duration is read from: a 10-minute
+    * watermark drops exactly the ≥10m mass. The Spark side computes
+    * the exclusive prefix max via the bucketed qz02 factoring (no
+    * data-scale unpartitioned window); the oracle runs the naive
+    * global window — equality IS the factoring's proof. */
+  def disorderCensus(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val e = t.events.select(
+      unix_millis($"ts").as("ts_ms"),
+      md5($"event_id".cast("string")).as("arr"),
+      $"event_id")
+      .withColumn("bkt", substring($"arr", 1, 2))
+    graft.streaming.EventStreams.disorderCensus(e, "ts_ms", "bkt", "arr", "event_id")
+  }
+
+  val disorderCensusSql: String =
+    """WITH e AS (SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) ts_ms,
+      |    md5(CAST(event_id AS VARCHAR)) arr FROM events),
+      |w AS (SELECT ts_ms, max(ts_ms) OVER (ORDER BY arr, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) wm FROM e),
+      |l AS (SELECT CASE WHEN wm IS NULL OR wm <= ts_ms THEN 0 ELSE wm - ts_ms END lateness FROM w),
+      |b AS (SELECT lateness,
+      |    CASE WHEN lateness = 0 THEN 0 WHEN lateness < 60000 THEN 1
+      |         WHEN lateness < 3600000 THEN 2 WHEN lateness < 86400000 THEN 3
+      |         ELSE 4 END bucket_rank,
+      |    CASE WHEN lateness = 0 THEN 'on_time' WHEN lateness < 60000 THEN 'lt_1m'
+      |         WHEN lateness < 3600000 THEN 'lt_1h' WHEN lateness < 86400000 THEN 'lt_1d'
+      |         ELSE 'ge_1d' END bucket
+      |  FROM l)
+      |SELECT CAST(bucket_rank AS INT) bucket_rank, bucket,
+      |  CAST(COUNT(*) AS BIGINT) n_events, CAST(MAX(lateness) AS BIGINT) max_lateness_ms
+      |FROM b GROUP BY 1, 2 ORDER BY bucket_rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe08_disorder_census" -> ((s: SparkSession, d: String) => disorderCensus(Tables(s, d))),
     "qd20_cdc_chunks"      -> ((s: SparkSession, d: String) => cdcProfile(Tables(s, d))),
     "qe07_sliding_distinct" -> ((s: SparkSession, d: String) => slidingDistinct(Tables(s, d))),
     "qd15_intradoc_dedup"  -> ((s: SparkSession, d: String) => intradocDedup(Tables(s, d))),
@@ -1558,6 +1597,7 @@ object PipelineQueries {
     "qt20_vocab_coverage"  -> vocabCoverageSql,
     "qd14_chunk_dedup"     -> chunkDedupSql,
     "qd20_cdc_chunks"      -> cdcProfileSql,
+    "qe08_disorder_census" -> disorderCensusSql,
     "qg04_coactivity_comps" -> coActivityComponentsSql,
     "qe05_conversion_funnel" -> conversionFunnelSql,
     "qt16_pmi_bigrams"     -> pmiBigramsSql,

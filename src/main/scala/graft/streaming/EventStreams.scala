@@ -345,6 +345,57 @@ object EventStreams {
               unix_millis(col("purchase_ts")).as("purchase_ms"))
   }
 
+  /** Event-time disorder census — the measurement every
+    * `withWatermark` duration in this file should be READ FROM, not
+    * guessed: given an arrival order, each event's lateness is how far
+    * it arrived behind the running event-time high watermark
+    * (`max(ts) over arrivals strictly before it`); the histogram of
+    * that lateness IS the state-retention / completeness trade-off a
+    * watermark encodes (a "10 minutes" watermark drops exactly the
+    * events in the ≥10m buckets).
+    *
+    * Computed WITHOUT a data-scale unpartitioned window (the qz02
+    * discipline): arrival order is bucketed by a bounded prefix of the
+    * arrival key; the running max factors into (a) per-bucket maxes —
+    * one map-side aggregation, (b) an exclusive running max over the
+    * tiny bucket frame, (c) an exclusive within-bucket window whose
+    * partitions are bucket-sized. The exact global exclusive prefix
+    * max is `greatest` of (b) and (c) — equal to the naive global
+    * window row for row.
+    *
+    * `arrivalCol` must order consistently with `bucketCol` (bucket =
+    * prefix of arrival key); ties broken by `tieCol`. */
+  def disorderCensus(events: DataFrame, tsMsCol: String,
+                     bucketCol: String, arrivalCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perBucket = Window.orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = Window.partitionBy(col(bucketCol))
+      .orderBy(col(arrivalCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bmax = events.groupBy(col(bucketCol))
+      .agg(max(col(tsMsCol)).as("bmax"))
+      .withColumn("prior_bucket_wm", max(col("bmax")).over(perBucket))
+      .select(col(bucketCol), col("prior_bucket_wm"))
+    val late = events
+      .join(broadcast(bmax), bucketCol)
+      .withColumn("in_bucket_wm", max(col(tsMsCol)).over(inBucket))
+      .withColumn("wm", greatest(col("prior_bucket_wm"), col("in_bucket_wm")))
+      .withColumn("lateness_ms",
+        when(col("wm").isNull || col("wm") <= col(tsMsCol), 0L)
+          .otherwise(col("wm") - col(tsMsCol)))
+    late.select(
+        when(col("lateness_ms") === 0, struct(lit(0).as("r"), lit("on_time").as("l")))
+          .when(col("lateness_ms") < 60000L, struct(lit(1).as("r"), lit("lt_1m").as("l")))
+          .when(col("lateness_ms") < 3600000L, struct(lit(2).as("r"), lit("lt_1h").as("l")))
+          .when(col("lateness_ms") < 86400000L, struct(lit(3).as("r"), lit("lt_1d").as("l")))
+          .otherwise(struct(lit(4).as("r"), lit("ge_1d").as("l"))).as("b"),
+        col("lateness_ms"))
+      .groupBy(col("b.r").as("bucket_rank"), col("b.l").as("bucket"))
+      .agg(count(lit(1)).as("n_events"), max(col("lateness_ms")).as("max_lateness_ms"))
+      .orderBy(col("bucket_rank"))
+  }
+
   /** Streaming data contract — the continuous form of the qr05
     * expectation suite: every micro-batch is scored against the same
     * declarative checks ([[graft.operators.Expectations.suite]], one

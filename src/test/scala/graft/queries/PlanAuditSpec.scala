@@ -304,6 +304,22 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("qe08: the data-scale disorder window is bucket-partitioned; bucket frame broadcast") {
+    val p = plan(PipelineQueries.disorderCensus(t))
+    // the per-event window must carry the bkt partition spec — an
+    // unpartitioned ORDER BY arr window over the events would serialize
+    // the whole table through one task
+    assert(p.contains("windowspecdefinition(bkt"), s"events window lost its partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bucket frame should broadcast:\n$p")
+  }
+
+  test("ql01: linkage pairs are the block equi join only; weights are scan-local") {
+    val p = plan(QualityQueries.recordLinkage(t))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"linkage must never go all-pairs:\n$p")
+    assert(p.contains("Join"), p)
+  }
+
   test("qt28: heavy-hitter verify joins the broadcast candidate set; counts combine map-side") {
     val p = plan(QualityQueries.heavyHitters(t))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
