@@ -142,6 +142,15 @@ object DumpPlans {
       ("qt28_heavy_hitters — Misra-Gries screen, candidates-only verify",
        "The candidate scan is the mapPartitions MG summary (bounded memory, no exchange); the verify pass semi-joins the BROADCAST candidate set into the token scan and counts with partial_ combine, so the only wide exchange carries candidate tokens — never the vocabulary. The full-vocab groupBy this replaces would shuffle one row per distinct token.",
        fmt(graft.queries.QualityQueries.heavyHitters(t))),
+      ("qr05_expectations — N checks, one corpus pass",
+       "Every single-table check contributes aggregate expressions to ONE partial+final hash aggregation; the report branches select from the checkpointed 1-row frame (LocalTableScan), never rescanning the table. The FK orphan count is the one join-shaped member: a broadcast LEFT ANTI against the distinct reference keys.",
+       fmt(graft.queries.QualityQueries.expectations(t))),
+      ("ql01_record_linkage — block-bounded pairs, scan-local weights",
+       "Candidate pairs exist only inside the two tight blocking joins (nation+balance-bucket, nation+name-prefix), unioned and deduped; the Fellegi-Sunter weight is a projection over the joined row — literals injected from Scala, no aggregation, no transcendental, no post-join shuffle beyond the presentation orderBy.",
+       fmt(graft.queries.QualityQueries.recordLinkage(t))),
+      ("qe08_disorder_census — exclusive prefix max without a global window",
+       "The per-event window carries the bkt partition spec (bounded partitions); the only unpartitioned window runs over the 256-row bucket frame, which then BROADCASTS back into the event scan. Equality with the oracle's naive global window is the factoring's proof.",
+       fmt(graft.queries.PipelineQueries.disorderCensus(t))),
     )
 
     val md = new StringBuilder
