@@ -314,6 +314,44 @@ object ExtendedQueries {
        |SELECT node AS user_id, r AS ppr FROM it3 ORDER BY user_id""".stripMargin
   }
 
+  /** qf01: right-to-be-forgotten cascade audit —
+    * [[graft.hfc.Deletion.cascade]] propagates a planted customer
+    * deletion set (md5-chosen ~6%) through the FK DAG
+    * customer → orders → lineitem and reports exactly what died
+    * where. One broadcast semi/anti join per table; rows with NULL
+    * FKs survive by construction. */
+  def cascadeDelete(t: Tables): DataFrame = {
+    import graft.hfc.Deletion.{Edge, Node}
+    import t.spark.implicits._
+    val dead = t.customer.select($"c_custkey")
+      .filter(substring(md5($"c_custkey".cast("string")), 1, 1) === "0")
+    graft.hfc.Deletion.cascade(
+      Seq(Node("customer", t.customer, "c_custkey"),
+          Node("orders", t.orders, "o_orderkey"),
+          Node("lineitem", t.lineitem, "l_orderkey")),
+      Seq(Edge("orders", "o_custkey", "customer"),
+          Edge("lineitem", "l_orderkey", "orders")),
+      "customer", dead).report
+  }
+
+  val cascadeDeleteSql: String =
+    """WITH dead_c AS (SELECT c_custkey FROM customer
+      |  WHERE substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) = '0'),
+      |dead_o AS (SELECT o_orderkey FROM orders
+      |  WHERE o_custkey IN (SELECT c_custkey FROM dead_c)),
+      |dead_l AS (SELECT l_orderkey FROM lineitem
+      |  WHERE l_orderkey IN (SELECT o_orderkey FROM dead_o))
+      |SELECT tbl, n_rows, n_deleted, CAST(n_rows - n_deleted AS BIGINT) n_retained FROM (
+      |  SELECT 'customer' tbl, (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) n_rows,
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM dead_c) n_deleted
+      |  UNION ALL
+      |  SELECT 'lineitem', (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM dead_l)
+      |  UNION ALL
+      |  SELECT 'orders', (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+      |         (SELECT CAST(COUNT(*) AS BIGINT) FROM dead_o))
+      |ORDER BY tbl""".stripMargin
+
   /** qk01: SCD2 dimension history built by [[graft.hfc.Scd2]] — each
     * customer's order-priority trail becomes a version chain: a row
     * per actual change (consecutive repeats collapse), valid_from =
@@ -374,6 +412,7 @@ object ExtendedQueries {
     "qj01_join_mass"       -> ((s: SparkSession, d: String) => joinMassCensus(Tables(s, d))),
     "qg07_seeded_pagerank" -> ((s: SparkSession, d: String) => personalizedPageRank(Tables(s, d))),
     "qk01_scd2_history"    -> ((s: SparkSession, d: String) => scd2History(Tables(s, d))),
+    "qf01_cascade_delete"  -> ((s: SparkSession, d: String) => cascadeDelete(Tables(s, d))),
     "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
     "qg05_kcore_census"    -> ((s: SparkSession, d: String) => kCoreCensus(Tables(s, d))),
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
@@ -389,6 +428,7 @@ object ExtendedQueries {
     "qj01_join_mass"       -> joinMassCensusSql,
     "qg07_seeded_pagerank" -> personalizedPageRankSql,
     "qk01_scd2_history"    -> scd2HistorySql,
+    "qf01_cascade_delete"  -> cascadeDeleteSql,
     "qg03_pagerank"        -> pageRankSql,
     "qg05_kcore_census"    -> kCoreCensusSql,
     "q17_rollup_revenue"   -> rollupRevenueSql,
