@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Bpe, Dedup, Decontaminate, Dsir, HeavyHitters, LinearClassifier, LogisticTrainer, NgramLM, QualityRules, RecordLinkage, Unigram, UrlFilter}
+import graft.operators.{Bpe, Dedup, Decontaminate, Dsir, HeavyHitters, LinearClassifier, LogisticTrainer, NaiveBayes, NgramLM, QualityRules, RecordLinkage, Unigram, UrlFilter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -567,6 +567,80 @@ object QualityQueries {
        |FROM p WHERE weight >= 0.0 ORDER BY l_id, r_id""".stripMargin
   }
 
+  /** qt32: Naive Bayes TRAINING in-engine — [[NaiveBayes.train]] fits
+    * the multinomial language model over the md5-hashed bag-of-words
+    * (one counting pass IS the fit; the generative counterpart to
+    * qt25's gradient-descent LR). Output: the full class×dim model
+    * grid + prior rows (bkt = −1), every cell oracle-exact (integer
+    * counts; round-6 logs on identical doubles). */
+  def nbTrain(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    NaiveBayes.train(t.documents, labelCol = "lang", dim = 64)
+      .select($"label".as("cls"), $"bkt", $"cnt", $"logp")
+      .orderBy($"cls", $"bkt")
+  }
+
+  private val nbModelCtes: String =
+    """tok AS (SELECT lang lbl, unnest(string_split_regex(trim(lower(text)), '\s+')) tok FROM documents),
+      |tnz AS (SELECT lbl, tok FROM tok WHERE len(tok) > 0),
+      |bk AS (SELECT lbl, CAST(list_sum(list_transform(range(0,4), i ->
+      |    (strpos('0123456789abcdef', substr(md5(tok), i+1, 1)) - 1) * power(16, 3-i)
+      |  )) AS BIGINT) % 64 bkt FROM tnz),
+      |c AS (SELECT lbl, bkt, COUNT(*) cnt FROM bk GROUP BY 1, 2),
+      |tots AS (SELECT lbl, SUM(cnt) tot FROM c GROUP BY 1),
+      |grid AS (SELECT t.lbl, t.tot, g.bkt
+      |  FROM tots t CROSS JOIN (SELECT unnest(range(0, 64)) bkt) g),
+      |model AS (SELECT g.lbl, CAST(g.bkt AS BIGINT) bkt,
+      |    CAST(COALESCE(c.cnt, 0) AS BIGINT) cnt,
+      |    round(ln((COALESCE(c.cnt, 0) + 1) / (CAST(g.tot AS DOUBLE) + 64)), 6) logp
+      |  FROM grid g LEFT JOIN c ON c.lbl = g.lbl AND c.bkt = g.bkt),
+      |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) n FROM documents),
+      |priors AS (SELECT lang lbl, CAST(-1 AS BIGINT) bkt,
+      |    CAST(COUNT(*) AS BIGINT) cnt,
+      |    round(ln(COUNT(*) / (SELECT n FROM nd)), 6) logp
+      |  FROM documents GROUP BY lang)""".stripMargin
+
+  val nbTrainSql: String =
+    s"""WITH $nbModelCtes
+       |SELECT lbl AS cls, bkt, cnt, logp FROM (SELECT * FROM model UNION ALL SELECT * FROM priors)
+       |ORDER BY cls, bkt""".stripMargin
+
+  /** qt33: the qt32 model APPLIED — per-doc class scores as exact
+    * decimal sums of count × round-6 log terms, argmax with
+    * larger-label tie-break (mirrored by the oracle's ORDER BY score
+    * DESC, lbl DESC row_number). `is_correct` joins the true lang
+    * back — the self-classification accuracy readout. */
+  def nbScore(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val model = NaiveBayes.train(t.documents, labelCol = "lang", dim = 64)
+      .localCheckpoint(true)
+    NaiveBayes.score(t.documents, model, dim = 64)
+      .join(t.documents.select($"doc_id", $"lang"), Seq("doc_id"))
+      .select($"doc_id", $"pred_label", $"score",
+        ($"pred_label" === $"lang").as("is_correct"))
+      .orderBy($"doc_id")
+  }
+
+  val nbScoreSql: String =
+    s"""WITH $nbModelCtes,
+       |db AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,4), i ->
+       |    (strpos('0123456789abcdef', substr(md5(tok), i+1, 1)) - 1) * power(16, 3-i)
+       |  )) AS BIGINT) % 64 bkt
+       |  FROM (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) tok FROM documents)
+       |  WHERE len(tok) > 0),
+       |feats AS (SELECT doc_id, bkt, COUNT(*) n FROM db GROUP BY 1, 2),
+       |pl AS (SELECT f.doc_id, m.lbl, SUM(f.n * CAST(m.logp AS DECIMAL(18,6))) ts
+       |  FROM feats f JOIN model m ON m.bkt = f.bkt GROUP BY 1, 2),
+       |sc AS (SELECT pl.doc_id, pl.lbl,
+       |    CAST(pl.ts + CAST(p.logp AS DECIMAL(18,6)) AS DOUBLE) score
+       |  FROM pl JOIN priors p ON p.lbl = pl.lbl),
+       |pick AS (SELECT doc_id, lbl, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lbl DESC) rn
+       |  FROM sc)
+       |SELECT k.doc_id, k.lbl AS pred_label, k.score, k.lbl = d.lang AS is_correct
+       |FROM pick k JOIN documents d ON d.doc_id = k.doc_id
+       |WHERE k.rn = 1 ORDER BY k.doc_id""".stripMargin
+
   /** qd12: exact-substring dedup REMOVAL (the scrub half of qd09's
     * census) — every 10-token window shared across docs is cut from
     * every doc but its first owner, and the doc rebuilt. */
@@ -1062,6 +1136,8 @@ object QualityQueries {
     "qt14_k_anonymity"       -> ((s: SparkSession, d: String) => kAnonymity(Tables(s, d))),
     "qt31_l_diversity"       -> ((s: SparkSession, d: String) => lDiversity(Tables(s, d))),
     "ql01_record_linkage"    -> ((s: SparkSession, d: String) => recordLinkage(Tables(s, d))),
+    "qt32_nb_train"          -> ((s: SparkSession, d: String) => nbTrain(Tables(s, d))),
+    "qt33_nb_score"          -> ((s: SparkSession, d: String) => nbScore(Tables(s, d))),
     "qt15_dup_ngram_chars"   -> ((s: SparkSession, d: String) => dupNgramChars(Tables(s, d))),
   )
 
@@ -1088,6 +1164,8 @@ object QualityQueries {
     "qt14_k_anonymity"       -> kAnonymitySql,
     "qt31_l_diversity"       -> lDiversitySql,
     "ql01_record_linkage"    -> recordLinkageSql,
+    "qt32_nb_train"          -> nbTrainSql,
+    "qt33_nb_score"          -> nbScoreSql,
     "qt15_dup_ngram_chars"   -> dupNgramCharsSql,
   )
 }
