@@ -517,14 +517,15 @@ object QualityQueries {
     // multi-pass blocking (standard FS practice): two TIGHT keys whose
     // union keeps recall — the planted copy always shares its
     // balance bucket, and a name typo (appended char) never touches
-    // the 8-char prefix — while cutting candidate volume ~10× vs the
-    // nation-only block (qj01's joinMass on the block key is the
-    // pricing read). Weight is a pure pair function, so the two
-    // passes' rows dedupe with a plain DISTINCT.
+    // the name's 8-char digit core (chars 10-17; the 1..8 prefix is
+    // the constant "Customer" literal and would degenerate to a
+    // nation-only block — qj01's joinMass on the block key is the
+    // pricing read that catches exactly this). Weight is a pure pair
+    // function, so the two passes' rows dedupe with a plain DISTINCT.
     val lb = l.withColumn("l_blk", concat_ws("_", $"l_nation", $"l_balbkt"))
     val rb = r.withColumn("r_blk", concat_ws("_", $"r_nation", $"r_balbkt"))
-    val ln = l.withColumn("l_blk", concat_ws("_", $"l_nation", substring($"l_name", 1, 8)))
-    val rn = r.withColumn("r_blk", concat_ws("_", $"r_nation", substring($"r_name", 1, 8)))
+    val ln = l.withColumn("l_blk", concat_ws("_", $"l_nation", substring($"l_name", 10, 8)))
+    val rn = r.withColumn("r_blk", concat_ws("_", $"r_nation", substring($"r_name", 10, 8)))
     val scores = RecordLinkage.linkScores(lb, rb, "l_blk", "r_blk", "l_id", "r_id", linkageRules)
       .unionByName(RecordLinkage.linkScores(ln, rn, "l_blk", "r_blk", "l_id", "r_id", linkageRules))
       .distinct()
@@ -561,7 +562,7 @@ object QualityQueries {
        |  UNION
        |  SELECT l_id, r_id, round($cases, 6) weight
        |    FROM l JOIN r ON l_nation = r_nation
-       |     AND substring(l_name, 1, 8) = substring(r_name, 1, 8)))
+       |     AND substring(l_name, 10, 8) = substring(r_name, 10, 8)))
        |SELECT l_id, r_id, weight,
        |  CASE WHEN weight >= 10.0 THEN 'match' ELSE 'possible' END verdict
        |FROM p WHERE weight >= 0.0 ORDER BY l_id, r_id""".stripMargin
