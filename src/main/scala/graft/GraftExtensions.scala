@@ -16,8 +16,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   *    functions too).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -71,9 +73,15 @@ object GraftExtensions {
          children(0), children(1))))
 
   /** idempotent post-hoc registration on a live session */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     descriptors.foreach { case (id, _, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         id.funcName, builder, "built-in")
     }
+    // getOrCreate-reused sessions miss injectOptimizerRule; the
+    // experimental seam accepts rules on a live session
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.DotProductRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DotProductRewrite
+  }
 }

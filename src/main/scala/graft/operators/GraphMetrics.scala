@@ -119,6 +119,55 @@ object GraphMetrics {
     r.select(col("node"), col("r").as("pagerank"))
   }
 
+  /** Landmark closeness — the scalable stand-in for exact closeness /
+    * harmonic centrality, whose all-pairs BFS is quadratic and dead at
+    * scale: BFS from a FIXED set of `nLandmarks` md5-chosen landmark
+    * vertices only (Potamias et al.'s landmark estimation shape), so
+    * the state is |V|·k distances, never |V|². Distances propagate by
+    * k simultaneous min-relaxation rounds (one equi join + one min
+    * aggregation per round — the pointer-doubling cousin without the
+    * doubling, because distances must stay EXACT hop counts);
+    * `maxDepth` caps the horizon, and a vertex no landmark reaches
+    * within it reports zero coverage (stated, not hidden — the cap is
+    * the scale knob). Per node: landmarks reached, summed hop
+    * distance, and harmonic mass Σ 1/d (per-term round-6 decimal sum,
+    * the cross-engine discipline). Deep horizons get the same lineage
+    * gate as [[pageRank]]. */
+  def landmarkCloseness(edges0: DataFrame, nLandmarks: Int = 4,
+                        maxDepth: Int = 8): DataFrame = {
+    require(nLandmarks >= 1, s"nLandmarks must be >= 1, got $nLandmarks")
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val und = canonicalEdges(edges0)
+    val edges = und.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+    val nodes = edges.select(col("src").as("node")).distinct()
+    // deterministic landmark pick: smallest md5 coordinate (id
+    // tie-break) — seedless, any engine can replay it
+    val landmarks = nodes
+      .select(col("node").as("lm"), md5(col("node").cast("string")).as("h"))
+      .orderBy(col("h"), col("lm")).limit(nLandmarks).select(col("lm"))
+    var dist = landmarks.select(col("lm"), col("lm").as("node"), lit(0L).as("d"))
+    for (depth <- 1 to maxDepth) {
+      val relaxed = dist.join(edges, dist("node") === edges("src"))
+        .select(col("lm"), col("dst").as("node"), (col("d") + 1L).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("lm"), col("node")).agg(min(col("d")).as("d"))
+      if (maxDepth > 8 && depth % 3 == 0 && depth < maxDepth)
+        dist = ConnectedComponents.checkpointTruncated(dist)
+    }
+    val perNode = dist.groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(col("d")).as("sum_dist"),
+        sum(when(col("d") > 0,
+            round(lit(1.0) / col("d").cast("double"), 6))
+          .otherwise(lit(0.0)).cast("decimal(18,6)")).cast("double").as("harmonic"))
+    nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_reached"), lit(0L)).as("n_reached"),
+        coalesce(col("sum_dist"), lit(0L)).as("sum_dist"),
+        coalesce(col("harmonic"), lit(0.0)).as("harmonic"))
+  }
+
   /** Personalized PageRank — [[pageRank]] with the teleport mass
     * concentrated on a SEED set instead of spread uniformly: random
     * walks restart at the seeds, so rank measures proximity TO the

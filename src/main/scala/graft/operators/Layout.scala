@@ -65,6 +65,55 @@ object Layout {
            min(col("y")).as("y_min"), max(col("y")).as("y_max"))
   }
 
+  /** Hilbert-curve layout audit — [[zorderAudit]]'s sibling for the
+    * curve with NO diagonal jumps: consecutive Hilbert positions are
+    * always grid neighbors, so range-partitioned file boundaries cut
+    * the plane into contiguous tiles and never stitch far-apart
+    * regions into one file (Morton's "Z" seams do, which is exactly
+    * where its per-file min/max spans blow up on non-uniform data).
+    *
+    * The index is the standard MSB-down xy→d walk (reflect+swap per
+    * quadrant); each of the `bits` rounds is ONE projection stage —
+    * (hx, hy, hd) materialized per stage, so the expression tree stays
+    * linear in `bits` instead of doubling per round, and the whole
+    * thing is codegen'd integer ops (no UDF). Same guard contract as
+    * [[zorderAudit]]: NULL / out-of-domain inputs fail loudly. */
+  def hilbertAudit(df: DataFrame, xCol: Column, yCol: Column,
+                   bits: Int = 12, bucketBits: Int = 6): DataFrame = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    require(bucketBits >= 1 && bucketBits <= 2 * bits,
+      s"bucketBits ($bucketBits) must be in [1, ${2 * bits}]")
+    val lim = 1L << bits
+    def guarded(c: Column, nm: String): Column =
+      when(c.isNull || c < 0 || c >= lim,
+        raise_error(lit(s"hilbertAudit: $nm NULL or outside [0, $lim) for bits=$bits — " +
+          "mod/scale the column into the curve domain first")).cast("long"))
+        .otherwise(c)
+    var cur = df.select(guarded(xCol, "x").as("x"), guarded(yCol, "y").as("y"))
+      .select(col("x"), col("y"),
+        col("x").as("hx"), col("y").as("hy"), lit(0L).as("hd"))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      val withR = cur.select(col("x"), col("y"), col("hx"), col("hy"), col("hd"),
+        (col("hx").bitwiseAND(lit(s)) > 0).cast("long").as("rx"),
+        (col("hy").bitwiseAND(lit(s)) > 0).cast("long").as("ry"))
+      cur = withR.select(col("x"), col("y"),
+        when(col("ry") === 0,
+          when(col("rx") === 1, lit(lim - 1) - col("hy")).otherwise(col("hy")))
+          .otherwise(col("hx")).as("hx"),
+        when(col("ry") === 0,
+          when(col("rx") === 1, lit(lim - 1) - col("hx")).otherwise(col("hx")))
+          .otherwise(col("hy")).as("hy"),
+        (col("hd") +
+          lit(s * s) * ((lit(3L) * col("rx")).bitwiseXOR(col("ry")))).as("hd"))
+    }
+    cur.withColumn("bucket", shiftright(col("hd"), 2 * bits - bucketBits))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+           min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+
   /** Small-file census of a parquet table: file count, byte totals,
     * and the file count a `targetFileBytes` layout needs — the
     * decision a compaction job starts from. Driver-side FileSystem

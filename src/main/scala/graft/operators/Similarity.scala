@@ -95,6 +95,47 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Reciprocal (mutual) k-NN graph — the edge set SemDeDup-style
+    * clustering and UMAP-ish manifold steps start from: (a, b) is an
+    * edge iff b is in a's top-k AND a is in b's top-k. One-directional
+    * nearest neighbors are dominated by hubs (a few central vectors
+    * appear in everyone's top-k); mutuality is the standard hub
+    * filter. Neighborhoods are scored WITHIN an IVF cell
+    * ([[IvfIndex]]'s deterministic quantizer — the same blocking that
+    * keeps [[graft.operators.Dedup.semanticDedup]] off the corpus²
+    * cliff), so the pair join shuffles on the cell key and the per-id
+    * top-k window is cell-bounded. Mutuality is a self-join of the
+    * ranked lists on the reversed pair — candidate-sized, not
+    * corpus-sized. Output: canonical a<b edges with the cosine and
+    * both ranks. */
+  def mutualKnn(corpus: DataFrame, nCells: Int, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nCells >= 1 && k >= 1, s"need nCells >= 1 and k >= 1, got $nCells, $k")
+    val cents = IvfIndex.centroids(corpus, nCells, idCol, vecCol)
+    val assigned = IvfIndex.assign(corpus, cents, idCol, vecCol)
+    val v = assigned.select(col("cell"), col(idCol),
+      col(vecCol), sqrt(norm2(col(vecCol))).as("nrm"))
+    val a = v.select(col("cell"), col(idCol).as("a_id"),
+      col(vecCol).as("a_vec"), col("nrm").as("a_nrm"))
+    val b = v.select(col("cell"), col(idCol).as("b_id"),
+      col(vecCol).as("b_vec"), col("nrm").as("b_nrm"))
+    val sims = a.join(b, Seq("cell"))
+      .filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("a_vec"), col("b_vec")) / (col("a_nrm") * col("b_nrm")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos_sim").desc, col("b_id").asc)
+    val ranked = sims.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+    ranked.filter(col("a_id") < col("b_id"))
+      .join(ranked.select(col("a_id").as("b_id"), col("b_id").as("a_id"),
+          col("rk").as("rk_ba")),
+        Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("cos_sim"),
+        col("rk").as("rk_ab"), col("rk_ba"))
+  }
+
   /** Hard-negative mining for contrastive/embedding training: for each
     * query vector, the top-k most-similar corpus vectors whose label
     * DIFFERS from the query's — the near-misses a trainer wants as

@@ -859,6 +859,79 @@ object CurationQueries {
       |JOIN srcs s ON s.source = d.source
       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin
 
+  /** qr06: per-source Population Stability Index — the third drift
+    * lens next to qr02's KL/χ² (categorical) and qr03's KS
+    * (distributional max-gap): PSI = Σ_buckets (p_s − p_rest) ·
+    * ln(p_s / p_rest) over 500-char length buckets, the symmetric
+    * monitoring statistic scorecards threshold at 0.1/0.25. Zero-count
+    * buckets are Laplace-smoothed (+1 over the dense source×bucket
+    * grid — PSI is undefined on empty cells, and the smoothing choice
+    * is part of the statistic's contract, stated here and mirrored in
+    * the oracle). Shapes: qr03's single-scan discipline — one
+    * (source, bucket) hash agg materialized once, every other frame an
+    * aggregate of that tiny table; shares are exact-long divisions,
+    * each term rounds to 6 and sums as DECIMAL, so the verdict band is
+    * a pure function of the corpus. At 100 TB the bucket domain is the
+    * knob (it bounds the dense grid), exactly like qr03's value
+    * domain. */
+  def psiDrift(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val counts = t.documents
+      .groupBy($"source", floor($"n_chars" / 500).cast("long").as("bkt"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val buckets = counts.select($"bkt").distinct()
+    val nb = buckets.agg(count(lit(1)).as("nb"))
+    val sources = counts.groupBy($"source").agg(sum($"c").as("n_s"))
+    val totals = counts.groupBy($"bkt").agg(sum($"c").as("ct"))
+    val n = counts.agg(sum($"c").as("n"))
+    val dense = sources.crossJoin(buckets)
+      .join(counts, Seq("source", "bkt"), "left").na.fill(0L, Seq("c"))
+      .join(totals, Seq("bkt"))
+      .crossJoin(broadcast(n)).crossJoin(broadcast(nb))
+    val shareS = ($"c" + lit(1L)).cast("double") / ($"n_s" + $"nb").cast("double")
+    val shareR = ($"ct" - $"c" + lit(1L)).cast("double") /
+      ($"n" - $"n_s" + $"nb").cast("double")
+    val terms = dense.select($"source", $"n_s", $"nb",
+      round((shareS - shareR) * log(shareS / shareR), 6)
+        .cast("decimal(24,6)").as("psi_term"))
+    terms.groupBy($"source", $"n_s", $"nb".as("n_buckets"))
+      .agg(sum($"psi_term").cast("double").as("psi"))
+      .withColumn("band",
+        when($"psi" < 0.1, lit("stable"))
+          .when($"psi" < 0.25, lit("moderate"))
+          .otherwise(lit("major")))
+      .orderBy($"source")
+  }
+
+  val psiDriftSql: String =
+    """WITH counts AS (SELECT source, CAST(FLOOR(n_chars / 500) AS BIGINT) bkt,
+      |    CAST(COUNT(*) AS BIGINT) c FROM documents GROUP BY 1, 2),
+      |bks AS (SELECT DISTINCT bkt FROM counts),
+      |nb AS (SELECT CAST(COUNT(*) AS BIGINT) nb FROM bks),
+      |srcs AS (SELECT source, CAST(SUM(c) AS BIGINT) n_s FROM counts GROUP BY 1),
+      |tot AS (SELECT bkt, CAST(SUM(c) AS BIGINT) ct FROM counts GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(c) AS BIGINT) n FROM counts),
+      |dense AS (SELECT s.source, s.n_s, nb.nb, b.bkt, COALESCE(c.c, 0) c, t.ct, nn.n
+      |  FROM srcs s CROSS JOIN bks b
+      |  LEFT JOIN counts c ON c.source = s.source AND c.bkt = b.bkt
+      |  JOIN tot t ON t.bkt = b.bkt CROSS JOIN nn CROSS JOIN nb),
+      |terms AS (SELECT source, n_s, nb,
+      |    CAST(round(
+      |      (CAST(c + 1 AS DOUBLE) / CAST(n_s + nb AS DOUBLE) -
+      |       CAST(ct - c + 1 AS DOUBLE) / CAST(n - n_s + nb AS DOUBLE)) *
+      |      ln((CAST(c + 1 AS DOUBLE) / CAST(n_s + nb AS DOUBLE)) /
+      |         (CAST(ct - c + 1 AS DOUBLE) / CAST(n - n_s + nb AS DOUBLE))), 6)
+      |      AS DECIMAL(24,6)) psi_term
+      |  FROM dense),
+      |agg AS (SELECT source, n_s, nb AS n_buckets,
+      |    CAST(SUM(psi_term) AS DOUBLE) psi
+      |  FROM terms GROUP BY 1, 2, 3)
+      |SELECT source, n_s, n_buckets, psi,
+      |  CASE WHEN psi < 0.1 THEN 'stable'
+      |       WHEN psi < 0.25 THEN 'moderate' ELSE 'major' END band
+      |FROM agg ORDER BY source""".stripMargin
+
   /** qp13: target-mix solver — the inverse of qp11's descriptive
     * temperature weights: given TARGET shares (here derived
     * deterministically from the source name: weight = suffix+1,
@@ -1106,6 +1179,7 @@ object CurationQueries {
     "qr02_drift_report"      -> ((s: SparkSession, d: String) => driftReport(Tables(s, d))),
     "qa05_asof_tolerant"     -> ((s: SparkSession, d: String) => asofViewBeforePurchaseTolerant(Tables(s, d))),
     "qr03_ks_drift"          -> ((s: SparkSession, d: String) => ksDrift(Tables(s, d))),
+    "qr06_psi_drift"         -> ((s: SparkSession, d: String) => psiDrift(Tables(s, d))),
     "qp13_target_mix"        -> ((s: SparkSession, d: String) => targetMix(Tables(s, d))),
     "qp16_epoch_mix"         -> ((s: SparkSession, d: String) => epochMix(Tables(s, d))),
     "qc06_training_mix"      -> ((s: SparkSession, d: String) => trainingMix(Tables(s, d))),
@@ -1141,6 +1215,7 @@ object CurationQueries {
     "qr02_drift_report"      -> driftReportSql,
     "qa05_asof_tolerant"     -> asofViewBeforePurchaseTolerantSql,
     "qr03_ks_drift"          -> ksDriftSql,
+    "qr06_psi_drift"         -> psiDriftSql,
     "qp13_target_mix"        -> targetMixSql,
     "qp16_epoch_mix"         -> epochMixSql,
     "qc06_training_mix"      -> trainingMixSql,

@@ -279,6 +279,44 @@ object ExtendedQueries {
        |SELECT node AS user_id, lbl AS community FROM l3 ORDER BY user_id""".stripMargin
   }
 
+  /** qg08: landmark closeness/harmonic centrality — BFS distance from
+    * 4 md5-chosen landmarks only ([[GraphMetrics.landmarkCloseness]]),
+    * the |V|·k-state estimator that replaces the dead-at-scale
+    * all-pairs closeness; horizon capped at 8 hops. Oracle: a
+    * recursive CTE closes (landmark, node, depth) tuples under the
+    * same cap and takes per-pair MIN — exact cross-engine check of
+    * the k simultaneous BFS fronts. */
+  def landmarkCloseness(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    graft.operators.GraphMetrics
+      .landmarkCloseness(coActivityEdges(t), nLandmarks = 4, maxDepth = 8)
+      .select($"node".as("user_id"), $"n_reached", $"sum_dist", $"harmonic")
+      .orderBy($"user_id")
+  }
+
+  val landmarkClosenessSql: String =
+    """WITH RECURSIVE
+      |bkt AS (SELECT DISTINCT user_id u, event_type et, date_trunc('minute', ts) m FROM events),
+      |und AS (SELECT DISTINCT a.u a, b2.u b
+      |  FROM bkt a JOIN bkt b2 ON a.et = b2.et AND a.m = b2.m AND a.u < b2.u),
+      |e AS (SELECT a src, b dst FROM und UNION ALL SELECT b, a FROM und),
+      |nodes AS (SELECT DISTINCT src node FROM e),
+      |lms AS (SELECT node lm FROM nodes ORDER BY md5(CAST(node AS VARCHAR)), node LIMIT 4),
+      |reach(lm, node, d) AS (
+      |  SELECT lm, lm, CAST(0 AS BIGINT) FROM lms
+      |  UNION
+      |  SELECT r.lm, e.dst, r.d + 1 FROM reach r JOIN e ON e.src = r.node WHERE r.d < 8),
+      |md AS (SELECT lm, node, MIN(d) d FROM reach GROUP BY 1, 2),
+      |pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) n_reached,
+      |    CAST(SUM(d) AS BIGINT) sum_dist,
+      |    CAST(SUM(CAST(CASE WHEN d > 0 THEN round(1.0 / CAST(d AS DOUBLE), 6)
+      |                       ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) harmonic
+      |  FROM md GROUP BY 1)
+      |SELECT n.node AS user_id, COALESCE(pn.n_reached, 0) AS n_reached,
+      |  COALESCE(pn.sum_dist, 0) AS sum_dist,
+      |  COALESCE(pn.harmonic, 0.0) AS harmonic
+      |FROM nodes n LEFT JOIN pn ON pn.node = n.node ORDER BY user_id""".stripMargin
+
   /** qg07: 3-iteration personalized PageRank seeded at users {0, 1} —
     * proximity-to-seed ranking on the co-activity graph (the
     * similar-users query), vs DuckDB's unrolled CTE rounds with the
@@ -359,7 +397,7 @@ object ExtendedQueries {
     * K-plane's history-keeping member next to MergeWriter's
     * overwrite upsert; the oracle replays the same lag-dedupe +
     * lead-close windows. */
-  def scd2History(t: Tables): DataFrame = {
+  private def scd2Chain(t: Tables): DataFrame = {
     import t.spark.implicits._
     val updates = t.orders.select(
       $"o_custkey".as("cust"), $"o_orderpriority".as("priority"),
@@ -370,8 +408,12 @@ object ExtendedQueries {
       .select($"cust", $"priority", $"ts".as("valid_from"), $"ts".as("valid_to"))
       .filter(lit(false))
     graft.hfc.Scd2.applyChanges(emptyHistory, updates,
-        keyCol = "cust", attrCol = "priority", tsCol = "ts", tieCol = "tie")
-      .orderBy($"cust", $"valid_from", $"priority")
+      keyCol = "cust", attrCol = "priority", tsCol = "ts", tieCol = "tie")
+  }
+
+  def scd2History(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    scd2Chain(t).orderBy($"cust", $"valid_from", $"priority")
   }
 
   val scd2HistorySql: String =
@@ -383,6 +425,82 @@ object ExtendedQueries {
       |SELECT cust, priority, ts AS valid_from,
       |  lead(ts) OVER (PARTITION BY cust ORDER BY ts, tie) AS valid_to
       |FROM f ORDER BY cust, valid_from, priority""".stripMargin
+
+  /** qk02: the SCD2 history READ as of one instant — the dimension
+    * lookup qk01's version chain exists to serve: for each customer,
+    * the priority that was true at the probe timestamp (valid_from ≤ T
+    * < valid_to, open version = NULL bound). Customers whose first
+    * change postdates the probe are absent — an as-of read reports
+    * what was known, not what arrived later. Scale shape: the filter
+    * is a scan-local predicate on the key-partitioned chain; no window
+    * re-runs at read time. */
+  def scd2AsOf(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val probe = lit(803433600000L) // 1995-06-17T00:00:00Z epoch ms
+    scd2Chain(t)
+      .filter($"valid_from" <= probe && ($"valid_to".isNull || $"valid_to" > probe))
+      .select($"cust", $"priority", $"valid_from")
+      .orderBy($"cust")
+  }
+
+  val scd2AsOfSql: String =
+    """WITH u AS (SELECT o_custkey cust, o_orderpriority priority,
+      |    CAST(epoch_ms(o_orderdate) AS BIGINT) ts, o_orderkey tie FROM orders),
+      |c AS (SELECT cust, priority, ts, tie,
+      |    lag(priority) OVER (PARTITION BY cust ORDER BY ts, tie) prev FROM u),
+      |f AS (SELECT cust, priority, ts, tie FROM c WHERE prev IS NULL OR prev <> priority),
+      |h AS (SELECT cust, priority, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY cust ORDER BY ts, tie) AS valid_to FROM f)
+      |SELECT cust, priority, valid_from FROM h
+      |WHERE valid_from <= 803433600000 AND (valid_to IS NULL OR valid_to > 803433600000)
+      |ORDER BY cust""".stripMargin
+
+  /** qk03: point-in-time feature join — the feature-store read that
+    * makes SCD2 worth keeping: every lineitem (fact) attaches the
+    * customer's priority version that was standing AT ITS OWN ship
+    * time, via [[graft.operators.AsOfJoin.asOfBackward]] against the
+    * qk01 chain (union-scan, one exchange — never a per-fact range
+    * join). Zero-length versions (same-instant update bursts) are
+    * dropped first so "latest valid_from ≤ ts" and the interval
+    * predicate agree — the oracle states the interval form directly.
+    * This is the leakage guard in ML terms: a training row may only
+    * see dimension values that existed at event time, never later
+    * corrections. */
+  def pitJoin(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val versions = scd2Chain(t)
+      .filter($"valid_to".isNull || $"valid_to" > $"valid_from")
+    val facts = t.lineitem
+      .join(t.orders.select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_linenumber", $"o_custkey".as("cust"),
+        unix_millis($"l_shipdate".cast("timestamp")).as("ship_ms"))
+    graft.operators.AsOfJoin.asOfBackward(facts, versions,
+        key = "cust", leftTs = "ship_ms", rightTs = "valid_from",
+        rightSeq = "valid_from", rightCols = Seq("priority"))
+      .select($"l_orderkey", $"l_linenumber", $"cust", $"ship_ms",
+        $"asof_priority".as("priority_at_ship"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val pitJoinSql: String =
+    """WITH u AS (SELECT o_custkey cust, o_orderpriority priority,
+      |    CAST(epoch_ms(o_orderdate) AS BIGINT) ts, o_orderkey tie FROM orders),
+      |c AS (SELECT cust, priority, ts, tie,
+      |    lag(priority) OVER (PARTITION BY cust ORDER BY ts, tie) prev FROM u),
+      |f AS (SELECT cust, priority, ts, tie FROM c WHERE prev IS NULL OR prev <> priority),
+      |h AS (SELECT cust, priority, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY cust ORDER BY ts, tie) AS valid_to FROM f),
+      |hh AS (SELECT * FROM h WHERE valid_to IS NULL OR valid_to > valid_from),
+      |fact AS (SELECT l.l_orderkey, l.l_linenumber, o.o_custkey cust,
+      |    CAST(epoch_ms(l.l_shipdate) AS BIGINT) ship_ms
+      |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey)
+      |SELECT fact.l_orderkey, fact.l_linenumber, fact.cust, fact.ship_ms,
+      |  hh.priority AS priority_at_ship
+      |FROM fact LEFT JOIN hh ON hh.cust = fact.cust
+      |  AND hh.valid_from <= fact.ship_ms
+      |  AND (hh.valid_to IS NULL OR hh.valid_to > fact.ship_ms)
+      |ORDER BY fact.l_orderkey, fact.l_linenumber""".stripMargin
 
   /** qj01: pre-join mass census of orders ⨝ lineitem on the order key
     * — [[graft.operators.Skew.joinMass]]: per-key count tables joined
@@ -411,7 +529,10 @@ object ExtendedQueries {
     "qg06_label_prop"      -> ((s: SparkSession, d: String) => labelPropagation(Tables(s, d))),
     "qj01_join_mass"       -> ((s: SparkSession, d: String) => joinMassCensus(Tables(s, d))),
     "qg07_seeded_pagerank" -> ((s: SparkSession, d: String) => personalizedPageRank(Tables(s, d))),
+    "qg08_landmark_close"  -> ((s: SparkSession, d: String) => landmarkCloseness(Tables(s, d))),
     "qk01_scd2_history"    -> ((s: SparkSession, d: String) => scd2History(Tables(s, d))),
+    "qk02_scd2_asof"       -> ((s: SparkSession, d: String) => scd2AsOf(Tables(s, d))),
+    "qk03_pit_join"        -> ((s: SparkSession, d: String) => pitJoin(Tables(s, d))),
     "qf01_cascade_delete"  -> ((s: SparkSession, d: String) => cascadeDelete(Tables(s, d))),
     "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
     "qg05_kcore_census"    -> ((s: SparkSession, d: String) => kCoreCensus(Tables(s, d))),
@@ -427,7 +548,10 @@ object ExtendedQueries {
     "qg06_label_prop"      -> labelPropagationSql,
     "qj01_join_mass"       -> joinMassCensusSql,
     "qg07_seeded_pagerank" -> personalizedPageRankSql,
+    "qg08_landmark_close"  -> landmarkClosenessSql,
     "qk01_scd2_history"    -> scd2HistorySql,
+    "qk02_scd2_asof"       -> scd2AsOfSql,
+    "qk03_pit_join"        -> pitJoinSql,
     "qf01_cascade_delete"  -> cascadeDeleteSql,
     "qg03_pagerank"        -> pageRankSql,
     "qg05_kcore_census"    -> kCoreCensusSql,

@@ -34,6 +34,43 @@ object LayoutQueries {
       |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
       |FROM z GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** qz03: Hilbert-curve layout audit over the SAME (doc_id, n_chars)
+    * mod-64 domain as qz01 — the jump-free curve: a range-partitioned
+    * write on `hd` cuts the plane into contiguous tiles (consecutive
+    * curve positions are always grid neighbors — HilbertSpec pins
+    * that property exhaustively, and that Z-order violates it). The
+    * oracle replays the identical MSB-down reflect+swap walk as a
+    * generated chain of per-round CTEs. */
+  def hilbertLayout(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Layout.hilbertAudit(t.documents, $"doc_id" % 64, $"n_chars" % 64,
+        bits = 6, bucketBits = 4)
+      .orderBy($"bucket")
+  }
+
+  val hilbertLayoutSql: String = {
+    val bits = 6
+    val lim = 1L << bits
+    val rounds = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, k) =>
+      val s = 1L << i
+      val prev = if (k == 0) "b" else s"h${k - 1}"
+      s"""h$k AS (SELECT x, y,
+         |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${lim - 1} - hy ELSE hy END) ELSE hx END hx,
+         |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${lim - 1} - hx ELSE hx END) ELSE hy END hy,
+         |  hd + ${s * s} * xor(3 * rx, ry) hd
+         |  FROM (SELECT x, y, hx, hy, hd,
+         |    CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END rx,
+         |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END ry FROM $prev))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT doc_id % 64 AS x, n_chars % 64 AS y,
+       |    doc_id % 64 AS hx, n_chars % 64 AS hy, CAST(0 AS BIGINT) AS hd
+       |  FROM documents),
+       |$rounds
+       |SELECT hd >> 8 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+       |FROM h${bits - 1} GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
   /** qz02: deterministic global rank of every document by doc_id —
     * value-range buckets + broadcast offsets + bounded per-bucket
     * windows, never a single-partition window over the corpus. The
@@ -55,10 +92,12 @@ object LayoutQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qz01_zorder_layout"  -> ((s: SparkSession, d: String) => zorderLayout(Tables(s, d))),
     "qz02_global_ordinal" -> ((s: SparkSession, d: String) => globalOrdinal(Tables(s, d))),
+    "qz03_hilbert_layout" -> ((s: SparkSession, d: String) => hilbertLayout(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
     "qz01_zorder_layout"  -> zorderLayoutSql,
     "qz02_global_ordinal" -> globalOrdinalSql,
+    "qz03_hilbert_layout" -> hilbertLayoutSql,
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Bpe, Dedup, Decontaminate, Dsir, HeavyHitters, LinearClassifier, LogisticTrainer, NaiveBayes, NgramLM, QualityRules, RecordLinkage, Unigram, UrlFilter}
+import graft.operators.{Bpe, ConnectedComponents, Dedup, Decontaminate, Dsir, HeavyHitters, LinearClassifier, LogisticTrainer, NaiveBayes, NgramLM, QualityRules, RecordLinkage, Unigram, UrlFilter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -566,6 +566,70 @@ object QualityQueries {
        |SELECT l_id, r_id, weight,
        |  CASE WHEN weight >= 10.0 THEN 'match' ELSE 'possible' END verdict
        |FROM p WHERE weight >= 0.0 ORDER BY l_id, r_id""".stripMargin
+  }
+
+  /** ql02: entity RESOLUTION on top of ql01's linkage — the FS
+    * 'match' links closed transitively ([[ConnectedComponents.run]],
+    * the qd06 machinery on linkage output instead of dedup pairs) so
+    * every record in BOTH registries gets one entity id (min member);
+    * secondary = any record that is not its entity's representative.
+    * This is the step that turns pairwise match verdicts into the
+    * golden-record key a warehouse actually joins on — and because
+    * links are transitive-closed, A≈B≈C lands in ONE entity even when
+    * the A–C pair itself scored below threshold. Oracle: the same
+    * linkage SQL plus a recursive-CTE closure (the qd06 discipline). */
+  def entityClusters(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val links = recordLinkage(t)
+      .filter($"verdict" === "match")
+      .select($"l_id", $"r_id")
+    val records = t.customer.select($"c_custkey".as("rec_id"))
+      .unionByName(t.customer.select(($"c_custkey" + 1000000L).as("rec_id")))
+    ConnectedComponents.dedupDecisions(records, links,
+        idCol = "rec_id", aCol = "l_id", bCol = "r_id")
+      .select($"rec_id", $"cluster_id".as("entity_id"),
+        $"is_dup".as("is_secondary"))
+      .orderBy($"rec_id")
+  }
+
+  val entityClustersSql: String = {
+    val cases = Seq(
+      ("l_name = r_name", linkageRules(0)),
+      ("l_segment = r_segment", linkageRules(1)),
+      ("l_balbkt = r_balbkt", linkageRules(2))).map { case (cond, r) =>
+      s"(CASE WHEN $cond THEN ${r.wAgree} ELSE ${r.wDisagree} END)"
+    }.mkString(" + ")
+    s"""WITH RECURSIVE
+       |l AS (SELECT c_custkey l_id, c_nationkey l_nation, c_name l_name,
+       |    c_mktsegment l_segment, CAST(FLOOR(c_acctbal / 1000) AS BIGINT) l_balbkt
+       |  FROM customer),
+       |r AS (SELECT c_custkey + 1000000 r_id, c_nationkey r_nation,
+       |    CASE WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+       |         THEN c_name || 'x' ELSE c_name END r_name,
+       |    CASE WHEN substring(md5(CAST(c_custkey AS VARCHAR)), 2, 1) = '0'
+       |         THEN 'UNKNOWN' ELSE c_mktsegment END r_segment,
+       |    CAST(FLOOR(c_acctbal / 1000) AS BIGINT) r_balbkt
+       |  FROM customer),
+       |p AS (SELECT DISTINCT * FROM (
+       |  SELECT l_id, r_id, round($cases, 6) weight
+       |    FROM l JOIN r ON l_nation = r_nation AND l_balbkt = r_balbkt
+       |  UNION
+       |  SELECT l_id, r_id, round($cases, 6) weight
+       |    FROM l JOIN r ON l_nation = r_nation
+       |     AND substring(l_name, 10, 8) = substring(r_name, 10, 8))),
+       |links AS (SELECT l_id, r_id FROM p WHERE weight >= 10.0),
+       |e AS (SELECT l_id s, r_id d FROM links UNION ALL SELECT r_id, l_id FROM links),
+       |reach(id, comp) AS (
+       |  SELECT DISTINCT s, s FROM e
+       |  UNION
+       |  SELECT e.d, rch.comp FROM reach rch JOIN e ON e.s = rch.id),
+       |c AS (SELECT id, MIN(comp) comp FROM reach GROUP BY id),
+       |recs AS (SELECT c_custkey rec_id FROM customer
+       |  UNION ALL SELECT c_custkey + 1000000 FROM customer)
+       |SELECT recs.rec_id, COALESCE(c.comp, recs.rec_id) AS entity_id,
+       |  recs.rec_id <> COALESCE(c.comp, recs.rec_id) AS is_secondary
+       |FROM recs LEFT JOIN c ON c.id = recs.rec_id
+       |ORDER BY recs.rec_id""".stripMargin
   }
 
   /** qt32: Naive Bayes TRAINING in-engine — [[NaiveBayes.train]] fits
@@ -1137,6 +1201,7 @@ object QualityQueries {
     "qt14_k_anonymity"       -> ((s: SparkSession, d: String) => kAnonymity(Tables(s, d))),
     "qt31_l_diversity"       -> ((s: SparkSession, d: String) => lDiversity(Tables(s, d))),
     "ql01_record_linkage"    -> ((s: SparkSession, d: String) => recordLinkage(Tables(s, d))),
+    "ql02_entity_clusters"   -> ((s: SparkSession, d: String) => entityClusters(Tables(s, d))),
     "qt32_nb_train"          -> ((s: SparkSession, d: String) => nbTrain(Tables(s, d))),
     "qt33_nb_score"          -> ((s: SparkSession, d: String) => nbScore(Tables(s, d))),
     "qt15_dup_ngram_chars"   -> ((s: SparkSession, d: String) => dupNgramChars(Tables(s, d))),
@@ -1165,6 +1230,7 @@ object QualityQueries {
     "qt14_k_anonymity"       -> kAnonymitySql,
     "qt31_l_diversity"       -> lDiversitySql,
     "ql01_record_linkage"    -> recordLinkageSql,
+    "ql02_entity_clusters"   -> entityClustersSql,
     "qt32_nb_train"          -> nbTrainSql,
     "qt33_nb_score"          -> nbScoreSql,
     "qt15_dup_ngram_chars"   -> dupNgramCharsSql,

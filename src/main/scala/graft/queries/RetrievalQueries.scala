@@ -272,7 +272,42 @@ object RetrievalQueries {
       |    CAST(SUM(n_rel) AS BIGINT) n_rel FROM per2)
       |SELECT * FROM per2 UNION ALL SELECT * FROM tot ORDER BY query_id""".stripMargin
 
+  /** qs13: reciprocal k-NN graph — [[Similarity.mutualKnn]] (k = 5
+    * within 8 IVF cells): the hub-filtered edge set semantic
+    * clustering starts from. Oracle replays the qd13 cell assignment,
+    * the per-id in-cell top-k window, and the reversed-pair self-join
+    * verbatim. */
+  def mutualKnnGraph(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Similarity.mutualKnn(t.embeddings, nCells = 8, k = 5)
+      .orderBy($"a_id", $"b_id")
+  }
+
+  val mutualKnnGraphSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e,
+      |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) nrm2 FROM embeddings),
+      |cent AS (SELECT (ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)) - 1 AS cell,
+      |    e c_vec, nrm2 c_nrm2
+      |  FROM v ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+      |scored AS (SELECT v.vec_id, v.e, v.nrm2, cent.cell,
+      |    cent.c_nrm2 - 2 * list_dot_product(v.e, cent.c_vec) AS score
+      |  FROM v CROSS JOIN cent),
+      |assigned AS (SELECT vec_id, e, nrm2, cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) rn
+      |    FROM scored) WHERE rn = 1),
+      |sims AS (SELECT a.vec_id a_id, b.vec_id b_id,
+      |    round(list_dot_product(a.e, b.e) / (sqrt(a.nrm2) * sqrt(b.nrm2)), 6) cos_sim
+      |  FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+      |rk AS (SELECT a_id, b_id, cos_sim,
+      |    CAST(row_number() OVER (PARTITION BY a_id ORDER BY cos_sim DESC, b_id ASC) AS BIGINT) rk
+      |  FROM sims),
+      |kept AS (SELECT * FROM rk WHERE rk <= 5)
+      |SELECT x.a_id, x.b_id, x.cos_sim, x.rk AS rk_ab, y.rk AS rk_ba
+      |FROM kept x JOIN kept y ON y.a_id = x.b_id AND y.b_id = x.a_id
+      |WHERE x.a_id < x.b_id ORDER BY x.a_id, x.b_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qs13_mutual_knn" -> ((s: SparkSession, d: String) => mutualKnnGraph(Tables(s, d))),
     "qs11_retrieval_metrics" -> ((s: SparkSession, d: String) => retrievalMetrics(Tables(s, d))),
     "qs06_bm25_topk"  -> ((s: SparkSession, d: String) => bm25TopK(Tables(s, d))),
     "qs07_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(Tables(s, d))),
@@ -281,6 +316,7 @@ object RetrievalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qs13_mutual_knn" -> mutualKnnGraphSql,
     "qs11_retrieval_metrics" -> retrievalMetricsSql,
     "qs06_bm25_topk"  -> bm25TopKSql,
     "qs07_hybrid_rrf" -> hybridRrfSql,
