@@ -147,13 +147,19 @@ object GraphMetrics {
       .select(col("node").as("lm"), md5(col("node").cast("string")).as("h"))
       .orderBy(col("h"), col("lm")).limit(nLandmarks).select(col("lm"))
     var dist = landmarks.select(col("lm"), col("lm").as("node"), lit(0L).as("d"))
-    for (depth <- 1 to maxDepth) {
+    for (_ <- 1 to maxDepth) {
       val relaxed = dist.join(edges, dist("node") === edges("src"))
         .select(col("lm"), col("dst").as("node"), (col("d") + 1L).as("d"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("lm"), col("node")).agg(min(col("d")).as("d"))
-      if (maxDepth > 8 && depth % 3 == 0 && depth < maxDepth)
-        dist = ConnectedComponents.checkpointTruncated(dist)
+      // materialize EVERY round: unlike pageRank's single-reference
+      // loop (linear lineage, truncation only pays off when deep),
+      // relaxation references `dist` twice per round — join AND union
+      // — so without a barrier the plan subtree DOUBLES per round and
+      // the engine re-executes it exponentially (measured: 57 s at
+      // sf0.1 for 8 rounds, 1.5 s with the barrier). The frame is
+      // |V|·k rows — the materialization is the cheap side.
+      dist = ConnectedComponents.checkpointTruncated(
+        dist.unionByName(relaxed)
+          .groupBy(col("lm"), col("node")).agg(min(col("d")).as("d")))
     }
     val perNode = dist.groupBy(col("node"))
       .agg(count(lit(1)).as("n_reached"),

@@ -320,6 +320,37 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("Join"), p)
   }
 
+  test("qk03: the point-in-time join is the as-of union scan, never a per-fact range join") {
+    val p = plan(ExtendedQueries.pitJoin(t))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"PIT join must not fall back to a range/nested-loop join:\n$p")
+    // the fact→orders custkey attach stays an equi hash join
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
+  test("qs13: mutual kNN pairs only within cells; centroids broadcast") {
+    val p = plan(RetrievalQueries.mutualKnnGraph(t))
+    assert(!p.contains("CartesianProduct"),
+      s"pairing must be cell-keyed, never all-pairs:\n$p")
+    // the 8-row centroid frame broadcasts (hash or nested-loop — both
+    // are the broadcast shape for a constant-size side)
+    assert(p.contains("Broadcast"), s"centroid frame should broadcast:\n$p")
+  }
+
+  test("qr06: PSI is aggregates of the materialized counts, scalars broadcast") {
+    val p = plan(CurationQueries.psiDrift(t))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals must broadcast:\n$p")
+    assert(p.contains("partial_"), s"the counts aggregation should combine map-side:\n$p")
+  }
+
+  test("qz03: the hilbert walk is pure projection — no exchange before the final agg") {
+    val p = plan(LayoutQueries.hilbertLayout(t))
+    // exactly the aggregation exchange (+AQE reuse markers), no join, no window
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+    assert(p.contains("partial_count"), s"bucket census should combine map-side:\n$p")
+  }
+
   test("qt28: heavy-hitter verify joins the broadcast candidate set; counts combine map-side") {
     val p = plan(QualityQueries.heavyHitters(t))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
