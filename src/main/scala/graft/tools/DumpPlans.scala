@@ -146,11 +146,26 @@ object DumpPlans {
        "Every single-table check contributes aggregate expressions to ONE partial+final hash aggregation; the report branches select from the checkpointed 1-row frame (LocalTableScan), never rescanning the table. The FK orphan count is the one join-shaped member: a broadcast LEFT ANTI against the distinct reference keys.",
        fmt(graft.queries.QualityQueries.expectations(t))),
       ("ql01_record_linkage — block-bounded pairs, scan-local weights",
-       "Candidate pairs exist only inside the two tight blocking joins (nation+balance-bucket, nation+name-prefix), unioned and deduped; the Fellegi-Sunter weight is a projection over the joined row — literals injected from Scala, no aggregation, no transcendental, no post-join shuffle beyond the presentation orderBy.",
+       "Candidate pairs exist only inside the two tight blocking joins (nation+balance-bucket, nation+name-digit-core — the 1..8 prefix is the constant TPC-H literal and would degenerate to a nation-only block, measured 9.0M vs 20k pairs at sf0.1), unioned and deduped; the Fellegi-Sunter weight is a projection over the joined row — literals injected from Scala, no aggregation, no transcendental, no post-join shuffle beyond the presentation orderBy.",
        fmt(graft.queries.QualityQueries.recordLinkage(t))),
       ("qe08_disorder_census — exclusive prefix max without a global window",
        "The per-event window carries the bkt partition spec (bounded partitions); the only unpartitioned window runs over the 256-row bucket frame, which then BROADCASTS back into the event scan. Equality with the oracle's naive global window is the factoring's proof.",
        fmt(graft.queries.PipelineQueries.disorderCensus(t))),
+      ("qk03_pit_join — point-in-time feature join, as-of union scan",
+       "The fact→dimension attach is the qa01 union-scan: facts and SCD2 versions union into one key exchange + running-last window — no per-fact range join, no row amplification. The only Join nodes are the equi custkey attach and the presentation orderBy's exchange. The leakage guard (facts see only event-time dimension state) costs a sort-merge join's shuffle.",
+       fmt(graft.queries.ExtendedQueries.pitJoin(t))),
+      ("qz03_hilbert_layout — curve index as staged pure projection",
+       "Six reflect+swap rounds, each ONE projection stage (linear expression tree — a single nested expression would double per round), all codegen'd integer ops; no Join, no Window, one partial-aggregated bucket census. Hilbert ordering costs exactly what Z-order costs: a scan.",
+       fmt(graft.queries.LayoutQueries.hilbertLayout(t))),
+      ("qg08_landmark_close — k BFS fronts, per-round barrier",
+       "Each relaxation round: one equi join of the materialized |V|·k distance frame against the edge list + one min aggregation. The per-round checkpointTruncated is load-bearing: the frame is referenced twice per round (join + union), and without the barrier the plan subtree doubles per round — measured 57 s → 1.5 s at sf0.1 for 8 rounds.",
+       fmt(graft.queries.ExtendedQueries.landmarkCloseness(t))),
+      ("qs13_mutual_knn — cell-keyed reciprocity",
+       "The 8-row centroid frame broadcasts into the assignment argmin; pairs join on the cell key only (never all-pairs); the per-id top-k window is cell-bounded and plans as WindowGroupLimit (per-partition top-k pre-filter before the full window sort); mutuality is a self-join of the two candidate-sized ranked lists.",
+       fmt(graft.queries.RetrievalQueries.mutualKnnGraph(t))),
+      ("qr06_psi_drift — aggregates of one materialized counts frame",
+       "The corpus is scanned once into the (source, bucket) counts (localCheckpoint); domain, totals, and the two scalar frames are aggregates of that tiny table, with the 1-row scalars broadcast into the dense grid. The PSI terms are scan-local IEEE arithmetic; the statistic costs one corpus pass regardless of scale.",
+       fmt(graft.queries.CurationQueries.psiDrift(t))),
     )
 
     val md = new StringBuilder
