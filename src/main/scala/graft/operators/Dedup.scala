@@ -202,6 +202,43 @@ object Dedup {
         round(col("common") / (col("a_n") + col("b_n") - col("common")), 6).as("jaccard"))
   }
 
+  /** Shingle CONTAINMENT within a block — the asymmetric cousin of
+    * [[jaccardPairsByBlock]]: C(A,B) = |A∩B| / |A| detects A as a
+    * near-SUBSET of B (excerpts, quotes, doc-in-doc inclusion) that
+    * symmetric Jaccard structurally misses — a 150-token excerpt of a
+    * 3000-token source has J ≈ 0.05 but C ≈ 1.0. Same inverted
+    * shingle-index shape (candidates only for docs sharing a hash in
+    * the block, |A∩B| from a count aggregation — no all-pairs scan, no
+    * per-pair array intersection); the containment direction is the
+    * smaller hash set (id tie-break), so each unordered pair emits one
+    * (contained, container) row. */
+  def containmentPairsByBlock(docs: DataFrame, blockCol: String, threshold: Double,
+                              idCol: String = "doc_id", textCol: String = "text",
+                              n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    val sh = docs.select(col(idCol), col(blockCol).as("block"),
+                         shingleHashes(col(textCol), n).as("hashes"))
+    val inverted = sh.select(col("block"), col(idCol), explode(col("hashes")).as("h"))
+    val a = inverted.select(col("block"), col(idCol).as("a_id"), col("h"))
+    val b = inverted.select(col("block"), col(idCol).as("b_id"), col("h"))
+    val common = a.join(b, Seq("block", "h"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("block"), col("a_id"), col("b_id"))
+      .agg(count(lit(1)).cast("double").as("common"))
+    val sizes = sh.select(col(idCol), size(col("hashes")).as("n_hashes"))
+    val aFirst = col("a_n") < col("b_n") ||
+      (col("a_n") === col("b_n") && col("a_id") < col("b_id"))
+    common
+      .join(sizes.select(col(idCol).as("a_id"), col("n_hashes").as("a_n")), "a_id")
+      .join(sizes.select(col(idCol).as("b_id"), col("n_hashes").as("b_n")), "b_id")
+      .select(col("block"),
+        when(aFirst, col("a_id")).otherwise(col("b_id")).as("contained_id"),
+        when(aFirst, col("b_id")).otherwise(col("a_id")).as("container_id"),
+        round(col("common") / least(col("a_n"), col("b_n")).cast("double"), 6)
+          .as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Prefix-filtered set-similarity join (PPJoin-style): for a KNOWN
     * threshold t, a pair with Jaccard ≥ t must share a hash within each
     * doc's first |d| − ⌈t·|d|⌉ + 1 hashes under a global sort order —

@@ -133,6 +133,41 @@ object PipelineQueries {
       |SELECT block, a_id, b_id, jaccard FROM p WHERE jaccard >= 0.05
       |ORDER BY block, a_id, b_id""".stripMargin
 
+  /** qd21: excerpt/quote detection — [[Dedup.containmentPairsByBlock]]
+    * (C(A,B) = |A∩B|/|A|, the asymmetric overlap Jaccard structurally
+    * misses: an excerpt of a long doc has J ≈ len ratio but C ≈ 1).
+    * Every 25th doc gets a planted 150-char excerpt row (qt09's
+    * in-query planting discipline, mirrored in the oracle) so the
+    * threshold actually fires; natural near-supersets surface too. */
+  def containmentDedup(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val base = t.documents.select($"doc_id", $"lang", $"text")
+      .unionByName(t.documents.filter($"doc_id" % 25 === 0)
+        .select(($"doc_id" + 100000L).as("doc_id"), $"lang",
+          substring($"text", 1, 150).as("text")))
+    Dedup.containmentPairsByBlock(base, "lang", threshold = 0.8)
+      .orderBy($"block", $"contained_id", $"container_id")
+  }
+
+  val containmentDedupSql: String =
+    """WITH base AS (SELECT doc_id, lang, text FROM documents
+      |  UNION ALL SELECT doc_id + 100000, lang, substr(text, 1, 150)
+      |    FROM documents WHERE doc_id % 25 = 0),
+      |sh AS (SELECT doc_id, lang block,
+      |    list_distinct([md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]) for i in range(1, len(w)-1)]) hashes
+      |  FROM (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') w FROM base)),
+      |p AS (SELECT a.block AS block, a.doc_id a_id, b.doc_id b_id,
+      |    len(a.hashes) a_n, len(b.hashes) b_n,
+      |    CAST(len(list_intersect(a.hashes, b.hashes)) AS DOUBLE) common
+      |  FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id),
+      |d AS (SELECT block,
+      |    CASE WHEN a_n < b_n OR (a_n = b_n AND a_id < b_id) THEN a_id ELSE b_id END contained_id,
+      |    CASE WHEN a_n < b_n OR (a_n = b_n AND a_id < b_id) THEN b_id ELSE a_id END container_id,
+      |    round(common / CAST(least(a_n, b_n) AS DOUBLE), 6) containment
+      |  FROM p)
+      |SELECT block, contained_id, container_id, containment FROM d
+      |WHERE containment >= 0.8 ORDER BY block, contained_id, container_id""".stripMargin
+
   def minhashNearDups(t: Tables): DataFrame = {
     import t.spark.implicits._
     Dedup.nearDupsMinhash(t.documents, threshold = 0.3).orderBy($"a_id", $"b_id")
@@ -1561,6 +1596,7 @@ object PipelineQueries {
     "qt05_simhash"         -> ((s: SparkSession, d: String) => simhashes(Tables(s, d))),
     "qd01_exact_dedup"     -> ((s: SparkSession, d: String) => exactDedup(Tables(s, d))),
     "qd02_jaccard_block"   -> ((s: SparkSession, d: String) => jaccardBlocked(Tables(s, d))),
+    "qd21_containment"     -> ((s: SparkSession, d: String) => containmentDedup(Tables(s, d))),
     "qd03_minhash_neardup" -> ((s: SparkSession, d: String) => minhashNearDups(Tables(s, d))),
     "qd04_embed_neardup"   -> ((s: SparkSession, d: String) => embedNearDups(Tables(s, d))),
     "qd05_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNearDups(Tables(s, d))),
@@ -1611,6 +1647,7 @@ object PipelineQueries {
     "qt05_simhash"         -> simhashesSql,
     "qd01_exact_dedup"     -> exactDedupSql,
     "qd02_jaccard_block"   -> jaccardBlockedSql,
+    "qd21_containment"     -> containmentDedupSql,
     "qd03_minhash_neardup" -> minhashNearDupsSql,
     "qd04_embed_neardup"   -> embedNearDupsSql,
     "qd05_simhash_neardup" -> simhashNearDupsSql,

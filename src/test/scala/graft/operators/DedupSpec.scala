@@ -42,6 +42,36 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("containment finds the excerpt symmetric jaccard misses") {
+    val longText = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (10L, longText, "a"),
+      (11L, (1 to 8).map(i => s"w$i").mkString(" "), "a"), // 8-token excerpt
+      (12L, "unrelated words entirely different from everything else", "a")
+    ).toDF("doc_id", "text", "src")
+    val got = Dedup.containmentPairsByBlock(corpus, "src", threshold = 0.8)
+      .select($"contained_id", $"container_id", $"containment")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == 1)
+    val (contained, container, c) = got.head
+    assert(contained == 11L && container == 10L && c == 1.0)
+    // the same pair under symmetric jaccard: 6 shared / 38 union ≈ 0.16
+    val j = Dedup.jaccardPairsByBlock(corpus, "src")
+      .filter($"a_id" === 10L && $"b_id" === 11L)
+      .select($"jaccard").as[Double].head()
+    assert(j < 0.2, s"jaccard $j should miss what containment catches")
+  }
+
+  test("containment direction: equal sizes break the tie on id") {
+    val corpus = Seq(
+      (20L, "alpha beta gamma delta epsilon", "a"),
+      (21L, "alpha beta gamma delta epsilon", "a")
+    ).toDF("doc_id", "text", "src")
+    val got = Dedup.containmentPairsByBlock(corpus, "src", threshold = 0.8)
+      .select($"contained_id", $"container_id").as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((20L, 21L)))
+  }
+
   test("minhash candidates find exact+near dup pairs, skip unrelated") {
     val pairs = Dedup.minhashCandidatePairs(docs)
       .as[(Long, Long)].collect().toSet
