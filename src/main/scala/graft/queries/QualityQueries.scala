@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.operators.{Bpe, ConnectedComponents, Dedup, Decontaminate, Dsir, HeavyHitters, LinearClassifier, LogisticTrainer, NaiveBayes, NgramLM, QualityRules, RecordLinkage, Unigram, UrlFilter}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -706,6 +706,71 @@ object QualityQueries {
        |FROM pick k JOIN documents d ON d.doc_id = k.doc_id
        |WHERE k.rn = 1 ORDER BY k.doc_id""".stripMargin
 
+  /** qt34: Luhn-validated credit-card scrub — the precision PII pass
+    * a bare regex can't be: sixteen digits in a row are usually NOT a
+    * card (order ids, timestamps, hashes), and redacting them all
+    * destroys clean text. Candidates come from the regex; only those
+    * passing the Luhn mod-10 checksum (the actual card-number
+    * invariant) are redacted. Every doc gets a planted candidate —
+    * half carrying the true check digit, half a broken one (both
+    * engines derive the digit with the same mirrored fold), so the
+    * validator's accept AND reject paths face real data. Everything is
+    * per-row HOF arithmetic over the candidate list — zero shuffle,
+    * scan-local, the qt09 scrub discipline with a checksum brain. */
+  def luhnScrub(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    def luhnSum(s: Column, nDigits: Int): Column =
+      aggregate(transform(sequence(lit(1), lit(nDigits)), i => {
+        val d = substr(s, i, lit(1)).cast("int")
+        val dd = d * 2
+        // final layout is 16 digits, check at the right: left position
+        // i is even-from-the-right (doubled) exactly when i is odd
+        when(i % 2 === 1, when(dd > 9, dd - 9).otherwise(dd)).otherwise(d)
+      }), lit(0), (acc, v) => acc + v)
+    val base15 = lpad($"doc_id".cast("string"), 15, "0")
+    val check = (lit(10) - luhnSum(base15, 15) % 10) % 10
+    val planted = t.documents.select($"doc_id",
+      concat($"text", lit(" card "), base15,
+        when($"doc_id" % 2 === 0, check).otherwise((check + 5) % 10).cast("string"))
+        .as("text"))
+    val withCands = planted.withColumn("cands",
+      regexp_extract_all($"text", lit("\\d{16}"), lit(0)))
+    val withValid = withCands.withColumn("valids",
+      filter($"cands", c => luhnSum(c, 16) % 10 === 0))
+    withValid.select($"doc_id",
+        size($"cands").cast("long").as("n_candidates"),
+        size($"valids").cast("long").as("n_valid"),
+        md5(aggregate($"valids", $"text",
+          (acc, c) => call_function("replace", acc, c, lit("<CARD>"))))
+          .as("redacted_md5"))
+      .orderBy($"doc_id")
+  }
+
+  private def luhnSumSql(v: String, upper: Int): String =
+    s"""CAST(list_sum(list_transform(range(1, $upper), i ->
+       |      CASE WHEN i % 2 = 1 THEN
+       |        CASE WHEN CAST(substr($v, i, 1) AS INT) * 2 > 9
+       |             THEN CAST(substr($v, i, 1) AS INT) * 2 - 9
+       |             ELSE CAST(substr($v, i, 1) AS INT) * 2 END
+       |      ELSE CAST(substr($v, i, 1) AS INT) END)) AS INT)""".stripMargin
+
+  val luhnScrubSql: String =
+    s"""WITH b AS (SELECT doc_id, lpad(CAST(doc_id AS VARCHAR), 15, '0') base15, text FROM documents),
+       |s AS (SELECT doc_id, base15, text, ${luhnSumSql("base15", 16)} s15 FROM b),
+       |p AS (SELECT doc_id, text || ' card ' || base15 ||
+       |    CAST(CASE WHEN doc_id % 2 = 0 THEN (10 - s15 % 10) % 10
+       |              ELSE ((10 - s15 % 10) % 10 + 5) % 10 END AS VARCHAR) AS text
+       |  FROM s),
+       |c AS (SELECT doc_id, text, regexp_extract_all(text, '\\d{16}') cands FROM p),
+       |v AS (SELECT doc_id, text, cands,
+       |    list_filter(cands, x -> ${luhnSumSql("x", 17)} % 10 = 0) valids
+       |  FROM c)
+       |SELECT doc_id, CAST(len(cands) AS BIGINT) n_candidates,
+       |  CAST(len(valids) AS BIGINT) n_valid,
+       |  md5(list_reduce(list_prepend(text, valids),
+       |      (acc, x) -> replace(acc, x, '<CARD>'))) redacted_md5
+       |FROM v ORDER BY doc_id""".stripMargin
+
   /** qd12: exact-substring dedup REMOVAL (the scrub half of qd09's
     * census) — every 10-token window shared across docs is cut from
     * every doc but its first owner, and the doc rebuilt. */
@@ -1204,6 +1269,7 @@ object QualityQueries {
     "ql02_entity_clusters"   -> ((s: SparkSession, d: String) => entityClusters(Tables(s, d))),
     "qt32_nb_train"          -> ((s: SparkSession, d: String) => nbTrain(Tables(s, d))),
     "qt33_nb_score"          -> ((s: SparkSession, d: String) => nbScore(Tables(s, d))),
+    "qt34_luhn_scrub"        -> ((s: SparkSession, d: String) => luhnScrub(Tables(s, d))),
     "qt15_dup_ngram_chars"   -> ((s: SparkSession, d: String) => dupNgramChars(Tables(s, d))),
   )
 
@@ -1233,6 +1299,7 @@ object QualityQueries {
     "ql02_entity_clusters"   -> entityClustersSql,
     "qt32_nb_train"          -> nbTrainSql,
     "qt33_nb_score"          -> nbScoreSql,
+    "qt34_luhn_scrub"        -> luhnScrubSql,
     "qt15_dup_ngram_chars"   -> dupNgramCharsSql,
   )
 }
