@@ -273,6 +273,26 @@ object EventStreams {
         ()
       }
 
+  /** Streaming SCD2 maintenance: dimension updates arrive as a stream
+    * and each micro-batch folds into the persistent version-chain
+    * store via [[graft.hfc.Scd2Store.applyBatch]] — the K-plane's
+    * history-keeping sink run continuously (upsertStream overwrites;
+    * this VERSIONS). Crash-replay safe by the in-store applied marker
+    * (a replayed batch is a no-op — re-folding would re-close closed
+    * versions); under the in-order ingest contract the stored history
+    * equals the all-at-once [[graft.hfc.Scd2.applyChanges]] build
+    * regardless of micro-batch boundaries (spec-pinned). */
+  def scd2Stream(updates: DataFrame, storePath: String,
+                 keyCol: String, attrCol: String, tsCol: String, tieCol: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    updates.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.hfc.Scd2Store.applyBatch(batch, storePath, batchId,
+          keyCol, attrCol, tsCol, tieCol)
+        ()
+      }
+
   /** Streaming corpus-global line boilerplate removal — the continuous
     * form of [[graft.operators.IncrementalLineCensus]]: each
     * micro-batch is scrubbed against the persistent line census,
