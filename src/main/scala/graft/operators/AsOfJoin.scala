@@ -131,6 +131,41 @@ object AsOfJoin {
     pickMatches(union, key, w, leftFields, rightCols)
   }
 
+  /** Nearest as-of: the reference closest in time on EITHER side of
+    * the probe — sensor alignment / attribution semantics where
+    * "just after" beats "long before". Composed as the backward and
+    * forward union-scans joined on the probe's unique id (two
+    * one-exchange passes — still never a range join), with a
+    * scan-local winner pick over each match's carried epoch-ms:
+    * backward wins distance ties (the earlier reference — the
+    * deterministic convention), and each side keeps its own
+    * equal-ts tie rule (backward: max `rightSeq`; forward: min).
+    * `probeId` must be unique per probe row — it is the join identity
+    * between the two passes. */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String, probeId: String,
+                  leftTs: String, rightTs: String, rightSeq: String,
+                  rightCols: Seq[String], rightMs: String,
+                  leftMsCol: String): DataFrame = {
+    require(rightCols.contains(rightMs),
+      s"rightMs '$rightMs' must be one of rightCols so each match carries its timestamp")
+    require(left.columns.contains(leftMsCol),
+      s"left must carry its probe epoch-ms in '$leftMsCol'")
+    val b = asOfBackward(left, right, key, leftTs, rightTs, rightSeq, rightCols)
+    val fwdAll = asOfForward(left, right, key, leftTs, rightTs, rightSeq, rightCols)
+    val f = rightCols.foldLeft(
+        fwdAll.select((probeId +: rightCols.map("asof_" + _)).map(col): _*)) {
+      (df, c) => df.withColumnRenamed(s"asof_$c", s"__fwd_$c")
+    }
+    val bMs = col(s"asof_$rightMs")
+    val fMs = col(s"__fwd_$rightMs")
+    val pMs = col(leftMsCol)
+    val useB = fMs.isNull || (bMs.isNotNull && (pMs - bMs) <= (fMs - pMs))
+    val outCols = b.columns.filterNot(_.startsWith("asof_")).toSeq.map(col) ++
+      rightCols.map(c =>
+        when(useB, col(s"asof_$c")).otherwise(col(s"__fwd_$c")).as(s"asof_$c"))
+    b.join(f, Seq(probeId)).select(outCols: _*)
+  }
+
   /** Tolerance-bounded backward as-of — the feature-store staleness
     * contract ("a feature older than X at serving time is as good as
     * missing"): [[asOfBackward]] whose attached columns all null out

@@ -38,6 +38,50 @@ object CurationQueries {
       .orderBy($"user_id", $"purchase_id")
   }
 
+  /** qa06: the NEAREST view around each purchase — either side of the
+    * probe ([[AsOfJoin.asOfNearest]]): attribution semantics where a
+    * view 1 s after the purchase event (clock skew, late arrival)
+    * beats one 2 h before. Two union-scan passes joined on the unique
+    * probe id, winner picked scan-locally from each match's carried
+    * epoch-ms; backward wins exact distance ties. The oracle ranks all
+    * same-user views by |Δms| with the operator's side-specific seq
+    * tie rules spelled out in the ORDER BY. */
+  def asofNearestView(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val purchases = t.events.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts",
+              unix_millis($"ts").as("purchase_ms"))
+    val views = t.events.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts",
+              unix_millis($"ts").as("view_ms"))
+    AsOfJoin.asOfNearest(purchases, views, key = "user_id",
+        probeId = "purchase_id", leftTs = "ts", rightTs = "ts",
+        rightSeq = "view_id", rightCols = Seq("view_id", "view_ms"),
+        rightMs = "view_ms", leftMsCol = "purchase_ms")
+      .select($"user_id", $"purchase_id", $"purchase_ms",
+              $"asof_view_id".as("view_id"), $"asof_view_ms".as("view_ms"))
+      .orderBy($"user_id", $"purchase_id")
+  }
+
+  val asofNearestViewSql: String =
+    """WITH p AS (SELECT user_id, event_id purchase_id,
+      |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) pms
+      |  FROM events WHERE event_type = 'purchase'),
+      |v AS (SELECT user_id, event_id view_id,
+      |    CAST(epoch_ms(CAST(ts AS TIMESTAMP)) AS BIGINT) vms
+      |  FROM events WHERE event_type = 'view'),
+      |cand AS (SELECT p.purchase_id, v.view_id, v.vms,
+      |    row_number() OVER (PARTITION BY p.purchase_id
+      |      ORDER BY abs(v.vms - p.pms),
+      |               CASE WHEN v.vms <= p.pms THEN 0 ELSE 1 END,
+      |               CASE WHEN v.vms <= p.pms THEN -v.view_id ELSE v.view_id END) rn
+      |  FROM p JOIN v ON v.user_id = p.user_id)
+      |SELECT p.user_id, p.purchase_id, p.pms AS purchase_ms,
+      |  c.view_id, c.vms AS view_ms
+      |FROM p LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+      |  ON c.purchase_id = p.purchase_id
+      |ORDER BY p.user_id, p.purchase_id""".stripMargin
+
   /** qa05: qa01's join under a 30-minute staleness tolerance — the
     * feature-store serving contract: a last view older than 30 minutes
     * at purchase time is as good as absent, so the attached columns
@@ -1178,6 +1222,7 @@ object CurationQueries {
     "qr01_data_card"         -> ((s: SparkSession, d: String) => dataCard(Tables(s, d))),
     "qr02_drift_report"      -> ((s: SparkSession, d: String) => driftReport(Tables(s, d))),
     "qa05_asof_tolerant"     -> ((s: SparkSession, d: String) => asofViewBeforePurchaseTolerant(Tables(s, d))),
+    "qa06_asof_nearest"      -> ((s: SparkSession, d: String) => asofNearestView(Tables(s, d))),
     "qr03_ks_drift"          -> ((s: SparkSession, d: String) => ksDrift(Tables(s, d))),
     "qr06_psi_drift"         -> ((s: SparkSession, d: String) => psiDrift(Tables(s, d))),
     "qp13_target_mix"        -> ((s: SparkSession, d: String) => targetMix(Tables(s, d))),
@@ -1214,6 +1259,7 @@ object CurationQueries {
     "qr01_data_card"         -> dataCardSql,
     "qr02_drift_report"      -> driftReportSql,
     "qa05_asof_tolerant"     -> asofViewBeforePurchaseTolerantSql,
+    "qa06_asof_nearest"      -> asofNearestViewSql,
     "qr03_ks_drift"          -> ksDriftSql,
     "qr06_psi_drift"         -> psiDriftSql,
     "qp13_target_mix"        -> targetMixSql,

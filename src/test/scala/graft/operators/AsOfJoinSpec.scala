@@ -80,6 +80,33 @@ class AsOfJoinSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("nearest as-of: closest side wins, backward breaks exact ties, one-sided falls through") {
+    // probes carry their own ms (the operator contract)
+    val p = probes.withColumn("p_ms", $"p_ts")
+    val r = refs.withColumn("r_ms", $"r_ts")
+    val m = AsOfJoin.asOfNearest(p, r, key = "user_id", probeId = "probe_id",
+        leftTs = "p_ts", rightTs = "r_ts", rightSeq = "ref_id",
+        rightCols = Seq("ref_id", "r_ms"), rightMs = "r_ms", leftMsCol = "p_ms")
+      .select($"probe_id", $"asof_ref_id")
+      .collect().map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    assert(m(1L) === Some(10L)) // 50: nothing before, forward to 100
+    assert(m(2L) === Some(11L)) // exact hit at 200
+    assert(m(3L) === Some(11L)) // 250: |250-200| == |300-250| -> backward wins the tie
+    assert(m(4L) === Some(12L)) // 999: after all, backward 300
+    assert(m(5L) === Some(20L)) // 149: forward to 150 (backward empty)
+    assert(m(6L) === None)      // no refs for the key at all
+  }
+
+  test("nearest as-of: strictly closer forward beats a much older backward") {
+    val p = Seq(("u1", 290L, 1L)).toDF("user_id", "p_ts", "probe_id")
+      .withColumn("p_ms", $"p_ts")
+    val r = refs.withColumn("r_ms", $"r_ts")
+    val got = AsOfJoin.asOfNearest(p, r, "user_id", "probe_id",
+        "p_ts", "r_ts", "ref_id", Seq("ref_id", "r_ms"), "r_ms", "p_ms")
+      .select($"asof_ref_id").as[Long].head()
+    assert(got == 12L) // 300 is 10 away; 200 is 90 away
+  }
+
   test("equal-ts reference ties resolve by seq in its NATIVE order (max for backward)") {
     // 9 vs 10: numeric order (10 wins backward) diverges from string
     // order ("9" > "10") — pins that the tie-break is typed
