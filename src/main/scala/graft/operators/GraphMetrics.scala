@@ -138,8 +138,12 @@ object GraphMetrics {
     require(nLandmarks >= 1, s"nLandmarks must be >= 1, got $nLandmarks")
     require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
     val und = canonicalEdges(edges0)
+    // materialize once: the edge list (often itself a derived join —
+    // the co-activity build) is read by EVERY relaxation round; the
+    // qg06 discipline
     val edges = und.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(und.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
     val nodes = edges.select(col("src").as("node")).distinct()
     // deterministic landmark pick: smallest md5 coordinate (id
     // tie-break) — seedless, any engine can replay it

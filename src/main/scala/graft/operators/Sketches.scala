@@ -87,6 +87,130 @@ object Sketches {
            count(lit(1)).as("n"))
   }
 
+  /** Per-day KLL doubles sketches built partition-locally: ONE sketch
+    * per (partition, day) updated in a tight loop — never a per-row
+    * serialize/deserialize round-trip — then merged per day. The
+    * shuffle carries days × partitions fixed-size summaries, not
+    * values. */
+  private def dailyKllSketches(df: DataFrame, tsCol: String, valueCol: String,
+                               k: Int): DataFrame = {
+    import org.apache.datasketches.kll.KllDoublesSketch
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(to_date(col(tsCol)).cast("string").as("day"),
+              col(valueCol).cast("double").as("v"))
+      .as[(String, Double)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, KllDoublesSketch]
+        it.foreach { case (d, v) =>
+          m.getOrElseUpdate(d, KllDoublesSketch.newHeapInstance(k)).update(v)
+        }
+        m.iterator.map { case (d, s) => (d, s.toByteArray) }
+      }.toDF("day", "sk")
+  }
+
+  /** Trailing-window approximate quantiles — the quantile member of
+    * the sliding-sketch family next to [[slidingApproxDistinct]]:
+    * "p95 document length over the trailing 7 days" without ever
+    * sorting a window's rows. One raw pass builds per-day KLL
+    * summaries (mergeability is the point — GK/`percentile_approx`
+    * summaries don't merge across pre-aggregated groups); each window
+    * then merges `windowDays` fixed-size sketches. KLL's contract is
+    * NORMALIZED RANK error (≈ 1.65% at k = 200, to 99% confidence) —
+    * the returned value's true rank is within ±ε·n of p·n, which
+    * SketchesSpec pins against exact per-window sorts. Output per
+    * observed day: the trailing-window n and one column per requested
+    * quantile. */
+  def slidingSketchQuantiles(df: DataFrame, tsCol: String, valueCol: String,
+                             windowDays: Int = 7, k: Int = 200,
+                             probs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    require(probs.nonEmpty && probs.forall(p => p > 0.0 && p <= 1.0),
+      s"probs must be in (0,1], got $probs")
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    val mergeQuantiles = udf { (sks: Seq[Array[Byte]]) =>
+      val s = KllDoublesSketch.newHeapInstance(k)
+      sks.foreach(b => s.merge(KllDoublesSketch.heapify(Memory.wrap(b))))
+      s.getN.toDouble +: probs.map(p => s.getQuantile(p,
+        org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE))
+    }
+    val daily = dailyKllSketches(df, tsCol, valueCol, k)
+      .withColumn("day", col("day").cast("date"))
+      .localCheckpoint()
+    val days = daily.select(col("day").as("win_day")).distinct()
+    val merged = daily
+      .select(col("day"), col("sk"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("off"))
+      .select(date_add(col("day"), col("off")).as("win_day"), col("sk"))
+      .join(broadcast(days), "win_day")
+      .groupBy(col("win_day"))
+      .agg(mergeQuantiles(collect_list(col("sk"))).as("q"))
+    val qCols = probs.zipWithIndex.map { case (p, i) =>
+      col("q").getItem(i + 1).as(s"p${(p * 100).round}")
+    }
+    merged.select(Seq(col("win_day").as("day"),
+      col("q").getItem(0).cast("long").as("n")) ++ qCols: _*)
+  }
+
+  /** Week-over-week retained users via THETA sketches — the set
+    * operation HLL cannot do: HLL unions but never intersects, theta
+    * keeps the k smallest value hashes (a deterministic function of
+    * the SET — partitioning- and order-invariant, spec-pinned) so
+    * |A ∩ B| has a first-class estimator. Per-week sketches build
+    * partition-locally and merge; consecutive weeks pair by a lag
+    * over the tiny weeks frame (the single-partition window is
+    * deliberate — the frame is |weeks| rows). Below k entries the
+    * sketch is in exact mode, so small-cardinality estimates are
+    * exact integers. */
+  def weeklyRetention(df: DataFrame, tsCol: String, userCol: String,
+                      lgK: Int = 12): DataFrame = {
+    import org.apache.datasketches.memory.Memory
+    import org.apache.datasketches.theta.{SetOperation, Sketches => TSketches, UpdateSketch}
+    val spark = df.sparkSession
+    import spark.implicits._
+    val weeklyParts = df
+      .select(date_trunc("week", col(tsCol)).cast("date").cast("string").as("week"),
+              col(userCol).cast("string").as("u"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.HashMap.empty[String, UpdateSketch]
+        it.foreach { case (w, u) =>
+          m.getOrElseUpdate(w,
+            UpdateSketch.builder().setLogNominalEntries(lgK).build()).update(u)
+        }
+        m.iterator.map { case (w, s) => (w, s.compact().toByteArray) }
+      }.toDF("week", "sk")
+    val mergeTheta = udf { (sks: Seq[Array[Byte]]) =>
+      val u = SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
+      sks.foreach(b => u.union(TSketches.heapifyCompactSketch(Memory.wrap(b))))
+      u.getResult().toByteArray
+    }
+    val retained = udf { (cur: Array[Byte], prev: Array[Byte]) =>
+      val i = SetOperation.builder().setLogNominalEntries(lgK).buildIntersection()
+      i.intersect(TSketches.heapifyCompactSketch(Memory.wrap(cur)))
+      i.intersect(TSketches.heapifyCompactSketch(Memory.wrap(prev)))
+      i.getResult().getEstimate
+    }
+    val estimate = udf { (b: Array[Byte]) =>
+      TSketches.heapifyCompactSketch(Memory.wrap(b)).getEstimate
+    }
+    val weekly = weeklyParts.groupBy(col("week"))
+      .agg(mergeTheta(collect_list(col("sk"))).as("sk"))
+      .withColumn("week", col("week").cast("date"))
+    // |weeks| rows: the unpartitioned lag is the deliberate tiny frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(datediff(col("week"), col("week"))).orderBy(col("week"))
+    weekly
+      .withColumn("prev_week", lag(col("week"), 1).over(w))
+      .withColumn("prev_sk", lag(col("sk"), 1).over(w))
+      .filter(col("prev_sk").isNotNull && datediff(col("week"), col("prev_week")) === 7)
+      .select(col("week"), col("prev_week"),
+        round(estimate(col("sk"))).cast("long").as("active_est"),
+        round(estimate(col("prev_sk"))).cast("long").as("prev_active_est"),
+        round(retained(col("sk"), col("prev_sk"))).cast("long").as("retained_est"))
+  }
+
   /** Build a count-min sketch over `valueCol` in one aggregate pass.
     * The returned bytes are a storable artifact (like the bloom
     * filter): ship it anywhere and answer frequency queries without

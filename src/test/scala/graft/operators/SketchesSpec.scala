@@ -109,6 +109,75 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("sliding KLL quantiles are exact below k and rank-bounded above") {
+    import java.sql.Timestamp
+    // 3 days x 60 values each: every trailing-3-day window holds < k=200
+    // values, so the sketch is still in exact mode and the returned
+    // quantile must BE the inclusive order statistic
+    val rows = for (d <- 1 to 3; i <- 1 to 60)
+      yield (Timestamp.valueOf(f"2024-03-0$d 10:00:00"), (d * 1000 + i).toDouble)
+    val df = rows.toDF("ts", "v")
+    val got = Sketches.slidingSketchQuantiles(df, "ts", "v", windowDays = 3,
+        k = 200, probs = Seq(0.5, 0.95))
+      .orderBy($"day").collect()
+    assert(got.length == 3)
+    def exactInclusive(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      s(math.ceil(p * s.size).toInt - 1)
+    }
+    // day 3's trailing window covers days 1..3 (exploded forward)
+    val win3 = rows.map(_._2)
+    val d3 = got.last
+    assert(d3.getLong(1) == 180L)
+    assert(d3.getDouble(2) == exactInclusive(win3, 0.5))
+    assert(d3.getDouble(3) == exactInclusive(win3, 0.95))
+    // day 1's window is just day 1
+    val win1 = rows.filter(_._2 < 2000).map(_._2)
+    assert(got.head.getLong(1) == 60L)
+    assert(got.head.getDouble(2) == exactInclusive(win1, 0.5))
+  }
+
+  test("sliding KLL quantiles: rank error within 3*eps at corpus scale") {
+    import java.sql.Timestamp
+    val n = 5000
+    val rows = (0 until n).map(i =>
+      (Timestamp.valueOf("2024-03-01 10:00:00"), ((i * 2654435761L) % 100000).toDouble))
+    val df = rows.toDF("ts", "v").repartition(8)
+    val got = Sketches.slidingSketchQuantiles(df, "ts", "v", windowDays = 1,
+        k = 200, probs = Seq(0.5, 0.95)).collect().head
+    val sorted = rows.map(_._2).sorted
+    def rankOf(v: Double): Double = sorted.count(_ <= v).toDouble / n
+    // KLL k=200: normalized rank error ~1.65% at 99% confidence; 3x slack
+    assert(math.abs(rankOf(got.getDouble(2)) - 0.5) <= 0.05, s"p50 rank ${rankOf(got.getDouble(2))}")
+    assert(math.abs(rankOf(got.getDouble(3)) - 0.95) <= 0.05, s"p95 rank ${rankOf(got.getDouble(3))}")
+    assert(got.getLong(1) == n.toLong)
+  }
+
+  test("theta weekly retention is exact below k and partitioning-invariant") {
+    import java.sql.Timestamp
+    // week of 2024-03-04 (Mon) and week of 2024-03-11: 40 users, 25 retained
+    val w1 = (1 to 40).map(u => (Timestamp.valueOf("2024-03-05 09:00:00"), u.toLong))
+    val w2 = (16 to 55).map(u => (Timestamp.valueOf("2024-03-12 09:00:00"), u.toLong))
+    val df = (w1 ++ w2).toDF("ts", "user_id")
+    val got = Sketches.weeklyRetention(df, "ts", "user_id")
+      .select($"active_est", $"prev_active_est", $"retained_est")
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSeq == Seq((40L, 40L, 25L)))
+    val reparted = Sketches.weeklyRetention(df.repartition(7), "ts", "user_id")
+      .select($"active_est", $"prev_active_est", $"retained_est")
+      .as[(Long, Long, Long)].collect()
+    assert(reparted.toSeq == got.toSeq, "theta must be a pure function of the set")
+  }
+
+  test("theta weekly retention skips non-consecutive week pairs") {
+    import java.sql.Timestamp
+    val w1 = (1 to 10).map(u => (Timestamp.valueOf("2024-03-05 09:00:00"), u.toLong))
+    val w3 = (1 to 10).map(u => (Timestamp.valueOf("2024-03-19 09:00:00"), u.toLong))
+    val got = Sketches.weeklyRetention((w1 ++ w3).toDF("ts", "user_id"),
+      "ts", "user_id").collect()
+    assert(got.isEmpty, "a 2-week gap is not week-over-week retention")
+  }
+
   test("sliding HLL distinct tracks the exact 7-day distinct within sketch error") {
     val t = graft.Tables(spark, sf0001)
     val exact = graft.queries.PipelineQueries.slidingDistinct(t)
