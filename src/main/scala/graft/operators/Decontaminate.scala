@@ -48,6 +48,29 @@ object Decontaminate {
         col("n_hits").isNotNull.as("contaminated"))
   }
 
+  /** Cluster-aware decontamination (the qp12 composition argument
+    * applied to leakage): a contaminated doc poisons its whole
+    * near-dup cluster, because a paraphrased/typo'd copy of a leaked
+    * eval item dodges the exact n-gram check while carrying the leak.
+    * `pairs` is any near-dup pair table (the audited funnel's output);
+    * decisions are per-CLUSTER: one bool aggregation over the CC
+    * labels joined back. Output per doc: cluster id, its own hit, the
+    * cluster verdict, and keep = clean cluster. */
+  def clusterFlag(docs: DataFrame, bench: DataFrame, pairs: DataFrame,
+                  n: Int = 5, idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame = {
+    val clusters = ConnectedComponents.dedupDecisions(docs, pairs, idCol)
+      .select(col(idCol), col("cluster_id"))
+    val hits = flag(docs, bench, n, idCol, textCol)
+      .select(col(idCol), col("contaminated").as("self_hit"))
+    val joined = clusters.join(hits, Seq(idCol)).localCheckpoint()
+    val clusterHit = joined.groupBy(col("cluster_id"))
+      .agg(max(col("self_hit")).as("cluster_hit"))
+    joined.join(clusterHit, "cluster_id")
+      .select(col(idCol), col("cluster_id"), col("self_hit"),
+        col("cluster_hit"), (!col("cluster_hit")).as("keep"))
+  }
+
   /** Fuzzy decontamination: flag corpus documents whose n-gram Jaccard
     * similarity with ANY benchmark document reaches `threshold` — the
     * near-duplicate leakage the exact n-gram rule misses (lightly

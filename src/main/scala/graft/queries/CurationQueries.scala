@@ -345,6 +345,62 @@ object CurationQueries {
       |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits, h.doc_id IS NOT NULL AS contaminated
       |FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** qc12: cluster-aware decontamination — qc02 composed with qd06's
+    * transitive near-dup clusters: a contaminated doc poisons its
+    * WHOLE cluster, because a near-duplicate of a leaked benchmark
+    * item carries the leak even when its own 5-grams dodge the exact
+    * check (paraphrase/typo forms). The same composition argument as
+    * qp12's cluster holdout: per-doc decisions leak through near-dup
+    * structure unless the decision coordinate is the cluster. Shapes:
+    * the audited funnel + CC labels, the broadcast n-gram guard, then
+    * one cluster-keyed bool aggregation joined back — no new shuffle
+    * class. */
+  def clusterDecontaminate(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val pairs = graft.operators.Dedup.nearDupsMinhash(t.documents, threshold = 0.3)
+      .select($"a_id", $"b_id")
+    val bench = t.documents.filter($"doc_id" % 50 === 0)
+    graft.operators.Decontaminate
+      .clusterFlag(t.documents, bench, pairs, n = 5)
+      .orderBy($"doc_id")
+  }
+
+  val clusterDecontaminateSql: String =
+    """WITH RECURSIVE
+      |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
+      |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
+      |hsh AS (SELECT doc_id, list_distinct([md5(x) for x in sh]) hashes FROM shr),
+      |sig AS (SELECT doc_id, [list_aggregate([md5(s::VARCHAR || ':' || x) for x in sh], 'min') for s in range(0,16)] sg FROM shr),
+      |bands AS (SELECT doc_id, [md5(sg[4*b+1] || '|' || sg[4*b+2] || '|' || sg[4*b+3] || '|' || sg[4*b+4]) for b in range(0,4)] bs FROM sig),
+      |bt AS (SELECT doc_id, i band_idx, bs[i] band_hash FROM bands, range(1,5) t(i)),
+      |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM bt a
+      |  JOIN bt b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+      |p AS (SELECT a_id, b_id FROM (SELECT a_id, b_id,
+      |    round(CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE) /
+      |          (len(ha.hashes) + len(hb.hashes) - CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)), 6) jaccard
+      |  FROM cand JOIN hsh ha ON ha.doc_id = a_id JOIN hsh hb ON hb.doc_id = b_id)
+      |  WHERE jaccard >= 0.3),
+      |e AS (SELECT a_id s, b_id d FROM p UNION ALL SELECT b_id, a_id FROM p),
+      |reach(id, comp) AS (
+      |  SELECT DISTINCT s, s FROM e
+      |  UNION
+      |  SELECT e.d, r.comp FROM reach r JOIN e ON e.s = r.id),
+      |c AS (SELECT id, MIN(comp) comp FROM reach GROUP BY id),
+      |cl AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) cluster_id
+      |  FROM documents d LEFT JOIN c ON c.id = d.doc_id),
+      |dtok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
+      |dgrams AS (SELECT doc_id, list_distinct([md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+      |    for i in range(1, len(ws)-3)]) gs FROM dtok),
+      |bg AS (SELECT DISTINCT unnest(gs) g FROM dgrams WHERE doc_id % 50 = 0),
+      |dg AS (SELECT doc_id, unnest(gs) g FROM dgrams),
+      |h AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (g)),
+      |sh2 AS (SELECT cl.doc_id, cl.cluster_id, h.doc_id IS NOT NULL self_hit
+      |  FROM cl LEFT JOIN h ON h.doc_id = cl.doc_id),
+      |ch AS (SELECT cluster_id, bool_or(self_hit) cluster_hit FROM sh2 GROUP BY 1)
+      |SELECT s.doc_id, s.cluster_id, s.self_hit, ch.cluster_hit,
+      |  NOT ch.cluster_hit AS keep
+      |FROM sh2 s JOIN ch USING (cluster_id) ORDER BY s.doc_id""".stripMargin
+
   // ---- repetition quality metrics (Gopher-style) ----
 
   /** Per-doc repetition metrics over lowercased tokens: most-frequent
@@ -1209,6 +1265,7 @@ object CurationQueries {
     "qt07_length_quantiles"  -> ((s: SparkSession, d: String) => lengthQuantiles(Tables(s, d))),
     "qc01_curation_pipeline" -> ((s: SparkSession, d: String) => curationPipeline(Tables(s, d))),
     "qc02_decontaminate"     -> ((s: SparkSession, d: String) => decontaminate(Tables(s, d))),
+    "qc12_cluster_decontam"  -> ((s: SparkSession, d: String) => clusterDecontaminate(Tables(s, d))),
     "qt08_repetition"        -> ((s: SparkSession, d: String) => repetitionStats(Tables(s, d))),
     "qc03_chunking"          -> ((s: SparkSession, d: String) => chunking(Tables(s, d))),
     "qc04_packing"           -> ((s: SparkSession, d: String) => packing(Tables(s, d))),
@@ -1246,6 +1303,7 @@ object CurationQueries {
     "qt07_length_quantiles"  -> lengthQuantilesSql,
     "qc01_curation_pipeline" -> curationPipelineSql,
     "qc02_decontaminate"     -> decontaminateSql,
+    "qc12_cluster_decontam"  -> clusterDecontaminateSql,
     "qt08_repetition"        -> repetitionStatsSql,
     "qc03_chunking"          -> chunkingSql,
     "qc04_packing"           -> packingSql,

@@ -61,6 +61,27 @@ class DecontaminateSpec extends SparkTestBase {
     (100L, benchText))                                   // the bench doc ITSELF
     .toDF("doc_id", "text")
 
+  test("clusterFlag: a paraphrased leak is caught VIA its cluster, not its own n-grams") {
+    val evalSentence = (1 to 15).map(i => s"e$i").mkString(" ")
+    val filler = (1 to 30).map(i => s"f$i").mkString(" ")
+    val evalBench = Seq((900L, evalSentence)).toDF("doc_id", "text")
+    // A leaks the eval sentence verbatim; B is A with the MIDDLE eval
+    // token swapped — every 8-gram of the leaked span dies, but B stays
+    // a near-duplicate of A; C is clean and unrelated
+    val docs = Seq(
+      (1L, s"$filler $evalSentence"),
+      (2L, s"$filler ${evalSentence.replace("e8", "paraphrased")}"),
+      (3L, (1 to 45).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+    val pairs = Dedup.nearDupsMinhash(docs, threshold = 0.3).select($"a_id", $"b_id")
+    val got = Decontaminate.clusterFlag(docs, evalBench, pairs, n = 8)
+      .select($"doc_id", $"self_hit", $"cluster_hit", $"keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((true, true, false)))   // direct leak
+    assert(got(2L) === ((false, true, false)))  // clean 8-grams, poisoned cluster
+    assert(got(3L) === ((false, false, true)))  // clean doc, clean cluster
+  }
+
   test("fuzzyFlag: verbatim copy flags at jaccard 1.0; near copy above threshold") {
     val out = Decontaminate.fuzzyFlag(fuzzyCorpus, fuzzyBench, threshold = 0.3)
       .collect().map(r => r.getLong(0) ->
