@@ -351,6 +351,18 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_count"), s"bucket census should combine map-side:\n$p")
   }
 
+  test("qa06: nearest as-of is two union scans, never a range join") {
+    val p = plan(CurationQueries.asofNearestView(t))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"nearest as-of must not explode into a range join:\n$p")
+  }
+
+  test("qd21: containment candidates come from the inverted index, never all-pairs") {
+    val p = plan(PipelineQueries.containmentDedup(t))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), s"intersection counts should combine map-side:\n$p")
+  }
+
   test("qt28: heavy-hitter verify joins the broadcast candidate set; counts combine map-side") {
     val p = plan(QualityQueries.heavyHitters(t))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
