@@ -89,15 +89,112 @@ object LayoutQueries {
       |  ROW_NUMBER() OVER (ORDER BY doc_id) AS ordinal
       |FROM documents ORDER BY ordinal""".stripMargin
 
+  /** qz04: the layout DECISION artifact — what qz01/qz03's audits
+    * exist to answer: for a 16×16 rectangle predicate on the (doc_id,
+    * n_chars) mod-64 domain, how many of each layout's 16 files must
+    * be read? Natural (ingestion-order ranges of doc_id) clusters one
+    * dimension only, so every file spans the full y domain and the
+    * predicate reads ALL of them; Z-order and Hilbert files are
+    * quadtree tiles whose min/max stats exclude most. A file is read
+    * iff its bounding box intersects the predicate — exactly the
+    * parquet row-group min/max pruning rule. Pure arithmetic over the
+    * audit frames; the selected-row count is layout-invariant (sanity
+    * column). */
+  def layoutSkipping(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val (lo, hi) = (8L, 23L)
+    def reads(audit: DataFrame, layout: String): DataFrame =
+      audit.select(lit(layout).as("layout"),
+          (!($"x_max" < lo || $"x_min" > hi || $"y_max" < lo || $"y_min" > hi))
+            .cast("long").as("rd"))
+        .groupBy($"layout")
+        .agg(count(lit(1)).as("n_files"), sum($"rd").as("files_read"))
+    val x = ($"doc_id" % 64).as("x")
+    val y = ($"n_chars" % 64).as("y")
+    val n = t.documents.count() // driver scalar: the natural-layout divisor
+    val natural = t.documents.select(
+        least(floor($"doc_id" * 16 / lit(n)), lit(15L)).cast("long").as("bucket"), x, y)
+      .groupBy($"bucket")
+      .agg(min($"x").as("x_min"), max($"x").as("x_max"),
+           min($"y").as("y_min"), max($"y").as("y_max"))
+    val z = Layout.zorderAudit(t.documents, $"doc_id" % 64, $"n_chars" % 64,
+      bits = 6, bucketBits = 4)
+    val h = Layout.hilbertAudit(t.documents, $"doc_id" % 64, $"n_chars" % 64,
+      bits = 6, bucketBits = 4)
+    val selected = t.documents.select(x, y)
+      .filter($"x" >= lo && $"x" <= hi && $"y" >= lo && $"y" <= hi)
+      .agg(count(lit(1)).as("rows_selected"))
+    reads(natural, "natural")
+      .unionByName(reads(z, "zorder"))
+      .unionByName(reads(h, "hilbert"))
+      .crossJoin(broadcast(selected))
+      .select($"layout", $"n_files", $"files_read",
+        round($"files_read".cast("double") / $"n_files".cast("double"), 6)
+          .as("read_frac"),
+        $"rows_selected")
+      .orderBy($"layout")
+  }
+
+  val layoutSkippingSql: String = {
+    val bits = 6
+    val lim = 1L << bits
+    val rounds = ((bits - 1) to 0 by -1).zipWithIndex.map { case (i, k) =>
+      val s = 1L << i
+      val prev = if (k == 0) "b" else s"h${k - 1}"
+      s"""h$k AS (SELECT x, y,
+         |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${lim - 1} - hy ELSE hy END) ELSE hx END hx,
+         |  CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${lim - 1} - hx ELSE hx END) ELSE hy END hy,
+         |  hd + ${s * s} * xor(3 * rx, ry) hd
+         |  FROM (SELECT x, y, hx, hy, hd,
+         |    CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END rx,
+         |    CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END ry FROM $prev))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (SELECT doc_id, doc_id % 64 AS x, n_chars % 64 AS y,
+       |    doc_id % 64 AS hx, n_chars % 64 AS hy, CAST(0 AS BIGINT) AS hd
+       |  FROM documents),
+       |$rounds,
+       |nn AS (SELECT COUNT(*) n FROM documents),
+       |nat AS (SELECT least(CAST(FLOOR(doc_id * 16 / nn.n) AS BIGINT), 15) bucket,
+       |    MIN(x) x_min, MAX(x) x_max, MIN(y) y_min, MAX(y) y_max
+       |  FROM b CROSS JOIN nn GROUP BY 1),
+       |zb AS (SELECT CAST(list_sum(list_transform(range(0,6), i ->
+       |    ((x >> i) & 1) * (1::BIGINT << (2*i)) + ((y >> i) & 1) * (1::BIGINT << (2*i+1))
+       |  )) AS BIGINT) >> 8 AS bucket, MIN(x) x_min, MAX(x) x_max, MIN(y) y_min, MAX(y) y_max
+       |  FROM b GROUP BY 1),
+       |hb AS (SELECT hd >> 8 AS bucket,
+       |    MIN(x) x_min, MAX(x) x_max, MIN(y) y_min, MAX(y) y_max
+       |  FROM h${bits - 1} GROUP BY 1),
+       |sel AS (SELECT CAST(COUNT(*) AS BIGINT) rows_selected FROM b
+       |  WHERE x BETWEEN 8 AND 23 AND y BETWEEN 8 AND 23),
+       |r AS (
+       |  SELECT 'natural' layout, CAST(COUNT(*) AS BIGINT) n_files,
+       |    CAST(SUM(CASE WHEN NOT (x_max < 8 OR x_min > 23 OR y_max < 8 OR y_min > 23)
+       |             THEN 1 ELSE 0 END) AS BIGINT) files_read FROM nat
+       |  UNION ALL
+       |  SELECT 'zorder', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(CASE WHEN NOT (x_max < 8 OR x_min > 23 OR y_max < 8 OR y_min > 23)
+       |             THEN 1 ELSE 0 END) AS BIGINT) FROM zb
+       |  UNION ALL
+       |  SELECT 'hilbert', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(CASE WHEN NOT (x_max < 8 OR x_min > 23 OR y_max < 8 OR y_min > 23)
+       |             THEN 1 ELSE 0 END) AS BIGINT) FROM hb)
+       |SELECT layout, n_files, files_read,
+       |  round(CAST(files_read AS DOUBLE) / CAST(n_files AS DOUBLE), 6) read_frac,
+       |  sel.rows_selected
+       |FROM r CROSS JOIN sel ORDER BY layout""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qz01_zorder_layout"  -> ((s: SparkSession, d: String) => zorderLayout(Tables(s, d))),
     "qz02_global_ordinal" -> ((s: SparkSession, d: String) => globalOrdinal(Tables(s, d))),
     "qz03_hilbert_layout" -> ((s: SparkSession, d: String) => hilbertLayout(Tables(s, d))),
+    "qz04_layout_skipping" -> ((s: SparkSession, d: String) => layoutSkipping(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
     "qz01_zorder_layout"  -> zorderLayoutSql,
     "qz02_global_ordinal" -> globalOrdinalSql,
     "qz03_hilbert_layout" -> hilbertLayoutSql,
+    "qz04_layout_skipping" -> layoutSkippingSql,
   )
 }
