@@ -502,6 +502,46 @@ object ExtendedQueries {
       |  AND (hh.valid_to IS NULL OR hh.valid_to > fact.ship_ms)
       |ORDER BY fact.l_orderkey, fact.l_linenumber""".stripMargin
 
+  /** qf02: TTL retention sweep — the lifecycle audit a
+    * [[graft.hfc.TimePartitionedMergeWriter]]-shaped store runs before
+    * enforcing a retention window: per event-day partition, how many
+    * rows expire at the cutoff (the integer midpoint of the event
+    * range — the qr02 split-point discipline, so the gate exercises
+    * both fates: fully-expired days, fully-retained days, and the one
+    * straddler), and whether the WHOLE partition is droppable — the
+    * O(1) directory-drop fast path — vs needing a rewrite. One scan,
+    * one day-keyed aggregation; at 100 TB the day key IS the
+    * partition key, so this audit reads parquet footers' worth of
+    * work, not data. */
+  def ttlExpiry(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val mm = t.events.agg(
+      min(unix_micros($"ts".cast("timestamp"))).as("lo"),
+      max(unix_micros($"ts".cast("timestamp"))).as("hi"))
+    t.events
+      .select(to_date($"ts").as("day"),
+        unix_micros($"ts".cast("timestamp")).as("us"))
+      .crossJoin(broadcast(mm))
+      .select($"day", ($"us" * 2 <= $"lo" + $"hi").as("expired"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"expired".cast("long")).as("n_expired"))
+      .select($"day", $"n_rows", $"n_expired",
+        ($"n_rows" - $"n_expired").as("n_retained"),
+        ($"n_rows" === $"n_expired").as("droppable"))
+      .orderBy($"day")
+  }
+
+  val ttlExpirySql: String =
+    """WITH e AS (SELECT CAST(ts AS DATE) d, epoch_us(CAST(ts AS TIMESTAMP)) us FROM events),
+      |mm AS (SELECT MIN(us) lo, MAX(us) hi FROM e),
+      |g AS (SELECT d AS "day", CAST(COUNT(*) AS BIGINT) n_rows,
+      |    CAST(SUM(CASE WHEN us * 2 <= lo + hi THEN 1 ELSE 0 END) AS BIGINT) n_expired
+      |  FROM e CROSS JOIN mm GROUP BY 1)
+      |SELECT "day", n_rows, n_expired, n_rows - n_expired AS n_retained,
+      |  n_rows = n_expired AS droppable
+      |FROM g ORDER BY "day"""".stripMargin
+
   /** qj01: pre-join mass census of orders ⨝ lineitem on the order key
     * — [[graft.operators.Skew.joinMass]]: per-key count tables joined
     * (key-cardinality rows, never the data), per-key output mass
@@ -534,6 +574,7 @@ object ExtendedQueries {
     "qk02_scd2_asof"       -> ((s: SparkSession, d: String) => scd2AsOf(Tables(s, d))),
     "qk03_pit_join"        -> ((s: SparkSession, d: String) => pitJoin(Tables(s, d))),
     "qf01_cascade_delete"  -> ((s: SparkSession, d: String) => cascadeDelete(Tables(s, d))),
+    "qf02_ttl_expiry"      -> ((s: SparkSession, d: String) => ttlExpiry(Tables(s, d))),
     "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
     "qg05_kcore_census"    -> ((s: SparkSession, d: String) => kCoreCensus(Tables(s, d))),
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
@@ -553,6 +594,7 @@ object ExtendedQueries {
     "qk02_scd2_asof"       -> scd2AsOfSql,
     "qk03_pit_join"        -> pitJoinSql,
     "qf01_cascade_delete"  -> cascadeDeleteSql,
+    "qf02_ttl_expiry"      -> ttlExpirySql,
     "qg03_pagerank"        -> pageRankSql,
     "qg05_kcore_census"    -> kCoreCensusSql,
     "q17_rollup_revenue"   -> rollupRevenueSql,
