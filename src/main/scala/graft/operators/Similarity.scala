@@ -95,6 +95,36 @@ object Similarity {
     sims.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Filtered exact top-k — vector search under a metadata predicate
+    * (here: same label as the query), the "search within my
+    * collection" shape every production vector store needs. The
+    * filter is applied PRE-scoring by riding the broadcast-join
+    * condition — the label equality IS a join key, so only eligible
+    * pairs are ever scored and the result is the exact top-k among
+    * eligible vectors. The alternative (search-then-filter) scores
+    * everything and then drops rows, returning FEWER than k whenever
+    * the filter bites inside the unfiltered top-k — SimilaritySpec
+    * pins that counterexample. At scale the predicate composes with
+    * partition pruning (a label-partitioned corpus reads only its
+    * cell, the IvfIndex storage argument applied to metadata). */
+  def filteredTopK(corpus: DataFrame, queryIds: Seq[Long], k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   labelCol: String = "label"): DataFrame = {
+    val q = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+        sqrt(norm2(col(vecCol))).as("q_nrm"), col(labelCol).as("q_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+      sqrt(norm2(col(vecCol))).as("c_nrm"), col(labelCol).as("c_label"))
+    val sims = c.join(broadcast(q),
+        col("c_label") === col("q_label") && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    sims.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
   /** Reciprocal (mutual) k-NN graph — the edge set SemDeDup-style
     * clustering and UMAP-ish manifold steps start from: (a, b) is an
     * edge iff b is in a's top-k AND a is in b's top-k. One-directional

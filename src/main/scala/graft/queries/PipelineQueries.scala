@@ -505,6 +505,35 @@ object PipelineQueries {
       |  FROM sims)
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** qs14: filtered vector search — exact top-k among vectors sharing
+    * the QUERY's label ([[Similarity.filteredTopK]]): the predicate
+    * rides the broadcast-join condition, so only eligible pairs are
+    * scored and the result is the exact top-k among eligible — the
+    * search-then-filter alternative silently under-returns
+    * (spec-pinned counterexample). */
+  def filteredAnn(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Similarity.filteredTopK(t.embeddings, QueryIds, k = 5)
+      .orderBy($"query_id", $"rk")
+  }
+
+  val filteredAnnSql: String =
+    """WITH q AS (SELECT vec_id query_id, embedding::DOUBLE[] q_vec,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) q_nrm,
+      |    label q_label
+      |  FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id neighbor_id, embedding::DOUBLE[] c_vec,
+      |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) c_nrm,
+      |    label c_label
+      |  FROM embeddings),
+      |sims AS (SELECT query_id, neighbor_id,
+      |    round(list_dot_product(q_vec, c_vec) / (q_nrm * c_nrm), 6) cos_sim
+      |  FROM c JOIN q ON c_label = q_label AND neighbor_id <> query_id)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+      |  FROM sims)
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** LSH-bucketed ANN. The md5-derived hyperplanes make the bucket
     * assignment engine-independent, so the whole funnel (bucket →
     * candidate join → per-query window) has an exact DuckDB oracle;
@@ -1609,6 +1638,7 @@ object PipelineQueries {
     "qd10_editdist_neardup" -> ((s: SparkSession, d: String) => editDistanceNearDups(Tables(s, d))),
     "qd11_keeper_policy"   -> ((s: SparkSession, d: String) => keeperPolicy(Tables(s, d))),
     "qs01_cosine_topk"     -> ((s: SparkSession, d: String) => cosineTopK(Tables(s, d))),
+    "qs14_filtered_ann"    -> ((s: SparkSession, d: String) => filteredAnn(Tables(s, d))),
     "qs02_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(Tables(s, d))),
     "qs03_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(Tables(s, d))),
     "qs04_ann_lsh_multi"   -> ((s: SparkSession, d: String) => annLshMulti(Tables(s, d))),
@@ -1660,6 +1690,7 @@ object PipelineQueries {
     "qd10_editdist_neardup" -> editDistanceNearDupsSql,
     "qd11_keeper_policy"   -> keeperPolicySql,
     "qs01_cosine_topk"     -> cosineTopKSql,
+    "qs14_filtered_ann"    -> filteredAnnSql,
     "qs02_ann_lsh"         -> annLshSql,
     "qs03_ann_ivf"         -> annIvfSql,
     "qs04_ann_lsh_multi"   -> annLshMultiSql,

@@ -79,6 +79,39 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall > 0.3, s"KMeans IVF recall $recall suspiciously low")
   }
 
+  test("filteredTopK: exact top-k among eligible; search-then-filter under-returns") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf0001)
+    val qs = Seq(0L, 1L, 2L)
+    val filtered = Similarity.filteredTopK(t.embeddings, qs, k = 5)
+    val rows = filtered.select($"query_id", $"neighbor_id", $"rk")
+      .as[(Long, Long, Long)].collect()
+    // exactly k eligible neighbors per query (labels are populous)
+    assert(rows.groupBy(_._1).forall(_._2.length == 5))
+    // every neighbor shares the query's label
+    val labels = t.embeddings.select($"vec_id", $"label").as[(Long, Int)]
+      .collect().toMap
+    assert(rows.forall { case (q, n, _) => labels(q) == labels(n) })
+    // and it IS the brute force restricted per query label — not a
+    // post-hoc filter of the unfiltered ranking
+    qs.foreach { q =>
+      val eligible = t.embeddings.filter($"label" === labels(q))
+      val expect = Similarity.bruteForceTopK(eligible, Seq(q), k = 5)
+        .select($"neighbor_id").as[Long].collect().toSet
+      assert(rows.filter(_._1 == q).map(_._2).toSet == expect, s"query $q")
+    }
+    // the post-filter formulation returns FEWER than k whenever the
+    // unfiltered top-k crosses labels — which it does here
+    val postFiltered = Similarity.bruteForceTopK(t.embeddings, qs, k = 5)
+      .join(t.embeddings.select($"vec_id".as("neighbor_id"), $"label".as("n_label")),
+        "neighbor_id")
+      .join(t.embeddings.select($"vec_id".as("query_id"), $"label".as("q_label")),
+        "query_id")
+      .filter($"n_label" === $"q_label")
+    assert(postFiltered.count() < 15,
+      "fixture should make post-filtering lossy; tighten it if labels got sorted")
+  }
+
   test("hardNegatives: every neighbor has a different label and matches the filtered brute force") {
     val t = Tables(spark, sf0001)
     val qs = (0L until 10L).toSeq
