@@ -346,6 +346,31 @@ object EventStreams {
       .drop("__r_user")
   }
 
+  /** LEFT OUTER [[intervalJoin]] — the funnel's ABANDONMENT side: a
+    * left event with no right match inside the window must still emit
+    * (null-extended), which a stream can only do once the watermark
+    * PROVES no match can arrive — so unmatched-left emission lags
+    * event time by watermark + maxDelay, the stated price of
+    * correctness under late data. Same equi-key + closed-interval
+    * condition (the streaming-legal range-join shape, state expirable
+    * on both sides). */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            maxDelay: String = "30 minutes",
+                            watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("l_id"),
+              col("ts").as("l_ts"), col("event_type").as("l_type"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("__r_user"), col("event_id").as("r_id"),
+              col("ts").as("r_ts"), col("event_type").as("r_type"))
+    l.join(r,
+        col("user_id") === col("__r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"interval $maxDelay"),
+        "leftOuter")
+      .drop("__r_user")
+  }
+
   /** Batch twin of [[intervalJoin]] specialized to the
     * view-followed-by-purchase funnel — the oracle-checkable shape
     * (qe02): for each view, the purchases by the same user within the

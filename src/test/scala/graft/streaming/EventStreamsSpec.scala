@@ -72,6 +72,39 @@ class EventStreamsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoinLeftOuter emits the abandoned left once the watermark proves it") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, Timestamp, Long, String)]
+    val rMem = MemoryStream[(Long, Timestamp, Long, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type")
+    val q = EventStreams.intervalJoinLeftOuter(
+        lMem.toDF.toDF(cols: _*), rMem.toDF.toDF(cols: _*),
+        maxDelay = "10 minutes", watermark = "5 minutes")
+      .writeStream.format("memory").queryName("ijo_out")
+      .outputMode("append").start()
+    try {
+      lMem.addData((1L, ts(0), 7L, "view"),   // will match
+                   (2L, ts(0), 8L, "view"))   // will never match
+      rMem.addData((10L, ts(5), 7L, "purchase"))
+      q.processAllAvailable()
+      // matched pair emits promptly; the abandoned view cannot yet
+      val sofar = spark.table("ijo_out").select("l_id", "r_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(sofar == Set((1L, Some(10L))))
+      // advance BOTH watermarks far past l_ts + maxDelay + watermark
+      lMem.addData((3L, ts(60), 9L, "view"))
+      rMem.addData((11L, ts(60), 9L, "purchase"))
+      q.processAllAvailable()
+      lMem.addData((4L, ts(120), 9L, "view"))
+      rMem.addData((12L, ts(120), 9L, "purchase"))
+      q.processAllAvailable()
+      val out = spark.table("ijo_out").select("l_id", "r_id")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(out.contains((2L, None)), s"abandoned left must emit null-extended: $out")
+      assert(out.contains((1L, Some(10L))))
+    } finally q.stop()
+  }
+
   test("viewToPurchase batch twin pairs views with in-window purchases only") {
     val events = Seq(
       (1L, ts(0), 7L, "view", 1.0),
