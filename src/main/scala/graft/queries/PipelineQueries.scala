@@ -1027,6 +1027,37 @@ object PipelineQueries {
       .orderBy($"day")
   }
 
+  /** qe09: the abandonment EXPORT — qe05's complement and the batch
+    * twin of [[graft.streaming.EventStreams.intervalJoinLeftOuter]]'s
+    * null-extended rows: every view with NO same-user purchase inside
+    * the 30-minute window, as rows (the retargeting feed), via a LEFT
+    * ANTI join whose condition is equi user + closed time interval —
+    * the anti-join member of the range-join family, one key shuffle,
+    * no row amplification (anti joins emit at most their left side). */
+  def abandonedViews(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val views = t.events.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), unix_millis($"ts").as("view_ms"))
+    val purchases = t.events.filter($"event_type" === "purchase")
+      .select($"user_id".as("__u"), unix_millis($"ts").as("p_ms"))
+    views.join(purchases,
+        $"user_id" === $"__u" && $"p_ms" >= $"view_ms" &&
+          $"p_ms" - $"view_ms" <= 1800000L,
+        "left_anti")
+      .orderBy($"view_id")
+  }
+
+  val abandonedViewsSql: String =
+    """WITH v AS (SELECT user_id, event_id view_id, epoch_ms(CAST(ts AS TIMESTAMP)) view_ms
+      |  FROM events WHERE event_type = 'view'),
+      |p AS (SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) p_ms
+      |  FROM events WHERE event_type = 'purchase')
+      |SELECT user_id, view_id, CAST(view_ms AS BIGINT) view_ms FROM v
+      |WHERE NOT EXISTS (SELECT 1 FROM p
+      |  WHERE p.user_id = v.user_id AND p.p_ms >= v.view_ms
+      |    AND p.p_ms - v.view_ms <= 1800000)
+      |ORDER BY view_id""".stripMargin
+
   val conversionFunnelSql: String =
     """WITH v AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) ts
       |  FROM events WHERE event_type = 'view'),
@@ -1614,6 +1645,7 @@ object PipelineQueries {
     "qd14_chunk_dedup"     -> ((s: SparkSession, d: String) => chunkDedup(Tables(s, d))),
     "qg04_coactivity_comps" -> ((s: SparkSession, d: String) => coActivityComponents(Tables(s, d))),
     "qe05_conversion_funnel" -> ((s: SparkSession, d: String) => conversionFunnel(Tables(s, d))),
+    "qe09_abandoned_views"   -> ((s: SparkSession, d: String) => abandonedViews(Tables(s, d))),
     "qt16_pmi_bigrams"     -> ((s: SparkSession, d: String) => pmiBigrams(Tables(s, d))),
     "qm01_media_meta"      -> ((s: SparkSession, d: String) => mediaMeta(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
@@ -1666,6 +1698,7 @@ object PipelineQueries {
     "qe08_disorder_census" -> disorderCensusSql,
     "qg04_coactivity_comps" -> coActivityComponentsSql,
     "qe05_conversion_funnel" -> conversionFunnelSql,
+    "qe09_abandoned_views"   -> abandonedViewsSql,
     "qt16_pmi_bigrams"     -> pmiBigramsSql,
     "qm01_media_meta"      -> mediaMetaSql,
     "qe01_sessionize"      -> sessionizedSql,
