@@ -363,6 +363,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_count"), s"intersection counts should combine map-side:\n$p")
   }
 
+  test("qe09: abandonment is a hash LEFT ANTI with the interval as residual, not a nested loop") {
+    val p = plan(PipelineQueries.abandonedViews(t))
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("qs14: the filter predicate is a broadcast-join key — eligible pairs only are scored") {
+    val p = plan(PipelineQueries.filteredAnn(t))
+    assert(p.contains("BroadcastHashJoin"), s"label+query side must broadcast-hash join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qf02: the TTL sweep is one scan into a map-side-combined day aggregation") {
+    val p = plan(ExtendedQueries.ttlExpiry(t))
+    assert(p.contains("partial_"), s"day counts should combine map-side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"the scalar range frame must broadcast:\n$p")
+  }
+
   test("qt28: heavy-hitter verify joins the broadcast candidate set; counts combine map-side") {
     val p = plan(QualityQueries.heavyHitters(t))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
