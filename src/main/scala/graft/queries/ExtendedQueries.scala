@@ -542,6 +542,51 @@ object ExtendedQueries {
       |  n_rows = n_expired AS droppable
       |FROM g ORDER BY "day"""".stripMargin
 
+  /** qi01: incremental aggregate maintenance — the materialized-view
+    * update path PROVEN equal to the full recompute by the oracle
+    * itself: the per-user event profile (count, decimal-exact value
+    * sum, first/last seen) is computed as standing-aggregate ⊕ delta-
+    * aggregate (one full-outer merge on the key, each side's
+    * aggregates combined with their own monoid: +, +, least,
+    * greatest), while the oracle aggregates the whole table directly.
+    * Hash equality IS the incremental-maintenance correctness proof —
+    * the qd08-vs-qd06 pattern applied to the K-plane. Scale shape: the
+    * delta scan is the only data-sized input; the standing aggregate
+    * is |keys| rows (the stored MV), and the merge is one key
+    * shuffle. Decomposable aggregates only, by construction. */
+  def incrementalAgg(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val cut = lit(java.sql.Date.valueOf("2024-01-15"))
+    def profile(df: DataFrame): DataFrame = df
+      .select($"user_id", unix_micros($"ts".cast("timestamp")).as("us"),
+        $"value".cast(DecimalType(18, 6)).as("v"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+        min($"us").as("first_us"), max($"us").as("last_us"))
+    // the standing MV: materialized once (a real store would read it)
+    val standing = profile(t.events.filter(to_date($"ts") < cut)).localCheckpoint()
+    val delta = profile(t.events.filter(to_date($"ts") >= cut))
+    standing.select($"user_id", $"n".as("bn"), $"sv".as("bs"),
+        $"first_us".as("bf"), $"last_us".as("bl"))
+      .join(delta.select($"user_id", $"n".as("dn"), $"sv".as("ds"),
+        $"first_us".as("df"), $"last_us".as("dl")), Seq("user_id"), "full_outer")
+      .select($"user_id",
+        (coalesce($"bn", lit(0L)) + coalesce($"dn", lit(0L))).as("n_events"),
+        (coalesce($"bs", lit(BigDecimal(0)).cast(DecimalType(18, 6))) +
+          coalesce($"ds", lit(BigDecimal(0)).cast(DecimalType(18, 6))))
+          .cast("double").as("sum_value"),
+        least(coalesce($"bf", $"df"), coalesce($"df", $"bf")).as("first_us"),
+        greatest(coalesce($"bl", $"dl"), coalesce($"dl", $"bl")).as("last_us"))
+      .orderBy($"user_id")
+  }
+
+  val incrementalAggSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) sum_value,
+      |  CAST(MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) first_us,
+      |  CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) last_us
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** qj01: pre-join mass census of orders ⨝ lineitem on the order key
     * — [[graft.operators.Skew.joinMass]]: per-key count tables joined
     * (key-cardinality rows, never the data), per-key output mass
@@ -575,6 +620,7 @@ object ExtendedQueries {
     "qk03_pit_join"        -> ((s: SparkSession, d: String) => pitJoin(Tables(s, d))),
     "qf01_cascade_delete"  -> ((s: SparkSession, d: String) => cascadeDelete(Tables(s, d))),
     "qf02_ttl_expiry"      -> ((s: SparkSession, d: String) => ttlExpiry(Tables(s, d))),
+    "qi01_incremental_agg" -> ((s: SparkSession, d: String) => incrementalAgg(Tables(s, d))),
     "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
     "qg05_kcore_census"    -> ((s: SparkSession, d: String) => kCoreCensus(Tables(s, d))),
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
@@ -595,6 +641,7 @@ object ExtendedQueries {
     "qk03_pit_join"        -> pitJoinSql,
     "qf01_cascade_delete"  -> cascadeDeleteSql,
     "qf02_ttl_expiry"      -> ttlExpirySql,
+    "qi01_incremental_agg" -> incrementalAggSql,
     "qg03_pagerank"        -> pageRankSql,
     "qg05_kcore_census"    -> kCoreCensusSql,
     "q17_rollup_revenue"   -> rollupRevenueSql,

@@ -163,6 +163,18 @@ object DumpPlans {
       ("qs13_mutual_knn — cell-keyed reciprocity",
        "The 8-row centroid frame broadcasts into the assignment argmin; pairs join on the cell key only (never all-pairs); the per-id top-k window is cell-bounded and plans as WindowGroupLimit (per-partition top-k pre-filter before the full window sort); mutuality is a self-join of the two candidate-sized ranked lists.",
        fmt(graft.queries.RetrievalQueries.mutualKnnGraph(t))),
+      ("qs14_filtered_ann — the predicate is a broadcast-join key",
+       "Filtered vector search scores ONLY eligible pairs: the label equality rides the broadcast-hash-join condition with the tiny query side, so the corpus streams once through the scoring projection and ineligible vectors are never dotted. Search-then-filter would score everything and under-return.",
+       fmt(graft.queries.PipelineQueries.filteredAnn(t))),
+      ("qe09_abandoned_views — anti range join, output bounded by the left",
+       "LEFT ANTI on equi user + closed time interval: one key shuffle, the interval as a residual condition, and at most |views| output rows — the abandonment export costs what a sort-merge join costs, with zero amplification by construction.",
+       fmt(graft.queries.PipelineQueries.abandonedViews(t))),
+      ("qz04_layout_skipping — the audits priced into a decision",
+       "Three bucket-audit aggregations (natural ranges, Morton, Hilbert) and scan-local bbox-intersection arithmetic — no join of data-sized frames anywhere; the one broadcast is the 1-row selected-count sanity frame. This is the read that justifies a curve-ordered rewrite before paying for it.",
+       fmt(graft.queries.LayoutQueries.layoutSkipping(t))),
+      ("qi01_incremental_agg — MV maintenance as a monoid merge",
+       "The standing aggregate is a materialized |keys|-row frame (LocalTableScan from the checkpoint); only the delta scans data. The merge is ONE full-outer key join combining each aggregate with its own monoid — and the oracle's full recompute hashing identical IS the incremental-maintenance proof.",
+       fmt(graft.queries.ExtendedQueries.incrementalAgg(t))),
       ("qr06_psi_drift — aggregates of one materialized counts frame",
        "The corpus is scanned once into the (source, bucket) counts (localCheckpoint); domain, totals, and the two scalar frames are aggregates of that tiny table, with the 1-row scalars broadcast into the dense grid. The PSI terms are scan-local IEEE arithmetic; the statistic costs one corpus pass regardless of scale.",
        fmt(graft.queries.CurationQueries.psiDrift(t))),
