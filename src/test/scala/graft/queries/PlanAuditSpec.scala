@@ -381,6 +381,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), s"the scalar range frame must broadcast:\n$p")
   }
 
+  test("qi01: only the delta aggregation scans data; the standing MV is a materialized frame") {
+    val p = plan(ExtendedQueries.incrementalAgg(t))
+    // the checkpointed standing aggregate surfaces as a scan of an
+    // existing RDD, not a second pass over the events relation
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"standing side must be materialized:\n$p")
+    assert(p.contains("partial_"), s"delta aggregation should combine map-side:\n$p")
+  }
+
   test("qt28: heavy-hitter verify joins the broadcast candidate set; counts combine map-side") {
     val p = plan(QualityQueries.heavyHitters(t))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
