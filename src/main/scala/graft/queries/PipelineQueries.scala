@@ -866,6 +866,82 @@ object PipelineQueries {
       .orderBy($"lang")
   }
 
+  /** qt35: Heaps'-law vocabulary-growth fit — qt19's companion on the
+    * OTHER axis: V(n) ≈ K·n^β (distinct types vs tokens seen), the
+    * projection a tokenizer-sizing decision reads ("how big is the
+    * vocab at 10× corpus"). Growth curve sampled at 10 doc-id deciles:
+    * new-type counts per decile come from each type's FIRST-SEEN doc
+    * (one min aggregation — no quadratic prefix re-distinct), token
+    * mass per decile from one count; both accumulate over the 10-row
+    * decile frame (the single-partition window is the deliberate tiny
+    * frame). The log-log least squares follows qt19's determinism
+    * discipline exactly: per-point round-6 log terms, DECIMAL sums,
+    * closed-form slope on identical IEEE operands. */
+  def heapsFit(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val n = t.documents.count() // driver scalar: the decile divisor
+    val toks = t.documents.select($"doc_id", explode(tokens(lower($"text"))).as("tok"))
+    val newTypes = toks.groupBy($"tok").agg(min($"doc_id").as("fs"))
+      .groupBy(least(floor($"fs" * 10 / lit(n)), lit(9L)).cast("long").as("db"))
+      .agg(count(lit(1)).as("nt"))
+    val tokMass = toks
+      .groupBy(least(floor($"doc_id" * 10 / lit(n)), lit(9L)).cast("long").as("db"))
+      .agg(count(lit(1)).as("ntok"))
+    val w = Window.partitionBy($"db" * 0).orderBy($"db")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // left from the token-mass frame: every decile has tokens, but a
+    // saturated vocabulary contributes NO new types past its knee —
+    // those deciles still are curve points (nt = 0)
+    val pts = tokMass.join(newTypes, Seq("db"), "left").na.fill(0L, Seq("nt"))
+      .select($"db", sum($"ntok").over(w).as("n_i"), sum($"nt").over(w).as("v_i"))
+      .select(
+        round(log($"n_i"), 6).cast("decimal(18,6)").as("x"),
+        round(log($"v_i"), 6).cast("decimal(18,6)").as("y"),
+        round(log($"n_i") * log($"n_i"), 6).cast("decimal(24,6)").as("xx"),
+        round(log($"n_i") * log($"v_i"), 6).cast("decimal(24,6)").as("xy"),
+        $"n_i", $"v_i")
+    pts.agg(count(lit(1)).as("n_points"),
+        sum($"x").cast("double").as("sx"), sum($"y").cast("double").as("sy"),
+        sum($"xx").cast("double").as("sxx"), sum($"xy").cast("double").as("sxy"),
+        max($"n_i").as("n_tokens"), max($"v_i").as("v_types"))
+      .select($"n_points", $"n_tokens", $"v_types",
+        (($"n_points" * $"sxy" - $"sx" * $"sy") /
+          ($"n_points" * $"sxx" - $"sx" * $"sx")).as("beta"),
+        round(exp(($"sy" - (($"n_points" * $"sxy" - $"sx" * $"sy") /
+            ($"n_points" * $"sxx" - $"sx" * $"sx")) * $"sx") /
+          $"n_points"), 6).as("k_coef"))
+  }
+
+  val heapsFitSql: String =
+    """WITH nn AS (SELECT COUNT(*) n FROM documents),
+      |tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) tok
+      |  FROM documents),
+      |nt AS (SELECT least(CAST(FLOOR(fs * 10 / nn.n) AS BIGINT), 9) db, COUNT(*) nt
+      |  FROM (SELECT tok, MIN(doc_id) fs FROM tok GROUP BY 1) CROSS JOIN nn GROUP BY 1),
+      |tm AS (SELECT least(CAST(FLOOR(doc_id * 10 / nn.n) AS BIGINT), 9) db, COUNT(*) ntok
+      |  FROM tok CROSS JOIN nn GROUP BY 1),
+      |cum AS (SELECT tm.db,
+      |    SUM(tm.ntok) OVER (ORDER BY tm.db ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) n_i,
+      |    SUM(COALESCE(nt.nt, 0)) OVER (ORDER BY tm.db ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) v_i
+      |  FROM tm LEFT JOIN nt ON nt.db = tm.db),
+      |pts AS (SELECT
+      |    CAST(round(ln(n_i), 6) AS DECIMAL(18,6)) x,
+      |    CAST(round(ln(v_i), 6) AS DECIMAL(18,6)) y,
+      |    CAST(round(ln(n_i) * ln(n_i), 6) AS DECIMAL(24,6)) xx,
+      |    CAST(round(ln(n_i) * ln(v_i), 6) AS DECIMAL(24,6)) xy,
+      |    n_i, v_i
+      |  FROM cum),
+      |agg AS (SELECT CAST(COUNT(*) AS BIGINT) n_points,
+      |    CAST(SUM(x) AS DOUBLE) sx, CAST(SUM(y) AS DOUBLE) sy,
+      |    CAST(SUM(xx) AS DOUBLE) sxx, CAST(SUM(xy) AS DOUBLE) sxy,
+      |    CAST(MAX(n_i) AS BIGINT) n_tokens, CAST(MAX(v_i) AS BIGINT) v_types
+      |  FROM pts)
+      |SELECT n_points, n_tokens, v_types,
+      |  (n_points * sxy - sx * sy) / (n_points * sxx - sx * sx) AS beta,
+      |  round(exp((sy - ((n_points * sxy - sx * sy) / (n_points * sxx - sx * sx)) * sx)
+      |    / n_points), 6) AS k_coef
+      |FROM agg""".stripMargin
+
   val zipfFitSql: String =
     """WITH tok AS (SELECT lang, unnest(string_split_regex(trim(lower(text)), '\s+')) tok
       |  FROM documents),
@@ -1641,6 +1717,7 @@ object PipelineQueries {
     "qe04_user_anomaly"    -> ((s: SparkSession, d: String) => userAnomalies(Tables(s, d))),
     "qt18_lexical_diversity" -> ((s: SparkSession, d: String) => lexicalDiversity(Tables(s, d))),
     "qt19_zipf_fit"        -> ((s: SparkSession, d: String) => zipfFit(Tables(s, d))),
+    "qt35_heaps_fit"       -> ((s: SparkSession, d: String) => heapsFit(Tables(s, d))),
     "qt20_vocab_coverage"  -> ((s: SparkSession, d: String) => vocabCoverage(Tables(s, d))),
     "qd14_chunk_dedup"     -> ((s: SparkSession, d: String) => chunkDedup(Tables(s, d))),
     "qg04_coactivity_comps" -> ((s: SparkSession, d: String) => coActivityComponents(Tables(s, d))),
@@ -1692,6 +1769,7 @@ object PipelineQueries {
     "qe04_user_anomaly"    -> userAnomaliesSql,
     "qt18_lexical_diversity" -> lexicalDiversitySql,
     "qt19_zipf_fit"        -> zipfFitSql,
+    "qt35_heaps_fit"       -> heapsFitSql,
     "qt20_vocab_coverage"  -> vocabCoverageSql,
     "qd14_chunk_dedup"     -> chunkDedupSql,
     "qd20_cdc_chunks"      -> cdcProfileSql,
