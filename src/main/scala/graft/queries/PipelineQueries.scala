@@ -1700,7 +1700,56 @@ object PipelineQueries {
       |  CAST(COUNT(*) AS BIGINT) n_events, CAST(MAX(lateness) AS BIGINT) max_lateness_ms
       |FROM b GROUP BY 1, 2 ORDER BY bucket_rank""".stripMargin
 
+  /** qe11: watermark-policy simulation — qe08's lateness distribution
+    * read against CANDIDATE `withWatermark` durations: for each
+    * candidate, exactly how many events it would drop and the longest
+    * lateness it retains — the qz04 move (audit → decision table)
+    * applied to the streaming knob. One lateness frame (the qe08
+    * factoring), one bounded explode over 4 candidates, one
+    * aggregation. */
+  def watermarkPolicy(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val e = t.events.select(
+      unix_millis($"ts").as("ts_ms"),
+      md5($"event_id".cast("string")).as("arr"),
+      $"event_id")
+      .withColumn("bkt", substring($"arr", 1, 2))
+    val late = graft.streaming.EventStreams
+      .latenessFrame(e, "ts_ms", "bkt", "arr", "event_id")
+    val candidates = Seq(("1m", 60000L), ("5m", 300000L),
+      ("15m", 900000L), ("1h", 3600000L))
+    late.select($"lateness_ms",
+        explode(array(candidates.map { case (l, ms) =>
+          struct(lit(l).as("wm"), lit(ms).as("wm_ms")) }: _*)).as("c"))
+      .groupBy($"c.wm".as("wm"), $"c.wm_ms".as("wm_ms"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(($"lateness_ms" > $"c.wm_ms").cast("long")).as("n_dropped"),
+        max(when($"lateness_ms" <= $"c.wm_ms", $"lateness_ms")
+          .otherwise(lit(0L))).as("max_kept_lateness_ms"))
+      .select($"wm", $"wm_ms", $"n_events", $"n_dropped",
+        round($"n_dropped".cast("double") / $"n_events".cast("double"), 6)
+          .as("drop_frac"),
+        $"max_kept_lateness_ms")
+      .orderBy($"wm_ms")
+  }
+
+  val watermarkPolicySql: String =
+    """WITH e AS (SELECT event_id, CAST(epoch_ms(ts) AS BIGINT) ts_ms,
+      |    md5(CAST(event_id AS VARCHAR)) arr FROM events),
+      |w AS (SELECT ts_ms, max(ts_ms) OVER (ORDER BY arr, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) wm FROM e),
+      |l AS (SELECT CASE WHEN wm IS NULL OR wm <= ts_ms THEN 0 ELSE wm - ts_ms END lateness FROM w),
+      |cand(wm, wm_ms) AS (VALUES ('1m', 60000), ('5m', 300000), ('15m', 900000), ('1h', 3600000)),
+      |x AS (SELECT cand.wm, CAST(cand.wm_ms AS BIGINT) wm_ms, l.lateness
+      |  FROM l CROSS JOIN cand)
+      |SELECT wm, wm_ms, CAST(COUNT(*) AS BIGINT) n_events,
+      |  CAST(SUM(CASE WHEN lateness > wm_ms THEN 1 ELSE 0 END) AS BIGINT) n_dropped,
+      |  round(CAST(SUM(CASE WHEN lateness > wm_ms THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) drop_frac,
+      |  CAST(MAX(CASE WHEN lateness <= wm_ms THEN lateness ELSE 0 END) AS BIGINT) max_kept_lateness_ms
+      |FROM x GROUP BY 1, 2 ORDER BY wm_ms""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe11_watermark_policy" -> ((s: SparkSession, d: String) => watermarkPolicy(Tables(s, d))),
     "qe08_disorder_census" -> ((s: SparkSession, d: String) => disorderCensus(Tables(s, d))),
     "qd20_cdc_chunks"      -> ((s: SparkSession, d: String) => cdcProfile(Tables(s, d))),
     "qe07_sliding_distinct" -> ((s: SparkSession, d: String) => slidingDistinct(Tables(s, d))),
@@ -1774,6 +1823,7 @@ object PipelineQueries {
     "qd14_chunk_dedup"     -> chunkDedupSql,
     "qd20_cdc_chunks"      -> cdcProfileSql,
     "qe08_disorder_census" -> disorderCensusSql,
+    "qe11_watermark_policy" -> watermarkPolicySql,
     "qg04_coactivity_comps" -> coActivityComponentsSql,
     "qe05_conversion_funnel" -> conversionFunnelSql,
     "qe09_abandoned_views"   -> abandonedViewsSql,

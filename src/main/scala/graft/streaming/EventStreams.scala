@@ -412,23 +412,7 @@ object EventStreams {
     * prefix of arrival key); ties broken by `tieCol`. */
   def disorderCensus(events: DataFrame, tsMsCol: String,
                      bucketCol: String, arrivalCol: String, tieCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val perBucket = Window.orderBy(col(bucketCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val inBucket = Window.partitionBy(col(bucketCol))
-      .orderBy(col(arrivalCol), col(tieCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val bmax = events.groupBy(col(bucketCol))
-      .agg(max(col(tsMsCol)).as("bmax"))
-      .withColumn("prior_bucket_wm", max(col("bmax")).over(perBucket))
-      .select(col(bucketCol), col("prior_bucket_wm"))
-    val late = events
-      .join(broadcast(bmax), bucketCol)
-      .withColumn("in_bucket_wm", max(col(tsMsCol)).over(inBucket))
-      .withColumn("wm", greatest(col("prior_bucket_wm"), col("in_bucket_wm")))
-      .withColumn("lateness_ms",
-        when(col("wm").isNull || col("wm") <= col(tsMsCol), 0L)
-          .otherwise(col("wm") - col(tsMsCol)))
+    val late = latenessFrame(events, tsMsCol, bucketCol, arrivalCol, tieCol)
     late.select(
         when(col("lateness_ms") === 0, struct(lit(0).as("r"), lit("on_time").as("l")))
           .when(col("lateness_ms") < 60000L, struct(lit(1).as("r"), lit("lt_1m").as("l")))
@@ -439,6 +423,32 @@ object EventStreams {
       .groupBy(col("b.r").as("bucket_rank"), col("b.l").as("bucket"))
       .agg(count(lit(1)).as("n_events"), max(col("lateness_ms")).as("max_lateness_ms"))
       .orderBy(col("bucket_rank"))
+  }
+
+  /** The per-event lateness frame [[disorderCensus]] histograms and
+    * the watermark-policy simulation thresholds — input columns plus
+    * `lateness_ms` (0 for in-order arrivals). Same bucketed exclusive-
+    * prefix-max factoring (the qz02 discipline — no data-scale
+    * unpartitioned window). */
+  def latenessFrame(events: DataFrame, tsMsCol: String,
+                    bucketCol: String, arrivalCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perBucket = Window.orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val inBucket = Window.partitionBy(col(bucketCol))
+      .orderBy(col(arrivalCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bmax = events.groupBy(col(bucketCol))
+      .agg(max(col(tsMsCol)).as("bmax"))
+      .withColumn("prior_bucket_wm", max(col("bmax")).over(perBucket))
+      .select(col(bucketCol), col("prior_bucket_wm"))
+    events
+      .join(broadcast(bmax), bucketCol)
+      .withColumn("in_bucket_wm", max(col(tsMsCol)).over(inBucket))
+      .withColumn("wm", greatest(col("prior_bucket_wm"), col("in_bucket_wm")))
+      .withColumn("lateness_ms",
+        when(col("wm").isNull || col("wm") <= col(tsMsCol), 0L)
+          .otherwise(col("wm") - col(tsMsCol)))
   }
 
   /** Streaming data contract — the continuous form of the qr05
