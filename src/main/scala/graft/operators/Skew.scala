@@ -59,6 +59,39 @@ object Skew {
         max(col("mass")).cast("long").as("max_key_mass"))
   }
 
+  /** The broadcast/shuffle/salt decision row for one candidate equi
+    * join — [[joinMass]] priced into a verdict (the qz04/qe11
+    * audit-to-decision move applied to join planning): side row
+    * counts, distinct-key counts, the exact implied output (Σ cl·cr),
+    * the fattest key's mass, the strategy under a STATED row
+    * threshold (broadcast the smaller side when it fits, else
+    * shuffle), and a salt hint when one key carries ≥ 10% of the
+    * output. All from the two count tables — the data never moves. */
+  def joinAdvice(left: DataFrame, right: DataFrame,
+                 leftKey: String, rightKey: String,
+                 broadcastMaxRows: Long = 10000L): DataFrame = {
+    require(broadcastMaxRows > 0, s"broadcastMaxRows must be positive")
+    val cl = left.groupBy(col(leftKey).as("k")).agg(count(lit(1)).as("cl"))
+    val cr = right.groupBy(col(rightKey).as("k")).agg(count(lit(1)).as("cr"))
+    val mass = cl.join(cr, "k")
+      .select((col("cl") * col("cr")).as("m"))
+      .agg(coalesce(sum(col("m")), lit(0L)).cast("long").as("implied_rows"),
+        coalesce(max(col("m")), lit(0L)).cast("long").as("max_key_mass"))
+    val lrows = left.agg(count(lit(1)).as("left_rows"))
+    val rrows = right.agg(count(lit(1)).as("right_rows"))
+    val lkeys = cl.agg(count(lit(1)).as("left_keys"))
+    val rkeys = cr.agg(count(lit(1)).as("right_keys"))
+    lrows.crossJoin(broadcast(rrows)).crossJoin(broadcast(lkeys))
+      .crossJoin(broadcast(rkeys)).crossJoin(broadcast(mass))
+      .select(col("left_rows"), col("right_rows"),
+        col("left_keys"), col("right_keys"),
+        col("implied_rows"), col("max_key_mass"),
+        when(col("right_rows") <= broadcastMaxRows, lit("broadcast_right"))
+          .when(col("left_rows") <= broadcastMaxRows, lit("broadcast_left"))
+          .otherwise(lit("shuffle")).as("strategy"),
+        (col("max_key_mass") * 10 > col("implied_rows")).as("salt_hint"))
+  }
+
   /** Salted equi-join: the (skewed) left side gets a random salt in
     * [0,n); the right side is exploded n× so every salted key finds its
     * match. Preserves inner-join semantics exactly; costs n× the right

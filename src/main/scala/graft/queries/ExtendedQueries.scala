@@ -609,6 +609,52 @@ object ExtendedQueries {
       |  CAST(MAX(mass) AS BIGINT) max_key_mass
       |FROM m GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** qj02: the join ADVISOR — [[graft.operators.Skew.joinAdvice]] over
+    * three candidate joins of the star schema: exact implied output,
+    * key cardinalities, skew hint, and the broadcast/shuffle verdict
+    * under a stated 10k-row threshold. The qz04/qe11 audit-to-decision
+    * move applied to join planning; everything from count tables, the
+    * data never moves. */
+  def joinAdvisor(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    def one(name: String, l: DataFrame, r: DataFrame,
+            lk: String, rk: String): DataFrame =
+      graft.operators.Skew.joinAdvice(l, r, lk, rk)
+        .select(lit(name).as("join_name"), $"left_rows", $"right_rows",
+          $"left_keys", $"right_keys", $"implied_rows", $"max_key_mass",
+          $"strategy", $"salt_hint")
+    one("customer_nation", t.customer, t.nation, "c_nationkey", "n_nationkey")
+      .unionByName(one("lineitem_orders", t.lineitem, t.orders,
+        "l_orderkey", "o_orderkey"))
+      .unionByName(one("orders_customer", t.orders, t.customer,
+        "o_custkey", "c_custkey"))
+      .orderBy($"join_name")
+  }
+
+  val joinAdvisorSql: String = {
+    def block(name: String, lt: String, rt: String, lk: String, rk: String): String =
+      s"""SELECT '$name' join_name,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $lt) left_rows,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $rt) right_rows,
+         |  (SELECT CAST(COUNT(DISTINCT $lk) AS BIGINT) FROM $lt) left_keys,
+         |  (SELECT CAST(COUNT(DISTINCT $rk) AS BIGINT) FROM $rt) right_keys,
+         |  m.implied_rows, m.max_key_mass,
+         |  CASE WHEN (SELECT COUNT(*) FROM $rt) <= 10000 THEN 'broadcast_right'
+         |       WHEN (SELECT COUNT(*) FROM $lt) <= 10000 THEN 'broadcast_left'
+         |       ELSE 'shuffle' END strategy,
+         |  m.max_key_mass * 10 > m.implied_rows salt_hint
+         |FROM (SELECT CAST(COALESCE(SUM(c1 * c2), 0) AS BIGINT) implied_rows,
+         |    CAST(COALESCE(MAX(c1 * c2), 0) AS BIGINT) max_key_mass
+         |  FROM (SELECT $lk k, COUNT(*) c1 FROM $lt GROUP BY 1) a
+         |  JOIN (SELECT $rk k, COUNT(*) c2 FROM $rt GROUP BY 1) b USING (k)) m""".stripMargin
+    s"""${block("customer_nation", "customer", "nation", "c_nationkey", "n_nationkey")}
+       |UNION ALL
+       |${block("lineitem_orders", "lineitem", "orders", "l_orderkey", "o_orderkey")}
+       |UNION ALL
+       |${block("orders_customer", "orders", "customer", "o_custkey", "c_custkey")}
+       |ORDER BY join_name""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qg02_triangle_census" -> ((s: SparkSession, d: String) => triangleCensus(Tables(s, d))),
     "qg06_label_prop"      -> ((s: SparkSession, d: String) => labelPropagation(Tables(s, d))),
@@ -621,6 +667,7 @@ object ExtendedQueries {
     "qf01_cascade_delete"  -> ((s: SparkSession, d: String) => cascadeDelete(Tables(s, d))),
     "qf02_ttl_expiry"      -> ((s: SparkSession, d: String) => ttlExpiry(Tables(s, d))),
     "qi01_incremental_agg" -> ((s: SparkSession, d: String) => incrementalAgg(Tables(s, d))),
+    "qj02_join_advisor"    -> ((s: SparkSession, d: String) => joinAdvisor(Tables(s, d))),
     "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
     "qg05_kcore_census"    -> ((s: SparkSession, d: String) => kCoreCensus(Tables(s, d))),
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
@@ -642,6 +689,7 @@ object ExtendedQueries {
     "qf01_cascade_delete"  -> cascadeDeleteSql,
     "qf02_ttl_expiry"      -> ttlExpirySql,
     "qi01_incremental_agg" -> incrementalAggSql,
+    "qj02_join_advisor"    -> joinAdvisorSql,
     "qg03_pagerank"        -> pageRankSql,
     "qg05_kcore_census"    -> kCoreCensusSql,
     "q17_rollup_revenue"   -> rollupRevenueSql,

@@ -50,6 +50,26 @@ class SkewSpec extends SparkTestBase {
     assert(top._2 == 1L)
   }
 
+  test("joinAdvice: verdict, exact pricing, and the hot-key salt hint") {
+    val l = Seq(1L, 1L, 1L, 2L, 3L).toDF("lk").withColumn("pl", lit("x"))
+    val r = Seq(1L, 1L, 2L, 4L).toDF("rk").withColumn("pr", lit("y"))
+    val row = Skew.joinAdvice(l, r, "lk", "rk", broadcastMaxRows = 10L).collect().head
+    assert(row.getAs[Long]("left_rows") == 5L && row.getAs[Long]("right_rows") == 4L)
+    assert(row.getAs[Long]("implied_rows") ==
+      l.join(r, l("lk") === r("rk")).count(), "advice must price the join exactly")
+    assert(row.getAs[String]("strategy") == "broadcast_right")
+    assert(row.getAs[Boolean]("salt_hint"), "key 1 carries 6/7 of the output")
+    // larger sides flip the verdict; a balanced key space clears the hint
+    val big = (1L to 200L).toDF("k").withColumn("p", lit(1))
+    val row2 = Skew.joinAdvice(big, big.withColumnRenamed("p", "q"), "k", "k",
+      broadcastMaxRows = 10L).collect().head
+    assert(row2.getAs[String]("strategy") == "shuffle")
+    assert(!row2.getAs[Boolean]("salt_hint"))
+    // disjoint key spaces price to zero, not null
+    val row3 = Skew.joinAdvice(Seq(1L).toDF("a"), Seq(2L).toDF("b"), "a", "b").collect().head
+    assert(row3.getAs[Long]("implied_rows") == 0L && row3.getAs[Long]("max_key_mass") == 0L)
+  }
+
   test("salted join on the lineitem fixture matches the unsalted plan") {
     val t = Tables(spark, sf0001)
     val plain = t.lineitem.join(t.part, t.lineitem("l_partkey") === t.part("p_partkey"))
