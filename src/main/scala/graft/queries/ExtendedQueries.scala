@@ -317,6 +317,37 @@ object ExtendedQueries {
       |  COALESCE(pn.harmonic, 0.0) AS harmonic
       |FROM nodes n LEFT JOIN pn ON pn.node = n.node ORDER BY user_id""".stripMargin
 
+  /** qg09: degree census — the FIRST read on any derived graph, run
+    * before the iterative operators commit: per log2-degree bucket,
+    * node count and degree mass, plus each bucket's max. A fat high-
+    * degree tail here is the hub warning that picks triangleCount's
+    * degree orientation, the alternating-CC variant, and qj02-style
+    * salting — the graph plane's qd18. One degree aggregation + one
+    * constant-size histogram. */
+  def degreeCensus(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val und = graft.operators.GraphMetrics.canonicalEdges(coActivityEdges(t))
+    und.select(explode(array($"a", $"b")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("deg"))
+      .groupBy(floor(log2($"deg")).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        sum($"deg").cast("long").as("degree_mass"),
+        max($"deg").as("max_degree"))
+      .orderBy($"bucket")
+  }
+
+  val degreeCensusSql: String =
+    """WITH bkt AS (SELECT DISTINCT user_id u, event_type et, date_trunc('minute', ts) m FROM events),
+      |und AS (SELECT DISTINCT a.u a, b2.u b
+      |  FROM bkt a JOIN bkt b2 ON a.et = b2.et AND a.m = b2.m AND a.u < b2.u),
+      |deg AS (SELECT v, COUNT(*) deg FROM (
+      |  SELECT a v FROM und UNION ALL SELECT b FROM und) GROUP BY 1)
+      |SELECT CAST(FLOOR(log2(deg)) AS BIGINT) bucket,
+      |  CAST(COUNT(*) AS BIGINT) n_nodes,
+      |  CAST(SUM(deg) AS BIGINT) degree_mass,
+      |  CAST(MAX(deg) AS BIGINT) max_degree
+      |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
+
   /** qg07: 3-iteration personalized PageRank seeded at users {0, 1} —
     * proximity-to-seed ranking on the co-activity graph (the
     * similar-users query), vs DuckDB's unrolled CTE rounds with the
@@ -668,6 +699,7 @@ object ExtendedQueries {
     "qf02_ttl_expiry"      -> ((s: SparkSession, d: String) => ttlExpiry(Tables(s, d))),
     "qi01_incremental_agg" -> ((s: SparkSession, d: String) => incrementalAgg(Tables(s, d))),
     "qj02_join_advisor"    -> ((s: SparkSession, d: String) => joinAdvisor(Tables(s, d))),
+    "qg09_degree_census"   -> ((s: SparkSession, d: String) => degreeCensus(Tables(s, d))),
     "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
     "qg05_kcore_census"    -> ((s: SparkSession, d: String) => kCoreCensus(Tables(s, d))),
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
@@ -690,6 +722,7 @@ object ExtendedQueries {
     "qf02_ttl_expiry"      -> ttlExpirySql,
     "qi01_incremental_agg" -> incrementalAggSql,
     "qj02_join_advisor"    -> joinAdvisorSql,
+    "qg09_degree_census"   -> degreeCensusSql,
     "qg03_pagerank"        -> pageRankSql,
     "qg05_kcore_census"    -> kCoreCensusSql,
     "q17_rollup_revenue"   -> rollupRevenueSql,
