@@ -1518,7 +1518,7 @@ object PipelineQueries {
   def jaccardSweep(t: Tables): DataFrame = {
     import t.spark.implicits._
     Dedup.nearDupsMinhash(t.documents, threshold = 0.0)
-      .select(least(floor($"jaccard" * 10).cast("int"), lit(9)).as("bin"))
+      .select(least(floor($"jaccard" * 10).cast("long"), lit(9L)).as("bin"))
       .groupBy($"bin")
       .agg(count(lit(1)).as("n_pairs"))
       .select($"bin", ($"bin".cast("double") / 10.0).as("bin_lo"), $"n_pairs")
