@@ -537,6 +537,44 @@ object CurationQueries {
       |  round(CAST(SUM(bin_tokens) AS DOUBLE) / (COUNT(*) * 256), 6) AS fill_pct
       |FROM b GROUP BY shard ORDER BY shard""".stripMargin
 
+  /** qc13: dedup ROI — per source, exactly how many tokens exact
+    * dedup removes (the "is the dedup pass worth its wall-clock"
+    * read, reported BEFORE paying for the near-dup funnel): qd01's
+    * keeper decisions joined to token counts, aggregated per source
+    * with the savings fraction. The decision-table discipline
+    * (qz04/qe11/qj02) applied to the dedup plane's cheapest member —
+    * sha-keyed, no pair join anywhere. */
+  def dedupRoi(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val dec = graft.operators.Dedup.exactCanonical(t.documents)
+      .select($"doc_id", $"is_dup")
+    t.documents
+      .select($"doc_id", $"source", bpeTokenCount($"text").cast("long").as("tok"))
+      .join(dec, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"is_dup".cast("long")).as("n_dups"),
+        sum($"tok").cast("long").as("tokens_total"),
+        sum(when($"is_dup", $"tok").otherwise(lit(0L))).cast("long").as("tokens_removable"))
+      .select($"source", $"n_docs", $"n_dups", $"tokens_total", $"tokens_removable",
+        round($"tokens_removable".cast("double") / $"tokens_total".cast("double"), 6)
+          .as("savings_frac"))
+      .orderBy($"source")
+  }
+
+  val dedupRoiSql: String =
+    """WITH d AS (SELECT doc_id, source,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) tok,
+      |    doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) is_dup
+      |  FROM documents)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+      |  CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) n_dups,
+      |  CAST(SUM(tok) AS BIGINT) tokens_total,
+      |  CAST(SUM(CASE WHEN is_dup THEN tok ELSE 0 END) AS BIGINT) tokens_removable,
+      |  round(CAST(SUM(CASE WHEN is_dup THEN tok ELSE 0 END) AS DOUBLE) /
+      |        CAST(SUM(tok) AS DOUBLE), 6) savings_frac
+      |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   // ---- PII scrubbing ----
 
   /** PII scrub over a corpus with deterministic planted PII (the
@@ -1266,6 +1304,7 @@ object CurationQueries {
     "qc01_curation_pipeline" -> ((s: SparkSession, d: String) => curationPipeline(Tables(s, d))),
     "qc02_decontaminate"     -> ((s: SparkSession, d: String) => decontaminate(Tables(s, d))),
     "qc12_cluster_decontam"  -> ((s: SparkSession, d: String) => clusterDecontaminate(Tables(s, d))),
+    "qc13_dedup_roi"         -> ((s: SparkSession, d: String) => dedupRoi(Tables(s, d))),
     "qt08_repetition"        -> ((s: SparkSession, d: String) => repetitionStats(Tables(s, d))),
     "qc03_chunking"          -> ((s: SparkSession, d: String) => chunking(Tables(s, d))),
     "qc04_packing"           -> ((s: SparkSession, d: String) => packing(Tables(s, d))),
@@ -1304,6 +1343,7 @@ object CurationQueries {
     "qc01_curation_pipeline" -> curationPipelineSql,
     "qc02_decontaminate"     -> decontaminateSql,
     "qc12_cluster_decontam"  -> clusterDecontaminateSql,
+    "qc13_dedup_roi"         -> dedupRoiSql,
     "qt08_repetition"        -> repetitionStatsSql,
     "qc03_chunking"          -> chunkingSql,
     "qc04_packing"           -> packingSql,
