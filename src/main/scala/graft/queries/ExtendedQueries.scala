@@ -486,6 +486,37 @@ object ExtendedQueries {
       |WHERE valid_from <= 803433600000 AND (valid_to IS NULL OR valid_to > 803433600000)
       |ORDER BY cust""".stripMargin
 
+  /** qk04: SCD2 churn census — version-count histogram over the qk01
+    * chains: how volatile IS the dimension (keys with 1 version never
+    * changed; a fat many-version tail is the signal that SCD2 history
+    * — and the PIT join discipline — pays for itself, and sizes the
+    * chain table's growth rate). Two tiny aggregations over the
+    * key-partitioned chain. */
+  def scd2Churn(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val perKey = scd2Chain(t).groupBy($"cust").agg(count(lit(1)).as("n_versions"))
+    val total = perKey.agg(count(lit(1)).as("n_keys_total"))
+    perKey.groupBy($"n_versions").agg(count(lit(1)).as("n_keys"))
+      .crossJoin(broadcast(total))
+      .select($"n_versions", $"n_keys",
+        round($"n_keys".cast("double") / $"n_keys_total".cast("double"), 6)
+          .as("key_share"))
+      .orderBy($"n_versions")
+  }
+
+  val scd2ChurnSql: String =
+    """WITH u AS (SELECT o_custkey cust, o_orderpriority priority,
+      |    CAST(epoch_ms(o_orderdate) AS BIGINT) ts, o_orderkey tie FROM orders),
+      |c AS (SELECT cust, priority, ts, tie,
+      |    lag(priority) OVER (PARTITION BY cust ORDER BY ts, tie) prev FROM u),
+      |f AS (SELECT cust FROM c WHERE prev IS NULL OR prev <> priority),
+      |pk AS (SELECT cust, CAST(COUNT(*) AS BIGINT) n_versions FROM f GROUP BY 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) n_keys_total FROM pk)
+      |SELECT n_versions, CAST(COUNT(*) AS BIGINT) n_keys,
+      |  round(CAST(COUNT(*) AS DOUBLE) / CAST(tot.n_keys_total AS DOUBLE), 6) key_share
+      |FROM pk CROSS JOIN tot GROUP BY n_versions, tot.n_keys_total
+      |ORDER BY n_versions""".stripMargin
+
   /** qk03: point-in-time feature join — the feature-store read that
     * makes SCD2 worth keeping: every lineitem (fact) attaches the
     * customer's priority version that was standing AT ITS OWN ship
@@ -695,6 +726,7 @@ object ExtendedQueries {
     "qk01_scd2_history"    -> ((s: SparkSession, d: String) => scd2History(Tables(s, d))),
     "qk02_scd2_asof"       -> ((s: SparkSession, d: String) => scd2AsOf(Tables(s, d))),
     "qk03_pit_join"        -> ((s: SparkSession, d: String) => pitJoin(Tables(s, d))),
+    "qk04_scd2_churn"      -> ((s: SparkSession, d: String) => scd2Churn(Tables(s, d))),
     "qf01_cascade_delete"  -> ((s: SparkSession, d: String) => cascadeDelete(Tables(s, d))),
     "qf02_ttl_expiry"      -> ((s: SparkSession, d: String) => ttlExpiry(Tables(s, d))),
     "qi01_incremental_agg" -> ((s: SparkSession, d: String) => incrementalAgg(Tables(s, d))),
@@ -718,6 +750,7 @@ object ExtendedQueries {
     "qk01_scd2_history"    -> scd2HistorySql,
     "qk02_scd2_asof"       -> scd2AsOfSql,
     "qk03_pit_join"        -> pitJoinSql,
+    "qk04_scd2_churn"      -> scd2ChurnSql,
     "qf01_cascade_delete"  -> cascadeDeleteSql,
     "qf02_ttl_expiry"      -> ttlExpirySql,
     "qi01_incremental_agg" -> incrementalAggSql,
