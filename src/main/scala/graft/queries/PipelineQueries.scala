@@ -639,6 +639,75 @@ object PipelineQueries {
       |  FROM sims)
       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** qs15: ANN recall as a first-class ORACLE-CHECKED query — the
+    * AnnEval tool's headline number (recall@5 of the IVF probe against
+    * brute force) computed in-engine with an exact DuckDB twin: both
+    * paths are already engine-independent (md5 centroids, round-6
+    * cosines), so their intersection — and therefore the recall
+    * itself — is a pure function of the corpus. Per query: hit count
+    * and recall; a TOTAL row (query_id −1) carries the macro average.
+    * This is the continuously-runnable form of the recall-curve
+    * harness: a pipeline alerts on ITS OWN index quality. */
+  def annRecall(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val bf = Similarity.bruteForceTopK(t.embeddings, QueryIds, k = 5)
+      .select($"query_id", $"neighbor_id")
+    val ivf = Similarity.ivfTopK(t.embeddings, QueryIds, k = 5)
+      .select($"query_id", $"neighbor_id")
+    val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
+    val perQ = bf.select($"query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select($"query_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
+      .select($"query_id", $"n_hits",
+        round($"n_hits".cast("double") / 5.0, 6).as("recall"))
+      .localCheckpoint()
+    val total = perQ.agg(sum($"n_hits").as("s"), count(lit(1)).as("nq"))
+      .select(lit(-1L).as("query_id"), $"s".cast("long").as("n_hits"),
+        round($"s".cast("double") / ($"nq".cast("double") * 5.0), 6).as("recall"))
+    perQ.unionByName(total).orderBy($"query_id")
+  }
+
+  val annRecallSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e,
+      |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) nrm2 FROM embeddings),
+      |q AS (SELECT vec_id query_id, e q_vec, sqrt(nrm2) q_nrm FROM v WHERE vec_id < 10),
+      |bsims AS (SELECT q.query_id, v.vec_id neighbor_id,
+      |    round(list_dot_product(q.q_vec, v.e) / (q.q_nrm * sqrt(v.nrm2)), 6) cos_sim
+      |  FROM v JOIN q ON v.vec_id <> q.query_id),
+      |bf AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+      |    FROM bsims) WHERE rk <= 5),
+      |cent AS (SELECT (ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)) - 1 AS cell,
+      |    e c_vec, nrm2 c_nrm2
+      |  FROM v ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+      |scored AS (SELECT v.vec_id, v.e, v.nrm2, cent.cell,
+      |    cent.c_nrm2 - 2 * list_dot_product(v.e, cent.c_vec) AS score
+      |  FROM v CROSS JOIN cent),
+      |assigned AS (SELECT vec_id, e, nrm2, cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) rn
+      |    FROM scored) WHERE rn = 1),
+      |probes AS (SELECT vec_id query_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) rn
+      |    FROM scored WHERE vec_id < 10) WHERE rn <= 2),
+      |isims AS (SELECT p.query_id, a.vec_id neighbor_id,
+      |    round(list_dot_product(q.q_vec, a.e) / (q.q_nrm * sqrt(a.nrm2)), 6) cos_sim
+      |  FROM probes p JOIN assigned a ON a.cell = p.cell JOIN q ON q.query_id = p.query_id
+      |  WHERE a.vec_id <> p.query_id),
+      |iv AS (SELECT query_id, neighbor_id FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+      |    FROM isims) WHERE rk <= 5),
+      |h AS (SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) n
+      |  FROM bf JOIN iv USING (query_id, neighbor_id) GROUP BY 1),
+      |per AS (SELECT qq.query_id, COALESCE(h.n, 0) n_hits,
+      |    round(CAST(COALESCE(h.n, 0) AS DOUBLE) / 5.0, 6) recall
+      |  FROM (SELECT DISTINCT query_id FROM bf) qq LEFT JOIN h ON h.query_id = qq.query_id)
+      |SELECT * FROM per
+      |UNION ALL
+      |SELECT CAST(-1 AS BIGINT), CAST(SUM(n_hits) AS BIGINT),
+      |  round(CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * 5.0), 6) FROM per
+      |ORDER BY query_id""".stripMargin
+
   /** qs12: Lloyd's k-means census — [[KMeans.census]], k=8, 2 rounds
     * from the qs03 sampled seeds. The oracle replays both full rounds
     * (assign → exact-decimal coordinate means → reassign → update) in
@@ -1797,6 +1866,7 @@ object PipelineQueries {
     "qd11_keeper_policy"   -> ((s: SparkSession, d: String) => keeperPolicy(Tables(s, d))),
     "qs01_cosine_topk"     -> ((s: SparkSession, d: String) => cosineTopK(Tables(s, d))),
     "qs14_filtered_ann"    -> ((s: SparkSession, d: String) => filteredAnn(Tables(s, d))),
+    "qs15_ann_recall"      -> ((s: SparkSession, d: String) => annRecall(Tables(s, d))),
     "qs02_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(Tables(s, d))),
     "qs03_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(Tables(s, d))),
     "qs04_ann_lsh_multi"   -> ((s: SparkSession, d: String) => annLshMulti(Tables(s, d))),
@@ -1852,6 +1922,7 @@ object PipelineQueries {
     "qd11_keeper_policy"   -> keeperPolicySql,
     "qs01_cosine_topk"     -> cosineTopKSql,
     "qs14_filtered_ann"    -> filteredAnnSql,
+    "qs15_ann_recall"      -> annRecallSql,
     "qs02_ann_lsh"         -> annLshSql,
     "qs03_ann_ivf"         -> annIvfSql,
     "qs04_ann_lsh_multi"   -> annLshMultiSql,
