@@ -82,6 +82,62 @@ object CurationQueries {
       |  ON c.purchase_id = p.purchase_id
       |ORDER BY p.user_id, p.purchase_id""".stripMargin
 
+  /** qa07: feature-serving coverage census — the SLO read over the
+    * as-of family: every purchase probe classified FRESH (a view
+    * within the 30-minute tolerance), STALE (a view exists but too
+    * old — qa05 would null it), or MISS (no view at all), with
+    * fractions. One backward as-of join (the stale/miss split is a
+    * scan-local test on the match's carried epoch-ms — qa05's
+    * machinery read as a census instead of a null-out), one 3-row
+    * aggregation. The number a feature-store dashboard actually
+    * shows. */
+  def asofCoverage(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val purchases = t.events.filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id".as("purchase_id"), $"ts",
+              unix_millis($"ts").as("purchase_ms"))
+    val views = t.events.filter($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts",
+              unix_millis($"ts").as("view_ms"))
+    val joined = AsOfJoin.asOfBackward(purchases, views, key = "user_id",
+        leftTs = "ts", rightTs = "ts", rightSeq = "view_id",
+        rightCols = Seq("view_id", "view_ms"))
+      .select(
+        when($"asof_view_id".isNull, lit("miss"))
+          .when($"purchase_ms" - $"asof_view_ms" > 1800000L, lit("stale"))
+          .otherwise(lit("fresh")).as("verdict"))
+    val total = joined.agg(count(lit(1)).as("n_total"))
+    joined.groupBy($"verdict").agg(count(lit(1)).as("n_probes"))
+      .crossJoin(broadcast(total))
+      .select($"verdict", $"n_probes",
+        round($"n_probes".cast("double") / $"n_total".cast("double"), 6)
+          .as("frac"))
+      .orderBy($"verdict")
+  }
+
+  val asofCoverageSql: String =
+    """WITH e AS (
+      |  SELECT user_id, CASE WHEN event_type='view' THEN 0 ELSE 1 END m,
+      |         event_id, CAST(ts AS TIMESTAMP) ts
+      |  FROM events WHERE event_type IN ('view','purchase')),
+      |p AS (SELECT user_id, event_id purchase_id, ts,
+      |    CAST(epoch_ms(ts) AS BIGINT) pms FROM e WHERE m = 1),
+      |v AS (SELECT user_id, event_id view_id, ts,
+      |    CAST(epoch_ms(ts) AS BIGINT) vms FROM e WHERE m = 0),
+      |best AS (SELECT p.purchase_id, p.pms, v.vms,
+      |    ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+      |      ORDER BY v.vms DESC, v.view_id DESC) rn
+      |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.vms <= p.pms),
+      |cls AS (SELECT CASE WHEN vms IS NULL THEN 'miss'
+      |                    WHEN pms - vms > 1800000 THEN 'stale'
+      |                    ELSE 'fresh' END verdict
+      |  FROM best WHERE rn = 1),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) n_total FROM cls)
+      |SELECT verdict, CAST(COUNT(*) AS BIGINT) n_probes,
+      |  round(CAST(COUNT(*) AS DOUBLE) / CAST(tot.n_total AS DOUBLE), 6) frac
+      |FROM cls CROSS JOIN tot GROUP BY verdict, tot.n_total
+      |ORDER BY verdict""".stripMargin
+
   /** qa05: qa01's join under a 30-minute staleness tolerance — the
     * feature-store serving contract: a last view older than 30 minutes
     * at purchase time is as good as absent, so the attached columns
@@ -1319,6 +1375,7 @@ object CurationQueries {
     "qr02_drift_report"      -> ((s: SparkSession, d: String) => driftReport(Tables(s, d))),
     "qa05_asof_tolerant"     -> ((s: SparkSession, d: String) => asofViewBeforePurchaseTolerant(Tables(s, d))),
     "qa06_asof_nearest"      -> ((s: SparkSession, d: String) => asofNearestView(Tables(s, d))),
+    "qa07_asof_coverage"     -> ((s: SparkSession, d: String) => asofCoverage(Tables(s, d))),
     "qr03_ks_drift"          -> ((s: SparkSession, d: String) => ksDrift(Tables(s, d))),
     "qr06_psi_drift"         -> ((s: SparkSession, d: String) => psiDrift(Tables(s, d))),
     "qp13_target_mix"        -> ((s: SparkSession, d: String) => targetMix(Tables(s, d))),
@@ -1358,6 +1415,7 @@ object CurationQueries {
     "qr02_drift_report"      -> driftReportSql,
     "qa05_asof_tolerant"     -> asofViewBeforePurchaseTolerantSql,
     "qa06_asof_nearest"      -> asofNearestViewSql,
+    "qa07_asof_coverage"     -> asofCoverageSql,
     "qr03_ks_drift"          -> ksDriftSql,
     "qr06_psi_drift"         -> psiDriftSql,
     "qp13_target_mix"        -> targetMixSql,
