@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
   * has the identical problem when a source requests takedown.
   *
   * Scale shape: one LEFT SEMI (dead rows) + LEFT ANTI (survivors)
-  * join per table, keyed on the FK — the dead-key set is usually tiny
+  * join per incoming FK edge — the dead-key set is usually tiny
   * relative to the table, so it broadcasts; nothing else shuffles.
-  * The walk is breadth-first over the FK DAG, so each table is
-  * scanned once regardless of how many parents feed it. Rows with a
-  * NULL foreign key never match a dead parent and survive (a NULL FK
-  * references nothing).
+  * Tables are walked in TOPOLOGICAL order over the FK DAG: a table's
+  * dead set is final (every parent's deaths unioned in) before any of
+  * its own children consult it — firing edges eagerly under-deletes
+  * below a diamond re-convergence. Rows with a NULL foreign key never
+  * match a dead parent and survive (a NULL FK references nothing).
   */
 object Deletion {
 
@@ -48,41 +49,82 @@ object Deletion {
     val deadKeys = scala.collection.mutable.Map[String, DataFrame]()
     val deadRows = scala.collection.mutable.Map[String, DataFrame]()
 
+    // Cascade scope = tables reachable from the root over parent→child
+    // edges. Every edge's parent must be in scope — an edge hanging off
+    // a table the cascade can never reach is a config error, not a no-op.
+    val childrenOf = edges.groupBy(_.parentTable)
+    val scope = {
+      val seen = scala.collection.mutable.Set(rootTable)
+      var frontier = List(rootTable)
+      while (frontier.nonEmpty) {
+        val next = frontier.flatMap(t => childrenOf.getOrElse(t, Nil).map(_.childTable))
+          .filterNot(seen)
+        seen ++= next
+        frontier = next.distinct
+      }
+      seen.toSet
+    }
+    val outOfScope = edges.filterNot(e => scope(e.parentTable))
+    require(outOfScope.isEmpty,
+      s"FK edges unreachable from $rootTable's cascade: $outOfScope")
+
+    // Topological order over in-scope tables: a table's dead set is
+    // FINAL only once every incoming edge has contributed, so its own
+    // outgoing edges must not fire before then. (Firing edges as soon
+    // as the parent has SOME dead set under-deletes in a diamond whose
+    // re-converged table has descendants: the descendant edge can fire
+    // before the second parent's deaths arrive, and it never re-fires.)
+    val inDeg = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    edges.foreach(e => inDeg(e.childTable) += 1)
+    val order = scala.collection.mutable.ArrayBuffer[String]()
+    var ready = scope.filter(t => inDeg(t) == 0).toList.sorted
+    val deg = scala.collection.mutable.Map[String, Int]() ++ scope.map(t => t -> inDeg(t))
+    while (ready.nonEmpty) {
+      val t = ready.head
+      ready = ready.tail
+      order += t
+      childrenOf.getOrElse(t, Nil).foreach { e =>
+        deg(e.childTable) -= 1
+        if (deg(e.childTable) == 0) ready = (e.childTable :: ready).sorted
+      }
+    }
+    require(order.size == scope.size,
+      s"FK graph has a cycle among ${scope -- order}; cascade requires a DAG")
+
+    val survivors = scala.collection.mutable.Map[String, DataFrame]()
     val root = byName(rootTable)
     val rootKeyCol = deadRootKeys.columns.head
-    deadRows(rootTable) = root.df.join(
-      broadcast(deadRootKeys.select(col(rootKeyCol).as("__dk")).distinct()),
-      root.df(root.key) === col("__dk"), "left_semi")
+    val rootDead = broadcast(deadRootKeys.select(col(rootKeyCol).as("__dk")).distinct())
+    deadRows(rootTable) = root.df.join(rootDead, root.df(root.key) === col("__dk"), "left_semi")
+    survivors(rootTable) = root.df.join(rootDead, root.df(root.key) === col("__dk"), "left_anti")
     deadKeys(rootTable) = deadRows(rootTable).select(col(root.key))
 
-    // BFS over the DAG: an edge fires once its parent's dead set exists
-    var remaining = edges
-    var progress = true
-    while (remaining.nonEmpty && progress) {
-      val (ready, later) = remaining.partition(e => deadKeys.contains(e.parentTable))
-      progress = ready.nonEmpty
-      ready.foreach { e =>
-        val child = byName(e.childTable)
-        val dead = child.df.join(
-          broadcast(deadKeys(e.parentTable).select(col(byName(e.parentTable).key).as("__dk"))),
-          child.df(e.fkCol) === col("__dk"), "left_semi")
-        // a table can die through several parents — union the verdicts
-        deadRows(e.childTable) = deadRows.get(e.childTable)
-          .map(_.unionByName(dead).dropDuplicates(child.key))
-          .getOrElse(dead)
-        deadKeys(e.childTable) = deadRows(e.childTable).select(col(child.key))
+    val incomingOf = edges.groupBy(_.childTable)
+    order.filterNot(_ == rootTable).foreach { tbl =>
+      val child = byName(tbl)
+      // ALL parents' verdicts land before this table is considered
+      // final. Per edge: semi = dead via THIS parent among rows not
+      // already dead, anti = still standing — so the dead parts are
+      // disjoint by construction and no row is double-counted even
+      // when the table's own key is non-unique (e.g. a child keyed by
+      // the very FK it passes downstream).
+      val incoming = incomingOf.getOrElse(tbl, Nil).filter(e => deadKeys.contains(e.parentTable))
+      if (incoming.nonEmpty) {
+        var remaining = child.df
+        val deadParts = Seq.newBuilder[DataFrame]
+        incoming.foreach { e =>
+          val pk = broadcast(
+            deadKeys(e.parentTable).select(col(byName(e.parentTable).key).as("__dk")).distinct())
+          deadParts += remaining.join(pk, remaining(e.fkCol) === col("__dk"), "left_semi")
+          remaining = remaining.join(pk, remaining(e.fkCol) === col("__dk"), "left_anti")
+        }
+        deadRows(tbl) = deadParts.result().reduce(_ unionByName _)
+        survivors(tbl) = remaining
+        deadKeys(tbl) = deadRows(tbl).select(col(child.key))
       }
-      remaining = later
     }
-    require(remaining.isEmpty,
-      s"FK edges unreachable from $rootTable's cascade: $remaining")
 
-    val retained = nodes.map { n =>
-      n.name -> deadKeys.get(n.name).map { dk =>
-        n.df.join(broadcast(dk.select(col(n.key).as("__dk"))),
-          n.df(n.key) === col("__dk"), "left_anti")
-      }.getOrElse(n.df)
-    }.toMap
+    val retained = nodes.map(n => n.name -> survivors.getOrElse(n.name, n.df)).toMap
     val report = nodes.map { n =>
       val total = n.df.agg(count(lit(1)).as("n_rows"))
       val dead = deadRows.get(n.name)

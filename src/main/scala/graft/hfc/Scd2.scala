@@ -46,8 +46,12 @@ object Scd2 {
     val w = Window.partitionBy(k).orderBy(col("__standing").desc, col("__ts"), col("__tie"))
     val chain = current.unionByName(incoming)
       .withColumn("__prev", lag(col(attrCol), 1).over(w))
-      // keep only actual changes (first row per key always survives)
-      .filter(col("__prev").isNull || col("__prev") =!= col(attrCol) || col("__standing"))
+      .withColumn("__rn", row_number().over(w))
+      // keep only actual changes; null-safe so a transition TO or FROM a
+      // NULL attribute is a real change and runs of NULLs collapse. The
+      // first row per key is identified by row_number, NOT by __prev
+      // being NULL — lag's NULL is ambiguous with a genuine NULL attr.
+      .filter(col("__rn") === 1 || !(col("__prev") <=> col(attrCol)))
       .withColumn("valid_from", col("__ts"))
       // lead over the FILTERED frame: a collapsed no-change row must
       // not bound the surviving version's validity

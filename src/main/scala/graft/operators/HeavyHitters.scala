@@ -74,8 +74,14 @@ object HeavyHitters {
   def exactFrequent(df: DataFrame, itemCol: String,
                     denom: Int = 200, capacity: Int = 256): DataFrame = {
     require(denom >= 2, s"denom must be >= 2, got $denom")
-    require(capacity + 1 >= denom,
-      s"capacity+1 (${capacity + 1}) must be >= denom ($denom) for the superset guarantee")
+    // Strict pigeonhole: MG's undercount bound is <= n_p/(capacity+1)
+    // and NOT strict, while the final filter is inclusive (cnt*denom >=
+    // n_total) — so a boundary item with count exactly N/denom needs
+    // capacity+1 > denom STRICTLY to be guaranteed a surviving counter
+    // in some partition. capacity+1 == denom can miss it.
+    require(capacity >= denom,
+      s"capacity ($capacity) must be >= denom ($denom): the superset " +
+        "guarantee needs capacity+1 > denom strictly")
     val spark = df.sparkSession
     val items = df.select(col(itemCol).cast("string").as("item"))
     val summary = items

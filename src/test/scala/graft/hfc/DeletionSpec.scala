@@ -66,6 +66,38 @@ class DeletionSpec extends SparkTestBase {
     assert(rep == (("views", 3L, 2L, 1L)), "multi-parent casualty double-counted")
   }
 
+  test("diamond with a descendant below the re-converged table: deaths via the " +
+       "SECOND parent still reach the descendant, under adversarial edge order") {
+    // users → posts, users → likes; views references BOTH (diamond apex);
+    // stats sits BELOW views. Edge list deliberately interleaves stats←views
+    // between views←posts and views←likes: a walker that fires an edge as
+    // soon as its parent has SOME dead set would compute stats' deaths from
+    // views' partial (posts-only) dead set and never revisit.
+    val users = Seq((1L, "a"), (2L, "b")).toDF("uid", "name")
+    val posts = Seq((10L, 1L), (11L, 2L)).toDF("pid", "uid")
+    val likes = Seq((20L, 1L), (21L, 2L)).toDF("lid", "uid")
+    // view 30 dies via post 10; view 31 dies ONLY via like 20 (the second
+    // parent); view 32 survives
+    val views = Seq((30L, 10L, 21L), (31L, 11L, 20L), (32L, 11L, 21L))
+      .toDF("vid", "pid", "lid")
+    // stat 40 hangs off the view that dies via the second parent
+    val stats = Seq((40L, 31L), (41L, 30L), (42L, 32L)).toDF("sid", "vid")
+    val res = cascade(
+      Seq(Node("users", users, "uid"), Node("posts", posts, "pid"),
+          Node("likes", likes, "lid"), Node("views", views, "vid"),
+          Node("stats", stats, "sid")),
+      Seq(Edge("views", "pid", "posts"),
+          Edge("stats", "vid", "views"),   // adversarial: listed before views←likes
+          Edge("views", "lid", "likes"),
+          Edge("posts", "uid", "users"), Edge("likes", "uid", "users")),
+      "users", Seq(1L).toDF("k"))
+    assert(res.retained("views").select("vid").as[Long].collect().toSet == Set(32L))
+    // stat 40 (via view 31, dead only through likes) and 41 must BOTH die
+    assert(res.retained("stats").select("sid").as[Long].collect().toSet == Set(42L),
+      "descendant below the diamond apex missed deaths from the second parent")
+    assert(res.deleted("stats").select("sid").as[Long].collect().toSet == Set(40L, 41L))
+  }
+
   test("guardrails: unknown root and unreachable edges fail loudly") {
     val (nodes, edges) = fixture()
     intercept[IllegalArgumentException](cascade(nodes, edges, "nope", Seq(1L).toDF("k")))

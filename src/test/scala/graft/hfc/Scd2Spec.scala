@@ -41,6 +41,36 @@ class Scd2Spec extends SparkTestBase {
       (3L, "N", 7L, None)))
   }
 
+  test("NULL attribute values: transitions to/from NULL are real changes, " +
+       "runs of NULL collapse, and the prior version is closed") {
+    val nullableUpdates = Seq(
+      (1L, Some("A"), 10L, 1L),
+      (1L, Option.empty[String], 20L, 2L),  // A → NULL: a real change
+      (1L, Option.empty[String], 30L, 3L),  // NULL → NULL: collapses
+      (1L, Some("B"), 40L, 4L))             // NULL → B: a real change
+      .toDF("k", "attr", "ts", "tie")
+    val emptyHist = Seq.empty[(Long, Option[String], Long, Option[Long])]
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val got = Scd2.applyChanges(emptyHist, nullableUpdates, "k", "attr", "ts", "tie")
+      .orderBy($"k", $"valid_from")
+      .as[(Long, Option[String], Long, Option[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, Some("A"), 10L, Some(20L)),   // closed BY the NULL version
+      (1L, None, 20L, Some(40L)),        // one NULL version, run collapsed
+      (1L, Some("B"), 40L, None)))
+  }
+
+  test("NULL update against a standing non-null current row closes it") {
+    val history = Seq((1L, Some("A"), 5L, Option.empty[Long]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val got = Scd2.applyChanges(history,
+        Seq((1L, Option.empty[String], 10L, 1L)).toDF("k", "attr", "ts", "tie"),
+        "k", "attr", "ts", "tie")
+      .orderBy($"k", $"valid_from")
+      .as[(Long, Option[String], Long, Option[Long])].collect().toSeq
+    assert(got == Seq((1L, Some("A"), 5L, Some(10L)), (1L, None, 10L, None)))
+  }
+
   test("same-timestamp updates order by the tie-break column") {
     val got = apply0(historySchema, Seq((1L, "B", 10L, 2L), (1L, "A", 10L, 1L)))
     assert(got == Seq((1L, "A", 10L, Some(10L)), (1L, "B", 10L, None)))

@@ -61,6 +61,23 @@ class HeavyHittersSpec extends SparkTestBase {
       HeavyHitters.exactFrequent(df, "item", denom = 1, capacity = 256))
     intercept[IllegalArgumentException](
       HeavyHitters.exactFrequent(df, "item", denom = 200, capacity = 64))
+    // boundary: capacity+1 == denom is NOT enough (pigeonhole must be
+    // strict because MG's undercount bound and the final filter are
+    // both inclusive) — the guard rejects it
+    intercept[IllegalArgumentException](
+      HeavyHitters.exactFrequent(df, "item", denom = 65, capacity = 64))
+    // capacity == denom (capacity+1 > denom strictly) is accepted
+    assert(HeavyHitters.exactFrequent(df, "item", denom = 64, capacity = 64)
+      .count() >= 0L)
+  }
+
+  test("boundary heavy hitter with count exactly N/denom is found") {
+    // 100 rows, denom=10 → threshold 10; 'hot' appears exactly 10 times
+    val rows = Seq.fill(10)("hot") ++ (0 until 90).map(i => s"u$i")
+    val df = rows.toDF("item").repartition(9)
+    val got = HeavyHitters.exactFrequent(df, "item", denom = 10, capacity = 32)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("hot" -> 10L), s"boundary hitter missed: $got")
   }
 
   test("uniform data below threshold returns the empty set, not an error") {
