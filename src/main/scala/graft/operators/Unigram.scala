@@ -42,6 +42,17 @@ object Unigram {
     * when nothing else covers the character. */
   val UnknownLogProb: Double = -100.0
 
+  /** Quantize a log-probability to 1e-6 — the cross-engine float
+    * discipline (the DECIMAL-sum lesson applied to transcendentals):
+    * `math.log` on the JVM and `ln` in another engine may differ in
+    * the last ulp, and a Viterbi comparison can flip on it. Snapping
+    * every model weight to the 1e-6 grid BEFORE the DP consumes it
+    * makes segmentation decisions a pure function of (corpus, vocab)
+    * on any engine whose log is within ~1e-10 of correct.
+    * floor(x*1e6+0.5) rather than rint: half-even vs half-up choices
+    * differ between engines; floor(+0.5) is the same everywhere. */
+  def quantizeLogProb(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
   /** Viterbi maximum-likelihood segmentation of `word` under piece
     * log-probabilities `logp`. dp[i] = best score of word[0,i); at each
     * i the candidate pieces are the ≤ maxPieceLen suffixes of the
@@ -123,7 +134,9 @@ object Unigram {
       .collect() // vocab metadata: seedSize rows, the broadcast-model shape
     var logp: Map[String, Double] = {
       val total = seed.map(_._2).sum.toDouble
-      seed.map { case (p, f) => p -> (math.log(f.toDouble) - math.log(total)) }.toMap
+      seed.map { case (p, f) =>
+        p -> quantizeLogProb(math.log(f.toDouble) - math.log(total))
+      }.toMap
     }
     var counts: Seq[(String, Long)] = Seq.empty
     for (_ <- 1 to emRounds) {
@@ -139,7 +152,7 @@ object Unigram {
         .collect().toSeq // vocab-sized: ≤ current vocab, like the seed
       val total = counts.map(_._2).sum.toDouble
       logp = counts.map { case (p, c) =>
-        p -> (math.log(c.toDouble) - math.log(total))
+        p -> quantizeLogProb(math.log(c.toDouble) - math.log(total))
       }.toMap
     }
     counts.map { case (p, c) => Piece(p, c, logp(p)) }

@@ -1102,10 +1102,15 @@ object QualityQueries {
   /** qt26: tokenizer training in-engine — [[Bpe.train]] learning 8
     * merges from the document corpus; the output IS the learned
     * vocabulary (rank-ordered merge table with pair frequencies).
-    * Non-SQL-expressible (iterated argmax over a rewritten census), so
-    * this rides the rows-only gate; the algorithm itself is pinned by
-    * BpeSpec against hand-computed merges and the corpus-independent
-    * invariants (tie-break determinism, partitioning invariance). */
+    * Oracle: the full 8-round trajectory replayed as generated
+    * unrolled CTEs (the qs12/qt25 precedent applied to BPE) — each
+    * round is a pair-count aggregation, the (count desc, left, right)
+    * argmax, and a POSITIONAL rewrite of the greedy left-to-right
+    * merge: candidate positions (syms[i], syms[i+1]) = (l, r) group
+    * into runs of consecutive indices, and greedy merging takes
+    * exactly the odd ranks within each run (a candidate is consumed
+    * iff the candidate one position left of it was taken). All
+    * integers — no cross-engine float hazard anywhere. */
   def bpeVocab(t: Tables): DataFrame = {
     import t.spark.implicits._
     val (merges, _) = Bpe.train(t.documents, numMerges = 8)
@@ -1118,8 +1123,9 @@ object QualityQueries {
   /** qt27: the learned vocabulary APPLIED — per-doc subword counts
     * under qt26's merges ([[Bpe.encodedTokenCounts]]: distinct words
     * encoded once, joined back). `ratio` < chars-per-word shows the
-    * vocabulary compressing; rows-only gate for the same reason as
-    * qt26. */
+    * vocabulary compressing. Oracle: the replayed final symbol table
+    * ([[bpeEncodeSql]]) — every corpus word's encoding length is its
+    * symbol count after the 8 merges. */
   def bpeEncode(t: Tables): DataFrame = {
     import t.spark.implicits._
     val (merges, _) = Bpe.train(t.documents, numMerges = 8)
@@ -1127,6 +1133,193 @@ object QualityQueries {
     Bpe.encodedTokenCounts(t.documents, merges)
       .orderBy($"doc_id")
   }
+
+  // ---- generated tokenizer-training oracles (the qs12/qt25 unrolled-
+  // CTE discipline). The word census CTE matches Bpe.wordCounts /
+  // TextFunctions.tokens exactly; per-round CTEs are MATERIALIZED so
+  // the chain stays linear (inlined CTEs would re-expand the previous
+  // round 3x per round = 3^8 scans of the corpus). ----
+
+  /** Shared DuckDB word-census CTE body: (word, wc). */
+  private val censusSqlBody: String =
+    """SELECT word, CAST(COUNT(*) AS BIGINT) wc
+      |  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) word FROM documents)
+      |  WHERE len(word) > 0
+      |  GROUP BY word""".stripMargin
+
+  /** One BPE round: pair counts over w{n-1}, the deterministic argmax,
+    * greedy positional rewrite → w{n}. Greedy-merge equivalence: the
+    * left-to-right fold merges candidate position i (1-based pair
+    * start) iff position i-1 was not itself merged, so within each RUN
+    * of consecutive candidates exactly the odd ranks merge — candidates
+    * at distance ≥ 2 never interact. */
+  private def bpeRoundSql(n: Int): String = {
+    val prev = s"w${n - 1}"
+    s"""cnt$n AS MATERIALIZED (
+       |  SELECT p.l l, p.r r, SUM(wc) c FROM (
+       |    SELECT wc, unnest([struct_pack(l := syms[i], r := syms[i+1]) for i in range(1, len(syms))]) p
+       |    FROM $prev)
+       |  GROUP BY 1, 2),
+       |top$n AS MATERIALIZED (SELECT l, r, c FROM cnt$n ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+       |cand$n AS (
+       |  SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) grp FROM (
+       |    SELECT w.word, unnest([i for i in range(1, len(w.syms)) if w.syms[i] = m.l AND w.syms[i+1] = m.r]) i
+       |    FROM $prev w, top$n m)),
+       |take$n AS MATERIALIZED (
+       |  SELECT word, i FROM (
+       |    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) rnk
+       |    FROM cand$n)
+       |  WHERE rnk % 2 = 1),
+       |w$n AS MATERIALIZED (
+       |  SELECT e.word, e.wc, list(e.sym ORDER BY e.j) syms FROM (
+       |    SELECT pj.word, pj.wc, pj.j,
+       |      CASE WHEN tk.i IS NOT NULL THEN pj.l || pj.r ELSE pj.sym0 END sym,
+       |      tkprev.i iprev
+       |    FROM (
+       |      SELECT w.word, w.wc, m.l, m.r, unnest(range(1, len(w.syms)+1)) j,
+       |             unnest(w.syms) sym0
+       |      FROM $prev w CROSS JOIN top$n m) pj
+       |    LEFT JOIN take$n tk ON tk.word = pj.word AND tk.i = pj.j
+       |    LEFT JOIN take$n tkprev ON tkprev.word = pj.word AND tkprev.i = pj.j - 1
+       |  ) e
+       |  WHERE e.iprev IS NULL
+       |  GROUP BY e.word, e.wc)""".stripMargin
+  }
+
+  /** The w0..w{numMerges} replay chain shared by qt26 and qt27. */
+  private def bpeChainSql(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map(bpeRoundSql).mkString(",\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, wc,
+       |    list_append([word[i:i] for i in range(1, len(word)+1)], '</w>') syms
+       |  FROM ($censusSqlBody)),
+       |$rounds""".stripMargin
+  }
+
+  val bpeVocabSql: String = {
+    val finals = (1 to 8).map(n =>
+      s"""SELECT CAST(${n - 1} AS INT) rank, l AS "left", r AS "right", l || r AS merged, CAST(c AS BIGINT) pair_count FROM top$n""")
+      .mkString("\n  UNION ALL ")
+    s"""${bpeChainSql(8)}
+       |SELECT * FROM (
+       |  $finals
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** qt27 oracle: every corpus word's final symbol count IS its BPE
+    * encoding length (encodeWord applies the same merges in the same
+    * rank order training did — spec-pinned equivalence), so the
+    * per-doc census joins the replayed w8 table. */
+  val bpeEncodeSql: String =
+    s"""${bpeChainSql(8)},
+       |dwords AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) word FROM documents)
+       |  WHERE len(word) > 0)
+       |SELECT d.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) n_words,
+       |  CAST(SUM(len(w8.syms)) AS BIGINT) n_subwords,
+       |  round(CAST(SUM(len(w8.syms)) AS DOUBLE) / COUNT(*), 6) ratio
+       |FROM dwords d JOIN w8 ON d.word = w8.word
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** One Viterbi-EM round as a recursive-CTE DP: the working row
+    * carries a sliding window of the best (score, path) at the last
+    * maxPieceLen=4 positions, advancing one character per iteration —
+    * dp state (s0..s3, p0..p3) at position i covers exactly the
+    * predecessors a length-1..4 final piece needs. Candidate pick =
+    * sort by (score desc, length desc), bitwise-matching segmentWord's
+    * longest-piece-first strict-> tie-break because both engines
+    * consume the SAME 1e-6-quantized log-probs
+    * ([[graft.operators.Unigram.quantizeLogProb]]) and IEEE double
+    * adds of identical inputs are deterministic. */
+  private def unigramDpSql(r: Int, vocab: String): String =
+    s"""dp$r AS (
+       |  SELECT word, wc, 0 AS i,
+       |         CAST(0.0 AS DOUBLE) AS s0, CAST(NULL AS DOUBLE) s1, CAST(NULL AS DOUBLE) s2, CAST(NULL AS DOUBLE) s3,
+       |         CAST([] AS VARCHAR[]) p0, CAST(NULL AS VARCHAR[]) p1, CAST(NULL AS VARCHAR[]) p2, CAST(NULL AS VARCHAR[]) p3
+       |  FROM census
+       |  UNION ALL
+       |  SELECT word, wc, i+1, win.s,
+       |         s0, s1, s2,
+       |         CASE win.L WHEN 1 THEN list_append(p0, win.pc) WHEN 2 THEN list_append(p1, win.pc)
+       |              WHEN 3 THEN list_append(p2, win.pc) ELSE list_append(p3, win.pc) END,
+       |         p0, p1, p2
+       |  FROM (
+       |    SELECT q.*, (list_sort(list_filter(
+       |        [struct_pack(negs := -(q.s0 + coalesce(q.lp1, -100.0)), negl := -1, s := q.s0 + coalesce(q.lp1, -100.0), L := 1, pc := q.c1),
+       |         struct_pack(negs := -(q.s1 + q.lp2), negl := -2, s := q.s1 + q.lp2, L := 2, pc := q.c2),
+       |         struct_pack(negs := -(q.s2 + q.lp3), negl := -3, s := q.s2 + q.lp3, L := 3, pc := q.c3),
+       |         struct_pack(negs := -(q.s3 + q.lp4), negl := -4, s := q.s3 + q.lp4, L := 4, pc := q.c4)],
+       |        x -> x.s IS NOT NULL)))[1] win
+       |    FROM (
+       |      SELECT d.word, d.wc, d.i, d.s0, d.s1, d.s2, d.s3, d.p0, d.p1, d.p2, d.p3,
+       |             d.word[d.i+1:d.i+1] c1, d.word[d.i:d.i+1] c2, d.word[d.i-1:d.i+1] c3, d.word[d.i-2:d.i+1] c4,
+       |             v1.lp lp1, v2.lp lp2, v3.lp lp3, v4.lp lp4
+       |      FROM dp$r d
+       |      LEFT JOIN $vocab v1 ON v1.piece = d.word[d.i+1:d.i+1]
+       |      LEFT JOIN $vocab v2 ON d.i >= 1 AND v2.piece = d.word[d.i:d.i+1]
+       |      LEFT JOIN $vocab v3 ON d.i >= 2 AND v3.piece = d.word[d.i-1:d.i+1]
+       |      LEFT JOIN $vocab v4 ON d.i >= 3 AND v4.piece = d.word[d.i-2:d.i+1]
+       |      WHERE d.i < len(d.word)
+       |    ) q
+       |  )
+       |)""".stripMargin
+
+  /** E-step counts + quantized M-step from dp$r's final rows. */
+  private def unigramMStepSql(r: Int): String =
+    s"""cnts$r AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(wc) AS BIGINT) cnt FROM (
+       |    SELECT wc, unnest(p0) piece FROM dp$r WHERE i = len(word))
+       |  GROUP BY piece),
+       |pieces$r AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    floor((ln(CAST(cnt AS DOUBLE)) - ln(CAST((SELECT SUM(cnt) FROM cnts$r) AS DOUBLE))) * 1e6 + 0.5) / 1e6 lp
+       |  FROM cnts$r)""".stripMargin
+
+  /** Seed + emRounds of (DP, M-step) — qt29/qt30's shared replay of
+    * [[graft.operators.Unigram.train]] (seedSize=48, maxPieceLen=4,
+    * emRounds=3). */
+  private def unigramChainSql(emRounds: Int): String = {
+    val rounds = (1 to emRounds).map(r =>
+      s"${unigramDpSql(r, s"pieces${r - 1}")},\n${unigramMStepSql(r)}").mkString(",\n")
+    s"""WITH RECURSIVE census AS MATERIALIZED (
+       |  $censusSqlBody),
+       |sfreq AS MATERIALIZED (
+       |  SELECT piece, SUM(f) freq FROM (
+       |    SELECT wc f, unnest(flatten([[word[s+1:s+l] for s in range(0, len(word)-l+1)] for l in range(1, least(4, len(word))+1)])) piece
+       |    FROM census)
+       |  GROUP BY piece),
+       |chars AS MATERIALIZED (SELECT piece, freq FROM sfreq WHERE len(piece) = 1),
+       |multi AS (SELECT piece, freq FROM (
+       |    SELECT piece, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, piece ASC) rk FROM sfreq WHERE len(piece) > 1)
+       |  WHERE rk <= 48 - (SELECT COUNT(*) FROM chars)),
+       |seed AS MATERIALIZED (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+       |pieces0 AS MATERIALIZED (
+       |  SELECT piece, floor((ln(CAST(freq AS DOUBLE)) - ln(CAST((SELECT SUM(freq) FROM seed) AS DOUBLE))) * 1e6 + 0.5) / 1e6 lp
+       |  FROM seed),
+       |$rounds""".stripMargin
+  }
+
+  val unigramVocabSql: String =
+    s"""${unigramChainSql(3)}
+       |SELECT piece, cnt, lp AS logprob FROM pieces3 ORDER BY cnt DESC, piece ASC""".stripMargin
+
+  /** qt30 oracle: a 4th DP under the FINAL (post-round-3) vocabulary —
+    * exactly what encodedPieceCounts segments with — then the per-doc
+    * census join. */
+  val unigramEncodeSql: String =
+    s"""${unigramChainSql(3)},
+       |${unigramDpSql(4, "pieces3")},
+       |wlen AS MATERIALIZED (SELECT word, len(p0) n_p FROM dp4 WHERE i = len(word)),
+       |dwords AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) word FROM documents)
+       |  WHERE len(word) > 0)
+       |SELECT d.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) n_words,
+       |  CAST(SUM(w.n_p) AS BIGINT) n_pieces,
+       |  round(CAST(SUM(w.n_p) AS DOUBLE) / COUNT(*), 6) ratio
+       |FROM dwords d JOIN wlen w ON d.word = w.word
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   /** qt28: exact frequent tokens via [[HeavyHitters.exactFrequent]] —
     * per-partition Misra–Gries candidate discovery (bounded memory, no
@@ -1159,11 +1352,13 @@ object QualityQueries {
   /** qt29: the SECOND tokenizer-training family in-engine —
     * [[Unigram.train]]'s hard-EM unigram LM (SentencePiece model) over
     * the same corpus qt26's BPE trains on. Output IS the fitted
-    * vocabulary: piece, exact Viterbi count, log-probability. Iterated
-    * EM over a rewritten census is not SQL-expressible, so this rides
-    * the rows-only gate like qt26; UnigramSpec pins the algorithm
-    * (hand-computed EM round, DP-vs-brute-force segmentation,
-    * partitioning invariance, train/encode parity). */
+    * vocabulary: piece, exact Viterbi count, log-probability. Oracle:
+    * all 3 EM rounds replayed ([[unigramVocabSql]]) — seed, three
+    * recursive-CTE Viterbi DPs, quantized M-steps — so the
+    * cross-engine check covers the full training trajectory;
+    * UnigramSpec additionally pins the algorithm (hand-computed EM
+    * round, DP-vs-brute-force segmentation, partitioning invariance,
+    * train/encode parity). */
   def unigramVocab(t: Tables): DataFrame = {
     import t.spark.implicits._
     Unigram.train(t.documents, seedSize = 48, maxPieceLen = 4, emRounds = 3)
@@ -1173,8 +1368,8 @@ object QualityQueries {
   }
 
   /** qt30: qt29's vocabulary APPLIED — per-doc piece counts via the
-    * distinct-word segment-once join-back. Rows-only for the same
-    * reason as qt29. */
+    * distinct-word segment-once join-back. Oracle: a fourth replayed
+    * Viterbi DP under the final vocabulary ([[unigramEncodeSql]]). */
   def unigramEncode(t: Tables): DataFrame = {
     import t.spark.implicits._
     val vocab = Unigram.train(t.documents, seedSize = 48, maxPieceLen = 4, emRounds = 3)
@@ -1274,6 +1469,10 @@ object QualityQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qt26_bpe_vocab"         -> bpeVocabSql,
+    "qt27_bpe_encode"        -> bpeEncodeSql,
+    "qt29_unigram_vocab"     -> unigramVocabSql,
+    "qt30_unigram_encode"    -> unigramEncodeSql,
     "qr05_expectations"      -> expectationsSql,
     "qt28_heavy_hitters"     -> heavyHittersSql,
     "qt24_url_blocklist"     -> urlBlocklistSql,
