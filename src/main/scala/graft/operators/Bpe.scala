@@ -111,26 +111,115 @@ object Bpe {
     (merges.result(), syms)
   }
 
+  /** Batched merge learning — the production-vocab path. Strict BPE
+    * ([[train]]) needs one pair-count job + one driver argmax PER
+    * MERGE: correct, oracle-able, and fine at numMerges=8, but a
+    * realistic 32k-merge vocabulary would serialize into 32k Spark
+    * jobs. This mode learns up to `batchSize` merges per round from a
+    * single pair census: the top pairs by (count desc, l, r) are
+    * greedily selected subject to SYMBOL-DISJOINTNESS — no symbol
+    * (including each newly-merged one) may participate in two selected
+    * pairs — and all selected merges are applied in one rewrite pass.
+    *
+    * Deviation contract: merging (a,b) only changes counts of pairs
+    * that touch a or b, so a symbol-disjoint batch applies each merge
+    * to exactly the pair population strict BPE would have seen; the
+    * two vocabularies can differ only when a pair CREATED by an
+    * earlier merge in the batch (x,ab)/(ab,y) would have out-ranked a
+    * later selection. batchSize=1 recovers strict BPE bit-for-bit
+    * (spec-pinned), and the equivalence on non-interacting corpora is
+    * spec-pinned too.
+    *
+    * Scale shape: driver round-trips drop from numMerges to
+    * ceil(numMerges/batchSize); each round is still one map-side-
+    * combined census aggregation + a batchSize-row collect (merge
+    * metadata, the justified-collect class). The batch rewrite runs
+    * per DISTINCT word as one imperative pass (the encodeWord shape),
+    * not batchSize stacked HOF folds. */
+  def trainBatched(docs: DataFrame, numMerges: Int, textCol: String = "text",
+                   batchSize: Int = 64, checkpointEvery: Int = 4): (Seq[Merge], DataFrame) = {
+    require(numMerges > 0 && batchSize > 0 && checkpointEvery > 0)
+    val spark = docs.sparkSession
+    var syms = ConnectedComponents.checkpointTruncated(
+      wordCounts(docs, textCol)
+        .select(col("word"), col("wc"), initialSymbols(col("word")).as("syms")))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var round = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      // over-fetch 2x: disjointness filtering drops some candidates
+      val want = math.min(batchSize, numMerges - rank)
+      val top = pairCounts(syms)
+        .orderBy(desc("c"), asc("l"), asc("r"))
+        .limit(want * 2).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val selected = selectDisjoint(
+          top.toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+          want, rankBase = rank)
+        merges ++= selected
+        rank += selected.size
+        val pairs = selected.map(m => (m.left, m.right))
+        val bc = spark.sparkContext.broadcast(pairs)
+        val rewrite = udf { (s: Seq[String]) =>
+          bc.value.foldLeft(s.toVector)((acc, p) => greedyMergePass(acc, p._1, p._2))
+        }
+        syms = syms.withColumn("syms", rewrite(col("syms")))
+        round += 1
+        if (round % checkpointEvery == 0)
+          syms = ConnectedComponents.checkpointTruncated(syms)
+      }
+    }
+    (merges.result(), syms)
+  }
+
+  /** Greedy symbol-disjoint selection from one census's ranked pair
+    * list: a pair is taken iff none of (left, right, merged) was
+    * already claimed by an earlier selection — including earlier
+    * MERGED symbols, so no pair in the batch can reference a symbol
+    * that only exists after the batch's own rewrite. Pure function,
+    * spec-pinned directly. */
+  private[operators] def selectDisjoint(ranked: Seq[(String, String, Long)],
+                                        want: Int, rankBase: Int): Seq[Merge] = {
+    val used = scala.collection.mutable.Set[String]()
+    val batch = Seq.newBuilder[Merge]
+    var n = 0
+    ranked.foreach { case (l, r, c) =>
+      if (n < want && !used(l) && !used(r) && !used(l + r)) {
+        batch += Merge(rankBase + n, l, r, c)
+        used ++= Seq(l, r, l + r)
+        n += 1
+      }
+    }
+    batch.result()
+  }
+
+  /** One greedy left-to-right merge pass over a symbol sequence — the
+    * imperative twin of [[mergeOnce]]'s HOF fold (shared by encodeWord
+    * and the batched-training rewrite). */
+  private[operators] def greedyMergePass(s: Vector[String], a: String, b: String): Vector[String] = {
+    if (s.length < 2 || !s.contains(a)) s
+    else {
+      val out = Vector.newBuilder[String]
+      var last: String = null
+      var first = true
+      s.foreach { x =>
+        if (!first && last == a && x == b) last = a + b
+        else { if (!first) out += last; last = x; first = false }
+      }
+      out += last
+      out.result()
+    }
+  }
+
   /** Encode one word by applying merges in rank order — bit-equivalent
     * to what training did to that word (spec-pinned). Imperative on
     * purpose: this runs per DISTINCT word, never per corpus row. */
-  def encodeWord(word: String, merges: Seq[(String, String)]): Vector[String] = {
-    var s: Vector[String] = word.map(_.toString).toVector :+ EndOfWord
-    merges.foreach { case (a, b) =>
-      if (s.length >= 2 && s.contains(a)) {
-        val out = Vector.newBuilder[String]
-        var last: String = null
-        var first = true
-        s.foreach { x =>
-          if (!first && last == a && x == b) last = a + b
-          else { if (!first) out += last; last = x; first = false }
-        }
-        out += last
-        s = out.result()
-      }
+  def encodeWord(word: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector :+ EndOfWord) {
+      case (s, (a, b)) => greedyMergePass(s, a, b)
     }
-    s
-  }
 
   /** Per-doc subword census under a learned vocabulary: distinct words
     * are encoded once and joined back (shuffle keyed on the word — the

@@ -142,6 +142,212 @@ object Multimodal {
       try inner.frameSample(bytes, n) catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }
 
+  // ---- audio ----
+
+  final case class AudioMeta(sampleRate: Int, channels: Int, bitsPerSample: Int,
+                             nFrames: Long, durationMs: Long)
+
+  /** Batch audio decode interface — the audio twin of [[Decoder]]. */
+  trait AudioDecoder extends Serializable {
+    def audioMeta(bytes: Array[Byte]): AudioMeta
+    /** Mono-mixed PCM normalized to [-1, 1], at most `maxSamples`
+      * (head-truncated — enough for fingerprinting/quality scoring
+      * without materializing an hour of audio per row). */
+    def pcm(bytes: Array[Byte], maxSamples: Int): Array[Float]
+  }
+
+  /** Real in-JVM audio codec over `javax.sound.sampled` — WAV/AIFF/AU,
+    * the formats the JDK ships readers for (the ImageIO pattern for
+    * sound). PCM 8/16-bit, any channel count (mixed to mono by
+    * averaging). Throws on undecodable payloads — wrap in
+    * [[FailSoftAudio]] for dirty corpora. */
+  object JvmAudioDecoder extends AudioDecoder {
+    import javax.sound.sampled.AudioSystem
+    import java.io.ByteArrayInputStream
+
+    def audioMeta(bytes: Array[Byte]): AudioMeta = {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val frames = in.getFrameLength
+        AudioMeta(f.getSampleRate.toInt, f.getChannels, f.getSampleSizeInBits,
+          frames, (frames * 1000.0 / f.getSampleRate).toLong)
+      } finally in.close()
+    }
+
+    def pcm(bytes: Array[Byte], maxSamples: Int): Array[Float] = {
+      require(maxSamples > 0, s"maxSamples must be positive, got $maxSamples")
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        val bps = f.getSampleSizeInBits
+        require(bps == 8 || bps == 16, s"only PCM 8/16-bit supported, got $bps")
+        val ch = f.getChannels
+        val frameBytes = f.getFrameSize
+        val wantFrames = math.min(in.getFrameLength, maxSamples.toLong).toInt
+        val buf = new Array[Byte](wantFrames * frameBytes)
+        var off = 0
+        var read = 0
+        while (off < buf.length && read >= 0) {
+          read = in.read(buf, off, buf.length - off)
+          if (read > 0) off += read
+        }
+        val nFrames = off / frameBytes
+        val out = new Array[Float](nFrames)
+        var i = 0
+        while (i < nFrames) {
+          var acc = 0.0f
+          var c = 0
+          while (c < ch) {
+            val base = i * frameBytes + c * (bps / 8)
+            acc += (if (bps == 16) {
+              val lo = buf(base) & 0xff
+              val hi = buf(base + 1)
+              val s = if (f.isBigEndian) ((buf(base) << 8) | (buf(base + 1) & 0xff)).toShort
+                      else ((hi << 8) | lo).toShort
+              s / 32768.0f
+            } else {
+              // 8-bit WAV is unsigned by convention
+              ((buf(base) & 0xff) - 128) / 128.0f
+            })
+            c += 1
+          }
+          out(i) = acc / ch
+          i += 1
+        }
+        out
+      } finally in.close()
+    }
+  }
+
+  /** Audio corruption guard: sentinel meta (all -1) and empty PCM on
+    * decode failure — the [[FailSoft]] pattern. */
+  final case class FailSoftAudio(inner: AudioDecoder) extends AudioDecoder {
+    def audioMeta(bytes: Array[Byte]): AudioMeta =
+      try inner.audioMeta(bytes)
+      catch { case scala.util.control.NonFatal(_) => AudioMeta(-1, -1, -1, -1L, -1L) }
+    def pcm(bytes: Array[Byte], maxSamples: Int): Array[Float] =
+      try inner.pcm(bytes, maxSamples)
+      catch { case scala.util.control.NonFatal(_) => Array.emptyFloatArray }
+  }
+
+  // ---- video ----
+
+  final case class VideoMeta(width: Int, height: Int, fpsNum: Int, fpsDen: Int,
+                             nFrames: Int)
+
+  /** Batch video decode interface. */
+  trait VideoDecoder extends Serializable {
+    def videoMeta(bytes: Array[Byte]): VideoMeta
+    /** Up to `n` evenly-spaced frames, each PNG-encoded. */
+    def frames(bytes: Array[Byte], n: Int): Seq[Array[Byte]]
+  }
+
+  /** Real pure-JVM video codec for YUV4MPEG2 (`.y4m`) — the standard
+    * uncompressed interchange format (mjpegtools/ffmpeg `-f yuv4mpeg`):
+    * an ASCII stream header `YUV4MPEG2 W<w> H<h> F<num>:<den> ...`,
+    * then per frame an ASCII `FRAME...` line + planar YUV 4:2:0 data
+    * (w*h luma + 2*(w/2*h/2) chroma). No JDK video support exists, so
+    * this is hand-parsed; compressed containers (MP4/WebM) need a
+    * native codec and stay behind the same trait. Frames are converted
+    * BT.601 YUV→RGB and PNG-encoded, so video rows flow into the SAME
+    * image pipeline ([[withImageMeta]], [[resized]]) unchanged. */
+  object Y4mDecoder extends VideoDecoder {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+
+    private final case class Header(w: Int, h: Int, fn: Int, fd: Int, dataStart: Int)
+
+    private def parseHeader(bytes: Array[Byte]): Header = {
+      val nl = bytes.indexOf('\n'.toByte)
+      require(nl > 0, "no YUV4MPEG2 stream header")
+      val line = new String(bytes, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+      require(line.startsWith("YUV4MPEG2"), "not a YUV4MPEG2 stream")
+      var w = -1; var h = -1; var fn = 30; var fd = 1
+      line.split(' ').drop(1).foreach { tok =>
+        if (tok.nonEmpty) tok.charAt(0) match {
+          case 'W' => w = tok.substring(1).toInt
+          case 'H' => h = tok.substring(1).toInt
+          case 'F' =>
+            val Array(a, b) = tok.substring(1).split(':')
+            fn = a.toInt; fd = b.toInt
+          case 'C' => require(tok.startsWith("C420"), s"only C420 chroma supported, got $tok")
+          case _ => () // interlacing/aspect/extension params — irrelevant here
+        }
+      }
+      require(w > 0 && h > 0, s"missing W/H in Y4M header: $line")
+      Header(w, h, fn, fd, nl + 1)
+    }
+
+    private def frameSize(w: Int, h: Int): Int = w * h + 2 * ((w / 2) * (h / 2))
+
+    /** Offsets of each frame's pixel data. */
+    private def frameOffsets(bytes: Array[Byte], hd: Header): Seq[Int] = {
+      val fs = frameSize(hd.w, hd.h)
+      val out = Seq.newBuilder[Int]
+      var p = hd.dataStart
+      while (p < bytes.length) {
+        var nl = p
+        while (nl < bytes.length && bytes(nl) != '\n'.toByte) nl += 1
+        require(nl < bytes.length && nl + 1 + fs <= bytes.length, "truncated Y4M frame")
+        val line = new String(bytes, p, nl - p, java.nio.charset.StandardCharsets.US_ASCII)
+        require(line.startsWith("FRAME"), s"expected FRAME marker, got '$line'")
+        out += nl + 1
+        p = nl + 1 + fs
+      }
+      out.result()
+    }
+
+    def videoMeta(bytes: Array[Byte]): VideoMeta = {
+      val hd = parseHeader(bytes)
+      VideoMeta(hd.w, hd.h, hd.fn, hd.fd, frameOffsets(bytes, hd).size)
+    }
+
+    def frames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      require(n > 0, s"n must be positive, got $n")
+      val hd = parseHeader(bytes)
+      val offs = frameOffsets(bytes, hd)
+      val idxs = if (offs.size <= n) offs.indices else (0 until n).map(i => i * offs.size / n)
+      idxs.map { fi =>
+        val off = offs(fi)
+        val img = new BufferedImage(hd.w, hd.h, BufferedImage.TYPE_INT_RGB)
+        val cw = hd.w / 2
+        var y = 0
+        while (y < hd.h) {
+          var x = 0
+          while (x < hd.w) {
+            val yy = bytes(off + y * hd.w + x) & 0xff
+            val ci = (y / 2) * cw + (x / 2)
+            val u = (bytes(off + hd.w * hd.h + ci) & 0xff) - 128
+            val v = (bytes(off + hd.w * hd.h + cw * (hd.h / 2) + ci) & 0xff) - 128
+            // BT.601 full-range
+            def clamp(d: Double) = math.max(0, math.min(255, math.round(d).toInt))
+            val r = clamp(yy + 1.402 * v)
+            val g = clamp(yy - 0.344136 * u - 0.714136 * v)
+            val b = clamp(yy + 1.772 * u)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        bos.toByteArray
+      }
+    }
+  }
+
+  /** Video corruption guard — the [[FailSoft]] pattern. */
+  final case class FailSoftVideo(inner: VideoDecoder) extends VideoDecoder {
+    def videoMeta(bytes: Array[Byte]): VideoMeta =
+      try inner.videoMeta(bytes)
+      catch { case scala.util.control.NonFatal(_) => VideoMeta(-1, -1, -1, -1, -1) }
+    def frames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] =
+      try inner.frames(bytes, n)
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+  }
+
   val imageMetaType: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
@@ -197,6 +403,117 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](binIdx)
         decoder.frameSample(bytes, n).zipWithIndex.map { case (fr, i) =>
           Row(r.get(idIdx), i, fr)
+        }
+      }
+    }(enc)
+  }
+
+  val audioMetaType: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("bits_per_sample", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  /** Attach a decoded `audio_meta` struct column — [[withImageMeta]]
+    * for the audio modality; quarantine rows via
+    * `filter($"audio_meta.sample_rate" >= 0)` with [[FailSoftAudio]]. */
+  def withAudioMeta(df: DataFrame, binCol: String,
+                    decoder: AudioDecoder = FailSoftAudio(JvmAudioDecoder)): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("audio_meta", audioMetaType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val m = decoder.audioMeta(bytes)
+        Row.fromSeq(r.toSeq :+ Row(m.sampleRate, m.channels, m.bitsPerSample,
+          m.nFrames, m.durationMs, bytes.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Windowed audio features — one row per (clip, window): RMS energy,
+    * peak amplitude, zero-crossing rate. The quality-scoring scan for
+    * audio corpora (silence/clipping detection, speech-vs-noise
+    * heuristics); decode + features stream partition-locally, no
+    * shuffle, and only the first `maxSamples` PCM frames materialize
+    * per row. */
+  def audioFeatures(df: DataFrame, binCol: String, idCol: String,
+                    windowSize: Int = 4096, maxSamples: Int = 1 << 20,
+                    decoder: AudioDecoder = FailSoftAudio(JvmAudioDecoder)): DataFrame = {
+    require(windowSize > 0)
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema(idCol).dataType),
+      StructField("window_idx", IntegerType, nullable = false),
+      StructField("rms", DoubleType, nullable = false),
+      StructField("peak", DoubleType, nullable = false),
+      StructField("zcr", DoubleType, nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val pcm = decoder.pcm(r.getAs[Array[Byte]](binIdx), maxSamples)
+        pcm.grouped(windowSize).zipWithIndex.map { case (w, i) =>
+          var sq = 0.0; var peak = 0.0; var zc = 0
+          var j = 0
+          while (j < w.length) {
+            val v = w(j)
+            sq += v.toDouble * v
+            if (math.abs(v) > peak) peak = math.abs(v)
+            if (j > 0 && (w(j - 1) >= 0) != (v >= 0)) zc += 1
+            j += 1
+          }
+          Row(r.get(idIdx), i, math.sqrt(sq / math.max(1, w.length)), peak,
+            zc.toDouble / math.max(1, w.length - 1))
+        }
+      }
+    }(enc)
+  }
+
+  val videoMetaType: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("fps_num", IntegerType, nullable = false),
+    StructField("fps_den", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("size_bytes", LongType, nullable = false)))
+
+  /** Attach a decoded `video_meta` struct column. */
+  def withVideoMeta(df: DataFrame, binCol: String,
+                    decoder: VideoDecoder = FailSoftVideo(Y4mDecoder)): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("video_meta", videoMetaType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val m = decoder.videoMeta(bytes)
+        Row.fromSeq(r.toSeq :+ Row(m.width, m.height, m.fpsNum, m.fpsDen,
+          m.nFrames, bytes.length.toLong))
+      }
+    }(enc)
+  }
+
+  /** Video → image rows: up to `n` PNG frames per clip, exploding
+    * partition-locally with no shuffle — the output schema matches
+    * [[frameSampled]], so sampled video frames flow straight into the
+    * image plane ([[withImageMeta]] / [[resized]]). */
+  def videoFrames(df: DataFrame, binCol: String, idCol: String, n: Int,
+                  decoder: VideoDecoder = FailSoftVideo(Y4mDecoder)): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema(idCol).dataType),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame", BinaryType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        decoder.frames(r.getAs[Array[Byte]](binIdx), n).zipWithIndex.map {
+          case (fr, i) => Row(r.get(idIdx), i, fr)
         }
       }
     }(enc)

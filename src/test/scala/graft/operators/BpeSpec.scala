@@ -67,6 +67,51 @@ class BpeSpec extends SparkTestBase {
     assert(got(3L) === ((2L, 2L, 1.0)))
   }
 
+  test("trainBatched with batchSize=1 is bit-identical to strict sequential BPE") {
+    val docs = graft.Tables(spark, sf0001).documents
+    val (seq, seqSyms) = Bpe.train(docs, numMerges = 8)
+    val (bat, batSyms) = Bpe.trainBatched(docs, numMerges = 8, batchSize = 1)
+    assert(bat === seq)
+    val a = seqSyms.orderBy($"word").collect().map(r =>
+      (r.getString(0), r.getAs[Seq[String]]("syms")))
+    val b = batSyms.orderBy($"word").collect().map(r =>
+      (r.getString(0), r.getAs[Seq[String]]("syms")))
+    assert(a === b, "final symbol tables diverge")
+  }
+
+  test("trainBatched == sequential when the selected merges are non-interacting") {
+    // two word families on disjoint alphabets with separated counts:
+    //   "abab"×100 → (a,b):200 ... ; "cdcd"×90 → (c,d):180 ...
+    // sequential: (a,b):200, (c,d):180, (ab,</w>):100
+    // batched(4): round 1 selects (a,b)+(c,d) — every other top pair
+    // shares a symbol and is skipped — round 2 re-censuses and picks
+    // (ab,</w>): identical vocabulary, 2 rounds instead of 3.
+    val docs = (
+      (1 to 100).map(i => (i.toLong, "abab")) ++
+      (1 to 90).map(i => (1000L + i, "cdcd"))
+    ).toDF("doc_id", "text")
+    val (seq, _) = Bpe.train(docs, numMerges = 3)
+    val (bat, _) = Bpe.trainBatched(docs, numMerges = 3, batchSize = 4)
+    assert(seq.map(m => (m.left, m.right, m.pairCount)) === Seq(
+      ("a", "b", 200L), ("c", "d", 180L), ("ab", E, 100L)))
+    assert(bat === seq)
+  }
+
+  test("selectDisjoint: order-preserving, symbol-disjoint, merged symbols claimed") {
+    val ranked = Seq(
+      ("a", "b", 100L),   // take (rank 0)
+      ("b", "c", 90L),    // skip: shares b
+      ("a", "x", 85L),    // skip: shares a
+      ("c", "d", 80L),    // take (rank 1)
+      ("ab", "z", 70L),   // skip: 'ab' is rank-0's merged symbol
+      ("e", "f", 60L),    // take (rank 2)
+      ("g", "h", 50L))    // capped by want=3
+    val got = Bpe.selectDisjoint(ranked, want = 3, rankBase = 5)
+    assert(got.map(m => (m.left, m.right, m.pairCount)) ===
+      Seq(("a", "b", 100L), ("c", "d", 80L), ("e", "f", 60L)))
+    assert(got.map(_.rank) === Seq(5, 6, 7))
+  }
+
   test("vocabulary compresses the real corpus below character segmentation") {
     val docs = graft.Tables(spark, sf0001).documents
     val (merges, _) = Bpe.train(docs, numMerges = 8)
