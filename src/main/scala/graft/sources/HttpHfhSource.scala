@@ -90,7 +90,18 @@ final class HttpHfhSource(baseUrl: String, token: Option[String] = None,
 
   override def listing(spark: SparkSession, repoType: String, limit: Int): DataFrame = {
     val p = plural(repoType)
-    val json = get(s"$base/api/$p?sort=lastModified&direction=-1&limit=$limit")
+    // full=true is LOAD-BEARING: the Hub's default list payload omits
+    // sha/lastModified/siblings/gated entirely — the reference requests
+    // list_models(full=True, cardData=True, fetch_config=True, ...)
+    // (databaseImport.py:597) and these are the REST translations the
+    // huggingface_hub client sends. Without them every listing row
+    // would come back with NULL sha/last_modified against the real
+    // Hub (caught by the cassette fixtures, HubCassetteSpec).
+    val extra = repoType match {
+      case "model" => "full=true&cardData=true&config=true&"
+      case _       => "full=true&"
+    }
+    val json = get(s"$base/api/$p?${extra}sort=lastModified&direction=-1&limit=$limit")
     val mapper = new ObjectMapper()
     val rows = mapper.readTree(json).elements().asScala.map { n =>
       val name = textOrNull(n, "id")
@@ -126,7 +137,11 @@ final class HttpHfhSource(baseUrl: String, token: Option[String] = None,
       StructField("blobId", StringType), StructField("lfs", lfsSchema)))))))
 
   def filesWithQuarantine(spark: SparkSession, listed: DataFrame): (DataFrame, DataFrame) = {
-    val out = detailOutcomes(spark, listed, id => get(s"$base/api/$id")).toDF()
+    // blobs=true is LOAD-BEARING: without it the Hub's repo detail
+    // lists siblings as bare rfilenames — size/blobId/lfs all absent.
+    // The reference requests repo_info(files_metadata=True)
+    // (databaseImport.py:299), which is this query param.
+    val out = detailOutcomes(spark, listed, id => get(s"$base/api/$id?blobs=true")).toDF()
     val good = out.filter(col("error").isNull)
       .select(col("key").as("repo_id"),
         from_json(col("value"), detailSchema).getField("siblings").as("s0"))
@@ -151,10 +166,12 @@ final class HttpHfhSource(baseUrl: String, token: Option[String] = None,
 
   private val discussionPageSchema = StructType(Seq(
     StructField("discussions", ArrayType(StructType(Seq(
-      StructField("num", LongType), StructField("title", StringType),
-      StructField("status", StringType), StructField("createdAt", StringType),
-      StructField("author", StructType(Seq(StructField("name", StringType)))),
-      StructField("isPullRequest", BooleanType)))))))
+      StructField("raw", StringType),
+      StructField("d", StructType(Seq(
+        StructField("num", LongType), StructField("title", StringType),
+        StructField("status", StringType), StructField("createdAt", StringType),
+        StructField("author", StructType(Seq(StructField("name", StringType)))),
+        StructField("isPullRequest", BooleanType))))))))))
 
   def discussionsWithQuarantine(spark: SparkSession, listed: DataFrame): (DataFrame, DataFrame) = {
     val pages = maxDiscussionPages
@@ -171,7 +188,19 @@ final class HttpHfhSource(baseUrl: String, token: Option[String] = None,
         val page = mapper.readTree(get(s"$base/api/$id/discussions?p=$p"))
         val ds = page.get("discussions")
         if (ds == null || !ds.elements().hasNext) done = true
-        else { ds.elements().asScala.foreach(all.add); p += 1 }
+        else {
+          // each element carries BOTH the complete object (raw — the
+          // reference's full_data LONGTEXT keeps every field, incl.
+          // ones the typed parse ignores) and the node for columnar
+          // field extraction
+          ds.elements().asScala.foreach { n =>
+            val w = mapper.createObjectNode()
+            w.put("raw", n.toString)
+            w.set[JsonNode]("d", n)
+            all.add(w)
+          }
+          p += 1
+        }
       }
       val root = mapper.createObjectNode()
       root.set[JsonNode]("discussions", all)
@@ -179,14 +208,14 @@ final class HttpHfhSource(baseUrl: String, token: Option[String] = None,
     }: String => String)
     val good = out.toDF().filter(col("error").isNull)
       .select(col("key").as("repo_id"),
-        explode_outer(from_json(col("value"), discussionPageSchema).getField("discussions")).as("d"))
-      .filter(col("d").isNotNull)
-      .select(col("repo_id"), col("d.num").as("num"), col("d.title").as("title"),
-        col("d.status").as("status"),
-        to_timestamp(col("d.createdAt")).as("created_at"),
-        col("d.author.name").as("author"),
-        coalesce(col("d.isPullRequest"), lit(false)).as("is_pull_request"),
-        to_json(col("d")).as("full_data"))
+        explode_outer(from_json(col("value"), discussionPageSchema).getField("discussions")).as("w"))
+      .filter(col("w").isNotNull)
+      .select(col("repo_id"), col("w.d.num").as("num"), col("w.d.title").as("title"),
+        col("w.d.status").as("status"),
+        to_timestamp(col("w.d.createdAt")).as("created_at"),
+        col("w.d.author.name").as("author"),
+        coalesce(col("w.d.isPullRequest"), lit(false)).as("is_pull_request"),
+        col("w.raw").as("full_data"))
     val quarantine = out.toDF().filter(col("error").isNotNull)
       .select(col("key").as("repo_id"), col("attempts"), col("error"))
     (good, quarantine)
