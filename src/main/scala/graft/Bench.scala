@@ -18,7 +18,7 @@ object Bench {
     // 0.5 s and 9.3 s in adjacent runs), interleaved ones usually
     // don't, so the min survives windows shorter than a pass.
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    val best = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     (1 to 3).foreach { _ =>
       named.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
@@ -32,20 +32,28 @@ object Bench {
         // drop per-query persisted state (e.g. minhash signature
         // tables) so queries are measured independently
         spark.catalog.clearCache()
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), t)
+        samples(name) = t :: samples.getOrElse(name, Nil)
       }
     }
     // a failed query must not masquerade as a fast success
     val results = named.map { case (name, _) =>
-      name -> (if (errors.contains(name)) -1.0 else best(name))
+      name -> (if (errors.contains(name)) -1.0 else samples(name).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
+    // full per-query min/median/max: round-over-round comparisons need
+    // to tell signal from host-jitter noise (min alone can't — a
+    // "regression" whose new min sits inside the old min..max spread
+    // is indistinguishable from CPU-steal)
+    val statsJson = named.map { case (name, _) =>
+      val s = samples(name).sorted
+      s"""\"$name\":{"min":${s.head},"med":${s(s.size / 2)},"max":${s.last}}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"stats":$statsJson,"sf":"$sfDir"}"""
     println(line)
     // stdout gets tail-truncated by capture harnesses once the suite
     // passed ~60 queries; the full per-query timing set lives here so

@@ -55,7 +55,12 @@ def main():
         dt_s = [str(t) for t in spark_df.dtypes]
         dt_o = [str(t) for t in ora_df.dtypes]
         if dt_s != dt_o:
-            print(f"WARN {name}: dtypes spark={dt_s} oracle={dt_o}")
+            # hard failure: a silent int32-vs-int64 (or object-vs-float)
+            # divergence passes the cell compare via numpy coercion but
+            # means the engine and oracle disagree on the schema
+            print(f"FAIL {name}: dtypes spark={dt_s} oracle={dt_o}")
+            n_fail += 1
+            continue
         if list(spark_df.columns) != list(ora_df.columns):
             print(f"FAIL {name}: columns spark={list(spark_df.columns)} oracle={list(ora_df.columns)}")
             n_fail += 1
