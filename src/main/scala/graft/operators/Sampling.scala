@@ -182,6 +182,41 @@ object Sampling {
       .withColumnRenamed("ordinal", "position")
   }
 
+  /** Temperature-based mixture sampling — the multilingual/multi-source
+    * mix move (XLM / mT5: q_s ∝ p_s^α with α in (0,1] upsampling
+    * low-resource sources relative to their raw share). Given a total
+    * doc budget, each source's quota is budget·q_s and its keep rate
+    * min(1, quota/n_s); the keep decision is the qp01 md5 draw, so the
+    * kept set is a pure function of (corpus, α, budget) on any engine.
+    *
+    * Scale shape: the source census is a map-side-combined aggregate
+    * (|sources| rows), rates are computed on that tiny frame and
+    * broadcast back — the corpus is scanned once and never shuffled.
+    * Rates are rounded to 1e-9 BEFORE the draw comparison (the
+    * Unigram-logp lesson: pow() can differ in the last ulp across
+    * engines, and the draw compares doubles exactly). Output: per-doc
+    * (id, source, kept) — downstream writers filter kept. */
+  def temperatureMix(df: DataFrame, stratumCol: String, idCol: String,
+                     alpha: Double, budget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    require(budget > 0, s"budget must be positive, got $budget")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_orig"))
+    // q_s = n_s^α / Σ n^α: the p_s^α normalization's N^α cancels, so
+    // work directly on counts (integers → pow of exact doubles)
+    val powed = counts.select(col(stratumCol), col("n_orig"),
+      pow(col("n_orig").cast("double"), lit(alpha)).as("__w"))
+    val tot = powed.agg(sum(col("__w").cast("decimal(30,9)")).cast("double").as("__z"))
+    val rated = powed.crossJoin(broadcast(tot))
+      .select(col(stratumCol), col("n_orig"),
+        round(col("__w") / col("__z"), 9).as("q_temp"),
+        round(least(lit(1.0),
+          lit(budget.toDouble) * (col("__w") / col("__z")) / col("n_orig").cast("double")),
+          9).as("rate"))
+    df.select(col(stratumCol), col(idCol))
+      .join(broadcast(rated), stratumCol)
+      .withColumn("kept", hashU(col(idCol)) < col("rate"))
+  }
+
   def mixtureEqualize(df: DataFrame, stratumCol: String, idCol: String): DataFrame = {
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_orig"))
     val minN = counts.agg(min(col("n_orig")).as("__min"))

@@ -300,6 +300,100 @@ object CurationQueries {
       |                    WHEN 'fr' THEN 0.75 WHEN 'zh' THEN 0.75 END
       |ORDER BY doc_id""".stripMargin
 
+  /** qp17: temperature-based mixture sampling APPLIED — qp11 prices
+    * the temperature weights; this EXECUTES the mix:
+    * [[Sampling.temperatureMix]] (α=0.5, budget=2000 docs) over the
+    * source strata. q_s ∝ n_s^α flattens the source distribution (the
+    * XLM/mT5 low-resource upsampling move), each source keeps
+    * min(1, budget·q_s/n_s) of its docs via the md5 draw. Output is
+    * the per-source mix table + exact kept counts; the oracle replays
+    * the census → pow → normalize → rate → draw chain with the same
+    * 1e-9 rate rounding the engine applies before comparing (pow can
+    * differ in the last ulp across engines — the Unigram-logp
+    * discipline). */
+  def temperatureMixApplied(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Sampling.temperatureMix(t.documents, "source", "doc_id", alpha = 0.5, budget = 2000L)
+      .groupBy($"source")
+      .agg(first($"n_orig").as("n_orig"), first($"q_temp").as("q_temp"),
+        first($"rate").as("rate"), sum($"kept".cast("long")).as("n_kept"))
+      .orderBy($"source")
+  }
+
+  val temperatureMixAppliedSql: String =
+    """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_orig FROM documents GROUP BY source),
+      |p AS (SELECT source, n_orig, pow(CAST(n_orig AS DOUBLE), 0.5) w FROM c),
+      |z AS (SELECT CAST(SUM(CAST(w AS DECIMAL(30,9))) AS DOUBLE) z FROM p),
+      |r AS (SELECT source, n_orig, round(w / z, 9) q_temp,
+      |    round(least(1.0, 2000.0 * (w / z) / CAST(n_orig AS DOUBLE)), 9) rate
+      |  FROM p, z),
+      |u AS (SELECT doc_id, source,
+      |    list_sum(list_transform(range(0,4), i ->
+      |      (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |    )) / 65536.0 AS u
+      |  FROM documents)
+      |SELECT r.source AS source, r.n_orig, r.q_temp, r.rate,
+      |  CAST(SUM(CASE WHEN u.u < r.rate THEN 1 ELSE 0 END) AS BIGINT) n_kept
+      |FROM u JOIN r ON u.source = r.source
+      |GROUP BY r.source, r.n_orig, r.q_temp, r.rate
+      |ORDER BY source""".stripMargin
+
+  /** qp18: sequence-packing placements — [[Packing.packPlacements]]
+    * under the GPT concat-and-chunk layout (seqLen=512, one separator
+    * token per doc, md5 pack order): where every doc lands in the
+    * fixed-length training-sequence stream. All-integer prefix-sum
+    * math, oracle-exact. */
+  def sequencePacking(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val costed = t.documents.select($"doc_id",
+      graft.operators.Packing.wsTokens($"text").as("n_toks"))
+    graft.operators.Packing.packPlacements(costed, "doc_id", "n_toks", seqLen = 512)
+      .select($"doc_id", $"n_tokens", $"start_off", $"first_seq", $"last_seq",
+        $"crosses_boundary")
+      .orderBy($"doc_id")
+  }
+
+  private val packedStreamSql: String =
+    """t AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS BIGINT) n_tokens
+      |  FROM documents),
+      |s AS (SELECT doc_id, n_tokens,
+      |    SUM(n_tokens + 1) OVER (ORDER BY md5(doc_id::VARCHAR) ASC, doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS e
+      |  FROM t),
+      |pl AS (SELECT doc_id, n_tokens,
+      |    CAST(e - n_tokens - 1 AS BIGINT) AS start_off,
+      |    CAST((e - n_tokens - 1) // 512 AS BIGINT) AS first_seq,
+      |    CAST(greatest(e - 2, e - n_tokens - 1) // 512 AS BIGINT) AS last_seq
+      |  FROM s)""".stripMargin
+
+  val sequencePackingSql: String =
+    s"""WITH $packedStreamSql
+       |SELECT doc_id, n_tokens, start_off, first_seq, last_seq,
+       |  first_seq <> last_seq AS crosses_boundary
+       |FROM pl ORDER BY doc_id""".stripMargin
+
+  /** qp19: the packing-efficiency report ([[Packing.packingReport]]):
+    * sequence count, straddle fraction, tail-padding waste — the
+    * numbers a context-length/batch decision actually consumes. */
+  def packingReport(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val costed = t.documents.select($"doc_id",
+      graft.operators.Packing.wsTokens($"text").as("n_toks"))
+    graft.operators.Packing.packingReport(costed, "doc_id", "n_toks", seqLen = 512)
+  }
+
+  val packingReportSql: String =
+    s"""WITH $packedStreamSql
+       |SELECT CAST(COUNT(*) AS BIGINT) n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) n_tokens,
+       |  CAST(MAX(last_seq) + 1 AS BIGINT) n_sequences,
+       |  CAST(SUM(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END) AS BIGINT) n_straddling,
+       |  round(AVG(CASE WHEN first_seq <> last_seq THEN 1.0 ELSE 0.0 END), 6) straddle_frac,
+       |  round(CAST((MAX(last_seq) + 1) * 512 - (SUM(n_tokens) + COUNT(*)) AS DOUBLE) /
+       |        CAST((MAX(last_seq) + 1) * 512 AS DOUBLE), 6) pad_frac
+       |FROM pl""".stripMargin
+
   /** Fixed-size-20 deterministic reservoir per language (two-phase
     * salted top-k: no task ever sorts a whole stratum). */
   def reservoirSample(t: Tables): DataFrame = {
@@ -1352,6 +1446,9 @@ object CurationQueries {
     "qa03_asof_forward"      -> ((s: SparkSession, d: String) => asofViewAfterPurchase(Tables(s, d))),
     "qa04_asof_fwd_salted"   -> ((s: SparkSession, d: String) => asofViewAfterPurchaseSalted(Tables(s, d))),
     "qp01_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(Tables(s, d))),
+    "qp17_temperature_mix"   -> ((s: SparkSession, d: String) => temperatureMixApplied(Tables(s, d))),
+    "qp18_sequence_packing"  -> ((s: SparkSession, d: String) => sequencePacking(Tables(s, d))),
+    "qp19_packing_report"    -> ((s: SparkSession, d: String) => packingReport(Tables(s, d))),
     "qp02_reservoir_sample"  -> ((s: SparkSession, d: String) => reservoirSample(Tables(s, d))),
     "qp03_mixture_sample"    -> ((s: SparkSession, d: String) => mixtureSample(Tables(s, d))),
     "qp04_holdout_split"     -> ((s: SparkSession, d: String) => holdoutSplit(Tables(s, d))),
@@ -1392,6 +1489,9 @@ object CurationQueries {
     "qa03_asof_forward"      -> asofViewAfterPurchaseSql,
     "qa04_asof_fwd_salted"   -> asofViewAfterPurchaseSql, // same oracle: salting invisible
     "qp01_stratified_sample" -> stratifiedSampleSql,
+    "qp17_temperature_mix"   -> temperatureMixAppliedSql,
+    "qp18_sequence_packing"  -> sequencePackingSql,
+    "qp19_packing_report"    -> packingReportSql,
     "qp02_reservoir_sample"  -> reservoirSampleSql,
     "qp03_mixture_sample"    -> mixtureSampleSql,
     "qp04_holdout_split"     -> holdoutSplitSql,

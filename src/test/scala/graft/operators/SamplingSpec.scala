@@ -162,6 +162,48 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       Option(e.getCause).exists(_.getMessage.contains("non-positive weight sum")))
   }
 
+  test("temperatureMix: alpha=1 degrades to a uniform global rate; alpha<1 upsamples " +
+       "small sources; kept set matches the per-row draw") {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes).map("%02x".format(_)).mkString
+    // 300 'big' docs, 60 'mid', 15 'small'
+    val rows = (0L until 300L).map(i => (i, "big")) ++
+      (1000L until 1060L).map(i => (i, "mid")) ++ (2000L until 2015L).map(i => (i, "small"))
+    val df = rows.toDF("id", "src")
+
+    // alpha = 1: q_s = n_s/N, rate = min(1, B/N) — identical across sources
+    val r1 = Sampling.temperatureMix(df, "src", "id", alpha = 1.0, budget = 150L)
+      .select($"src", $"rate").distinct().as[(String, Double)].collect().toMap
+    assert(r1.values.toSet.size == 1)
+    assert(math.abs(r1("big") - 150.0 / 375.0) < 1e-6)
+
+    // alpha = 0.5: the small source's rate strictly exceeds the big one's
+    val out = Sampling.temperatureMix(df, "src", "id", alpha = 0.5, budget = 150L)
+    val rates = out.select($"src", $"rate").distinct().as[(String, Double)].collect().toMap
+    assert(rates("small") > rates("mid") && rates("mid") > rates("big"))
+
+    // the kept set is exactly the per-row hashU(id) < rate decision
+    val kept = out.filter($"kept").select($"id").as[Long].collect().toSet
+    val expected = rows.filter { case (i, s) =>
+      java.lang.Long.parseLong(md5hex(i.toString).take(4), 16) / 65536.0 < rates(s)
+    }.map(_._1).toSet
+    assert(kept == expected)
+  }
+
+  test("temperatureMix: clamps at rate 1 and fails loudly on bad params") {
+    val df = (0L until 10L).map(i => (i, if (i < 8) "a" else "b")).toDF("id", "src")
+    // huge budget: every rate clamps to exactly 1.0, everything kept
+    val out = Sampling.temperatureMix(df, "src", "id", alpha = 0.5, budget = 1000000L)
+    assert(out.select($"rate").distinct().as[Double].collect().toSet == Set(1.0))
+    assert(out.filter($"kept").count() == 10L)
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(df, "src", "id", alpha = 0.0, budget = 10L))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(df, "src", "id", alpha = 1.5, budget = 10L))
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(df, "src", "id", alpha = 0.5, budget = 0L))
+  }
+
   test("curriculumShards: positions are contiguous easy-to-hard within each shard") {
     val df = (0L until 100L).map(i => (i, (i * 37) % 50)).toDF("id", "score")
     val out = Sampling.curriculumShards(df, "id", "score", nShards = 4)
