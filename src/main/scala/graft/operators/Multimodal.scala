@@ -184,7 +184,12 @@ object Multimodal {
         require(bps == 8 || bps == 16, s"only PCM 8/16-bit supported, got $bps")
         val ch = f.getChannels
         val frameBytes = f.getFrameSize
-        val wantFrames = math.min(in.getFrameLength, maxSamples.toLong).toInt
+        // AudioSystem.NOT_SPECIFIED (-1) = stream length unknown (legal
+        // for e.g. some AU/AIFF streams): read up to maxSamples and let
+        // EOF truncate, instead of allocating a negative-size buffer
+        val wantFrames =
+          if (in.getFrameLength < 0) maxSamples
+          else math.min(in.getFrameLength, maxSamples.toLong).toInt
         val buf = new Array[Byte](wantFrames * frameBytes)
         var off = 0
         var read = 0
@@ -277,6 +282,11 @@ object Multimodal {
         }
       }
       require(w > 0 && h > 0, s"missing W/H in Y4M header: $line")
+      // C420 subsamples chroma 2x2 — only defined for even dimensions;
+      // odd W/H would make the ci=(y/2)*cw+(x/2) chroma index run past
+      // the U/V row at the right/bottom edge
+      require(w % 2 == 0 && h % 2 == 0,
+        s"C420 requires even dimensions, got ${w}x$h")
       Header(w, h, fn, fd, nl + 1)
     }
 

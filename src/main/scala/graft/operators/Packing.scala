@@ -66,9 +66,13 @@ object Packing {
       round(avg(col("crosses_boundary").cast("double")), 6).as("straddle_frac"))
     .select(col("n_docs"), col("n_tokens"), col("n_sequences"),
       col("n_straddling"), col("straddle_frac"),
-      // stream tokens incl. separators vs capacity of the sequences
-      round((col("n_sequences") * seqLen -
-          (col("n_tokens") + col("n_docs") * sepTokens)).cast("double") /
+      // stream tokens incl. separators vs capacity of the sequences;
+      // clamped at 0: the FINAL doc's separator can spill past the last
+      // occupied token (n_sequences counts occupied tokens only), and a
+      // spilled separator is dropped, not padding — without the clamp a
+      // single seqLen-token doc reports pad_frac = -sep/seqLen
+      round(greatest(col("n_sequences") * seqLen -
+          (col("n_tokens") + col("n_docs") * sepTokens), lit(0L)).cast("double") /
         (col("n_sequences") * seqLen).cast("double"), 6).as("pad_frac"))
   }
 

@@ -73,7 +73,12 @@ object Pca {
           dsum((col(s"x$j") - lit(bcMu.value(j))) * col("__dot")).as(s"w$j")): _*)
         .head()
       val w = (0 until d).map(j => q6(wRow.getDouble(j))).toArray
-      val nrm = q6(math.sqrt(w.map(wj => q6(wj * wj)).sum))
+      // norm² as an exact micro-unit (1e-6 grid) integer sum: the q6'd
+      // squares are k/1e6 rationals, so Σ floor(wj²·1e6+0.5) over Long
+      // is order-free and /1e6 is one correctly-rounded division —
+      // bit-identical to DuckDB's DECIMAL(30,6) sum cast to DOUBLE
+      val nrm2Micro = w.map(wj => math.floor(wj * wj * 1e6 + 0.5).toLong).sum
+      val nrm = q6(math.sqrt(nrm2Micro.toDouble / 1e6))
       require(nrm > 0.0, "power iteration collapsed to the zero vector")
       v = w.map(wj => q6(wj / nrm))
       lambda = q6(nrm / n)

@@ -390,7 +390,7 @@ object CurationQueries {
        |  CAST(MAX(last_seq) + 1 AS BIGINT) n_sequences,
        |  CAST(SUM(CASE WHEN first_seq <> last_seq THEN 1 ELSE 0 END) AS BIGINT) n_straddling,
        |  round(AVG(CASE WHEN first_seq <> last_seq THEN 1.0 ELSE 0.0 END), 6) straddle_frac,
-       |  round(CAST((MAX(last_seq) + 1) * 512 - (SUM(n_tokens) + COUNT(*)) AS DOUBLE) /
+       |  round(CAST(GREATEST((MAX(last_seq) + 1) * 512 - (SUM(n_tokens) + COUNT(*)), 0) AS DOUBLE) /
        |        CAST((MAX(last_seq) + 1) * 512 AS DOUBLE), 6) pad_frac
        |FROM pl""".stripMargin
 

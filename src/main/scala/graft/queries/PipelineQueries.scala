@@ -748,6 +748,92 @@ object PipelineQueries {
        |FROM f ORDER BY cell""".stripMargin
   }
 
+  // ---- PCA / dominant-direction plane ----
+
+  /** Shared unrolled-CTE replay of [[graft.operators.Pca.topComponent]]
+    * (the qs12/qt25 discipline applied to power iteration): quantized
+    * input view → decimal-exact per-dim means → per round a dot
+    * projection (DuckDB `list_dot_product` bit-matches the engine's
+    * left-fold), decimal-exact per-dim w sums, and the 1e-6-grid
+    * norm/renormalize — every scalar re-quantized exactly where the
+    * engine re-quantizes. CTEs are MATERIALIZED: each round references
+    * its predecessor twice, so default inlining would re-expand the
+    * corpus scan 2^iters times. */
+  private def pcaCtes(iters: Int): String = {
+    def q6(x: String) = s"floor(($x)*1e6+0.5)/1e6"
+    val head =
+      s"""v AS MATERIALIZED (SELECT vec_id,
+         |    list_transform(embedding::DOUBLE[], x -> ${q6("x")}) e FROM embeddings),
+         |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM v),
+         |mud AS (SELECT i, ${q6("CAST(SUM(CAST(e[i] AS DECIMAL(30,6))) AS DOUBLE) / n")} m
+         |  FROM v, cnt, range(1,65) t(i) GROUP BY i, n),
+         |mu AS MATERIALIZED (SELECT list(m ORDER BY i) mu FROM mud),
+         |p0 AS (SELECT list_transform(range(1,65), i -> ${q6("1.0/sqrt(64.0)")}) vv)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT w.vec_id, w.e,
+         |    ${q6("list_dot_product(list_transform(range(1,65), i -> w.e[i] - m.mu[i]), p.vv)")} dot
+         |  FROM v w, mu m, p${k - 1} p),
+         |w$k AS MATERIALIZED (SELECT i,
+         |    ${q6(s"CAST(SUM(CAST(${q6("(d.e[i] - m.mu[i]) * d.dot")} AS DECIMAL(30,6))) AS DOUBLE)")} w
+         |  FROM d$k d, mu m, range(1,65) t(i) GROUP BY i),
+         |n$k AS MATERIALIZED (SELECT
+         |    ${q6(s"sqrt(CAST(SUM(CAST(${q6("w*w")} AS DECIMAL(30,6))) AS DOUBLE))")} nrm FROM w$k),
+         |p$k AS MATERIALIZED (SELECT list(${q6("w.w / n.nrm")} ORDER BY w.i) vv
+         |  FROM w$k w, n$k n)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n") +
+      s""",
+         |fin AS MATERIALIZED (SELECT i, m.mu[i] mu, p.vv[i] loading
+         |  FROM range(1,65) t(i), mu m, p$iters p),
+         |flip AS (SELECT CASE WHEN loading < 0 THEN -1.0 ELSE 1.0 END f
+         |  FROM fin ORDER BY abs(loading) DESC, i ASC LIMIT 1)""".stripMargin
+  }
+
+  /** qs16: top principal component of the embedding corpus —
+    * [[graft.operators.Pca.topComponentFrame]], 3 power-iteration
+    * rounds from the uniform start. The dominant direction every
+    * contrastive-embedding paper removes before retrieval (anisotropy);
+    * lambda prices how much corpus variance that one direction eats.
+    * The oracle replays the WHOLE trajectory (means, every per-dim w
+    * sum, every renormalization), so the cross-engine check covers the
+    * trainer, not just its output shape. */
+  def pcaComponent(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    graft.operators.Pca.topComponentFrame(t.embeddings, "embedding", iters = 3)
+      .orderBy($"dim")
+  }
+
+  val pcaComponentSql: String =
+    s"""WITH ${pcaCtes(3)}
+       |SELECT CAST(f2.i - 1 AS INT) AS dim, f2.mu,
+       |  floor(fl.f * f2.loading * 1e6 + 0.5)/1e6 AS loading,
+       |  floor(n.nrm / c.n * 1e6 + 0.5)/1e6 AS lambda
+       |FROM fin f2, flip fl, n3 n, cnt c ORDER BY dim""".stripMargin
+
+  /** qs17: PC1 outliers — the 50 vectors furthest out along the
+    * dominant direction ([[graft.operators.Pca.projected]] under the
+    * qs16 component, canonical sign): the embedding-space analogue of
+    * the qt-plane quality outlier reads, and the rows SemDeDup-style
+    * anisotropy pruning would inspect first. Scan-local projection,
+    * zero shuffle beyond the top-k. */
+  def pcaOutliers(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val c = graft.operators.Pca.topComponent(t.embeddings, "embedding", iters = 3)
+    val k = c.v.indices.maxBy(j => (math.abs(c.v(j)), -j))
+    val flip = if (c.v(k) < 0) -1.0 else 1.0
+    graft.operators.Pca.projected(t.embeddings, "embedding", "vec_id", c)
+      .select($"vec_id", (lit(flip) * $"pc1").as("pc1"))
+      .orderBy(abs($"pc1").desc, $"vec_id").limit(50)
+  }
+
+  val pcaOutliersSql: String =
+    s"""WITH ${pcaCtes(3)},
+       |dq AS (SELECT w.vec_id,
+       |    floor(list_dot_product(list_transform(range(1,65), i -> w.e[i] - m.mu[i]), p.vv)*1e6+0.5)/1e6 dot
+       |  FROM v w, mu m, p3 p)
+       |SELECT vec_id, fl.f * dot AS pc1 FROM dq, flip fl
+       |ORDER BY abs(dot) DESC, vec_id ASC LIMIT 50""".stripMargin
+
   // ---- sessionization (batch twin of the streaming operator) ----
 
   /** Gap-based sessionization over the event stream (30-min gap);
@@ -1871,6 +1957,8 @@ object PipelineQueries {
     "qs03_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(Tables(s, d))),
     "qs04_ann_lsh_multi"   -> ((s: SparkSession, d: String) => annLshMulti(Tables(s, d))),
     "qs05_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(Tables(s, d))),
+    "qs16_pca_component"   -> ((s: SparkSession, d: String) => pcaComponent(Tables(s, d))),
+    "qs17_pca_outliers"    -> ((s: SparkSession, d: String) => pcaOutliers(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -1927,5 +2015,7 @@ object PipelineQueries {
     "qs03_ann_ivf"         -> annIvfSql,
     "qs04_ann_lsh_multi"   -> annLshMultiSql,
     "qs05_label_centroids" -> labelCentroidsSql,
+    "qs16_pca_component"   -> pcaComponentSql,
+    "qs17_pca_outliers"    -> pcaOutliersSql,
   )
 }

@@ -72,6 +72,24 @@ class MultimodalAvSpec extends SparkTestBase {
     assert(pcm.length == 100)
   }
 
+  test("pcm decodes streams whose length is unknown (AU dataSize 0xffffffff)") {
+    // AU permits an unknown data size (all-ones marker); the JDK reader
+    // then reports getFrameLength = NOT_SPECIFIED (-1). Hand-craft one:
+    // ".snd" magic, 24-byte header, size -1, encoding 3 (16-bit BE PCM),
+    // 8 kHz mono, followed by 100 big-endian samples of a constant.
+    val bos = new java.io.ByteArrayOutputStream()
+    val hdr = java.nio.ByteBuffer.allocate(24)
+    hdr.putInt(0x2e736e64).putInt(24).putInt(0xffffffff).putInt(3).putInt(8000).putInt(1)
+    bos.write(hdr.array())
+    (0 until 100).foreach { _ => bos.write(0x20); bos.write(0x00) } // 0x2000 = 0.25
+    val au = bos.toByteArray
+    val pcm = Multimodal.JvmAudioDecoder.pcm(au, 1 << 20)
+    assert(pcm.length == 100, s"expected 100 samples, got ${pcm.length}")
+    assert(pcm.forall(v => math.abs(v - 0.25f) < 1e-3), s"head=${pcm.take(3).toSeq}")
+    // head truncation still applies when the length is unknown
+    assert(Multimodal.JvmAudioDecoder.pcm(au, 10).length == 10)
+  }
+
   test("FailSoftAudio maps garbage to sentinels") {
     val d = Multimodal.FailSoftAudio(Multimodal.JvmAudioDecoder)
     assert(d.audioMeta("not audio".getBytes) == Multimodal.AudioMeta(-1, -1, -1, -1L, -1L))
@@ -123,6 +141,13 @@ class MultimodalAvSpec extends SparkTestBase {
     assert(grays == Seq(50, 200), s"got $grays")
     // asking for more frames than exist yields all of them
     assert(Multimodal.Y4mDecoder.frames(clip, 10).size == 4)
+  }
+
+  test("Y4mDecoder rejects odd dimensions (C420 undefined; chroma index would overrun)") {
+    intercept[IllegalArgumentException](
+      Multimodal.Y4mDecoder.videoMeta(grayY4m(5, 4, Seq(50))))
+    intercept[IllegalArgumentException](
+      Multimodal.Y4mDecoder.videoMeta(grayY4m(4, 3, Seq(50))))
   }
 
   test("Y4mDecoder rejects truncated and non-Y4M payloads; FailSoftVideo sentinels them") {

@@ -59,6 +59,14 @@ class PackingSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("pad_frac clamps at 0 when the final doc's separator spills past the last sequence") {
+    // one 10-token doc at seqLen=10: the stream is 11 tokens (doc+sep)
+    // but the single sequence is fully occupied — pad is 0, not -1/10
+    val rep = Packing.packingReport(Seq((1L, 10L)).toDF("id", "n"), "id", "n", seqLen = 10).head()
+    assert(rep.getLong(2) == 1L, "one fully-occupied sequence")
+    assert(rep.getDouble(5) == 0.0, s"pad_frac must clamp to 0, got ${rep.getDouble(5)}")
+  }
+
   test("guardrails: positive seqLen, non-negative separator") {
     val docs = Seq((1L, 2L)).toDF("id", "n")
     intercept[IllegalArgumentException](Packing.packPlacements(docs, "id", "n", seqLen = 0))

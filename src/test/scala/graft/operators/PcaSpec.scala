@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Power-iteration PCA: analytic recovery, sign convention, projection
+  * semantics, and the order-free float discipline that makes the qs16
+  * oracle replay exact. */
+class PcaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** 101 points along `dir` (unit), parameter t = -5.0 .. 5.0 step 0.1,
+    * shifted by `shift` — covariance has rank 1, eigenvalue Σt²/n. */
+  private def lineFixture(dir: Array[Double], shift: Array[Double]) =
+    (-50 to 50).map { i =>
+      val t = i / 10.0
+      (i.toLong + 100, dir.indices.map(j => (shift(j) + t * dir(j)).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+
+  test("recovers an analytically-known principal direction, mean, and eigenvalue") {
+    val dir = Array(0.6, 0.8)
+    val shift = Array(2.0, -1.0)
+    val c = Pca.topComponent(lineFixture(dir, shift), "embedding", iters = 8)
+    // mean = the shift (t sums to zero)
+    assert(c.mu.indices.forall(j => math.abs(c.mu(j) - shift(j)) < 1e-5), c.mu.toSeq)
+    // unit loading aligned with dir up to sign
+    val nrm = math.sqrt(c.v.map(x => x * x).sum)
+    assert(math.abs(nrm - 1.0) < 1e-4)
+    val cos = c.v(0) * dir(0) + c.v(1) * dir(1)
+    assert(math.abs(math.abs(cos) - 1.0) < 1e-3, s"v=${c.v.toSeq}")
+    // lambda = ||C v|| / n = Σt²/n = 858.5/101 on a rank-1 corpus
+    assert(math.abs(c.lambda - 858.5 / 101) < 1e-3, s"lambda=${c.lambda}")
+  }
+
+  test("topComponentFrame sign convention: largest-|.| loading is positive") {
+    // direction given with negative dominant coordinate — frame must flip
+    val f = Pca.topComponentFrame(lineFixture(Array(-0.8, 0.6), Array(0.0, 0.0)),
+        "embedding", iters = 8)
+      .orderBy($"dim").select($"loading").as[Double].collect()
+    assert(math.abs(f(0) - 0.8) < 1e-3 && math.abs(f(1) + 0.6) < 1e-3, f.toSeq)
+    assert(f.maxBy(math.abs) > 0)
+  }
+
+  test("projected: mean-centered scores recover the line parameter up to sign") {
+    val df = lineFixture(Array(1.0, 0.0), Array(7.0, 7.0))
+    val c = Pca.topComponent(df, "embedding", iters = 8)
+    val scores = Pca.projected(df, "embedding", "vec_id", c)
+      .orderBy($"vec_id").as[(Long, Double)].collect()
+    // Σ pc1 = 0 (centered); |pc1| of row i is |t_i|
+    assert(math.abs(scores.map(_._2).sum) < 1e-3)
+    scores.foreach { case (id, s) =>
+      val t = (id - 100) / 10.0
+      assert(math.abs(math.abs(s) - math.abs(t)) < 1e-3, s"id=$id s=$s t=$t")
+    }
+  }
+
+  test("trajectory is partitioning-invariant (decimal sums are order-free)") {
+    val df = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val a = Pca.topComponentFrame(df.repartition(1), "embedding", iters = 2)
+      .orderBy($"dim").collect().toSeq
+    val b = Pca.topComponentFrame(df.repartition(13), "embedding", iters = 2)
+      .orderBy($"dim").collect().toSeq
+    assert(a == b)
+  }
+
+  test("every emitted scalar sits on the 1e-6 grid (the oracle contract)") {
+    val rows = Pca.topComponentFrame(
+        spark.read.parquet(s"$sf0001/embeddings.parquet"), "embedding", iters = 2)
+      .collect()
+    def onGrid(x: Double) = math.abs(x * 1e6 - math.rint(x * 1e6)) < 1e-6
+    rows.foreach { r =>
+      assert(onGrid(r.getDouble(1)) && onGrid(r.getDouble(2)) && onGrid(r.getDouble(3)), r)
+    }
+  }
+
+  test("guardrails: iters >= 1, at least 2 vectors, no zero collapse") {
+    val one = Seq((1L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException](Pca.topComponent(one, "embedding", iters = 0))
+    intercept[IllegalArgumentException](Pca.topComponent(one, "embedding", iters = 1))
+  }
+}
