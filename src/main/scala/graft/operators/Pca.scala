@@ -108,6 +108,25 @@ object Pca {
         org.apache.spark.sql.types.StructField("lambda", org.apache.spark.sql.types.DoubleType))))
   }
 
+  /** Residual after removing the fitted component (the "all-but-the-
+    * top" anisotropy correction contrastive-embedding retrieval
+    * applies): r = (x−μ) − ((x−μ)·v)·v, every coordinate re-quantized
+    * to the 1e-6 grid so the rvec column is oracle-exact. Scan-local
+    * per-row arithmetic against broadcast model state — zero shuffle. */
+  def residualized(df: DataFrame, vecCol: String, idCol: String,
+                   c: Component): DataFrame = {
+    val d = c.v.length
+    val bcMu = df.sparkSession.sparkContext.broadcast(c.mu)
+    val bcV = df.sparkSession.sparkContext.broadcast(c.v)
+    def cx(j: Int) =
+      q6c(element_at(col(vecCol), j + 1).cast("double")) - lit(bcMu.value(j))
+    val dotE = q6c((0 until d).map(j => cx(j) * lit(bcV.value(j))).reduce(_ + _))
+    val resid = graft.functions.TextFunctions.letBound(dotE) { dd =>
+      array((0 until d).map(j => q6c(cx(j) - dd * lit(bcV.value(j)))): _*)
+    }
+    df.select(col(idCol), resid.as("rvec"))
+  }
+
   /** Project vectors onto the fitted component: score = (x-μ)·v — the
     * whitening/1-D-layout read; scan-local, zero shuffle. */
   def projected(df: DataFrame, vecCol: String, idCol: String,

@@ -654,7 +654,15 @@ object PipelineQueries {
       .select($"query_id", $"neighbor_id")
     val ivf = Similarity.ivfTopK(t.embeddings, QueryIds, k = 5)
       .select($"query_id", $"neighbor_id")
-    val hits = bf.join(ivf, Seq("query_id", "neighbor_id"), "left_semi")
+    recallCensus(t, bf, ivf)
+  }
+
+  /** Shared recall@5 census: per-query hit count + recall of `approx`
+    * against the exact `bf` top-5 sets, plus a TOTAL row (query_id −1)
+    * carrying the macro average — the qs15/qs18 output contract. */
+  private def recallCensus(t: Tables, bf: DataFrame, approx: DataFrame): DataFrame = {
+    import t.spark.implicits._
+    val hits = bf.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .groupBy($"query_id").agg(count(lit(1)).as("n_hits"))
     val perQ = bf.select($"query_id").distinct()
       .join(hits, Seq("query_id"), "left")
@@ -833,6 +841,102 @@ object PipelineQueries {
        |  FROM v w, mu m, p3 p)
        |SELECT vec_id, fl.f * dot AS pc1 FROM dq, flip fl
        |ORDER BY abs(dot) DESC, vec_id ASC LIMIT 50""".stripMargin
+
+  /** qs18: Johnson–Lindenstrauss recall CURVE —
+    * [[graft.operators.RandomProjection.projected]] at m ∈ {16,32,48}
+    * (md5-derived ±1 signs), each width scored by macro recall@5 of
+    * reduced-space cosine neighbors against full-space brute force.
+    * The curve that decides how narrow the reduced scan can go before
+    * candidate generation degrades — the JL twin of qd17's Jaccard
+    * threshold sweep: price the knob, don't guess it. */
+  def jlRecall(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val bf = Similarity.bruteForceTopK(t.embeddings, QueryIds, k = 5)
+      .select($"query_id", $"neighbor_id").localCheckpoint()
+    Seq(16, 32, 48).map { m =>
+      val proj = graft.operators.RandomProjection
+        .projected(t.embeddings, "vec_id", "embedding", m = m, d = 64)
+      val jl = Similarity.bruteForceTopK(proj, QueryIds, k = 5,
+          idCol = "vec_id", vecCol = "rvec")
+        .select($"query_id", $"neighbor_id")
+      recallCensus(t, bf, jl).filter($"query_id" === -1L)
+        .select(lit(m).as("m"), $"n_hits", $"recall")
+    }.reduce(_ unionByName _).orderBy($"m")
+  }
+
+  val jlRecallSql: String = {
+    def block(m: Int): String =
+      s"""p$m AS (SELECT vec_id, list_transform(range(0,$m), j -> CAST(list_sum(
+         |      list_transform(range(0,64), i -> xm[i+1] * (CASE WHEN
+         |        strpos('0123456789abcdef',
+         |               substr(md5('jl:' || j::VARCHAR || ':' || i::VARCHAR), 1, 1)) - 1 >= 8
+         |        THEN 1 ELSE -1 END))) AS DOUBLE)) y
+         |  FROM v),
+         |qj$m AS (SELECT vec_id query_id, y qy, sqrt(list_dot_product(y, y)) qn FROM p$m WHERE vec_id < 10),
+         |cj$m AS (SELECT vec_id neighbor_id, y cy, sqrt(list_dot_product(y, y)) cn FROM p$m),
+         |jsims$m AS (SELECT query_id, neighbor_id,
+         |    round(list_dot_product(qy, cy) / (qn * cn), 6) cos_sim
+         |  FROM cj$m JOIN qj$m ON neighbor_id <> query_id),
+         |jl$m AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+         |    FROM jsims$m) WHERE rk <= 5),
+         |h$m AS (SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) n
+         |  FROM bf JOIN jl$m USING (query_id, neighbor_id) GROUP BY 1),
+         |per$m AS (SELECT qq.query_id, COALESCE(h.n, 0) n_hits
+         |  FROM (SELECT DISTINCT query_id FROM bf) qq LEFT JOIN h$m h ON h.query_id = qq.query_id),
+         |tot$m AS (SELECT CAST($m AS INT) m, CAST(SUM(n_hits) AS BIGINT) n_hits,
+         |    round(CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * 5.0), 6) recall FROM per$m)""".stripMargin
+    s"""WITH v AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] e,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) nrm2,
+       |    list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1e6+0.5) AS BIGINT)) xm
+       |  FROM embeddings),
+       |q AS (SELECT vec_id query_id, e q_vec, sqrt(nrm2) q_nrm FROM v WHERE vec_id < 10),
+       |bsims AS (SELECT q.query_id, v.vec_id neighbor_id,
+       |    round(list_dot_product(q.q_vec, v.e) / (q.q_nrm * sqrt(v.nrm2)), 6) cos_sim
+       |  FROM v JOIN q ON v.vec_id <> q.query_id),
+       |bf AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+       |    FROM bsims) WHERE rk <= 5),
+       |${block(16)},
+       |${block(32)},
+       |${block(48)}
+       |SELECT * FROM tot16 UNION ALL SELECT * FROM tot32 UNION ALL SELECT * FROM tot48
+       |ORDER BY m""".stripMargin
+  }
+
+  /** qs19: anisotropy-corrected retrieval ("all-but-the-top"): remove
+    * the qs16 dominant direction ([[graft.operators.Pca.residualized]])
+    * and run exact cosine top-5 in the residual space — the corrected
+    * neighbor sets contrastive-embedding work reads after observing a
+    * fat PC1 (qs16's lambda). Output shape = qs02 (query_id,
+    * neighbor_id, cos_sim, rk); the oracle replays the full PCA
+    * trajectory AND the residual projection. */
+  def isotropicTopK(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val c = graft.operators.Pca.topComponent(t.embeddings, "embedding", iters = 3)
+    val resid = graft.operators.Pca.residualized(t.embeddings, "embedding", "vec_id", c)
+    Similarity.bruteForceTopK(resid, QueryIds, k = 5, idCol = "vec_id", vecCol = "rvec")
+      .select($"query_id", $"neighbor_id", $"cos_sim", $"rk")
+      .orderBy($"query_id", $"rk")
+  }
+
+  val isotropicTopKSql: String =
+    s"""WITH ${pcaCtes(3)},
+       |dr AS (SELECT w.vec_id, w.e,
+       |    floor(list_dot_product(list_transform(range(1,65), i -> w.e[i] - m.mu[i]), p.vv)*1e6+0.5)/1e6 dot
+       |  FROM v w, mu m, p3 p),
+       |r AS (SELECT d.vec_id,
+       |    list_transform(range(1,65), i -> floor(((d.e[i] - m.mu[i]) - d.dot * p.vv[i])*1e6+0.5)/1e6) rv
+       |  FROM dr d, mu m, p3 p),
+       |rq AS (SELECT vec_id query_id, rv qv, sqrt(list_dot_product(rv, rv)) qn FROM r WHERE vec_id < 10),
+       |rc AS (SELECT vec_id neighbor_id, rv cv, sqrt(list_dot_product(rv, rv)) cn FROM r),
+       |sims AS (SELECT query_id, neighbor_id,
+       |    round(list_dot_product(qv, cv) / (qn * cn), 6) cos_sim
+       |  FROM rc JOIN rq ON neighbor_id <> query_id)
+       |SELECT query_id, neighbor_id, cos_sim, rk FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS BIGINT) rk
+       |  FROM sims)
+       |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
   // ---- sessionization (batch twin of the streaming operator) ----
 
@@ -1959,6 +2063,8 @@ object PipelineQueries {
     "qs05_label_centroids" -> ((s: SparkSession, d: String) => labelCentroids(Tables(s, d))),
     "qs16_pca_component"   -> ((s: SparkSession, d: String) => pcaComponent(Tables(s, d))),
     "qs17_pca_outliers"    -> ((s: SparkSession, d: String) => pcaOutliers(Tables(s, d))),
+    "qs18_jl_recall"       -> ((s: SparkSession, d: String) => jlRecall(Tables(s, d))),
+    "qs19_isotropic_topk"  -> ((s: SparkSession, d: String) => isotropicTopK(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2017,5 +2123,7 @@ object PipelineQueries {
     "qs05_label_centroids" -> labelCentroidsSql,
     "qs16_pca_component"   -> pcaComponentSql,
     "qs17_pca_outliers"    -> pcaOutliersSql,
+    "qs18_jl_recall"       -> jlRecallSql,
+    "qs19_isotropic_topk"  -> isotropicTopKSql,
   )
 }

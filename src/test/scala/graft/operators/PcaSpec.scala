@@ -54,6 +54,19 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("residualized removes the component: residuals are orthogonal to v and tiny on a rank-1 corpus") {
+    val df = lineFixture(Array(0.6, 0.8), Array(1.0, 2.0))
+    val c = Pca.topComponent(df, "embedding", iters = 8)
+    val res = Pca.residualized(df, "embedding", "vec_id", c)
+      .as[(Long, Array[Double])].collect()
+    res.foreach { case (id, r) =>
+      // rank-1 data: removing PC1 leaves ~nothing (1e-6 grid noise)
+      assert(r.forall(x => math.abs(x) < 1e-4), s"id=$id r=${r.toSeq}")
+      val along = r.zip(c.v).map { case (a, b) => a * b }.sum
+      assert(math.abs(along) < 1e-4, s"residual not orthogonal: $along")
+    }
+  }
+
   test("trajectory is partitioning-invariant (decimal sums are order-free)") {
     val df = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val a = Pca.topComponentFrame(df.repartition(1), "embedding", iters = 2)
