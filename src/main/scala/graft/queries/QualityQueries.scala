@@ -869,6 +869,64 @@ object QualityQueries {
       |SELECT doc_id, source, logit, rk <= ceil(n_src * 0.2) AS kept
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** qp20: curriculum schedule — the corpus laid out in three serving
+    * phases of ASCENDING classifier quality (the anneal-on-best
+    * practice: close training on the highest-quality tail): phase 1 =
+    * bottom 50% by qt13 logit, phase 2 = next 40%, phase 3 (anneal) =
+    * top 10%. Per phase: doc/token budget, the logit band, and the
+    * token share a batch scheduler consumes. Rank order is the
+    * unrounded decimal-sum logit with doc_id tie-break — cross-engine
+    * identical (the qp10 discipline). The global window is the
+    * oracle-checkable single-shard case; at 100 TB the same schedule is
+    * computed per md5-shard exactly like qp19's packing. */
+  def curriculumSchedule(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val scored = LinearClassifier.score(t.documents).filter($"logit".isNotNull)
+    val w = Window.orderBy($"logit".asc, $"doc_id".asc)
+    val phased = scored
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_all", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("phase",
+        when($"rk" <= ceil($"n_all" * 0.5), 1)
+          .when($"rk" <= ceil($"n_all" * 0.9), 2)
+          .otherwise(3))
+    phased.groupBy($"phase")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+           round(min($"logit"), 6).as("min_logit"),
+           round(max($"logit"), 6).as("max_logit"))
+      .withColumn("tok_share",
+        round($"n_tokens".cast("double") /
+          sum($"n_tokens").over(Window.partitionBy()).cast("double"), 6))
+      .select($"phase", $"n_docs", $"n_tokens", $"min_logit", $"max_logit", $"tok_share")
+      .orderBy($"phase")
+  }
+
+  val curriculumScheduleSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) tok FROM documents),
+      |b AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,4), i ->
+      |    (strpos('0123456789abcdef', substr(md5(tok), i+1, 1)) - 1) * power(16, 3-i)
+      |  )) AS BIGINT) % 64 AS bkt FROM tok),
+      |wt AS (SELECT doc_id, CAST(round(list_sum(list_transform(range(0,4), i ->
+      |    (strpos('0123456789abcdef', substr(md5(bkt::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |  )) / 65536.0 * 2.0 - 1.0, 6) AS DECIMAL(18,6)) w FROM b),
+      |g AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_tokens,
+      |    CAST(SUM(w) AS DOUBLE) / COUNT(*) logit
+      |  FROM wt GROUP BY doc_id),
+      |s AS (SELECT doc_id, n_tokens, logit,
+      |    ROW_NUMBER() OVER (ORDER BY logit ASC, doc_id ASC) rk,
+      |    COUNT(*) OVER () n_all
+      |  FROM g WHERE logit IS NOT NULL),
+      |p AS (SELECT CASE WHEN rk <= ceil(n_all * 0.5) THEN 1
+      |                  WHEN rk <= ceil(n_all * 0.9) THEN 2 ELSE 3 END phase,
+      |    n_tokens, logit FROM s),
+      |a AS (SELECT phase, CAST(COUNT(*) AS BIGINT) n_docs,
+      |    CAST(SUM(n_tokens) AS BIGINT) n_tokens,
+      |    round(MIN(logit), 6) min_logit, round(MAX(logit), 6) max_logit
+      |  FROM p GROUP BY phase)
+      |SELECT phase, n_docs, n_tokens, min_logit, max_logit,
+      |  round(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE), 6) tok_share
+      |FROM a ORDER BY phase""".stripMargin
+
   /** qc10: SEMANTIC decontamination — flag corpus docs whose embedding
     * cosine to ANY benchmark doc (doc_id % 50 = 0, the qc02/qc08
     * benchmark set) reaches 0.35: the contamination the n-gram rules
@@ -1446,6 +1504,7 @@ object QualityQueries {
     "qc10_semantic_decontam" -> ((s: SparkSession, d: String) => semanticDecontaminate(Tables(s, d))),
     "qc11_contamination_report" -> ((s: SparkSession, d: String) => contaminationReport(Tables(s, d))),
     "qp10_relative_gate"     -> ((s: SparkSession, d: String) => relativeQualityGate(Tables(s, d))),
+    "qp20_curriculum"        -> ((s: SparkSession, d: String) => curriculumSchedule(Tables(s, d))),
     "qp09_dsir_weights"      -> ((s: SparkSession, d: String) => dsirWeights(Tables(s, d))),
     "qd12_substring_scrub"   -> ((s: SparkSession, d: String) => substringScrub(Tables(s, d))),
     "qt10_gopher_rules"      -> ((s: SparkSession, d: String) => gopherRules(Tables(s, d))),
@@ -1480,6 +1539,7 @@ object QualityQueries {
     "qc10_semantic_decontam" -> semanticDecontaminateSql,
     "qc11_contamination_report" -> contaminationReportSql,
     "qp10_relative_gate"     -> relativeQualityGateSql,
+    "qp20_curriculum"        -> curriculumScheduleSql,
     "qp09_dsir_weights"      -> dsirWeightsSql,
     "qd12_substring_scrub"   -> substringScrubSql,
     "qt10_gopher_rules"      -> gopherRulesSql,
