@@ -649,6 +649,67 @@ object ExtendedQueries {
       |  CAST(MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS BIGINT) last_us
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** qi02: incremental MV maintenance under RETRACTIONS — the hard
+    * delete case qi01's append-only merge can't handle: count/sum are
+    * subtractive (exact decimal), but a retraction that removes a
+    * group's min/max invalidates it, so those groups — and ONLY those
+    * groups (`recomputed` exposes the decision) — re-read their
+    * surviving rows via a broadcast semi-join. The retraction batch is
+    * the deterministic event_id % 7 = 3 slice; the oracle is a direct
+    * aggregation over survivors, so the gate proves incremental ==
+    * full recompute. At 100 TB the rescan cost is bounded by the
+    * retracted keys, never the table. */
+  def retractionMv(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val ev = t.events.select($"user_id", $"event_id",
+      unix_micros($"ts".cast("timestamp")).as("us"),
+      $"value".cast(DecimalType(18, 6)).as("v"))
+    val isDel = $"event_id" % 7 === 3
+    // the standing MV over the full history — materialized (a real
+    // store would read it back)
+    val standing = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"),
+           min($"us").as("mn"), max($"us").as("mx")).localCheckpoint()
+    val dels = ev.filter(isDel).groupBy($"user_id")
+      .agg(count(lit(1)).as("dn"), sum($"v").as("dsv"),
+           min($"us").as("dmn"), max($"us").as("dmx"))
+    val merged = standing.join(dels, Seq("user_id"), "left")
+      .select($"user_id",
+        ($"n" - coalesce($"dn", lit(0L))).as("n2"),
+        ($"sv" - coalesce($"dsv", lit(BigDecimal(0)).cast(DecimalType(18, 6)))).as("sv2"),
+        $"mn", $"mx",
+        (coalesce($"dmn" === $"mn", lit(false)) ||
+          coalesce($"dmx" === $"mx", lit(false))).as("recomputed"))
+      .filter($"n2" > 0)
+      .localCheckpoint()
+    val affected = merged.filter($"recomputed").select($"user_id")
+    val rescanned = ev.filter(!isDel)
+      .join(broadcast(affected), Seq("user_id"))
+      .groupBy($"user_id").agg(min($"us").as("rmn"), max($"us").as("rmx"))
+    merged.join(rescanned, Seq("user_id"), "left")
+      .select($"user_id", $"n2".as("n_events"),
+        $"sv2".cast("double").as("sum_value"),
+        coalesce($"rmn", $"mn").as("first_us"),
+        coalesce($"rmx", $"mx").as("last_us"),
+        $"recomputed")
+      .orderBy($"user_id")
+  }
+
+  val retractionMvSql: String =
+    """WITH ev AS (SELECT user_id, event_id,
+      |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) us,
+      |    CAST(value AS DECIMAL(18,6)) v FROM events),
+      |f AS (SELECT user_id, MIN(us) mn, MAX(us) mx FROM ev GROUP BY 1),
+      |d AS (SELECT user_id, MIN(us) dmn, MAX(us) dmx FROM ev WHERE event_id % 7 = 3 GROUP BY 1),
+      |res AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) n_events,
+      |    CAST(SUM(v) AS DOUBLE) sum_value,
+      |    CAST(MIN(us) AS BIGINT) first_us, CAST(MAX(us) AS BIGINT) last_us
+      |  FROM ev WHERE event_id % 7 <> 3 GROUP BY 1)
+      |SELECT r.user_id, r.n_events, r.sum_value, r.first_us, r.last_us,
+      |  COALESCE(d.dmn = f.mn OR d.dmx = f.mx, FALSE) recomputed
+      |FROM res r JOIN f USING (user_id) LEFT JOIN d USING (user_id)
+      |ORDER BY r.user_id""".stripMargin
+
   /** qj01: pre-join mass census of orders ⨝ lineitem on the order key
     * — [[graft.operators.Skew.joinMass]]: per-key count tables joined
     * (key-cardinality rows, never the data), per-key output mass
@@ -730,6 +791,7 @@ object ExtendedQueries {
     "qf01_cascade_delete"  -> ((s: SparkSession, d: String) => cascadeDelete(Tables(s, d))),
     "qf02_ttl_expiry"      -> ((s: SparkSession, d: String) => ttlExpiry(Tables(s, d))),
     "qi01_incremental_agg" -> ((s: SparkSession, d: String) => incrementalAgg(Tables(s, d))),
+    "qi02_mv_retract"      -> ((s: SparkSession, d: String) => retractionMv(Tables(s, d))),
     "qj02_join_advisor"    -> ((s: SparkSession, d: String) => joinAdvisor(Tables(s, d))),
     "qg09_degree_census"   -> ((s: SparkSession, d: String) => degreeCensus(Tables(s, d))),
     "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
@@ -754,6 +816,7 @@ object ExtendedQueries {
     "qf01_cascade_delete"  -> cascadeDeleteSql,
     "qf02_ttl_expiry"      -> ttlExpirySql,
     "qi01_incremental_agg" -> incrementalAggSql,
+    "qi02_mv_retract"      -> retractionMvSql,
     "qj02_join_advisor"    -> joinAdvisorSql,
     "qg09_degree_census"   -> degreeCensusSql,
     "qg03_pagerank"        -> pageRankSql,

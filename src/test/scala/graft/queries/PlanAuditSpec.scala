@@ -390,6 +390,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_"), s"delta aggregation should combine map-side:\n$p")
   }
 
+  test("qs17/qs19: PCA projection and residual are scan-local — zero Exchange before the top-k") {
+    val c = graft.operators.Pca.topComponent(t.embeddings, "embedding", iters = 1)
+    val proj = plan(graft.operators.Pca.projected(t.embeddings, "embedding", "vec_id", c))
+    assert(!proj.contains("Exchange"), s"PC1 projection must not shuffle:\n$proj")
+    val res = plan(graft.operators.Pca.residualized(t.embeddings, "embedding", "vec_id", c))
+    assert(!res.contains("Exchange"), s"residual must not shuffle:\n$res")
+  }
+
+  test("qs18: JL projection is a scan-local integer fold — zero Exchange, no UDF") {
+    val p = plan(graft.operators.RandomProjection
+      .projected(t.embeddings, "vec_id", "embedding", m = 8, d = 64))
+    assert(!p.contains("Exchange"), s"projection must not shuffle:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("qi02: the retraction rescan re-reads ONLY affected keys via a broadcast join") {
+    val p = plan(ExtendedQueries.retractionMv(t))
+    assert(p.contains("BroadcastHashJoin"), s"affected-key set must broadcast:\n$p")
+    // the standing MV and merge decision are materialized frames, so
+    // the full history is not re-aggregated on the output path
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"merge decision must be materialized:\n$p")
+  }
+
   test("qt28: heavy-hitter verify joins the broadcast candidate set; counts combine map-side") {
     val p = plan(QualityQueries.heavyHitters(t))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
