@@ -1280,6 +1280,41 @@ object QualityQueries {
        |FROM dwords d JOIN w8 ON d.word = w8.word
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** qt36: tokenizer fertility census by SOURCE — subwords-per-word
+    * under the qt26-trained BPE vocabulary, aggregated per corpus
+    * source: the budget read that tells a trainer which sources
+    * inflate token costs (code/URLs fragment, prose doesn't) before
+    * the mixing weights (qp11/qp17) are set. Same census-sized shape
+    * as qt27: encode each DISTINCT word once, join counts back. */
+  def bpeFertility(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val (merges, _) = Bpe.train(t.documents, numMerges = 8)
+    t.spark.catalog.clearCache()
+    Bpe.encodedTokenCounts(t.documents, merges)
+      .join(t.documents.select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           sum($"n_words").as("n_words"),
+           sum($"n_subwords").as("n_subwords"))
+      .withColumn("fertility",
+        round($"n_subwords".cast("double") / $"n_words".cast("double"), 6))
+      .orderBy($"source")
+  }
+
+  val bpeFertilitySql: String =
+    s"""${bpeChainSql(8)},
+       |dwords AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) word FROM documents)
+       |  WHERE len(word) > 0),
+       |per AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) nw, CAST(SUM(len(w8.syms)) AS BIGINT) ns
+       |  FROM dwords d JOIN w8 ON d.word = w8.word GROUP BY d.doc_id)
+       |SELECT doc.source AS source, CAST(COUNT(*) AS BIGINT) n_docs,
+       |  CAST(SUM(per.nw) AS BIGINT) n_words, CAST(SUM(per.ns) AS BIGINT) n_subwords,
+       |  round(CAST(SUM(per.ns) AS DOUBLE) / CAST(SUM(per.nw) AS DOUBLE), 6) fertility
+       |FROM per JOIN documents doc USING (doc_id)
+       |GROUP BY doc.source ORDER BY source""".stripMargin
+
   /** One Viterbi-EM round as a recursive-CTE DP: the working row
     * carries a sliding window of the best (score, path) at the last
     * maxPieceLen=4 positions, advancing one character per iteration —
@@ -1501,6 +1536,7 @@ object QualityQueries {
     "qt25_lr_train"          -> ((s: SparkSession, d: String) => lrTrain(Tables(s, d))),
     "qt26_bpe_vocab"         -> ((s: SparkSession, d: String) => bpeVocab(Tables(s, d))),
     "qt27_bpe_encode"        -> ((s: SparkSession, d: String) => bpeEncode(Tables(s, d))),
+    "qt36_bpe_fertility"     -> ((s: SparkSession, d: String) => bpeFertility(Tables(s, d))),
     "qc10_semantic_decontam" -> ((s: SparkSession, d: String) => semanticDecontaminate(Tables(s, d))),
     "qc11_contamination_report" -> ((s: SparkSession, d: String) => contaminationReport(Tables(s, d))),
     "qp10_relative_gate"     -> ((s: SparkSession, d: String) => relativeQualityGate(Tables(s, d))),
@@ -1530,6 +1566,7 @@ object QualityQueries {
   def oracles: Map[String, String] = Map(
     "qt26_bpe_vocab"         -> bpeVocabSql,
     "qt27_bpe_encode"        -> bpeEncodeSql,
+    "qt36_bpe_fertility"     -> bpeFertilitySql,
     "qt29_unigram_vocab"     -> unigramVocabSql,
     "qt30_unigram_encode"    -> unigramEncodeSql,
     "qr05_expectations"      -> expectationsSql,
