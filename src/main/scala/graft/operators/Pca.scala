@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** In-engine PCA (top principal component by power iteration) — the
@@ -12,31 +12,40 @@ import org.apache.spark.sql.functions._
   *
   * Same census/broadcast discipline as k-means: each power-iteration
   * round is ONE map-side-combined aggregation over the vectors (the
-  * corpus is never shuffled), and the state the driver holds is the
-  * d-dimensional direction (model metadata, the justified-collect
-  * class — exactly [[KMeans]]' centroid collect).
+  * corpus is never shuffled — only 64 per-dim decimal partial sums per
+  * partition move), and the state the driver holds is the d-dim
+  * direction (model metadata, the justified-collect class — exactly
+  * [[KMeans]]' centroid collect). Per-row math goes through the native
+  * [[graft.functions.expressions.DotProduct]] loop and array HOFs —
+  * compact codegen, never a d-term unrolled fold (the unrolled form
+  * compiled to multi-MB methods whose JIT cost dominated wall time).
   *
   * Cross-engine float discipline (the qs12/qt29 rules, applied end to
   * end so the whole trajectory is oracle-able):
   *  - inputs quantize to the 1e-6 grid on read;
   *  - every reduction is a DECIMAL sum of 1e-6-rounded terms
-  *    (partition-order independent);
+  *    (partition-order independent); driver-side norm² is an exact
+  *    micro-unit Long sum;
   *  - every derived scalar (mean, dot, norm, loading) re-quantizes to
   *    1e-6 before the next step consumes it, so engine-vs-oracle ulp
   *    drift (fold association, pow/sqrt last-ulp) is absorbed at each
-  *    stage instead of compounding.
+  *    stage instead of compounding;
+  *  - the per-row dot is the same left fold DuckDB's
+  *    `list_dot_product` evaluates.
   */
 object Pca {
 
   private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
   /** Column-side 1e-6 quantization matching [[q6]]. */
-  private def q6c(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+  private def q6c(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
-  /** Decimal-exact sum of 1e-6-quantized terms. */
-  private def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(q6c(c).cast("decimal(30,6)")).cast("double")
+  private def dot(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.dot(a, b)
+
+  /** quantized view of the vector column */
+  private def quantized(vecCol: String): Column =
+    transform(col(vecCol).cast("array<double>"), x => q6c(x))
 
   final case class Component(mu: Array[Double], v: Array[Double], lambda: Double)
 
@@ -46,33 +55,36 @@ object Pca {
     * (lambda = ||C v|| / n at the final round). */
   def topComponent(df: DataFrame, vecCol: String, iters: Int): Component = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val spark = df.sparkSession
     val d = df.select(size(col(vecCol))).head().getInt(0)
     val n = df.count()
     require(n >= 2, s"need at least 2 vectors, got $n")
 
-    // quantized input view: x_j = q6(vec[j])
-    val x = (0 until d).map(j => q6c(element_at(col(vecCol), j + 1).cast("double")).as(s"x$j"))
-    val vecs = df.select(x: _*).localCheckpoint() // frozen: every round re-scans this
+    // frozen quantized corpus: every round re-scans this, not the plan
+    val vecs = df.select(quantized(vecCol).as("e")).localCheckpoint()
 
-    // mean per dim: q6(decimal-sum / n)
-    val muRow = vecs.select((0 until d).map(j => dsum(col(s"x$j")).as(s"m$j")): _*).head()
-    val mu = (0 until d).map(j => q6(muRow.getDouble(j) / n)).toArray
+    // per-dim decimal sums via (dim, value) explode — map-side combined
+    def dimSums(terms: DataFrame, termCol: String): Map[Int, Double] =
+      terms.select(posexplode(col(termCol)).as(Seq("dim", "t")))
+        .groupBy(col("dim"))
+        .agg(sum(col("t").cast("decimal(30,6)")).cast("double").as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+    val muSums = dimSums(vecs, "e")
+    val mu = (0 until d).map(j => q6(muSums(j) / n)).toArray
 
     var v = Array.fill(d)(q6(1.0 / math.sqrt(d.toDouble)))
     var lambda = 0.0
     for (_ <- 1 to iters) {
-      val bcMu = spark.sparkContext.broadcast(mu)
-      val bcV = spark.sparkContext.broadcast(v)
-      // dot_i = q6( sum_j (x_ij - mu_j) * v_j ): scan-local fold
-      val dot = q6c((0 until d).map(j =>
-        (col(s"x$j") - lit(bcMu.value(j))) * lit(bcV.value(j))).reduce(_ + _)).as("__dot")
-      // w_j = decimal-sum_i q6((x_ij - mu_j) * dot_i)
-      val wRow = vecs.select((col("*") +: Seq(dot)): _*)
-        .select((0 until d).map(j =>
-          dsum((col(s"x$j") - lit(bcMu.value(j))) * col("__dot")).as(s"w$j")): _*)
-        .head()
-      val w = (0 until d).map(j => q6(wRow.getDouble(j))).toArray
+      val muLit = lit(mu)
+      val vLit = lit(v)
+      val cx = zip_with(col("e"), muLit, (a, b) => a - b)
+      // dot_i = q6( (e_i - mu) · v ): scan-local native loop
+      val withDot = vecs.select(col("e"), q6c(dot(cx, vLit)).as("__dot"))
+      // w_j = decimal-sum_i q6((e_ij - mu_j) * dot_i)
+      val wSums = dimSums(
+        withDot.select(zip_with(col("e"), muLit,
+          (a, b) => q6c((a - b) * col("__dot"))).as("t")), "t")
+      val w = (0 until d).map(j => q6(wSums(j))).toArray
       // norm² as an exact micro-unit (1e-6 grid) integer sum: the q6'd
       // squares are k/1e6 rationals, so Σ floor(wj²·1e6+0.5) over Long
       // is order-free and /1e6 is one correctly-rounded division —
@@ -112,17 +124,15 @@ object Pca {
     * top" anisotropy correction contrastive-embedding retrieval
     * applies): r = (x−μ) − ((x−μ)·v)·v, every coordinate re-quantized
     * to the 1e-6 grid so the rvec column is oracle-exact. Scan-local
-    * per-row arithmetic against broadcast model state — zero shuffle. */
+    * per-row arithmetic against literal model state — zero shuffle. */
   def residualized(df: DataFrame, vecCol: String, idCol: String,
                    c: Component): DataFrame = {
-    val d = c.v.length
-    val bcMu = df.sparkSession.sparkContext.broadcast(c.mu)
-    val bcV = df.sparkSession.sparkContext.broadcast(c.v)
-    def cx(j: Int) =
-      q6c(element_at(col(vecCol), j + 1).cast("double")) - lit(bcMu.value(j))
-    val dotE = q6c((0 until d).map(j => cx(j) * lit(bcV.value(j))).reduce(_ + _))
+    val muLit = lit(c.mu)
+    val vLit = lit(c.v)
+    val cx = zip_with(quantized(vecCol), muLit, (a, b) => a - b)
+    val dotE = q6c(dot(cx, vLit))
     val resid = graft.functions.TextFunctions.letBound(dotE) { dd =>
-      array((0 until d).map(j => q6c(cx(j) - dd * lit(bcV.value(j)))): _*)
+      zip_with(cx, vLit, (c0, vv) => q6c(c0 - dd * vv))
     }
     df.select(col(idCol), resid.as("rvec"))
   }
@@ -131,12 +141,8 @@ object Pca {
     * whitening/1-D-layout read; scan-local, zero shuffle. */
   def projected(df: DataFrame, vecCol: String, idCol: String,
                 c: Component): DataFrame = {
-    val d = c.v.length
-    val bcMu = df.sparkSession.sparkContext.broadcast(c.mu)
-    val bcV = df.sparkSession.sparkContext.broadcast(c.v)
-    val score = q6c((0 until d).map(j =>
-      (q6c(element_at(col(vecCol), j + 1).cast("double")) - lit(bcMu.value(j))) *
-        lit(bcV.value(j))).reduce(_ + _))
+    val score = q6c(dot(
+      zip_with(quantized(vecCol), lit(c.mu), (a, b) => a - b), lit(c.v)))
     df.select(col(idCol), score.as("pc1"))
   }
 }

@@ -38,19 +38,27 @@ object RandomProjection {
 
   /** (idCol, rvec): the m-dimensional projection y_j = Σ_i s_ji ·
     * round(x_i·1e6), emitted as array<double> of exactly-representable
-    * integers (|y| < 2^53) so the vector plane's dot/cosine machinery
-    * applies unchanged. */
+    * integers so the vector plane's dot/cosine machinery applies
+    * unchanged. Each row of the sign matrix is a ±1.0 literal array
+    * and y_j is one native [[graft.functions.expressions.DotProduct]]
+    * call — a compact codegen loop instead of an m·d-term unrolled
+    * fold (the unrolled form compiled to multi-MB methods that
+    * dominated wall time). Exactness is unchanged: the micro-values
+    * are integer-valued doubles ≤ ~5e7, products are exact sign flips,
+    * and partial sums stay ≤ d·5e7 ≪ 2^53, so the double fold IS
+    * integer arithmetic — order-free, bit-equal to the oracle's
+    * BIGINT list_sum. */
   def projected(df: DataFrame, idCol: String, vecCol: String,
                 m: Int, d: Int): DataFrame = {
     require(m > 0 && d > 0, s"need positive dims, got m=$m d=$d")
     val xm = transform(col(vecCol).cast("array<double>"),
-      x => floor(x * lit(1e6) + lit(0.5)).cast("long"))
+      x => floor(x * lit(1e6) + lit(0.5)))
     val y = letBound(xm) { v =>
       array((0 until m).map { j =>
-        (0 until d).map(i => element_at(v, i + 1) * lit(sign(j, i).toLong))
-          .reduce(_ + _)
+        graft.functions.VectorFunctions.dot(
+          v, lit((0 until d).map(i => sign(j, i).toDouble).toArray))
       }: _*)
     }
-    df.select(col(idCol), y.cast("array<double>").as("rvec"))
+    df.select(col(idCol), y.as("rvec"))
   }
 }
