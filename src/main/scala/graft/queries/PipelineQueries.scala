@@ -938,6 +938,58 @@ object PipelineQueries {
        |  FROM sims)
        |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
 
+  /** qs20: product-quantization codebook census — THE vector
+    * compression at 100 TB (a 64-dim float vector becomes 4 sub-space
+    * code bytes): the embedding is split into 4 contiguous 16-dim
+    * sub-spaces and each learns its own k=4 Lloyd codebook from the
+    * shared md5-ordered seeds ([[graft.operators.KMeans.census]] on
+    * the slice). Per (subspace, cell): member count, centroid norm²,
+    * and exact-decimal quantization error — the read that decides
+    * whether PQ codes can stand in for raw vectors in the ANN funnel.
+    * Each subspace is the already-audited qs12 shape (broadcast
+    * centroids, map-side-combined means); the oracle replays all four
+    * chains. */
+  def productQuant(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    (0 until 4).map { s =>
+      val sub = t.embeddings.select($"vec_id",
+        slice($"embedding".cast("array<double>"), s * 16 + 1, 16).as("sub"))
+      graft.operators.KMeans.census(sub, k = 4, iters = 1, idCol = "vec_id", vecCol = "sub")
+        .select(lit(s).as("subspace"), $"cell", $"n_members", $"c_nrm2", $"inertia")
+    }.reduce(_ unionByName _).orderBy($"subspace", $"cell")
+  }
+
+  val productQuantSql: String = {
+    def sub(s: Int): String = {
+      val lo = s * 16 + 1; val hi = s * 16 + 16
+      s"""v$s AS (SELECT vec_id, (embedding::DOUBLE[])[$lo:$hi] e,
+         |    list_dot_product((embedding::DOUBLE[])[$lo:$hi], (embedding::DOUBLE[])[$lo:$hi]) nrm2
+         |  FROM embeddings),
+         |c0$s AS (SELECT (ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)) - 1 AS cell,
+         |    e c_vec, nrm2 c_nrm2
+         |  FROM v$s ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 4),
+         |s1$s AS (SELECT v.vec_id, v.e, v.nrm2, c.cell,
+         |    c.c_nrm2 - 2 * list_dot_product(v.e, c.c_vec) AS score
+         |  FROM v$s v CROSS JOIN c0$s c),
+         |a1$s AS (SELECT vec_id, e, nrm2, cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) rn
+         |    FROM s1$s) WHERE rn = 1),
+         |m1$s AS (SELECT cell, i,
+         |    CAST(SUM(CAST(round(e[i], 6) AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) mv
+         |  FROM a1$s, range(1, 17) t(i) GROUP BY cell, i),
+         |c1$s AS (SELECT cell, list(mv ORDER BY i) c_vec FROM m1$s GROUP BY cell),
+         |cn1$s AS (SELECT cell, c_vec, list_dot_product(c_vec, c_vec) c_nrm2 FROM c1$s),
+         |f$s AS (SELECT CAST($s AS INT) subspace, a.cell, c.c_nrm2, CAST(COUNT(*) AS BIGINT) n_members,
+         |    CAST(SUM(CAST(round(a.nrm2 - 2 * list_dot_product(a.e, c.c_vec) + c.c_nrm2, 6)
+         |      AS DECIMAL(28,6))) AS DOUBLE) inertia
+         |  FROM a1$s a JOIN cn1$s c ON a.cell = c.cell GROUP BY a.cell, c.c_nrm2)""".stripMargin
+    }
+    s"""WITH ${(0 until 4).map(sub).mkString(",\n")}
+       |SELECT subspace, CAST(cell AS INT) AS cell, n_members, round(c_nrm2, 6) AS c_nrm2, inertia
+       |FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
+       |ORDER BY subspace, cell""".stripMargin
+  }
+
   // ---- sessionization (batch twin of the streaming operator) ----
 
   /** Gap-based sessionization over the event stream (30-min gap);
@@ -2065,6 +2117,7 @@ object PipelineQueries {
     "qs17_pca_outliers"    -> ((s: SparkSession, d: String) => pcaOutliers(Tables(s, d))),
     "qs18_jl_recall"       -> ((s: SparkSession, d: String) => jlRecall(Tables(s, d))),
     "qs19_isotropic_topk"  -> ((s: SparkSession, d: String) => isotropicTopK(Tables(s, d))),
+    "qs20_product_quant"   -> ((s: SparkSession, d: String) => productQuant(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2125,5 +2178,6 @@ object PipelineQueries {
     "qs17_pca_outliers"    -> pcaOutliersSql,
     "qs18_jl_recall"       -> jlRecallSql,
     "qs19_isotropic_topk"  -> isotropicTopKSql,
+    "qs20_product_quant"   -> productQuantSql,
   )
 }
