@@ -184,11 +184,80 @@ object LayoutQueries {
        |FROM r CROSS JOIN sel ORDER BY layout""".stripMargin
   }
 
+  /** qz05: PC1 as a LAYOUT KEY — the embedding-plane twin of qz04:
+    * lay the embedding corpus into 16 files either by ingestion order
+    * (vec_id ranges) or by equal-width PC1 value ranges (the 1-D sort
+    * key [[graft.operators.Pca.projected]] exists to provide), then
+    * evaluate parquet-style min/max file skipping for the "top 20% of
+    * the PC1 value range" predicate. Ingestion-order files each span
+    * nearly the full PC1 domain (read ~everything); PC1-range files
+    * prune to the tail. Pure arithmetic over broadcast extents — no
+    * sampling, no ordinal, no data-scale window; the oracle replays
+    * the full PCA trajectory plus the binning. */
+  def pc1Layout(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val c = graft.operators.Pca.topComponent(t.embeddings, "embedding", iters = 3)
+    val k = c.v.indices.maxBy(j => (math.abs(c.v(j)), -j))
+    val flip = if (c.v(k) < 0) -1.0 else 1.0
+    val scored = graft.operators.Pca.projected(t.embeddings, "embedding", "vec_id", c)
+      .select($"vec_id", (lit(flip) * $"pc1").as("pc1")).localCheckpoint()
+    val mm = scored.agg(min($"pc1"), max($"pc1"), min($"vec_id"), max($"vec_id")).head()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val (ia, ib) = (mm.getLong(2), mm.getLong(3))
+    val lo = mn + 0.8 * (mx - mn)
+    def reads(keyCol: org.apache.spark.sql.Column, keyMn: Double, keySpan: Double,
+              layout: String): DataFrame =
+      scored.select(
+          (if (keySpan == 0.0) lit(0L)
+           else least(floor((keyCol.cast("double") - lit(keyMn)) / lit(keySpan) * 16),
+             lit(15L)).cast("long")).as("bucket"),
+          $"pc1")
+        .groupBy($"bucket").agg(max($"pc1").as("p_max"))
+        .select(lit(layout).as("layout"), ($"p_max" >= lit(lo)).cast("long").as("rd"))
+        .groupBy($"layout").agg(count(lit(1)).as("n_files"), sum($"rd").as("files_read"))
+    val selected = scored.filter($"pc1" >= lo).agg(count(lit(1)).as("rows_selected"))
+    reads($"vec_id", ia.toDouble, (ib - ia).toDouble, "natural")
+      .unionByName(reads($"pc1", mn, mx - mn, "pc1"))
+      .crossJoin(broadcast(selected))
+      .select($"layout", $"n_files", $"files_read",
+        round($"files_read".cast("double") / $"n_files".cast("double"), 6).as("read_frac"),
+        $"rows_selected")
+      .orderBy($"layout")
+  }
+
+  val pc1LayoutSql: String =
+    s"""WITH ${PipelineQueries.pcaCtes(3)},
+       |dq AS (SELECT w.vec_id,
+       |    floor(list_dot_product(list_transform(range(1,65), i -> w.e[i] - m.mu[i]), p.vv)*1e6+0.5)/1e6 dot
+       |  FROM v w, mu m, p3 p),
+       |sc AS (SELECT d.vec_id, fl.f * d.dot pc1 FROM dq d, flip fl),
+       |mm AS (SELECT MIN(pc1) mn, MAX(pc1) mx, MIN(vec_id) ia, MAX(vec_id) ib FROM sc),
+       |th AS (SELECT mn + 0.8 * (mx - mn) lo FROM mm),
+       |nb AS (SELECT CASE WHEN ib = ia THEN 0
+       |    ELSE LEAST(CAST(floor((CAST(vec_id AS DOUBLE) - CAST(ia AS DOUBLE))
+       |      / CAST(ib - ia AS DOUBLE) * 16) AS BIGINT), 15) END bucket, pc1 FROM sc, mm),
+       |pb AS (SELECT CASE WHEN mx = mn THEN 0
+       |    ELSE LEAST(CAST(floor((pc1 - mn) / (mx - mn) * 16) AS BIGINT), 15) END bucket, pc1
+       |  FROM sc, mm),
+       |nf AS (SELECT 'natural' layout, CAST(COUNT(*) AS BIGINT) n_files,
+       |    CAST(SUM(CASE WHEN p_max >= lo THEN 1 ELSE 0 END) AS BIGINT) files_read
+       |  FROM (SELECT bucket, MAX(pc1) p_max FROM nb GROUP BY bucket), th),
+       |pf AS (SELECT 'pc1' layout, CAST(COUNT(*) AS BIGINT) n_files,
+       |    CAST(SUM(CASE WHEN p_max >= lo THEN 1 ELSE 0 END) AS BIGINT) files_read
+       |  FROM (SELECT bucket, MAX(pc1) p_max FROM pb GROUP BY bucket), th),
+       |sel AS (SELECT CAST(COUNT(*) AS BIGINT) rows_selected FROM sc, th WHERE pc1 >= lo)
+       |SELECT layout, n_files, files_read,
+       |  round(CAST(files_read AS DOUBLE) / CAST(n_files AS DOUBLE), 6) read_frac,
+       |  rows_selected
+       |FROM (SELECT * FROM nf UNION ALL SELECT * FROM pf), sel
+       |ORDER BY layout""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qz01_zorder_layout"  -> ((s: SparkSession, d: String) => zorderLayout(Tables(s, d))),
     "qz02_global_ordinal" -> ((s: SparkSession, d: String) => globalOrdinal(Tables(s, d))),
     "qz03_hilbert_layout" -> ((s: SparkSession, d: String) => hilbertLayout(Tables(s, d))),
     "qz04_layout_skipping" -> ((s: SparkSession, d: String) => layoutSkipping(Tables(s, d))),
+    "qz05_pc1_layout"     -> ((s: SparkSession, d: String) => pc1Layout(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -196,5 +265,6 @@ object LayoutQueries {
     "qz02_global_ordinal" -> globalOrdinalSql,
     "qz03_hilbert_layout" -> hilbertLayoutSql,
     "qz04_layout_skipping" -> layoutSkippingSql,
+    "qz05_pc1_layout"     -> pc1LayoutSql,
   )
 }

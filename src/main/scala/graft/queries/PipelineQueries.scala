@@ -767,7 +767,7 @@ object PipelineQueries {
     * engine re-quantizes. CTEs are MATERIALIZED: each round references
     * its predecessor twice, so default inlining would re-expand the
     * corpus scan 2^iters times. */
-  private def pcaCtes(iters: Int): String = {
+  private[queries] def pcaCtes(iters: Int): String = {
     def q6(x: String) = s"floor(($x)*1e6+0.5)/1e6"
     val head =
       s"""v AS MATERIALIZED (SELECT vec_id,
