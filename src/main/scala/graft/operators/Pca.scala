@@ -137,6 +137,34 @@ object Pca {
     df.select(col(idCol), resid.as("rvec"))
   }
 
+  /** Two-component explained-variance summary via DEFLATION: PC1 on
+    * the corpus, PC2 as the top component of the PC1 residuals, and
+    * each λ as a fraction of the total variance tr(C)/n (the exact-
+    * decimal sum of per-row q6(‖x−μ‖²)). The "how anisotropic is this
+    * embedding space really" read: cum_frac(1) ≫ 1/d says qs19's
+    * correction is worth applying; cum_frac(2) − cum_frac(1) says
+    * whether one deflation round was enough. Output: (component,
+    * lambda, cum_frac). */
+  def varianceSummary(df: DataFrame, vecCol: String, idCol: String,
+                      iters: Int): DataFrame = {
+    val c1 = topComponent(df, vecCol, iters)
+    val c2 = topComponent(residualized(df, vecCol, idCol, c1), "rvec", iters)
+    val n = df.count()
+    val cx = zip_with(quantized(vecCol), lit(c1.mu), (a, b) => a - b)
+    val tvSum = df.select(q6c(dot(cx, cx)).as("sq"))
+      .agg(sum(col("sq").cast("decimal(30,6)")).cast("double")).head().getDouble(0)
+    val tv = q6(tvSum / n)
+    val spark = df.sparkSession
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1, c1.lambda, q6(c1.lambda / tv)),
+        Row(2, c2.lambda, q6((c1.lambda + c2.lambda) / tv))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("lambda", org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("cum_frac", org.apache.spark.sql.types.DoubleType))))
+  }
+
   /** Project vectors onto the fitted component: score = (x-μ)·v — the
     * whitening/1-D-layout read; scan-local, zero shuffle. */
   def projected(df: DataFrame, vecCol: String, idCol: String,

@@ -767,29 +767,38 @@ object PipelineQueries {
     * engine re-quantizes. CTEs are MATERIALIZED: each round references
     * its predecessor twice, so default inlining would re-expand the
     * corpus scan 2^iters times. */
+  /** One power-iteration chain over CTE `src` (columns vec_id, e) with
+    * CTE-name prefix `pfx` — reused for the PC2 deflation chain over
+    * the residual lists. Row count comes from the shared `cnt` CTE. */
+  private[queries] def pcaChain(iters: Int, src: String, pfx: String): String = {
+    def q6(x: String) = s"floor(($x)*1e6+0.5)/1e6"
+    val head =
+      s"""${pfx}mud AS (SELECT i, ${q6("CAST(SUM(CAST(e[i] AS DECIMAL(30,6))) AS DOUBLE) / n")} m
+         |  FROM $src, cnt, range(1,65) t(i) GROUP BY i, n),
+         |${pfx}mu AS MATERIALIZED (SELECT list(m ORDER BY i) mu FROM ${pfx}mud),
+         |${pfx}p0 AS (SELECT list_transform(range(1,65), i -> ${q6("1.0/sqrt(64.0)")}) vv)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""${pfx}d$k AS MATERIALIZED (SELECT w.vec_id, w.e,
+         |    ${q6("list_dot_product(list_transform(range(1,65), i -> w.e[i] - m.mu[i]), p.vv)")} dot
+         |  FROM $src w, ${pfx}mu m, ${pfx}p${k - 1} p),
+         |${pfx}w$k AS MATERIALIZED (SELECT i,
+         |    ${q6(s"CAST(SUM(CAST(${q6("(d.e[i] - m.mu[i]) * d.dot")} AS DECIMAL(30,6))) AS DOUBLE)")} w
+         |  FROM ${pfx}d$k d, ${pfx}mu m, range(1,65) t(i) GROUP BY i),
+         |${pfx}n$k AS MATERIALIZED (SELECT
+         |    ${q6(s"sqrt(CAST(SUM(CAST(${q6("w*w")} AS DECIMAL(30,6))) AS DOUBLE))")} nrm FROM ${pfx}w$k),
+         |${pfx}p$k AS MATERIALIZED (SELECT list(${q6("w.w / n.nrm")} ORDER BY w.i) vv
+         |  FROM ${pfx}w$k w, ${pfx}n$k n)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
   private[queries] def pcaCtes(iters: Int): String = {
     def q6(x: String) = s"floor(($x)*1e6+0.5)/1e6"
     val head =
       s"""v AS MATERIALIZED (SELECT vec_id,
          |    list_transform(embedding::DOUBLE[], x -> ${q6("x")}) e FROM embeddings),
-         |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM v),
-         |mud AS (SELECT i, ${q6("CAST(SUM(CAST(e[i] AS DECIMAL(30,6))) AS DOUBLE) / n")} m
-         |  FROM v, cnt, range(1,65) t(i) GROUP BY i, n),
-         |mu AS MATERIALIZED (SELECT list(m ORDER BY i) mu FROM mud),
-         |p0 AS (SELECT list_transform(range(1,65), i -> ${q6("1.0/sqrt(64.0)")}) vv)""".stripMargin
-    val rounds = (1 to iters).map { k =>
-      s"""d$k AS MATERIALIZED (SELECT w.vec_id, w.e,
-         |    ${q6("list_dot_product(list_transform(range(1,65), i -> w.e[i] - m.mu[i]), p.vv)")} dot
-         |  FROM v w, mu m, p${k - 1} p),
-         |w$k AS MATERIALIZED (SELECT i,
-         |    ${q6(s"CAST(SUM(CAST(${q6("(d.e[i] - m.mu[i]) * d.dot")} AS DECIMAL(30,6))) AS DOUBLE)")} w
-         |  FROM d$k d, mu m, range(1,65) t(i) GROUP BY i),
-         |n$k AS MATERIALIZED (SELECT
-         |    ${q6(s"sqrt(CAST(SUM(CAST(${q6("w*w")} AS DECIMAL(30,6))) AS DOUBLE))")} nrm FROM w$k),
-         |p$k AS MATERIALIZED (SELECT list(${q6("w.w / n.nrm")} ORDER BY w.i) vv
-         |  FROM w$k w, n$k n)""".stripMargin
-    }
-    (head +: rounds).mkString(",\n") +
+         |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM v)""".stripMargin
+    head + ",\n" + pcaChain(iters, "v", "") +
       s""",
          |fin AS MATERIALIZED (SELECT i, m.mu[i] mu, p.vv[i] loading
          |  FROM range(1,65) t(i), mu m, p$iters p),
@@ -988,6 +997,46 @@ object PipelineQueries {
        |SELECT subspace, CAST(cell AS INT) AS cell, n_members, round(c_nrm2, 6) AS c_nrm2, inertia
        |FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
        |ORDER BY subspace, cell""".stripMargin
+  }
+
+  /** qs21: explained-variance summary via DEFLATION —
+    * [[graft.operators.Pca.varianceSummary]]: PC1 on the corpus, PC2
+    * on the PC1 residuals, each λ as a cumulative fraction of total
+    * variance. The "how anisotropic is this space" read that decides
+    * whether qs19's correction (and how many deflation rounds) is
+    * worth running. The oracle replays BOTH power-iteration chains
+    * (the second over the residual lists) plus the exact-decimal
+    * trace. */
+  def pcaVariance(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    graft.operators.Pca.varianceSummary(t.embeddings, "embedding", "vec_id", iters = 3)
+      .orderBy($"component")
+  }
+
+  val pcaVarianceSql: String = {
+    def q6(x: String) = s"floor(($x)*1e6+0.5)/1e6"
+    s"""WITH v AS MATERIALIZED (SELECT vec_id,
+       |    list_transform(embedding::DOUBLE[], x -> ${q6("x")}) e FROM embeddings),
+       |cnt AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM v),
+       |${pcaChain(3, "v", "")},
+       |dq AS (SELECT w.vec_id, w.e,
+       |    ${q6("list_dot_product(list_transform(range(1,65), i -> w.e[i] - m.mu[i]), p.vv)")} dot
+       |  FROM v w, mu m, p3 p),
+       |r AS MATERIALIZED (SELECT d.vec_id,
+       |    list_transform(range(1,65), i -> ${q6("(d.e[i] - m.mu[i]) - d.dot * p.vv[i]")}) e
+       |  FROM dq d, mu m, p3 p),
+       |${pcaChain(3, "r", "r")},
+       |tvr AS (SELECT ${q6("list_dot_product(cx, cx)")} sq FROM (
+       |    SELECT list_transform(range(1,65), i -> w.e[i] - m.mu[i]) cx FROM v w, mu m)),
+       |tv AS (SELECT ${q6("CAST(SUM(CAST(sq AS DECIMAL(30,6))) AS DOUBLE) / n")} t
+       |  FROM tvr, cnt GROUP BY n),
+       |l1 AS (SELECT ${q6("nrm / n")} l FROM n3, cnt),
+       |l2 AS (SELECT ${q6("nrm / n")} l FROM rn3, cnt)
+       |SELECT CAST(1 AS INT) component, l1.l AS lambda,
+       |  ${q6("l1.l / tv.t")} AS cum_frac FROM l1, tv
+       |UNION ALL
+       |SELECT CAST(2 AS INT), l2.l, ${q6("(l1.l + l2.l) / tv.t")} FROM l1, l2, tv
+       |ORDER BY component""".stripMargin
   }
 
   // ---- sessionization (batch twin of the streaming operator) ----
@@ -2118,6 +2167,7 @@ object PipelineQueries {
     "qs18_jl_recall"       -> ((s: SparkSession, d: String) => jlRecall(Tables(s, d))),
     "qs19_isotropic_topk"  -> ((s: SparkSession, d: String) => isotropicTopK(Tables(s, d))),
     "qs20_product_quant"   -> ((s: SparkSession, d: String) => productQuant(Tables(s, d))),
+    "qs21_pca_variance"    -> ((s: SparkSession, d: String) => pcaVariance(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2179,5 +2229,6 @@ object PipelineQueries {
     "qs18_jl_recall"       -> jlRecallSql,
     "qs19_isotropic_topk"  -> isotropicTopKSql,
     "qs20_product_quant"   -> productQuantSql,
+    "qs21_pca_variance"    -> pcaVarianceSql,
   )
 }
