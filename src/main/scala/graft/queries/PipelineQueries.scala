@@ -968,7 +968,8 @@ object PipelineQueries {
     }.reduce(_ unionByName _).orderBy($"subspace", $"cell")
   }
 
-  val productQuantSql: String = {
+  /** Shared per-subspace Lloyd-chain CTEs for qs20/qs22. */
+  private val pqCtes: String = {
     def sub(s: Int): String = {
       val lo = s * 16 + 1; val hi = s * 16 + 16
       s"""v$s AS (SELECT vec_id, (embedding::DOUBLE[])[$lo:$hi] e,
@@ -993,10 +994,91 @@ object PipelineQueries {
          |      AS DECIMAL(28,6))) AS DOUBLE) inertia
          |  FROM a1$s a JOIN cn1$s c ON a.cell = c.cell GROUP BY a.cell, c.c_nrm2)""".stripMargin
     }
-    s"""WITH ${(0 until 4).map(sub).mkString(",\n")}
+    (0 until 4).map(sub).mkString(",\n")
+  }
+
+  val productQuantSql: String =
+    s"""WITH $pqCtes
        |SELECT subspace, CAST(cell AS INT) AS cell, n_members, round(c_nrm2, 6) AS c_nrm2, inertia
        |FROM (SELECT * FROM f0 UNION ALL SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3)
        |ORDER BY subspace, cell""".stripMargin
+
+  /** qs22: PQ asymmetric-distance recall — the number that decides
+    * whether qs20's codebooks can STAND IN for raw vectors: every
+    * database vector is replaced by its 4-byte PQ reconstruction
+    * (per-subspace nearest codeword), queries stay full-precision, and
+    * approximate cosine = Σ_s q_s·c_codeword / (|q|·|x̂|) ranks top-5
+    * against full-space brute force (the qs15/qs18 recall census).
+    * Partial dots sum in FIXED subspace order (a left fold, never an
+    * aggregate) so the score is cross-engine exact pre-rounding. */
+  def pqRecall(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val bf = Similarity.bruteForceTopK(t.embeddings, QueryIds, k = 5)
+      .select($"query_id", $"neighbor_id").localCheckpoint()
+    val enc = (0 until 4).map { s =>
+      val sub = t.embeddings.select($"vec_id",
+        slice($"embedding".cast("array<double>"), s * 16 + 1, 16).as("sub"))
+      val (cents, assigned) = graft.operators.KMeans.lloyd(sub, k = 4, iters = 1,
+        idCol = "vec_id", vecCol = "sub")
+      assigned.join(broadcast(cents.select($"cell", $"c_vec", $"c_nrm2")), Seq("cell"))
+        .select($"vec_id", $"c_vec".as(s"cv$s"), $"c_nrm2".as(s"cn$s"))
+    }.reduce((a, b) => a.join(b, Seq("vec_id")))
+    val qCols: Seq[org.apache.spark.sql.Column] =
+      Seq($"vec_id".as("query_id"),
+        sqrt(graft.functions.VectorFunctions.norm2($"embedding")).as("q_nrm")) ++
+      (0 until 4).map(s =>
+        slice($"embedding".cast("array<double>"), s * 16 + 1, 16).as(s"qs$s"))
+    val qs = t.embeddings.filter($"vec_id".isin(QueryIds: _*)).select(qCols: _*)
+    import graft.functions.VectorFunctions.dot
+    val sims = enc.join(broadcast(qs), $"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round((dot($"qs0", $"cv0") + dot($"qs1", $"cv1") +
+               dot($"qs2", $"cv2") + dot($"qs3", $"cv3")) /
+          ($"q_nrm" * sqrt($"cn0" + $"cn1" + $"cn2" + $"cn3")), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    val approx = sims.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"query_id", $"neighbor_id")
+    recallCensus(t, bf, approx)
+  }
+
+  val pqRecallSql: String = {
+    val enc = (0 until 4).map { s =>
+      s"""enc$s AS (SELECT a.vec_id, c.c_vec cv$s, c.c_nrm2 cn$s
+         |  FROM a1$s a JOIN cn1$s c ON a.cell = c.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $pqCtes,
+       |$enc,
+       |qv AS (SELECT vec_id query_id, embedding::DOUBLE[] qv,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) q_nrm
+       |  FROM embeddings WHERE vec_id < 10),
+       |psims AS (SELECT q.query_id, e0.vec_id neighbor_id,
+       |    round((list_dot_product((q.qv)[1:16], e0.cv0) + list_dot_product((q.qv)[17:32], e1.cv1)
+       |      + list_dot_product((q.qv)[33:48], e2.cv2) + list_dot_product((q.qv)[49:64], e3.cv3))
+       |      / (q.q_nrm * sqrt(e0.cn0 + e1.cn1 + e2.cn2 + e3.cn3)), 6) cos_sim
+       |  FROM qv q, enc0 e0 JOIN enc1 e1 USING (vec_id) JOIN enc2 e2 USING (vec_id)
+       |    JOIN enc3 e3 USING (vec_id)
+       |  WHERE e0.vec_id <> q.query_id),
+       |pq5 AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+       |    FROM psims) WHERE rk <= 5),
+       |bsims AS (SELECT q.query_id, v0.vec_id neighbor_id,
+       |    round(list_dot_product(q.qv, v0.e64) / (q.q_nrm * sqrt(v0.n64)), 6) cos_sim
+       |  FROM (SELECT vec_id, embedding::DOUBLE[] e64,
+       |          list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) n64 FROM embeddings) v0
+       |    JOIN qv q ON v0.vec_id <> q.query_id),
+       |bf AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+       |    FROM bsims) WHERE rk <= 5),
+       |h AS (SELECT bf.query_id, CAST(COUNT(*) AS BIGINT) n
+       |  FROM bf JOIN pq5 USING (query_id, neighbor_id) GROUP BY 1),
+       |per AS (SELECT qq.query_id, COALESCE(h.n, 0) n_hits,
+       |    round(CAST(COALESCE(h.n, 0) AS DOUBLE) / 5.0, 6) recall
+       |  FROM (SELECT DISTINCT query_id FROM bf) qq LEFT JOIN h ON h.query_id = qq.query_id)
+       |SELECT * FROM per
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(SUM(n_hits) AS BIGINT),
+       |  round(CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * 5.0), 6) FROM per
+       |ORDER BY query_id""".stripMargin
   }
 
   /** qs21: explained-variance summary via DEFLATION —
@@ -2168,6 +2250,7 @@ object PipelineQueries {
     "qs19_isotropic_topk"  -> ((s: SparkSession, d: String) => isotropicTopK(Tables(s, d))),
     "qs20_product_quant"   -> ((s: SparkSession, d: String) => productQuant(Tables(s, d))),
     "qs21_pca_variance"    -> ((s: SparkSession, d: String) => pcaVariance(Tables(s, d))),
+    "qs22_pq_recall"       -> ((s: SparkSession, d: String) => pqRecall(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2230,5 +2313,6 @@ object PipelineQueries {
     "qs19_isotropic_topk"  -> isotropicTopKSql,
     "qs20_product_quant"   -> productQuantSql,
     "qs21_pca_variance"    -> pcaVarianceSql,
+    "qs22_pq_recall"       -> pqRecallSql,
   )
 }

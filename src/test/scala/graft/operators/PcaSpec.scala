@@ -67,6 +67,27 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("varianceSummary: a dominant direction owns ~all variance; fractions are cumulative") {
+    // major axis (0.6, 0.8) with |t| up to 5; minor axis (-0.8, 0.6)
+    // alternating ±0.01 — big enough to survive the 1e-6 grid, small
+    // enough that PC1 should own >99.9% of the trace
+    val df = (-50 to 50).map { i =>
+      val t = i / 10.0
+      val s = if (i % 2 == 0) 0.01 else -0.01
+      (i.toLong + 100, Array((3.0 + t * 0.6 - s * 0.8).toFloat,
+                             (-2.0 + t * 0.8 + s * 0.6).toFloat))
+    }.toDF("vec_id", "embedding")
+    val rows = Pca.varianceSummary(df, "embedding", "vec_id", iters = 8)
+      .orderBy($"component").collect()
+    assert(rows(0).getInt(0) == 1 && rows(1).getInt(0) == 2)
+    assert(rows(0).getDouble(2) > 0.999, s"PC1 frac = ${rows(0).getDouble(2)}")
+    assert(rows(1).getDouble(2) >= rows(0).getDouble(2))
+    assert(rows(1).getDouble(2) <= 1.0 + 1e-3)
+    // PC2 carries only the planted 1e-4 minor variance
+    assert(rows(1).getDouble(1) < 1e-3 && rows(1).getDouble(1) > 0,
+      s"lambda2 = ${rows(1).getDouble(1)}")
+  }
+
   test("trajectory is partitioning-invariant (decimal sums are order-free)") {
     val df = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val a = Pca.topComponentFrame(df.repartition(1), "embedding", iters = 2)
