@@ -30,6 +30,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_dot_product"),
      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot_product"),
      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("graft_centered_dot"),
+     new ExpressionInfo(classOf[graft.functions.expressions.CenteredDot].getName,
+       "graft_centered_dot"),
+     (children: Seq[Expression]) =>
+       graft.functions.expressions.CenteredDot(children(0), children(1), children(2))),
     (FunctionIdentifier("graft_minhash_signature"),
      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_signature"),
      (children: Seq[Expression]) => MinHashSignature(children(0), children(1))),

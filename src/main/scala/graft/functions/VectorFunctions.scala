@@ -29,6 +29,17 @@ object VectorFunctions {
 
   def norm2(a: Column): Column = dot(a, a)
 
+  /** codegen'd centered dot Σ (x_i − mu_i)·v_i — the PCA-plane kernel
+    * (expressions.CenteredDot); [[centeredDotHof]] is the composed
+    * formulation it must bit-match */
+  def centeredDot(x: Column, mu: Column, v: Column): Column =
+    call_function("graft_centered_dot", asD(x), asD(mu), asD(v))
+
+  /** built-ins-only centered dot — kept as the reference
+    * implementation; CenteredDotSpec asserts bit-equality */
+  def centeredDotHof(x: Column, mu: Column, v: Column): Column =
+    dot(zip_with(asD(x), asD(mu), (a, b) => a - b), v)
+
   /** cosine similarity, computed as dot / sqrt(norm_a * norm_b) —
     * mirror the oracle SQL's operation order exactly */
   def cosine(a: Column, b: Column): Column =

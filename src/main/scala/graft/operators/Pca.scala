@@ -40,8 +40,8 @@ object Pca {
   /** Column-side 1e-6 quantization matching [[q6]]. */
   private def q6c(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
 
-  private def dot(a: Column, b: Column): Column =
-    graft.functions.VectorFunctions.dot(a, b)
+  private def cdot(x: Column, mu: Column, v: Column): Column =
+    graft.functions.VectorFunctions.centeredDot(x, mu, v)
 
   /** quantized view of the vector column */
   private def quantized(vecCol: String): Column =
@@ -77,9 +77,8 @@ object Pca {
     for (_ <- 1 to iters) {
       val muLit = lit(mu)
       val vLit = lit(v)
-      val cx = zip_with(col("e"), muLit, (a, b) => a - b)
-      // dot_i = q6( (e_i - mu) · v ): scan-local native loop
-      val withDot = vecs.select(col("e"), q6c(dot(cx, vLit)).as("__dot"))
+      // dot_i = q6( (e_i - mu) · v ): scan-local fused native loop
+      val withDot = vecs.select(col("e"), q6c(cdot(col("e"), muLit, vLit)).as("__dot"))
       // w_j = decimal-sum_i q6((e_ij - mu_j) * dot_i)
       val wSums = dimSums(
         withDot.select(zip_with(col("e"), muLit,
@@ -130,7 +129,7 @@ object Pca {
     val muLit = lit(c.mu)
     val vLit = lit(c.v)
     val cx = zip_with(quantized(vecCol), muLit, (a, b) => a - b)
-    val dotE = q6c(dot(cx, vLit))
+    val dotE = q6c(cdot(quantized(vecCol), muLit, vLit))
     val resid = graft.functions.TextFunctions.letBound(dotE) { dd =>
       zip_with(cx, vLit, (c0, vv) => q6c(c0 - dd * vv))
     }
@@ -151,7 +150,7 @@ object Pca {
     val c2 = topComponent(residualized(df, vecCol, idCol, c1), "rvec", iters)
     val n = df.count()
     val cx = zip_with(quantized(vecCol), lit(c1.mu), (a, b) => a - b)
-    val tvSum = df.select(q6c(dot(cx, cx)).as("sq"))
+    val tvSum = df.select(q6c(graft.functions.VectorFunctions.dot(cx, cx)).as("sq"))
       .agg(sum(col("sq").cast("decimal(30,6)")).cast("double")).head().getDouble(0)
     val tv = q6(tvSum / n)
     val spark = df.sparkSession
@@ -169,8 +168,7 @@ object Pca {
     * whitening/1-D-layout read; scan-local, zero shuffle. */
   def projected(df: DataFrame, vecCol: String, idCol: String,
                 c: Component): DataFrame = {
-    val score = q6c(dot(
-      zip_with(quantized(vecCol), lit(c.mu), (a, b) => a - b), lit(c.v)))
+    val score = q6c(cdot(quantized(vecCol), lit(c.mu), lit(c.v)))
     df.select(col(idCol), score.as("pc1"))
   }
 }
