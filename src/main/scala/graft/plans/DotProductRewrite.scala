@@ -1,7 +1,7 @@
 package graft.plans
 
-import graft.functions.expressions.DotProduct
-import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import graft.functions.expressions.{CenteredDot, DotProduct}
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, Subtract, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
@@ -62,6 +62,29 @@ object DotProductRewrite extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** the lambda is exactly `p1 - p2` (subtraction does NOT commute, so
+    * operand order is strict — `(a,b) => b - a` is left alone) */
+  private def isOrderedSub(l: Expression, r: Expression,
+                           p1: NamedLambdaVariable, p2: NamedLambdaVariable): Boolean =
+    (l, r) match {
+      case (a: NamedLambdaVariable, b: NamedLambdaVariable) =>
+        a.exprId == p1.exprId && b.exprId == p2.exprId
+      case _ => false
+    }
+
+  /** centered-vector pattern: zip_with(x, mu, (a,b) -> a - b) over
+    * array<double> sides */
+  private object CenteredZip {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ZipWith(x, mu,
+            LambdaFunction(Subtract(l, r, _),
+              Seq(p1: NamedLambdaVariable, p2: NamedLambdaVariable), _))
+          if isDoubleArray(x) && isDoubleArray(mu) && isOrderedSub(l, r, p1, p2) =>
+        Some((x, mu))
+      case _ => None
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case ArrayAggregate(
           ZipWith(a, b,
@@ -75,5 +98,15 @@ object DotProductRewrite extends Rule[LogicalPlan] {
           usesBothVars(x, y, p1, p2) && usesBothVars(s, v, m1, m2) &&
           isIdentityFinish(finish) =>
       DotProduct(a, b)
+    // fuse dot(zip_with(x, mu, _-_), v) -> centered dot: removes the
+    // interpreted subtraction lambda AND the intermediate array. Safe
+    // in either operand position (IEEE x commutes bitwise per term and
+    // the fold order is unchanged); NULL contracts coincide — a length
+    // mismatch between x and mu surfaces as a null zip element in the
+    // composed form and as the explicit length check in CenteredDot.
+    case DotProduct(CenteredZip(x, mu), v) if isDoubleArray(v) =>
+      CenteredDot(x, mu, v)
+    case DotProduct(v, CenteredZip(x, mu)) if isDoubleArray(v) =>
+      CenteredDot(x, mu, v)
   }
 }

@@ -93,4 +93,44 @@ class DotProductRewriteSpec extends SparkTestBase {
       .limit(5)
     assert(hasNative(q))
   }
+
+  private def hasCentered(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan
+      .collect { case p => p.expressions }.flatten
+      .exists(_.exists(_.isInstanceOf[graft.functions.expressions.CenteredDot]))
+
+  test("dot(zip_with(x, mu, _-_), v) fuses to the native centered dot, either operand order") {
+    val mu = typedLit(Seq(0.5, 0.5, 0.5))
+    val lft = vecs.filter($"id" === 1).select(
+      VectorFunctions.dot(zip_with($"a", mu, (p, q) => p - q), $"b").as("c"))
+    assert(hasCentered(lft), lft.queryExecution.optimizedPlan.toString)
+    val rgt = vecs.filter($"id" === 1).select(
+      VectorFunctions.dot($"b", zip_with($"a", mu, (p, q) => p - q)).as("c"))
+    assert(hasCentered(rgt), rgt.queryExecution.optimizedPlan.toString)
+    // value equals the direct native call
+    val direct = vecs.filter($"id" === 1).select(
+      VectorFunctions.centeredDot($"a", mu, $"b").as("c")).as[Double].head()
+    assert(lft.as[Double].head() == direct && rgt.as[Double].head() == direct)
+    assert(direct == 0.5 * 4.0 + 1.5 * 5.0 + 2.5 * 6.0)
+  }
+
+  test("the fully-composed HOF centered dot fuses within the fixpoint batch") {
+    // aggregate(zip_with(zip_with(x,mu,_-_), v, _*_), 0, _+_): one
+    // fixpoint iteration rewrites the fold to DotProduct, the next
+    // fuses the centered zip into CenteredDot
+    val mu = typedLit(Seq(0.5, 0.5, 0.5))
+    val df = vecs.filter($"id" === 1).select(
+      VectorFunctions.dotHof(zip_with($"a", mu, (p, q) => p - q), $"b").as("c"))
+    assert(hasCentered(df), df.queryExecution.optimizedPlan.toString)
+    assert(df.as[Double].head() == 0.5 * 4.0 + 1.5 * 5.0 + 2.5 * 6.0)
+  }
+
+  test("subtraction order is strict: (p,q) => q - p is NOT fused") {
+    val mu = typedLit(Seq(0.5, 0.5, 0.5))
+    val df = vecs.filter($"id" === 1).select(
+      VectorFunctions.dot(zip_with($"a", mu, (p, q) => q - p), $"b").as("c"))
+    assert(!hasCentered(df), df.queryExecution.optimizedPlan.toString)
+    // still correct through the unfused path
+    assert(df.as[Double].head() == (-0.5 * 4.0) + (-1.5 * 5.0) + (-2.5 * 6.0))
+  }
 }
