@@ -1,0 +1,130 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** WARC reader over byte-assembled ISO 28500 fixtures (the decoders
+  * never see their own output): warcinfo + request + response +
+  * metadata records, plain and per-record-gzipped (the Common Crawl
+  * layout: each record its own gzip member, concatenated). */
+class WarcSourceSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def record(tpe: String, uri: String, payload: Array[Byte],
+                     contentType: String): Array[Byte] = {
+    val h = new StringBuilder
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: $tpe\r\n"
+    if (uri.nonEmpty) h ++= s"WARC-Target-URI: $uri\r\n"
+    h ++= "WARC-Date: 2024-03-01T12:00:00Z\r\n"
+    h ++= s"Content-Type: $contentType\r\n"
+    h ++= s"Content-Length: ${payload.length}\r\n"
+    h ++= "\r\n"
+    h.toString.getBytes("ISO-8859-1") ++ payload ++ "\r\n\r\n".getBytes
+  }
+
+  private def httpResponse(status: Int, contentType: String, body: String): Array[Byte] =
+    (s"HTTP/1.1 $status OK\r\nContent-Type: $contentType\r\nServer: x\r\n\r\n" + body)
+      .getBytes("UTF-8")
+
+  private def fixture: Array[Byte] =
+    record("warcinfo", "", "software: graft-test\r\n".getBytes, "application/warc-fields") ++
+    record("request", "http://example.com/a", "GET /a HTTP/1.1\r\n\r\n".getBytes,
+      "application/http; msgtype=request") ++
+    record("response", "http://example.com/a",
+      httpResponse(200, "text/html; charset=utf-8", "<html>hello warc</html>"),
+      "application/http; msgtype=response") ++
+    record("response", "http://example.com/img.png",
+      httpResponse(200, "image/png", "PNGDATA"),
+      "application/http; msgtype=response") ++
+    record("response", "http://example.com/gone",
+      httpResponse(404, "text/html", "nope"),
+      "application/http; msgtype=response") ++
+    record("metadata", "http://example.com/a", "fetchTimeMs: 12\r\n".getBytes,
+      "application/warc-fields")
+
+  private def writeTmp(name: String, bytes: Array[Byte]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("warc").toFile
+    val f = new java.io.File(dir, name)
+    java.nio.file.Files.write(f.toPath, bytes)
+    f.getAbsolutePath
+  }
+
+  /** each record its own gzip member, concatenated — the CC layout */
+  private def gzipPerRecord(records: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    records.foreach { r =>
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(r); g.finish()
+    }
+    bos.toByteArray
+  }
+
+  test("plain WARC: all record types parsed, HTTP responses split") {
+    val path = writeTmp("f.warc", fixture)
+    val rows = WarcSource.read(spark, path).orderBy($"url", $"recordType").collect()
+    assert(rows.length == 6, rows.mkString("\n"))
+    val types = rows.map(_.getAs[String]("recordType")).sorted.toSeq
+    assert(types == Seq("metadata", "request", "response", "response", "response", "warcinfo"))
+    val ok = rows.filter(r => r.getAs[String]("url") == "http://example.com/a" &&
+      r.getAs[String]("recordType") == "response").head
+    assert(ok.getAs[Int]("httpStatus") == 200)
+    assert(ok.getAs[String]("httpContentType") == "text/html; charset=utf-8")
+    assert(new String(ok.getAs[Array[Byte]]("body"), "UTF-8") == "<html>hello warc</html>")
+    val gone = rows.find(_.getAs[String]("url") == "http://example.com/gone").get
+    assert(gone.getAs[Int]("httpStatus") == 404)
+  }
+
+  test("per-record-gzipped archive (the Common Crawl layout) reads identically") {
+    val recs = Seq(
+      record("warcinfo", "", "software: graft-test\r\n".getBytes, "application/warc-fields"),
+      record("response", "http://example.com/a",
+        httpResponse(200, "text/plain", "body a"), "application/http; msgtype=response"),
+      record("response", "http://example.com/b",
+        httpResponse(200, "text/plain", "body b"), "application/http; msgtype=response"))
+    val path = writeTmp("f.warc.gz", gzipPerRecord(recs))
+    val rows = WarcSource.read(spark, path).filter($"recordType" === "response")
+      .orderBy($"url").collect()
+    assert(rows.length == 2)
+    assert(new String(rows(0).getAs[Array[Byte]]("body"), "UTF-8") == "body a")
+    assert(new String(rows(1).getAs[Array[Byte]]("body"), "UTF-8") == "body b")
+  }
+
+  test("malformed record quarantines as one _error row, keeping earlier records") {
+    val bytes = record("response", "http://ok.example/x",
+        httpResponse(200, "text/plain", "fine"), "application/http; msgtype=response") ++
+      "GARBAGE NOT A VERSION LINE\r\n".getBytes
+    val path = writeTmp("bad.warc", bytes)
+    val rows = WarcSource.read(spark, path).orderBy($"recordType").collect()
+    assert(rows.length == 2, rows.mkString("\n"))
+    assert(rows(0).getAs[String]("recordType") == "_error")
+    assert(rows(0).getAs[String]("contentType").contains("bad version line"))
+    assert(rows(1).getAs[String]("recordType") == "response")
+  }
+
+  test("truncated payload quarantines instead of failing the task") {
+    val full = record("response", "http://ok.example/x",
+      httpResponse(200, "text/plain", "fine"), "application/http; msgtype=response")
+    val path = writeTmp("trunc.warc", full.dropRight(12))
+    val rows = WarcSource.read(spark, path).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[String]("recordType") == "_error")
+    assert(rows(0).getAs[String]("contentType").contains("EOF"))
+  }
+
+  test("asDocuments bridges 200 text responses into the documents shape") {
+    val path = writeTmp("f.warc", fixture)
+    val docs = WarcSource.asDocuments(WarcSource.read(spark, path))
+      .orderBy($"url").collect()
+    // only the 200 text/html record qualifies (png and 404 are dropped)
+    assert(docs.length == 1, docs.mkString("\n"))
+    val d = docs.head
+    assert(d.getAs[String]("url") == "http://example.com/a")
+    assert(d.getAs[String]("source") == "example.com")
+    assert(d.getAs[String]("text") == "<html>hello warc</html>")
+    assert(d.getAs[Long]("doc_id") > 0)
+    // deterministic id: re-read gives the same id
+    val again = WarcSource.asDocuments(WarcSource.read(spark, path)).collect().head
+    assert(again.getAs[Long]("doc_id") == d.getAs[Long]("doc_id"))
+  }
+}
