@@ -27,6 +27,24 @@ object TextFunctions {
   /** whitespace tokenization */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** HTML → text extraction for the crawl-ingestion bridge
+    * ([[graft.sources.WarcSource.asDocuments]]): drop script/style/
+    * comment subtrees wholesale, strip remaining tags, decode the
+    * common entities, collapse whitespace. Pure regexp_replace chain —
+    * codegen'd, scan-local, no parser state; intentionally NOT a DOM
+    * parser (boilerplate-quality filtering is qt11/qt23's job — this
+    * only makes tag soup tokenizable). Case-insensitive via (?is). */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "(?s)<[^>]*>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<",
+      "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(entities, "\\s+", " "))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** BPE-ish sub-token segmentation: letter runs, digit runs, single

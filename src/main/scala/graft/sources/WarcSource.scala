@@ -161,10 +161,14 @@ object WarcSource {
   }
 
   /** Project successful text responses into the engine's `documents`
-    * shape (doc_id = stable sha1-derived long of the URL, text =
-    * UTF-8-decoded body, source = host) — the bridge from raw crawl to
-    * every qt/qd/qp operator. Scan-local, zero shuffle. */
-  def asDocuments(warc: DataFrame): DataFrame =
+    * shape (doc_id = stable sha-derived long of the URL, source =
+    * host) — the bridge from raw crawl to every qt/qd/qp operator.
+    * HTML payloads run through
+    * [[graft.functions.TextFunctions.htmlToText]] (tag soup →
+    * tokenizable text); other text types pass through. Scan-local,
+    * zero shuffle. */
+  def asDocuments(warc: DataFrame): DataFrame = {
+    val raw = decode(col("body"), "UTF-8")
     warc.filter(col("recordType") === "response" &&
         col("httpStatus") === 200 &&
         col("httpContentType").startsWith("text/"))
@@ -172,6 +176,8 @@ object WarcSource {
         conv(substring(sha2(col("url"), 256), 1, 15), 16, 10).cast("long").as("doc_id"),
         col("url"),
         regexp_extract(col("url"), "^https?://([^/]+)", 1).as("source"),
-        decode(col("body"), "UTF-8").as("text"),
+        when(col("httpContentType").startsWith("text/html"),
+          graft.functions.TextFunctions.htmlToText(raw)).otherwise(raw).as("text"),
         col("warcDate").as("fetched_at"))
+  }
 }

@@ -137,4 +137,21 @@ class TextFunctionsSpec extends SparkTestBase {
       }).as[Int].head()
     assert(out == 6)
   }
+
+  test("htmlToText: scripts/styles/comments die wholesale, tags strip, entities decode") {
+    val html =
+      """<html><head><STYLE>body { color: red }</STYLE>
+        |<script type="text/js">var x = "<b>not text</b>";</script></head>
+        |<body><!-- hidden --><h1>Title</h1>
+        |<p>A &amp; B &lt;ok&gt; &quot;q&quot; &#39;s&#39;&nbsp;end.</p></body></html>""".stripMargin
+    val got = Seq(html).toDF("t")
+      .select(TextFunctions.htmlToText($"t")).as[String].head()
+    assert(got == "Title A & B <ok> \"q\" 's' end.", s"got '$got'")
+  }
+
+  test("htmlToText: plain text passes through with whitespace collapsed") {
+    val got = Seq("  plain   text\n\nhere ").toDF("t")
+      .select(TextFunctions.htmlToText($"t")).as[String].head()
+    assert(got == "plain text here")
+  }
 }

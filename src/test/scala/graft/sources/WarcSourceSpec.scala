@@ -121,7 +121,8 @@ class WarcSourceSpec extends SparkTestBase {
     val d = docs.head
     assert(d.getAs[String]("url") == "http://example.com/a")
     assert(d.getAs[String]("source") == "example.com")
-    assert(d.getAs[String]("text") == "<html>hello warc</html>")
+    // text/html payloads run the tag-strip extraction
+    assert(d.getAs[String]("text") == "hello warc")
     assert(d.getAs[Long]("doc_id") > 0)
     // deterministic id: re-read gives the same id
     val again = WarcSource.asDocuments(WarcSource.read(spark, path)).collect().head
