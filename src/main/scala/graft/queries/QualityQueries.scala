@@ -1315,6 +1315,49 @@ object QualityQueries {
        |FROM per JOIN documents doc USING (doc_id)
        |GROUP BY doc.source ORDER BY source""".stripMargin
 
+  /** qt37: Flesch–Kincaid readability census by source — the classic
+    * grade-level formula 0.39·(words/sentences) + 11.8·(syllables/
+    * words) − 15.59 with the standard cheap approximations (sentences
+    * = non-empty [.!?]-delimited segments, syllables = vowel-group
+    * count; groups never span whitespace so the whole-text count
+    * equals the per-word sum). The quality signal every curation
+    * stack carries next to qt03/qt10; per-doc grades decimal-summed
+    * into per-source means. Scan-local regex projections, one
+    * aggregation. */
+  def readability(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val words = graft.operators.Packing.wsTokens($"text").cast("double")
+    val sentences = greatest(lit(1),
+      size(filter(split($"text", "[.!?]+"), s => length(trim(s)) > 0))).cast("double")
+    val syllables = size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0)))
+      .cast("double")
+    val scored = t.documents
+      .select($"source", words.as("w"), sentences.as("s"), syllables.as("y"))
+      .filter($"w" > 0)
+      .select($"source",
+        round(lit(0.39) * $"w" / $"s" + lit(11.8) * $"y" / $"w" - lit(15.59), 6).as("fk"))
+    scored.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+           round(sum($"fk".cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+             .as("mean_grade"),
+           round(min($"fk"), 6).as("min_grade"),
+           round(max($"fk"), 6).as("max_grade"))
+      .orderBy($"source")
+  }
+
+  val readabilitySql: String =
+    """WITH d AS (SELECT source,
+      |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS DOUBLE) w,
+      |    CAST(GREATEST(1, len(list_filter(string_split_regex(text, '[.!?]+'), x -> len(trim(x)) > 0))) AS DOUBLE) s,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE) y
+      |  FROM documents),
+      |f AS (SELECT source, round(0.39 * w / s + 11.8 * y / w - 15.59, 6) fk
+      |  FROM d WHERE w > 0)
+      |SELECT source, CAST(COUNT(*) AS BIGINT) n_docs,
+      |  round(CAST(SUM(CAST(fk AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) mean_grade,
+      |  round(MIN(fk), 6) min_grade, round(MAX(fk), 6) max_grade
+      |FROM f GROUP BY source ORDER BY source""".stripMargin
+
   /** One Viterbi-EM round as a recursive-CTE DP: the working row
     * carries a sliding window of the best (score, path) at the last
     * maxPieceLen=4 positions, advancing one character per iteration —
@@ -1537,6 +1580,7 @@ object QualityQueries {
     "qt26_bpe_vocab"         -> ((s: SparkSession, d: String) => bpeVocab(Tables(s, d))),
     "qt27_bpe_encode"        -> ((s: SparkSession, d: String) => bpeEncode(Tables(s, d))),
     "qt36_bpe_fertility"     -> ((s: SparkSession, d: String) => bpeFertility(Tables(s, d))),
+    "qt37_readability"       -> ((s: SparkSession, d: String) => readability(Tables(s, d))),
     "qc10_semantic_decontam" -> ((s: SparkSession, d: String) => semanticDecontaminate(Tables(s, d))),
     "qc11_contamination_report" -> ((s: SparkSession, d: String) => contaminationReport(Tables(s, d))),
     "qp10_relative_gate"     -> ((s: SparkSession, d: String) => relativeQualityGate(Tables(s, d))),
@@ -1567,6 +1611,7 @@ object QualityQueries {
     "qt26_bpe_vocab"         -> bpeVocabSql,
     "qt27_bpe_encode"        -> bpeEncodeSql,
     "qt36_bpe_fertility"     -> bpeFertilitySql,
+    "qt37_readability"       -> readabilitySql,
     "qt29_unigram_vocab"     -> unigramVocabSql,
     "qt30_unigram_encode"    -> unigramEncodeSql,
     "qr05_expectations"      -> expectationsSql,
