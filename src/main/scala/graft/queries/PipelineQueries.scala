@@ -1121,6 +1121,81 @@ object PipelineQueries {
        |ORDER BY component""".stripMargin
   }
 
+  /** qr07: embedding drift via PC1 — the monitoring read that closes
+    * the PCA loop: PSI between the two md5-free vec_id-parity halves
+    * of the corpus over 8 equal-width PC1 bins (the 1-D summary of
+    * where the embedding mass sits). In production the halves are
+    * yesterday-vs-today snapshots; the parity split is the
+    * deterministic stand-in with the identical plan shape. PSI
+    * discipline = qr06's exactly: +1 Laplace smoothing over the dense
+    * grid, per-term round-6 decimal sums, the 0.1/0.25 scorecard
+    * bands. */
+  def pc1Drift(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val c = graft.operators.Pca.topComponent(t.embeddings, "embedding", iters = 3)
+    val k = c.v.indices.maxBy(j => (math.abs(c.v(j)), -j))
+    val flip = if (c.v(k) < 0) -1.0 else 1.0
+    val scored = graft.operators.Pca.projected(t.embeddings, "embedding", "vec_id", c)
+      .select($"vec_id", (lit(flip) * $"pc1").as("pc1")).localCheckpoint()
+    val mm = scored.agg(min($"pc1"), max($"pc1")).head()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val bkt = if (mx == mn) lit(0L)
+              else least(floor(($"pc1" - lit(mn)) / lit(mx - mn) * 8), lit(7.0)).cast("long")
+    val counts = scored
+      .select(($"vec_id" % 2).as("half"), bkt.as("bkt"))
+      .groupBy($"half", $"bkt").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val halves = counts.groupBy($"half").agg(sum($"c").as("n_h"))
+    val bins = t.spark.range(0, 8).toDF("bkt")
+    val dense = halves.crossJoin(bins)
+      .join(counts, Seq("half", "bkt"), "left").na.fill(0L, Seq("c"))
+    val a = dense.filter($"half" === 0).select($"bkt", $"c".as("ca"), $"n_h".as("na"))
+    val b = dense.filter($"half" === 1).select($"bkt", $"c".as("cb"), $"n_h".as("nb"))
+    val pA = ($"ca" + lit(1L)).cast("double") / ($"na" + lit(8L)).cast("double")
+    val pB = ($"cb" + lit(1L)).cast("double") / ($"nb" + lit(8L)).cast("double")
+    a.join(b, Seq("bkt"))
+      .select($"na", $"nb",
+        round((pA - pB) * log(pA / pB), 6).cast("decimal(24,6)").as("t"))
+      .groupBy($"na", $"nb")
+      .agg(sum($"t").cast("double").as("psi"))
+      .select($"na".as("n_a"), $"nb".as("n_b"), lit(8).as("n_bins"), $"psi",
+        when($"psi" < 0.1, lit("stable"))
+          .when($"psi" < 0.25, lit("moderate"))
+          .otherwise(lit("major")).as("band"))
+  }
+
+  val pc1DriftSql: String =
+    s"""WITH ${pcaCtes(3)},
+       |dq AS (SELECT w.vec_id,
+       |    floor(list_dot_product(list_transform(range(1,65), i -> w.e[i] - m.mu[i]), p.vv)*1e6+0.5)/1e6 dot
+       |  FROM v w, mu m, p3 p),
+       |sc AS (SELECT d.vec_id, fl.f * d.dot pc1 FROM dq d, flip fl),
+       |mm2 AS (SELECT MIN(pc1) mn, MAX(pc1) mx FROM sc),
+       |bn AS (SELECT CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END half,
+       |    CASE WHEN mx = mn THEN 0
+       |         ELSE CAST(LEAST(floor((pc1 - mn) / (mx - mn) * 8), 7.0) AS BIGINT) END bkt
+       |  FROM sc, mm2),
+       |cnt2 AS (SELECT half, bkt, CAST(COUNT(*) AS BIGINT) c FROM bn GROUP BY 1, 2),
+       |hv AS (SELECT half, CAST(SUM(c) AS BIGINT) n_h FROM cnt2 GROUP BY 1),
+       |grid AS (SELECT g.range AS bkt, hv.half, hv.n_h FROM range(0, 8) g CROSS JOIN hv),
+       |dense AS (SELECT grid.bkt, grid.half, grid.n_h, COALESCE(c.c, 0) c
+       |  FROM grid LEFT JOIN cnt2 c ON c.half = grid.half AND c.bkt = grid.bkt),
+       |pa AS (SELECT bkt, c ca, n_h na FROM dense WHERE half = 0),
+       |pb AS (SELECT bkt, c cb, n_h nbh FROM dense WHERE half = 1),
+       |tm AS (SELECT na, nbh,
+       |    CAST(round(
+       |      (CAST(ca + 1 AS DOUBLE) / CAST(na + 8 AS DOUBLE) -
+       |       CAST(cb + 1 AS DOUBLE) / CAST(nbh + 8 AS DOUBLE)) *
+       |      ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 8 AS DOUBLE)) /
+       |         (CAST(cb + 1 AS DOUBLE) / CAST(nbh + 8 AS DOUBLE))), 6)
+       |      AS DECIMAL(24,6)) t
+       |  FROM pa JOIN pb USING (bkt)),
+       |agg2 AS (SELECT na, nbh, CAST(SUM(t) AS DOUBLE) psi FROM tm GROUP BY 1, 2)
+       |SELECT na AS n_a, nbh AS n_b, CAST(8 AS INT) n_bins, psi,
+       |  CASE WHEN psi < 0.1 THEN 'stable'
+       |       WHEN psi < 0.25 THEN 'moderate' ELSE 'major' END band
+       |FROM agg2""".stripMargin
+
   // ---- sessionization (batch twin of the streaming operator) ----
 
   /** Gap-based sessionization over the event stream (30-min gap);
@@ -2251,6 +2326,7 @@ object PipelineQueries {
     "qs20_product_quant"   -> ((s: SparkSession, d: String) => productQuant(Tables(s, d))),
     "qs21_pca_variance"    -> ((s: SparkSession, d: String) => pcaVariance(Tables(s, d))),
     "qs22_pq_recall"       -> ((s: SparkSession, d: String) => pqRecall(Tables(s, d))),
+    "qr07_pc1_drift"       -> ((s: SparkSession, d: String) => pc1Drift(Tables(s, d))),
   )
 
   def oracles: Map[String, String] = Map(
@@ -2314,5 +2390,6 @@ object PipelineQueries {
     "qs20_product_quant"   -> productQuantSql,
     "qs21_pca_variance"    -> pcaVarianceSql,
     "qs22_pq_recall"       -> pqRecallSql,
+    "qr07_pc1_drift"       -> pc1DriftSql,
   )
 }
