@@ -201,6 +201,7 @@ object LayoutQueries {
     val flip = if (c.v(k) < 0) -1.0 else 1.0
     val scored = graft.operators.Pca.projected(t.embeddings, "embedding", "vec_id", c)
       .select($"vec_id", (lit(flip) * $"pc1").as("pc1")).localCheckpoint()
+    // driver scalars: 4 broadcast extents, the justified-collect class
     val mm = scored.agg(min($"pc1"), max($"pc1"), min($"vec_id"), max($"vec_id")).head()
     val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
     val (ia, ib) = (mm.getLong(2), mm.getLong(3))

@@ -1137,6 +1137,7 @@ object PipelineQueries {
     val flip = if (c.v(k) < 0) -1.0 else 1.0
     val scored = graft.operators.Pca.projected(t.embeddings, "embedding", "vec_id", c)
       .select($"vec_id", (lit(flip) * $"pc1").as("pc1")).localCheckpoint()
+    // driver scalars: 2 broadcast extents, the justified-collect class
     val mm = scored.agg(min($"pc1"), max($"pc1")).head()
     val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
     val bkt = if (mx == mn) lit(0L)

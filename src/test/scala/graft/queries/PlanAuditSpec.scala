@@ -414,6 +414,12 @@ class PlanAuditSpec extends SparkTestBase {
       s"merge decision must be materialized:\n$p")
   }
 
+  test("qt37: readability is a join-free scan with map-side-combined per-source sums") {
+    val p = plan(QualityQueries.readability(t))
+    assert(!p.contains("Join"), s"readability must not join:\n$p")
+    assert(p.contains("partial_"), s"per-source sums should combine map-side:\n$p")
+  }
+
   test("qt28: heavy-hitter verify joins the broadcast candidate set; counts combine map-side") {
     val p = plan(QualityQueries.heavyHitters(t))
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
