@@ -180,4 +180,18 @@ object WarcSource {
           graft.functions.TextFunctions.htmlToText(raw)).otherwise(raw).as("text"),
         col("warcDate").as("fetched_at"))
   }
+
+  /** WET variant: Common Crawl's extracted-text sibling stores one
+    * `conversion` record per page (payload = already-extracted plain
+    * text) — the distribution most corpus builds actually consume.
+    * Same documents shape as [[asDocuments]]; no HTTP envelope, no
+    * tag stripping needed. */
+  def asWetDocuments(warc: DataFrame): DataFrame =
+    warc.filter(col("recordType") === "conversion")
+      .select(
+        conv(substring(sha2(col("url"), 256), 1, 15), 16, 10).cast("long").as("doc_id"),
+        col("url"),
+        regexp_extract(col("url"), "^https?://([^/]+)", 1).as("source"),
+        decode(col("body"), "UTF-8").as("text"),
+        col("warcDate").as("fetched_at"))
 }

@@ -128,4 +128,20 @@ class WarcSourceSpec extends SparkTestBase {
     val again = WarcSource.asDocuments(WarcSource.read(spark, path)).collect().head
     assert(again.getAs[Long]("doc_id") == d.getAs[Long]("doc_id"))
   }
+
+  test("asWetDocuments consumes WET conversion records (pre-extracted text)") {
+    val wet =
+      record("warcinfo", "", "software: wet-test\r\n".getBytes, "application/warc-fields") ++
+      record("conversion", "http://example.com/a",
+        "Already extracted page text.".getBytes("UTF-8"), "text/plain") ++
+      record("conversion", "http://example.org/b",
+        "Second page.".getBytes("UTF-8"), "text/plain")
+    val path = writeTmp("f.warc.wet", wet)
+    val docs = WarcSource.asWetDocuments(WarcSource.read(spark, path))
+      .orderBy($"url").collect()
+    assert(docs.length == 2)
+    assert(docs(0).getAs[String]("text") == "Already extracted page text.")
+    assert(docs(0).getAs[String]("source") == "example.com")
+    assert(docs(1).getAs[String]("source") == "example.org")
+  }
 }
