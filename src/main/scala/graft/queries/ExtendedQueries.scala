@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -661,10 +661,19 @@ object ExtendedQueries {
     * retracted keys, never the table. */
   def retractionMv(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val ev = t.events.select($"user_id", $"event_id",
-      unix_micros($"ts".cast("timestamp")).as("us"),
-      $"value".cast(DecimalType(18, 6)).as("v"))
-    val isDel = $"event_id" % 7 === 3
+    retractionMvFrom(
+      t.events.select($"user_id", $"event_id",
+        unix_micros($"ts".cast("timestamp")).as("us"),
+        $"value".cast(DecimalType(18, 6)).as("v")),
+      $"event_id" % 7 === 3)
+  }
+
+  /** The qi02 mechanism over any (user_id, event_id, us, v) frame and
+    * retraction predicate — split out so RetractionMvPropertySpec can
+    * drive it with arbitrary delete sets against a full recompute. */
+  private[queries] def retractionMvFrom(ev: DataFrame,
+                                        isDel: Column): DataFrame = {
+    import ev.sparkSession.implicits._
     // the standing MV over the full history — materialized (a real
     // store would read it back)
     val standing = ev.groupBy($"user_id")
