@@ -57,14 +57,20 @@ object Bpe {
     * `try_element_at` keeps the empty-accumulator probe NULL-safe
     * under ANSI. */
   private[operators] def mergeOnce(syms: Column, a: String, b: String): Column =
+    mergeOnceTo(syms, a, b, a + b)
+
+  /** [[mergeOnce]] with an explicit merged-symbol spelling — WordPiece
+    * merges strip the `##` continuation prefix off the right side, so
+    * the fused symbol is not always the plain concatenation. */
+  private[operators] def mergeOnceTo(syms: Column, a: String, b: String, merged: String): Column =
     aggregate(syms, array().cast("array<string>"),
       (acc, x) =>
         when(try_element_at(acc, lit(-1)) === a && x === b,
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
           .otherwise(concat(acc, array(x))))
 
   /** Adjacent symbol pairs of each word, weighted by word count. */
-  private def pairCounts(syms: DataFrame): DataFrame =
+  private[operators] def pairCounts(syms: DataFrame): DataFrame =
     syms.select(col("wc"),
         explode(
           when(size(col("syms")) >= 2,
@@ -198,14 +204,20 @@ object Bpe {
   /** One greedy left-to-right merge pass over a symbol sequence — the
     * imperative twin of [[mergeOnce]]'s HOF fold (shared by encodeWord
     * and the batched-training rewrite). */
-  private[operators] def greedyMergePass(s: Vector[String], a: String, b: String): Vector[String] = {
+  private[operators] def greedyMergePass(s: Vector[String], a: String, b: String): Vector[String] =
+    greedyMergePassTo(s, a, b, a + b)
+
+  /** [[greedyMergePass]] with an explicit merged-symbol spelling (the
+    * [[mergeOnceTo]] twin, for WordPiece's `##`-stripped fusions). */
+  private[operators] def greedyMergePassTo(s: Vector[String], a: String, b: String,
+                                           m: String): Vector[String] = {
     if (s.length < 2 || !s.contains(a)) s
     else {
       val out = Vector.newBuilder[String]
       var last: String = null
       var first = true
       s.foreach { x =>
-        if (!first && last == a && x == b) last = a + b
+        if (!first && last == a && x == b) last = m
         else { if (!first) out += last; last = x; first = false }
       }
       out += last

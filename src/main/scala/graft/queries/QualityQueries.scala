@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Bpe, ConnectedComponents, Dedup, Decontaminate, Dsir, HeavyHitters, LinearClassifier, LogisticTrainer, NaiveBayes, NgramLM, QualityRules, RecordLinkage, Unigram, UrlFilter}
+import graft.operators.{Bpe, WordPiece, ConnectedComponents, Dedup, Decontaminate, Dsir, HeavyHitters, LinearClassifier, LogisticTrainer, NaiveBayes, NgramLM, QualityRules, RecordLinkage, Unigram, UrlFilter}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1315,6 +1315,117 @@ object QualityQueries {
        |FROM per JOIN documents doc USING (doc_id)
        |GROUP BY doc.source ORDER BY source""".stripMargin
 
+  /** qt38: WordPiece tokenizer training in-engine — [[WordPiece.train]]
+    * learning 8 likelihood-scored merges (score = pair / (left·right)
+    * occurrence counts — the BERT vocabulary criterion) from the same
+    * corpus qt26's BPE trains on; output is the rank-ordered merge
+    * table with all three counts AND the unrounded IEEE score (exact
+    * BIGINT operands ⇒ the double is bit-identical cross-engine).
+    * Completes the tokenizer triad: frequency-merged BPE (qt26),
+    * likelihood-merged WordPiece, and the Unigram-LM pruner (qt29).
+    * Oracle: the full 8-round trajectory as generated unrolled CTEs —
+    * per round a pair census, a symbol census, the score argmax, and
+    * the same positional greedy rewrite qt26 uses (with the `##`
+    * continuation prefix stripped off fused right sides). */
+  def wordPieceVocab(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val (merges, _) = WordPiece.train(t.documents, numMerges = 8)
+    t.spark.catalog.clearCache()
+    merges.map(m => (m.rank, m.left, m.right, m.merged,
+        m.pairCount, m.leftCount, m.rightCount, m.score))
+      .toDF("rank", "left", "right", "merged",
+        "pair_count", "left_count", "right_count", "score")
+      .orderBy($"rank")
+  }
+
+  /** qt39: the WordPiece vocabulary APPLIED — per-doc subword census
+    * under qt38's merges (replay mode: bit-equivalent to training,
+    * spec-pinned; distinct words encode once and join back). Oracle:
+    * the replayed final symbol table, per-doc symbol counts. */
+  def wordPieceEncode(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val (merges, _) = WordPiece.train(t.documents, numMerges = 8)
+    t.spark.catalog.clearCache()
+    WordPiece.encodedTokenCounts(t.documents, merges)
+      .orderBy($"doc_id")
+  }
+
+  /** One WordPiece round: pair census + symbol census over w{n-1}, the
+    * likelihood-score argmax, the qt26 positional greedy rewrite with
+    * the WordPiece fused spelling → w{n}. */
+  private def wpRoundSql(n: Int): String = {
+    val prev = s"w${n - 1}"
+    s"""cnt$n AS MATERIALIZED (
+       |  SELECT p.l l, p.r r, SUM(wc) c FROM (
+       |    SELECT wc, unnest([struct_pack(l := syms[i], r := syms[i+1]) for i in range(1, len(syms))]) p
+       |    FROM $prev)
+       |  GROUP BY 1, 2),
+       |sc$n AS MATERIALIZED (
+       |  SELECT sym, SUM(wc) c FROM (SELECT wc, unnest(syms) sym FROM $prev) GROUP BY 1),
+       |top$n AS MATERIALIZED (
+       |  SELECT p.l, p.r, p.c, cl.c lc, cr.c rc,
+       |    CAST(p.c AS DOUBLE) / (CAST(cl.c AS DOUBLE) * CAST(cr.c AS DOUBLE)) score,
+       |    p.l || CASE WHEN starts_with(p.r, '##') THEN p.r[3:] ELSE p.r END merged
+       |  FROM cnt$n p JOIN sc$n cl ON cl.sym = p.l JOIN sc$n cr ON cr.sym = p.r
+       |  ORDER BY score DESC, p.l ASC, p.r ASC LIMIT 1),
+       |cand$n AS (
+       |  SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) grp FROM (
+       |    SELECT w.word, unnest([i for i in range(1, len(w.syms)) if w.syms[i] = m.l AND w.syms[i+1] = m.r]) i
+       |    FROM $prev w, top$n m)),
+       |take$n AS MATERIALIZED (
+       |  SELECT word, i FROM (
+       |    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) rnk
+       |    FROM cand$n)
+       |  WHERE rnk % 2 = 1),
+       |w$n AS MATERIALIZED (
+       |  SELECT e.word, e.wc, list(e.sym ORDER BY e.j) syms FROM (
+       |    SELECT pj.word, pj.wc, pj.j,
+       |      CASE WHEN tk.i IS NOT NULL THEN pj.merged ELSE pj.sym0 END sym,
+       |      tkprev.i iprev
+       |    FROM (
+       |      SELECT w.word, w.wc, m.merged, unnest(range(1, len(w.syms)+1)) j,
+       |             unnest(w.syms) sym0
+       |      FROM $prev w CROSS JOIN top$n m) pj
+       |    LEFT JOIN take$n tk ON tk.word = pj.word AND tk.i = pj.j
+       |    LEFT JOIN take$n tkprev ON tkprev.word = pj.word AND tkprev.i = pj.j - 1
+       |  ) e
+       |  WHERE e.iprev IS NULL
+       |  GROUP BY e.word, e.wc)""".stripMargin
+  }
+
+  /** The WordPiece w0..w{numMerges} replay chain (qt38/qt39): first
+    * character bare, continuations `##`-prefixed, no sentinel. */
+  private def wpChainSql(numMerges: Int): String = {
+    val rounds = (1 to numMerges).map(wpRoundSql).mkString(",\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT word, wc,
+       |    [CASE WHEN i = 1 THEN word[i:i] ELSE '##' || word[i:i] END for i in range(1, len(word)+1)] syms
+       |  FROM ($censusSqlBody)),
+       |$rounds""".stripMargin
+  }
+
+  val wordPieceVocabSql: String = {
+    val finals = (1 to 8).map(n =>
+      s"""SELECT CAST(${n - 1} AS INT) rank, l AS "left", r AS "right", merged, CAST(c AS BIGINT) pair_count, CAST(lc AS BIGINT) left_count, CAST(rc AS BIGINT) right_count, score FROM top$n""")
+      .mkString("\n  UNION ALL ")
+    s"""${wpChainSql(8)}
+       |SELECT * FROM (
+       |  $finals
+       |) ORDER BY rank""".stripMargin
+  }
+
+  val wordPieceEncodeSql: String =
+    s"""${wpChainSql(8)},
+       |dwords AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) word FROM documents)
+       |  WHERE len(word) > 0)
+       |SELECT d.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) n_words,
+       |  CAST(SUM(len(w8.syms)) AS BIGINT) n_subwords,
+       |  round(CAST(SUM(len(w8.syms)) AS DOUBLE) / COUNT(*), 6) ratio
+       |FROM dwords d JOIN w8 ON d.word = w8.word
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
   /** qt37: Flesch–Kincaid readability census by source — the classic
     * grade-level formula 0.39·(words/sentences) + 11.8·(syllables/
     * words) − 15.59 with the standard cheap approximations (sentences
@@ -1581,6 +1692,8 @@ object QualityQueries {
     "qt27_bpe_encode"        -> ((s: SparkSession, d: String) => bpeEncode(Tables(s, d))),
     "qt36_bpe_fertility"     -> ((s: SparkSession, d: String) => bpeFertility(Tables(s, d))),
     "qt37_readability"       -> ((s: SparkSession, d: String) => readability(Tables(s, d))),
+    "qt38_wordpiece_vocab"   -> ((s: SparkSession, d: String) => wordPieceVocab(Tables(s, d))),
+    "qt39_wordpiece_encode"  -> ((s: SparkSession, d: String) => wordPieceEncode(Tables(s, d))),
     "qc10_semantic_decontam" -> ((s: SparkSession, d: String) => semanticDecontaminate(Tables(s, d))),
     "qc11_contamination_report" -> ((s: SparkSession, d: String) => contaminationReport(Tables(s, d))),
     "qp10_relative_gate"     -> ((s: SparkSession, d: String) => relativeQualityGate(Tables(s, d))),
@@ -1612,6 +1725,8 @@ object QualityQueries {
     "qt27_bpe_encode"        -> bpeEncodeSql,
     "qt36_bpe_fertility"     -> bpeFertilitySql,
     "qt37_readability"       -> readabilitySql,
+    "qt38_wordpiece_vocab"   -> wordPieceVocabSql,
+    "qt39_wordpiece_encode"  -> wordPieceEncodeSql,
     "qt29_unigram_vocab"     -> unigramVocabSql,
     "qt30_unigram_encode"    -> unigramEncodeSql,
     "qr05_expectations"      -> expectationsSql,
