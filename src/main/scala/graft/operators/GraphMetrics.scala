@@ -317,4 +317,83 @@ object GraphMetrics {
     }
     rows.result().reduce(_ unionByName _).orderBy(col("peel_round"))
   }
+
+  /** Exact neighborhood function — N(r) = number of ordered (u, v)
+    * pairs with dist(u, v) ≤ r over the undirected graph, for
+    * r = 0..maxR, plus the average ball size N(r)/|V|. THE
+    * distance-distribution read (effective diameter, average distance,
+    * small-world checks) taken before any shortest-path-flavored
+    * operator is sized.
+    *
+    * Shape: per round one equi join of the reachability pair set
+    * against the directed edge list + one distinct — frontier
+    * expansion with the pair set as state. EXACT is honest about its
+    * cost: the state is the materialized ball membership, up to |V|²
+    * pairs on a small-diameter giant component, which is why this mode
+    * is the ORACLE-ABLE small-graph truth and [[neighborhoodFunctionApprox]]
+    * (HyperBall — |V| fixed-size HLL registers, Boldi et al. 2011) is
+    * the 100 TB path. Lineage truncates per round; per-round counts
+    * are metadata-scalar collects (the justified-collect class). */
+  def neighborhoodFunction(edges0: DataFrame, maxR: Int): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1, got $maxR")
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val edges = canonicalEdges(edges0).localCheckpoint()
+    val dir = edges.select(col("a").as("s"), col("b").as("d"))
+      .union(edges.select(col("b").as("s"), col("a").as("d")))
+    val verts = dir.select(col("s").as("u")).distinct()
+    val nV = verts.count()
+    var reach = verts.select(col("u"), col("u").as("v")).localCheckpoint()
+    val rows = Seq.newBuilder[(Int, Long, Double)]
+    rows += ((0, nV, 1.0))
+    for (r <- 1 to maxR) {
+      val expanded = reach.join(dir, reach("v") === dir("s"))
+        .select(reach("u"), dir("d").as("v"))
+      reach = ConnectedComponents.checkpointTruncated(reach.union(expanded).distinct())
+      val n = reach.count()
+      rows += ((r, n, n.toDouble / nV.toDouble))
+    }
+    rows.result().toDF("r", "n_pairs", "avg_ball")
+  }
+
+  /** HyperBall (Boldi, Rosa & Vigna 2011): the approximate neighborhood
+    * function that survives 100 TB graphs. State = ONE fixed-size HLL
+    * sketch per vertex (its ball membership); per round each vertex
+    * unions its neighbors' sketches into its own — a join + one
+    * `hll_union_agg` hash aggregation, so round cost is |E| sketch
+    * messages and state never exceeds |V| · 2^lgK bytes no matter how
+    * the balls grow (exactly where [[neighborhoodFunction]]'s |V|²
+    * pair state dies). N̂(r) = Σᵤ estimate(ball(u)).
+    *
+    * Estimates are engine-specific sketch bits → spec-gated against
+    * the exact twin (the HLL/CMS/KLL contract discipline), never
+    * oracle-hashed. */
+  def neighborhoodFunctionApprox(edges0: DataFrame, maxR: Int, lgK: Int = 12): DataFrame = {
+    require(maxR >= 1, s"maxR must be >= 1, got $maxR")
+    require(lgK >= 4 && lgK <= 21, s"lgK out of the sketch library's range: $lgK")
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val edges = canonicalEdges(edges0).localCheckpoint()
+    val dir = edges.select(col("a").as("s"), col("b").as("d"))
+      .union(edges.select(col("b").as("s"), col("a").as("d")))
+    var sk = dir.select(col("s").as("u")).distinct()
+      .groupBy(col("u")).agg(expr(s"hll_sketch_agg(u, $lgK)").as("sk"))
+    sk = ConnectedComponents.checkpointTruncated(sk)
+    val nV = sk.count()
+    def estimate(s: DataFrame): Double =
+      s.agg(sum(expr("hll_sketch_estimate(sk)"))).as[Double].head()
+    val rows = Seq.newBuilder[(Int, Double, Double)]
+    val e0 = estimate(sk)
+    rows += ((0, e0, e0 / nV.toDouble))
+    for (r <- 1 to maxR) {
+      val msgs = dir.join(sk, dir("d") === sk("u"))
+        .select(dir("s").as("u"), col("sk"))
+      sk = ConnectedComponents.checkpointTruncated(
+        msgs.union(sk.select(col("u"), col("sk")))
+          .groupBy(col("u")).agg(expr("hll_union_agg(sk)").as("sk")))
+      val est = estimate(sk)
+      rows += ((r, est, est / nV.toDouble))
+    }
+    rows.result().toDF("r", "n_pairs_est", "avg_ball_est")
+  }
 }

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative proportional fitting (raking / RAS balancing — Deming &
+  * Stephan 1940): fit a two-way contingency table to TARGET row and
+  * column marginals by alternately scaling every row to its row target,
+  * then every column to its column target. The two-dimensional corpus
+  * balancer: qp13/qp11 set a target distribution over ONE dimension
+  * (source); raking answers "match this source distribution AND this
+  * language distribution simultaneously" — the classic survey-weighting
+  * move, and the resampling-rate solver for joint (source, lang)
+  * corpus specs where per-cell targets are over-determined.
+  *
+  * Invariant worth knowing: raking preserves every interaction odds
+  * ratio of the seed table (it finds the maximum-entropy table with the
+  * requested marginals among tables with the seed's cross-product
+  * structure) — the fit changes marginals, never association
+  * (spec-pinned). Structural zeros (absent cells) stay zero.
+  *
+  * Scale shape: ONE corpus scan builds the (row, col, n) grid; every
+  * sweep thereafter is arithmetic on the grid — |rows|·|cols| cells,
+  * metadata-sized — with marginal sums as broadcast joins. 100 TB of
+  * documents costs the same as 100 MB after the first aggregation.
+  *
+  * Determinism contract (the qt29 grid discipline): every scaled mass
+  * re-quantizes to the 1e-6 grid (`round(·, 6)`) before the next
+  * marginal consumes it, and marginal sums run over DECIMAL(28,6)
+  * casts — so each step's inputs are bit-identical cross-engine and
+  * the IEEE multiply/divide that follows is too.
+  */
+object Raking {
+
+  /** `cells`: (rowCol, colCol, nCol ≥ 0) — observed cell masses, one
+    * row per OCCUPIED cell. `rowTargets`: (rowCol, target) and
+    * `colTargets`: (colCol, target) — desired marginal masses; every
+    * key present in `cells` must carry a target with a positive
+    * matching marginal. One sweep = scale rows to row targets, then
+    * columns to column targets; after the final sweep the COLUMN
+    * marginals match their targets exactly (to the 1e-6 grid) and row
+    * marginals converge geometrically with `sweeps`.
+    *
+    * Returns (rowCol, colCol, m) — the fitted cell masses. */
+  def rake(cells: DataFrame, rowCol: String, colCol: String, nCol: String,
+           rowTargets: DataFrame, colTargets: DataFrame, sweeps: Int): DataFrame = {
+    require(sweeps > 0, s"sweeps must be positive, got $sweeps")
+    var m = ConnectedComponents.checkpointTruncated(
+      cells.select(col(rowCol), col(colCol), col(nCol).cast("double").as("m")))
+    for (_ <- 1 to sweeps) {
+      // each scaling step references m TWICE (marginal sums + the join
+      // back), so an unbroken lineage would double the plan subtree
+      // per step — 2^(2·sweeps) replays of the grid aggregation (the
+      // qg08 double-reference lesson). Truncate per sweep: the grid is
+      // metadata-sized, the checkpoint is cheap, the plan stays flat.
+      m = ConnectedComponents.checkpointTruncated(
+        scaleTo(scaleTo(m, rowCol, rowTargets), colCol, colTargets))
+    }
+    m
+  }
+
+  /** Scale every `key` group of `m` so its DECIMAL-exact marginal sum
+    * hits `targets.target`; each cell re-quantized to the 1e-6 grid. */
+  private def scaleTo(m: DataFrame, key: String, targets: DataFrame): DataFrame = {
+    val sums = m.groupBy(col(key))
+      .agg(sum(col("m").cast(DecimalType(28, 6))).cast("double").as("ms"))
+    m.join(broadcast(sums), key)
+      .join(broadcast(targets), key)
+      .select(m.columns.filter(_ != "m").map(col) :+
+        round(col("m") * (col("target") / col("ms")), 6).as("m"): _*)
+  }
+}

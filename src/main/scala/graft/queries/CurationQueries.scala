@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{AsOfJoin, Sampling}
+import graft.operators.{AsOfJoin, Raking, Sampling}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1300,6 +1300,62 @@ object CurationQueries {
       |  greatest(0.0, target_tokens - 4.0 * CAST(unique_tokens AS DOUBLE)) AS deficit
       |FROM e ORDER BY source""".stripMargin
 
+  /** qp21: iterative proportional fitting ([[Raking.rake]]) — fit the
+    * (source × lang) document-count grid to UNIFORM source marginals
+    * AND uniform language marginals simultaneously (3 sweeps): the
+    * two-dimensional mix solver qp13 (one dimension) can't express.
+    * Output per occupied cell: observed n, fitted mass, and the
+    * per-cell resampling rate fitted/n a downstream md5-draw sampler
+    * (qp07's discipline) would execute. Oracle: all 3 row+column
+    * sweeps replayed as unrolled CTEs — every scaled mass re-quantized
+    * to the 1e-6 grid, marginal sums DECIMAL-exact, so each step's
+    * inputs are bit-identical cross-engine. */
+  def ipfRaking(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val grid = t.documents.groupBy($"source", $"lang")
+      .agg(count(lit(1)).cast("long").as("n")).localCheckpoint()
+    val sc = grid.agg(sum($"n").cast("long").as("tn"),
+      countDistinct($"source").as("nr"), countDistinct($"lang").as("nc"))
+    val rowT = grid.select($"source").distinct().crossJoin(broadcast(sc))
+      .select($"source", ($"tn".cast("double") / $"nr".cast("double")).as("target"))
+    val colT = grid.select($"lang").distinct().crossJoin(broadcast(sc))
+      .select($"lang", ($"tn".cast("double") / $"nc".cast("double")).as("target"))
+    val fitted = Raking.rake(grid, "source", "lang", "n", rowT, colT, sweeps = 3)
+    grid.join(fitted, Seq("source", "lang"))
+      .select($"source", $"lang", $"n", $"m".as("fitted"),
+        round($"m" / $"n".cast("double"), 6).as("rate"))
+      .orderBy($"source", $"lang")
+  }
+
+  /** One IPF sweep (rows then columns) over the previous mass table. */
+  private def rakeSweepSql(k: Int): String = {
+    val prev = if (k == 1) "m0" else s"c${k - 1}"
+    s"""r$k AS MATERIALIZED (SELECT m.source, m.lang, round(m.m * (rt.target / rs.ms), 6) m
+       |  FROM $prev m
+       |  JOIN (SELECT source, CAST(SUM(CAST(m AS DECIMAL(28,6))) AS DOUBLE) ms FROM $prev GROUP BY 1) rs USING (source)
+       |  JOIN rt USING (source)),
+       |c$k AS MATERIALIZED (SELECT m.source, m.lang, round(m.m * (ct.target / cs.ms), 6) m
+       |  FROM r$k m
+       |  JOIN (SELECT lang, CAST(SUM(CAST(m AS DECIMAL(28,6))) AS DOUBLE) ms FROM r$k GROUP BY 1) cs USING (lang)
+       |  JOIN ct USING (lang))""".stripMargin
+  }
+
+  val ipfRakingSql: String = {
+    val sweeps = (1 to 3).map(rakeSweepSql).mkString(",\n")
+    s"""WITH g AS MATERIALIZED (SELECT source, lang, CAST(COUNT(*) AS BIGINT) n FROM documents GROUP BY 1, 2),
+       |sc AS MATERIALIZED (SELECT CAST(SUM(n) AS BIGINT) tn,
+       |  CAST(COUNT(DISTINCT source) AS BIGINT) nr, CAST(COUNT(DISTINCT lang) AS BIGINT) nc FROM g),
+       |rt AS (SELECT source, CAST(tn AS DOUBLE) / CAST(nr AS DOUBLE) target
+       |  FROM (SELECT DISTINCT source FROM g) CROSS JOIN sc),
+       |ct AS (SELECT lang, CAST(tn AS DOUBLE) / CAST(nc AS DOUBLE) target
+       |  FROM (SELECT DISTINCT lang FROM g) CROSS JOIN sc),
+       |m0 AS (SELECT source, lang, CAST(n AS DOUBLE) m FROM g),
+       |$sweeps
+       |SELECT g.source AS source, g.lang AS lang, g.n AS n, c3.m AS fitted,
+       |  round(c3.m / CAST(g.n AS DOUBLE), 6) AS rate
+       |FROM g JOIN c3 USING (source, lang) ORDER BY source, lang""".stripMargin
+  }
+
   val targetMixSql: String =
     """WITH c0 AS (SELECT source,
       |    CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) tokens_avail
@@ -1477,6 +1533,7 @@ object CurationQueries {
     "qr06_psi_drift"         -> ((s: SparkSession, d: String) => psiDrift(Tables(s, d))),
     "qp13_target_mix"        -> ((s: SparkSession, d: String) => targetMix(Tables(s, d))),
     "qp16_epoch_mix"         -> ((s: SparkSession, d: String) => epochMix(Tables(s, d))),
+    "qp21_ipf_raking"        -> ((s: SparkSession, d: String) => ipfRaking(Tables(s, d))),
     "qc06_training_mix"      -> ((s: SparkSession, d: String) => trainingMix(Tables(s, d))),
     "qt17_source_overlap"    -> ((s: SparkSession, d: String) => sourceOverlap(Tables(s, d))),
     "qp11_temperature_mix"   -> ((s: SparkSession, d: String) => temperatureMix(Tables(s, d))),
@@ -1520,6 +1577,7 @@ object CurationQueries {
     "qr06_psi_drift"         -> psiDriftSql,
     "qp13_target_mix"        -> targetMixSql,
     "qp16_epoch_mix"         -> epochMixSql,
+    "qp21_ipf_raking"        -> ipfRakingSql,
     "qc06_training_mix"      -> trainingMixSql,
     "qt17_source_overlap"    -> sourceOverlapSql,
     "qp11_temperature_mix"   -> temperatureMixSql,

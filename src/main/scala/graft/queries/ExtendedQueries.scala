@@ -348,6 +348,38 @@ object ExtendedQueries {
       |  CAST(MAX(deg) AS BIGINT) max_degree
       |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** qg10: exact neighborhood function N(r), r = 0..4, of the user
+    * co-activity graph ([[graft.operators.GraphMetrics.neighborhoodFunction]]):
+    * ordered pairs within distance r and the average ball size — the
+    * distance-distribution read (effective diameter, small-world
+    * check) that sizes every shortest-path-flavored operator. Exact
+    * mode is the oracle-able truth; the HyperBall twin
+    * (`neighborhoodFunctionApprox`, |V| fixed-size HLL registers) is
+    * the 100 TB path, spec-gated against this one. Oracle: unrolled
+    * per-radius frontier CTEs. */
+  def neighborhoodCensus(t: Tables): DataFrame =
+    graft.operators.GraphMetrics.neighborhoodFunction(coActivityEdges(t), maxR = 4)
+
+  val neighborhoodCensusSql: String = {
+    def ball(r: Int) =
+      s"""p$r AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+         |  SELECT u, v FROM p${r - 1} UNION ALL
+         |  SELECT p.u, e.b v FROM p${r - 1} p JOIN e ON e.a = p.v))""".stripMargin
+    val counts = (0 to 4).map(r =>
+      s"SELECT CAST($r AS INT) r, (SELECT CAST(COUNT(*) AS BIGINT) FROM p$r) n_pairs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH bkt AS (SELECT DISTINCT user_id u, event_type et, date_trunc('minute', ts) m FROM events),
+       |und AS (SELECT DISTINCT a.u a, b2.u b
+       |  FROM bkt a JOIN bkt b2 ON a.et = b2.et AND a.m = b2.m AND a.u < b2.u),
+       |e AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |v AS (SELECT DISTINCT a u FROM e),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM v),
+       |p0 AS MATERIALIZED (SELECT u, u v FROM v),
+       |${(1 to 4).map(ball).mkString(",\n")}
+       |SELECT r, n_pairs, CAST(n_pairs AS DOUBLE) / CAST(nn.n AS DOUBLE) avg_ball
+       |FROM ($counts) CROSS JOIN nn ORDER BY r""".stripMargin
+  }
+
   /** qg07: 3-iteration personalized PageRank seeded at users {0, 1} —
     * proximity-to-seed ranking on the co-activity graph (the
     * similar-users query), vs DuckDB's unrolled CTE rounds with the
@@ -803,6 +835,7 @@ object ExtendedQueries {
     "qi02_mv_retract"      -> ((s: SparkSession, d: String) => retractionMv(Tables(s, d))),
     "qj02_join_advisor"    -> ((s: SparkSession, d: String) => joinAdvisor(Tables(s, d))),
     "qg09_degree_census"   -> ((s: SparkSession, d: String) => degreeCensus(Tables(s, d))),
+    "qg10_neighborhood"    -> ((s: SparkSession, d: String) => neighborhoodCensus(Tables(s, d))),
     "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
     "qg05_kcore_census"    -> ((s: SparkSession, d: String) => kCoreCensus(Tables(s, d))),
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
@@ -828,6 +861,7 @@ object ExtendedQueries {
     "qi02_mv_retract"      -> retractionMvSql,
     "qj02_join_advisor"    -> joinAdvisorSql,
     "qg09_degree_census"   -> degreeCensusSql,
+    "qg10_neighborhood"    -> neighborhoodCensusSql,
     "qg03_pagerank"        -> pageRankSql,
     "qg05_kcore_census"    -> kCoreCensusSql,
     "q17_rollup_revenue"   -> rollupRevenueSql,

@@ -293,6 +293,54 @@ object EventStreams {
         ()
       }
 
+  /** Stream-static dimension enrichment — the streaming-legal equi
+    * join Structured Streaming gives for free: the static side is
+    * bounded, so no watermark and no join state (nothing can arrive
+    * late on a bounded side). The dimension is broadcast-hinted (the
+    * small-dim contract) and LEFT-joined so unmatched events survive
+    * with nulls plus an explicit `dim_matched` audit flag — the F8
+    * quarantine discipline applied to reference-data gaps: a missing
+    * dimension row must be visible downstream, never a silent inner-
+    * join drop. */
+  def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame = {
+    val probe = dim.columns.filter(_ != key).headOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"dim needs at least one non-key column to enrich with (key = $key)"))
+    events.join(broadcast(dim), Seq(key), "left")
+      .withColumn("dim_matched", col(probe).isNotNull)
+  }
+
+  /** [[enriched]] with a REFRESHABLE dimension: an inline stream-static
+    * join snapshots the static side's file listing when the query
+    * starts, so a dimension rewritten mid-stream is invisible until
+    * restart. This foreachBatch form re-reads `dimPath` at EVERY
+    * micro-batch — the slowly-refreshed-dimension pattern (dimension
+    * updated by an independent job, stream picks it up within one
+    * trigger, no restart). Torn [[graft.hfc.AtomicSwap]] publishes are
+    * repaired before each read; output lands in batch_id partitions via
+    * dynamic overwrite, so a crash-replayed batch overwrites itself
+    * (replay-idempotent — though a replay enriches against the CURRENT
+    * dimension, the documented semantics of reading refreshable
+    * reference data). */
+  def enrichStream(events: DataFrame, dimPath: String, key: String, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        graft.hfc.AtomicSwap.recoverDir(fs, dimPath)
+        val dim = spark.read.parquet(dimPath)
+        enriched(batch, dim, key)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        ()
+      }
+
   /** Streaming corpus-global line boilerplate removal — the continuous
     * form of [[graft.operators.IncrementalLineCensus]]: each
     * micro-batch is scrubbed against the persistent line census,
