@@ -259,4 +259,40 @@ object Sketches {
       .agg(first(col("est_count")).as("est_count"),
            count(lit(1)).as("exact_count"))
   }
+
+  // ---- sketch-valued materialized view (the MV plane's third member:
+  // qi01 merges exact monoids, qi02 handles retractions, this one
+  // maintains DISTINCT COUNTS — the aggregate with no exact monoid —
+  // by storing the HLL sketch itself as the MV column) ----
+
+  /** Per-key distinct-count MV: `(keys..., sk binary, n_rows)`. The
+    * sketch IS the maintainable state: row counts add, registers max.
+    * Distinct counts have no bounded exact merge state (qi01's +/min/
+    * max monoids don't apply; exact re-distinct rescans history), so
+    * the 100 TB MV stores the mergeable sketch and accepts the HLL
+    * error contract — refreshes touch ONLY the delta. */
+  def buildDistinctMv(rows: DataFrame, keyCols: Seq[String], valueCol: String,
+                      lgK: Int = 12): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    rows.groupBy(keyCols.map(col): _*)
+      .agg(expr(s"hll_sketch_agg($valueCol, $lgK)").as("sk"),
+           count(lit(1)).as("n_rows"))
+  }
+
+  /** Fold a delta MV into the standing MV: union + one per-key
+    * `hll_union_agg` / sum — new keys appear, existing keys' registers
+    * merge. Append-only contract (sketches can't retract; a deletion
+    * workload belongs to qi02's exact plane or a rebuild). */
+  def mergeDistinctMv(standing: DataFrame, delta: DataFrame,
+                      keyCols: Seq[String]): DataFrame =
+    standing.unionByName(delta)
+      .groupBy(keyCols.map(col): _*)
+      .agg(expr("hll_union_agg(sk)").as("sk"),
+           sum(col("n_rows")).as("n_rows"))
+
+  /** Serve the MV: per-key estimated distinct count + exact row count. */
+  def readDistinctMv(mv: DataFrame, keyCols: Seq[String]): DataFrame =
+    mv.select(keyCols.map(col) :+
+      round(expr("hll_sketch_estimate(sk)"), 4).as("est_distinct") :+
+      col("n_rows"): _*)
 }

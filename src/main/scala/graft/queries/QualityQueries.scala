@@ -1426,6 +1426,42 @@ object QualityQueries {
        |FROM dwords d JOIN w8 ON d.word = w8.word
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** qt40: corpus novelty curve — for each n-gram width n ∈ {1,2,3,4,
+    * 6,8}: total positional windows, distinct windows, and the
+    * duplicated-mass fraction (W−D)/W. The multi-granularity
+    * repetition read (Lee et al.'s motivation plotted as a curve):
+    * n=1 is type/token mass (Heaps' complement, qt35's other face),
+    * large n approaching qd09's k=10 shows verbatim-copy mass — where
+    * the curve stops falling is the natural dedup window width, read
+    * BEFORE committing qd09/qd12's k. One scan + one distinct-count
+    * aggregation per width (a diagnostic census — fuse or sample at
+    * 100 TB if run continuously). Window hash = md5 of the
+    * space-joined token slice, the qd09 portable-hash discipline. */
+  def noveltyCurve(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Seq(1, 2, 3, 4, 6, 8).map { n =>
+      t.documents.select(explode(shingles($"text", n)).as("g"))
+        .select(md5($"g").as("h"))
+        .agg(count(lit(1)).as("n_windows"), countDistinct($"h").as("n_distinct"))
+        .select(lit(n).as("n"), $"n_windows", $"n_distinct",
+          round(($"n_windows" - $"n_distinct").cast("double") /
+            $"n_windows".cast("double"), 6).as("dup_frac"))
+    }.reduce(_ unionByName _).orderBy($"n")
+  }
+
+  val noveltyCurveSql: String = {
+    def width(n: Int) =
+      s"""SELECT CAST($n AS INT) n, CAST(COUNT(*) AS BIGINT) n_windows,
+         |  CAST(COUNT(DISTINCT h) AS BIGINT) n_distinct
+         |FROM (SELECT unnest([md5(array_to_string(w[i:i+${n - 1}], ' '))
+         |                     for i in range(1, len(w) - (${n - 2}))]) h FROM toks)""".stripMargin
+    s"""WITH toks AS (SELECT string_split_regex(trim(text), '\\s+') w FROM documents)
+       |SELECT n, n_windows, n_distinct,
+       |  round(CAST(n_windows - n_distinct AS DOUBLE) / CAST(n_windows AS DOUBLE), 6) dup_frac
+       |FROM (${Seq(1, 2, 3, 4, 6, 8).map(width).mkString("\n  UNION ALL ")})
+       |ORDER BY n""".stripMargin
+  }
+
   /** qt37: Flesch–Kincaid readability census by source — the classic
     * grade-level formula 0.39·(words/sentences) + 11.8·(syllables/
     * words) − 15.59 with the standard cheap approximations (sentences
@@ -1694,6 +1730,7 @@ object QualityQueries {
     "qt37_readability"       -> ((s: SparkSession, d: String) => readability(Tables(s, d))),
     "qt38_wordpiece_vocab"   -> ((s: SparkSession, d: String) => wordPieceVocab(Tables(s, d))),
     "qt39_wordpiece_encode"  -> ((s: SparkSession, d: String) => wordPieceEncode(Tables(s, d))),
+    "qt40_novelty_curve"     -> ((s: SparkSession, d: String) => noveltyCurve(Tables(s, d))),
     "qc10_semantic_decontam" -> ((s: SparkSession, d: String) => semanticDecontaminate(Tables(s, d))),
     "qc11_contamination_report" -> ((s: SparkSession, d: String) => contaminationReport(Tables(s, d))),
     "qp10_relative_gate"     -> ((s: SparkSession, d: String) => relativeQualityGate(Tables(s, d))),
@@ -1727,6 +1764,7 @@ object QualityQueries {
     "qt37_readability"       -> readabilitySql,
     "qt38_wordpiece_vocab"   -> wordPieceVocabSql,
     "qt39_wordpiece_encode"  -> wordPieceEncodeSql,
+    "qt40_novelty_curve"     -> noveltyCurveSql,
     "qt29_unigram_vocab"     -> unigramVocabSql,
     "qt30_unigram_encode"    -> unigramEncodeSql,
     "qr05_expectations"      -> expectationsSql,

@@ -22,6 +22,40 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+
+  test("sketch MV: incremental merge equals the full recompute (small-set exact regime)") {
+    val day1 = (1 to 40).map(i => ("a", s"u$i")) ++ (1 to 10).map(i => ("b", s"v$i"))
+    val day2 = (30 to 70).map(i => ("a", s"u$i")) ++ (1 to 5).map(i => ("c", s"w$i"))
+    val d1 = day1.toDF("k", "u"); val d2 = day2.toDF("k", "u")
+    val standing = Sketches.buildDistinctMv(d1, Seq("k"), "u")
+    val merged = Sketches.mergeDistinctMv(standing, Sketches.buildDistinctMv(d2, Seq("k"), "u"), Seq("k"))
+    val full = Sketches.buildDistinctMv(d1.union(d2), Seq("k"), "u")
+    val got = Sketches.readDistinctMv(merged, Seq("k"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = Sketches.readDistinctMv(full, Seq("k"))
+      .as[(String, Double, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === want, "incremental MV diverged from recompute")
+    // small cardinalities sit in the sketch's exact regime
+    assert(got("a") === ((70.0, 81L)))
+    assert(got("b") === ((10.0, 10L)))
+    assert(got("c") === ((5.0, 5L)))
+  }
+
+  test("sketch MV: ten sequential folds equal one build, estimates within 3*rsd at 20k") {
+    val batches = (0 until 10).map(b => (0 until 2000).map(i => ("k", s"user${b * 1800 + i}")).toDF("k", "u"))
+    val folded = batches.tail.foldLeft(Sketches.buildDistinctMv(batches.head, Seq("k"), "u")) {
+      (mv, b) => Sketches.mergeDistinctMv(mv, Sketches.buildDistinctMv(b, Seq("k"), "u"), Seq("k"))
+    }
+    val one = Sketches.buildDistinctMv(batches.reduce(_ union _), Seq("k"), "u")
+    val fEst = Sketches.readDistinctMv(folded, Seq("k")).as[(String, Double, Long)].head()
+    val oEst = Sketches.readDistinctMv(one, Seq("k")).as[(String, Double, Long)].head()
+    assert(fEst._3 === 20000L && oEst._3 === 20000L)
+    val exact = batches.reduce(_ union _).select("u").distinct().count()
+    // lgK=12 -> rsd ~ 1.04/sqrt(4096) ~ 1.6%
+    for (est <- Seq(fEst._2, oEst._2))
+      assert(math.abs(est - exact) / exact < 0.05, s"est $est vs exact $exact")
+  }
+
   test("CMS never undercounts and overcounts by at most eps * N") {
     val n = 20000
     // zipf-ish: token i appears ~n/(i+1) times
