@@ -716,6 +716,70 @@ object PipelineQueries {
       |  round(CAST(SUM(n_hits) AS DOUBLE) / (COUNT(*) * 5.0), 6) FROM per
       |ORDER BY query_id""".stripMargin
 
+  /** qs23: IVF probe sweep — macro recall@5 at nProbe ∈ {1, 2, 4, 8}
+    * over the qs03 index (8 md5-sampled cells): THE index-tuning curve
+    * read before committing a probe budget, priced exactly like qd17's
+    * threshold sweep and qs18's width curve. nProbe=8 probes every
+    * cell = brute force = recall 1.0 (the curve's anchor); where the
+    * curve knees is the budget. Build runs ONCE (centroids + cell
+    * assignment checkpointed), the four probes share it — the fit/
+    * apply split [[graft.operators.IvfIndex]] exists for. */
+  def ivfProbeSweep(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import graft.operators.IvfIndex
+    val bf = Similarity.bruteForceTopK(t.embeddings, QueryIds, k = 5)
+      .select($"query_id", $"neighbor_id").localCheckpoint()
+    val cents = IvfIndex.centroids(t.embeddings, nCells = 8)
+    val assigned = IvfIndex.assign(t.embeddings, cents).localCheckpoint()
+    Seq(1, 2, 4, 8).map { np =>
+      val iv = IvfIndex.topK(assigned, cents, QueryIds, k = 5, nProbe = np)
+        .select($"query_id", $"neighbor_id")
+      bf.join(iv, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(np).as("nprobe"), $"n_hits".cast("long").as("n_hits"),
+          round($"n_hits".cast("double") / 50.0, 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy($"nprobe")
+  }
+
+  val ivfProbeSweepSql: String = {
+    def perProbe(np: Int) =
+      s"""probes$np AS (SELECT vec_id query_id, cell FROM (
+         |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) rn
+         |    FROM scored WHERE vec_id < 10) WHERE rn <= $np),
+         |isims$np AS (SELECT p.query_id, a.vec_id neighbor_id,
+         |    round(list_dot_product(q.q_vec, a.e) / (q.q_nrm * sqrt(a.nrm2)), 6) cos_sim
+         |  FROM probes$np p JOIN assigned a ON a.cell = p.cell JOIN q ON q.query_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |iv$np AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+         |    FROM isims$np) WHERE rk <= 5)""".stripMargin
+    val rows = Seq(1, 2, 4, 8).map(np =>
+      s"""SELECT CAST($np AS INT) nprobe,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bf JOIN iv$np USING (query_id, neighbor_id)) n_hits""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] e,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) nrm2 FROM embeddings),
+       |q AS (SELECT vec_id query_id, e q_vec, sqrt(nrm2) q_nrm FROM v WHERE vec_id < 10),
+       |bsims AS (SELECT q.query_id, v.vec_id neighbor_id,
+       |    round(list_dot_product(q.q_vec, v.e) / (q.q_nrm * sqrt(v.nrm2)), 6) cos_sim
+       |  FROM v JOIN q ON v.vec_id <> q.query_id),
+       |bf AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+       |    FROM bsims) WHERE rk <= 5),
+       |cent AS (SELECT (ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)) - 1 AS cell,
+       |    e c_vec, nrm2 c_nrm2
+       |  FROM v ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+       |scored AS MATERIALIZED (SELECT v.vec_id, v.e, v.nrm2, cent.cell,
+       |    cent.c_nrm2 - 2 * list_dot_product(v.e, cent.c_vec) AS score
+       |  FROM v CROSS JOIN cent),
+       |assigned AS MATERIALIZED (SELECT vec_id, e, nrm2, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) rn
+       |    FROM scored) WHERE rn = 1),
+       |${Seq(1, 2, 4, 8).map(perProbe).mkString(",\n")}
+       |SELECT nprobe, n_hits, round(CAST(n_hits AS DOUBLE) / 50.0, 6) recall
+       |FROM ($rows) ORDER BY nprobe""".stripMargin
+  }
+
   /** qs12: Lloyd's k-means census — [[KMeans.census]], k=8, 2 rounds
     * from the qs03 sampled seeds. The oracle replays both full rounds
     * (assign → exact-decimal coordinate means → reassign → update) in
@@ -2043,6 +2107,71 @@ object PipelineQueries {
       .orderBy($"bin")
   }
 
+  /** qd22: MinHash signature-size sweep — the third knob-pricing read
+    * of the dedup funnel (qd17 prices the THRESHOLD, qd19 the BUCKET
+    * skew, this one the SIGNATURE WIDTH): at bands=4 fixed, numHashes
+    * ∈ {8, 16, 32} sets rows-per-band r = H/4, so a pair's band
+    * collision probability is jaccard^r — small H finds more true
+    * pairs at the cost of junk candidates, large H prunes candidates
+    * and recall together. Per setting: banded candidates, exact-
+    * verified matches (jaccard ≥ 0.5 over the distinct shingle sets —
+    * the funnel's verify stage, so precision is funnel efficiency),
+    * precision, and recall RELATIVE to the union of verified pairs
+    * across all swept settings (never an all-pairs truth join — the
+    * banded-only discipline even in calibration). */
+  def signatureSweep(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val surv = Seq(8, 16, 32).map { h =>
+      h -> Dedup.nearDupsMinhash(t.documents, threshold = 0.0, numHashes = h, bands = 4)
+        .select($"a_id", $"b_id", ($"jaccard" >= 0.5).as("m"))
+        .localCheckpoint()
+    }
+    val truth = surv.map(_._2.filter($"m").select($"a_id", $"b_id"))
+      .reduce(_ unionByName _).distinct().localCheckpoint()
+    val nTruth = truth.count()
+    surv.map { case (h, s) =>
+      s.agg(count(lit(1)).as("n_candidates"),
+            sum(when($"m", 1L).otherwise(0L)).as("n_matches"))
+        .select(lit(h).as("num_hashes"), $"n_candidates", $"n_matches",
+          round($"n_matches".cast("double") / $"n_candidates".cast("double"), 6).as("precision"),
+          round($"n_matches".cast("double") / lit(nTruth.toDouble), 6).as("recall_rel"))
+    }.reduce(_ unionByName _).orderBy($"num_hashes")
+  }
+
+  val signatureSweepSql: String = {
+    def setting(h: Int): String = {
+      val r = h / 4
+      val bandCat = (1 to r).map(i => s"sg[$r*b+$i]").mkString(" || '|' || ")
+      s"""sig$h AS (SELECT doc_id, [list_aggregate([md5(s::VARCHAR || ':' || x) for x in sh], 'min') for s in range(0,$h)] sg FROM shr),
+         |bands$h AS (SELECT doc_id, [md5($bandCat) for b in range(0,4)] bs FROM sig$h),
+         |bt$h AS (SELECT doc_id, i band_idx, bs[i] band_hash FROM bands$h, range(1,5) t(i)),
+         |cand$h AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id FROM bt$h a
+         |  JOIN bt$h b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),
+         |j$h AS MATERIALIZED (SELECT a_id, b_id,
+         |    round(CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE) /
+         |          (len(ha.hashes) + len(hb.hashes) - CAST(len(list_intersect(ha.hashes, hb.hashes)) AS DOUBLE)), 6) >= 0.5 m
+         |  FROM cand$h JOIN hsh ha ON ha.doc_id = a_id JOIN hsh hb ON hb.doc_id = b_id)""".stripMargin
+    }
+    val rows = Seq(8, 16, 32).map(h =>
+      s"""SELECT CAST($h AS INT) num_hashes,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j$h) n_candidates,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM j$h WHERE m) n_matches""".stripMargin)
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') w FROM documents),
+       |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
+       |hsh AS (SELECT doc_id, list_distinct([md5(x) for x in sh]) hashes FROM shr),
+       |${Seq(8, 16, 32).map(setting).mkString(",\n")},
+       |truth AS (SELECT CAST(COUNT(*) AS BIGINT) n FROM (
+       |  SELECT DISTINCT a_id, b_id FROM (
+       |    SELECT a_id, b_id FROM j8 WHERE m UNION ALL
+       |    SELECT a_id, b_id FROM j16 WHERE m UNION ALL
+       |    SELECT a_id, b_id FROM j32 WHERE m)))
+       |SELECT num_hashes, n_candidates, n_matches,
+       |  round(CAST(n_matches AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6) precision,
+       |  round(CAST(n_matches AS DOUBLE) / CAST(truth.n AS DOUBLE), 6) recall_rel
+       |FROM ($rows) CROSS JOIN truth ORDER BY num_hashes""".stripMargin
+  }
+
   val jaccardSweepSql: String =
     """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
       |shr AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w)-1)] sh FROM toks),
@@ -2276,6 +2405,7 @@ object PipelineQueries {
     "qt22_langid_eval"     -> ((s: SparkSession, d: String) => langIdEval(Tables(s, d))),
     "qp12_cluster_holdout" -> ((s: SparkSession, d: String) => clusterHoldout(Tables(s, d))),
     "qd17_jaccard_sweep"   -> ((s: SparkSession, d: String) => jaccardSweep(Tables(s, d))),
+    "qd22_signature_sweep" -> ((s: SparkSession, d: String) => signatureSweep(Tables(s, d))),
     "qe06_transition_matrix" -> ((s: SparkSession, d: String) => transitionMatrix(Tables(s, d))),
     "qs10_hard_negatives"  -> ((s: SparkSession, d: String) => hardNegativesTopK(Tables(s, d))),
     "qt21_token_entropy"   -> ((s: SparkSession, d: String) => tokenEntropy(Tables(s, d))),
@@ -2316,6 +2446,7 @@ object PipelineQueries {
     "qs01_cosine_topk"     -> ((s: SparkSession, d: String) => cosineTopK(Tables(s, d))),
     "qs14_filtered_ann"    -> ((s: SparkSession, d: String) => filteredAnn(Tables(s, d))),
     "qs15_ann_recall"      -> ((s: SparkSession, d: String) => annRecall(Tables(s, d))),
+    "qs23_ivf_probe_sweep" -> ((s: SparkSession, d: String) => ivfProbeSweep(Tables(s, d))),
     "qs02_ann_lsh"         -> ((s: SparkSession, d: String) => annLsh(Tables(s, d))),
     "qs03_ann_ivf"         -> ((s: SparkSession, d: String) => annIvf(Tables(s, d))),
     "qs04_ann_lsh_multi"   -> ((s: SparkSession, d: String) => annLshMulti(Tables(s, d))),
@@ -2337,6 +2468,7 @@ object PipelineQueries {
     "qt22_langid_eval"     -> langIdEvalSql,
     "qp12_cluster_holdout" -> clusterHoldoutSql,
     "qd17_jaccard_sweep"   -> jaccardSweepSql,
+    "qd22_signature_sweep" -> signatureSweepSql,
     "qe06_transition_matrix" -> transitionMatrixSql,
     "qs10_hard_negatives"  -> hardNegativesSql,
     "qt21_token_entropy"   -> tokenEntropySql,
@@ -2380,6 +2512,7 @@ object PipelineQueries {
     "qs01_cosine_topk"     -> cosineTopKSql,
     "qs14_filtered_ann"    -> filteredAnnSql,
     "qs15_ann_recall"      -> annRecallSql,
+    "qs23_ivf_probe_sweep" -> ivfProbeSweepSql,
     "qs02_ann_lsh"         -> annLshSql,
     "qs03_ann_ivf"         -> annIvfSql,
     "qs04_ann_lsh_multi"   -> annLshMultiSql,
