@@ -2167,7 +2167,7 @@ object PipelineQueries {
        |    SELECT a_id, b_id FROM j16 WHERE m UNION ALL
        |    SELECT a_id, b_id FROM j32 WHERE m)))
        |SELECT num_hashes, n_candidates, n_matches,
-       |  round(CAST(n_matches AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6) precision,
+       |  round(CAST(n_matches AS DOUBLE) / CAST(n_candidates AS DOUBLE), 6) AS "precision",
        |  round(CAST(n_matches AS DOUBLE) / CAST(truth.n AS DOUBLE), 6) recall_rel
        |FROM ($rows) CROSS JOIN truth ORDER BY num_hashes""".stripMargin
   }

@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Local emulation of the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/check.py [sf_dir] [verify_out_dir]
+Usage: python3 tools/check.py [sf_dir] [verify_out_dir] [name_prefixes]
 
 Assumes `graft.Verify` has already been run (sbt "runMain graft.Verify
 <sf_dir> <out_dir>"). Registers each testdata parquet as a DuckDB view,
@@ -36,8 +36,13 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
+    # optional 3rd arg: comma-separated name prefixes (mirrors Verify's
+    # subset arg) so a just-landed query can be gated in isolation
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if only and not any(name.startswith(p) for p in only):
+            continue
         sql = oracle[name]
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
