@@ -84,6 +84,24 @@ object PartitionedMergeWriter {
       (existing, u) => MergeWriter.updateColumns(existing, u, keys :+ PartCol, cols)
     }
 
+  /** General partition-pruned fold: consolidate the affected slices of
+    * the standing table with an updates batch under a CALLER-SUPPLIED
+    * merge (existing, updates-with-part_id) => merged. This is the
+    * store-plane entry point for MV maintenance whose state is a
+    * mergeable aggregate rather than replace-on-key rows — e.g. the
+    * sketch-valued distinct-count MV
+    * ([[graft.operators.Sketches.mergeDistinctMv]]), where a delta's
+    * sketch must UNION into the standing key's registers, not replace
+    * them. Same guarantees as upsert: only partitions the update keys
+    * hash to are read or rewritten, swaps are atomic-with-recovery.
+    * The consolidate sees every existing row of the affected
+    * partitions (matching or not) and must return ALL surviving rows
+    * for those partitions, `PartCol` included. */
+  def foldPartitioned(spark: SparkSession, path: String, updates: DataFrame,
+                      keys: Seq[String], partitionKey: String, nPartitions: Int)
+                     (consolidate: (DataFrame, DataFrame) => DataFrame): Seq[Int] =
+    mergePartitioned(spark, path, updates, keys, partitionKey, nPartitions)(consolidate)
+
   private def mergePartitioned(spark: SparkSession, path: String, updates: DataFrame,
                                keys: Seq[String], partitionKey: String, nPartitions: Int)
                               (consolidate: (DataFrame, DataFrame) => DataFrame): Seq[Int] = {

@@ -46,6 +46,8 @@ object Raking {
   def rake(cells: DataFrame, rowCol: String, colCol: String, nCol: String,
            rowTargets: DataFrame, colTargets: DataFrame, sweeps: Int): DataFrame = {
     require(sweeps > 0, s"sweeps must be positive, got $sweeps")
+    validate(cells, rowCol, nCol, rowTargets, "row")
+    validate(cells, colCol, nCol, colTargets, "column")
     var m = ConnectedComponents.checkpointTruncated(
       cells.select(col(rowCol), col(colCol), col(nCol).cast("double").as("m")))
     for (_ <- 1 to sweeps) {
@@ -58,6 +60,33 @@ object Raking {
         scaleTo(scaleTo(m, rowCol, rowTargets), colCol, colTargets))
     }
     m
+  }
+
+  /** Fail-fast precondition check, once per rake: scaleTo's inner joins
+    * would otherwise SILENTLY DROP cells whose key has no target row
+    * (mass vanishes instead of erroring), and a non-positive marginal
+    * sum turns the scale factor into NaN/Infinity that propagates
+    * through every remaining sweep. The three probes are key-grid
+    * sized (justified collect: marginal keys are metadata, the same
+    * frames scaleTo broadcasts). */
+  private def validate(cells: DataFrame, key: String, nCol: String,
+                       targets: DataFrame, what: String): Unit = {
+    val missing = cells.select(col(key)).distinct()
+      .join(targets.select(col(key)), Seq(key), "left_anti")
+      .limit(5).collect()
+    require(missing.isEmpty,
+      s"rake: $what keys with no target (first ${missing.length}): " +
+        missing.map(_.get(0)).mkString(", "))
+    val badTargets = targets.filter(col("target") <= 0).limit(5).collect()
+    require(badTargets.isEmpty,
+      s"rake: non-positive $what targets for keys: " +
+        badTargets.map(_.get(0)).mkString(", "))
+    val zeroMass = cells.groupBy(col(key))
+      .agg(sum(col(nCol).cast(DecimalType(28, 6))).as("ms"))
+      .filter(col("ms") <= 0).limit(5).collect()
+    require(zeroMass.isEmpty,
+      s"rake: $what keys whose observed marginal is non-positive " +
+        s"(scale factor undefined): " + zeroMass.map(_.get(0)).mkString(", "))
   }
 
   /** Scale every `key` group of `m` so its DECIMAL-exact marginal sum

@@ -98,6 +98,96 @@ object WordPiece {
     (merges.result(), syms)
   }
 
+  /** Batched likelihood-scored merge learning — the production-vocab
+    * path, the [[Bpe.trainBatched]] twin. Strict [[train]] needs one
+    * (pair census + symbol census + argmax) round-trip PER MERGE; a
+    * realistic 30k-piece BERT vocabulary would serialize into 30k
+    * Spark jobs. This mode learns up to `batchSize` merges per round
+    * from a single scored census, selected greedily subject to
+    * SYMBOL-DISJOINTNESS (no symbol — left, right, or the fused
+    * spelling — in two selected pairs), all applied in one rewrite
+    * pass.
+    *
+    * Deviation contract (same proof shape as BPE's, with one extra
+    * observation for the likelihood score): merging (a,b) changes
+    * only pair counts touching a/b AND only the symbol counts of
+    * a, b, ab themselves — so for a symbol-disjoint pair (x,y),
+    * count(x,y), count(x) and count(y) are all untouched and its
+    * score is exactly what strict WordPiece would compute after the
+    * earlier merges. Vocabularies can differ only when a pair CREATED
+    * by an earlier merge in the batch would have out-scored a later
+    * selection. batchSize=1 recovers [[train]] bit-for-bit
+    * (spec-pinned), as is batched==strict on non-interacting corpora.
+    *
+    * Scale shape: driver round-trips drop from numMerges to
+    * ceil(numMerges/batchSize); each round is one pair census + one
+    * symbol census (both map-side-combined, symbol table broadcast
+    * into the score join) + a batchSize-row collect (merge metadata,
+    * the justified-collect class). */
+  def trainBatched(docs: DataFrame, numMerges: Int, textCol: String = "text",
+                   batchSize: Int = 64, checkpointEvery: Int = 4): (Seq[Merge], DataFrame) = {
+    require(numMerges > 0 && batchSize > 0 && checkpointEvery > 0)
+    val spark = docs.sparkSession
+    var syms = ConnectedComponents.checkpointTruncated(
+      Bpe.wordCounts(docs, textCol)
+        .select(col("word"), col("wc"), initialSymbols(col("word")).as("syms")))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var round = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      // over-fetch 2x: disjointness filtering drops some candidates
+      val want = math.min(batchSize, numMerges - rank)
+      val sc = symbolCounts(syms)
+      val top = Bpe.pairCounts(syms)
+        .join(broadcast(sc.select(col("sym").as("l"), col("sc").as("lc"))), "l")
+        .join(broadcast(sc.select(col("sym").as("r"), col("sc").as("rc"))), "r")
+        .withColumn("score",
+          col("c").cast("double") / (col("lc").cast("double") * col("rc").cast("double")))
+        .orderBy(desc("score"), asc("l"), asc("r"))
+        .limit(want * 2).select("l", "r", "c", "lc", "rc").collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val selected = selectDisjoint(
+          top.toSeq.map(x => (x.getString(0), x.getString(1),
+            x.getLong(2), x.getLong(3), x.getLong(4))),
+          want, rankBase = rank)
+        merges ++= selected
+        rank += selected.size
+        val ops = selected.map(m => (m.left, m.right, m.merged))
+        val bc = spark.sparkContext.broadcast(ops)
+        val rewrite = udf { (s: Seq[String]) =>
+          bc.value.foldLeft(s.toVector)((acc, p) =>
+            Bpe.greedyMergePassTo(acc, p._1, p._2, p._3))
+        }
+        syms = syms.withColumn("syms", rewrite(col("syms")))
+        round += 1
+        if (round % checkpointEvery == 0)
+          syms = ConnectedComponents.checkpointTruncated(syms)
+      }
+    }
+    (merges.result(), syms)
+  }
+
+  /** Greedy symbol-disjoint selection from one scored census — the
+    * [[Bpe.selectDisjoint]] twin with the `##`-stripped fused spelling
+    * in the claimed-symbol set. Pure function, spec-pinned. */
+  private[operators] def selectDisjoint(ranked: Seq[(String, String, Long, Long, Long)],
+                                        want: Int, rankBase: Int): Seq[Merge] = {
+    val used = scala.collection.mutable.Set[String]()
+    val batch = Seq.newBuilder[Merge]
+    var n = 0
+    ranked.foreach { case (l, r, c, lc, rc) =>
+      val m = merged(l, r)
+      if (n < want && !used(l) && !used(r) && !used(m)) {
+        batch += Merge(rankBase + n, l, r, c, lc, rc)
+        used ++= Seq(l, r, m)
+        n += 1
+      }
+    }
+    batch.result()
+  }
+
   /** Encode one word by replaying the merges in rank order —
     * bit-equivalent to what training did to that word (spec-pinned;
     * the [[Bpe.encodeWord]] twin). */

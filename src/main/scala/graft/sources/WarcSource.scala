@@ -36,38 +36,87 @@ object WarcSource {
       httpContentType: String,// response records: payload Content-Type; else ""
       body: Array[Byte])      // response: HTTP body; others: raw payload
 
+  /** Bodies above this are quarantined (payload skipped in chunks,
+    * framing preserved) rather than materialized — one row must fit
+    * in task memory, a >1 GiB single record never should. */
+  val DefaultMaxBodyBytes: Long = 1L << 30
+
   /** Read `pathGlob` (.warc or .warc.gz) into a WarcRow frame. */
   def read(spark: SparkSession, pathGlob: String,
-           minPartitions: Int = 0): DataFrame = {
+           minPartitions: Int = 0,
+           maxBodyBytes: Long = DefaultMaxBodyBytes): DataFrame = {
     import spark.implicits._
     val parts = if (minPartitions > 0) minPartitions
                 else spark.sparkContext.defaultParallelism
     spark.sparkContext.binaryFiles(pathGlob, parts)
       .flatMap { case (path, pds) =>
-        val raw = pds.open()
-        val in = new java.io.BufferedInputStream(
-          if (path.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw)
-        try parseAll(path, in)
-        finally in.close()
+        records(path, { () =>
+          // buffer the RAW stream before GZIPInputStream: its multi-member
+          // trailer heuristic treats available()==0 as end-of-stream, which
+          // on unbuffered network/HDFS streams can silently truncate
+          // per-record-gzipped archives between members
+          val raw = new java.io.BufferedInputStream(pds.open(), 1 << 16)
+          if (path.endsWith(".gz"))
+            new java.io.BufferedInputStream(
+              new java.util.zip.GZIPInputStream(raw, 1 << 16), 1 << 16)
+          else raw
+        }, maxBodyBytes)
       }
       .toDF()
   }
 
-  /** Streaming parse of every record in one archive. */
-  private[sources] def parseAll(path: String,
-                                in: java.io.InputStream): Seq[WarcRow] = {
-    val out = Seq.newBuilder[WarcRow]
-    var done = false
-    while (!done) {
-      parseRecord(path, in) match {
-        case Some(r) =>
-          out += r
-          if (r.recordType == "_error") done = true
-        case None => done = true
+  /** Lazy per-record iterator over one archive: parses ONE record per
+    * `next()` (memory = one record, never the file), closes the stream
+    * on exhaustion, on a fatal framing error (emitted as the final
+    * `_error` row), or at task completion if the iterator is abandoned
+    * early (e.g. under a `limit`). Decoder exceptions (corrupt gzip)
+    * become the `_error` quarantine row, never a task failure. */
+  private[sources] def records(path: String,
+                               openIn: () => java.io.InputStream,
+                               maxBodyBytes: Long = DefaultMaxBodyBytes): Iterator[WarcRow] =
+    new scala.collection.AbstractIterator[WarcRow] {
+      private var in: java.io.InputStream =
+        try openIn()
+        catch { case scala.util.control.NonFatal(_) => null }
+      private var opened = in != null
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeNow()))
+      private def closeNow(): Unit =
+        if (in != null) { try in.close() catch { case _: Exception => () }; in = null }
+      private var pending: Option[WarcRow] =
+        if (opened) fetch()
+        else Some(WarcRow(path, "_error", "", "", "failed to open archive",
+          -1, "", Array.emptyByteArray))
+      private def fetch(): Option[WarcRow] =
+        if (in == null) None
+        else try parseRecord(path, in, maxBodyBytes) match {
+          case Eof        => closeNow(); None
+          case Rec(r)     => Some(r)
+          case Fatal(r)   => closeNow(); Some(r)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            closeNow()
+            Some(WarcRow(path, "_error", "", "",
+              s"decoder failure: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(120)}",
+              -1, "", Array.emptyByteArray))
+        }
+      override def hasNext: Boolean = pending.isDefined
+      override def next(): WarcRow = {
+        val r = pending.getOrElse(throw new NoSuchElementException("next on empty WARC iterator"))
+        pending = fetch()
+        r
       }
     }
-    out.result()
-  }
+
+  /** Eager convenience for specs: drains [[records]]. */
+  private[sources] def parseAll(path: String,
+                                in: java.io.InputStream): Seq[WarcRow] =
+    records(path, () => in).toSeq
+
+  private sealed trait Parsed
+  private case object Eof extends Parsed                     // clean end of archive
+  private final case class Rec(row: WarcRow) extends Parsed  // keep parsing
+  private final case class Fatal(row: WarcRow) extends Parsed // framing lost: emit, stop
 
   /** Read one CRLF-terminated header line; None at clean EOF. */
   private def readLine(in: java.io.InputStream): Option[String] = {
@@ -92,18 +141,35 @@ object WarcSource {
     Some(buf)
   }
 
+  /** Skip exactly `n` payload bytes in bounded chunks (InputStream.skip
+    * may return short, and gzip streams only honor it partially). */
+  private def skipFully(in: java.io.InputStream, n: Long): Boolean = {
+    val scratch = new Array[Byte](1 << 16)
+    var left = n
+    while (left > 0) {
+      val k = in.read(scratch, 0, math.min(left, scratch.length.toLong).toInt)
+      if (k < 0) return false
+      left -= k
+    }
+    true
+  }
+
   /** One WARC record: version line, headers, Content-Length payload,
-    * trailing CRLF CRLF. None = clean end of archive. */
+    * trailing CRLF CRLF. Content-Length is a Long (ISO 28500 places no
+    * 2 GiB bound); bodies over `maxBodyBytes` are skipped in chunks —
+    * framing survives, so parsing continues with a recoverable `_error`
+    * quarantine row for the oversize record. */
   private def parseRecord(path: String,
-                          in: java.io.InputStream): Option[WarcRow] = {
-    def err(why: String) =
-      Some(WarcRow(path, "_error", "", "", why, -1, "", Array.emptyByteArray))
+                          in: java.io.InputStream,
+                          maxBodyBytes: Long): Parsed = {
+    def fatal(why: String) =
+      Fatal(WarcRow(path, "_error", "", "", why, -1, "", Array.emptyByteArray))
     // skip inter-record blank lines, find the version line
     var line = readLine(in)
     while (line.exists(_.isEmpty)) line = readLine(in)
     line match {
-      case None => None // clean EOF
-      case Some(v) if !v.startsWith("WARC/") => err(s"bad version line: '${v.take(40)}'")
+      case None => Eof // clean EOF
+      case Some(v) if !v.startsWith("WARC/") => fatal(s"bad version line: '${v.take(40)}'")
       case Some(_) =>
         // headers until the empty line
         val h = scala.collection.mutable.Map[String, String]()
@@ -114,18 +180,25 @@ object WarcSource {
           if (i > 0) h(s.substring(0, i).trim.toLowerCase) = s.substring(i + 1).trim
           l = readLine(in)
         }
-        if (l.isEmpty) return err("EOF inside record headers")
-        h.get("content-length").flatMap(_.toIntOption) match {
-          case None => err("missing/invalid Content-Length")
+        if (l.isEmpty) return fatal("EOF inside record headers")
+        h.get("content-length").flatMap(_.toLongOption).filter(_ >= 0) match {
+          case None => fatal("missing/invalid Content-Length")
+          case Some(n) if n > maxBodyBytes =>
+            if (!skipFully(in, n)) fatal("EOF inside oversize record payload")
+            else Rec(WarcRow(path, "_error",
+              h.getOrElse("warc-target-uri", ""),
+              h.getOrElse("warc-date", ""),
+              s"oversize record skipped: $n bytes > $maxBodyBytes cap",
+              -1, "", Array.emptyByteArray))
           case Some(n) =>
-            readFully(in, n) match {
-              case None => err("EOF inside record payload")
+            readFully(in, n.toInt) match {
+              case None => fatal("EOF inside record payload")
               case Some(payload) =>
                 val rType = h.getOrElse("warc-type", "")
                 val (status, httpCt, body) =
                   if (rType == "response") parseHttp(payload)
                   else (-1, "", payload)
-                Some(WarcRow(path, rType,
+                Rec(WarcRow(path, rType,
                   h.getOrElse("warc-target-uri", ""),
                   h.getOrElse("warc-date", ""),
                   h.getOrElse("content-type", ""),

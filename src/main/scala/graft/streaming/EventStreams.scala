@@ -303,11 +303,14 @@ object EventStreams {
     * dimension row must be visible downstream, never a silent inner-
     * join drop. */
   def enriched(events: DataFrame, dim: DataFrame, key: String): DataFrame = {
-    val probe = dim.columns.filter(_ != key).headOption.getOrElse(
-      throw new IllegalArgumentException(
-        s"dim needs at least one non-key column to enrich with (key = $key)"))
-    events.join(broadcast(dim), Seq(key), "left")
-      .withColumn("dim_matched", col(probe).isNotNull)
+    require(dim.columns.exists(_ != key),
+      s"dim needs at least one non-key column to enrich with (key = $key)")
+    // match flag from an injected presence marker, not null-probing a data
+    // column: a matched dim row whose first attribute is legitimately NULL
+    // must still read as matched
+    events.join(broadcast(dim.withColumn("__dim_present", lit(true))), Seq(key), "left")
+      .withColumn("dim_matched", coalesce(col("__dim_present"), lit(false)))
+      .drop("__dim_present")
   }
 
   /** [[enriched]] with a REFRESHABLE dimension: an inline stream-static

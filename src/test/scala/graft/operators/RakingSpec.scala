@@ -85,4 +85,27 @@ class RakingSpec extends SparkTestBase {
       Raking.rake(cs, "r", "c", "n", targets("r", "r1" -> 1.0), targets("c", "c1" -> 1.0), 0)
     }
   }
+
+  test("a cell key with no target row fails fast instead of silently dropping mass") {
+    val cs = cells(("r1", "c1", 10L), ("r2", "c1", 5L))
+    val e = intercept[IllegalArgumentException] {
+      fit(cs, targets("r", "r1" -> 15.0), targets("c", "c1" -> 15.0), 1)
+    }
+    assert(e.getMessage.contains("r2"), s"should name the missing key: ${e.getMessage}")
+  }
+
+  test("non-positive targets are rejected loudly") {
+    val cs = cells(("r1", "c1", 10L), ("r2", "c1", 5L))
+    intercept[IllegalArgumentException] {
+      fit(cs, targets("r", "r1" -> 15.0, "r2" -> 0.0), targets("c", "c1" -> 15.0), 1)
+    }
+  }
+
+  test("a key whose observed marginal is zero is rejected (scale factor undefined)") {
+    val cs = cells(("r1", "c1", 0L), ("r2", "c1", 5L))
+    val e = intercept[IllegalArgumentException] {
+      fit(cs, targets("r", "r1" -> 2.0, "r2" -> 3.0), targets("c", "c1" -> 5.0), 1)
+    }
+    assert(e.getMessage.contains("marginal"), e.getMessage)
+  }
 }

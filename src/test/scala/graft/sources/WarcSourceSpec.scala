@@ -112,6 +112,80 @@ class WarcSourceSpec extends SparkTestBase {
     assert(rows(0).getAs[String]("contentType").contains("EOF"))
   }
 
+  test("records is lazy: parses one record per next(), never buffers the archive") {
+    // a stream that counts how far it has been read: after pulling the
+    // FIRST record off a 3-record archive, the reader must not have
+    // consumed the rest of the stream (the one-record-in-memory claim)
+    val recs = Seq(
+      record("response", "http://example.com/a",
+        httpResponse(200, "text/plain", "body a"), "application/http; msgtype=response"),
+      record("response", "http://example.com/b",
+        httpResponse(200, "text/plain", "b" * 4096), "application/http; msgtype=response"),
+      record("response", "http://example.com/c",
+        httpResponse(200, "text/plain", "c" * 4096), "application/http; msgtype=response"))
+    val all = recs.reduce(_ ++ _)
+    var pos = 0
+    val counting = new java.io.InputStream {
+      override def read(): Int =
+        if (pos >= all.length) -1 else { val b = all(pos) & 0xff; pos += 1; b }
+      override def read(b: Array[Byte], off: Int, len: Int): Int = {
+        if (pos >= all.length) return -1
+        val n = math.min(len, all.length - pos)
+        System.arraycopy(all, pos, b, off, n); pos += n; n
+      }
+    }
+    val it = WarcSource.records("lazy.warc", () => counting)
+    val first = it.next() // iterator pre-fetches one record ahead
+    assert(first.url == "http://example.com/a")
+    assert(pos < recs(0).length + recs(1).length + 64,
+      s"reader consumed $pos of ${all.length} bytes after one next() — not streaming")
+    assert(it.toSeq.map(_.url) ===
+      Seq("http://example.com/b", "http://example.com/c"))
+    assert(pos == all.length)
+  }
+
+  test("oversize record is skipped in chunks, framing preserved, later records kept") {
+    val big = record("response", "http://example.com/huge",
+      httpResponse(200, "text/plain", "x" * 50000), "application/http; msgtype=response")
+    val after = record("response", "http://example.com/ok",
+      httpResponse(200, "text/plain", "still here"), "application/http; msgtype=response")
+    val path = writeTmp("big.warc", big ++ after)
+    val rows = WarcSource.read(spark, path, maxBodyBytes = 1024)
+      .orderBy($"recordType").collect()
+    assert(rows.length == 2, rows.mkString("\n"))
+    assert(rows(0).getAs[String]("recordType") == "_error")
+    assert(rows(0).getAs[String]("contentType").contains("oversize"))
+    assert(rows(0).getAs[String]("url") == "http://example.com/huge")
+    assert(rows(1).getAs[String]("url") == "http://example.com/ok",
+      "parsing must continue past a skipped oversize record")
+  }
+
+  test("a >2 GiB Content-Length parses as Long and quarantines, not _error-by-int-overflow") {
+    val h = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://example.com/big\r\n" +
+      "WARC-Date: 2024-03-01T12:00:00Z\r\nContent-Type: application/http\r\n" +
+      s"Content-Length: ${3L * 1024 * 1024 * 1024}\r\n\r\n").getBytes("ISO-8859-1")
+    val path = writeTmp("huge.warc", h) // payload absent: EOF inside the skip
+    val rows = WarcSource.read(spark, path).collect()
+    assert(rows.length == 1)
+    val ct = rows(0).getAs[String]("contentType")
+    assert(ct.contains("oversize") || ct.contains("EOF inside oversize"),
+      s"3 GiB length must reach the oversize path, got: $ct")
+  }
+
+  test("corrupt gzip quarantines as _error instead of failing the task") {
+    val good = record("response", "http://example.com/a",
+      httpResponse(200, "text/plain", "body a"), "application/http; msgtype=response")
+    val gz = gzipPerRecord(Seq(good))
+    // flip bytes inside the deflate stream of the only member
+    val corrupted = gz.clone()
+    for (i <- 20 until math.min(40, corrupted.length)) corrupted(i) = 0x55
+    val path = writeTmp("corrupt.warc.gz", corrupted)
+    val rows = WarcSource.read(spark, path).collect()
+    assert(rows.nonEmpty)
+    assert(rows.last.getAs[String]("recordType") == "_error",
+      rows.mkString("\n"))
+  }
+
   test("asDocuments bridges 200 text responses into the documents shape") {
     val path = writeTmp("f.warc", fixture)
     val docs = WarcSource.asDocuments(WarcSource.read(spark, path))

@@ -19,6 +19,16 @@ class EnrichStreamSpec extends SparkTestBase {
     assert(out === Set((1L, Some("gold"), true), (2L, Some("trial"), true), (3L, None, false)))
   }
 
+  test("enriched: a matched dim row whose attribute is NULL still reads matched") {
+    val events = Seq((1L, 10L), (2L, 99L)).toDF("event_id", "user_id")
+    val dim = Seq((10L, Option.empty[String])).toDF("user_id", "segment")
+    val out = EventStreams.enriched(events, dim, "user_id")
+      .select($"event_id", $"segment", $"dim_matched")
+      .as[(Long, Option[String], Boolean)].collect().toSet
+    assert(out === Set((1L, None, true), (2L, None, false)),
+      "dim_matched must come from row presence, not attribute null-ness")
+  }
+
   test("enriched: a dimension with only the key column is rejected loudly") {
     val events = Seq((1L, 10L)).toDF("event_id", "user_id")
     intercept[IllegalArgumentException] {
