@@ -65,28 +65,28 @@ object Raking {
   /** Fail-fast precondition check, once per rake: scaleTo's inner joins
     * would otherwise SILENTLY DROP cells whose key has no target row
     * (mass vanishes instead of erroring), and a non-positive marginal
-    * sum turns the scale factor into NaN/Infinity that propagates
-    * through every remaining sweep. The three probes are key-grid
-    * sized (justified collect: marginal keys are metadata, the same
-    * frames scaleTo broadcasts). */
+    * sum or target turns the scale factor into NaN/Infinity that
+    * propagates through every remaining sweep. ONE key-grid-sized job
+    * per dimension: per-key marginals full-outer-joined to targets,
+    * every violation classified in the plan, only violations collected
+    * (justified collect: at most the 5-row sample; the same
+    * metadata-sized frames scaleTo broadcasts). */
   private def validate(cells: DataFrame, key: String, nCol: String,
                        targets: DataFrame, what: String): Unit = {
-    val missing = cells.select(col(key)).distinct()
-      .join(targets.select(col(key)), Seq(key), "left_anti")
-      .limit(5).collect()
-    require(missing.isEmpty,
-      s"rake: $what keys with no target (first ${missing.length}): " +
-        missing.map(_.get(0)).mkString(", "))
-    val badTargets = targets.filter(col("target") <= 0).limit(5).collect()
-    require(badTargets.isEmpty,
-      s"rake: non-positive $what targets for keys: " +
-        badTargets.map(_.get(0)).mkString(", "))
-    val zeroMass = cells.groupBy(col(key))
+    val marginals = cells.groupBy(col(key))
       .agg(sum(col(nCol).cast(DecimalType(28, 6))).as("ms"))
-      .filter(col("ms") <= 0).limit(5).collect()
-    require(zeroMass.isEmpty,
-      s"rake: $what keys whose observed marginal is non-positive " +
-        s"(scale factor undefined): " + zeroMass.map(_.get(0)).mkString(", "))
+    val violations = marginals
+      .join(targets.select(col(key), col("target")), Seq(key), "full_outer")
+      .select(col(key),
+        when(col("target").isNull && col("ms").isNotNull, lit("no target"))
+          .when(col("ms").isNotNull && col("target") <= 0, lit("non-positive target"))
+          .when(col("ms").isNotNull && col("ms") <= 0, lit("non-positive observed marginal"))
+          .as("why"))
+      .filter(col("why").isNotNull)
+      .limit(5).collect()
+    require(violations.isEmpty,
+      s"rake: invalid $what marginals (first ${violations.length}): " +
+        violations.map(r => s"${r.get(0)} (${r.getString(1)})").mkString(", "))
   }
 
   /** Scale every `key` group of `m` so its DECIMAL-exact marginal sum

@@ -413,6 +413,58 @@ object ExtendedQueries {
        |FROM ($counts) CROSS JOIN nn ORDER BY r""".stripMargin
   }
 
+  /** qg11: effective diameter at q=0.9 — THE scalar the neighborhood
+    * function exists to serve (Palmer/Boldi's small-world read): the
+    * smallest radius r whose reachable-pair count N(r) covers ≥ 90%
+    * of N(maxR). Drives the same priced mode choice as qg10 (exact
+    * ≤ 512 vertices — the oracle gate's regime — HyperBall above,
+    * where N(r) is the sketch estimate and the same quantile read
+    * applies); maxR = 6 covers the co-activity graph's plateau.
+    * Output: (eff_diameter, n_pairs_at_r, n_pairs_max). Oracle:
+    * qg10's unrolled frontier CTEs extended to r=6 + the argmin. */
+  def effectiveDiameter(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val edges = coActivityEdges(t)
+    val nV = edges.select($"a".as("v")).union(edges.select($"b")).distinct().count()
+    val nf =
+      if (nV <= ExactNeighborhoodMaxV)
+        graft.operators.GraphMetrics.neighborhoodFunction(edges, maxR = 6)
+          .select($"r", $"n_pairs".cast("double").as("n"))
+      else
+        graft.operators.GraphMetrics.neighborhoodFunctionApprox(edges, maxR = 6)
+          .select($"r", $"n_pairs_est".as("n"))
+    nf.crossJoin(broadcast(nf.agg(max($"n").as("nmax"))))
+      .filter($"n" >= lit(0.9) * $"nmax")
+      .agg(min(struct($"r", $"n", $"nmax")).as("s"))
+      .select($"s.r".as("eff_diameter"),
+        $"s.n".cast("long").as("n_pairs_at_r"),
+        $"s.nmax".cast("long").as("n_pairs_max"))
+  }
+
+  val effectiveDiameterSql: String = {
+    def ball(r: Int) =
+      s"""p$r AS MATERIALIZED (SELECT DISTINCT u, v FROM (
+         |  SELECT u, v FROM p${r - 1} UNION ALL
+         |  SELECT p.u, e.b v FROM p${r - 1} p JOIN e ON e.a = p.v))""".stripMargin
+    val counts = (0 to 6).map(r =>
+      s"SELECT CAST($r AS INT) r, (SELECT CAST(COUNT(*) AS BIGINT) FROM p$r) n_pairs")
+      .mkString("\n  UNION ALL ")
+    s"""WITH bkt AS (SELECT DISTINCT user_id u, event_type et, date_trunc('minute', ts) m FROM events),
+       |und AS (SELECT DISTINCT a.u a, b2.u b
+       |  FROM bkt a JOIN bkt b2 ON a.et = b2.et AND a.m = b2.m AND a.u < b2.u),
+       |e AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |v AS (SELECT DISTINCT a u FROM e),
+       |p0 AS MATERIALIZED (SELECT u, u v FROM v),
+       |${(1 to 6).map(ball).mkString(",\n")},
+       |nf AS (SELECT r, n_pairs FROM ($counts)),
+       |mx AS (SELECT MAX(n_pairs) nmax FROM nf)
+       |SELECT CAST(MIN(r) AS INT) eff_diameter,
+       |  CAST(MIN_BY(n_pairs, r) AS BIGINT) n_pairs_at_r,
+       |  CAST(ANY_VALUE(nmax) AS BIGINT) n_pairs_max
+       |FROM nf CROSS JOIN mx
+       |WHERE CAST(n_pairs AS DOUBLE) >= 0.9 * CAST(nmax AS DOUBLE)""".stripMargin
+  }
+
   /** qg07: 3-iteration personalized PageRank seeded at users {0, 1} —
     * proximity-to-seed ranking on the co-activity graph (the
     * similar-users query), vs DuckDB's unrolled CTE rounds with the
@@ -912,6 +964,7 @@ object ExtendedQueries {
     "qj02_join_advisor"    -> ((s: SparkSession, d: String) => joinAdvisor(Tables(s, d))),
     "qg09_degree_census"   -> ((s: SparkSession, d: String) => degreeCensus(Tables(s, d))),
     "qg10_neighborhood"    -> ((s: SparkSession, d: String) => neighborhoodCensus(Tables(s, d))),
+    "qg11_eff_diameter"    -> ((s: SparkSession, d: String) => effectiveDiameter(Tables(s, d))),
     "qg03_pagerank"        -> ((s: SparkSession, d: String) => pageRank(Tables(s, d))),
     "qg05_kcore_census"    -> ((s: SparkSession, d: String) => kCoreCensus(Tables(s, d))),
     "q17_rollup_revenue"   -> ((s: SparkSession, d: String) => rollupRevenue(Tables(s, d))),
@@ -939,6 +992,7 @@ object ExtendedQueries {
     "qj02_join_advisor"    -> joinAdvisorSql,
     "qg09_degree_census"   -> degreeCensusSql,
     "qg10_neighborhood"    -> neighborhoodCensusSql,
+    "qg11_eff_diameter"    -> effectiveDiameterSql,
     "qg03_pagerank"        -> pageRankSql,
     "qg05_kcore_census"    -> kCoreCensusSql,
     "q17_rollup_revenue"   -> rollupRevenueSql,

@@ -1145,6 +1145,111 @@ object PipelineQueries {
        |ORDER BY query_id""".stripMargin
   }
 
+  /** qs24: IVF + PQ composed serving — the production ANN architecture
+    * the sweep queries price piecemeal, now run END TO END: the qs03
+    * IVF index (8 md5-sampled cells) generates candidates at nProbe=2,
+    * the qs20 codebooks (4 × 16-dim, k=4, one Lloyd round) score ONLY
+    * those candidates by asymmetric distance (full-precision query ×
+    * reconstructed candidate, qs22's fixed-subspace-order left fold),
+    * and the served top-5 is recalled against full brute force. The
+    * output row is the funnel's shape: n_cand (vectors actually
+    * scored — the fraction of the corpus the index admitted), n_hits,
+    * recall. At scale this is the whole point of the plane: candidate
+    * generation prunes the corpus BEFORE any distance math, ADC makes
+    * the surviving math codebook-sized — neither sweep (qs23, qs22)
+    * shows the two working together. Oracle: qs23's IVF CTE block
+    * composed with qs20's per-subspace Lloyd chains. */
+  def ivfPqServe(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import graft.operators.IvfIndex
+    import graft.functions.VectorFunctions.{dot, norm2}
+    val bf = Similarity.bruteForceTopK(t.embeddings, QueryIds, k = 5)
+      .select($"query_id", $"neighbor_id").localCheckpoint()
+    val cents = IvfIndex.centroids(t.embeddings, nCells = 8)
+    val assigned = IvfIndex.assign(t.embeddings, cents).localCheckpoint()
+    val enc = (0 until 4).map { s =>
+      val sub = t.embeddings.select($"vec_id",
+        slice($"embedding".cast("array<double>"), s * 16 + 1, 16).as("sub"))
+      val (cs, asn) = graft.operators.KMeans.lloyd(sub, k = 4, iters = 1,
+        idCol = "vec_id", vecCol = "sub")
+      asn.join(broadcast(cs.select($"cell", $"c_vec", $"c_nrm2")), Seq("cell"))
+        .select($"vec_id", $"c_vec".as(s"cv$s"), $"c_nrm2".as(s"cn$s"))
+    }.reduce((a, b) => a.join(b, Seq("vec_id")))
+    val qCols: Seq[org.apache.spark.sql.Column] =
+      Seq($"vec_id".as("query_id"),
+        $"embedding".cast("array<double>").as("q_vec"),
+        sqrt(norm2($"embedding")).as("q_nrm")) ++
+      (0 until 4).map(s =>
+        slice($"embedding".cast("array<double>"), s * 16 + 1, 16).as(s"qs$s"))
+    val qs = t.embeddings.filter($"vec_id".isin(QueryIds: _*)).select(qCols: _*)
+    val probes = IvfIndex.probeCells(qs.select($"query_id", $"q_vec"), cents, nProbe = 2)
+    val cand = probes
+      .join(assigned.select($"vec_id", $"cell"), Seq("cell"))
+      .filter($"vec_id" =!= $"query_id")
+      .select($"query_id", $"vec_id")
+      .localCheckpoint()
+    val sims = cand.join(enc, Seq("vec_id"))
+      .join(broadcast(qs.drop("q_vec")), Seq("query_id"))
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        round((dot($"qs0", $"cv0") + dot($"qs1", $"cv1") +
+               dot($"qs2", $"cv2") + dot($"qs3", $"cv3")) /
+          ($"q_nrm" * sqrt($"cn0" + $"cn1" + $"cn2" + $"cn3")), 6).as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    val served = sims.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .select($"query_id", $"neighbor_id")
+    val hits = bf.join(served, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("h"))
+    cand.agg(count(lit(1)).as("c")).crossJoin(broadcast(hits))
+      .select($"c".cast("long").as("n_cand"), $"h".cast("long").as("n_hits"),
+        round($"h".cast("double") / 50.0, 6).as("recall"))
+  }
+
+  val ivfPqServeSql: String = {
+    val enc = (0 until 4).map { s =>
+      s"""enc$s AS (SELECT a.vec_id, c.c_vec cv$s, c.c_nrm2 cn$s
+         |  FROM a1$s a JOIN cn1$s c ON a.cell = c.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] e,
+       |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) nrm2 FROM embeddings),
+       |q AS (SELECT vec_id query_id, e q_vec, sqrt(nrm2) q_nrm FROM v WHERE vec_id < 10),
+       |bsims AS (SELECT q.query_id, v.vec_id neighbor_id,
+       |    round(list_dot_product(q.q_vec, v.e) / (q.q_nrm * sqrt(v.nrm2)), 6) cos_sim
+       |  FROM v JOIN q ON v.vec_id <> q.query_id),
+       |bf AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+       |    FROM bsims) WHERE rk <= 5),
+       |cent AS (SELECT (ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)) - 1 AS cell,
+       |    e c_vec, nrm2 c_nrm2
+       |  FROM v ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+       |scored AS MATERIALIZED (SELECT v.vec_id, v.e, v.nrm2, cent.cell,
+       |    cent.c_nrm2 - 2 * list_dot_product(v.e, cent.c_vec) AS score
+       |  FROM v CROSS JOIN cent),
+       |assigned AS MATERIALIZED (SELECT vec_id, cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) rn
+       |    FROM scored) WHERE rn = 1),
+       |probes AS (SELECT vec_id query_id, cell FROM (
+       |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) rn
+       |    FROM scored WHERE vec_id < 10) WHERE rn <= 2),
+       |cand AS MATERIALIZED (SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a ON a.cell = p.cell
+       |  WHERE a.vec_id <> p.query_id),
+       |$pqCtes,
+       |$enc,
+       |asims AS (SELECT cd.query_id, cd.vec_id neighbor_id,
+       |    round((list_dot_product((q.q_vec)[1:16], e0.cv0) + list_dot_product((q.q_vec)[17:32], e1.cv1)
+       |      + list_dot_product((q.q_vec)[33:48], e2.cv2) + list_dot_product((q.q_vec)[49:64], e3.cv3))
+       |      / (q.q_nrm * sqrt(e0.cn0 + e1.cn1 + e2.cn2 + e3.cn3)), 6) cos_sim
+       |  FROM cand cd JOIN q ON q.query_id = cd.query_id
+       |    JOIN enc0 e0 ON e0.vec_id = cd.vec_id JOIN enc1 e1 ON e1.vec_id = cd.vec_id
+       |    JOIN enc2 e2 ON e2.vec_id = cd.vec_id JOIN enc3 e3 ON e3.vec_id = cd.vec_id),
+       |served AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+       |    FROM asims) WHERE rk <= 5)
+       |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) n_cand,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM bf JOIN served USING (query_id, neighbor_id)) n_hits,
+       |  round((SELECT CAST(COUNT(*) AS DOUBLE) FROM bf JOIN served USING (query_id, neighbor_id)) / 50.0, 6) recall""".stripMargin
+  }
+
   /** qs21: explained-variance summary via DEFLATION —
     * [[graft.operators.Pca.varianceSummary]]: PC1 on the corpus, PC2
     * on the PC1 residuals, each λ as a cumulative fraction of total
@@ -2458,6 +2563,7 @@ object PipelineQueries {
     "qs20_product_quant"   -> ((s: SparkSession, d: String) => productQuant(Tables(s, d))),
     "qs21_pca_variance"    -> ((s: SparkSession, d: String) => pcaVariance(Tables(s, d))),
     "qs22_pq_recall"       -> ((s: SparkSession, d: String) => pqRecall(Tables(s, d))),
+    "qs24_ivfpq_serve"     -> ((s: SparkSession, d: String) => ivfPqServe(Tables(s, d))),
     "qr07_pc1_drift"       -> ((s: SparkSession, d: String) => pc1Drift(Tables(s, d))),
   )
 
@@ -2513,6 +2619,7 @@ object PipelineQueries {
     "qs14_filtered_ann"    -> filteredAnnSql,
     "qs15_ann_recall"      -> annRecallSql,
     "qs23_ivf_probe_sweep" -> ivfProbeSweepSql,
+    "qs24_ivfpq_serve"     -> ivfPqServeSql,
     "qs02_ann_lsh"         -> annLshSql,
     "qs03_ann_ivf"         -> annIvfSql,
     "qs04_ann_lsh_multi"   -> annLshMultiSql,

@@ -427,4 +427,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_count"), s"verify counts should combine map-side:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus must never shuffle for the candidates:\n$p")
   }
+
+  test("qi03: the served MV merges partial sketch aggregates; the standing half is materialized") {
+    val p = plan(ExtendedQueries.sketchDistinctMv(t))
+    // hll_union_agg must run partial+final (mergeable-state discipline)
+    assert(p.contains("partial_"), s"sketch agg should combine map-side:\n$p")
+    // the standing MV is a localCheckpoint'd frame, not a re-aggregation
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"standing MV must be materialized:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("qg11: the quantile read attaches the scalar max by broadcast, never reshuffling N(r)") {
+    val p = plan(ExtendedQueries.effectiveDiameter(t))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 7-row frame x 1-row max must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no shuffle join on a 7-row frame:\n$p")
+  }
+
+  test("qs24: candidates come from probed cells (hash join); queries broadcast into ADC scoring") {
+    val p = plan(PipelineQueries.ivfPqServe(t))
+    assert(p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"candidate generation must never be all-pairs:\n$p")
+  }
 }
