@@ -338,6 +338,84 @@ object CurationQueries {
       |GROUP BY r.source, r.n_orig, r.q_temp, r.rate
       |ORDER BY source""".stripMargin
 
+  /** qx01: the corpus-build pipeline COMPOSED end to end — every stage
+    * is an operator the gate already proves in isolation, now chained
+    * the way a real training-data build runs them, with the oracle
+    * replaying the ENTIRE funnel so stage boundaries can't hide drift:
+    *   1. quality gate (qt discipline): wc ≥ 20 and 3 ≤ chars/token
+    *      ≤ 12 as pure INTEGER comparisons (tl between 3·wc and
+    *      12·wc) — no float thresholds to disagree on;
+    *   2. exact dedup (qd01 discipline): min doc_id per
+    *      md5(lower(trim(text))) via one window;
+    *   3. temperature mix ([[Sampling.temperatureMix]], α=0.5,
+    *      budget=1000) over the SURVIVORS — the composed operator
+    *      itself, not a re-implementation;
+    *   4. report: per source, the funnel's shape (n_raw → n_quality →
+    *      n_unique → n_sampled) + sampled whitespace tokens.
+    * At 100 TB each stage is the same scan-local/window/broadcast
+    * plan the individual gates pin; the composition adds NO new
+    * shuffle beyond its stages' own. */
+  def corpusBuild(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val raw = t.documents.select($"doc_id", $"source", $"text",
+      size(tokens($"text")).cast("long").as("wc"),
+      length(trim($"text")).cast("long").as("tl"))
+    val quality = raw.filter($"wc" >= 20 && $"tl" >= $"wc" * 3 && $"tl" <= $"wc" * 12)
+    val w = Window.partitionBy(md5(lower(trim($"text")))).orderBy($"doc_id")
+    val unique = quality.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id", $"source", $"wc").localCheckpoint()
+    val mixed = graft.operators.Sampling
+      .temperatureMix(unique, "source", "doc_id", alpha = 0.5, budget = 1000L)
+    val sampled = mixed.filter($"kept").select($"doc_id", $"source")
+      .join(unique.select($"doc_id", $"wc"), Seq("doc_id"))
+    val rawC = raw.groupBy($"source").agg(count(lit(1)).as("n_raw"))
+    val qC = quality.groupBy($"source").agg(count(lit(1)).as("n_quality"))
+    val uC = unique.groupBy($"source").agg(count(lit(1)).as("n_unique"))
+    val sC = sampled.groupBy($"source")
+      .agg(count(lit(1)).as("n_sampled"), sum($"wc").as("tokens_sampled"))
+    // the per-source count frames are metadata-sized — broadcast them
+    // so the report is exchange-free regardless of stats
+    rawC.join(broadcast(qC), Seq("source"), "left")
+      .join(broadcast(uC), Seq("source"), "left")
+      .join(broadcast(sC), Seq("source"), "left")
+      .select($"source", $"n_raw",
+        coalesce($"n_quality", lit(0L)).as("n_quality"),
+        coalesce($"n_unique", lit(0L)).as("n_unique"),
+        coalesce($"n_sampled", lit(0L)).as("n_sampled"),
+        coalesce($"tokens_sampled", lit(0L)).as("tokens_sampled"))
+      .orderBy($"source")
+  }
+
+  val corpusBuildSql: String =
+    """WITH raw AS (SELECT doc_id, source, text,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) wc,
+      |    CAST(length(trim(text)) AS BIGINT) tl FROM documents),
+      |q AS (SELECT * FROM raw WHERE wc >= 20 AND tl >= wc*3 AND tl <= wc*12),
+      |u AS (SELECT doc_id, source, wc FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) rn
+      |    FROM q) WHERE rn = 1),
+      |cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_orig FROM u GROUP BY 1),
+      |p AS (SELECT source, n_orig, pow(CAST(n_orig AS DOUBLE), 0.5) w FROM cnt),
+      |z AS (SELECT CAST(SUM(CAST(w AS DECIMAL(30,9))) AS DOUBLE) z FROM p),
+      |r AS (SELECT source, round(least(1.0, 1000.0 * (w / z) / CAST(n_orig AS DOUBLE)), 9) rate
+      |  FROM p, z),
+      |d AS (SELECT u.doc_id, u.source, u.wc,
+      |    list_sum(list_transform(range(0,4), i ->
+      |      (strpos('0123456789abcdef', substr(md5(u.doc_id::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |    )) / 65536.0 AS uu FROM u),
+      |s AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) n_sampled, CAST(SUM(d.wc) AS BIGINT) tokens
+      |  FROM d JOIN r USING (source) WHERE d.uu < r.rate GROUP BY 1),
+      |rc AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_raw FROM raw GROUP BY 1),
+      |qc AS (SELECT source, CAST(COUNT(*) AS BIGINT) n_quality FROM q GROUP BY 1)
+      |SELECT rc.source AS source, rc.n_raw,
+      |  CAST(COALESCE(qc.n_quality, 0) AS BIGINT) AS n_quality,
+      |  CAST(COALESCE(cnt.n_orig, 0) AS BIGINT) AS n_unique,
+      |  CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+      |  CAST(COALESCE(s.tokens, 0) AS BIGINT) AS tokens_sampled
+      |FROM rc LEFT JOIN qc USING (source) LEFT JOIN cnt USING (source) LEFT JOIN s USING (source)
+      |ORDER BY source""".stripMargin
+
   /** qp18: sequence-packing placements — [[Packing.packPlacements]]
     * under the GPT concat-and-chunk layout (seqLen=512, one separator
     * token per doc, md5 pack order): where every doc lands in the
@@ -1534,6 +1612,7 @@ object CurationQueries {
     "qp13_target_mix"        -> ((s: SparkSession, d: String) => targetMix(Tables(s, d))),
     "qp16_epoch_mix"         -> ((s: SparkSession, d: String) => epochMix(Tables(s, d))),
     "qp21_ipf_raking"        -> ((s: SparkSession, d: String) => ipfRaking(Tables(s, d))),
+    "qx01_corpus_build"      -> ((s: SparkSession, d: String) => corpusBuild(Tables(s, d))),
     "qc06_training_mix"      -> ((s: SparkSession, d: String) => trainingMix(Tables(s, d))),
     "qt17_source_overlap"    -> ((s: SparkSession, d: String) => sourceOverlap(Tables(s, d))),
     "qp11_temperature_mix"   -> ((s: SparkSession, d: String) => temperatureMix(Tables(s, d))),
@@ -1578,6 +1657,7 @@ object CurationQueries {
     "qp13_target_mix"        -> targetMixSql,
     "qp16_epoch_mix"         -> epochMixSql,
     "qp21_ipf_raking"        -> ipfRakingSql,
+    "qx01_corpus_build"      -> corpusBuildSql,
     "qc06_training_mix"      -> trainingMixSql,
     "qt17_source_overlap"    -> sourceOverlapSql,
     "qp11_temperature_mix"   -> temperatureMixSql,

@@ -383,14 +383,31 @@ object ExtendedQueries {
     * at sf0.01 where the exact branch is taken. */
   private val ExactNeighborhoodMaxV = 512L
 
+  /** One neighborhood-function run serves BOTH qg10 (r ≤ 4) and qg11
+    * (quantile to r = 6): frontier expansion is monotone, so N(r) at
+    * any prefix radius of a deeper run equals the shallower run's —
+    * memoize the r ≤ 6 table per (session, sfDir) like the edge frame
+    * and slice. The mode choice (exact vs HyperBall) happens once,
+    * here. */
+  private val nfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private def neighborhoodTable(t: Tables): DataFrame =
+    nfCache.getOrElseUpdate((t.spark, t.dir), {
+      import t.spark.implicits._
+      val edges = coActivityEdges(t)
+      val nV = edges.select($"a".as("v")).union(edges.select($"b")).distinct().count()
+      val df =
+        if (nV <= ExactNeighborhoodMaxV)
+          graft.operators.GraphMetrics.neighborhoodFunction(edges, maxR = 6)
+        else
+          graft.operators.GraphMetrics.neighborhoodFunctionApprox(edges, maxR = 6)
+      df.localCheckpoint()
+    })
+
   def neighborhoodCensus(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val edges = coActivityEdges(t)
-    val nV = edges.select($"a".as("v")).union(edges.select($"b")).distinct().count()
-    if (nV <= ExactNeighborhoodMaxV)
-      graft.operators.GraphMetrics.neighborhoodFunction(edges, maxR = 4)
-    else
-      graft.operators.GraphMetrics.neighborhoodFunctionApprox(edges, maxR = 4)
+    neighborhoodTable(t).filter($"r" <= 4)
   }
 
   val neighborhoodCensusSql: String = {
@@ -424,15 +441,12 @@ object ExtendedQueries {
     * qg10's unrolled frontier CTEs extended to r=6 + the argmin. */
   def effectiveDiameter(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val edges = coActivityEdges(t)
-    val nV = edges.select($"a".as("v")).union(edges.select($"b")).distinct().count()
+    val table = neighborhoodTable(t)
     val nf =
-      if (nV <= ExactNeighborhoodMaxV)
-        graft.operators.GraphMetrics.neighborhoodFunction(edges, maxR = 6)
-          .select($"r", $"n_pairs".cast("double").as("n"))
+      if (table.columns.contains("n_pairs"))
+        table.select($"r", $"n_pairs".cast("double").as("n"))
       else
-        graft.operators.GraphMetrics.neighborhoodFunctionApprox(edges, maxR = 6)
-          .select($"r", $"n_pairs_est".as("n"))
+        table.select($"r", $"n_pairs_est".as("n"))
     nf.crossJoin(broadcast(nf.agg(max($"n").as("nmax"))))
       .filter($"n" >= lit(0.9) * $"nmax")
       .agg(min(struct($"r", $"n", $"nmax")).as("s"))

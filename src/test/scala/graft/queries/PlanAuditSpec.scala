@@ -451,4 +451,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"),
       s"candidate generation must never be all-pairs:\n$p")
   }
+
+  test("qx01: the composed pipeline adds no shuffle beyond its stages (rates broadcast, dedup one window)") {
+    val p = plan(CurationQueries.corpusBuild(t))
+    assert(p.contains("BroadcastHashJoin"), s"mix rates must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop join allowed is temperatureMix's documented
+    // broadcast 1-row scalar attach (Cross, BuildRight)
+    val bnlj = p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.forall(l => l.contains("BuildRight") && l.contains("Cross")),
+      s"unexpected nested-loop join shape:\n${bnlj.mkString("\n")}")
+    // the dedup stage is materialized once, not re-derived per count
+    assert(p.contains("Scan ExistingRDD") || p.contains("LocalTableScan"),
+      s"unique survivors must be a materialized frame:\n$p")
+  }
+
+  test("qx01: funnel counts are monotone per source (raw >= quality >= unique >= sampled)") {
+    val rows = CurationQueries.corpusBuild(Tables(spark, "/root/testdata/sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, q, u, s) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw >= q && q >= u && u >= s,
+        s"funnel must narrow monotonically for ${r.getString(0)}: $raw/$q/$u/$s")
+    }
+    // the temperature budget binds: total sampled docs sit at/under ~budget
+    val tot = rows.map(_.getLong(4)).sum
+    assert(tot <= 1200, s"budget=1000 should bound the sample, got $tot")
+  }
 }
