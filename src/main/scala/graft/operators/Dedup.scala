@@ -302,6 +302,45 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[nearDupsMinhash]] over a PRE-SHINGLED frame — the knob-sweep
+    * shape: qd22 prices signature width at H ∈ {8,16,32}, and the
+    * tokenize+shingle+hash scan is IDENTICAL across settings, so a
+    * sweep should pay it once (`shingledTable`) and re-derive only the
+    * per-H signature from the stored shingle arrays. `shingled` must
+    * carry (idCol, shingles array<string>, hashes array<string>) —
+    * exactly what [[shingledTable]] materializes. */
+  def nearDupsMinhashFromShingles(shingled: DataFrame, threshold: Double,
+                                  numHashes: Int, bands: Int,
+                                  idCol: String = "doc_id"): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    val sigs = materialized(
+      shingled.select(col(idCol), col("hashes"),
+        letBound(call_function("graft_minhash_signature",
+            col("shingles"), lit(numHashes))) { sig =>
+          minhashBands(sig, bands, numHashes / bands)
+        }.as("bands")), None)
+    val cands = candidatesFrom(sigs, idCol)
+    val sh = sigs.select(col(idCol), col("hashes"))
+    val common = size(array_intersect(col("a_hashes"), col("b_hashes"))).cast("double")
+    cands
+      .join(sh.select(col(idCol).as("a_id"), col("hashes").as("a_hashes")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("hashes").as("b_hashes")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(common / (size(col("a_hashes")) + size(col("b_hashes")) - common), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** The shared scan a signature sweep pays once: per doc, the raw
+    * shingle array (minhash input) and its distinct-md5 hash set (the
+    * Jaccard-verify input). */
+  def shingledTable(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      shingles(col(textCol), n).as("shingles"),
+      shingleHashes(col(textCol), n).as("hashes"))
+
   /** Edit-distance near-duplicates: MinHash LSH candidates verified by
     * exact Levenshtein distance ≤ `maxDist` — the verify to reach for
     * when the dedup CONTRACT is character-level ("differs by at most k

@@ -2226,8 +2226,12 @@ object PipelineQueries {
     * banded-only discipline even in calibration). */
   def signatureSweep(t: Tables): DataFrame = {
     import t.spark.implicits._
+    // the sweep's three settings share ONE tokenize+shingle+hash scan;
+    // only the H-seed signature re-derives per setting
+    val shingled = Dedup.shingledTable(t.documents).localCheckpoint()
     val surv = Seq(8, 16, 32).map { h =>
-      h -> Dedup.nearDupsMinhash(t.documents, threshold = 0.0, numHashes = h, bands = 4)
+      h -> Dedup.nearDupsMinhashFromShingles(shingled, threshold = 0.0,
+          numHashes = h, bands = 4)
         .select($"a_id", $"b_id", ($"jaccard" >= 0.5).as("m"))
         .localCheckpoint()
     }

@@ -233,6 +233,59 @@ object WarcSource {
     -1
   }
 
+  /** Continuous crawl ingestion — segments stream in (a crawler drops
+    * `.warc.gz` files into a landing dir), Structured Streaming tracks
+    * ARRIVAL (the `binaryFile` source with only `path` selected —
+    * column pruning keeps the payload bytes out of the stream; the
+    * file-listing log is the exactly-once state), and each micro-batch
+    * parses its newly-arrived segments through the same lazy
+    * [[records]] iterator the batch reader uses. Output lands in
+    * batch_id partitions via dynamic overwrite, so a crash-replayed
+    * batch overwrites itself (replay-idempotent — the
+    * [[graft.streaming.EventStreams.enrichStream]] discipline).
+    *
+    * The per-batch `collect()` is the FILE LIST (metadata-sized, the
+    * justified-collect class) — segment bytes never touch the driver.
+    * At 100 TB this is the ingestion-frontier shape: arrival tracking
+    * is tiny streaming state, the heavy parse is the same
+    * embarrassingly-parallel `binaryFiles` scan as the batch path. */
+  def streamIngest(spark: SparkSession, landingGlob: String, outDir: String,
+                   maxBodyBytes: Long = DefaultMaxBodyBytes)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // binaryFile's fixed schema, stated explicitly (streaming file
+    // sources refuse inference); only `path` is ever selected, so the
+    // source prunes `content` and never reads segment bytes here
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val arrivals = spark.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.warc*")
+      .load(landingGlob)
+      .select(col("path"))
+    arrivals.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val paths = batch.collect().map(_.getString(0))
+        if (paths.nonEmpty) {
+          read(batch.sparkSession, paths.mkString(","),
+              maxBodyBytes = maxBodyBytes)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(outDir)
+        }
+        ()
+      }
+  }
+
   /** Project successful text responses into the engine's `documents`
     * shape (doc_id = stable sha-derived long of the URL, source =
     * host) — the bridge from raw crawl to every qt/qd/qp operator.

@@ -178,6 +178,12 @@ object DumpPlans {
       ("qr06_psi_drift — aggregates of one materialized counts frame",
        "The corpus is scanned once into the (source, bucket) counts (localCheckpoint); domain, totals, and the two scalar frames are aggregates of that tiny table, with the 1-row scalars broadcast into the dense grid. The PSI terms are scan-local IEEE arithmetic; the statistic costs one corpus pass regardless of scale.",
        fmt(graft.queries.CurationQueries.psiDrift(t))),
+      ("qs24_ivfpq_serve — the composed ANN serving funnel",
+       "Candidate generation is a hash join of broadcast probe cells against the materialized cell assignment (never all-pairs); the PQ codebooks and full-precision queries broadcast into the ADC scoring projection, so the only rows that pay distance math are the admitted candidates. The final counts are two scalar aggregates joined by broadcast.",
+       fmt(PipelineQueries.ivfPqServe(t))),
+      ("qx01_corpus_build — the composed pipeline adds no shuffle beyond its stages",
+       "Quality gating is a scan-local filter; dedup is ONE md5-keyed window over the survivors, materialized once (Scan ExistingRDD) and shared by the mix stage and every report count; the temperature rates attach by broadcast (the one nested-loop join is the documented 1-row scalar attach); the per-source report frames broadcast, so the report itself is exchange-free.",
+       fmt(graft.queries.CurationQueries.corpusBuild(t))),
     )
 
     val md = new StringBuilder

@@ -85,6 +85,22 @@ class DedupSpec extends SparkTestBase {
     assert(out.exists { case (a, b, j) => a == 0L && b == 1L && j == 1.0 })
   }
 
+  test("nearDupsMinhashFromShingles is bit-identical to the text path at every signature width") {
+    // no localCheckpoint here: the later cache-accounting tests count
+    // persistent RDDs, and an async-cleaned checkpoint would skew them
+    val shingled = Dedup.shingledTable(docs)
+    for (h <- Seq(8, 16, 32)) {
+      val direct = Dedup.nearDupsMinhash(docs, threshold = 0.0, numHashes = h, bands = 4)
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val shared = Dedup.nearDupsMinhashFromShingles(shingled, threshold = 0.0,
+          numHashes = h, bands = 4)
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(shared == direct, s"sweep path diverges from text path at H=$h")
+      // NO clearCache here: suites share the session and run in
+      // parallel — a global cache clear races their cached frames
+    }
+  }
+
   test("nearDupsSimhash storage-backed signatures match the cached path, cache untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shsigs").toString
     try {

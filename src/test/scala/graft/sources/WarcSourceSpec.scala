@@ -186,6 +186,55 @@ class WarcSourceSpec extends SparkTestBase {
       rows.mkString("\n"))
   }
 
+  test("fuzz: random byte garbage never throws — at most one fatal _error row per archive") {
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      val bytes = Array.fill(4096)(rnd.nextInt(256).toByte)
+      val rows = WarcSource.parseAll(s"fuzz-$seed",
+        new java.io.ByteArrayInputStream(bytes))
+      assert(rows.count(_.recordType == "_error") <= 1, s"seed $seed: $rows")
+      assert(rows.lastOption.forall(_.recordType == "_error") || rows.isEmpty)
+    }
+    // and garbage that happens to START like a record but lies about
+    // its length quarantines too
+    val liar = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999999\r\n\r\nshort")
+      .getBytes("ISO-8859-1")
+    val rows = WarcSource.parseAll("liar", new java.io.ByteArrayInputStream(liar))
+    assert(rows.length == 1 && rows.head.recordType == "_error")
+  }
+
+  test("streamIngest: arriving segments land in batch_id partitions, replay-idempotent shape") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-stream").toString
+    val landing = s"$dir/landing"
+    val out = s"$dir/out"
+    new java.io.File(landing).mkdirs()
+    // segment 1 on disk before the stream starts
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$landing/seg1.warc"),
+      record("response", "http://example.com/a",
+        httpResponse(200, "text/plain", "body a"), "application/http; msgtype=response"))
+    val q = WarcSource.streamIngest(spark, landing, out)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // segment 2 arrives later; a second AvailableNow run picks up ONLY it
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$landing/seg2.warc"),
+      record("response", "http://example.com/b",
+        httpResponse(200, "text/plain", "body b"), "application/http; msgtype=response"))
+    val q2 = WarcSource.streamIngest(spark, landing, out)
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination()
+    val rows = spark.read.parquet(out)
+      .select($"url", $"batch_id").collect()
+      // partition-dir inference narrows batch_id to int — read numerically
+      .map(r => r.getString(0) -> r.getAs[Number](1).longValue()).toMap
+    assert(rows.keySet == Set("http://example.com/a", "http://example.com/b"))
+    assert(rows("http://example.com/a") != rows("http://example.com/b"),
+      "each arrival wave must land in its own batch partition")
+  }
+
   test("asDocuments bridges 200 text responses into the documents shape") {
     val path = writeTmp("f.warc", fixture)
     val docs = WarcSource.asDocuments(WarcSource.read(spark, path))
