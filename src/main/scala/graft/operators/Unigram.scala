@@ -140,20 +140,92 @@ object Unigram {
     }
     var counts: Seq[(String, Long)] = Seq.empty
     for (_ <- 1 to emRounds) {
-      val bc = spark.sparkContext.broadcast((logp, maxPieceLen))
-      counts = census.select(col("word"), col("wc"))
-        .as(Encoders.product[(String, Long)])
-        .flatMap { case (w, wc) =>
-          segmentWord(w, bc.value._1, bc.value._2).map(p => (p, wc))
-        }(Encoders.product[(String, Long)])
-        .toDF("piece", "c")
-        .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
-        .as(Encoders.product[(String, Long)])
-        .collect().toSeq // vocab-sized: ≤ current vocab, like the seed
-      val total = counts.map(_._2).sum.toDouble
-      logp = counts.map { case (p, c) =>
-        p -> quantizeLogProb(math.log(c.toDouble) - math.log(total))
-      }.toMap
+      counts = eStep(census, logp, maxPieceLen)
+      logp = mStep(counts)
+    }
+    counts.map { case (p, c) => Piece(p, c, logp(p)) }
+      .sortBy(pc => (-pc.cnt, pc.piece))
+  }
+
+  /** Hard-EM E-step: Viterbi piece counts over the census (one
+    * census-sized flatMap + map-side-combined aggregation; the collect
+    * is vocab-sized model metadata, the justified-collect class). */
+  private def eStep(census: DataFrame, logp: Map[String, Double],
+                    maxPieceLen: Int): Seq[(String, Long)] = {
+    val bc = census.sparkSession.sparkContext.broadcast((logp, maxPieceLen))
+    census.select(col("word"), col("wc"))
+      .as(Encoders.product[(String, Long)])
+      .flatMap { case (w, wc) =>
+        segmentWord(w, bc.value._1, bc.value._2).map(p => (p, wc))
+      }(Encoders.product[(String, Long)])
+      .toDF("piece", "c")
+      .groupBy(col("piece")).agg(sum(col("c")).as("cnt"))
+      .as(Encoders.product[(String, Long)])
+      .collect().toSeq
+  }
+
+  /** Closed-form M-step: p = cnt / total, quantized to the 1e-6 grid. */
+  private def mStep(counts: Seq[(String, Long)]): Map[String, Double] = {
+    val total = counts.map(_._2).sum.toDouble
+    counts.map { case (p, c) =>
+      p -> quantizeLogProb(math.log(c.toDouble) - math.log(total))
+    }.toMap
+  }
+
+  /** SentencePiece's prune-to-target schedule (Kudo 2018 §3.2:
+    * over-seed, EM, repeatedly discard the worst fraction until the
+    * target vocabulary size) under this module's determinism
+    * simplifications: the prune metric is the hard-EM piece COUNT
+    * (exact integer — the likelihood-loss ranking's deterministic
+    * stand-in, consistent with [[train]]'s "drop what the E-step
+    * stopped using"), ties break lexicographically, and single
+    * characters never prune (coverage: any string must still encode).
+    * Each prune round is one census-shaped E-step + a driver-side sort
+    * of the vocab-sized count table; rounds to target =
+    * O(log(seed/target) / log(1/(1−pruneFrac))) + `finalRounds` EM
+    * polish passes — driver trips stay logarithmic in the seed/target
+    * ratio, never linear in vocabulary (the trainBatched lesson
+    * applied to pruning). */
+  def trainPruned(docs: DataFrame, targetSize: Int, seedSize: Int = 256,
+                  maxPieceLen: Int = 4, pruneFrac: Double = 0.2,
+                  finalRounds: Int = 2, textCol: String = "text"): Seq[Piece] = {
+    require(targetSize >= 1 && seedSize > targetSize,
+      s"need seedSize ($seedSize) > targetSize ($targetSize)")
+    require(pruneFrac > 0.0 && pruneFrac < 1.0, s"pruneFrac in (0,1), got $pruneFrac")
+    require(finalRounds >= 1)
+    val census = ConnectedComponents.checkpointTruncated(
+      Bpe.wordCounts(docs, textCol))
+    val seed = seedPieces(census, seedSize, maxPieceLen)
+      .select(col("piece"), col("freq")).as(Encoders.product[(String, Long)])
+      .collect().toSeq // vocab metadata, the broadcast-model shape
+    // the coverage set: every single char of the corpus must survive to
+    // the final vocabulary even when longer pieces absorb all its
+    // occurrences (a Viterbi count of 0) — re-enter it at a floor count
+    // of 1 (deterministic, the SentencePiece required-chars discipline)
+    val charSet = seed.collect { case (p, _) if p.length == 1 => p }.toSet
+    def withCharFloor(cs: Seq[(String, Long)]): Seq[(String, Long)] = {
+      val present = cs.map(_._1).toSet
+      cs ++ charSet.diff(present).toSeq.sorted.map(_ -> 1L)
+    }
+    var logp = mStep(seed)
+    var counts = seed
+    var guard = 0
+    while (counts.size > targetSize && guard < 64) {
+      counts = withCharFloor(eStep(census, logp, maxPieceLen))
+      if (counts.size > targetSize) {
+        val (chars, multi) = counts.partition(_._1.length == 1)
+        val nDrop = math.min(
+          math.max(1, math.ceil(multi.size * pruneFrac).toInt),
+          counts.size - targetSize)
+        val kept = multi.sortBy { case (p, c) => (c, p) }.drop(nDrop)
+        counts = chars ++ kept
+      }
+      logp = mStep(counts)
+      guard += 1
+    }
+    for (_ <- 1 to finalRounds) {
+      counts = withCharFloor(eStep(census, logp, maxPieceLen))
+      logp = mStep(counts)
     }
     counts.map { case (p, c) => Piece(p, c, logp(p)) }
       .sortBy(pc => (-pc.cnt, pc.piece))

@@ -641,4 +641,69 @@ object EventStreams {
            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(12, 2)))
              .cast("double").as("total_value"))
   }
+
+  // ---- streaming heavy hitters (distributed Misra-Gries) ----
+
+  case class MgState(counters: Map[String, Long], processed: Long)
+  case class MgOut(bucket: Int, item: String, mg_count: Long, bucket_processed: Long)
+
+  /** How [[heavyHittersStream]] shards: each item ALWAYS lands in the
+    * same of `nBuckets` state groups, so per-bucket summaries never
+    * double-count and union cleanly. */
+  def mgBucket(item: String, nBuckets: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(item), nBuckets)
+
+  /** One Misra-Gries fold step over a batch of items (k counters):
+    * present → increment; room → insert at 1; full → decrement ALL
+    * (zeros drop, the new item is discarded). The summary guarantees
+    * every item with true count > n/(k+1) is PRESENT, and each kept
+    * count undercounts truth by at most (n − Σcounters)/(k+1) — the
+    * deterministic fixed-memory sibling of qt28's CMS screen. Items
+    * process in SORTED order within a batch: MG is order-sensitive,
+    * and sorted order makes state a pure function of batch CONTENT
+    * (the qe replay-determinism discipline). Pure function — the
+    * batch twin the stream must match. */
+  def mgFold(state: MgState, batch: Seq[String], k: Int): MgState = {
+    var c = state.counters
+    var n = state.processed
+    batch.sorted.foreach { item =>
+      n += 1
+      c.get(item) match {
+        case Some(v) => c += item -> (v + 1)
+        case None if c.size < k => c += item -> 1L
+        case None => c = c.map { case (i, v) => i -> (v - 1) }.filter(_._2 > 0)
+      }
+    }
+    MgState(c, n)
+  }
+
+  /** Streaming heavy hitters with FIXED state regardless of stream
+    * length: items hash into `nBuckets` state groups ([[mgBucket]]),
+    * each group maintains ONE k-counter Misra-Gries summary in
+    * flatMapGroupsWithState, and every trigger emits the group's
+    * refreshed summary (Update mode — the latest row per
+    * (bucket, item) is the serving read; union the buckets and take
+    * the global top-k). State per group is ≤ k counters — the
+    * streaming complement of qt28 (CMS screen-then-verify) for the
+    * case where the stream can't be rescanned to verify: MG's
+    * deterministic inclusion guarantee replaces the verify pass.
+    * Total state = nBuckets · k counters, independent of both stream
+    * length and item cardinality. */
+  def heavyHittersStream(items: org.apache.spark.sql.Dataset[String],
+                         k: Int, nBuckets: Int)
+      : org.apache.spark.sql.Dataset[MgOut] = {
+    import items.sparkSession.implicits._
+    require(k >= 1 && nBuckets >= 1)
+    items.groupByKey(mgBucket(_, nBuckets))
+      .flatMapGroupsWithState[MgState, MgOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (bucket, it, state: GroupState[MgState]) =>
+          val prev = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          val next = mgFold(prev, it.toSeq, k)
+          state.update(next)
+          next.counters.iterator.map { case (i, v) =>
+            MgOut(bucket, i, v, next.processed)
+          }
+      }
+  }
 }

@@ -60,6 +60,31 @@ class UnigramSpec extends SparkTestBase {
     assert(a.nonEmpty && a.forall(_.cnt > 0))
   }
 
+  test("trainPruned reaches the target size, keeps every single char, and is deterministic") {
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"alpha beta gamma_${i % 5} alphabet betagamma")).toDF("doc_id", "text")
+    val v = Unigram.trainPruned(docs, targetSize = 20, seedSize = 64, maxPieceLen = 4)
+    assert(v.size <= 20 + 0, s"vocab ${v.size} above target")
+    // coverage: every character of the corpus survives as a piece
+    val chars = "alphbetgm_01234".toSet
+    val pieces = v.map(_.piece).toSet
+    chars.foreach(c => assert(pieces.contains(c.toString), s"char '$c' pruned"))
+    // determinism + partitioning invariance
+    val v2 = Unigram.trainPruned(docs.repartition(7), targetSize = 20, seedSize = 64, maxPieceLen = 4)
+    assert(v == v2)
+    assert(v.forall(_.cnt > 0))
+  }
+
+  test("trainPruned keeps higher-likelihood pieces over lower at the same length") {
+    // 'ab' appears 30x, 'cd' 2x: with a tight budget 'ab' must survive 'cd'
+    val docs = ((1 to 30).map(i => (i.toLong, "ab")) ++ Seq((100L, "cd"), (101L, "cd")))
+      .toDF("doc_id", "text")
+    val v = Unigram.trainPruned(docs, targetSize = 5, seedSize = 12, maxPieceLen = 2)
+    val pieces = v.map(_.piece).toSet
+    assert(pieces.contains("ab"), s"hot bigram pruned: $pieces")
+    assert(!pieces.contains("cd"), s"cold bigram survived a 5-piece budget: $pieces")
+  }
+
   test("train/encode parity: encoding a training word matches the final E-step segmentation") {
     val docs = Seq((1L, "alpha beta alphabeta alpha"), (2L, "beta beta alpha")).toDF("doc_id", "text")
     val vocab = Unigram.train(docs, seedSize = 20, maxPieceLen = 4, emRounds = 2)
