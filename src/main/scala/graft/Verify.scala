@@ -3,7 +3,14 @@ package graft
 import java.nio.file.{Files, Paths}
 
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Oracle-regime caveat (also in tools/check.py): qg10/qg11 are priced
+  * queries — at most 512 co-activity vertices (every sf <= 0.01 gate
+  * run) they serve the exact neighborhood function that the DuckDB SQL
+  * computes; above that (e.g. sf0.1, |V|≈1500) they switch to HyperBall
+  * with `_est` columns, so the DuckDB compare is only valid in the
+  * exact regime. The mode choice is logged per run. */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)

@@ -203,6 +203,12 @@ object Unigram {
     // occurrences (a Viterbi count of 0) — re-enter it at a floor count
     // of 1 (deterministic, the SentencePiece required-chars discipline)
     val charSet = seed.collect { case (p, _) if p.length == 1 => p }.toSet
+    // prune-to-target is a promise: the coverage chars are unprunable,
+    // so a target below |charSet| is unsatisfiable — fail fast instead
+    // of silently returning an oversized vocabulary (ADVICE r9)
+    require(targetSize >= charSet.size,
+      s"targetSize ($targetSize) < single-char coverage set (${charSet.size}): " +
+        "every corpus character must survive pruning, so this target is unreachable")
     def withCharFloor(cs: Seq[(String, Long)]): Seq[(String, Long)] = {
       val present = cs.map(_._1).toSet
       cs ++ charSet.diff(present).toSeq.sorted.map(_ -> 1L)
@@ -223,6 +229,12 @@ object Unigram {
       logp = mStep(counts)
       guard += 1
     }
+    // the guard exists to bound a pathological schedule, not to change
+    // the contract: exiting oversize is an error, not a silent result
+    if (counts.size > targetSize)
+      throw new IllegalStateException(
+        s"trainPruned guard tripped after $guard rounds with ${counts.size} pieces " +
+          s"(target $targetSize); raise pruneFrac or seed smaller")
     for (_ <- 1 to finalRounds) {
       counts = withCharFloor(eStep(census, logp, maxPieceLen))
       logp = mStep(counts)

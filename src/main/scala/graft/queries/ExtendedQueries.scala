@@ -167,12 +167,75 @@ object ExtendedQueries {
     * leaves it intact — which is the point: the edge list is shared
     * INPUT, not per-query state. Semantics unchanged: every query
     * sees exactly the rows it would derive itself (spec: oracles
-    * unchanged). */
-  private val coActivityCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    * unchanged).
+    *
+    * The memo is keyed on DATA IDENTITY as well as (session, dir):
+    * the fingerprint of the backing `events.parquet` files (path,
+    * mtime, length). Regenerating the parquet within the same JVM
+    * invalidates the stale entry and unpersists its checkpoint RDD
+    * instead of silently serving old edges; `invalidateDerivedCaches`
+    * is the explicit eviction hook. */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  private def eventsFingerprint(dir: String): Long = {
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).iterator.flatMap(_.iterator).flatMap(walk)
+      else Iterator.single(f)
+    walk(new java.io.File(dir, "events.parquet")).foldLeft(17L) { (h, f) =>
+      ((h * 31 + f.getPath.hashCode) * 31 + f.lastModified()) * 31 + f.length()
+    }
+  }
+
+  /** Unpersist the block-store RDD behind a localCheckpoint'd frame
+    * (the SQL cache is not involved, so `unpersist()` on the Dataset
+    * would be a no-op). */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
+  /** Fingerprint-keyed memo of one localCheckpoint'd derived frame per
+    * (session, sfDir). A fingerprint miss evicts AND unpersists the
+    * previous entry, so replaced checkpoints do not accumulate block
+    * storage over the session lifetime. */
+  private final class DerivedFrameMemo {
+    private val m =
+      scala.collection.mutable.Map.empty[(SparkSession, String), (Long, DataFrame)]
+    def get(t: Tables)(build: => DataFrame): DataFrame = m.synchronized {
+      val key = (t.spark, t.dir)
+      val fp  = eventsFingerprint(t.dir)
+      m.get(key) match {
+        case Some((`fp`, df)) => df
+        case prev =>
+          prev.foreach { case (oldFp, old) =>
+            log.info(s"derived-frame memo for ${t.dir}: fingerprint $oldFp -> $fp, " +
+              "rebuilding and unpersisting the stale checkpoint")
+            unpersistCheckpoint(old)
+          }
+          val df = build
+          m.put(key, (fp, df))
+          df
+      }
+    }
+    def clear(): Unit = m.synchronized {
+      m.values.foreach { case (_, df) => unpersistCheckpoint(df) }
+      m.clear()
+    }
+  }
+
+  private val coActivityMemo = new DerivedFrameMemo
+  private val nfMemo         = new DerivedFrameMemo
+
+  /** Explicit eviction hook: drops (and unpersists) every memoized
+    * derived frame. Call after regenerating input parquet mid-session
+    * if mtime-granularity fingerprinting could miss the change. */
+  def invalidateDerivedCaches(): Unit = { nfMemo.clear(); coActivityMemo.clear() }
 
   private def coActivityEdges(t: Tables): DataFrame =
-    coActivityCache.getOrElseUpdate((t.spark, t.dir), {
+    coActivityMemo.get(t) {
       import t.spark.implicits._
       val b = t.events.select($"user_id".as("u"), $"event_type".as("et"),
                               date_trunc("minute", $"ts").as("m")).distinct()
@@ -181,7 +244,7 @@ object ExtendedQueries {
         .filter($"a" < $"b")
         .select($"a", $"b")
         .localCheckpoint()
-    })
+    }
 
   def triangleCensus(t: Tables): DataFrame =
     graft.operators.GraphMetrics.triangleCount(coActivityEdges(t))
@@ -389,21 +452,24 @@ object ExtendedQueries {
     * memoize the r ≤ 6 table per (session, sfDir) like the edge frame
     * and slice. The mode choice (exact vs HyperBall) happens once,
     * here. */
-  private val nfCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
   private def neighborhoodTable(t: Tables): DataFrame =
-    nfCache.getOrElseUpdate((t.spark, t.dir), {
+    nfMemo.get(t) {
       import t.spark.implicits._
       val edges = coActivityEdges(t)
       val nV = edges.select($"a".as("v")).union(edges.select($"b")).distinct().count()
+      val exact = nV <= ExactNeighborhoodMaxV
+      // Mode choice is logged, not silent: the DuckDB oracles for
+      // qg10/qg11 are valid ONLY in the exact regime (|V| <= 512 —
+      // the sf0.01 gate's graph); above it the served columns switch
+      // to the honest `_est` names and only specs/bench apply.
+      log.info(s"qg10/qg11 neighborhood mode for ${t.dir}: |V|=$nV -> " +
+        (if (exact) "EXACT (oracle-valid regime)"
+         else s"HYPERBALL (|V| > $ExactNeighborhoodMaxV; sketch estimates, oracle not applicable)"))
       val df =
-        if (nV <= ExactNeighborhoodMaxV)
-          graft.operators.GraphMetrics.neighborhoodFunction(edges, maxR = 6)
-        else
-          graft.operators.GraphMetrics.neighborhoodFunctionApprox(edges, maxR = 6)
+        if (exact) graft.operators.GraphMetrics.neighborhoodFunction(edges, maxR = 6)
+        else graft.operators.GraphMetrics.neighborhoodFunctionApprox(edges, maxR = 6)
       df.localCheckpoint()
-    })
+    }
 
   def neighborhoodCensus(t: Tables): DataFrame = {
     import t.spark.implicits._

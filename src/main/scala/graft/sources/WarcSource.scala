@@ -41,6 +41,12 @@ object WarcSource {
     * in task memory, a >1 GiB single record never should. */
   val DefaultMaxBodyBytes: Long = 1L << 30
 
+  /** Hard per-record materialization bound: the largest payload a JVM
+    * byte array can hold. Bodies above min(maxBodyBytes, this) are
+    * skipped-with-quarantine-row even when a caller configures a cap
+    * above Int.MaxValue. */
+  private val MaxJvmArrayBytes: Long = Int.MaxValue.toLong - 8
+
   /** Read `pathGlob` (.warc or .warc.gz) into a WarcRow frame. */
   def read(spark: SparkSession, pathGlob: String,
            minPartitions: Int = 0,
@@ -57,6 +63,50 @@ object WarcSource {
           // per-record-gzipped archives between members
           val raw = new java.io.BufferedInputStream(pds.open(), 1 << 16)
           if (path.endsWith(".gz"))
+            new java.io.BufferedInputStream(
+              new java.util.zip.GZIPInputStream(raw, 1 << 16), 1 << 16)
+          else raw
+        }, maxBodyBytes)
+      }
+      .toDF()
+  }
+
+  /** Hadoop Configuration is not java-serializable; carry it to tasks
+    * via its Writable form (the standard wrapper pattern). */
+  private final class SerializableHadoopConf(
+      @transient var conf: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** Read an explicit list of segment paths. `binaryFiles` would route
+    * the list through Hadoop's comma-separated glob parser — a path
+    * containing a comma or glob metacharacter (`,{}[]*?`) mis-splits
+    * or mis-scopes the batch — so this bypasses globbing entirely:
+    * the path LIST is parallelized (one task per segment, the same
+    * per-file granularity `binaryFiles` gives un-splittable gzip) and
+    * each task opens its file verbatim through the FileSystem API.
+    * Parse behavior matches [[read]] (lazy [[records]] iterator,
+    * quarantine rows, gzip layering). */
+  def readPaths(spark: SparkSession, paths: Seq[String],
+                maxBodyBytes: Long = DefaultMaxBodyBytes): DataFrame = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    if (paths.isEmpty) return spark.emptyDataset[WarcRow].toDF()
+    val hconf = new SerializableHadoopConf(sc.hadoopConfiguration)
+    sc.parallelize(paths, paths.size)
+      .flatMap { p =>
+        records(p, { () =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val fs = hp.getFileSystem(hconf.conf)
+          val raw = new java.io.BufferedInputStream(fs.open(hp), 1 << 16)
+          if (p.endsWith(".gz"))
             new java.io.BufferedInputStream(
               new java.util.zip.GZIPInputStream(raw, 1 << 16), 1 << 16)
           else raw
@@ -183,12 +233,18 @@ object WarcSource {
         if (l.isEmpty) return fatal("EOF inside record headers")
         h.get("content-length").flatMap(_.toLongOption).filter(_ >= 0) match {
           case None => fatal("missing/invalid Content-Length")
-          case Some(n) if n > maxBodyBytes =>
+          // A body over the configured cap — OR over what a JVM byte
+          // array can hold, if a caller raised maxBodyBytes past
+          // Int.MaxValue — takes the skip path: n.toInt on a ~3 GiB
+          // length would go negative and kill the rest of the archive
+          // as a spurious "decoder failure".
+          case Some(n) if n > math.min(maxBodyBytes, MaxJvmArrayBytes) =>
+            val cap = math.min(maxBodyBytes, MaxJvmArrayBytes)
             if (!skipFully(in, n)) fatal("EOF inside oversize record payload")
             else Rec(WarcRow(path, "_error",
               h.getOrElse("warc-target-uri", ""),
               h.getOrElse("warc-date", ""),
-              s"oversize record skipped: $n bytes > $maxBodyBytes cap",
+              s"oversize record skipped: $n bytes > $cap cap",
               -1, "", Array.emptyByteArray))
           case Some(n) =>
             readFully(in, n.toInt) match {
@@ -272,10 +328,12 @@ object WarcSource {
     arrivals.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        val paths = batch.collect().map(_.getString(0))
+        val paths = batch.collect().map(_.getString(0)).toSeq
         if (paths.nonEmpty) {
-          read(batch.sparkSession, paths.mkString(","),
-              maxBodyBytes = maxBodyBytes)
+          // per-path union, not mkString(",") — a landing file whose
+          // name contains a comma or glob metachar must not mis-split
+          // or mis-scope the batch
+          readPaths(batch.sparkSession, paths, maxBodyBytes = maxBodyBytes)
             .withColumn("batch_id", lit(batchId))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

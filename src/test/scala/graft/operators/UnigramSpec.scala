@@ -75,6 +75,15 @@ class UnigramSpec extends SparkTestBase {
     assert(v.forall(_.cnt > 0))
   }
 
+  test("trainPruned fails fast when the target is below the unprunable single-char coverage set") {
+    // corpus chars {a,b,c,d,e,f,g,h} (8) can never prune below 8 pieces
+    val docs = Seq((1L, "abcd efgh")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Unigram.trainPruned(docs, targetSize = 4, seedSize = 16, maxPieceLen = 2)
+    }
+    assert(e.getMessage.contains("coverage"), e.getMessage)
+  }
+
   test("trainPruned keeps higher-likelihood pieces over lower at the same length") {
     // 'ab' appears 30x, 'cd' 2x: with a tight budget 'ab' must survive 'cd'
     val docs = ((1 to 30).map(i => (i.toLong, "ab")) ++ Seq((100L, "cd"), (101L, "cd")))

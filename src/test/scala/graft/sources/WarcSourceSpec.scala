@@ -172,6 +172,43 @@ class WarcSourceSpec extends SparkTestBase {
       s"3 GiB length must reach the oversize path, got: $ct")
   }
 
+  test("a cap raised past Int.MaxValue still routes a >2 GiB body through the oversize skip") {
+    // Content-Length 3 GiB, cap 4 GiB: materializing would need
+    // n.toInt (negative) — the record must take the skip path and
+    // surface the truncation as the oversize EOF, never as a
+    // NegativeArraySizeException masquerading as a decoder failure
+    val h = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://example.com/big\r\n" +
+      "WARC-Date: 2024-03-01T12:00:00Z\r\nContent-Type: application/http\r\n" +
+      s"Content-Length: ${3L * 1024 * 1024 * 1024}\r\n\r\n").getBytes("ISO-8859-1")
+    val rows = WarcSource.records("big4g",
+      () => new java.io.ByteArrayInputStream(h),
+      maxBodyBytes = 4L * 1024 * 1024 * 1024).toSeq
+    assert(rows.length == 1)
+    assert(rows.head.recordType == "_error")
+    assert(rows.head.contentType.contains("oversize"),
+      s"must take the oversize path under a >2 GiB cap, got: ${rows.head.contentType}")
+    assert(!rows.head.contentType.contains("decoder failure"))
+  }
+
+  test("readPaths: comma-containing filenames read verbatim, unlisted files excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-paths").toFile
+    def put(name: String, uri: String): String = {
+      val f = new java.io.File(dir, name)
+      java.nio.file.Files.write(f.toPath,
+        record("response", uri, httpResponse(200, "text/plain", "x"),
+          "application/http; msgtype=response"))
+      f.getAbsolutePath
+    }
+    val a = put("seg,one.warc", "http://example.com/comma")
+    val b = put("plain.warc", "http://example.com/plain")
+    put("unlisted.warc", "http://example.com/unlisted")
+    val urls = WarcSource.readPaths(spark, Seq(a, b))
+      .select($"url").as[String].collect().toSet
+    assert(urls == Set("http://example.com/comma", "http://example.com/plain"),
+      s"comma path mis-split or batch mis-scoped: $urls")
+    assert(WarcSource.readPaths(spark, Seq.empty).count() == 0L)
+  }
+
   test("corrupt gzip quarantines as _error instead of failing the task") {
     val good = record("response", "http://example.com/a",
       httpResponse(200, "text/plain", "body a"), "application/http; msgtype=response")

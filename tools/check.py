@@ -8,6 +8,12 @@ Assumes `graft.Verify` has already been run (sbt "runMain graft.Verify
 runs every oracle SQL from oracle_sql.json, and compares against the
 Spark-written parquet result: column names (sorted), row counts, and
 cell-exact values on rows sorted by all columns.
+
+Oracle-regime caveat: qg10/qg11 serve the exact neighborhood function
+(what the DuckDB SQL computes) only while the co-activity graph has at
+most 512 vertices — true for every sf <= 0.01 gate run. Above that
+(sf0.1: |V|~1500) the engine switches to HyperBall with `_est` columns
+and this compare is NOT applicable; the engine logs the mode choice.
 """
 import sys, json, glob, math
 import duckdb
