@@ -1604,6 +1604,125 @@ object QualityQueries {
        |FROM dwords d JOIN wlen w ON d.word = w.word
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** qt41 oracle machinery — [[graft.operators.Unigram.trainPruned]]
+    * (Kudo §3.2's over-seed → EM → prune-to-target schedule) replayed
+    * in DuckDB. Each prune round is one recursive-CTE Viterbi DP
+    * (the qt29 [[unigramDpSql]] machinery) + the char floor + the
+    * worst-fraction drop + the quantized M-step. The engine's loop is
+    * data-terminated (`while size > target`); SQL text is static, so
+    * rounds are UNROLLED with a conditional pass-through: once
+    * |pieces| ≤ target a round forwards its input unchanged (the
+    * branch filters are scalar-subquery WHEREs, so both engines walk
+    * the identical trajectory however many live rounds the data
+    * needs, up to the unroll bound of [[PrunedUnrollRounds]]). At the
+    * sf0.01 gate the trajectory is 4 live prune rounds + 2 polish. */
+  private val PrunedSeedSize    = 96
+  private val PrunedTargetSize  = 32
+  private val PrunedFrac        = 0.25
+  private val PrunedUnrollRounds = 6
+  private val PrunedPolishRounds = 2
+
+  /** One unrolled prune round: DP E-step under pieces{r-1}, char-floor
+    * re-entry at count 1, conditional worst-(cnt asc, piece asc) drop,
+    * quantized M-step — or verbatim pass-through when the previous
+    * round already reached the target. */
+  private def prunedRoundSql(r: Int): String = {
+    val prev = s"pieces${r - 1}"
+    s"""${unigramDpSql(r, prev)},
+       |cnts$r AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(wc) AS BIGINT) cnt FROM (
+       |    SELECT wc, unnest(p0) piece FROM dp$r WHERE i = len(word))
+       |  GROUP BY piece),
+       |cntsf$r AS MATERIALIZED (
+       |  SELECT piece, cnt FROM cnts$r
+       |  UNION ALL
+       |  SELECT c.piece, CAST(1 AS BIGINT) FROM pchars c
+       |  WHERE c.piece NOT IN (SELECT piece FROM cnts$r)),
+       |nd$r AS (
+       |  SELECT CASE WHEN (SELECT COUNT(*) FROM cntsf$r) > $PrunedTargetSize
+       |    THEN least(greatest(1, CAST(ceil((SELECT COUNT(*) FROM cntsf$r WHERE len(piece) > 1) * $PrunedFrac) AS BIGINT)),
+       |               (SELECT COUNT(*) FROM cntsf$r) - $PrunedTargetSize)
+       |    ELSE 0 END nd),
+       |pruned$r AS MATERIALIZED (
+       |  SELECT piece, cnt FROM cntsf$r WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt ASC, piece ASC) rk
+       |    FROM cntsf$r WHERE len(piece) > 1)
+       |  WHERE rk > (SELECT nd FROM nd$r)),
+       |pieces$r AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    floor((ln(CAST(cnt AS DOUBLE)) - ln(CAST((SELECT SUM(cnt) FROM pruned$r) AS DOUBLE))) * 1e6 + 0.5) / 1e6 lp
+       |  FROM pruned$r
+       |  WHERE (SELECT COUNT(*) FROM $prev) > $PrunedTargetSize
+       |  UNION ALL
+       |  SELECT piece, cnt, lp FROM $prev
+       |  WHERE (SELECT COUNT(*) FROM $prev) <= $PrunedTargetSize)""".stripMargin
+  }
+
+  /** One polish round (trainPruned's `finalRounds`): unconditional
+    * DP + char floor + M-step, no pruning. */
+  private def prunedPolishSql(r: Int): String = {
+    val prev = s"pieces${r - 1}"
+    s"""${unigramDpSql(r, prev)},
+       |cnts$r AS MATERIALIZED (
+       |  SELECT piece, CAST(SUM(wc) AS BIGINT) cnt FROM (
+       |    SELECT wc, unnest(p0) piece FROM dp$r WHERE i = len(word))
+       |  GROUP BY piece),
+       |cntsf$r AS MATERIALIZED (
+       |  SELECT piece, cnt FROM cnts$r
+       |  UNION ALL
+       |  SELECT c.piece, CAST(1 AS BIGINT) FROM pchars c
+       |  WHERE c.piece NOT IN (SELECT piece FROM cnts$r)),
+       |pieces$r AS MATERIALIZED (
+       |  SELECT piece, cnt,
+       |    floor((ln(CAST(cnt AS DOUBLE)) - ln(CAST((SELECT SUM(cnt) FROM cntsf$r) AS DOUBLE))) * 1e6 + 0.5) / 1e6 lp
+       |  FROM cntsf$r)""".stripMargin
+  }
+
+  val unigramPrunedVocabSql: String = {
+    val rounds =
+      (1 to PrunedUnrollRounds).map(prunedRoundSql) ++
+      (PrunedUnrollRounds + 1 to PrunedUnrollRounds + PrunedPolishRounds).map(prunedPolishSql)
+    val last = PrunedUnrollRounds + PrunedPolishRounds
+    s"""WITH RECURSIVE census AS MATERIALIZED (
+       |  $censusSqlBody),
+       |sfreq AS MATERIALIZED (
+       |  SELECT piece, SUM(f) freq FROM (
+       |    SELECT wc f, unnest(flatten([[word[s+1:s+l] for s in range(0, len(word)-l+1)] for l in range(1, least(4, len(word))+1)])) piece
+       |    FROM census)
+       |  GROUP BY piece),
+       |pchars AS MATERIALIZED (SELECT piece, freq FROM sfreq WHERE len(piece) = 1),
+       |pmulti AS (SELECT piece, freq FROM (
+       |    SELECT piece, freq, ROW_NUMBER() OVER (ORDER BY freq DESC, piece ASC) rk FROM sfreq WHERE len(piece) > 1)
+       |  WHERE rk <= $PrunedSeedSize - (SELECT COUNT(*) FROM pchars)),
+       |seed AS MATERIALIZED (SELECT * FROM pchars UNION ALL SELECT * FROM pmulti),
+       |pieces0 AS MATERIALIZED (
+       |  SELECT piece, CAST(freq AS BIGINT) cnt,
+       |    floor((ln(CAST(freq AS DOUBLE)) - ln(CAST((SELECT SUM(freq) FROM seed) AS DOUBLE))) * 1e6 + 0.5) / 1e6 lp
+       |  FROM seed),
+       |${rounds.mkString(",\n")}
+       |SELECT piece, cnt, lp AS logprob FROM pieces$last ORDER BY cnt DESC, piece ASC""".stripMargin
+  }
+
+  /** qt41: [[Unigram.trainPruned]] gated end-to-end — the
+    * SentencePiece prune-to-target schedule (over-seed 96 → prune the
+    * worst 25% of multi-char pieces per round to a 32-piece target →
+    * 2 EM polish rounds), previously spec-only. Output IS the final
+    * vocabulary (piece, exact Viterbi count, quantized log-prob), so
+    * the cross-engine hash covers the entire seed→prune→polish
+    * trajectory. Oracle: [[unigramPrunedVocabSql]]'s unrolled
+    * conditional rounds. */
+  def unigramPrunedVocab(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Unigram.trainPruned(t.documents, targetSize = PrunedTargetSize,
+        seedSize = PrunedSeedSize, maxPieceLen = 4, pruneFrac = PrunedFrac,
+        finalRounds = PrunedPolishRounds)
+      .map(p => (p.piece, p.cnt, math.rint(p.logprob * 1e6) / 1e6))
+      .toDF("piece", "cnt", "logprob")
+      .orderBy($"cnt".desc, $"piece")
+  }
+
   /** qt28: exact frequent tokens via [[HeavyHitters.exactFrequent]] —
     * per-partition Misra–Gries candidate discovery (bounded memory, no
     * full-vocabulary shuffle) + candidates-only exact verification.
@@ -1721,6 +1840,7 @@ object QualityQueries {
     "qr05_expectations"      -> ((s: SparkSession, d: String) => expectations(Tables(s, d))),
     "qt29_unigram_vocab"     -> ((s: SparkSession, d: String) => unigramVocab(Tables(s, d))),
     "qt30_unigram_encode"    -> ((s: SparkSession, d: String) => unigramEncode(Tables(s, d))),
+    "qt41_unigram_pruned"    -> ((s: SparkSession, d: String) => unigramPrunedVocab(Tables(s, d))),
     "qt28_heavy_hitters"     -> ((s: SparkSession, d: String) => heavyHitters(Tables(s, d))),
     "qt24_url_blocklist"     -> ((s: SparkSession, d: String) => urlBlocklist(Tables(s, d))),
     "qt25_lr_train"          -> ((s: SparkSession, d: String) => lrTrain(Tables(s, d))),
@@ -1767,6 +1887,7 @@ object QualityQueries {
     "qt40_novelty_curve"     -> noveltyCurveSql,
     "qt29_unigram_vocab"     -> unigramVocabSql,
     "qt30_unigram_encode"    -> unigramEncodeSql,
+    "qt41_unigram_pruned"    -> unigramPrunedVocabSql,
     "qr05_expectations"      -> expectationsSql,
     "qt28_heavy_hitters"     -> heavyHittersSql,
     "qt24_url_blocklist"     -> urlBlocklistSql,
