@@ -355,32 +355,52 @@ object CurationQueries {
     * At 100 TB each stage is the same scan-local/window/broadcast
     * plan the individual gates pin; the composition adds NO new
     * shuffle beyond its stages' own. */
-  def corpusBuild(t: Tables): DataFrame = {
-    import t.spark.implicits._
+  def corpusBuild(t: Tables): DataFrame =
+    corpusBuildFrom(t.documents)
+
+  /** [[corpusBuild]] over ANY documents-shaped frame (doc_id, source,
+    * text) — the same composed funnel fed by other ingestion fronts:
+    * [[graft.sources.WarcSource.asDocuments]] bridges a raw crawl
+    * straight into this (WarcCorpusSpec pins crawl→curation end to
+    * end, batch and streaming). */
+  def corpusBuildFrom(documents: DataFrame, budget: Long = 1000L): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
     import graft.functions.TextFunctions.tokens
-    val raw = t.documents.select($"doc_id", $"source", $"text",
+    // ONE pass over the text bytes: token count, trimmed length, and
+    // the dedup hash in the same scan-local projection, checkpointed
+    // as ~100 B/doc metadata. Everything downstream (gate, window
+    // dedup, all report counts) reads the narrow frame — the corpus
+    // is tokenized once and its bytes never enter a shuffle (measured
+    // in ProfileWarc: curate wall 52.6 s → metadata-sized once the
+    // text column stops riding through the window).
+    val raw = documents.select($"doc_id", $"source",
       size(tokens($"text")).cast("long").as("wc"),
-      length(trim($"text")).cast("long").as("tl"))
-    val quality = raw.filter($"wc" >= 20 && $"tl" >= $"wc" * 3 && $"tl" <= $"wc" * 12)
-    val w = Window.partitionBy(md5(lower(trim($"text")))).orderBy($"doc_id")
+      length(trim($"text")).cast("long").as("tl"),
+      md5(lower(trim($"text"))).as("h"))
+      .localCheckpoint()
+    val qualityCond = $"wc" >= 20 && $"tl" >= $"wc" * 3 && $"tl" <= $"wc" * 12
+    val quality = raw.filter(qualityCond)
+    val w = Window.partitionBy($"h").orderBy($"doc_id")
     val unique = quality.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
       .select($"doc_id", $"source", $"wc").localCheckpoint()
     val mixed = graft.operators.Sampling
-      .temperatureMix(unique, "source", "doc_id", alpha = 0.5, budget = 1000L)
+      .temperatureMix(unique, "source", "doc_id", alpha = 0.5, budget = budget)
     val sampled = mixed.filter($"kept").select($"doc_id", $"source")
       .join(unique.select($"doc_id", $"wc"), Seq("doc_id"))
-    val rawC = raw.groupBy($"source").agg(count(lit(1)).as("n_raw"))
-    val qC = quality.groupBy($"source").agg(count(lit(1)).as("n_quality"))
+    // raw + quality counts from one map-side-combined pass over the
+    // checkpointed metadata
+    val rqC = raw.groupBy($"source").agg(
+      count(lit(1)).as("n_raw"),
+      count(when(qualityCond, 1)).as("n_quality"))
     val uC = unique.groupBy($"source").agg(count(lit(1)).as("n_unique"))
     val sC = sampled.groupBy($"source")
       .agg(count(lit(1)).as("n_sampled"), sum($"wc").as("tokens_sampled"))
     // the per-source count frames are metadata-sized — broadcast them
     // so the report is exchange-free regardless of stats
-    rawC.join(broadcast(qC), Seq("source"), "left")
-      .join(broadcast(uC), Seq("source"), "left")
+    rqC.join(broadcast(uC), Seq("source"), "left")
       .join(broadcast(sC), Seq("source"), "left")
-      .select($"source", $"n_raw",
-        coalesce($"n_quality", lit(0L)).as("n_quality"),
+      .select($"source", $"n_raw", $"n_quality",
         coalesce($"n_unique", lit(0L)).as("n_unique"),
         coalesce($"n_sampled", lit(0L)).as("n_sampled"),
         coalesce($"tokens_sampled", lit(0L)).as("tokens_sampled"))

@@ -85,6 +85,28 @@ object ProfileWarc {
     println(f"[warc-docs] docs=${toks.getLong(0)} tokens=${toks.getLong(1)} " +
       f"wall=$docWall%.1fs raw_MB_per_s=${rawBytes / 1e6 / docWall}%.0f")
 
+    // leg 3: the FULL production funnel — land once (crawl →
+    // asDocuments → parquet, what streamIngest's batches do), then
+    // curate from columnar (the qx01 composition: quality gate →
+    // exact dedup → temperature mix → report). The funnel's report
+    // stage reads its input three times (raw/quality/unique counts);
+    // over landed parquet those are cheap pruned scans — over raw
+    // gzip they would be three full re-parses, which is why ingest
+    // and curation separate at 100 TB.
+    t = System.nanoTime()
+    WarcSource.asDocuments(WarcSource.read(spark, s"$dir/*.warc.gz"))
+      .write.mode("overwrite").parquet(s"$dir/docs.parquet")
+    val landWall = (System.nanoTime() - t) / 1e9
+    t = System.nanoTime()
+    val funnel = graft.queries.CurationQueries.corpusBuildFrom(
+      spark.read.parquet(s"$dir/docs.parquet"),
+      budget = (nFiles.toLong * perFile) / 4).collect()
+    val funnelWall = (System.nanoTime() - t) / 1e9
+    val (raw, kept) = (funnel.map(_.getLong(1)).sum, funnel.map(_.getLong(4)).sum)
+    println(f"[warc-funnel] land=$landWall%.1fs (${rawBytes / 1e6 / landWall}%.0f MB/s) " +
+      f"curate=$funnelWall%.1fs raw=$raw kept=$kept " +
+      f"end_to_end_MB_per_s=${rawBytes / 1e6 / (landWall + funnelWall)}%.0f")
+
     // cleanup the generated segments
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
     spark.stop()
