@@ -97,8 +97,14 @@ object IncrementalLineCensus {
       // store (where a replayed append is benign), a replayed COUNT
       // add would change decisions, so the commit-vs-marker window
       // must not exist. Underscore prefix: parquet readers skip it.
-      batchMarker.foreach { id =>
-        fs.create(new org.apache.hadoop.fs.Path(staging, s"_applied_batch_$id"), true).close()
+      // EARLIER batches' markers must ride along too: the swap
+      // replaces the whole directory, and dropping them would let a
+      // checkpoint-loss replay of an old batch double-count (caught
+      // by CorpusPipelineStreamSpec's two-wave replay).
+      val existingMarkers = fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
+        .map(_.getPath.getName).filter(_.startsWith("_applied_batch_"))
+      (existingMarkers ++ batchMarker.map(id => s"_applied_batch_$id")).foreach { m =>
+        fs.create(new org.apache.hadoop.fs.Path(staging, m), true).close()
       }
       graft.hfc.AtomicSwap.commitDir(fs, storePath, staging)
     }

@@ -375,6 +375,80 @@ object EventStreams {
         ()
       }
 
+  /** The COMPOSED streaming corpus pipeline — quality pre-gate →
+    * near-dup store → line census in ONE foreachBatch pass: the
+    * production shape a continuous crawl runs (each member is
+    * individually replay-safe and spec-pinned; this is the
+    * composition). Per micro-batch:
+    *   1. gate: the qx01 integer quality rule (wc ≥ minTokens,
+    *      3 ≤ chars/token ≤ 12), a scan-local projection;
+    *   2. dedup: survivors probe the persistent signature store
+    *      ([[graft.operators.IncrementalDedup.dedupBatch]], appended
+    *      under the batch's applied marker);
+    *   3. scrub: non-dup survivors run the corpus-global line census
+    *      ([[graft.operators.IncrementalLineCensus.scrubBatch]],
+    *      counted under the in-store atomic marker).
+    * One decisions row per input doc (gate_passed, dup_of, jaccard,
+    * line-census columns, kept) lands in a batch_id partition via
+    * dynamic overwrite.
+    *
+    * Exactly-once across a checkpoint loss composes stage-wise: a
+    * re-delivered batch recomputes the SAME gate split (pure
+    * projection), the same dedup decisions (store-side replay guard +
+    * applied marker skips the re-append), hence the same survivor set
+    * into the census, whose in-store marker switches it to store-only
+    * frequency — identical decisions end to end, stores unchanged
+    * (CorpusPipelineStreamSpec). Both stores must be initStore'd
+    * before the query starts. */
+  def corpusPipelineStream(docs: DataFrame,
+                           dedupStorePath: String, censusStorePath: String,
+                           outDir: String, threshold: Double,
+                           numHashes: Int = 16, bands: Int = 4,
+                           minTokens: Int = 20,
+                           lineTokens: Int = 10, maxDocFreq: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        // micro-batch-sized; read by all three stages + the report
+        val gated = batch0.select(col("doc_id"), col("text"),
+            size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("wc"),
+            length(trim(col("text"))).cast("long").as("tl"))
+          .withColumn("gate_passed",
+            col("wc") >= minTokens && col("tl") >= col("wc") * 3 && col("tl") <= col("wc") * 12)
+          .localCheckpoint()
+        val passDocs = gated.filter(col("gate_passed")).select(col("doc_id"), col("text"))
+
+        val applied = graft.operators.IncrementalDedup
+          .batchApplied(spark, dedupStorePath, batchId)
+        val dd = graft.operators.IncrementalDedup
+          .dedupBatch(passDocs, dedupStorePath, threshold, numHashes, bands,
+            appendUnique = !applied)
+        val survivors = passDocs.join(
+          dd.filter(col("dup_of").isNull).select(col("doc_id")), Seq("doc_id"))
+
+        val counted = graft.operators.IncrementalLineCensus
+          .batchCounted(spark, censusStorePath, batchId)
+        val scrub = graft.operators.IncrementalLineCensus
+          .scrubBatch(survivors, censusStorePath, lineTokens, maxDocFreq,
+            updateStore = !counted, batchAlreadyCounted = counted,
+            batchMarker = if (counted) None else Some(batchId))
+
+        gated.select(col("doc_id"), col("gate_passed"))
+          .join(dd, Seq("doc_id"), "left")
+          .join(scrub, Seq("doc_id"), "left")
+          .withColumn("kept", col("gate_passed") && col("dup_of").isNull)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        if (!applied)
+          graft.operators.IncrementalDedup.markApplied(spark, dedupStorePath, batchId)
+        ()
+      }
+
   /** Stream-stream interval join: pair each left event with right
     * events of the same user arriving within `[0, maxDelay]` after it.
     * Both sides carry watermarks and the join condition bounds event

@@ -120,7 +120,16 @@ object ProfileScaleFamily {
       "qd08_clusters_alternating" -> ((t: Tables) => graft.queries.PipelineQueries.dedupClustersAlternating(t)),
       "qc12_cluster_decontam" -> ((t: Tables) => graft.queries.CurationQueries.clusterDecontaminate(t)),
       "qc11_contamination_report" -> ((t: Tables) => graft.queries.QualityQueries.contaminationReport(t)),
-      "qp12_cluster_holdout" -> ((t: Tables) => graft.queries.PipelineQueries.clusterHoldout(t)))
+      "qp12_cluster_holdout" -> ((t: Tables) => graft.queries.PipelineQueries.clusterHoldout(t)),
+      // the composed multi-stage builds (r10): gate→dedup→mix and the
+      // full release pipeline — scale evidence that COMPOSITION does
+      // not add super-linear stages beyond its members'
+      "qx01_corpus_build" -> ((t: Tables) => graft.queries.CurationQueries.corpusBuild(t)),
+      "qc09_corpus_release" -> ((t: Tables) => graft.queries.QualityQueries.corpusRelease(t)))
+
+    // optional 4th arg: comma-separated name-prefix filter (dev loops)
+    val only = args.drop(3).headOption.map(_.split(",").toSeq)
+    val selected = family.filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
 
     println(f"[scale] ${"query"}%-26s ${"reps"}%4s ${"docs"}%7s ${"wall_s"}%8s ${"shuf_rd_mb"}%10s ${"shuf_wr_mb"}%10s")
     for (reps <- Seq(1, 2, 5, 10)) {
@@ -128,7 +137,7 @@ object ProfileScaleFamily {
       buildScaled(spark, srcDir, dir, reps, mode)
       val t = Tables(spark, dir)
       val nDocs = t.documents.count()
-      family.foreach { case (name, fn) =>
+      selected.foreach { case (name, fn) =>
         // one warm pass (codegen/JIT), then the measured pass
         fn(t).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
