@@ -17,7 +17,11 @@ object Bench {
     // host CPU-steal window (observed: an identical trivial query at
     // 0.5 s and 9.3 s in adjacent runs), interleaved ones usually
     // don't, so the min survives windows shorter than a pass.
+    // optional dev-loop filter: SPARK_GRAFT_ONLY=qd22,qs24 times just
+    // those queries (the driver leaves it unset -> full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
     (1 to 3).foreach { _ =>
       named.foreach { case (name, fn) =>

@@ -341,6 +341,48 @@ object Dedup {
       shingles(col(textCol), n).as("shingles"),
       shingleHashes(col(textCol), n).as("hashes"))
 
+  /** Banding-only legs of [[nearDupsMinhashFromShingles]] for a WHOLE
+    * width sweep, NO verify. MinHash row s is seeded by s alone
+    * (sig(s) = min md5(s":"x) — [[graft.functions.expressions.MinHashSignature]]),
+    * so a narrower signature is a PREFIX of a wider one: the sweep
+    * computes ONE maximal-width signature table and each width bands
+    * its first `h` entries — bit-equal to computing that width
+    * directly (spec-pinned), at 1x the minhash work instead of
+    * sum-of-widths. Verification is factored out too
+    * ([[verifyJaccardPairs]]): a pair's exact Jaccard is
+    * width-independent, so the sweep verifies the candidate UNION
+    * once. */
+  def candidatePairsByWidth(shingled: DataFrame, widths: Seq[Int], bands: Int,
+                            idCol: String = "doc_id"): Seq[(Int, DataFrame)] = {
+    require(widths.nonEmpty && widths.forall(h => h >= 1 && h % bands == 0),
+      s"every width must be a positive multiple of bands ($bands): $widths")
+    val sigs = materialized(
+      shingled.select(col(idCol),
+        call_function("graft_minhash_signature",
+          col("shingles"), lit(widths.max)).as("sig")), None)
+    widths.map { h =>
+      val banded = sigs.select(col(idCol),
+        minhashBands(col("sig"), bands, h / bands).as("bands"))
+      h -> candidatesFrom(banded, idCol)
+    }
+  }
+
+  /** Exact distinct-shingle Jaccard for an explicit (a_id, b_id) pair
+    * list, read from the shared [[shingledTable]] hash sets — the
+    * verify stage factored out so sweeps can run it once over a
+    * candidate union. */
+  def verifyJaccardPairs(pairs: DataFrame, shingled: DataFrame,
+                         idCol: String = "doc_id"): DataFrame = {
+    val sh = shingled.select(col(idCol), col("hashes"))
+    val common = size(array_intersect(col("a_hashes"), col("b_hashes"))).cast("double")
+    pairs
+      .join(sh.select(col(idCol).as("a_id"), col("hashes").as("a_hashes")), "a_id")
+      .join(sh.select(col(idCol).as("b_id"), col("hashes").as("b_hashes")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(common / (size(col("a_hashes")) + size(col("b_hashes")) - common), 6)
+          .as("jaccard"))
+  }
+
   /** Edit-distance near-duplicates: MinHash LSH candidates verified by
     * exact Levenshtein distance ≤ `maxDist` — the verify to reach for
     * when the dedup CONTRACT is character-level ("differs by at most k

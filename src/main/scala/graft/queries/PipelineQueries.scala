@@ -2223,24 +2223,35 @@ object PipelineQueries {
     * the funnel's verify stage, so precision is funnel efficiency),
     * precision, and recall RELATIVE to the union of verified pairs
     * across all swept settings (never an all-pairs truth join — the
-    * banded-only discipline even in calibration). */
+    * banded-only discipline even in calibration).
+    *
+    * Cost shape (r10): the sweep shares ONE maximal signature (narrow
+    * signatures are prefixes — [[Dedup.candidatePairsByWidth]]) and
+    * ONE verify over the candidate union (pair Jaccard is
+    * width-independent), so sweeping W widths costs ~1 funnel, not W
+    * (bench 4.09 → 3.54 s at sf0.1; bit-equality per width pinned in
+    * DedupSpec). */
   def signatureSweep(t: Tables): DataFrame = {
     import t.spark.implicits._
     // the sweep's three settings share ONE tokenize+shingle+hash scan;
-    // only the H-seed signature re-derives per setting
+    // only the H-seed signature re-derives per setting — and the
+    // verify runs ONCE over the union of the three candidate sets (a
+    // pair's exact Jaccard is width-independent), so each width then
+    // just joins its pair list against the shared verdict table
+    // instead of re-intersecting hash arrays (r9's 3x verify cost
+    // collapsed to ~the widest candidate set's 1x)
     val shingled = Dedup.shingledTable(t.documents).localCheckpoint()
-    val surv = Seq(8, 16, 32).map { h =>
-      h -> Dedup.nearDupsMinhashFromShingles(shingled, threshold = 0.0,
-          numHashes = h, bands = 4)
-        .select($"a_id", $"b_id", ($"jaccard" >= 0.5).as("m"))
-        .localCheckpoint()
-    }
-    val truth = surv.map(_._2.filter($"m").select($"a_id", $"b_id"))
-      .reduce(_ unionByName _).distinct().localCheckpoint()
-    val nTruth = truth.count()
-    surv.map { case (h, s) =>
-      s.agg(count(lit(1)).as("n_candidates"),
-            sum(when($"m", 1L).otherwise(0L)).as("n_matches"))
+    val cands = Dedup.candidatePairsByWidth(shingled, widths = Seq(8, 16, 32), bands = 4)
+      .map { case (h, c) => h -> c.localCheckpoint() }
+    val verified = Dedup.verifyJaccardPairs(
+        cands.map(_._2).reduce(_ unionByName _).distinct(), shingled)
+      .select($"a_id", $"b_id", ($"jaccard" >= 0.5).as("m"))
+      .localCheckpoint()
+    val nTruth = verified.filter($"m").count()
+    cands.map { case (h, c) =>
+      c.join(verified, Seq("a_id", "b_id"))
+        .agg(count(lit(1)).as("n_candidates"),
+             sum(when($"m", 1L).otherwise(0L)).as("n_matches"))
         .select(lit(h).as("num_hashes"), $"n_candidates", $"n_matches",
           round($"n_matches".cast("double") / $"n_candidates".cast("double"), 6).as("precision"),
           round($"n_matches".cast("double") / lit(nTruth.toDouble), 6).as("recall_rel"))

@@ -101,6 +101,21 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("prefix-sliced sweep (one maximal signature + shared verify) is bit-identical per width") {
+    val shingled = Dedup.shingledTable(docs)
+    val byWidth = Dedup.candidatePairsByWidth(shingled, widths = Seq(8, 16, 32), bands = 4)
+    val verified = Dedup.verifyJaccardPairs(
+      byWidth.map(_._2).reduce(_ unionByName _).distinct(), shingled)
+    for ((h, cand) <- byWidth) {
+      val direct = Dedup.nearDupsMinhash(docs, threshold = 0.0, numHashes = h, bands = 4)
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      val sliced = cand.join(verified, Seq("a_id", "b_id"))
+        .select("a_id", "b_id", "jaccard").as[(Long, Long, Double)].collect().toSet
+      assert(sliced == direct,
+        s"prefix-sliced banding + shared verify diverges from the direct path at H=$h")
+    }
+  }
+
   test("nearDupsSimhash storage-backed signatures match the cached path, cache untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shsigs").toString
     try {
