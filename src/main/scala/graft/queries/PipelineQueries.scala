@@ -2515,7 +2515,65 @@ object PipelineQueries {
       |  CAST(MAX(CASE WHEN lateness <= wm_ms THEN lateness ELSE 0 END) AS BIGINT) max_kept_lateness_ms
       |FROM x GROUP BY 1, 2 ORDER BY wm_ms""".stripMargin
 
+  /** qe10: session-gap policy — the qe11 move (audit → decision table)
+    * applied to qe01's OTHER streaming knob, the sessionization gap:
+    * per-user inter-event gaps (one per-user lag window, never a
+    * global sort) read against candidate gap durations — for each
+    * candidate, how many sessions the corpus would split into
+    * (#users + #gaps exceeding the candidate), the break fraction,
+    * and mean events per session. The table a pipeline reads BEFORE
+    * committing qe01's gapMs. Scale shape: per-user window (shuffles
+    * by user_id, the same partitioning qe01 itself needs) + a bounded
+    * 4-candidate explode + one aggregation; the user/event totals are
+    * a 1-row broadcast. */
+  def sessionGapPolicy(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+    val gaps = t.events
+      .select($"user_id", unix_millis($"ts").as("ts_ms"), $"event_id")
+      .withColumn("gap_ms", $"ts_ms" - lag($"ts_ms", 1).over(w))
+      .filter($"gap_ms".isNotNull)
+    val totals = t.events.agg(
+      countDistinct($"user_id").as("n_users"),
+      count(lit(1)).as("n_events"))
+    val candidates = Seq(("1m", 60000L), ("5m", 300000L),
+      ("30m", 1800000L), ("2h", 7200000L))
+    gaps.select($"gap_ms",
+        explode(array(candidates.map { case (l, ms) =>
+          struct(lit(l).as("gap"), lit(ms).as("gap_limit_ms")) }: _*)).as("c"))
+      .groupBy($"c.gap".as("gap"), $"c.gap_limit_ms".as("gap_limit_ms"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(($"gap_ms" > $"c.gap_limit_ms").cast("long")).as("n_breaks"))
+      .crossJoin(broadcast(totals))
+      .select($"gap", $"gap_limit_ms",
+        ($"n_breaks" + $"n_users").as("n_sessions"),
+        round($"n_breaks".cast("double") / $"n_gaps".cast("double"), 6)
+          .as("break_frac"),
+        round($"n_events".cast("double") / ($"n_breaks" + $"n_users").cast("double"), 6)
+          .as("events_per_session"))
+      .orderBy($"gap_limit_ms")
+  }
+
+  val sessionGapPolicySql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(epoch_ms(ts) AS BIGINT) ts_ms FROM events),
+      |g AS (SELECT ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) gap_ms
+      |  FROM e),
+      |gn AS (SELECT gap_ms FROM g WHERE gap_ms IS NOT NULL),
+      |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) n_users,
+      |               CAST(COUNT(*) AS BIGINT) n_events FROM events),
+      |cand(gap, gap_limit_ms) AS (VALUES ('1m', 60000), ('5m', 300000), ('30m', 1800000), ('2h', 7200000)),
+      |x AS (SELECT cand.gap, CAST(cand.gap_limit_ms AS BIGINT) gap_limit_ms, gn.gap_ms
+      |  FROM gn CROSS JOIN cand),
+      |agg AS (SELECT gap, gap_limit_ms, CAST(COUNT(*) AS BIGINT) n_gaps,
+      |    CAST(SUM(CASE WHEN gap_ms > gap_limit_ms THEN 1 ELSE 0 END) AS BIGINT) n_breaks
+      |  FROM x GROUP BY 1, 2)
+      |SELECT gap, gap_limit_ms, n_breaks + tot.n_users AS n_sessions,
+      |  round(CAST(n_breaks AS DOUBLE) / CAST(n_gaps AS DOUBLE), 6) break_frac,
+      |  round(CAST(tot.n_events AS DOUBLE) / CAST(n_breaks + tot.n_users AS DOUBLE), 6) events_per_session
+      |FROM agg CROSS JOIN tot ORDER BY gap_limit_ms""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qe10_session_gap_policy" -> ((s: SparkSession, d: String) => sessionGapPolicy(Tables(s, d))),
     "qe11_watermark_policy" -> ((s: SparkSession, d: String) => watermarkPolicy(Tables(s, d))),
     "qe08_disorder_census" -> ((s: SparkSession, d: String) => disorderCensus(Tables(s, d))),
     "qd20_cdc_chunks"      -> ((s: SparkSession, d: String) => cdcProfile(Tables(s, d))),
@@ -2603,6 +2661,7 @@ object PipelineQueries {
     "qd14_chunk_dedup"     -> chunkDedupSql,
     "qd20_cdc_chunks"      -> cdcProfileSql,
     "qe08_disorder_census" -> disorderCensusSql,
+    "qe10_session_gap_policy" -> sessionGapPolicySql,
     "qe11_watermark_policy" -> watermarkPolicySql,
     "qg04_coactivity_comps" -> coActivityComponentsSql,
     "qe05_conversion_funnel" -> conversionFunnelSql,
