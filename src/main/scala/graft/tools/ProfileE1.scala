@@ -232,6 +232,75 @@ object ProfileE1 {
     val rps = nRepos / engine
     println(f"[e1] ENGINE TOTAL (clone+walk+normalize+merge): $engine%8.2f s = $rps%8.1f repos/s")
     println(f"[e1] reference baseline: ~5.6 repos/s single-threaded (54 h full hub) -> ratio ${rps / 5.6}%6.1fx")
+
+    // ---- incremental refresh (the reference's monthly mode,
+    // databaseImport.py:607-619): 10% of repos gain one commit and a
+    // bumped last_modified (fresh -> full K2 path incl. re-clone +
+    // walk); the other 90% only refresh counters (stale -> K4 path).
+    // Setup (origin mutation, old-clone removal) is untimed.
+    val freshFleet = fleet.filter(_.idx % 10 == 0).localCheckpoint(true)
+    val nFresh = freshFleet.count()
+    freshFleet.foreachPartition { it: Iterator[OriginRepo] =>
+      it.foreach { o =>
+        val dir = new java.io.File(o.path)
+        val user = Seq("-c", s"user.name=user${o.idx % 200}", "-c", s"user.email=u${o.idx % 200}@local")
+        val body = s"repo${o.idx} incremental update\n"
+        java.nio.file.Files.write(new java.io.File(dir, "f0.txt").toPath, body.getBytes("UTF-8"))
+        val env = Seq(
+          "GIT_AUTHOR_DATE" -> s"${1750000000L + o.idx} +0100",
+          "GIT_COMMITTER_DATE" -> s"${1750000000L + o.idx} +0000")
+        sh(dir, Nil, (user ++ Seq("add", "-A")): _*)
+        sh(dir, env, (user ++ Seq("commit", "-q", "-m", s"repo${o.idx} incr")): _*)
+        // the fresh path re-clones: drop the stale bare clone
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+        }
+        rm(new java.io.File(s"$work/clones", s"models/${o.name}".replaceAll("[^A-Za-z0-9._-]", "_")))
+      }
+    }
+    timed("incremental") {
+      val refreshed = modelsListing
+        .withColumn("likes", ($"likes" + 1).cast("int"))
+      val freshIds = freshFleet.toDF().select(concat(lit("models/"), $"name").as("repo_id"))
+      val batch = refreshed.join(broadcast(freshIds.withColumn("__fresh", lit(true))),
+          Seq("repo_id"), "left")
+        .withColumn("last_modified",
+          when($"__fresh", timestamp_seconds(lit(1750000000L))).otherwise($"last_modified"))
+      // stale fast path: counters only on the repository table (K4)
+      val repoSilver = spark.read.parquet(s"$work/silver/repository")
+      val staleBatch = graft.hfc.Normalize.repositories(
+        batch.filter($"__fresh".isNull).drop("__fresh"), emptyListing, emptyListing)
+      val afterCounters = MergeWriter.updateColumns(
+        repoSilver, staleBatch, Seq("id"), Seq("likes"))
+      // fresh full path: re-clone, walk, upsert
+      val tasks = freshFleet.map(o => CloneTask(s"models/${o.name}", o.name, s"file://${o.path}"))
+      val freshRefs = GitCloneSource.refs(
+        GitCloneSource.cloneAll(tasks, s"$work/clones", maxAttempts = 2, timeoutSec = 300))
+      val freshCommits = GitHistorySource.commitsTable(spark, freshRefs)
+        .withColumn("message", lit(null).cast("string"))
+        .localCheckpoint(true)
+      val freshDeltas = GitHistorySource.deltas(freshRefs, withContent = true).toDF()
+      val freshRepos = graft.hfc.Normalize.repositories(
+        batch.filter($"__fresh").drop("__fresh"), emptyListing, emptyListing)
+      val repoOut = MergeWriter.upsert(afterCounters, freshRepos, Seq("id"))
+      repoOut.write.mode("overwrite").parquet(s"$work/silver2/repository")
+      val commitsOut = MergeWriter.upsert(
+        spark.read.parquet(s"$work/stage/commits").drop("parents"),
+        freshCommits.drop("parents"), Seq("sha", "repo_id"))
+      commitsOut.write.mode("overwrite").parquet(s"$work/silver2/commits")
+      val files = graft.hfc.Normalize.repoFiles(modelsListing)
+      val freshModified = graft.hfc.Normalize.modifiedFiles(freshDeltas, files)
+      MergeWriter.upsert(spark.read.parquet(s"$work/silver/modified_file"),
+          freshModified.drop("sha"), Seq("modified_file_id"))
+        .write.mode("overwrite").parquet(s"$work/silver2/modified_file")
+      val nRepoRows = spark.read.parquet(s"$work/silver2/repository").count()
+      val nCommitRows = spark.read.parquet(s"$work/silver2/commits").count()
+      println(s"[e1]   incremental: repository=$nRepoRows commits=$nCommitRows " +
+        s"(+$nFresh fresh of $nRepos)")
+    }
+    val incr = walls("incremental")
+    println(f"[e1] incremental refresh: $incr%8.2f s for $nRepos repos ($nFresh fresh) = " +
+      f"${nRepos / incr}%8.1f repos/s (${engine / incr}%4.1fx faster than full import)")
     println(s"""{"metric":"e1_repos_per_sec","value":$rps,"unit":"repos/sec","n_repos":$nRepos,""" +
       walls.map { case (k, v) => s""""$k":${math.rint(v * 100) / 100}""" }.mkString(",") + "}")
     spark.stop()
