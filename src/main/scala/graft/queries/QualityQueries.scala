@@ -1505,6 +1505,131 @@ object QualityQueries {
       |  round(MIN(fk), 6) min_grade, round(MAX(fk), 6) max_grade
       |FROM f GROUP BY source ORDER BY source""".stripMargin
 
+  /** qt42 oracle machinery — [[WordPiece.trainBatched]] replayed in
+    * DuckDB. Per unrolled round: pair + symbol censuses, the scored
+    * ranking, the greedy SYMBOL-DISJOINT selection as a recursive CTE
+    * walking the top 2·want rows with a claimed-symbol list (left,
+    * right, AND the `##`-stripped fused spelling — the WordPieceSpec
+    * subtlety), then one positional greedy rewrite per batch slot
+    * (slots past the selection count resolve to a NULL merge row and
+    * pass through). `want` is a per-round scalar
+    * (min(batchSize, target − selected so far)), so rounds that select
+    * fewer than batchSize merges leave later unrolled rounds live —
+    * the engine's data-terminated loop walks identically up to the
+    * unroll bound. At sf0.01: 2 live rounds of 4. */
+  private val WpBatchedMerges = 8
+  private val WpBatchSize     = 4
+  private val WpBatchedUnroll = 4
+
+  private def wpBatchedRoundSql(r: Int): String = {
+    val prev = s"v${r - 1}"
+    val prior = (1 until r).map(i => s"(SELECT COUNT(*) FROM sel$i)")
+      .mkString(" + ") match { case "" => "0"; case s => s }
+    val head =
+      s"""cnt$r AS MATERIALIZED (
+         |  SELECT p.l l, p.r r, SUM(wc) c FROM (
+         |    SELECT wc, unnest([struct_pack(l := syms[i], r := syms[i+1]) for i in range(1, len(syms))]) p
+         |    FROM $prev)
+         |  GROUP BY 1, 2),
+         |sc$r AS MATERIALIZED (
+         |  SELECT sym, SUM(wc) c FROM (SELECT wc, unnest(syms) sym FROM $prev) GROUP BY 1),
+         |want$r AS (SELECT LEAST($WpBatchSize, $WpBatchedMerges - ($prior)) w),
+         |ranked$r AS MATERIALIZED (
+         |  SELECT l, r, c, lc, rc, m, ROW_NUMBER() OVER (ORDER BY score DESC, l ASC, r ASC) rk FROM (
+         |    SELECT p.l, p.r, p.c, cl.c lc, cr.c rc,
+         |      CAST(p.c AS DOUBLE) / (CAST(cl.c AS DOUBLE) * CAST(cr.c AS DOUBLE)) score,
+         |      p.l || CASE WHEN starts_with(p.r, '##') THEN p.r[3:] ELSE p.r END m
+         |    FROM cnt$r p JOIN sc$r cl ON cl.sym = p.l JOIN sc$r cr ON cr.sym = p.r)),
+         |selrec$r AS (
+         |  SELECT 0 rk, CAST([] AS VARCHAR[]) used, CAST([] AS INTEGER[]) picks
+         |  UNION ALL
+         |  SELECT q.rk,
+         |    CASE WHEN q.ok THEN q.used || [q.l, q.r, q.m] ELSE q.used END,
+         |    CASE WHEN q.ok THEN list_append(q.picks, q.rk) ELSE q.picks END
+         |  FROM (
+         |    SELECT t.rk, t.l, t.r, t.m, s.used, s.picks,
+         |      (len(s.picks) < (SELECT w FROM want$r)
+         |       AND NOT list_contains(s.used, t.l)
+         |       AND NOT list_contains(s.used, t.r)
+         |       AND NOT list_contains(s.used, t.m)) ok
+         |    FROM selrec$r s JOIN ranked$r t ON t.rk = s.rk + 1
+         |    WHERE t.rk <= 2 * (SELECT w FROM want$r)) q),
+         |sel$r AS MATERIALIZED (
+         |  SELECT t.l, t.r, t.c, t.lc, t.rc, t.m merged, list_position(f.picks, CAST(t.rk AS INTEGER)) ord
+         |  FROM ranked$r t, (SELECT picks FROM selrec$r ORDER BY rk DESC LIMIT 1) f
+         |  WHERE list_contains(f.picks, CAST(t.rk AS INTEGER)))""".stripMargin
+    val slots = (1 to WpBatchSize).map { k =>
+      val inp = if (k == 1) prev else s"s${r}_${k - 1}"
+      val out = if (k == WpBatchSize) s"v$r" else s"s${r}_$k"
+      s"""m${r}_$k AS (
+         |  SELECT (SELECT l FROM sel$r WHERE ord = $k) l,
+         |         (SELECT r FROM sel$r WHERE ord = $k) r,
+         |         (SELECT merged FROM sel$r WHERE ord = $k) merged),
+         |cnd${r}_$k AS (
+         |  SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) grp FROM (
+         |    SELECT w.word, unnest([i for i in range(1, len(w.syms)) if w.syms[i] = m.l AND w.syms[i+1] = m.r]) i
+         |    FROM $inp w, m${r}_$k m)),
+         |tk${r}_$k AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) rnk FROM cnd${r}_$k)
+         |  WHERE rnk % 2 = 1),
+         |$out AS MATERIALIZED (
+         |  SELECT e.word, e.wc, list(e.sym ORDER BY e.j) syms FROM (
+         |    SELECT pj.word, pj.wc, pj.j,
+         |      CASE WHEN tk.i IS NOT NULL THEN pj.merged ELSE pj.sym0 END sym,
+         |      tkprev.i iprev
+         |    FROM (
+         |      SELECT w.word, w.wc, m.merged, unnest(range(1, len(w.syms)+1)) j, unnest(w.syms) sym0
+         |      FROM $inp w CROSS JOIN m${r}_$k m) pj
+         |    LEFT JOIN tk${r}_$k tk ON tk.word = pj.word AND tk.i = pj.j
+         |    LEFT JOIN tk${r}_$k tkprev ON tkprev.word = pj.word AND tkprev.i = pj.j - 1
+         |  ) e
+         |  WHERE e.iprev IS NULL
+         |  GROUP BY e.word, e.wc)""".stripMargin
+    }
+    (head +: slots).mkString(",\n")
+  }
+
+  val wordPieceVocabBatchedSql: String = {
+    val rounds = (1 to WpBatchedUnroll).map(wpBatchedRoundSql).mkString(",\n")
+    val finals = (1 to WpBatchedUnroll).map { r =>
+      val off = (1 until r).map(i => s"(SELECT COUNT(*) FROM sel$i)")
+        .mkString(" + ") match { case "" => "0"; case s => s }
+      s"SELECT ($off) + ord - 1 rank, l, r, merged, c, lc, rc FROM sel$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE v0 AS MATERIALIZED (
+       |  SELECT word, wc,
+       |    [CASE WHEN i = 1 THEN word[i:i] ELSE '##' || word[i:i] END for i in range(1, len(word)+1)] syms
+       |  FROM ($censusSqlBody)),
+       |$rounds
+       |SELECT CAST(rank AS INT) rank, l AS "left", r AS "right", merged,
+       |  CAST(c AS BIGINT) pair_count, CAST(lc AS BIGINT) left_count, CAST(rc AS BIGINT) right_count,
+       |  CAST(c AS DOUBLE) / (CAST(lc AS DOUBLE) * CAST(rc AS DOUBLE)) score
+       |FROM ($finals) ORDER BY rank""".stripMargin
+  }
+
+  /** qt42: [[WordPiece.trainBatched]] gated end-to-end — the
+    * production-vocab path (up to batchSize symbol-disjoint merges per
+    * scored census, measured per-merge wall FLAT in vocab size),
+    * previously pinned only by specs. numMerges=8 / batchSize=4: the
+    * same 8-merge trajectory as qt38 but learned in 2 batched rounds —
+    * the output differs from qt38's exactly where the deviation
+    * contract says it may (a pair CREATED by an earlier in-batch merge
+    * can't be selected until the next round), and the oracle replays
+    * the batched semantics, over-fetch and greedy disjoint selection
+    * included. */
+  def wordPieceVocabBatched(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val (merges, _) = WordPiece.trainBatched(t.documents,
+      numMerges = WpBatchedMerges, batchSize = WpBatchSize)
+    t.spark.catalog.clearCache()
+    merges.map(m => (m.rank, m.left, m.right, m.merged,
+        m.pairCount, m.leftCount, m.rightCount, m.score))
+      .toDF("rank", "left", "right", "merged",
+        "pair_count", "left_count", "right_count", "score")
+      .orderBy($"rank")
+  }
+
   /** One Viterbi-EM round as a recursive-CTE DP: the working row
     * carries a sliding window of the best (score, path) at the last
     * maxPieceLen=4 positions, advancing one character per iteration —
@@ -1841,6 +1966,7 @@ object QualityQueries {
     "qt29_unigram_vocab"     -> ((s: SparkSession, d: String) => unigramVocab(Tables(s, d))),
     "qt30_unigram_encode"    -> ((s: SparkSession, d: String) => unigramEncode(Tables(s, d))),
     "qt41_unigram_pruned"    -> ((s: SparkSession, d: String) => unigramPrunedVocab(Tables(s, d))),
+    "qt42_wordpiece_batched" -> ((s: SparkSession, d: String) => wordPieceVocabBatched(Tables(s, d))),
     "qt28_heavy_hitters"     -> ((s: SparkSession, d: String) => heavyHitters(Tables(s, d))),
     "qt24_url_blocklist"     -> ((s: SparkSession, d: String) => urlBlocklist(Tables(s, d))),
     "qt25_lr_train"          -> ((s: SparkSession, d: String) => lrTrain(Tables(s, d))),
@@ -1888,6 +2014,7 @@ object QualityQueries {
     "qt29_unigram_vocab"     -> unigramVocabSql,
     "qt30_unigram_encode"    -> unigramEncodeSql,
     "qt41_unigram_pruned"    -> unigramPrunedVocabSql,
+    "qt42_wordpiece_batched" -> wordPieceVocabBatchedSql,
     "qr05_expectations"      -> expectationsSql,
     "qt28_heavy_hitters"     -> heavyHittersSql,
     "qt24_url_blocklist"     -> urlBlocklistSql,
