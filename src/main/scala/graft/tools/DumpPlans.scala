@@ -182,8 +182,11 @@ object DumpPlans {
        "Candidate generation is a hash join of broadcast probe cells against the materialized cell assignment (never all-pairs); the PQ codebooks and full-precision queries broadcast into the ADC scoring projection, so the only rows that pay distance math are the admitted candidates. The final counts are two scalar aggregates joined by broadcast.",
        fmt(PipelineQueries.ivfPqServe(t))),
       ("qx01_corpus_build — the composed pipeline adds no shuffle beyond its stages",
-       "Quality gating is a scan-local filter; dedup is ONE md5-keyed window over the survivors, materialized once (Scan ExistingRDD) and shared by the mix stage and every report count; the temperature rates attach by broadcast (the one nested-loop join is the documented 1-row scalar attach); the per-source report frames broadcast, so the report itself is exchange-free.",
+       "ONE pass over the text bytes projects (wc, tl, md5) and checkpoints ~100 B/doc metadata (Scan ExistingRDD), shared by the gate, the dedup window, and every report count — the corpus is tokenized once and its bytes never enter a shuffle; dedup is ONE md5-keyed window over the narrow survivors; the temperature rates attach by broadcast (the one nested-loop join is the documented 1-row scalar attach); the per-source report frames broadcast, so the report itself is exchange-free.",
        fmt(graft.queries.CurationQueries.corpusBuild(t))),
+      ("qe10_session_gap_policy — per-user window, bounded explode",
+       "The inter-event gaps come from ONE lag window partitioned by user_id (the same key qe01's sessionization shuffles on — never a global sort); the 4-candidate explode is bounded; the user/event totals are a 1-row broadcast scalar attach.",
+       fmt(graft.queries.PipelineQueries.sessionGapPolicy(t))),
     )
 
     val md = new StringBuilder
