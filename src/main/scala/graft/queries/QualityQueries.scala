@@ -1608,6 +1608,110 @@ object QualityQueries {
        |FROM ($finals) ORDER BY rank""".stripMargin
   }
 
+  /** qt43 oracle machinery — [[Bpe.trainBatched]] replayed in DuckDB:
+    * the qt42 generator with BPE's decisions (rank by raw pair count,
+    * `</w>` end-of-word sentinel, merged spelling = l || r, claimed
+    * set {l, r, l||r}). The sf0.01 trajectory exercises the
+    * under-full-batch path the machinery exists for: round 1's top
+    * 2·want over-fetch admits only 3 disjoint pairs, so rounds 2 and
+    * 3 stay live (3 + 4 + 1 = 8 merges over THREE rounds) — the
+    * conditional unroll walks it identically to the engine loop. */
+  private def bpeBatchedRoundSql(r: Int): String = {
+    val prev = s"b${r - 1}"
+    val prior = (1 until r).map(i => s"(SELECT COUNT(*) FROM bsel$i)")
+      .mkString(" + ") match { case "" => "0"; case s => s }
+    val head =
+      s"""bcnt$r AS MATERIALIZED (
+         |  SELECT p.l l, p.r r, SUM(wc) c FROM (
+         |    SELECT wc, unnest([struct_pack(l := syms[i], r := syms[i+1]) for i in range(1, len(syms))]) p
+         |    FROM $prev)
+         |  GROUP BY 1, 2),
+         |bwant$r AS (SELECT LEAST($WpBatchSize, $WpBatchedMerges - ($prior)) w),
+         |branked$r AS MATERIALIZED (
+         |  SELECT l, r, c, l || r m, ROW_NUMBER() OVER (ORDER BY c DESC, l ASC, r ASC) rk FROM bcnt$r),
+         |bselrec$r AS (
+         |  SELECT 0 rk, CAST([] AS VARCHAR[]) used, CAST([] AS INTEGER[]) picks
+         |  UNION ALL
+         |  SELECT q.rk,
+         |    CASE WHEN q.ok THEN q.used || [q.l, q.r, q.m] ELSE q.used END,
+         |    CASE WHEN q.ok THEN list_append(q.picks, q.rk) ELSE q.picks END
+         |  FROM (
+         |    SELECT t.rk, t.l, t.r, t.m, s.used, s.picks,
+         |      (len(s.picks) < (SELECT w FROM bwant$r)
+         |       AND NOT list_contains(s.used, t.l)
+         |       AND NOT list_contains(s.used, t.r)
+         |       AND NOT list_contains(s.used, t.m)) ok
+         |    FROM bselrec$r s JOIN branked$r t ON t.rk = s.rk + 1
+         |    WHERE t.rk <= 2 * (SELECT w FROM bwant$r)) q),
+         |bsel$r AS MATERIALIZED (
+         |  SELECT t.l, t.r, t.c, t.m merged, list_position(f.picks, CAST(t.rk AS INTEGER)) ord
+         |  FROM branked$r t, (SELECT picks FROM bselrec$r ORDER BY rk DESC LIMIT 1) f
+         |  WHERE list_contains(f.picks, CAST(t.rk AS INTEGER)))""".stripMargin
+    val slots = (1 to WpBatchSize).map { k =>
+      val inp = if (k == 1) prev else s"bs${r}_${k - 1}"
+      val out = if (k == WpBatchSize) s"b$r" else s"bs${r}_$k"
+      s"""bm${r}_$k AS (
+         |  SELECT (SELECT l FROM bsel$r WHERE ord = $k) l,
+         |         (SELECT r FROM bsel$r WHERE ord = $k) r,
+         |         (SELECT merged FROM bsel$r WHERE ord = $k) merged),
+         |bcnd${r}_$k AS (
+         |  SELECT word, i, i - ROW_NUMBER() OVER (PARTITION BY word ORDER BY i) grp FROM (
+         |    SELECT w.word, unnest([i for i in range(1, len(w.syms)) if w.syms[i] = m.l AND w.syms[i+1] = m.r]) i
+         |    FROM $inp w, bm${r}_$k m)),
+         |btk${r}_$k AS MATERIALIZED (
+         |  SELECT word, i FROM (
+         |    SELECT word, i, ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY i) rnk FROM bcnd${r}_$k)
+         |  WHERE rnk % 2 = 1),
+         |$out AS MATERIALIZED (
+         |  SELECT e.word, e.wc, list(e.sym ORDER BY e.j) syms FROM (
+         |    SELECT pj.word, pj.wc, pj.j,
+         |      CASE WHEN tk.i IS NOT NULL THEN pj.merged ELSE pj.sym0 END sym,
+         |      tkprev.i iprev
+         |    FROM (
+         |      SELECT w.word, w.wc, m.merged, unnest(range(1, len(w.syms)+1)) j, unnest(w.syms) sym0
+         |      FROM $inp w CROSS JOIN bm${r}_$k m) pj
+         |    LEFT JOIN btk${r}_$k tk ON tk.word = pj.word AND tk.i = pj.j
+         |    LEFT JOIN btk${r}_$k tkprev ON tkprev.word = pj.word AND tkprev.i = pj.j - 1
+         |  ) e
+         |  WHERE e.iprev IS NULL
+         |  GROUP BY e.word, e.wc)""".stripMargin
+    }
+    (head +: slots).mkString(",\n")
+  }
+
+  val bpeVocabBatchedSql: String = {
+    val rounds = (1 to WpBatchedUnroll).map(bpeBatchedRoundSql).mkString(",\n")
+    val finals = (1 to WpBatchedUnroll).map { r =>
+      val off = (1 until r).map(i => s"(SELECT COUNT(*) FROM bsel$i)")
+        .mkString(" + ") match { case "" => "0"; case s => s }
+      s"SELECT ($off) + ord - 1 rank, l, r, merged, c FROM bsel$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE b0 AS MATERIALIZED (
+       |  SELECT word, wc,
+       |    list_append([word[i:i] for i in range(1, len(word)+1)], '</w>') syms
+       |  FROM ($censusSqlBody)),
+       |$rounds
+       |SELECT CAST(rank AS INT) rank, l AS "left", r AS "right", merged, CAST(c AS BIGINT) pair_count
+       |FROM ($finals) ORDER BY rank""".stripMargin
+  }
+
+  /** qt43: [[Bpe.trainBatched]] gated end-to-end — the remaining
+    * spec-only trainer mode, completing the production-path gate
+    * coverage of the tokenizer triad (qt41 pruned Unigram, qt42
+    * batched WordPiece, this one batched BPE). numMerges=8 /
+    * batchSize=4 — and at sf0.01 the trajectory takes THREE rounds
+    * (3+4+1), hashing the under-full-batch semantics the deviation
+    * contract allows. */
+  def bpeVocabBatched(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val (merges, _) = Bpe.trainBatched(t.documents,
+      numMerges = WpBatchedMerges, batchSize = WpBatchSize)
+    t.spark.catalog.clearCache()
+    merges.map(m => (m.rank, m.left, m.right, m.merged, m.pairCount))
+      .toDF("rank", "left", "right", "merged", "pair_count")
+      .orderBy($"rank")
+  }
+
   /** qt42: [[WordPiece.trainBatched]] gated end-to-end — the
     * production-vocab path (up to batchSize symbol-disjoint merges per
     * scored census, measured per-merge wall FLAT in vocab size),
@@ -1967,6 +2071,7 @@ object QualityQueries {
     "qt30_unigram_encode"    -> ((s: SparkSession, d: String) => unigramEncode(Tables(s, d))),
     "qt41_unigram_pruned"    -> ((s: SparkSession, d: String) => unigramPrunedVocab(Tables(s, d))),
     "qt42_wordpiece_batched" -> ((s: SparkSession, d: String) => wordPieceVocabBatched(Tables(s, d))),
+    "qt43_bpe_batched"       -> ((s: SparkSession, d: String) => bpeVocabBatched(Tables(s, d))),
     "qt28_heavy_hitters"     -> ((s: SparkSession, d: String) => heavyHitters(Tables(s, d))),
     "qt24_url_blocklist"     -> ((s: SparkSession, d: String) => urlBlocklist(Tables(s, d))),
     "qt25_lr_train"          -> ((s: SparkSession, d: String) => lrTrain(Tables(s, d))),
@@ -2015,6 +2120,7 @@ object QualityQueries {
     "qt30_unigram_encode"    -> unigramEncodeSql,
     "qt41_unigram_pruned"    -> unigramPrunedVocabSql,
     "qt42_wordpiece_batched" -> wordPieceVocabBatchedSql,
+    "qt43_bpe_batched"       -> bpeVocabBatchedSql,
     "qr05_expectations"      -> expectationsSql,
     "qt28_heavy_hitters"     -> heavyHittersSql,
     "qt24_url_blocklist"     -> urlBlocklistSql,
