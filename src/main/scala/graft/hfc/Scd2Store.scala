@@ -55,7 +55,16 @@ object Scd2Store {
       .localCheckpoint(true)
     val staging = AtomicSwap.stagingFor(storePath)
     next.write.mode("overwrite").parquet(staging)
-    fs.create(new org.apache.hadoop.fs.Path(staging, s"_applied_batch_$batchId"), true).close()
+    // EARLIER batches' markers ride along: the swap replaces the whole
+    // directory, and dropping them would let a checkpoint-loss replay
+    // of an old batch re-fold its changes into a newer chain (the
+    // IncrementalLineCensus marker-loss bug, fixed round 10 in both
+    // stores; Scd2StreamSpec pins the two-batch replay)
+    val existingMarkers = fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
+      .map(_.getPath.getName).filter(_.startsWith("_applied_batch_"))
+    (existingMarkers :+ s"_applied_batch_$batchId").foreach { m =>
+      fs.create(new org.apache.hadoop.fs.Path(staging, m), true).close()
+    }
     AtomicSwap.commitDir(fs, storePath, staging)
   }
 }

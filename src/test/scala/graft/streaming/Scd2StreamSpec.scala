@@ -51,6 +51,24 @@ class Scd2StreamSpec extends SparkTestBase {
     assert(sortedHistory(Scd2Store.history(spark, store)) == after1)
   }
 
+  test("markers survive later commits: replaying batch 0 AFTER batch 1 is still a no-op") {
+    // regression (r10): each store swap used to carry only its own
+    // applied marker, so batch 1's commit erased batch 0's — a
+    // checkpoint-loss replay of batch 0 then re-folded OLD updates
+    // into the newer chain
+    val store = java.nio.file.Files.createTempDirectory("scd2s").toString + "/store"
+    Scd2Store.init(emptyHistory, store)
+    val (b1, b2) = allUpdates.partition(_._3 < 160L)
+    Scd2Store.applyBatch(updatesDf(b1), store, 0L, "k", "attr", "ts", "tie")
+    Scd2Store.applyBatch(updatesDf(b2), store, 1L, "k", "attr", "ts", "tie")
+    assert(Scd2Store.batchApplied(spark, store, 0L),
+      "batch 0's marker must survive batch 1's store swap")
+    val after = sortedHistory(Scd2Store.history(spark, store))
+    Scd2Store.applyBatch(updatesDf(b1), store, 0L, "k", "attr", "ts", "tie") // late replay
+    assert(sortedHistory(Scd2Store.history(spark, store)) == after,
+      "a late replay of an old batch must not re-fold into the newer chain")
+  }
+
   test("scd2Stream: micro-batched stream lands the batch-equal history") {
     implicit val sqlCtx = spark.sqlContext
     val store = java.nio.file.Files.createTempDirectory("scd2s").toString + "/store"
