@@ -30,6 +30,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object AtomicSwap {
 
+  /** Bound on `_applied_batch_*` markers a marker-inside-the-swap
+    * store (IncrementalLineCensus, Scd2Store) carries through
+    * rewrites: replay protection reaches this many batches back (a
+    * lost checkpoint re-delivers far fewer), while a years-long
+    * stream's commits stay O(bound) empty files instead of O(total
+    * batches ever processed). */
+  val MaxAppliedMarkers: Int = 4096
+
   def stagingFor(target: String): String = target + ".staging"
   private def oldFor(target: String): String = target + ".old"
 

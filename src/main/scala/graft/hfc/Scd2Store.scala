@@ -59,12 +59,17 @@ object Scd2Store {
     // directory, and dropping them would let a checkpoint-loss replay
     // of an old batch re-fold its changes into a newer chain (the
     // IncrementalLineCensus marker-loss bug, fixed round 10 in both
-    // stores; Scd2StreamSpec pins the two-batch replay)
-    val existingMarkers = fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
+    // stores; Scd2StreamSpec pins the two-batch replay). Retention is
+    // bounded like the census store's: newest ids only, so commit cost
+    // stays O(bound) across a long-lived stream.
+    val existingIds = fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
       .map(_.getPath.getName).filter(_.startsWith("_applied_batch_"))
-    (existingMarkers :+ s"_applied_batch_$batchId").foreach { m =>
-      fs.create(new org.apache.hadoop.fs.Path(staging, m), true).close()
-    }
+      .flatMap(_.stripPrefix("_applied_batch_").toLongOption)
+    (existingIds :+ batchId).distinct.sorted
+      .takeRight(AtomicSwap.MaxAppliedMarkers)
+      .foreach { id =>
+        fs.create(new org.apache.hadoop.fs.Path(staging, s"_applied_batch_$id"), true).close()
+      }
     AtomicSwap.commitDir(fs, storePath, staging)
   }
 }

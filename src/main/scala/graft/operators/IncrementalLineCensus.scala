@@ -100,12 +100,19 @@ object IncrementalLineCensus {
       // EARLIER batches' markers must ride along too: the swap
       // replaces the whole directory, and dropping them would let a
       // checkpoint-loss replay of an old batch double-count (caught
-      // by CorpusPipelineStreamSpec's two-wave replay).
-      val existingMarkers = fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
+      // by CorpusPipelineStreamSpec's two-wave replay). Retention is
+      // BOUNDED (newest MaxAppliedMarkers ids) so a years-long stream
+      // doesn't recreate an ever-growing empty-file set per commit;
+      // replay protection therefore extends MaxAppliedMarkers batches
+      // back — far beyond what a lost checkpoint can re-deliver.
+      val existingIds = fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
         .map(_.getPath.getName).filter(_.startsWith("_applied_batch_"))
-      (existingMarkers ++ batchMarker.map(id => s"_applied_batch_$id")).foreach { m =>
-        fs.create(new org.apache.hadoop.fs.Path(staging, m), true).close()
-      }
+        .flatMap(_.stripPrefix("_applied_batch_").toLongOption)
+      (existingIds ++ batchMarker).distinct.sorted
+        .takeRight(graft.hfc.AtomicSwap.MaxAppliedMarkers)
+        .foreach { id =>
+          fs.create(new org.apache.hadoop.fs.Path(staging, s"_applied_batch_$id"), true).close()
+        }
       graft.hfc.AtomicSwap.commitDir(fs, storePath, staging)
     }
     decisions
