@@ -48,6 +48,9 @@ object Scd2Store {
     AtomicSwap.recoverDir(fs, storePath)
     if (fs.exists(new org.apache.hadoop.fs.Path(storePath, s"_applied_batch_$batchId")))
       return
+    // not marked applied — but only provably unapplied INSIDE the
+    // bounded-marker horizon; beyond it, refuse rather than re-fold
+    AtomicSwap.assertWithinReplayHorizon(fs, storePath, batchId)
     val standing = spark.read.parquet(storePath)
     val next = Scd2.applyChanges(standing, updates, keyCol, attrCol, tsCol, tieCol)
       // the fold reads the directory it is about to replace — break
@@ -62,14 +65,8 @@ object Scd2Store {
     // stores; Scd2StreamSpec pins the two-batch replay). Retention is
     // bounded like the census store's: newest ids only, so commit cost
     // stays O(bound) across a long-lived stream.
-    val existingIds = fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
-      .map(_.getPath.getName).filter(_.startsWith("_applied_batch_"))
-      .flatMap(_.stripPrefix("_applied_batch_").toLongOption)
-    (existingIds :+ batchId).distinct.sorted
-      .takeRight(AtomicSwap.MaxAppliedMarkers)
-      .foreach { id =>
-        fs.create(new org.apache.hadoop.fs.Path(staging, s"_applied_batch_$id"), true).close()
-      }
+    val existingIds = AtomicSwap.listAppliedMarkers(fs, storePath)
+    AtomicSwap.writeAppliedMarkers(fs, staging, existingIds.toSeq :+ batchId)
     AtomicSwap.commitDir(fs, storePath, staging)
   }
 }

@@ -64,6 +64,11 @@ object IncrementalLineCensus {
     val spark = newDocs.sparkSession
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     graft.hfc.AtomicSwap.recoverDir(fs, storePath)
+    // a batch about to be counted (not a known replay) must be inside
+    // the bounded-marker horizon — beyond it, applied-or-not is
+    // unknowable and counting again would double-count (fail loudly)
+    if (!batchAlreadyCounted)
+      batchMarker.foreach(graft.hfc.AtomicSwap.assertWithinReplayHorizon(fs, storePath, _))
     val store = spark.read.parquet(storePath)
 
     val lines = QualityRules.linesOf(newDocs, lineTokens, idCol, textCol)
@@ -105,14 +110,9 @@ object IncrementalLineCensus {
       // doesn't recreate an ever-growing empty-file set per commit;
       // replay protection therefore extends MaxAppliedMarkers batches
       // back — far beyond what a lost checkpoint can re-deliver.
-      val existingIds = fs.listStatus(new org.apache.hadoop.fs.Path(storePath))
-        .map(_.getPath.getName).filter(_.startsWith("_applied_batch_"))
-        .flatMap(_.stripPrefix("_applied_batch_").toLongOption)
-      (existingIds ++ batchMarker).distinct.sorted
-        .takeRight(graft.hfc.AtomicSwap.MaxAppliedMarkers)
-        .foreach { id =>
-          fs.create(new org.apache.hadoop.fs.Path(staging, s"_applied_batch_$id"), true).close()
-        }
+      val existingIds = graft.hfc.AtomicSwap.listAppliedMarkers(fs, storePath)
+      graft.hfc.AtomicSwap.writeAppliedMarkers(
+        fs, staging, existingIds.toSeq ++ batchMarker)
       graft.hfc.AtomicSwap.commitDir(fs, storePath, staging)
     }
     decisions

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -505,6 +505,182 @@ object Multimodal {
           m.nFrames, bytes.length.toLong))
       }
     }(enc)
+  }
+
+  // ---- perceptual hashing (the image plane's dedup key) ----
+
+  /** 64-bit difference hash (dHash) of an image payload: decode, scale
+    * to a 9x8 luma grid (bilinear — the canonical dHash recipe), set
+    * bit r*8+c iff luma(r,c) > luma(r,c+1). Robust to re-encoding,
+    * scaling, and mild color shifts; hamming distance between hashes
+    * is the near-dup signal. Throws on undecodable payloads — the
+    * caller decides quarantine policy (see [[withPerceptualHash]]). */
+  def dhash64(bytes: Array[Byte]): Long = {
+    import java.awt.RenderingHints
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+    val img = ImageIO.read(new ByteArrayInputStream(bytes))
+    require(img != null, "payload not decodable by any registered ImageIO reader")
+    val grid = new BufferedImage(9, 8, BufferedImage.TYPE_INT_RGB)
+    val g = grid.createGraphics()
+    try {
+      g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+        RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    def luma(x: Int, y: Int): Double = {
+      val rgb = grid.getRGB(x, y)
+      0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+    }
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (luma(c, r) > luma(c + 1, r)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Attach a `phash64` column (null = undecodable, the quarantine
+    * sentinel) — decode + hash stream partition-locally, the media
+    * bytes never shuffle; downstream dedup works on the 8-byte hash. */
+  def withPerceptualHash(df: DataFrame, binCol: String,
+                         outCol: String = "phash64"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField(outCol, LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val h: java.lang.Long =
+          try java.lang.Long.valueOf(dhash64(r.getAs[Array[Byte]](binIdx)))
+          catch { case scala.util.control.NonFatal(_) => null }
+        Row.fromSeq(r.toSeq :+ h)
+      }
+    }(enc)
+  }
+
+  /** Hash-banded near-dup over ANY integer perceptual hash column —
+    * the qd-funnel shape on hamming space: split the hash into `bands`
+    * contiguous `bandBits`-bit keys, docs sharing a (band, key) bucket
+    * are candidates, candidates verify with bit_count(xor). Pigeonhole
+    * recall guarantee: `maxHamming` flipped bits touch at most
+    * `maxHamming` bands, so while `bands > maxHamming` every true pair
+    * shares at least one EXACT band — recall 1.0, never all-pairs.
+    * One explode (x bands), one key-shuffled self-join, codegen'd
+    * popcount verify — the image twin of simhash64 dedup.
+    *
+    * Output (qd13 conventions): one row per input id, `dup_of` = the
+    * smallest candidate id within `maxHamming` (null when none),
+    * `hamming` of that pair, `is_dup` flag. */
+  def hashNearDup(hashes: DataFrame, idCol: String, hashCol: String,
+                  bands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+    require(bands > maxHamming,
+      s"pigeonhole recall needs bands ($bands) > maxHamming ($maxHamming)")
+    require(bands * bandBits <= 64, "bands x bandBits must fit the 64-bit hash")
+    import org.apache.spark.sql.expressions.Window
+    val mask = (1L << bandBits) - 1
+    val h = hashes.select(col(idCol), col(hashCol))
+    val banded = h.select(col(idCol), col(hashCol),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col(hashCol), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bkey")))
+    val cands = banded.select(col(idCol).as("a_id"), col(hashCol).as("a_h"),
+        col("band"), col("bkey"))
+      .join(banded.select(col(idCol).as("b_id"), col(hashCol).as("b_h"),
+        col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_h"), col("b_h"))
+      .distinct()
+    val hits = cands
+      .withColumn("hamming",
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    val best = hits
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("b_id")).orderBy(col("a_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("b_id").as(idCol), col("a_id").as("dup_of"), col("hamming"))
+    h.join(best, Seq(idCol), "left")
+      .select(col(idCol), col(hashCol), col("dup_of"), col("hamming"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  // ---- columnar stub twins (oracle-replayable decode math) ----
+  //
+  // The gate queries need hashes BOTH engines can compute; these mirror
+  // [[StubDecoder]]'s philosophy — a deterministic pure function of the
+  // payload — expressed as codegen'd Catalyst expressions (and, on the
+  // oracle side, as generated ANSI SQL over the same codepoint math).
+  // The production path swaps in [[dhash64]] / real PCM upstream; every
+  // operator downstream of the hash column is shared.
+
+  /** Codepoint luma sampled on a fixed stride: cell i of a 64-cell
+    * pseudo-grid over the payload. */
+  private def cellLuma(text: Column, i: Int, cells: Int): Column = {
+    val n = greatest(length(text), lit(1)).cast("long")
+    val s = greatest(floor(length(text) / lit(cells)).cast("long"), lit(1L))
+    (ascii(text.substr((lit(1L) + (lit(i.toLong) * s) % n).cast("int"), lit(1))) % 256)
+  }
+
+  /** 56-bit dHash over an 8x8 codepoint grid: bit r*7+c set iff
+    * cell(r,c) > cell(r,c+1) (56 = 8 rows x 7 comparisons — stays
+    * positive in a signed 64-bit in both engines). One projection,
+    * whole-stage codegen, zero shuffle. */
+  def textDhash56(text: Column): Column = {
+    val cells = (0 until 64).map(i => cellLuma(text, i, 64))
+    (for { r <- 0 until 8; c <- 0 until 7 } yield
+      when(cells(r * 8 + c) > cells(r * 8 + c + 1), lit(1L << (r * 7 + c)))
+        .otherwise(lit(0L))).reduce(_ + _)
+  }
+
+  /** The DuckDB replay of [[textDhash56]] over column `text` of a
+    * relation exposing `n` (greatest(length,1)) and `s` (stride). */
+  def textDhash56Sql: String = {
+    def luma(i: Int) =
+      s"(ascii(substr(text, CAST(1 + (($i * s) % n) AS INT), 1)) % 256)"
+    (for { r <- 0 until 8; c <- 0 until 7 } yield {
+      val bit = r * 7 + c
+      s"(CASE WHEN ${luma(r * 8 + c)} > ${luma(r * 8 + c + 1)} " +
+        s"THEN (1::BIGINT << $bit) ELSE 0::BIGINT END)"
+    }).mkString("(", " + ", ")")
+  }
+
+  /** Window "energy" for the audio stub: 4 signed amplitude samples
+    * per window, energy = sum of squares (exact integer math — no
+    * float fuzz between engines). */
+  private def windowEnergy(text: Column, w: Int, windows: Int): Column = {
+    val k = windows * 4
+    (0 until 4).map { j =>
+      val a = cellLuma(text, w * 4 + j, k) - 128
+      a * a
+    }.reduce(_ + _)
+  }
+
+  /** 32-bit audio-style fingerprint: 33 window energies, bit w set iff
+    * energy(w+1) > energy(w) — the energy-delta sign chain
+    * (Haitsma-Kalker shape) over the stub PCM. */
+  def textAudioFp32(text: Column): Column = {
+    val e = (0 until 33).map(w => windowEnergy(text, w, 33))
+    (0 until 32).map(w =>
+      when(e(w + 1) > e(w), lit(1L << w)).otherwise(lit(0L))).reduce(_ + _)
+  }
+
+  /** Total stub-PCM energy (exact integer). */
+  def textAudioEnergy(text: Column): Column =
+    (0 until 33).map(w => windowEnergy(text, w, 33)).reduce(_ + _).cast("long")
+
+  /** DuckDB replay of the 33 window energies (needs `n`, `s132`). */
+  def textAudioEnergySql(w: Int): String = {
+    (0 until 4).map { j =>
+      val k = w * 4 + j
+      val amp = s"((ascii(substr(text, CAST(1 + (($k * s132) % n) AS INT), 1)) % 256) - 128)"
+      s"($amp * $amp)"
+    }.mkString("(", " + ", ")")
   }
 
   /** Video → image rows: up to `n` PNG frames per clip, exploding

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{ConnectedComponents, Dedup, Sampling, Similarity}
+import graft.operators.{ConnectedComponents, Dedup, Multimodal, Sampling, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1862,6 +1862,101 @@ object PipelineQueries {
       |  md5(text) AS content_key
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** qm02: perceptual image hash census — dHash56 per payload (the
+    * codepoint-grid stub twin of [[Multimodal.dhash64]]; the real
+    * image path is MultimodalSpec's). One codegen'd projection, zero
+    * shuffle — at 100 TB the hash column is 8 bytes/doc next to
+    * media bytes the scan never shuffles. */
+  def imagePhash(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    t.documents.select(
+      $"doc_id",
+      length($"text").cast("long").as("size_chars"),
+      Multimodal.textDhash56($"text").as("phash"))
+      .orderBy($"doc_id")
+  }
+
+  private val phashDocsCte: String =
+    """d AS (SELECT doc_id, text,
+      |    CAST(greatest(length(text), 1) AS BIGINT) AS n,
+      |    CAST(greatest(length(text) // 64, 1) AS BIGINT) AS s
+      |  FROM documents)""".stripMargin
+
+  val imagePhashSql: String =
+    s"""WITH $phashDocsCte
+       |SELECT doc_id, CAST(length(text) AS BIGINT) AS size_chars,
+       |  ${Multimodal.textDhash56Sql} AS phash
+       |FROM d ORDER BY doc_id""".stripMargin
+
+  /** qm03: hash-banded image near-dup — the qd funnel on hamming
+    * space: 4 x 14-bit bands over the 56-bit perceptual hash, bucket
+    * join, popcount verify at hamming <= 3 (pigeonhole: 4 bands > 3
+    * flips → recall exactly 1.0, never all-pairs). Shared operator
+    * [[Multimodal.hashNearDup]] serves the REAL [[Multimodal.dhash64]]
+    * column identically. */
+  def imageNearDup(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val hashes = t.documents.select($"doc_id", Multimodal.textDhash56($"text").as("phash"))
+    Multimodal.hashNearDup(hashes, "doc_id", "phash",
+      bands = 4, bandBits = 14, maxHamming = 3)
+      .orderBy($"doc_id")
+  }
+
+  val imageNearDupSql: String =
+    s"""WITH $phashDocsCte,
+       |h AS (SELECT doc_id, ${Multimodal.textDhash56Sql} AS phash FROM d),
+       |bands AS (SELECT doc_id, phash, r.i AS band,
+       |    (phash >> CAST(14 * r.i AS INT)) & 16383 AS bkey
+       |  FROM h CROSS JOIN range(4) r(i)),
+       |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id, a.phash a_h, b.phash b_h
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id),
+       |hits AS (SELECT a_id, b_id, CAST(bit_count(xor(a_h, b_h)) AS BIGINT) hamming
+       |  FROM cand WHERE bit_count(xor(a_h, b_h)) <= 3),
+       |best AS (SELECT b_id doc_id, a_id dup_of, hamming FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY a_id ASC) rn
+       |    FROM hits) WHERE rn = 1)
+       |SELECT h.doc_id, h.phash, best.dup_of, best.hamming,
+       |  best.dup_of IS NOT NULL AS is_dup
+       |FROM h LEFT JOIN best USING (doc_id) ORDER BY h.doc_id""".stripMargin
+
+  /** qm04: audio fingerprint census — 32-bit energy-delta fingerprint
+    * per clip (stub-PCM twin of the Haitsma-Kalker sign chain over
+    * [[Multimodal.audioFeatures]] windows), plus the census read:
+    * clips sharing a fingerprint (the audio exact-dup key) and exact
+    * integer total energy. Fingerprint is one codegen'd projection;
+    * the census is one 8-byte-key hash agg. */
+  def audioFingerprint(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    t.documents.select(
+      $"doc_id",
+      Multimodal.textAudioFp32($"text").as("fp"),
+      Multimodal.textAudioEnergy($"text").as("total_energy"))
+      .withColumn("n_sharing", count(lit(1)).over(Window.partitionBy($"fp")))
+      .select($"doc_id", $"fp", $"n_sharing", $"total_energy")
+      .orderBy($"doc_id")
+  }
+
+  val audioFingerprintSql: String = {
+    val energies = (0 until 33).map(w =>
+      s"${Multimodal.textAudioEnergySql(w)} AS e$w").mkString(", ")
+    val fp = (0 until 32).map(w =>
+      s"(CASE WHEN e${w + 1} > e$w THEN (1::BIGINT << $w) ELSE 0::BIGINT END)")
+      .mkString("(", " + ", ")")
+    val total = (0 until 33).map(w => s"e$w").mkString("(", " + ", ")")
+    s"""WITH d AS (SELECT doc_id, text,
+       |    CAST(greatest(length(text), 1) AS BIGINT) AS n,
+       |    CAST(greatest(length(text) // 132, 1) AS BIGINT) AS s132
+       |  FROM documents),
+       |e AS (SELECT doc_id, $energies FROM d),
+       |f AS (SELECT doc_id, $fp AS fp, CAST($total AS BIGINT) AS total_energy FROM e)
+       |SELECT doc_id, fp,
+       |  CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS n_sharing,
+       |  total_energy
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** qd13: SemDeDup — cluster-then-prune semantic dedup: IVF cells
     * (8 deterministic sampled centroids) as learned blocks, within-cell
     * cosine ≥ 0.35 marks the later vector a dup of its smallest-id
@@ -2600,6 +2695,9 @@ object PipelineQueries {
     "qe09_abandoned_views"   -> ((s: SparkSession, d: String) => abandonedViews(Tables(s, d))),
     "qt16_pmi_bigrams"     -> ((s: SparkSession, d: String) => pmiBigrams(Tables(s, d))),
     "qm01_media_meta"      -> ((s: SparkSession, d: String) => mediaMeta(Tables(s, d))),
+    "qm02_image_phash"     -> ((s: SparkSession, d: String) => imagePhash(Tables(s, d))),
+    "qm03_image_neardup"   -> ((s: SparkSession, d: String) => imageNearDup(Tables(s, d))),
+    "qm04_audio_fingerprint" -> ((s: SparkSession, d: String) => audioFingerprint(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
     "qe02_interval_join"   -> ((s: SparkSession, d: String) => viewPurchaseFunnel(Tables(s, d))),
     "qt01_token_stats"     -> ((s: SparkSession, d: String) => tokenStats(Tables(s, d))),
@@ -2668,6 +2766,9 @@ object PipelineQueries {
     "qe09_abandoned_views"   -> abandonedViewsSql,
     "qt16_pmi_bigrams"     -> pmiBigramsSql,
     "qm01_media_meta"      -> mediaMetaSql,
+    "qm02_image_phash"     -> imagePhashSql,
+    "qm03_image_neardup"   -> imageNearDupSql,
+    "qm04_audio_fingerprint" -> audioFingerprintSql,
     "qe01_sessionize"      -> sessionizedSql,
     "qe02_interval_join"   -> viewPurchaseFunnelSql,
     "qt01_token_stats"     -> tokenStatsSql,

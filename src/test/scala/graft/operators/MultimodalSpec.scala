@@ -121,4 +121,77 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(0) == ((1L, 8, 5, 3)))
     assert(out(1) == ((2L, -1, -1, -1)))
   }
+
+  // ---- perceptual hashing (the production image-dedup path) ----
+
+  /** Programmatic PNG: pixel (x,y) luma from `f`, so test images are
+    * deterministic and self-describing. */
+  private def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.max(0, math.min(255, f(x, y)))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("dhash64: deterministic, scale-invariant, discriminative") {
+    val grad = png(64, 64)((x, _) => x * 4)             // left-to-right ramp
+    val gradBig = png(128, 128)((x, _) => x * 2)        // same image, 2x size
+    val inverse = png(64, 64)((x, _) => 255 - x * 4)    // reversed ramp
+    val h1 = Multimodal.dhash64(grad)
+    assert(h1 == Multimodal.dhash64(grad), "hash must be deterministic")
+    // dHash normalizes through the 9x8 grid: a rescale of the same
+    // picture lands on (nearly) the same hash
+    assert(hamming(h1, Multimodal.dhash64(gradBig)) <= 2,
+      "rescaled copy must be a near-dup")
+    // monotone ramp: every left cell < right cell -> no bits; reversed
+    // ramp -> all 64 comparison bits
+    assert(h1 == 0L)
+    assert(Multimodal.dhash64(inverse) == -1L)          // all 64 bits set
+    assert(hamming(h1, Multimodal.dhash64(inverse)) == 64)
+  }
+
+  test("withPerceptualHash: real hash per decodable row, null quarantine for garbage") {
+    val grad = png(64, 64)((x, y) => x * 2 + y)
+    val df = Seq((1L, grad), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "media")
+    val out = Multimodal.withPerceptualHash(df, "media")
+      .select($"media_id", $"phash64").collect().sortBy(_.getLong(0))
+    assert(!out(0).isNullAt(1) && out(0).getLong(1) == Multimodal.dhash64(grad))
+    assert(out(1).isNullAt(1), "undecodable payload must quarantine as null")
+  }
+
+  test("hashNearDup: rescaled image pairs with its original, unrelated stays clean") {
+    // smooth (non-aliasing) diagonal ramp and its half-size rescale;
+    // "other" reverses the ramp, flipping every dHash comparison
+    val base = png(96, 96)((x, y) => x + y)
+    val rescaled = png(48, 48)((x, y) => 2 * (x + y))
+    val other = png(96, 96)((x, y) => 255 - (x + y))
+    val hashes = Seq(
+      (1L, Multimodal.dhash64(base)),
+      (2L, Multimodal.dhash64(rescaled)),
+      (3L, Multimodal.dhash64(other))).toDF("doc_id", "phash")
+    val out = Multimodal.hashNearDup(hashes, "doc_id", "phash",
+        bands = 8, bandBits = 8, maxHamming = 6)
+      .select($"doc_id", $"dup_of", $"is_dup")
+      .collect().sortBy(_.getLong(0))
+    assert(!out(0).getBoolean(2), "first copy is the keeper")
+    assert(out(1).getBoolean(2) && out(1).getLong(1) == 1L,
+      s"rescale must dup to the original (hamming ${hamming(
+        Multimodal.dhash64(base), Multimodal.dhash64(rescaled))})")
+    assert(!out(2).getBoolean(2), "unrelated image must not pair")
+  }
+
+  test("hashNearDup rejects a bandization without the pigeonhole guarantee") {
+    val df = Seq((1L, 0L)).toDF("doc_id", "phash")
+    intercept[IllegalArgumentException] {
+      Multimodal.hashNearDup(df, "doc_id", "phash", bands = 4, bandBits = 14, maxHamming = 4)
+    }
+  }
 }
