@@ -177,16 +177,34 @@ object TextFunctions {
       .otherwise("de")
   }
 
+  /** Tie-free decimal quantization of a NON-NEGATIVE double: binary
+    * half-up, floor(x·10^d + 0.5)/10^d — every step is one IEEE-754
+    * operation on the true binary value, so any engine produces the
+    * identical bit pattern for the same x. Plain `round(x, d)` does
+    * NOT have that property across engines: Spark rounds the SHORTEST
+    * DECIMAL RENDERING of the double (BigDecimal half-up on
+    * Double.toString) while DuckDB rounds the true binary value, and
+    * the two disagree exactly when the rendering is a tie — e.g. a
+    * quality score whose shortest rendering is 0.5203125 rounds to
+    * .520313 in Spark but .520312 in DuckDB (latent at sf0.01, found
+    * by the round-11 sf0.1 gate sweep, documents row 3030). Oracle
+    * mirror: `floor(x * 1e6 + 0.5) / 1e6`. */
+  def quantize(c: Column, decimals: Int): Column = {
+    val s = math.pow(10, decimals)
+    floor(c * s + 0.5) / s
+  }
+
   /** Composite quality score in [0,1]: length, lexical diversity,
     * stopword density, mean word length. Mirrors the oracle SQL
-    * operation-for-operation so IEEE evaluation order matches. */
+    * operation-for-operation so IEEE evaluation order matches; the
+    * final 6-decimal step uses [[quantize]] (tie-free), not round(). */
   def qualityScore(text: Column): Column = {
     val toks = tokens(lower(text))
     val n = size(toks).cast("double")
     val d = size(array_distinct(toks)).cast("double")
     val sw = stopCount(toks, StopEn).cast("double")
     val chars = length(regexp_replace(text, "\\s", "")).cast("double")
-    round(
+    quantize(
       lit(0.25) * least(lit(1.0), n / 100.0) +
       lit(0.25) * (d / n) +
       lit(0.25) * least(lit(1.0), sw * 5.0 / n) +

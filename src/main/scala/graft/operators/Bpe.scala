@@ -143,7 +143,8 @@ object Bpe {
     * per DISTINCT word as one imperative pass (the encodeWord shape),
     * not batchSize stacked HOF folds. */
   def trainBatched(docs: DataFrame, numMerges: Int, textCol: String = "text",
-                   batchSize: Int = 64, checkpointEvery: Int = 4): (Seq[Merge], DataFrame) = {
+                   batchSize: Int = 64, checkpointEvery: Int = 4,
+                   onRound: (Int, Int, Double) => Unit = (_, _, _) => ()): (Seq[Merge], DataFrame) = {
     require(numMerges > 0 && batchSize > 0 && checkpointEvery > 0)
     val spark = docs.sparkSession
     var syms = ConnectedComponents.checkpointTruncated(
@@ -154,6 +155,7 @@ object Bpe {
     var round = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
+      val t0 = System.nanoTime()
       // over-fetch 2x: disjointness filtering drops some candidates
       val want = math.min(batchSize, numMerges - rank)
       val top = pairCounts(syms)
@@ -169,12 +171,23 @@ object Bpe {
         val pairs = selected.map(m => (m.left, m.right))
         val bc = spark.sparkContext.broadcast(pairs)
         val rewrite = udf { (s: Seq[String]) =>
-          bc.value.foldLeft(s.toVector)((acc, p) => greedyMergePass(acc, p._1, p._2))
+          // presence skip: a batch op references only PRE-batch symbols
+          // (disjointness claims each merged spelling), and disjoint
+          // merges never add instances of other ops' symbols — so
+          // testing against the word's original symbol set is exact,
+          // and a word missing l or r takes an O(1) skip instead of a
+          // full greedyMergePass. At batchSize ~1k this is the
+          // difference between O(batch) lookups and O(batch x |word|)
+          // scans per word.
+          val present = s.toSet
+          bc.value.foldLeft(s.toVector)((acc, p) =>
+            if (present(p._1) && present(p._2)) greedyMergePass(acc, p._1, p._2) else acc)
         }
         syms = syms.withColumn("syms", rewrite(col("syms")))
         round += 1
         if (round % checkpointEvery == 0)
           syms = ConnectedComponents.checkpointTruncated(syms)
+        onRound(round, rank, (System.nanoTime() - t0) / 1e9)
       }
     }
     (merges.result(), syms)

@@ -95,16 +95,21 @@ object GraphMetrics {
       r = edges
         .join(r, edges("a") === r("node")).drop("node")
         .join(deg, edges("a") === deg("node")).drop("node")
+        // contributions as scaled integers (floor(x*1e9 + 0.5)): tie-free
+        // binary quantization + an order-independent integer sum. The
+        // previous round(_, 9) -> DECIMAL path hit the string-vs-binary
+        // rounding tie at sf0.1 (Spark rounds the double's shortest
+        // rendering, DuckDB the true binary value).
         .select(col("b"),
-          round(col("r") / col("od"), 9).cast("decimal(28,9)").as("contrib"))
+          floor(col("r") / col("od") * 1e9 + 0.5).cast("long").as("contrib"))
         .groupBy(col("b"))
         .agg(sum(col("contrib")).as("s"))
         .crossJoin(broadcast(nN))
         .select(col("b").as("node"),
           // (1.0 - damping) evaluated in-plan so the oracle's literal
           // `(1.0 - 0.85)` is the bit-identical IEEE subtraction
-          round((lit(1.0) - lit(damping)) / col("n") + lit(damping) * col("s").cast("double"), 9)
-            .as("r"))
+          (floor(((lit(1.0) - lit(damping)) / col("n") +
+            lit(damping) * (col("s").cast("double") / 1e9)) * 1e9 + 0.5) / 1e9).as("r"))
       // truncate lineage every 3 rounds IN DEEP LOOPS: values are
       // unchanged (the checkpoint is a materialization barrier, not a
       // rewrite), but without it iters=30+ compounds the join plan
@@ -212,14 +217,17 @@ object GraphMetrics {
       val inbound = edges
         .join(r, edges("a") === r("node")).drop("node")
         .join(deg, edges("a") === deg("node")).drop("node")
+        // scaled-integer contributions — see pageRank's note on the
+        // cross-engine rounding tie
         .select(col("b"),
-          round(col("r") / col("od"), 9).cast("decimal(28,9)").as("contrib"))
+          floor(col("r") / col("od") * 1e9 + 0.5).cast("long").as("contrib"))
         .groupBy(col("b"))
         .agg(sum(col("contrib")).as("s"))
       r = tele.join(inbound, tele("node") === inbound("b"), "left")
         .select(tele("node"),
-          round((lit(1.0) - lit(damping)) * col("tele") +
-            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)), 9).as("r"))
+          (floor(((lit(1.0) - lit(damping)) * col("tele") +
+            lit(damping) * coalesce(col("s").cast("double") / 1e9, lit(0.0))) * 1e9 + 0.5) / 1e9)
+            .as("r"))
       if (iters > 8 && i % 3 == 0 && i < iters)
         r = ConnectedComponents.checkpointTruncated(r)
     }

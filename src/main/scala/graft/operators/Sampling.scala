@@ -157,7 +157,10 @@ object Sampling {
           "every doc would be silently dropped")).cast("double"))
       .otherwise(lit(targetFrac) * col("__n") / col("__sumw"))
     df.crossJoin(broadcast(tot))
-      .withColumn("keep_p", round(col(weightCol) * scale, 9))
+      // tie-free binary quantization (TextFunctions.quantize): plain
+      // round(_, 9) diverges from the oracle when the double's shortest
+      // rendering is an exact tie (found by the round-11 sf0.1 sweep)
+      .withColumn("keep_p", floor(col(weightCol) * scale * 1e9 + 0.5) / 1e9)
       .filter(hashU(col(idCol)) < col("keep_p"))
       .drop("__sumw", "__n")
   }

@@ -125,7 +125,8 @@ object WordPiece {
     * into the score join) + a batchSize-row collect (merge metadata,
     * the justified-collect class). */
   def trainBatched(docs: DataFrame, numMerges: Int, textCol: String = "text",
-                   batchSize: Int = 64, checkpointEvery: Int = 4): (Seq[Merge], DataFrame) = {
+                   batchSize: Int = 64, checkpointEvery: Int = 4,
+                   onRound: (Int, Int, Double) => Unit = (_, _, _) => ()): (Seq[Merge], DataFrame) = {
     require(numMerges > 0 && batchSize > 0 && checkpointEvery > 0)
     val spark = docs.sparkSession
     var syms = ConnectedComponents.checkpointTruncated(
@@ -136,6 +137,7 @@ object WordPiece {
     var round = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
+      val t0 = System.nanoTime()
       // over-fetch 2x: disjointness filtering drops some candidates
       val want = math.min(batchSize, numMerges - rank)
       val sc = symbolCounts(syms)
@@ -157,13 +159,19 @@ object WordPiece {
         val ops = selected.map(m => (m.left, m.right, m.merged))
         val bc = spark.sparkContext.broadcast(ops)
         val rewrite = udf { (s: Seq[String]) =>
+          // presence skip — see Bpe.trainBatched: exact under the
+          // disjointness contract, O(1) per non-applicable op
+          val present = s.toSet
           bc.value.foldLeft(s.toVector)((acc, p) =>
-            Bpe.greedyMergePassTo(acc, p._1, p._2, p._3))
+            if (present(p._1) && present(p._2))
+              Bpe.greedyMergePassTo(acc, p._1, p._2, p._3)
+            else acc)
         }
         syms = syms.withColumn("syms", rewrite(col("syms")))
         round += 1
         if (round % checkpointEvery == 0)
           syms = ConnectedComponents.checkpointTruncated(syms)
+        onRound(round, rank, (System.nanoTime() - t0) / 1e9)
       }
     }
     (merges.result(), syms)

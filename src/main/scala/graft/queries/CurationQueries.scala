@@ -966,12 +966,12 @@ object CurationQueries {
       |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) chars
       |  FROM s),
       |q AS (SELECT doc_id,
-      |    round(0.25 * least(1.0, n / 100.0) + 0.25 * (d / n) +
-      |          0.25 * least(1.0, sw * 5.0 / n) + 0.25 * least(1.0, chars / n / 8.0), 6) AS quality
+      |    floor((0.25 * least(1.0, n / 100.0) + 0.25 * (d / n) +
+      |          0.25 * least(1.0, sw * 5.0 / n) + 0.25 * least(1.0, chars / n / 8.0)) * 1e6 + 0.5) / 1e6 AS quality
       |  FROM m),
       |t AS (SELECT CAST(SUM(CAST(quality AS DECIMAL(24,8))) AS DOUBLE) sumw,
       |             CAST(COUNT(*) AS DOUBLE) n FROM q),
-      |k AS (SELECT doc_id, quality, round(quality * (0.3 * t.n / t.sumw), 9) keep_p
+      |k AS (SELECT doc_id, quality, floor(quality * (0.3 * t.n / t.sumw) * 1e9 + 0.5) / 1e9 keep_p
       |  FROM q CROSS JOIN t),
       |u AS (SELECT *, list_sum(list_transform(range(0,4), i ->
       |    (strpos('0123456789abcdef', substr(md5(doc_id::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
@@ -1541,7 +1541,7 @@ object CurationQueries {
       |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) chars
       |FROM s),
       |q AS (SELECT doc_id, source, text,
-      |  round(0.25*least(1.0, n/100.0) + 0.25*(d/n) + 0.25*least(1.0, sw*5.0/n) + 0.25*least(1.0, chars/n/8.0), 6) quality,
+      |  floor((0.25*least(1.0, n/100.0) + 0.25*(d/n) + 0.25*least(1.0, sw*5.0/n) + 0.25*least(1.0, chars/n/8.0)) * 1e6 + 0.5) / 1e6 quality,
       |  CASE WHEN sw=0 AND sc_es=0 AND sc_fr=0 AND sc_de=0 THEN 'und'
       |       WHEN sw>=sc_es AND sw>=sc_fr AND sw>=sc_de THEN 'en'
       |       WHEN sc_es>=sc_fr AND sc_es>=sc_de THEN 'es'

@@ -44,17 +44,24 @@ object ExtendedQueries {
       .select($"vec_id", posexplode($"embedding").as(Seq("dim0", "v")))
       .select($"dim0".cast("long").as("dim"), $"v")
       .groupBy($"dim")
+      // scaled-integer sum: per-element floor(v*1e9 + 0.5) is tie-free
+      // binary quantization (a double->DECIMAL cast rounds the SHORTEST
+      // RENDERING in Spark but the true binary value in DuckDB — one
+      // element on the 1e-9 tie diverged the sf0.1 gate), and the
+      // integer sum is partition-order-independent
       .agg(count(lit(1)).as("n"),
-           sum($"v".cast("double").cast(DecimalType(18, 9))).cast("double").as("sum_v"),
-           (sum($"v".cast("double").cast(DecimalType(18, 9))).cast("double") / count(lit(1)))
-             .as("avg_v"))
+           sum(floor($"v".cast("double") * 1e9 + 0.5).cast("long")).as("__s"))
+      .select($"dim", $"n",
+        ($"__s".cast("double") / 1e9).as("sum_v"),
+        ($"__s".cast("double") / 1e9 / $"n".cast("double")).as("avg_v"))
       .orderBy($"dim")
   }
 
   val dimensionStatsSql: String =
     """SELECT dim, COUNT(*) AS n,
-      |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS sum_v,
-      |  CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_v
+      |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS sum_v,
+      |  CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
+      |    / CAST(COUNT(*) AS DOUBLE) AS avg_v
       |FROM (SELECT unnest(range(len(embedding))) AS dim, unnest(embedding) AS v FROM embeddings)
       |GROUP BY dim ORDER BY dim""".stripMargin
 
@@ -272,8 +279,12 @@ object ExtendedQueries {
 
   val pageRankSql: String = {
     def iter(prev: String, k: Int) =
+      // 1.0::DOUBLE forces the IEEE subtraction (0.15000000000000002);
+      // DuckDB's bare `1.0 - 0.85` is DECIMAL arithmetic (exactly 0.15,
+      // one ulp away), which shifted 28 sf0.1 nodes across the 1e-9
+      // quantization boundary
       s"""it$k AS (SELECT e.b node,
-         |    round((1.0 - 0.85)/n + 0.85*CAST(SUM(CAST(round(r.r/d.od, 9) AS DECIMAL(28,9))) AS DOUBLE), 9) r
+         |    floor(((1.0::DOUBLE - 0.85)/n + 0.85*(CAST(SUM(CAST(floor(r.r/d.od * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9)) * 1e9 + 0.5) / 1e9 r
          |  FROM e JOIN $prev r ON r.node = e.a JOIN deg d ON d.node = e.a CROSS JOIN nn
          |  GROUP BY e.b, nn.n)""".stripMargin
     s"""WITH bkt AS (SELECT DISTINCT user_id u, event_type et, date_trunc('minute', ts) m FROM events),
@@ -560,11 +571,11 @@ object ExtendedQueries {
 
   val personalizedPageRankSql: String = {
     def iter(prev: String, k: Int) =
-      s"""in$k AS (SELECT e.b, SUM(CAST(round(r.r / d.od, 9) AS DECIMAL(28,9))) s
+      s"""in$k AS (SELECT e.b, SUM(CAST(floor(r.r / d.od * 1e9 + 0.5) AS BIGINT)) s
          |  FROM e JOIN $prev r ON r.node = e.a JOIN deg d ON d.node = e.a
          |  GROUP BY e.b),
          |it$k AS (SELECT t.node,
-         |    round((1.0 - 0.85) * t.tele + 0.85 * COALESCE(CAST(i.s AS DOUBLE), 0.0), 9) r
+         |    floor(((1.0::DOUBLE - 0.85) * t.tele + 0.85 * COALESCE(CAST(i.s AS DOUBLE) / 1e9, 0.0)) * 1e9 + 0.5) / 1e9 r
          |  FROM tele t LEFT JOIN in$k i ON i.b = t.node)""".stripMargin
     s"""WITH bkt AS (SELECT DISTINCT user_id u, event_type et, date_trunc('minute', ts) m FROM events),
        |und AS (SELECT DISTINCT a.u a, b2.u b

@@ -71,8 +71,8 @@ object PipelineQueries {
       |  CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) chars
       |FROM s)
       |SELECT doc_id,
-      |  round(0.25 * least(1.0, n / 100.0) + 0.25 * (d / n) +
-      |        0.25 * least(1.0, sw * 5.0 / n) + 0.25 * least(1.0, chars / n / 8.0), 6) AS quality
+      |  floor((0.25 * least(1.0, n / 100.0) + 0.25 * (d / n) +
+      |        0.25 * least(1.0, sw * 5.0 / n) + 0.25 * least(1.0, chars / n / 8.0)) * 1e6 + 0.5) / 1e6 AS quality
       |FROM m ORDER BY doc_id""".stripMargin
 
   def fingerprints(t: Tables): DataFrame = {
