@@ -119,9 +119,17 @@ object IncrementalLineCensus {
   }
 
   /** was batch `batchId`'s count merge already committed? (the marker
-    * travels inside the store directory — see [[scrubBatch]]) */
+    * travels inside the store directory — see [[scrubBatch]]).
+    * recoverDir runs FIRST: after a torn swap (target renamed aside,
+    * staging complete) the marker is invisible at the target path, so
+    * an unrecovered existence check would declare a committed batch
+    * un-counted — and the caller would merge it a second time after
+    * scrubBatch's own recover rolled the counts forward (the
+    * torn-swap x replay composition caught by CorpusSoakSpec;
+    * Scd2Store.batchApplied already recovered first). */
   def batchCounted(spark: SparkSession, storePath: String, batchId: Long): Boolean = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    graft.hfc.AtomicSwap.recoverDir(fs, storePath)
     fs.exists(new org.apache.hadoop.fs.Path(storePath, s"_applied_batch_$batchId"))
   }
 

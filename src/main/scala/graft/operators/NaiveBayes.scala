@@ -29,16 +29,31 @@ import org.apache.spark.sql.types.DecimalType
   */
 object NaiveBayes {
 
-  /** Fit the model. Output: (label, bkt, cnt, logp) — see encoding
-    * above. */
-  def train(docs: DataFrame, labelCol: String, dim: Int = 64,
-            textCol: String = "text"): DataFrame = {
+  /** Per-doc hashed feature census: (id, label, bkt, n) — ≤ dim rows
+    * per doc, the compact table BOTH train and score aggregate from.
+    * Materializing it once halves the expensive tokenize+explode scan
+    * when a query trains and scores over the same corpus (qt33). */
+  def featureCensus(docs: DataFrame, labelCol: String, dim: Int,
+                    idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    val feats = docs
-      .select(col(labelCol).as("label"), explode(tokens(lower(col(textCol)))).as("tok"))
+    docs
+      .select(col(idCol), col(labelCol).as("label"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
       .filter(length(col("tok")) > 0)
-      .select(col("label"), LinearClassifier.tokenBucket(col("tok"), dim).as("bkt"))
-    val counts = feats.groupBy(col("label"), col("bkt")).agg(count(lit(1)).as("cnt"))
+      .select(col(idCol), col("label"),
+        LinearClassifier.tokenBucket(col("tok"), dim).as("bkt"))
+      .groupBy(col(idCol), col("label"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Fit from a prepared [[featureCensus]]. `docs` is still read for
+    * the priors (doc counts per class — zero-token docs count there
+    * but have no features), a column-pruned scan of (label) only. */
+  def trainFromCensus(census: DataFrame, docs: DataFrame, labelCol: String,
+                      dim: Int = 64): DataFrame = {
+    require(dim > 0, s"dim must be positive, got $dim")
+    val counts = census.groupBy(col("label"), col("bkt")).agg(sum(col("n")).as("cnt"))
     val totals = counts.groupBy(col("label")).agg(sum(col("cnt")).as("tot"))
     val grid = totals.select(col("label"), col("tot"),
       explode(sequence(lit(0L), lit(dim - 1L))).as("bkt"))
@@ -55,6 +70,27 @@ object NaiveBayes {
     model.unionByName(priors)
   }
 
+  /** Fit the model. Output: (label, bkt, cnt, logp) — see encoding
+    * above. */
+  def train(docs: DataFrame, labelCol: String, dim: Int = 64,
+            textCol: String = "text"): DataFrame = {
+    // an ad-hoc per-(label,bkt) census without the doc id — identical
+    // counts to aggregating featureCensus, one fewer grouping column
+    val census = docs
+      .select(col(labelCol).as("label"), explode(tokens(lower(col(textCol)))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("label"), LinearClassifier.tokenBucket(col("tok"), dim).as("bkt"))
+      .groupBy(col("label"), col("bkt")).agg(count(lit(1)).as("n"))
+    trainFromCensus(census, docs, labelCol, dim)
+  }
+
+  /** Score from a prepared [[featureCensus]] — see [[score]]. */
+  def scoreFromCensus(census: DataFrame, model: DataFrame,
+                      idCol: String = "doc_id"): DataFrame = {
+    val feats = census.groupBy(col(idCol), col("bkt")).agg(sum(col("n")).as("n"))
+    scoreFeatures(feats, model, idCol)
+  }
+
   /** Score every doc under a trained model: per-class score =
     * prior + Σ_bkt n_tokens(bkt) × logp(bkt|class), argmax with
     * larger-label tie-break. The model is broadcast (classes × dim
@@ -67,6 +103,11 @@ object NaiveBayes {
       .filter(length(col("tok")) > 0)
       .select(col(idCol), LinearClassifier.tokenBucket(col("tok"), dim).as("bkt"))
       .groupBy(col(idCol), col("bkt")).agg(count(lit(1)).as("n"))
+    scoreFeatures(feats, model, idCol)
+  }
+
+  private def scoreFeatures(feats: DataFrame, model: DataFrame,
+                            idCol: String): DataFrame = {
     val m = model.filter(col("bkt") >= 0)
       .select(col("label"), col("bkt"), col("logp").cast(DecimalType(18, 6)).as("lp"))
     val priors = model.filter(col("bkt") === -1)

@@ -677,9 +677,15 @@ object QualityQueries {
     * back — the self-classification accuracy readout. */
   def nbScore(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val model = NaiveBayes.train(t.documents, labelCol = "lang", dim = 64)
+    // ONE tokenize+explode pass: the per-doc feature census (≤ dim
+    // rows/doc) is materialized once and feeds BOTH the class census
+    // (train) and the per-doc scoring sum — previously train and score
+    // each re-scanned and re-tokenized the corpus (round-11 plan audit)
+    val census = NaiveBayes.featureCensus(t.documents, labelCol = "lang", dim = 64)
       .localCheckpoint(true)
-    NaiveBayes.score(t.documents, model, dim = 64)
+    val model = NaiveBayes.trainFromCensus(census, t.documents, labelCol = "lang", dim = 64)
+      .localCheckpoint(true)
+    NaiveBayes.scoreFromCensus(census.select($"doc_id", $"bkt", $"n"), model)
       .join(t.documents.select($"doc_id", $"lang"), Seq("doc_id"))
       .select($"doc_id", $"pred_label", $"score",
         ($"pred_label" === $"lang").as("is_correct"))
@@ -999,9 +1005,21 @@ object QualityQueries {
       .select($"doc_id", $"contaminated".as("fuzzy_hit"))
     val semantic = semanticDecontaminate(t)
       .select($"vec_id".as("doc_id"), $"contaminated".as("semantic_hit"))
-    exact.join(fuzzy, "doc_id").join(semantic, "doc_id")
-      .select($"doc_id", $"exact_hit", $"fuzzy_hit", $"semantic_hit",
-        ($"exact_hit" || $"fuzzy_hit" || $"semantic_hit").as("flagged"))
+    // LEFT joins from the corpus id set: a layer that cannot judge a
+    // doc (no embedding row — at corpus scale embedding coverage is
+    // always partial; the sf0.1 fixture has 2000 vectors for 5000
+    // docs) contributes `false`, it must not silently DROP the doc
+    // from the report (the round-11 sf0.1 gate caught the inner-join
+    // version losing 2940 rows)
+    corpus.select($"doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(fuzzy, Seq("doc_id"), "left")
+      .join(semantic, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"exact_hit", lit(false)).as("exact_hit"),
+        coalesce($"fuzzy_hit", lit(false)).as("fuzzy_hit"),
+        coalesce($"semantic_hit", lit(false)).as("semantic_hit"))
+      .withColumn("flagged", $"exact_hit" || $"fuzzy_hit" || $"semantic_hit")
       .orderBy($"doc_id")
   }
 

@@ -116,4 +116,31 @@ class IncrementalLineCensusSpec extends SparkTestBase {
     // 4 distinct lines: "z z" (df 3), "y y", "a a", "b b" (df 1 each)
     assert(IncrementalLineCensus.storeStats(spark, store) == ((4L, 3L)))
   }
+
+  test("batchCounted recovers a torn swap BEFORE consulting the marker") {
+    // regression (r11, found by CorpusSoakSpec): a crash between
+    // commitDir's two renames leaves markers only in the staged dir;
+    // an unrecovered existence check declared the committed batch
+    // un-counted and the replay merged its counts a second time
+    import org.apache.spark.sql.functions.lit
+    val store = java.nio.file.Files.createTempDirectory("graft-ilc").toString + "/census"
+    val LT = 2; val DF = 2
+    val b = Seq((1L, "k k v v")).toDF("doc_id", "text")
+    IncrementalLineCensus.initStore(b.filter(lit(false)), store, LT)
+    IncrementalLineCensus.scrubBatch(b, store, LT, DF, batchMarker = Some(7L))
+    val committed = IncrementalLineCensus.storeStats(spark, store)
+    // reconstruct the crashed-between-renames state: staging = the
+    // committed store, old = the (empty) pre-batch store, target gone
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val empty = java.nio.file.Files.createTempDirectory("graft-ilc-old").toString + "/old"
+    IncrementalLineCensus.initStore(b.filter(lit(false)), empty, LT)
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(store), new java.io.File(graft.hfc.AtomicSwap.stagingFor(store)))
+    org.apache.commons.io.FileUtils.moveDirectory(
+      new java.io.File(empty), new java.io.File(store + ".old"))
+    assert(IncrementalLineCensus.batchCounted(spark, store, 7L),
+      "committed batch must be visible through the torn swap")
+    assert(IncrementalLineCensus.storeStats(spark, store) == committed,
+      "recovery must roll the committed counts forward")
+  }
 }
