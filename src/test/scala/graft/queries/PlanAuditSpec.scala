@@ -466,6 +466,29 @@ class PlanAuditSpec extends SparkTestBase {
       s"unique survivors must be a materialized frame:\n$p")
   }
 
+  test("J1: delta-to-repo_file join shuffles on the COMPOSITE (repo_id, filename) key") {
+    // the skew-tolerance property (round-11 verdict #5): a mega repo's
+    // rows diffuse across partitions because the shuffle key is
+    // (repo_id, filename), not repo_id alone — losing the composite
+    // key in a refactor would concentrate every mega repo on one task
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val deltas = Seq(("r1", "r1", "s1", "MODIFY", null: String, "a.txt",
+          "d", 1L, 0L, 5L))
+        .toDF("repo_id", "repo_name", "sha", "change_type", "old_path",
+          "new_path", "diff", "added_lines", "deleted_lines", "nloc")
+      val repoFile = Seq(("r1", "a.txt", "id1")).toDF("repo_id", "rfilename", "id")
+      val p = plan(graft.hfc.Normalize.modifiedFiles(deltas, repoFile))
+      val parts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+        .map(_.group(1)).toSeq
+      assert(parts.nonEmpty, s"expected a shuffle join with broadcast disabled:\n$p")
+      assert(parts.forall(k => k.contains("repo_id") && k.contains("filename")),
+        s"J1 must shuffle on the composite key, got: $parts")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("qx01: funnel counts are monotone per source (raw >= quality >= unique >= sampled)") {
     val rows = CurationQueries.corpusBuild(Tables(spark, "/root/testdata/sf0.01")).collect()
     assert(rows.nonEmpty)
