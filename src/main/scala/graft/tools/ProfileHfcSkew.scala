@@ -93,10 +93,17 @@ object ProfileHfcSkew {
         Normalize.modifiedFiles(deltasRepoSkew, repoFile).count()
       }
       val mfHot = Normalize.modifiedFiles(deltasHotPair, repoFile)
-      time(s"J1 hot-pair   $tag") { mfHot.count() }
+      // drive THIS DataFrame's own QueryExecution (df.count() builds a
+      // separate one, leaving this plan un-finalized under AQE)
+      time(s"J1 hot-pair   $tag") { mfHot.queryExecution.toRdd.count() }
       if (skewOn) {
         val p = mfHot.queryExecution.executedPlan.toString
-        println(s"[hfc-skew] hot-pair isSkewJoin in final plan: ${p.contains("isSkewJoin=true")}")
+        // Spark 4 renders the flag as `SortMergeJoin(skew=true)` with
+        // `AQEShuffleRead skewed` children
+        println(s"[hfc-skew] hot-pair skew split engaged: ${p.contains("skew=true")}")
+        p.linesIterator.filter(l => l.contains("Join") || l.toLowerCase.contains("skew")
+            || l.contains("AQEShuffleRead"))
+          .take(8).foreach(l => println(s"[hfc-skew]   plan| ${l.trim.take(150)}"))
       }
     }
 
