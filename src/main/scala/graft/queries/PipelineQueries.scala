@@ -1957,6 +1957,40 @@ object PipelineQueries {
        |FROM f ORDER BY doc_id""".stripMargin
   }
 
+  /** qm05: video frame-sampling census — the video → image-rows
+    * pipeline shape ([[Multimodal.videoFrames]]/[[Multimodal.frameSampled]])
+    * expressed columnar on the stub payload: 4 evenly-strided slices
+    * per clip (the [[Multimodal.StubDecoder.frameSample]] offset
+    * math — stride = len/n, from = min(i·stride, len−1)), each frame
+    * fingerprinted. Explode is partition-local (no shuffle); at 100 TB
+    * the frame rows feed the image plane (qm02's hash, qm03's funnel)
+    * without ever materializing the clip twice. */
+  def videoFrameCensus(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val n = greatest(length($"text"), lit(1)).cast("long")
+    val s = greatest(floor(length($"text") / lit(4)).cast("long"), lit(1L))
+    t.documents.select($"doc_id", $"text", n.as("n"), s.as("s"))
+      .select($"doc_id", $"text", $"n", $"s",
+        explode(sequence(lit(0L), lit(3L))).as("frame_idx"))
+      .withColumn("from", least($"frame_idx" * $"s", $"n" - 1))
+      .withColumn("frame", $"text".substr(($"from" + 1).cast("int"), $"s".cast("int")))
+      .select($"doc_id", $"frame_idx",
+        length($"frame").cast("long").as("frame_len"),
+        md5($"frame").as("frame_md5"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val videoFrameCensusSql: String =
+    """WITH d AS (SELECT doc_id, text,
+      |    CAST(greatest(length(text), 1) AS BIGINT) AS n,
+      |    CAST(greatest(length(text) // 4, 1) AS BIGINT) AS s
+      |  FROM documents)
+      |SELECT doc_id, r.i AS frame_idx,
+      |  CAST(length(substr(text, CAST(least(r.i * s, n - 1) AS INT) + 1, CAST(s AS INT))) AS BIGINT) AS frame_len,
+      |  md5(substr(text, CAST(least(r.i * s, n - 1) AS INT) + 1, CAST(s AS INT))) AS frame_md5
+      |FROM d CROSS JOIN range(4) r(i)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   /** qd13: SemDeDup — cluster-then-prune semantic dedup: IVF cells
     * (8 deterministic sampled centroids) as learned blocks, within-cell
     * cosine ≥ 0.35 marks the later vector a dup of its smallest-id
@@ -2698,6 +2732,7 @@ object PipelineQueries {
     "qm02_image_phash"     -> ((s: SparkSession, d: String) => imagePhash(Tables(s, d))),
     "qm03_image_neardup"   -> ((s: SparkSession, d: String) => imageNearDup(Tables(s, d))),
     "qm04_audio_fingerprint" -> ((s: SparkSession, d: String) => audioFingerprint(Tables(s, d))),
+    "qm05_frame_census"    -> ((s: SparkSession, d: String) => videoFrameCensus(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
     "qe02_interval_join"   -> ((s: SparkSession, d: String) => viewPurchaseFunnel(Tables(s, d))),
     "qt01_token_stats"     -> ((s: SparkSession, d: String) => tokenStats(Tables(s, d))),
@@ -2769,6 +2804,7 @@ object PipelineQueries {
     "qm02_image_phash"     -> imagePhashSql,
     "qm03_image_neardup"   -> imageNearDupSql,
     "qm04_audio_fingerprint" -> audioFingerprintSql,
+    "qm05_frame_census"    -> videoFrameCensusSql,
     "qe01_sessionize"      -> sessionizedSql,
     "qe02_interval_join"   -> viewPurchaseFunnelSql,
     "qt01_token_stats"     -> tokenStatsSql,
