@@ -652,7 +652,17 @@ object Multimodal {
 
   /** Window "energy" for the audio stub: 4 signed amplitude samples
     * per window, energy = sum of squares (exact integer math — no
-    * float fuzz between engines). */
+    * float fuzz between engines).
+    *
+    * Deliberately UNROLLED static expressions rather than array HOFs
+    * (round-11 measurement): the big static tree costs ~2.4 s of
+    * per-execution driver work (analysis + codegen of a ~5000-node
+    * projection) but executes codegen'd at ~0.3 ms/1k rows — a FIXED
+    * tax that amortizes over any real corpus. The
+    * transform/zip_with/aggregate form is a ~200-node tree but HOFs
+    * are CodegenFallback: measured 2.5 ms/ROW interpreted (12 s for
+    * 5k docs, ~25x the codegen'd row cost) — per-row cost that scales
+    * WITH the data is the wrong trade at 100 TB. */
   private def windowEnergy(text: Column, w: Int, windows: Int): Column = {
     val k = windows * 4
     (0 until 4).map { j =>
