@@ -584,7 +584,13 @@ object Multimodal {
     require(bands * bandBits <= 64, "bands x bandBits must fit the 64-bit hash")
     import org.apache.spark.sql.expressions.Window
     val mask = (1L << bandBits) - 1
+    // materialize the (id, hash) table once: it is referenced by BOTH
+    // self-join sides and the final left join, and the hash column may
+    // be an expensive derivation (the Dedup signature-cache pattern) —
+    // 9-16 bytes/doc of state vs recomputing the hash 3x
     val h = hashes.select(col(idCol), col(hashCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    h.count()
     val banded = h.select(col(idCol), col(hashCol),
       posexplode(array((0 until bands).map(b =>
         shiftright(col(hashCol), b * bandBits).bitwiseAND(lit(mask))): _*))
