@@ -353,7 +353,11 @@ object GraphMetrics {
     val nV = verts.count()
     var reach = verts.select(col("u"), col("u").as("v")).localCheckpoint()
     val rows = Seq.newBuilder[(Int, Long, Double)]
-    rows += ((0, nV, 1.0))
+    // nV/nV, not a 1.0 literal: an EMPTY graph (sf0.001's co-activity
+    // graph has no co-active user pair) must read 0/0 = NaN like every
+    // later radius — the oracle's SQL division does, and a hardcoded
+    // 1.0 was the one sf0.001 sweep mismatch
+    rows += ((0, nV, nV.toDouble / nV.toDouble))
     for (r <- 1 to maxR) {
       val expanded = reach.join(dir, reach("v") === dir("s"))
         .select(reach("u"), dir("d").as("v"))

@@ -1991,6 +1991,46 @@ object PipelineQueries {
       |FROM d CROSS JOIN range(4) r(i)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** qm06: CROSS-MODAL dup agreement — the consistency read a
+    * multimodal curation pipeline tunes its thresholds with: per doc,
+    * the dup verdict of THREE independent modalities side by side —
+    * exact text (md5 keeper, qd01 semantics), perceptual image hash
+    * (qm03's banded hamming funnel), and semantic embedding (qd13's
+    * SemDeDup), the last LEFT-joined because embedding coverage is
+    * partial at scale (the qc11 lesson: a modality that cannot judge
+    * a doc reports null, never drops the row). `n_modalities` counts
+    * agreeing dup flags — docs flagged by 2+ modalities are the
+    * high-confidence removals; image-only or semantic-only flags are
+    * the threshold-tuning review queue. Each leg is the already-gated
+    * operator; the join plan adds two hash joins on doc_id. */
+  def crossModalAgreement(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val tx = t.documents.select($"doc_id",
+      ($"doc_id" =!= min($"doc_id").over(Window.partitionBy(md5($"text"))))
+        .as("text_dup"))
+    val im = imageNearDup(t).select($"doc_id", $"is_dup".as("image_dup"))
+    val sem = semanticDedup(t).select($"vec_id".as("doc_id"), $"is_dup".as("semantic_dup"))
+    tx.join(im, "doc_id").join(sem, Seq("doc_id"), "left")
+      .select($"doc_id", $"text_dup", $"image_dup", $"semantic_dup",
+        ($"text_dup".cast("int") + $"image_dup".cast("int") +
+          coalesce($"semantic_dup", lit(false)).cast("int")).as("n_modalities"))
+      .orderBy($"doc_id")
+  }
+
+  // lazy: embeds semanticDedupSql, declared further down the object —
+  // a strict val would initialize first and interpolate null
+  lazy val crossModalAgreementSql: String =
+    s"""WITH tx AS (SELECT doc_id,
+       |    doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS text_dup
+       |  FROM documents),
+       |im AS (SELECT doc_id, is_dup AS image_dup FROM ($imageNearDupSql)),
+       |sem AS (SELECT vec_id, is_dup AS semantic_dup FROM ($semanticDedupSql))
+       |SELECT tx.doc_id, tx.text_dup, im.image_dup, sem.semantic_dup,
+       |  (CAST(tx.text_dup AS INT) + CAST(im.image_dup AS INT) +
+       |   CAST(COALESCE(sem.semantic_dup, false) AS INT)) AS n_modalities
+       |FROM tx JOIN im USING (doc_id) LEFT JOIN sem ON sem.vec_id = tx.doc_id
+       |ORDER BY tx.doc_id""".stripMargin
+
   /** qd13: SemDeDup — cluster-then-prune semantic dedup: IVF cells
     * (8 deterministic sampled centroids) as learned blocks, within-cell
     * cosine ≥ 0.35 marks the later vector a dup of its smallest-id
@@ -2733,6 +2773,7 @@ object PipelineQueries {
     "qm03_image_neardup"   -> ((s: SparkSession, d: String) => imageNearDup(Tables(s, d))),
     "qm04_audio_fingerprint" -> ((s: SparkSession, d: String) => audioFingerprint(Tables(s, d))),
     "qm05_frame_census"    -> ((s: SparkSession, d: String) => videoFrameCensus(Tables(s, d))),
+    "qm06_crossmodal_agreement" -> ((s: SparkSession, d: String) => crossModalAgreement(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
     "qe02_interval_join"   -> ((s: SparkSession, d: String) => viewPurchaseFunnel(Tables(s, d))),
     "qt01_token_stats"     -> ((s: SparkSession, d: String) => tokenStats(Tables(s, d))),
@@ -2805,6 +2846,7 @@ object PipelineQueries {
     "qm03_image_neardup"   -> imageNearDupSql,
     "qm04_audio_fingerprint" -> audioFingerprintSql,
     "qm05_frame_census"    -> videoFrameCensusSql,
+    "qm06_crossmodal_agreement" -> crossModalAgreementSql,
     "qe01_sessionize"      -> sessionizedSql,
     "qe02_interval_join"   -> viewPurchaseFunnelSql,
     "qt01_token_stats"     -> tokenStatsSql,
