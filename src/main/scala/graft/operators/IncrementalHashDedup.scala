@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental near-dup detection over INTEGER perceptual hashes — the
+  * image/audio twin of [[IncrementalDedup]]: dedup a new batch of
+  * media against everything ingested before it without ever re-decoding
+  * or re-hashing historical payloads. The persistent state is an
+  * (id, hash) table — EIGHT BYTES of state per historical item, the
+  * smallest store in the library — and each batch costs one banded
+  * self+store join plus a popcount verify.
+  *
+  * Hash space is hamming, not Jaccard, so banding uses the pigeonhole
+  * split of [[Multimodal.hashNearDup]]: `bands` contiguous
+  * `bandBits`-bit keys, and while `bands > maxHamming` every true pair
+  * shares at least one exact band — recall 1.0, never all-pairs. The
+  * hash column is caller-supplied ([[Multimodal.withPerceptualHash]]
+  * for real images, [[Multimodal.textDhash56]]/[[Multimodal.textAudioFp32]]
+  * for the oracle-twin stubs) so one store design serves every
+  * integer-fingerprinted modality.
+  *
+  * Crash/replay contract = IncrementalDedup's: decisions carry the
+  * old-vs-new guard so a replayed batch whose append already landed
+  * never matches an item to its own stored hash; applied markers live
+  * in a SIBLING directory (append-only store — a replayed append only
+  * bloats, never corrupts); [[compactStore]] reclaims replay bloat
+  * through the AtomicSwap crash-safe rename. */
+object IncrementalHashDedup {
+
+  /** Seed the store from (id, hash) rows. */
+  def initStore(hashes: DataFrame, storePath: String,
+                idCol: String = "doc_id", hashCol: String = "phash"): Unit =
+    hashes.select(col(idCol).as("id"), col(hashCol).cast("long").as("hash"))
+      .write.mode("overwrite").parquet(storePath)
+
+  /** Dedup decisions for a new batch of (id, hash) rows against the
+    * store AND the batch itself: (id, dup_of, hamming) per batch item —
+    * `dup_of` is the best match (smallest hamming ≤ maxHamming, ties to
+    * the smallest id) among store items and batch items with a smaller
+    * id; null = unique. When `appendUnique`, unique hashes append to
+    * the store after decisions are pinned. */
+  def dedupBatch(newHashes: DataFrame, storePath: String,
+                 bands: Int = 4, bandBits: Int = 14, maxHamming: Int = 3,
+                 idCol: String = "doc_id", hashCol: String = "phash",
+                 appendUnique: Boolean = true): DataFrame = {
+    require(bands > maxHamming,
+      s"pigeonhole recall needs bands ($bands) > maxHamming ($maxHamming)")
+    require(bands * bandBits <= 64, "bands x bandBits must fit the 64-bit hash")
+    val spark = newHashes.sparkSession
+    graft.hfc.AtomicSwap.recoverDir(
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration),
+      storePath)
+    val batch = newHashes
+      .select(col(idCol).as("id"), col(hashCol).cast("long").as("hash"))
+      .localCheckpoint(true) // referenced by banding, verify, and append
+    val store = spark.read.parquet(storePath)
+
+    val mask = (1L << bandBits) - 1
+    def banded(t: DataFrame) = t.select(col("id"), col("hash"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("hash"), b * bandBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "bkey")))
+
+    val probe = banded(batch)
+      .select(col("id").as("new_id"), col("hash").as("n_hash"),
+        col("band"), col("bkey"))
+    val targets = banded(store)
+      .select(col("id").as("old_id"), col("hash").as("o_hash"),
+        col("band"), col("bkey"), lit(true).as("from_store"))
+      .union(banded(batch)
+        .select(col("id").as("old_id"), col("hash").as("o_hash"),
+          col("band"), col("bkey"), lit(false).as("from_store")))
+    val cands = probe.join(targets, Seq("band", "bkey"))
+      // old_id =!= new_id on the store side: crash-replay guard — a
+      // re-run batch whose append landed must not self-match at 0
+      .filter((col("from_store") && col("old_id") =!= col("new_id")) ||
+              (!col("from_store") && col("old_id") < col("new_id")))
+      .select(col("new_id"), col("old_id"), col("n_hash"), col("o_hash"))
+      .distinct()
+
+    val scored = cands
+      .withColumn("hamming",
+        bit_count(col("n_hash").bitwiseXOR(col("o_hash"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("new_id"))
+      .orderBy(col("hamming").asc, col("old_id").asc)
+    val best = scored
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("new_id").as("id"), col("old_id").as("dup_of"), col("hamming"))
+
+    val decisions = batch.select(col("id"))
+      .join(best, Seq("id"), "left")
+      .select(col("id").as(idCol), col("dup_of"), col("hamming"))
+      .localCheckpoint(true) // pin BEFORE the store grows underneath it
+
+    if (appendUnique) {
+      batch.join(decisions.filter(col("dup_of").isNotNull)
+          .select(col(idCol).as("id")), Seq("id"), "left_anti")
+        .write.mode("append").parquet(storePath)
+    }
+    decisions
+  }
+
+  // replay bookkeeping — the IncrementalDedup sibling-marker protocol
+  private def markerFor(storePath: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"$storePath.applied", s"batch-$batchId")
+
+  def batchApplied(spark: SparkSession, storePath: String, batchId: Long): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.exists(markerFor(storePath, batchId))
+  }
+
+  def markApplied(spark: SparkSession, storePath: String, batchId: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.create(markerFor(storePath, batchId), true).close()
+  }
+
+  /** Compact per-batch append files; replay-duplicated ids collapse
+    * (hashes are pure functions of the payload — duplicates are
+    * bit-identical). Crash-safe via AtomicSwap. */
+  def compactStore(spark: SparkSession, storePath: String,
+                   targetFiles: Int = 8): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    graft.hfc.AtomicSwap.recoverDir(fs, storePath)
+    val staging = graft.hfc.AtomicSwap.stagingFor(storePath)
+    spark.read.parquet(storePath)
+      .dropDuplicates("id")
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(staging)
+    graft.hfc.AtomicSwap.commitDir(fs, storePath, staging)
+  }
+}

@@ -2017,6 +2017,55 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** qm07: the INCREMENTAL image-dedup store gated end to end — the
+    * qi01 move (incremental path proven by an independent oracle)
+    * applied to [[graft.operators.IncrementalHashDedup]]: even doc ids
+    * seed a REAL parquet store (initStore), odd ids arrive as one
+    * batch (dedupBatch: banded store+self join, popcount verify,
+    * best = smallest hamming then smallest id), and the DuckDB oracle
+    * replays the incremental semantics from scratch — batch items may
+    * match store items or SMALLER-id batch mates, store items are
+    * never re-decided. Exercises the store parquet round-trip, the
+    * pigeonhole banding, and the decision tie-break in one gate row. */
+  def imageDedupIncremental(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val hashes = t.documents.select($"doc_id",
+      Multimodal.textDhash56($"text").as("phash"))
+    val store = java.nio.file.Files.createTempDirectory("graft-qm07")
+      .toString + "/store"
+    graft.operators.IncrementalHashDedup.initStore(
+      hashes.filter($"doc_id" % 2 === 0), store)
+    graft.operators.IncrementalHashDedup.dedupBatch(
+        hashes.filter($"doc_id" % 2 =!= 0), store,
+        bands = 4, bandBits = 14, maxHamming = 3)
+      .orderBy($"doc_id")
+  }
+
+  val imageDedupIncrementalSql: String =
+    s"""WITH $phashDocsCte,
+       |h AS (SELECT doc_id, ${Multimodal.textDhash56Sql} AS phash FROM d),
+       |hb AS (SELECT doc_id, phash, r.i AS band,
+       |    (phash >> CAST(14 * r.i AS INT)) & 16383 AS bkey
+       |  FROM h CROSS JOIN range(4) r(i)),
+       |sb AS (SELECT * FROM hb WHERE doc_id % 2 = 0),
+       |bb AS (SELECT * FROM hb WHERE doc_id % 2 <> 0),
+       |cand AS (
+       |  SELECT b.doc_id new_id, s.doc_id old_id, b.phash n_hash, s.phash o_hash
+       |  FROM bb b JOIN sb s ON b.band = s.band AND b.bkey = s.bkey
+       |  UNION
+       |  SELECT b.doc_id, b2.doc_id, b.phash, b2.phash
+       |  FROM bb b JOIN bb b2 ON b.band = b2.band AND b.bkey = b2.bkey
+       |    AND b2.doc_id < b.doc_id),
+       |hits AS (SELECT new_id, old_id,
+       |    CAST(bit_count(xor(n_hash, o_hash)) AS BIGINT) hamming
+       |  FROM cand WHERE bit_count(xor(n_hash, o_hash)) <= 3),
+       |best AS (SELECT new_id doc_id, old_id dup_of, hamming FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+       |      ORDER BY hamming ASC, old_id ASC) rn FROM hits) WHERE rn = 1)
+       |SELECT b.doc_id, best.dup_of, best.hamming
+       |FROM (SELECT DISTINCT doc_id FROM bb) b
+       |LEFT JOIN best USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
   // lazy: embeds semanticDedupSql, declared further down the object —
   // a strict val would initialize first and interpolate null
   lazy val crossModalAgreementSql: String =
@@ -2774,6 +2823,7 @@ object PipelineQueries {
     "qm04_audio_fingerprint" -> ((s: SparkSession, d: String) => audioFingerprint(Tables(s, d))),
     "qm05_frame_census"    -> ((s: SparkSession, d: String) => videoFrameCensus(Tables(s, d))),
     "qm06_crossmodal_agreement" -> ((s: SparkSession, d: String) => crossModalAgreement(Tables(s, d))),
+    "qm07_image_dedup_incr" -> ((s: SparkSession, d: String) => imageDedupIncremental(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
     "qe02_interval_join"   -> ((s: SparkSession, d: String) => viewPurchaseFunnel(Tables(s, d))),
     "qt01_token_stats"     -> ((s: SparkSession, d: String) => tokenStats(Tables(s, d))),
@@ -2847,6 +2897,7 @@ object PipelineQueries {
     "qm04_audio_fingerprint" -> audioFingerprintSql,
     "qm05_frame_census"    -> videoFrameCensusSql,
     "qm06_crossmodal_agreement" -> crossModalAgreementSql,
+    "qm07_image_dedup_incr" -> imageDedupIncrementalSql,
     "qe01_sessionize"      -> sessionizedSql,
     "qe02_interval_join"   -> viewPurchaseFunnelSql,
     "qt01_token_stats"     -> tokenStatsSql,

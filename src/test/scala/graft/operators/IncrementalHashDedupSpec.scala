@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** The incremental hamming-space dedup store: batch-vs-store and
+  * within-batch decisions, append growth, replay self-match guard,
+  * compaction, and the real-image path end to end. */
+class IncrementalHashDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpStore(): String =
+    java.nio.file.Files.createTempDirectory("graft-ihd").toString + "/store"
+
+  private def decisions(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)).map(_.asInstanceOf[Long]),
+       Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+
+  test("batch dedups against store AND itself; uniques append; next batch sees them") {
+    val store = tmpStore()
+    IncrementalHashDedup.initStore(
+      Seq((1L, 0x00L), (2L, 0xFF00FF00L)).toDF("doc_id", "phash"), store)
+    val d1 = decisions(IncrementalHashDedup.dedupBatch(
+      Seq((10L, 0x01L), (11L, 0x01L), (12L, 0xF0F0F0F0F0L)).toDF("doc_id", "phash"),
+      store))
+    assert(d1(10L) == ((Some(1L), Some(1L))), s"10 dups to store id 1: ${d1(10L)}")
+    // 11 matches batch-mate 10 at hamming 0 — beats the store's 1
+    assert(d1(11L) == ((Some(10L), Some(0L))), s"11 chains to batch-mate: ${d1(11L)}")
+    assert(d1(12L) == ((None, None)), "12 is unique")
+    assert(spark.read.parquet(store).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 12L), "only the unique hash appends")
+    val d2 = decisions(IncrementalHashDedup.dedupBatch(
+      Seq((20L, 0xF0F0F0F0F0L)).toDF("doc_id", "phash"), store))
+    assert(d2(20L) == ((Some(12L), Some(0L))), "wave-2 dups to wave-1's append")
+  }
+
+  test("replayed batch whose append landed does not self-match") {
+    val store = tmpStore()
+    IncrementalHashDedup.initStore(
+      Seq((1L, 0x00L)).toDF("doc_id", "phash"), store)
+    val batch = Seq((10L, 0xF0F0L)).toDF("doc_id", "phash")
+    val first = decisions(IncrementalHashDedup.dedupBatch(batch, store))
+    assert(first(10L) == ((None, None)))
+    assert(!IncrementalHashDedup.batchApplied(spark, store, 0L))
+    IncrementalHashDedup.markApplied(spark, store, 0L)
+    assert(IncrementalHashDedup.batchApplied(spark, store, 0L))
+    // crash replay: append already landed; the old=!=new guard must
+    // keep 10 from matching its own stored hash at hamming 0
+    val replay = decisions(IncrementalHashDedup.dedupBatch(batch, store,
+      appendUnique = false))
+    assert(replay == first, s"replay decisions must be identical: $replay")
+  }
+
+  test("double append (crash between append and marker) bloats; compact reclaims") {
+    val store = tmpStore()
+    IncrementalHashDedup.initStore(
+      Seq((1L, 0x00L)).toDF("doc_id", "phash"), store)
+    val batch = Seq((10L, 0xF0F0L)).toDF("doc_id", "phash")
+    IncrementalHashDedup.dedupBatch(batch, store)
+    IncrementalHashDedup.dedupBatch(batch, store) // replayed append
+    assert(spark.read.parquet(store).count() == 3L, "replay bloat expected")
+    IncrementalHashDedup.compactStore(spark, store, targetFiles = 2)
+    val rows = spark.read.parquet(store).as[(Long, Long)].collect().toSet
+    assert(rows == Set((1L, 0x00L), (10L, 0xF0F0L)), s"compacted: $rows")
+  }
+
+  test("pigeonhole guard rejects bands <= maxHamming") {
+    val store = tmpStore()
+    IncrementalHashDedup.initStore(Seq((1L, 0L)).toDF("doc_id", "phash"), store)
+    intercept[IllegalArgumentException] {
+      IncrementalHashDedup.dedupBatch(Seq((2L, 1L)).toDF("doc_id", "phash"),
+        store, bands = 3, bandBits = 14, maxHamming = 3)
+    }
+  }
+
+  test("real images: a rescaled copy arriving later dups to the stored original") {
+    def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
+      import java.awt.image.BufferedImage
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = math.max(0, math.min(255, f(x, y)))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val store = tmpStore()
+    val seed = Multimodal.withPerceptualHash(
+      Seq((1L, png(96, 96)((x, y) => x + y))).toDF("doc_id", "media"), "media")
+      .select($"doc_id", $"phash64".as("phash"))
+    IncrementalHashDedup.initStore(seed, store)
+    val batch = Multimodal.withPerceptualHash(
+      Seq((10L, png(48, 48)((x, y) => 2 * (x + y))),            // rescale of stored
+          (11L, png(96, 96)((x, y) => 255 - (x + y))))          // unrelated
+        .toDF("doc_id", "media"), "media")
+      .select($"doc_id", $"phash64".as("phash"))
+    val d = decisions(IncrementalHashDedup.dedupBatch(batch, store,
+      bands = 8, bandBits = 8, maxHamming = 6))
+    assert(d(10L)._1.contains(1L), s"rescaled copy must dup to the original: $d")
+    assert(d(11L)._1.isEmpty, "unrelated image stays unique")
+  }
+}
