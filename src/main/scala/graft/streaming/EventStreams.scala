@@ -232,6 +232,40 @@ object EventStreams {
         ()
       }
 
+  /** Streaming perceptual-hash dedup — [[dedupStream]]'s shape for the
+    * IMAGE/AUDIO plane: each micro-batch of (id, hash) rows (the hash
+    * computed upstream by [[graft.operators.Multimodal.withPerceptualHash]]
+    * or a fingerprint expression — media bytes never reach the store)
+    * dedups against the persistent
+    * [[graft.operators.IncrementalHashDedup]] store and itself;
+    * decisions land in batch_id partitions (dynamic overwrite = replay
+    * rewrites itself), unique hashes append under the same
+    * marker-after-append protocol, and the replay self-match guard
+    * keeps re-delivered batches byte-identical. */
+  def hashDedupStream(hashes: DataFrame, storePath: String, decisionsDir: String,
+                      bands: Int = 4, bandBits: Int = 14, maxHamming: Int = 3,
+                      idCol: String = "doc_id", hashCol: String = "phash")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    hashes.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val applied = graft.operators.IncrementalHashDedup
+          .batchApplied(batch.sparkSession, storePath, batchId)
+        val decisions = graft.operators.IncrementalHashDedup
+          .dedupBatch(batch, storePath, bands, bandBits, maxHamming,
+            idCol, hashCol, appendUnique = !applied)
+        decisions
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(decisionsDir)
+        if (!applied)
+          graft.operators.IncrementalHashDedup
+            .markApplied(batch.sparkSession, storePath, batchId)
+        ()
+      }
+
   /** Streaming incremental near-dup detection: each micro-batch of
     * documents is deduped against the persistent signature store (and
     * itself) via [[graft.operators.IncrementalDedup.dedupBatch]], its
