@@ -8,6 +8,43 @@ import java.nio.file.{Files, Paths}
   * scale-critical queries with the properties each plan must keep
   * (also pinned by PlanAuditSpec). `runMain graft.tools.DumpPlans`. */
 object DumpPlans {
+
+  /** Plan-adjacent contract appended to PLANS.md — survives
+    * regeneration because it lives here, not in the file. */
+  private val floatParityRecipe: String =
+    """
+      |## Cross-engine float-parity recipe (round-11 sf0.1 sweep findings)
+      |
+      |Not a plan, but a plan-adjacent contract every oracle-gated query must
+      |hold. The sf0.1 sweep (first full-suite run above the sf0.01 gate
+      |scale) surfaced two divergence classes that are invisible until a
+      |value lands on a boundary:
+      |
+      |1. **`round(x, d)` is NOT engine-portable on doubles.** Spark rounds
+      |   the double's shortest decimal rendering (BigDecimal HALF_UP on
+      |   `Double.toString`); DuckDB rounds the true binary value. They
+      |   disagree exactly when the rendering is a tie (e.g. `0.5203125`).
+      |   Portable form: tie-free binary quantization
+      |   `floor(x * 10^d + 0.5) / 10^d` (`TextFunctions.quantize` /
+      |   the same floor expression in SQL) — every step a single IEEE op
+      |   on the true value. For sums, prefer scaled-integer aggregation
+      |   (`SUM(CAST(floor(v * 10^d + 0.5) AS BIGINT))`): exact,
+      |   partition-order-independent, no decimal-conversion semantics.
+      |2. **DuckDB bare decimal literals are DECIMAL, not DOUBLE.**
+      |   `1.0 - 0.85` evaluates in exact decimal (0.15), one ulp from the
+      |   IEEE `0.15000000000000002` Spark computes. Any literal-on-literal
+      |   arithmetic in an oracle must force a double operand
+      |   (`1.0::DOUBLE - 0.85`). A single decimal literal beside a double
+      |   column is safe — it coerces before the op.
+      |
+      |PlanAuditSpec addition: **J1 (delta→repo_file) shuffles on the
+      |COMPOSITE (repo_id, filename) key** — the property that diffuses the
+      |mega-repo skew the reference blocklists against
+      |(databaseImport.py:712); losing the composite key in a refactor would
+      |concentrate each mega repo on one task. Measured on the HFC-shaped
+      |fixture by `tools/ProfileHfcSkew` (numbers in NOTES_r11).
+      |""".stripMargin
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(appName = "dump-plans")
     val t = Tables(spark, "/root/testdata/sf0.001")
@@ -187,6 +224,9 @@ object DumpPlans {
       ("qe10_session_gap_policy — per-user window, bounded explode",
        "The inter-event gaps come from ONE lag window partitioned by user_id (the same key qe01's sessionization shuffles on — never a global sort); the 4-candidate explode is bounded; the user/event totals are a 1-row broadcast scalar attach.",
        fmt(graft.queries.PipelineQueries.sessionGapPolicy(t))),
+      ("qm03_image_neardup — hash-banded hamming funnel",
+       "The (id, phash) table materializes once (InMemoryTableScan) and feeds both self-join sides and the final left join — the 112-ascii hash derivation is computed exactly once. Candidates shuffle only on (band, bkey); the verify is one codegen'd xor+popcount. Pigeonhole (4 bands > 3 maxHamming) makes recall exact without all-pairs.",
+       fmt(graft.queries.PipelineQueries.imageNearDup(t))),
     )
 
     val md = new StringBuilder
@@ -197,6 +237,7 @@ object DumpPlans {
     sections.foreach { case (title, why, plan) =>
       md.append(s"\n## $title\n\n$why\n\n```\n$plan```\n")
     }
+    md.append(floatParityRecipe)
     Files.writeString(Paths.get("/root/repo/PLANS.md"), md.toString)
     println(s"[plans] wrote ${sections.size} sections to PLANS.md")
     spark.stop()
