@@ -58,6 +58,21 @@ object GraftExtensions {
     (FunctionIdentifier("graft_lsh_bucket"),
      new ExpressionInfo(classOf[LshBucket].getName, "graft_lsh_bucket"),
      (children: Seq[Expression]) => LshBucket(children(0), children(1), children(2))),
+    (FunctionIdentifier("graft_text_dhash56"),
+     new ExpressionInfo(classOf[graft.functions.expressions.TextDhash56Expr].getName,
+       "graft_text_dhash56"),
+     (children: Seq[Expression]) =>
+       graft.functions.expressions.TextDhash56Expr(children(0))),
+    (FunctionIdentifier("graft_text_audio_fp32"),
+     new ExpressionInfo(classOf[graft.functions.expressions.TextAudioFp32Expr].getName,
+       "graft_text_audio_fp32"),
+     (children: Seq[Expression]) =>
+       graft.functions.expressions.TextAudioFp32Expr(children(0))),
+    (FunctionIdentifier("graft_text_audio_energy"),
+     new ExpressionInfo(classOf[graft.functions.expressions.TextAudioEnergyExpr].getName,
+       "graft_text_audio_energy"),
+     (children: Seq[Expression]) =>
+       graft.functions.expressions.TextAudioEnergyExpr(children(0))),
     // Spark's OWN runtime-join-pruning bloom machinery, exposed as SQL
     // functions (upstream keeps them internal-only): the agg builds the
     // serialized filter, the predicate probes it codegen'd. Used by

@@ -46,6 +46,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Regime guard for tools/check.py, generated from the SAME Scala
+    // constants the engine's mode switch reads (ExtendedQueries) — the
+    // guard predicate and the priced regime cannot drift. Kept out of
+    // oracle_sql.json: the driver treats every key there as a query.
+    val guard = Seq(
+      s"${q("queries")}: [${queries.ExtendedQueries.exactRegimeQueries.map(q).mkString(", ")}]",
+      s"${q("vertex_count_sql")}: ${q(queries.ExtendedQueries.coactivityVertexCountSql)}",
+      s"${q("max_vertices")}: ${queries.ExtendedQueries.ExactNeighborhoodMaxV}"
+    ).mkString("{", ", ", "}")
+    Files.writeString(Paths.get(s"$outDir/regime_guard.json"), guard)
     spark.stop()
   }
 }

@@ -59,7 +59,16 @@ object AtomicSwap {
     * is beyond the horizon: whether it was applied is unknowable, and
     * re-applying would double-count line frequencies / re-fold version
     * chains. Fail loudly instead of guessing — a checkpoint restored
-    * from beyond the horizon must be rejected, not silently replayed. */
+    * from beyond the horizon must be rejected, not silently replayed.
+    *
+    * CONTRACT: batch ids must be monotonically increasing per store
+    * (Structured Streaming's epoch ids are). The guard intentionally
+    * rejects a below-horizon id even while fewer than
+    * [[MaxAppliedMarkers]] markers exist: with monotonic ids such a
+    * batch can only be a replay from a checkpoint older than the
+    * store's history, never a genuinely-new batch. Two producers with
+    * independent, non-monotonic id spaces MUST NOT share one store —
+    * partition the store path per producer instead. */
   def assertWithinReplayHorizon(fs: FileSystem, dir: String, batchId: Long): Unit = {
     val ids = listAppliedMarkers(fs, dir)
     if (ids.nonEmpty && batchId < ids.min)

@@ -587,10 +587,11 @@ object Multimodal {
     // materialize the (id, hash) table once: it is referenced by BOTH
     // self-join sides and the final left join, and the hash column may
     // be an expensive derivation (the Dedup signature-cache pattern) —
-    // 9-16 bytes/doc of state vs recomputing the hash 3x
-    val h = hashes.select(col(idCol), col(hashCol))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    h.count()
+    // 9-16 bytes/doc of state vs recomputing the hash 3x. Eager
+    // localCheckpoint (not persist) so the blocks are owned by the RDD
+    // lineage and GC'd with it — a persist here would leak one cached
+    // relation in the cache manager per invocation of a long session.
+    val h = hashes.select(col(idCol), col(hashCol)).localCheckpoint(true)
     val banded = h.select(col(idCol), col(hashCol),
       posexplode(array((0 until bands).map(b =>
         shiftright(col(hashCol), b * bandBits).bitwiseAND(lit(mask))): _*))
@@ -636,8 +637,19 @@ object Multimodal {
   /** 56-bit dHash over an 8x8 codepoint grid: bit r*7+c set iff
     * cell(r,c) > cell(r,c+1) (56 = 8 rows x 7 comparisons — stays
     * positive in a signed 64-bit in both engines). One projection,
-    * whole-stage codegen, zero shuffle. */
-  def textDhash56(text: Column): Column = {
+    * whole-stage codegen, zero shuffle.
+    *
+    * Serves the compiled [[graft.functions.expressions.TextDhash56Expr]]
+    * (one tree node, codegen = a static call): the unrolled Column form
+    * ([[textDhash56Unrolled]], spec-pinned bit-identical) is a ~5000-node
+    * tree costing ~2.4 s of PER-EXECUTION driver analysis+codegen. */
+  def textDhash56(text: Column): Column = call_function("graft_text_dhash56", text)
+
+  /** The unrolled Column-composition form of [[textDhash56]] — kept as
+    * the executable spec of the compiled expression's semantics
+    * (StubHashExprSpec pins equality) and as the measured corner of the
+    * driver-tax trade space documented on [[windowEnergy]]. */
+  def textDhash56Unrolled(text: Column): Column = {
     val cells = (0 until 64).map(i => cellLuma(text, i, 64))
     (for { r <- 0 until 8; c <- 0 until 7 } yield
       when(cells(r * 8 + c) > cells(r * 8 + c + 1), lit(1L << (r * 7 + c)))
@@ -660,15 +672,16 @@ object Multimodal {
     * per window, energy = sum of squares (exact integer math — no
     * float fuzz between engines).
     *
-    * Deliberately UNROLLED static expressions rather than array HOFs
-    * (round-11 measurement): the big static tree costs ~2.4 s of
-    * per-execution driver work (analysis + codegen of a ~5000-node
-    * projection) but executes codegen'd at ~0.3 ms/1k rows — a FIXED
-    * tax that amortizes over any real corpus. The
-    * transform/zip_with/aggregate form is a ~200-node tree but HOFs
-    * are CodegenFallback: measured 2.5 ms/ROW interpreted (12 s for
-    * 5k docs, ~25x the codegen'd row cost) — per-row cost that scales
-    * WITH the data is the wrong trade at 100 TB. */
+    * The trade space, measured over rounds 11-12: (a) UNROLLED static
+    * expressions — ~2.4 s per-execution driver work (analysis +
+    * codegen of a ~5000-node projection), ~0.3 ms/1k rows codegen'd;
+    * (b) transform/zip_with/aggregate HOFs — small tree but
+    * CodegenFallback, 2.5 ms/ROW interpreted (~25x the codegen'd row
+    * cost), growing WITH the data; (c) the compiled custom expression
+    * ([[graft.functions.expressions.StubHashes]], round 12) — one tree
+    * node, codegen emits a static JVM call: ~0 driver AND ~0/row, now
+    * what [[textDhash56]]/[[textAudioFp32]]/[[textAudioEnergy]] serve.
+    * The unrolled forms stay as the executable semantic spec. */
   private def windowEnergy(text: Column, w: Int, windows: Int): Column = {
     val k = windows * 4
     (0 until 4).map { j =>
@@ -679,15 +692,23 @@ object Multimodal {
 
   /** 32-bit audio-style fingerprint: 33 window energies, bit w set iff
     * energy(w+1) > energy(w) — the energy-delta sign chain
-    * (Haitsma-Kalker shape) over the stub PCM. */
-  def textAudioFp32(text: Column): Column = {
+    * (Haitsma-Kalker shape) over the stub PCM. Compiled expression;
+    * [[textAudioFp32Unrolled]] is the semantic spec. */
+  def textAudioFp32(text: Column): Column = call_function("graft_text_audio_fp32", text)
+
+  /** Unrolled spec twin of [[textAudioFp32]]. */
+  def textAudioFp32Unrolled(text: Column): Column = {
     val e = (0 until 33).map(w => windowEnergy(text, w, 33))
     (0 until 32).map(w =>
       when(e(w + 1) > e(w), lit(1L << w)).otherwise(lit(0L))).reduce(_ + _)
   }
 
-  /** Total stub-PCM energy (exact integer). */
-  def textAudioEnergy(text: Column): Column =
+  /** Total stub-PCM energy (exact integer). Compiled expression;
+    * [[textAudioEnergyUnrolled]] is the semantic spec. */
+  def textAudioEnergy(text: Column): Column = call_function("graft_text_audio_energy", text)
+
+  /** Unrolled spec twin of [[textAudioEnergy]]. */
+  def textAudioEnergyUnrolled(text: Column): Column =
     (0 until 33).map(w => windowEnergy(text, w, 33)).reduce(_ + _).cast("long")
 
   /** DuckDB replay of the 33 window energies (needs `n`, `s132`). */

@@ -455,7 +455,24 @@ object ExtendedQueries {
     * approx branch keeps its honest `_est` column names: estimates
     * are sketch-valued, never oracle-hashed — the driver's gate runs
     * at sf0.01 where the exact branch is taken. */
-  private val ExactNeighborhoodMaxV = 512L
+  val ExactNeighborhoodMaxV = 512L
+
+  /** The regime predicate qg10/qg11's oracle validity hangs on,
+    * expressed as DuckDB SQL that mirrors [[neighborhoodTable]]'s
+    * vertex count EXACTLY (distinct endpoints of co-activity EDGES —
+    * not distinct bucketed users, which would also count isolated
+    * vertices the engine never sees). Declared here, beside the mode
+    * switch and the qg10 oracle, and exported by [[graft.Verify]] as
+    * `regime_guard.json` so tools/check.py asserts the same predicate
+    * the engine prices — the two cannot drift. */
+  val coactivityVertexCountSql: String =
+    """WITH bkt AS (SELECT DISTINCT user_id u, event_type et, date_trunc('minute', ts) m FROM events),
+      |und AS (SELECT DISTINCT a.u a, b2.u b
+      |  FROM bkt a JOIN bkt b2 ON a.et = b2.et AND a.m = b2.m AND a.u < b2.u)
+      |SELECT COUNT(*) FROM (SELECT a u FROM und UNION SELECT b FROM und)""".stripMargin
+
+  /** Gate queries whose oracle is valid only in the exact regime. */
+  val exactRegimeQueries: Seq[String] = Seq("qg10_neighborhood", "qg11_eff_diameter")
 
   /** One neighborhood-function run serves BOTH qg10 (r ≤ 4) and qg11
     * (quantile to r = 6): frontier expansion is monotone, so N(r) at

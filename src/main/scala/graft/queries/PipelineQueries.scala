@@ -2031,14 +2031,19 @@ object PipelineQueries {
     import t.spark.implicits._
     val hashes = t.documents.select($"doc_id",
       Multimodal.textDhash56($"text").as("phash"))
-    val store = java.nio.file.Files.createTempDirectory("graft-qm07")
-      .toString + "/store"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qm07")
+    val store = tmp.toString + "/store"
     graft.operators.IncrementalHashDedup.initStore(
       hashes.filter($"doc_id" % 2 === 0), store)
-    graft.operators.IncrementalHashDedup.dedupBatch(
+    // appendUnique=false: this is a read-only gate query — the store is
+    // throwaway, so skip the append I/O. dedupBatch pins decisions with
+    // an eager localCheckpoint, so the store can be deleted immediately.
+    val decisions = graft.operators.IncrementalHashDedup.dedupBatch(
         hashes.filter($"doc_id" % 2 =!= 0), store,
-        bands = 4, bandBits = 14, maxHamming = 3)
+        bands = 4, bandBits = 14, maxHamming = 3, appendUnique = false)
       .orderBy($"doc_id")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    decisions
   }
 
   val imageDedupIncrementalSql: String =

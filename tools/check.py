@@ -15,7 +15,7 @@ most 512 vertices — true for every sf <= 0.01 gate run. Above that
 (sf0.1: |V|~1500) the engine switches to HyperBall with `_est` columns
 and this compare is NOT applicable; the engine logs the mode choice.
 """
-import sys, json, glob, math
+import sys, json, glob, math, os
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -46,22 +46,25 @@ def main():
     # subset arg) so a just-landed query can be gated in isolation
     only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     # Asserted regime guards: some oracles are only valid in a regime
-    # the engine verifies at runtime. qg10/qg11 serve the EXACT
-    # neighborhood function only while the co-activity graph has at
-    # most 512 vertices (every sf <= 0.01 run); above that the engine
-    # switches to HyperBall estimates (logged, `_est`-typed) and the
-    # exact SQL is not the right referee. The guard recomputes the
-    # regime predicate from the same data instead of trusting either
-    # side.
-    n_vertices = con.execute(
-        """SELECT COUNT(DISTINCT u) FROM (
-             SELECT DISTINCT user_id u, event_type et,
-                    date_trunc('minute', ts) m FROM events)""").fetchone()[0]
+    # the engine verifies at runtime (qg10/qg11: exact neighborhood
+    # function only while the co-activity graph is small; HyperBall
+    # estimates above). The predicate SQL and threshold come from
+    # regime_guard.json, which graft.Verify generates from the SAME
+    # Scala constants the engine's mode switch reads — recomputed here
+    # from the data instead of trusting either side, and only when a
+    # guarded query is actually in the selected set.
     regime_skips = {}
-    if n_vertices > 512:
-        reason = (f"exact-regime oracle (|V| <= 512); engine in HyperBall "
-                  f"regime at |V|={n_vertices}")
-        regime_skips = {"qg10_neighborhood": reason, "qg11_eff_diameter": reason}
+    guard_path = f"{out}/regime_guard.json"
+    if os.path.exists(guard_path):
+        guard = json.load(open(guard_path))
+        guarded = [n for n in guard["queries"] if n in oracle and
+                   (not only or any(n.startswith(p) for p in only))]
+        if guarded:
+            n_vertices = con.execute(guard["vertex_count_sql"]).fetchone()[0]
+            if n_vertices > guard["max_vertices"]:
+                reason = (f"exact-regime oracle (|V| <= {guard['max_vertices']}); "
+                          f"engine in sketch regime at |V|={n_vertices}")
+                regime_skips = {n: reason for n in guarded}
     n_pass = n_fail = n_skip = 0
     for name in sorted(oracle):
         if only and not any(name.startswith(p) for p in only):
