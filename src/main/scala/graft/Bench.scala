@@ -23,8 +23,9 @@ object Bench {
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
-    (1 to 3).foreach { _ =>
-      named.foreach { case (name, fn) =>
+    def runPass(queries: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)]): Unit =
+      queries.foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
@@ -38,7 +39,16 @@ object Bench {
         spark.catalog.clearCache()
         samples(name) = t :: samples.getOrElse(name, Nil)
       }
-    }
+    (1 to 3).foreach(_ => runPass(named))
+    // the 10 most expensive queries get 2 extra interleaved passes
+    // (5 samples total): regression triage needs min/med/max spreads
+    // wide enough to separate a real slowdown from the ~6% host-jitter
+    // floor, and the expensive queries are where regressions matter —
+    // a 3-sample spread on a 3 s query cannot tell the two apart
+    // (round-11 verdict #7)
+    val top10 = named.filterNot { case (n, _) => errors.contains(n) }
+      .sortBy { case (n, _) => -samples(n).min }.take(10)
+    (1 to 2).foreach(_ => runPass(top10))
     // a failed query must not masquerade as a fast success
     val results = named.map { case (name, _) =>
       name -> (if (errors.contains(name)) -1.0 else samples(name).min)
@@ -48,13 +58,14 @@ object Bench {
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    // full per-query min/median/max: round-over-round comparisons need
-    // to tell signal from host-jitter noise (min alone can't — a
-    // "regression" whose new min sits inside the old min..max spread
-    // is indistinguishable from CPU-steal)
+    // full per-query min/median/max (+ sample count n: 5 for the
+    // top-10, 3 otherwise): round-over-round comparisons need to tell
+    // signal from host-jitter noise (min alone can't — a "regression"
+    // whose new min sits inside the old min..max spread is
+    // indistinguishable from CPU-steal)
     val statsJson = named.map { case (name, _) =>
       val s = samples(name).sorted
-      s"""\"$name\":{"min":${s.head},"med":${s(s.size / 2)},"max":${s.last}}"""
+      s"""\"$name\":{"min":${s.head},"med":${s(s.size / 2)},"max":${s.last},"n":${s.size}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"stats":$statsJson,"sf":"$sfDir"}"""

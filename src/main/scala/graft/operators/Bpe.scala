@@ -144,8 +144,9 @@ object Bpe {
     * not batchSize stacked HOF folds. */
   def trainBatched(docs: DataFrame, numMerges: Int, textCol: String = "text",
                    batchSize: Int = 64, checkpointEvery: Int = 4,
-                   onRound: (Int, Int, Double) => Unit = (_, _, _) => ()): (Seq[Merge], DataFrame) = {
-    require(numMerges > 0 && batchSize > 0 && checkpointEvery > 0)
+                   onRound: (Int, Int, Double) => Unit = (_, _, _) => (),
+                   overFetch: Int = 2): (Seq[Merge], DataFrame) = {
+    require(numMerges > 0 && batchSize > 0 && checkpointEvery > 0 && overFetch >= 1)
     val spark = docs.sparkSession
     var syms = ConnectedComponents.checkpointTruncated(
       wordCounts(docs, textCol)
@@ -156,11 +157,19 @@ object Bpe {
     var exhausted = false
     while (rank < numMerges && !exhausted) {
       val t0 = System.nanoTime()
-      // over-fetch 2x: disjointness filtering drops some candidates
+      // over-fetch window (default 2x — the qt43 oracle pins this
+      // exact width): disjointness filtering drops some candidates.
+      // ProfileVocab's natural-alphabet run showed the WINDOW, not the
+      // alphabet, throttles tie-heavy regimes — ties sort
+      // lexicographically by l, so same-l runs crowd a narrow window
+      // and the disjoint filter starves. A wider overFetch preserves
+      // the greedy-disjoint-over-the-full-ranking semantics (the
+      // selection is a prefix of the same total order) while
+      // collapsing the round count on flat count distributions.
       val want = math.min(batchSize, numMerges - rank)
       val top = pairCounts(syms)
         .orderBy(desc("c"), asc("l"), asc("r"))
-        .limit(want * 2).collect()
+        .limit(want * overFetch).collect()
       if (top.isEmpty) exhausted = true
       else {
         val selected = selectDisjoint(

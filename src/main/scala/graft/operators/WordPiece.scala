@@ -126,8 +126,9 @@ object WordPiece {
     * the justified-collect class). */
   def trainBatched(docs: DataFrame, numMerges: Int, textCol: String = "text",
                    batchSize: Int = 64, checkpointEvery: Int = 4,
-                   onRound: (Int, Int, Double) => Unit = (_, _, _) => ()): (Seq[Merge], DataFrame) = {
-    require(numMerges > 0 && batchSize > 0 && checkpointEvery > 0)
+                   onRound: (Int, Int, Double) => Unit = (_, _, _) => (),
+                   overFetch: Int = 2): (Seq[Merge], DataFrame) = {
+    require(numMerges > 0 && batchSize > 0 && checkpointEvery > 0 && overFetch >= 1)
     val spark = docs.sparkSession
     var syms = ConnectedComponents.checkpointTruncated(
       Bpe.wordCounts(docs, textCol)
@@ -138,7 +139,8 @@ object WordPiece {
     var exhausted = false
     while (rank < numMerges && !exhausted) {
       val t0 = System.nanoTime()
-      // over-fetch 2x: disjointness filtering drops some candidates
+      // over-fetch window (default 2x, oracle-pinned — see
+      // Bpe.trainBatched for the tie-regime analysis)
       val want = math.min(batchSize, numMerges - rank)
       val sc = symbolCounts(syms)
       val top = Bpe.pairCounts(syms)
@@ -147,7 +149,7 @@ object WordPiece {
         .withColumn("score",
           col("c").cast("double") / (col("lc").cast("double") * col("rc").cast("double")))
         .orderBy(desc("score"), asc("l"), asc("r"))
-        .limit(want * 2).select("l", "r", "c", "lc", "rc").collect()
+        .limit(want * overFetch).select("l", "r", "c", "lc", "rc").collect()
       if (top.isEmpty) exhausted = true
       else {
         val selected = selectDisjoint(

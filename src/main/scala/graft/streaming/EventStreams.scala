@@ -483,6 +483,110 @@ object EventStreams {
         ()
       }
 
+  /** The MULTIMODAL composed streaming corpus pipeline —
+    * [[corpusPipelineStream]] with the image leg wired in (round-12
+    * composition): input docs carry (doc_id, text, phash) where
+    * `phash` is the perceptual hash computed upstream
+    * ([[graft.operators.Multimodal.withPerceptualHash]] on real
+    * corpora — media bytes never reach this stream, only the 8-byte
+    * hash; NULL = undecodable/absent media). Per micro-batch:
+    *   1. gate: the text quality rule (unchanged);
+    *   2. text dedup: survivors probe the signature store;
+    *   3. image dedup: survivors WITH a hash probe the persistent
+    *      hamming store ([[graft.operators.IncrementalHashDedup]]),
+    *      under its own applied-marker replay protocol;
+    *   4. scrub: docs unique in BOTH modalities run the line census.
+    * Output is the qm06-shaped cross-modal verdict per input doc:
+    * gate_passed, text dup_of, image_dup_of + image_hamming,
+    * `image_judged` (false = the modality could not judge — the qc11
+    * lesson: it reports false, never drops the row), `n_modalities`
+    * (dup votes across modalities; 2 = high-confidence removal, 1 =
+    * the threshold-tuning review queue), and the strict keep policy
+    * `kept` = gated AND unique in every judging modality.
+    *
+    * Exactly-once composes stage-wise exactly as in
+    * [[corpusPipelineStream]]; the hamming store adds its own
+    * marker-after-append discipline (append-only store: a crash
+    * between append and marker means a replay re-appends bit-identical
+    * hashes — bloat reclaimed by compactStore, never corruption;
+    * decisions are unchanged thanks to the store-side self-match
+    * guard). All three stores must be initStore'd before the query
+    * starts. CorpusSoakSpec soaks this composition with torn-compact +
+    * checkpoint-loss injection. */
+  def multimodalPipelineStream(docs: DataFrame,
+                               dedupStorePath: String, censusStorePath: String,
+                               hashStorePath: String,
+                               outDir: String, threshold: Double,
+                               numHashes: Int = 16, bands: Int = 4,
+                               minTokens: Int = 20,
+                               lineTokens: Int = 10, maxDocFreq: Int = 3,
+                               hashBands: Int = 4, hashBandBits: Int = 14,
+                               maxHamming: Int = 3)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val gated = batch0.select(col("doc_id"), col("text"), col("phash"),
+            size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("wc"),
+            length(trim(col("text"))).cast("long").as("tl"))
+          .withColumn("gate_passed",
+            col("wc") >= minTokens && col("tl") >= col("wc") * 3 && col("tl") <= col("wc") * 12)
+          .localCheckpoint()
+        val passDocs = gated.filter(col("gate_passed")).select(col("doc_id"), col("text"))
+
+        val appliedT = graft.operators.IncrementalDedup
+          .batchApplied(spark, dedupStorePath, batchId)
+        val dd = graft.operators.IncrementalDedup
+          .dedupBatch(passDocs, dedupStorePath, threshold, numHashes, bands,
+            appendUnique = !appliedT)
+
+        val hashDocs = gated
+          .filter(col("gate_passed") && col("phash").isNotNull)
+          .select(col("doc_id"), col("phash"))
+        val appliedH = graft.operators.IncrementalHashDedup
+          .batchApplied(spark, hashStorePath, batchId)
+        val hd = graft.operators.IncrementalHashDedup
+          .dedupBatch(hashDocs, hashStorePath, hashBands, hashBandBits, maxHamming,
+            idCol = "doc_id", hashCol = "phash", appendUnique = !appliedH)
+          .select(col("doc_id"), col("dup_of").as("image_dup_of"),
+            col("hamming").as("image_hamming"))
+
+        val survivors = passDocs
+          .join(dd.filter(col("dup_of").isNull).select(col("doc_id")), Seq("doc_id"))
+          .join(hd.filter(col("image_dup_of").isNotNull).select(col("doc_id")),
+            Seq("doc_id"), "left_anti")
+
+        val counted = graft.operators.IncrementalLineCensus
+          .batchCounted(spark, censusStorePath, batchId)
+        val scrub = graft.operators.IncrementalLineCensus
+          .scrubBatch(survivors, censusStorePath, lineTokens, maxDocFreq,
+            updateStore = !counted, batchAlreadyCounted = counted,
+            batchMarker = if (counted) None else Some(batchId))
+
+        gated.select(col("doc_id"), col("gate_passed"),
+            col("phash").isNotNull.as("image_judged"))
+          .join(dd, Seq("doc_id"), "left")
+          .join(hd, Seq("doc_id"), "left")
+          .join(scrub, Seq("doc_id"), "left")
+          .withColumn("text_dup", col("dup_of").isNotNull)
+          .withColumn("image_dup", col("image_dup_of").isNotNull)
+          .withColumn("n_modalities",
+            col("text_dup").cast("int") + col("image_dup").cast("int"))
+          .withColumn("kept",
+            col("gate_passed") && !col("text_dup") && !col("image_dup"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        if (!appliedT)
+          graft.operators.IncrementalDedup.markApplied(spark, dedupStorePath, batchId)
+        if (!appliedH)
+          graft.operators.IncrementalHashDedup.markApplied(spark, hashStorePath, batchId)
+        ()
+      }
+
   /** Stream-stream interval join: pair each left event with right
     * events of the same user arriving within `[0, maxDelay]` after it.
     * Both sides carry watermarks and the join condition bounds event

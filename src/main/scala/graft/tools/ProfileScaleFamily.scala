@@ -63,7 +63,17 @@ object ProfileScaleFamily {
       else {
         val words = split(col("text"), " ")
         val mutated =
-          if (mode == "neardup") {
+          if (mode == "hashdup") {
+            // EXACT text replicas (ids shifted): perceptual-hash
+            // clusters grow linearly with scale — the adversarial
+            // direction for the qm hamming funnel, whose per-cluster
+            // verify stage is quadratic in cluster size (the priced
+            // quadratic; occupancy census printed per scale). Any
+            // text edit would scramble the strided stub hash (length
+            // changes shift every sample position), so identity is
+            // the only mutation that grows HASH clusters.
+            words
+          } else if (mode == "neardup") {
             // perturb ONE word: replicas are near-duplicates of each
             // other, so cluster sizes GROW with scale (adversarial for
             // the CC stages: candidate pairs ~ N x reps)
@@ -109,7 +119,7 @@ object ProfileScaleFamily {
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outBase0 = args.drop(1).headOption.getOrElse("/tmp/graft_scale")
-    val mode = args.drop(2).headOption.getOrElse("neardup") // neardup | unique
+    val mode = args.drop(2).headOption.getOrElse("neardup") // neardup | unique | hashdup
     val outBase = s"$outBase0-$mode"
     val spark = GraftSession.local(appName = "scale-family-profile")
     val meter = new ShuffleMeter
@@ -125,7 +135,12 @@ object ProfileScaleFamily {
       // full release pipeline — scale evidence that COMPOSITION does
       // not add super-linear stages beyond its members'
       "qx01_corpus_build" -> ((t: Tables) => graft.queries.CurationQueries.corpusBuild(t)),
-      "qc09_corpus_release" -> ((t: Tables) => graft.queries.QualityQueries.corpusRelease(t)))
+      "qc09_corpus_release" -> ((t: Tables) => graft.queries.QualityQueries.corpusRelease(t)),
+      // the qm hamming funnels (r12): batch banded near-dup and the
+      // incremental store path — run with mode=hashdup (growing hash
+      // clusters, the adversarial direction) and mode=unique (control)
+      "qm03_image_neardup" -> ((t: Tables) => graft.queries.PipelineQueries.imageNearDup(t)),
+      "qm07_image_dedup_incr" -> ((t: Tables) => graft.queries.PipelineQueries.imageDedupIncremental(t)))
 
     // optional 4th arg: comma-separated name-prefix filter (dev loops)
     val only = args.drop(3).headOption.map(_.split(",").toSeq)
@@ -137,6 +152,23 @@ object ProfileScaleFamily {
       buildScaled(spark, srcDir, dir, reps, mode)
       val t = Tables(spark, dir)
       val nDocs = t.documents.count()
+      if (mode == "hashdup") {
+        // band-bucket occupancy census of the qm03 funnel at this
+        // scale: the shuffle-key distribution the hamming self-join
+        // actually sees (4 x 14-bit bands over the 56-bit stub hash).
+        // Bounded occupancy = bounded per-bucket pair fan-out.
+        val occ = t.documents
+          .select(graft.operators.Multimodal.textDhash56(col("text")).as("phash"))
+          .select(col("phash"), posexplode(array((0 until 4).map(b =>
+            shiftright(col("phash"), b * 14).bitwiseAND(lit((1L << 14) - 1))): _*))
+            .as(Seq("band", "bkey")))
+          .groupBy(col("band"), col("bkey")).count()
+        val q = occ.stat.approxQuantile("count", Array(0.5, 0.99), 0.001)
+        val mx = occ.agg(max(col("count"))).head().getLong(0)
+        val nBuckets = occ.count()
+        println(f"[scale] qm-band-occupancy reps=$reps%2d buckets=$nBuckets%7d " +
+          f"p50=${q(0)}%6.1f p99=${q(1)}%8.1f max=$mx%8d")
+      }
       selected.foreach { case (name, fn) =>
         // one warm pass (codegen/JIT), then the measured pass
         fn(t).write.format("noop").mode("overwrite").save()

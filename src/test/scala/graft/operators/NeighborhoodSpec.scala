@@ -63,6 +63,36 @@ class NeighborhoodSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("regime boundary |V|=512: HyperBall agrees with the exact leg within sketch error") {
+    // qg10/qg11 hand off exact → HyperBall at ExactNeighborhoodMaxV=512
+    // vertices (ExtendedQueries). This pins the handoff WHERE BOTH LEGS
+    // ARE COMPUTABLE — the largest graph the priced switch would still
+    // serve exactly — so the sf0.1 regime-skip rests on a verified
+    // switch, not a trusted one. Production parameters: maxR=6, default
+    // lgK=12 (2^12 registers → ~1.6% rsd per ball; 5% aggregate bound
+    // is conservative).
+    val ring = (0L until 512L).map(i => (i, (i + 1) % 512))
+    val chords = (0L until 512L by 7).map(i => (i, (i * 31 + 64) % 512))
+      .filter { case (a, b) => a != b }
+    val e = (ring ++ chords).toDF("a", "b")
+    val ex = exact(e, 6)
+    val ap = GraphMetrics.neighborhoodFunctionApprox(e, maxR = 6).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    for (r <- 0 to 6) {
+      val rel = math.abs(ap(r) - ex(r)._1.toDouble) / ex(r)._1.toDouble
+      assert(rel < 0.05, s"radius $r: est ${ap(r)} vs exact ${ex(r)._1} (rel $rel)")
+    }
+    // the scalar the function exists to serve: effective diameter read
+    // from either leg lands within one radius
+    def effDiam(nf: Map[Int, Double]): Int = {
+      val mx = nf.values.max
+      (0 to 6).find(r => nf(r) >= 0.9 * mx).get
+    }
+    val dEx = effDiam(ex.view.mapValues(_._1.toDouble).toMap)
+    val dAp = effDiam(ap)
+    assert(math.abs(dEx - dAp) <= 1, s"eff diameter: exact $dEx vs approx $dAp")
+  }
+
   test("guards reject non-positive radius and out-of-range lgK loudly") {
     val e = edges((1, 2))
     intercept[IllegalArgumentException](GraphMetrics.neighborhoodFunction(e, 0))

@@ -172,4 +172,163 @@ class CorpusSoakSpec extends SparkTestBase {
     assert(reference.census.values.exists(_ >= MaxDocFreq), "hot line never crossed the threshold")
     FileUtils.deleteDirectory(new File(root))
   }
+
+  // ---- the multimodal composition (round-12: image leg + hamming store) ----
+
+  /** Pairwise-distant synthetic 64-bit perceptual hash for wave w. */
+  private def waveHash(w: Int): Long = 0x9E3779B97F4A7C15L * (w + 17)
+
+  /** Waves of (doc_id, text, phash): per wave a fresh unique
+    * (text+hash), and injected text-only dups (same text, fresh hash),
+    * image-only dups (fresh text, 1-2 bit hash flip of an earlier
+    * unique), both-modality dups, null-hash docs (modality cannot
+    * judge), gate-fails, and census hot lines. */
+  private def mkMultimodalWaves(seed: Long): IndexedSeq[Seq[(Long, String, Option[Long])]] = {
+    val rnd = new scala.util.Random(seed)
+    val uniques = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    (0 until NWaves).map { w =>
+      val docs = scala.collection.mutable.ArrayBuffer[(Long, String, Option[Long])]()
+      val uid = 1000L + w
+      val utext = (0 until 8).map(t => s"w${w}t${t}x${rnd.nextInt(1000)}").mkString(" ")
+      val uhash = waveHash(w)
+      uniques += ((uid, utext, uhash))
+      docs += ((uid, utext, Some(uhash)))
+      if (w > 0 && rnd.nextBoolean()) {           // text-only dup
+        val (_, stext, _) = uniques(rnd.nextInt(uniques.size - 1))
+        docs += ((2000L + w, stext, Some(waveHash(w) ^ 0xAAAA000000000000L)))
+      }
+      if (w > 0 && rnd.nextInt(3) != 0) {         // image-only dup (hamming 1-2)
+        val (_, _, shash) = uniques(rnd.nextInt(uniques.size - 1))
+        val flip = if (rnd.nextBoolean()) 1L << rnd.nextInt(64)
+                   else (1L << rnd.nextInt(32)) | (1L << (32 + rnd.nextInt(32)))
+        docs += ((5000L + w, (0 until 8).map(t => s"i${w}f${t}y${rnd.nextInt(1000)}").mkString(" "),
+          Some(shash ^ flip)))
+      }
+      if (w > 2 && w % 5 == 0) {                  // both modalities agree
+        val (_, stext, shash) = uniques(rnd.nextInt(uniques.size - 1))
+        docs += ((6000L + w, stext, Some(shash ^ (1L << rnd.nextInt(64)))))
+      }
+      if (w % 4 == 1)                             // media absent: cannot judge
+        docs += ((7000L + w, (0 until 8).map(t => s"n${w}m${t}z${rnd.nextInt(1000)}").mkString(" "), None))
+      if (rnd.nextInt(3) == 0) docs += ((3000L + w, "hi", Some(waveHash(w) ^ 0x5555L)))
+      if (w % 4 == 2)
+        docs += ((4000L + w, s"hot line\nw${w} fresh tail content here extra", None))
+      docs.toSeq
+    }
+  }
+
+  private final case class MmFinalState(
+      decisions: Map[Long, (Boolean, Option[Long], Option[Long], Int, Boolean)],
+      dedupIds: Set[Long], hashStore: Set[(Long, Long)], census: Map[String, Long])
+
+  /** Drive the multimodal waves, optionally injecting a TORN COMPACT of
+    * the hamming store (crash between commitDir's two renames: old
+    * present, staging complete, target absent — exactly what
+    * IncrementalHashDedup's recoverDir-on-entry must repair) and a
+    * checkpoint loss re-delivering every wave. */
+  private def runMultimodalScenario(waves: IndexedSeq[Seq[(Long, String, Option[Long])]],
+                                    base: String, tornCompactAfter: Option[Int],
+                                    lossAfter: Option[Int]): MmFinalState = {
+    implicit val sqlCtx = spark.sqlContext
+    val dedupStore = s"$base/dedup"; val censusStore = s"$base/census"
+    val hashStore = s"$base/hashes"; val out = s"$base/decisions"
+    graft.operators.IncrementalDedup.initStore(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), dedupStore)
+    graft.operators.IncrementalLineCensus.initStore(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), censusStore, LineTokens)
+    graft.operators.IncrementalHashDedup.initStore(
+      Seq.empty[(Long, Long)].toDF("doc_id", "phash"), hashStore)
+
+    var ckptGen = 0
+    def startQuery(): (MemoryStream[(Long, String, Option[Long])],
+                       org.apache.spark.sql.streaming.StreamingQuery) = {
+      val mem = MemoryStream[(Long, String, Option[Long])]
+      val q = EventStreams.multimodalPipelineStream(
+        mem.toDF.toDF("doc_id", "text", "phash"), dedupStore, censusStore, hashStore,
+        out, threshold = Threshold, minTokens = MinTokens,
+        lineTokens = LineTokens, maxDocFreq = MaxDocFreq,
+        hashBands = 4, hashBandBits = 14, maxHamming = 3)
+        .option("checkpointLocation", s"$base/ckpt$ckptGen")
+        .start()
+      ckptGen += 1
+      (mem, q)
+    }
+
+    var (mem, q) = startQuery()
+    try {
+      for (w <- 0 until NWaves) {
+        mem.addData(waves(w): _*)
+        q.processAllAvailable()
+        val fault = tornCompactAfter.contains(w) || lossAfter.contains(w)
+        if (fault) {
+          q.stop()
+          if (tornCompactAfter.contains(w)) {
+            // reconstruct compactStore crashed between its two renames:
+            // staging = the compacted content (complete), old = the
+            // pre-compact store, target ABSENT. recoverDir must roll
+            // forward; the sibling marker dir is untouched by design.
+            val staging = graft.hfc.AtomicSwap.stagingFor(hashStore)
+            FileUtils.copyDirectory(new File(hashStore), new File(staging))
+            FileUtils.moveDirectory(new File(hashStore), new File(hashStore + ".old"))
+          }
+          val restarted = startQuery()
+          mem = restarted._1; q = restarted._2
+          for (r <- 0 to w) {
+            mem.addData(waves(r): _*)
+            q.processAllAvailable()
+          }
+        }
+      }
+    } finally if (q.isActive) q.stop()
+
+    val dec = spark.read.parquet(out)
+      .select($"doc_id", $"gate_passed", $"dup_of", $"image_dup_of",
+        $"n_modalities", $"kept")
+      .collect()
+      .map(r => (r.getLong(0),
+        (r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+         Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4), r.getBoolean(5))))
+    val byDoc = dec.groupBy(_._1).map { case (id, rows) =>
+      val distinct = rows.map(_._2).distinct
+      assert(distinct.size == 1,
+        s"doc $id has ${distinct.size} distinct decision tuples across batches: $distinct")
+      id -> distinct.head
+    }
+    MmFinalState(byDoc,
+      spark.read.parquet(dedupStore).select("id").as[Long].collect().toSet,
+      spark.read.parquet(hashStore).as[(Long, Long)].collect().toSet,
+      spark.read.parquet(censusStore).as[(String, Long)].collect().toMap)
+  }
+
+  test("multimodal 20-wave soak: torn hash-store compact + checkpoint loss converge") {
+    val gen = org.scalacheck.Gen.choose(2, NWaves - 3)
+    val seed = org.scalacheck.rng.Seed(4242L)
+    val crashAt = gen.apply(org.scalacheck.Gen.Parameters.default, seed).get
+    val lossAt = gen.apply(org.scalacheck.Gen.Parameters.default, seed.next).get
+      match { case l if l == crashAt => l + 1; case l => l }
+    info(s"fault plan: torn hash compact after batch $crashAt, checkpoint loss after batch $lossAt")
+
+    val waves = mkMultimodalWaves(seed = 0xBEEF)
+    val root = Files.createTempDirectory("graft-mm-soak").toString
+    val reference = runMultimodalScenario(waves, s"$root/ref", None, None)
+    val faulted = runMultimodalScenario(waves, s"$root/fault",
+      tornCompactAfter = Some(crashAt), lossAfter = Some(lossAt))
+
+    assert(faulted.decisions == reference.decisions,
+      "per-doc cross-modal decisions must match the fault-free run")
+    assert(faulted.dedupIds == reference.dedupIds,
+      "signature store must not gain or lose ids under faults")
+    assert(faulted.hashStore == reference.hashStore,
+      "hamming store content (as a set — replay bloat collapses) must match")
+    assert(faulted.census == reference.census,
+      "line census must not double-count under faults")
+    // sanity: every modality combination actually occurred
+    val decs = reference.decisions.values
+    assert(decs.exists(d => d._2.isDefined && d._3.isEmpty), "no text-only dup")
+    assert(decs.exists(d => d._3.isDefined && d._2.isEmpty), "no image-only dup")
+    assert(decs.exists(_._4 == 2), "no both-modality dup")
+    assert(reference.decisions.exists { case (id, d) => id >= 7000L && d._5 },
+      "no kept null-hash doc (the cannot-judge modality must not drop rows)")
+    FileUtils.deleteDirectory(new File(root))
+  }
 }
