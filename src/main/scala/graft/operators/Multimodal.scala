@@ -643,6 +643,81 @@ object Multimodal {
         col("dup_of").isNotNull.as("is_dup"))
   }
 
+  /** Multi-index-hashing near-dup over an integer perceptual hash —
+    * the WIDE-KEY sibling of [[hashNearDup]] (Norouzi, Punjani &
+    * Fleet, "Fast Search in Hamming Space with Multi-Index Hashing",
+    * CVPR 2012). [[hashNearDup]]'s pigeonhole split needs
+    * `bands > maxHamming`, which forces NARROW band keys on a 64-bit
+    * hash (8 bands → 8-bit keys → 256 buckets/band) — and narrow keys
+    * saturate: incidental same-bucket candidates grow ~N²/2^bandBits,
+    * measured in the ProfileScaleFamily control sweep as the one
+    * super-linear term. MIH generalizes the pigeonhole: `maxHamming`
+    * flips over `bands` bands leave SOME band with at most
+    * t = floor(maxHamming/bands) flips, so exact-matching each band
+    * against every key within hamming t of the probe's band value
+    * keeps recall 1.0 with FEW, WIDE bands (4 × 16-bit keys cover
+    * hamming ≤ 7 at t=1 — 256× more buckets per band than the 8×8
+    * split, with a LARGER guaranteed radius than its ≤ 6).
+    *
+    * Cost shape: probe side explodes to bands × (1 + bandBits) rows
+    * per item (t = 1: the exact key + every single-bit flip); the
+    * target side stays at `bands` rows. Candidates still verify with
+    * one codegen'd popcount. t is capped at 1 — t=2 would cube the
+    * probe fan-out, and 4×16-bit bands at t=1 already cover the
+    * hamming budget any perceptual-hash dedup uses.
+    *
+    * Output contract = [[hashNearDup]]'s exactly: one row per input
+    * id, `dup_of` = smallest candidate id within `maxHamming`,
+    * `hamming`, `is_dup` (spec-pinned equal where both funnels apply). */
+  def hashNearDupMih(hashes: DataFrame, idCol: String, hashCol: String,
+                     bands: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+    val t = maxHamming / bands
+    require(t <= 1,
+      s"per-band tolerance ${t} > 1 (maxHamming=$maxHamming over $bands bands): " +
+      "raise bands or use hashNearDup — t=2 probe fan-out is quadratic in bandBits")
+    require(bands * (t + 1) > maxHamming,
+      s"pigeonhole: bands*(t+1) must exceed maxHamming (got $bands*${t + 1} <= $maxHamming)")
+    require(bands * bandBits <= 64, "bands x bandBits must fit the 64-bit hash")
+    import org.apache.spark.sql.expressions.Window
+    val mask = (1L << bandBits) - 1
+    val h = hashes.select(col(idCol), col(hashCol)).localCheckpoint(true)
+    def bandKey(b: Int) = shiftright(col(hashCol), b * bandBits).bitwiseAND(lit(mask))
+    val exact = h.select(col(idCol), col(hashCol),
+      posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "bkey")))
+    // probe expansion: per band the exact key plus (t=1) every
+    // single-bit flip — XOR symmetry makes one-sided expansion
+    // sufficient (x's probe set contains y's exact key iff y's
+    // contains x's)
+    val probe =
+      if (t == 0) exact
+      else h.select(col(idCol), col(hashCol),
+        posexplode(array((0 until bands).flatMap(b =>
+          bandKey(b) +: (0 until bandBits).map(j =>
+            bandKey(b).bitwiseXOR(lit(1L << j)))): _*))
+          .as(Seq("slot", "bkey")))
+        .select(col(idCol), col(hashCol),
+          (col("slot") / (bandBits + 1)).cast("int").as("band"), col("bkey"))
+    val cands = probe.select(col(idCol).as("a_id"), col(hashCol).as("a_h"),
+        col("band"), col("bkey"))
+      .join(exact.select(col(idCol).as("b_id"), col(hashCol).as("b_h"),
+        col("band"), col("bkey")), Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_h"), col("b_h"))
+      .distinct()
+    val hits = cands
+      .withColumn("hamming",
+        bit_count(col("a_h").bitwiseXOR(col("b_h"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+    val best = hits
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("b_id")).orderBy(col("a_id").asc)))
+      .filter(col("rn") === 1)
+      .select(col("b_id").as(idCol), col("a_id").as("dup_of"), col("hamming"))
+    h.join(best, Seq(idCol), "left")
+      .select(col(idCol), col(hashCol), col("dup_of"), col("hamming"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
   // ---- columnar stub twins (oracle-replayable decode math) ----
   //
   // The gate queries need hashes BOTH engines can compute; these mirror

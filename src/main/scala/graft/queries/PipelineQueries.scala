@@ -1920,6 +1920,45 @@ object PipelineQueries {
        |  best.dup_of IS NOT NULL AS is_dup
        |FROM h LEFT JOIN best USING (doc_id) ORDER BY h.doc_id""".stripMargin
 
+  /** qm08: MULTI-INDEX-HASHING image near-dup — [[Multimodal.hashNearDupMih]]
+    * gated end to end: 4 × 14-bit bands probed with per-band tolerance
+    * 1 (the exact key + every single-bit flip), covering hamming ≤ 7 —
+    * a LARGER guaranteed radius than qm03's 4-band pigeonhole (≤ 3)
+    * from the same 56-bit hash, with wide buckets (2^14/band) so
+    * incidental candidates stay ~N²/2^14 instead of the narrow-band
+    * funnel's ~N²/2^bandBits saturation (the ProfileScaleFamily
+    * control-sweep finding). The oracle replays the probe expansion
+    * as a 15-way flip join. */
+  def imageNearDupMih(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val hashes = t.documents.select($"doc_id", Multimodal.textDhash56($"text").as("phash"))
+    Multimodal.hashNearDupMih(hashes, "doc_id", "phash",
+      bands = 4, bandBits = 14, maxHamming = 7)
+      .orderBy($"doc_id")
+  }
+
+  val imageNearDupMihSql: String =
+    s"""WITH $phashDocsCte,
+       |h AS (SELECT doc_id, ${Multimodal.textDhash56Sql} AS phash FROM d),
+       |ex AS (SELECT doc_id, phash, r.i AS band,
+       |    (phash >> CAST(14 * r.i AS INT)) & 16383 AS bkey
+       |  FROM h CROSS JOIN range(4) r(i)),
+       |px AS (SELECT doc_id, phash, band,
+       |    CASE WHEN f.j = 14 THEN bkey
+       |         ELSE xor(bkey, (1::BIGINT << CAST(f.j AS INT))) END AS pkey
+       |  FROM ex CROSS JOIN range(15) f(j)),
+       |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id, a.phash a_h, b.phash b_h
+       |  FROM px a JOIN ex b ON a.band = b.band AND a.pkey = b.bkey
+       |    AND a.doc_id < b.doc_id),
+       |hits AS (SELECT a_id, b_id, CAST(bit_count(xor(a_h, b_h)) AS BIGINT) hamming
+       |  FROM cand WHERE bit_count(xor(a_h, b_h)) <= 7),
+       |best AS (SELECT b_id doc_id, a_id dup_of, hamming FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY a_id ASC) rn
+       |    FROM hits) WHERE rn = 1)
+       |SELECT h.doc_id, h.phash, best.dup_of, best.hamming,
+       |  best.dup_of IS NOT NULL AS is_dup
+       |FROM h LEFT JOIN best USING (doc_id) ORDER BY h.doc_id""".stripMargin
+
   /** qm04: audio fingerprint census — 32-bit energy-delta fingerprint
     * per clip (stub-PCM twin of the Haitsma-Kalker sign chain over
     * [[Multimodal.audioFeatures]] windows), plus the census read:
@@ -2829,6 +2868,7 @@ object PipelineQueries {
     "qm05_frame_census"    -> ((s: SparkSession, d: String) => videoFrameCensus(Tables(s, d))),
     "qm06_crossmodal_agreement" -> ((s: SparkSession, d: String) => crossModalAgreement(Tables(s, d))),
     "qm07_image_dedup_incr" -> ((s: SparkSession, d: String) => imageDedupIncremental(Tables(s, d))),
+    "qm08_image_neardup_mih" -> ((s: SparkSession, d: String) => imageNearDupMih(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
     "qe02_interval_join"   -> ((s: SparkSession, d: String) => viewPurchaseFunnel(Tables(s, d))),
     "qt01_token_stats"     -> ((s: SparkSession, d: String) => tokenStats(Tables(s, d))),
@@ -2903,6 +2943,7 @@ object PipelineQueries {
     "qm05_frame_census"    -> videoFrameCensusSql,
     "qm06_crossmodal_agreement" -> crossModalAgreementSql,
     "qm07_image_dedup_incr" -> imageDedupIncrementalSql,
+    "qm08_image_neardup_mih" -> imageNearDupMihSql,
     "qe01_sessionize"      -> sessionizedSql,
     "qe02_interval_join"   -> viewPurchaseFunnelSql,
     "qt01_token_stats"     -> tokenStatsSql,

@@ -225,7 +225,7 @@ object DumpPlans {
        "The inter-event gaps come from ONE lag window partitioned by user_id (the same key qe01's sessionization shuffles on — never a global sort); the 4-candidate explode is bounded; the user/event totals are a 1-row broadcast scalar attach.",
        fmt(graft.queries.PipelineQueries.sessionGapPolicy(t))),
       ("qm03_image_neardup — hash-banded hamming funnel",
-       "The (id, phash) table materializes once (InMemoryTableScan) and feeds both self-join sides and the final left join — the 112-ascii hash derivation is computed exactly once. Candidates shuffle only on (band, bkey); the verify is one codegen'd xor+popcount. Pigeonhole (4 bands > 3 maxHamming) makes recall exact without all-pairs.",
+       "The (id, phash) table materializes once (eager localCheckpoint, lineage-owned blocks) and feeds both self-join sides and the final left join — the hash (one compiled TextDhash56Expr call since r12, ~0 driver tax) is computed exactly once. Candidates shuffle only on (band, bkey); the verify is one codegen'd xor+popcount. Pigeonhole (4 bands > 3 maxHamming) makes recall exact without all-pairs.",
        fmt(graft.queries.PipelineQueries.imageNearDup(t))),
     )
 

@@ -128,13 +128,13 @@ object ProfileImagePlane {
   private val BaseH = 64
 
   // DiagHash hooks: the exact payloads the corpus plants, one image at a time
-  private[tools] def debugPng(i: Long): Array[Byte] = encodePng(drawBase(i, BaseW, BaseH))
-  private[tools] def debugVariant(i: Long): Array[Byte] = {
+  private[graft] def debugPng(i: Long): Array[Byte] = encodePng(drawBase(i, BaseW, BaseH))
+  private[graft] def debugVariant(i: Long): Array[Byte] = {
     val scale = Seq((64, 43), (128, 85), (192, 128), (48, 32))((i % 4).toInt)
     val v = rescale(drawBase(i, BaseW, BaseH), scale._1, scale._2)
     if (i % 2 == 0) encodePng(v) else encodeJpeg(v, 0.85f)
   }
-  private[tools] def debugReenc(i: Long): Array[Byte] = encodeJpeg(drawBase(i, BaseW, BaseH), 0.7f)
+  private[graft] def debugReenc(i: Long): Array[Byte] = encodeJpeg(drawBase(i, BaseW, BaseH), 0.7f)
 
   /** id → payload. Split: [0, nBases) bases; [nBases, nBases+nDups)
     * rescaled+re-encoded variants; then JPEG re-encodes; last slice
@@ -265,10 +265,24 @@ object ProfileImagePlane {
       // smaller decodable id must flag (hashNearDup's dup_of points to
       // a smaller id)
       val wMin = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
-      evalDecisions(decisions,
-        truth.withColumn("should_flag", $"img_id" > min($"img_id").over(wMin))
-          .select($"img_id", $"should_flag"),
-        "batch")
+      val batchExpected = truth
+        .withColumn("should_flag", $"img_id" > min($"img_id").over(wMin))
+        .select($"img_id", $"should_flag")
+      evalDecisions(decisions, batchExpected, "batch")
+
+      // ---- MIH wide-band funnel: 4 x 16-bit bands, hamming <= 7 ----
+      // (hashNearDupMih) — wider buckets AND a larger guaranteed
+      // radius than the 8x8 narrow split; the dHash tail measured at
+      // hamming 7-8 comes back into reach
+      val decisionsMih = timed("funnel-mih") {
+        val d = Multimodal.hashNearDupMih(
+          hashes.filter($"phash64".isNotNull).select($"img_id", $"phash64"),
+          "img_id", "phash64", bands = 4, bandBits = 16, maxHamming = 7)
+          .localCheckpoint(true)
+        d.count()
+        d
+      }
+      evalDecisions(decisionsMih, batchExpected, "batch-mih")
 
       // ---- incremental: 4 waves through the hamming store ----
       val store = s"$work/store_$n"
