@@ -39,13 +39,29 @@ object IncrementalHashDedup {
     * `dup_of` is the best match (smallest hamming ≤ maxHamming, ties to
     * the smallest id) among store items and batch items with a smaller
     * id; null = unique. When `appendUnique`, unique hashes append to
-    * the store after decisions are pinned. */
+    * the store after decisions are pinned.
+    *
+    * `probeTolerance` = 0 is the narrow pigeonhole regime
+    * (`bands > maxHamming`); 1 switches to multi-index hashing
+    * ([[Multimodal.hashNearDupMih]]'s scheme): the BATCH side probes
+    * each band with its exact key plus every single-bit flip, the
+    * store/batch target side stays exact-banded, and recall 1.0 holds
+    * while `bands × (tolerance+1) > maxHamming` — wide bands (e.g.
+    * 4 × 16-bit over the real 64-bit dHash, hamming ≤ 7) whose bucket
+    * count doesn't saturate at large store sizes. Only the batch side
+    * expands (XOR symmetry makes one-sided expansion complete), so the
+    * STORE scan cost is unchanged — the side that grows forever is
+    * never the side that fans out. */
   def dedupBatch(newHashes: DataFrame, storePath: String,
                  bands: Int = 4, bandBits: Int = 14, maxHamming: Int = 3,
                  idCol: String = "doc_id", hashCol: String = "phash",
-                 appendUnique: Boolean = true): DataFrame = {
-    require(bands > maxHamming,
-      s"pigeonhole recall needs bands ($bands) > maxHamming ($maxHamming)")
+                 appendUnique: Boolean = true,
+                 probeTolerance: Int = 0): DataFrame = {
+    require(probeTolerance >= 0 && probeTolerance <= 1,
+      s"probeTolerance must be 0 (narrow bands) or 1 (MIH), got $probeTolerance")
+    require(bands * (probeTolerance + 1) > maxHamming,
+      s"pigeonhole recall needs bands x (tolerance+1) > maxHamming " +
+      s"(got $bands x ${probeTolerance + 1} <= $maxHamming)")
     require(bands * bandBits <= 64, "bands x bandBits must fit the 64-bit hash")
     val spark = newHashes.sparkSession
     graft.hfc.AtomicSwap.recoverDir(
@@ -57,12 +73,21 @@ object IncrementalHashDedup {
     val store = spark.read.parquet(storePath)
 
     val mask = (1L << bandBits) - 1
+    def bandKey(b: Int) = shiftright(col("hash"), b * bandBits).bitwiseAND(lit(mask))
     def banded(t: DataFrame) = t.select(col("id"), col("hash"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("hash"), b * bandBits).bitwiseAND(lit(mask))): _*))
+      posexplode(array((0 until bands).map(bandKey): _*))
         .as(Seq("band", "bkey")))
 
-    val probe = banded(batch)
+    val probeSide =
+      if (probeTolerance == 0) banded(batch)
+      else batch.select(col("id"), col("hash"),
+        posexplode(array((0 until bands).flatMap(b =>
+          bandKey(b) +: (0 until bandBits).map(j =>
+            bandKey(b).bitwiseXOR(lit(1L << j)))): _*))
+          .as(Seq("slot", "bkey")))
+        .select(col("id"), col("hash"),
+          (col("slot") / (bandBits + 1)).cast("int").as("band"), col("bkey"))
+    val probe = probeSide
       .select(col("id").as("new_id"), col("hash").as("n_hash"),
         col("band"), col("bkey"))
     val targets = banded(store)

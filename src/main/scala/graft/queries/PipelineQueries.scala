@@ -2085,6 +2085,61 @@ object PipelineQueries {
     decisions
   }
 
+  /** qm09: the incremental image-dedup store in MIH mode — qm07's
+    * split (even ids seed the store, odd ids arrive as one batch) with
+    * `probeTolerance = 1`: the batch probes each 14-bit band with its
+    * exact key plus all 14 single-bit flips, covering hamming ≤ 7
+    * (4 × 2 > 7) where qm07's narrow regime caps at 3. Store side
+    * stays exact-banded — the ever-growing side never fans out. The
+    * oracle replays the probe expansion as a 15-way flip join over
+    * the same incremental semantics (store matches + smaller-id batch
+    * mates; best = smallest hamming, ties to smallest id). */
+  def imageDedupIncrementalMih(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val hashes = t.documents.select($"doc_id",
+      Multimodal.textDhash56($"text").as("phash"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qm09")
+    val store = tmp.toString + "/store"
+    graft.operators.IncrementalHashDedup.initStore(
+      hashes.filter($"doc_id" % 2 === 0), store)
+    val decisions = graft.operators.IncrementalHashDedup.dedupBatch(
+        hashes.filter($"doc_id" % 2 =!= 0), store,
+        bands = 4, bandBits = 14, maxHamming = 7, appendUnique = false,
+        probeTolerance = 1)
+      .orderBy($"doc_id")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    decisions
+  }
+
+  val imageDedupIncrementalMihSql: String =
+    s"""WITH $phashDocsCte,
+       |h AS (SELECT doc_id, ${Multimodal.textDhash56Sql} AS phash FROM d),
+       |hb AS (SELECT doc_id, phash, r.i AS band,
+       |    (phash >> CAST(14 * r.i AS INT)) & 16383 AS bkey
+       |  FROM h CROSS JOIN range(4) r(i)),
+       |sb AS (SELECT * FROM hb WHERE doc_id % 2 = 0),
+       |bb AS (SELECT * FROM hb WHERE doc_id % 2 <> 0),
+       |bpx AS (SELECT doc_id, phash, band,
+       |    CASE WHEN f.j = 14 THEN bkey
+       |         ELSE xor(bkey, (1::BIGINT << CAST(f.j AS INT))) END AS pkey
+       |  FROM bb CROSS JOIN range(15) f(j)),
+       |cand AS (
+       |  SELECT b.doc_id new_id, s.doc_id old_id, b.phash n_hash, s.phash o_hash
+       |  FROM bpx b JOIN sb s ON b.band = s.band AND b.pkey = s.bkey
+       |  UNION
+       |  SELECT b.doc_id, b2.doc_id, b.phash, b2.phash
+       |  FROM bpx b JOIN bb b2 ON b.band = b2.band AND b.pkey = b2.bkey
+       |    AND b2.doc_id < b.doc_id),
+       |hits AS (SELECT new_id, old_id,
+       |    CAST(bit_count(xor(n_hash, o_hash)) AS BIGINT) hamming
+       |  FROM cand WHERE bit_count(xor(n_hash, o_hash)) <= 7),
+       |best AS (SELECT new_id doc_id, old_id dup_of, hamming FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+       |      ORDER BY hamming ASC, old_id ASC) rn FROM hits) WHERE rn = 1)
+       |SELECT b.doc_id, best.dup_of, best.hamming
+       |FROM (SELECT DISTINCT doc_id FROM bb) b
+       |LEFT JOIN best USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
   val imageDedupIncrementalSql: String =
     s"""WITH $phashDocsCte,
        |h AS (SELECT doc_id, ${Multimodal.textDhash56Sql} AS phash FROM d),
@@ -2869,6 +2924,7 @@ object PipelineQueries {
     "qm06_crossmodal_agreement" -> ((s: SparkSession, d: String) => crossModalAgreement(Tables(s, d))),
     "qm07_image_dedup_incr" -> ((s: SparkSession, d: String) => imageDedupIncremental(Tables(s, d))),
     "qm08_image_neardup_mih" -> ((s: SparkSession, d: String) => imageNearDupMih(Tables(s, d))),
+    "qm09_image_dedup_incr_mih" -> ((s: SparkSession, d: String) => imageDedupIncrementalMih(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
     "qe02_interval_join"   -> ((s: SparkSession, d: String) => viewPurchaseFunnel(Tables(s, d))),
     "qt01_token_stats"     -> ((s: SparkSession, d: String) => tokenStats(Tables(s, d))),
@@ -2944,6 +3000,7 @@ object PipelineQueries {
     "qm06_crossmodal_agreement" -> crossModalAgreementSql,
     "qm07_image_dedup_incr" -> imageDedupIncrementalSql,
     "qm08_image_neardup_mih" -> imageNearDupMihSql,
+    "qm09_image_dedup_incr_mih" -> imageDedupIncrementalMihSql,
     "qe01_sessionize"      -> sessionizedSql,
     "qe02_interval_join"   -> viewPurchaseFunnelSql,
     "qt01_token_stats"     -> tokenStatsSql,

@@ -140,7 +140,9 @@ object ProfileScaleFamily {
       // incremental store path — run with mode=hashdup (growing hash
       // clusters, the adversarial direction) and mode=unique (control)
       "qm03_image_neardup" -> ((t: Tables) => graft.queries.PipelineQueries.imageNearDup(t)),
-      "qm07_image_dedup_incr" -> ((t: Tables) => graft.queries.PipelineQueries.imageDedupIncremental(t)))
+      "qm07_image_dedup_incr" -> ((t: Tables) => graft.queries.PipelineQueries.imageDedupIncremental(t)),
+      "qm08_image_neardup_mih" -> ((t: Tables) => graft.queries.PipelineQueries.imageNearDupMih(t)),
+      "qm09_image_dedup_incr_mih" -> ((t: Tables) => graft.queries.PipelineQueries.imageDedupIncrementalMih(t)))
 
     // optional 4th arg: comma-separated name-prefix filter (dev loops)
     val only = args.drop(3).headOption.map(_.split(",").toSeq)

@@ -73,6 +73,35 @@ class IncrementalHashDedupSpec extends SparkTestBase {
     }
   }
 
+  test("MIH probe mode reaches beyond the narrow regime (hamming 5 at 4 wide bands)") {
+    // flips spread round-robin over all 4 x 14-bit bands — the
+    // pigeonhole's worst case; the narrow regime at 4 bands caps at
+    // maxHamming 3 (its guard rejects 7), MIH t=1 covers <= 7
+    def flips(n: Int): Long =
+      (0 until n).map(k => 1L << ((k % 4) * 14 + (k / 4))).foldLeft(0L)(_ | _)
+    val base = 0x00A5C3F00F3C5A1BL & ((1L << 56) - 1)
+    val store = tmpStore()
+    IncrementalHashDedup.initStore(Seq((1L, base)).toDF("doc_id", "phash"), store)
+    intercept[IllegalArgumentException] { // narrow guard still binds at t=0
+      IncrementalHashDedup.dedupBatch(
+        Seq((2L, base ^ flips(5))).toDF("doc_id", "phash"), store,
+        bands = 4, bandBits = 14, maxHamming = 7)
+    }
+    val d = decisions(IncrementalHashDedup.dedupBatch(
+      Seq((2L, base ^ flips(5)),          // hamming 5 from the stored base
+          (3L, ~base & ((1L << 56) - 1)), // hamming 56: beyond any reach
+          (4L, (base ^ flips(5)) ^ flips(1))) // hamming 4 of base, 1 of batch-mate 2
+        .toDF("doc_id", "phash"), store,
+      bands = 4, bandBits = 14, maxHamming = 7, probeTolerance = 1))
+    assert(d(2L) == ((Some(1L), Some(5L))), s"store match at hamming 5: ${d(2L)}")
+    assert(d(3L) == ((None, None)), s"distant hash stays unique: ${d(3L)}")
+    // id 4 = (base^flips(5))^flips(1): flips(1) (bit 0) is already set
+    // in flips(5), so the xor CLEARS it — hamming 4 from the stored
+    // base, hamming 1 from batch-mate 2. Best = smallest hamming, so
+    // the batch-mate wins over the store match.
+    assert(d(4L) == ((Some(2L), Some(1L))), s"best = smallest hamming then id: ${d(4L)}")
+  }
+
   test("real images: a rescaled copy arriving later dups to the stored original") {
     def png(w: Int, h: Int)(f: (Int, Int) => Int): Array[Byte] = {
       import java.awt.image.BufferedImage
