@@ -483,6 +483,50 @@ object Multimodal {
     }(enc)
   }
 
+  /** Production audio fingerprint — the real-PCM realization of the
+    * qm04 stub's energy-delta sign chain (Haitsma & Kalker 2002
+    * shape): bit w of the 32-bit fingerprint is set iff
+    * RMS(window w+1) > RMS(window w) over the first 33
+    * [[audioFeatures]] windows of the decoded clip.
+    *
+    *  - GAIN-INVARIANT by construction: scaling the waveform scales
+    *    every window RMS by the same positive factor, preserving every
+    *    delta sign — a volume-normalized re-master fingerprints
+    *    identically (spec-pinned).
+    *  - NOT resample-invariant: windows are sample-count frames, so
+    *    clips must be resampled to a canonical rate upstream (the
+    *    documented contract, same as dHash's decode-first).
+    *  - Undecodable clips (empty PCM under [[FailSoftAudio]]) and
+    *    clips too short to fingerprint (< 2 windows) yield a NULL
+    *    fingerprint — the cannot-judge sentinel, mirroring
+    *    [[withPerceptualHash]]; clips with 2..33 windows carry a
+    *    deterministic partial fingerprint.
+    *
+    * Output: one row per input id — (media_id, fp32). The fingerprint
+    * feeds the SAME hamming machinery as the image plane
+    * ([[hashNearDup]] / [[hashNearDupMih]] / IncrementalHashDedup), so
+    * near-dup audio rides the measured funnels unchanged. Decode +
+    * windowing stream partition-locally (audioFeatures caps PCM at 34
+    * windows per clip); the fold to 32 bits is one bounded window
+    * function + an 8-byte-key aggregation. */
+  def audioFingerprint32(df: DataFrame, binCol: String, idCol: String,
+                         windowSize: Int = 4096,
+                         decoder: AudioDecoder = FailSoftAudio(JvmAudioDecoder)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feats = audioFeatures(df, binCol, idCol, windowSize,
+      maxSamples = 34 * windowSize, decoder)
+    val w = Window.partitionBy(col("media_id")).orderBy(col("window_idx"))
+    val fps = feats.filter(col("window_idx") <= 32)
+      .withColumn("next_rms", lead(col("rms"), 1).over(w))
+      .filter(col("window_idx") <= 31 && col("next_rms").isNotNull)
+      .groupBy(col("media_id"))
+      .agg(sum(when(col("next_rms") > col("rms"),
+        expr("shiftleft(CAST(1 AS BIGINT), window_idx)")).otherwise(lit(0L)))
+        .as("fp32"))
+    df.select(col(idCol).as("media_id"))
+      .join(fps, Seq("media_id"), "left")
+  }
+
   val videoMetaType: StructType = StructType(Seq(
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),

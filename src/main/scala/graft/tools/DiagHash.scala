@@ -2,7 +2,15 @@ package graft.tools
 
 import graft.operators.Multimodal
 
-/** throwaway diagnostic: hash-distance distributions of the ProfileImagePlane corpus */
+/** Calibration read for the ProfileImagePlane corpus and
+  * [[Multimodal.dhash64]]: cross-pair hamming separation (how far
+  * apart distinct bases land — the incidental-collision floor) and
+  * planted-variant distances (rescaled / JPEG-re-encoded copies — the
+  * recall budget a funnel threshold must cover). This is the tool that
+  * caught the round-12 bilinear-downscale aliasing bug (variants at
+  * hamming 10+ pre-fix, ≤ 8 with the box filter) and that sets the
+  * maxHamming used by the batch/incremental funnels; rerun it after
+  * any change to dhash64 or the corpus generator. */
 object DiagHash {
   def main(args: Array[String]): Unit = {
     import ProfileImagePlane._

@@ -183,4 +183,62 @@ class MultimodalAvSpec extends SparkTestBase {
       .as[(Long, Int, Int)].collect().sortBy(_._1)
     assert(got.toSeq == Seq((1L, 4, 2), (2L, -1, -1)))
   }
+
+  /** Amplitude-modulated sine WAV: per-window envelope varies strongly
+    * (env = 0.1 + 0.85·|sin(seed-phased slow wave)|), so window-RMS
+    * deltas are far above 16-bit quantization noise — the fixture the
+    * gain-invariance pin needs (a constant-amplitude sine has
+    * near-tied windows that quantization could flip). */
+  private def amWav(sampleRate: Int, seed: Int, gain: Double, seconds: Double): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    val n = (sampleRate * seconds).toInt
+    val buf = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val env = 0.1 + 0.85 * math.abs(math.sin(2 * math.Pi * (seed * 0.7 + 2.3) * i / n + seed))
+      val v = (gain * env * math.sin(2 * math.Pi * 440 * i / sampleRate) * 32767).toInt
+      buf(i * 2) = (v & 0xff).toByte
+      buf(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new AudioInputStream(new ByteArrayInputStream(buf), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioFingerprint32: deterministic, discriminative, gain-invariant, null-quarantine") {
+    // 34 windows of 4096 samples at 8 kHz = ~17.4 s per clip
+    val secs = 34.0 * 4096 / 8000
+    val clips = Seq(
+      (1L, amWav(8000, seed = 1, gain = 1.0, secs)),
+      (2L, amWav(8000, seed = 1, gain = 1.0, secs)),   // bit-identical twin
+      (3L, amWav(8000, seed = 1, gain = 0.45, secs)),  // volume-normalized copy
+      (4L, amWav(8000, seed = 9, gain = 1.0, secs)),   // different envelope
+      (5L, Array.fill[Byte](64)(0x5A))                 // garbage: quarantine
+    ).toDF("media_id", "payload")
+    val got = Multimodal.audioFingerprint32(clips, "payload", "media_id")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got(1L).isDefined && got(1L) == got(2L), "identical clips agree")
+    assert(got(1L) == got(3L), s"gain-scaled copy must fingerprint identically: ${got(1L)} vs ${got(3L)}")
+    assert(got(4L).isDefined && got(4L) != got(1L), "different envelope differs")
+    assert(got(5L).isEmpty, "undecodable clip carries the null sentinel")
+    assert(got(1L).exists(f => f >= 0 && f < (1L << 32)), "fp stays in 32 bits")
+  }
+
+  test("audioFingerprint32 feeds the hamming funnel: gain-copy dups, distinct clip does not") {
+    val secs = 34.0 * 4096 / 8000
+    val clips = Seq(
+      (1L, amWav(8000, 3, 1.0, secs)),
+      (2L, amWav(8000, 3, 0.6, secs)),
+      (3L, amWav(8000, 5, 1.0, secs))).toDF("media_id", "payload")
+    val fps = Multimodal.audioFingerprint32(clips, "payload", "media_id")
+      .filter($"fp32".isNotNull)
+    val out = Multimodal.hashNearDup(fps, "media_id", "fp32",
+        bands = 4, bandBits = 8, maxHamming = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out(2L), "gain-scaled copy flags at hamming 0")
+    assert(!out(1L) && !out(3L), "distinct envelopes stay unique")
+  }
 }
