@@ -511,14 +511,22 @@ object Multimodal {
     * function + an 8-byte-key aggregation. */
   def audioFingerprint32(df: DataFrame, binCol: String, idCol: String,
                          windowSize: Int = 4096,
-                         decoder: AudioDecoder = FailSoftAudio(JvmAudioDecoder)): DataFrame = {
+                         decoder: AudioDecoder = FailSoftAudio(JvmAudioDecoder),
+                         bits: Int = 32): DataFrame = {
+    // bits is the fingerprint width (delta-sign count; bits+1 windows
+    // decoded). 32 matches the qm04 stub twin; 64 is the large-corpus
+    // width — ProfileAudioPlane measured the 32-bit space collapsing
+    // under birthday pressure at 14k clips (precision 0.38, and
+    // best-match confusion dragged recall to 0.81) while 64 bits read
+    // precision 0.99 / recall 1.00 on the same corpus.
+    require(bits >= 1 && bits <= 64, s"bits must be 1..64, got $bits")
     import org.apache.spark.sql.expressions.Window
     val feats = audioFeatures(df, binCol, idCol, windowSize,
-      maxSamples = 34 * windowSize, decoder)
+      maxSamples = (bits + 2) * windowSize, decoder)
     val w = Window.partitionBy(col("media_id")).orderBy(col("window_idx"))
-    val fps = feats.filter(col("window_idx") <= 32)
+    val fps = feats.filter(col("window_idx") <= bits)
       .withColumn("next_rms", lead(col("rms"), 1).over(w))
-      .filter(col("window_idx") <= 31 && col("next_rms").isNotNull)
+      .filter(col("window_idx") <= bits - 1 && col("next_rms").isNotNull)
       .groupBy(col("media_id"))
       .agg(sum(when(col("next_rms") > col("rms"),
         expr("shiftleft(CAST(1 AS BIGINT), window_idx)")).otherwise(lit(0L)))
