@@ -49,9 +49,16 @@ object Bench {
     val top10 = named.filterNot { case (n, _) => errors.contains(n) }
       .sortBy { case (n, _) => -samples(n).min }.take(10)
     (1 to 2).foreach(_ => runPass(top10))
-    // a failed query must not masquerade as a fast success
+    // a failed query must not masquerade as a fast success.
+    // headline value + per-query mins come from the FIRST 3 samples
+    // only (samples are prepended, so chronological-first = takeRight):
+    // min is monotonically non-increasing in sample count, so folding
+    // the top-10's 2 extra passes into the headline would conflate the
+    // r12 protocol change with real speedups in round-over-round
+    // comparisons — the extra samples serve only the med/max spread in
+    // `stats` (which records n per query)
     val results = named.map { case (name, _) =>
-      name -> (if (errors.contains(name)) -1.0 else samples(name).min)
+      name -> (if (errors.contains(name)) -1.0 else samples(name).takeRight(3).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -68,7 +75,7 @@ object Bench {
       s"""\"$name\":{"min":${s.head},"med":${s(s.size / 2)},"max":${s.last},"n":${s.size}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"stats":$statsJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","protocol":"min-of-first-3; stats n=5 for top-10","queries":$qs,"errors":$errJson,"stats":$statsJson,"sf":"$sfDir"}"""
     println(line)
     // stdout gets tail-truncated by capture harnesses once the suite
     // passed ~60 queries; the full per-query timing set lives here so

@@ -68,6 +68,11 @@ object GraftExtensions {
        "graft_text_audio_fp32"),
      (children: Seq[Expression]) =>
        graft.functions.expressions.TextAudioFp32Expr(children(0))),
+    (FunctionIdentifier("graft_text_audio_fp63"),
+     new ExpressionInfo(classOf[graft.functions.expressions.TextAudioFp63Expr].getName,
+       "graft_text_audio_fp63"),
+     (children: Seq[Expression]) =>
+       graft.functions.expressions.TextAudioFp63Expr(children(0))),
     (FunctionIdentifier("graft_text_audio_energy"),
      new ExpressionInfo(classOf[graft.functions.expressions.TextAudioEnergyExpr].getName,
        "graft_text_audio_energy"),

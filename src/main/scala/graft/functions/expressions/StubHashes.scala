@@ -105,6 +105,43 @@ object StubHashes {
 
   /** Total stub-PCM energy (exact integer). */
   def audioEnergy(u: UTF8String): Long = energies(u).sum
+
+  /** The 64 window energies of the WIDE audio stub (the qm10 twin of
+    * the production 64-bit fingerprint width): 4 signed amplitudes per
+    * window over a 256-cell grid. */
+  private def energies64(u: UTF8String): Array[Long] = {
+    val nc = u.numChars()
+    val e = new Array[Long](64)
+    var w = 0
+    while (w < 64) {
+      var sum = 0L
+      var j = 0
+      while (j < 4) {
+        val a = cell(u, nc, 256, w * 4 + j) - 128
+        sum += a.toLong * a
+        j += 1
+      }
+      e(w) = sum
+      w += 1
+    }
+    e
+  }
+
+  /** 63-bit energy-delta fingerprint: bit w set iff e64(w+1) > e64(w)
+    * for w in 0..62 — 63 bits so the value stays positive in a signed
+    * 64-bit in both engines (the dhash56 trick), while carrying the
+    * production width's collision resistance (ProfileAudioPlane: the
+    * 32-bit space collapses under birthday pressure by ~10⁴ clips). */
+  def audioFp63(u: UTF8String): Long = {
+    val e = energies64(u)
+    var h = 0L
+    var w = 0
+    while (w < 63) {
+      if (e(w + 1) > e(w)) h |= 1L << w
+      w += 1
+    }
+    h
+  }
 }
 
 /** Shared shape of the three stub-hash expressions: string → long,
@@ -141,6 +178,16 @@ case class TextAudioFp32Expr(child: Expression) extends StubHashExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
   override def prettyName: String = "graft_text_audio_fp32"
+}
+
+/** SQL function `graft_text_audio_fp63` ([[graft.GraftExtensions]]). */
+case class TextAudioFp63Expr(child: Expression) extends StubHashExpression {
+  override protected def method: String = "audioFp63"
+  override def nullSafeEval(input: Any): Any =
+    StubHashes.audioFp63(input.asInstanceOf[UTF8String])
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "graft_text_audio_fp63"
 }
 
 /** SQL function `graft_text_audio_energy` ([[graft.GraftExtensions]]). */

@@ -485,8 +485,8 @@ object Multimodal {
 
   /** Production audio fingerprint — the real-PCM realization of the
     * qm04 stub's energy-delta sign chain (Haitsma & Kalker 2002
-    * shape): bit w of the 32-bit fingerprint is set iff
-    * RMS(window w+1) > RMS(window w) over the first 33
+    * shape): bit w of the `bits`-wide fingerprint is set iff
+    * RMS(window w+1) > RMS(window w) over the first bits+1
     * [[audioFeatures]] windows of the decoded clip.
     *
     *  - GAIN-INVARIANT by construction: scaling the waveform scales
@@ -502,23 +502,26 @@ object Multimodal {
     *    [[withPerceptualHash]]; clips with 2..33 windows carry a
     *    deterministic partial fingerprint.
     *
-    * Output: one row per input id — (media_id, fp32). The fingerprint
+    * Output: one row per input id — (media_id, fp). The fingerprint
     * feeds the SAME hamming machinery as the image plane
     * ([[hashNearDup]] / [[hashNearDupMih]] / IncrementalHashDedup), so
     * near-dup audio rides the measured funnels unchanged. Decode +
-    * windowing stream partition-locally (audioFeatures caps PCM at 34
-    * windows per clip); the fold to 32 bits is one bounded window
-    * function + an 8-byte-key aggregation. */
-  def audioFingerprint32(df: DataFrame, binCol: String, idCol: String,
-                         windowSize: Int = 4096,
-                         decoder: AudioDecoder = FailSoftAudio(JvmAudioDecoder),
-                         bits: Int = 32): DataFrame = {
-    // bits is the fingerprint width (delta-sign count; bits+1 windows
-    // decoded). 32 matches the qm04 stub twin; 64 is the large-corpus
-    // width — ProfileAudioPlane measured the 32-bit space collapsing
-    // under birthday pressure at 14k clips (precision 0.38, and
-    // best-match confusion dragged recall to 0.81) while 64 bits read
-    // precision 0.99 / recall 1.00 on the same corpus.
+    * windowing stream partition-locally (audioFeatures caps PCM at
+    * bits+2 windows per clip); the fold to `bits` bits is one bounded
+    * window function + an 8-byte-key aggregation.
+    *
+    * `bits` is the fingerprint width (delta-sign count; bits+1 windows
+    * decoded). The default is 64 — ProfileAudioPlane measured the
+    * 32-bit space collapsing under birthday pressure by ~10⁴ clips
+    * (precision 0.38 at 20k, and best-match confusion dragged recall
+    * to 0.81) while 64 bits read precision 0.99 / recall 1.00 on the
+    * same corpus; a 32-bit width exists only as the qm04 STUB-twin
+    * shape (the stub is [[textAudioFp32]], a different function — the
+    * oracle never pins this one's width). */
+  def audioFingerprint(df: DataFrame, binCol: String, idCol: String,
+                       windowSize: Int = 4096,
+                       decoder: AudioDecoder = FailSoftAudio(JvmAudioDecoder),
+                       bits: Int = 64): DataFrame = {
     require(bits >= 1 && bits <= 64, s"bits must be 1..64, got $bits")
     import org.apache.spark.sql.expressions.Window
     val feats = audioFeatures(df, binCol, idCol, windowSize,
@@ -530,7 +533,7 @@ object Multimodal {
       .groupBy(col("media_id"))
       .agg(sum(when(col("next_rms") > col("rms"),
         expr("shiftleft(CAST(1 AS BIGINT), window_idx)")).otherwise(lit(0L)))
-        .as("fp32"))
+        .as("fp"))
     df.select(col(idCol).as("media_id"))
       .join(fps, Seq("media_id"), "left")
   }
@@ -584,29 +587,45 @@ object Multimodal {
     require(img != null, "payload not decodable by any registered ImageIO reader")
     val w = img.getWidth
     val h = img.getHeight
-    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    // one reused scanline buffer instead of a full-resolution int[w*h]
+    // getRGB copy (which doubled peak per-row memory on large images
+    // next to ImageIO's own decoded raster) — O(w) extra memory. Each
+    // cell's sum accumulates luma values in the SAME (y, x) order as
+    // the previous whole-image pass (the accumulator round-trips
+    // through grid between rows, which doesn't change double values),
+    // so the means are bit-identical and no near-tie grid comparison
+    // can flip.
+    val rowBuf = new Array[Int](w)
     val grid = new Array[Double](72) // 8 rows x 9 cols
     var gy = 0
     while (gy < 8) {
       val y0 = gy * h / 8
       val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
-      var gx = 0
-      while (gx < 9) {
-        val x0 = gx * w / 9
-        val x1 = math.max(x0 + 1, (gx + 1) * w / 9)
-        var sum = 0.0
-        var y = y0
-        while (y < y1) {
+      var y = y0
+      while (y < y1) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var gx = 0
+        while (gx < 9) {
+          val x0 = gx * w / 9
+          val x1 = math.max(x0 + 1, (gx + 1) * w / 9)
+          var sum = grid(gy * 9 + gx)
           var x = x0
           while (x < x1) {
-            val rgb = px(y * w + x)
+            val rgb = rowBuf(x)
             sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
               0.114 * (rgb & 0xff)
             x += 1
           }
-          y += 1
+          grid(gy * 9 + gx) = sum
+          gx += 1
         }
-        grid(gy * 9 + gx) = sum / ((y1 - y0) * (x1 - x0))
+        y += 1
+      }
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9
+        val x1 = math.max(x0 + 1, (gx + 1) * w / 9)
+        grid(gy * 9 + gx) /= ((y1 - y0) * (x1 - x0))
         gx += 1
       }
       gy += 1
@@ -854,6 +873,34 @@ object Multimodal {
     val e = (0 until 33).map(w => windowEnergy(text, w, 33))
     (0 until 32).map(w =>
       when(e(w + 1) > e(w), lit(1L << w)).otherwise(lit(0L))).reduce(_ + _)
+  }
+
+  /** 63-bit WIDE audio fingerprint stub — the qm10 oracle twin of the
+    * production [[audioFingerprint]] width (bits = 64): 64 window
+    * energies over a 256-cell grid, bit w (0..62) set iff
+    * energy(w+1) > energy(w). 63 bits keeps the value positive in a
+    * signed 64-bit in both engines (the dhash56 trick) while carrying
+    * the width that survives birthday pressure at large clip counts
+    * (ProfileAudioPlane: 32-bit precision 0.38 at 20k clips, 64-bit
+    * 0.99). Compiled expression; [[textAudioFp63Unrolled]] is the
+    * semantic spec. */
+  def textAudioFp63(text: Column): Column = call_function("graft_text_audio_fp63", text)
+
+  /** Unrolled spec twin of [[textAudioFp63]]. */
+  def textAudioFp63Unrolled(text: Column): Column = {
+    val e = (0 until 64).map(w => windowEnergy(text, w, 64))
+    (0 until 63).map(w =>
+      when(e(w + 1) > e(w), lit(1L << w)).otherwise(lit(0L))).reduce(_ + _)
+  }
+
+  /** DuckDB replay of the wide stub's window-w energy (needs `n`,
+    * `s256` = greatest(length // 256, 1)). */
+  def textAudioEnergy64Sql(w: Int): String = {
+    (0 until 4).map { j =>
+      val k = w * 4 + j
+      val amp = s"((ascii(substr(text, CAST(1 + (($k * s256) % n) AS INT), 1)) % 256) - 128)"
+      s"($amp * $amp)"
+    }.mkString("(", " + ", ")")
   }
 
   /** Total stub-PCM energy (exact integer). Compiled expression;

@@ -2165,6 +2165,134 @@ object PipelineQueries {
        |FROM (SELECT DISTINCT doc_id FROM bb) b
        |LEFT JOIN best USING (doc_id) ORDER BY b.doc_id""".stripMargin
 
+  /** qm10: WIDE audio-fingerprint near-dup — the production 64-bit
+    * audio width gated: 63-bit stub fingerprint per clip
+    * ([[Multimodal.textAudioFp63]], qm04's energy-delta chain at the
+    * width ProfileAudioPlane measured surviving birthday pressure
+    * where 32 bits collapse), deduped through
+    * [[Multimodal.hashNearDup]] with a 7 × 9-bit pigeonhole split
+    * covering hamming ≤ 6 over all 63 bits — a different band geometry
+    * than qm03/qm08's 4 × 14, so the gate also pins the banding math
+    * on a bands × bandBits = width-exactly split. */
+  def audioNearDupWide(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val hashes = t.documents.select($"doc_id",
+      Multimodal.textAudioFp63($"text").as("fp"))
+    Multimodal.hashNearDup(hashes, "doc_id", "fp",
+      bands = 7, bandBits = 9, maxHamming = 6)
+      .orderBy($"doc_id")
+  }
+
+  val audioNearDupWideSql: String = {
+    val energies = (0 until 64).map(w =>
+      s"${Multimodal.textAudioEnergy64Sql(w)} AS e$w").mkString(", ")
+    val fp = (0 until 63).map(w =>
+      s"(CASE WHEN e${w + 1} > e$w THEN (1::BIGINT << $w) ELSE 0::BIGINT END)")
+      .mkString("(", " + ", ")")
+    s"""WITH d AS (SELECT doc_id, text,
+       |    CAST(greatest(length(text), 1) AS BIGINT) AS n,
+       |    CAST(greatest(length(text) // 256, 1) AS BIGINT) AS s256
+       |  FROM documents),
+       |e AS (SELECT doc_id, $energies FROM d),
+       |h AS (SELECT doc_id, $fp AS fp FROM e),
+       |bands AS (SELECT doc_id, fp, r.i AS band,
+       |    (fp >> CAST(9 * r.i AS INT)) & 511 AS bkey
+       |  FROM h CROSS JOIN range(7) r(i)),
+       |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id, a.fp a_h, b.fp b_h
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id),
+       |hits AS (SELECT a_id, b_id, CAST(bit_count(xor(a_h, b_h)) AS BIGINT) hamming
+       |  FROM cand WHERE bit_count(xor(a_h, b_h)) <= 6),
+       |best AS (SELECT b_id doc_id, a_id dup_of, hamming FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY a_id ASC) rn
+       |    FROM hits) WHERE rn = 1)
+       |SELECT h.doc_id, h.fp, best.dup_of, best.hamming,
+       |  best.dup_of IS NOT NULL AS is_dup
+       |FROM h LEFT JOIN best USING (doc_id) ORDER BY h.doc_id""".stripMargin
+  }
+
+  /** qx02: the MULTIMODAL corpus build COMPOSED end to end — the batch
+    * twin of [[graft.streaming.EventStreams.multimodalPipelineStream]]'s
+    * verdict, chained the way qx01 chains the text-only funnel:
+    *   1. quality gate (qx01's integer discipline: wc ≥ 20,
+    *      3 ≤ chars/token ≤ 12);
+    *   2. exact TEXT dedup among gate-passers (qd01: min doc_id per
+    *      md5(lower(trim(text))) window);
+    *   3. perceptual IMAGE near-dup among gate-passers (qm03's funnel:
+    *      56-bit stub dHash, 4 × 14-bit pigeonhole bands, hamming ≤ 3);
+    *   4. cross-modal verdict + kept-corpus manifest: per doc, both
+    *      modality attributions, `n_modalities` dup votes, strict
+    *      `kept` = gated AND unique in every modality (the stream's
+    *      exact keep policy).
+    * ONE declarative plan: one text scan computes wc/tl/md5/phash
+    * scan-locally (checkpointed as ~120 B/doc metadata — the corpus
+    * bytes never shuffle), then each dedup leg is the already-gated
+    * operator and the manifest is two hash joins on doc_id. */
+  def multimodalCorpusBuild(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    import graft.functions.TextFunctions.tokens
+    val raw = t.documents.select($"doc_id",
+        size(tokens($"text")).cast("long").as("wc"),
+        length(trim($"text")).cast("long").as("tl"),
+        md5(lower(trim($"text"))).as("h"),
+        Multimodal.textDhash56($"text").as("phash"))
+      .withColumn("gate_passed",
+        $"wc" >= 20 && $"tl" >= $"wc" * 3 && $"tl" <= $"wc" * 12)
+      .localCheckpoint()
+    val passed = raw.filter($"gate_passed")
+    val tx = passed.select($"doc_id",
+        min($"doc_id").over(Window.partitionBy($"h")).as("keeper"))
+      .select($"doc_id",
+        when($"keeper" =!= $"doc_id", $"keeper").as("text_dup_of"))
+    val im = Multimodal.hashNearDup(passed.select($"doc_id", $"phash"),
+        "doc_id", "phash", bands = 4, bandBits = 14, maxHamming = 3)
+      .select($"doc_id", $"dup_of".as("image_dup_of"),
+        $"hamming".as("image_hamming"))
+    raw.select($"doc_id", $"gate_passed")
+      .join(tx, Seq("doc_id"), "left")
+      .join(im, Seq("doc_id"), "left")
+      .withColumn("n_modalities",
+        $"text_dup_of".isNotNull.cast("int") + $"image_dup_of".isNotNull.cast("int"))
+      .withColumn("kept",
+        $"gate_passed" && $"text_dup_of".isNull && $"image_dup_of".isNull)
+      .select($"doc_id", $"gate_passed", $"text_dup_of", $"image_dup_of",
+        $"image_hamming", $"n_modalities", $"kept")
+      .orderBy($"doc_id")
+  }
+
+  val multimodalCorpusBuildSql: String =
+    s"""WITH d AS (SELECT doc_id, text,
+       |    CAST(greatest(length(text), 1) AS BIGINT) AS n,
+       |    CAST(greatest(length(text) // 64, 1) AS BIGINT) AS s,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) wc,
+       |    CAST(length(trim(text)) AS BIGINT) tl,
+       |    md5(lower(trim(text))) h
+       |  FROM documents),
+       |g AS (SELECT doc_id, h, ${Multimodal.textDhash56Sql} AS phash,
+       |    (wc >= 20 AND tl >= wc*3 AND tl <= wc*12) AS gate_passed FROM d),
+       |p AS (SELECT * FROM g WHERE gate_passed),
+       |tx AS (SELECT doc_id,
+       |    CASE WHEN doc_id <> m THEN m END AS text_dup_of FROM
+       |  (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) m FROM p)),
+       |bands AS (SELECT doc_id, phash, r.i AS band,
+       |    (phash >> CAST(14 * r.i AS INT)) & 16383 AS bkey
+       |  FROM p CROSS JOIN range(4) r(i)),
+       |cand AS (SELECT DISTINCT a.doc_id a_id, b.doc_id b_id, a.phash a_h, b.phash b_h
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+       |    AND a.doc_id < b.doc_id),
+       |hits AS (SELECT a_id, b_id, CAST(bit_count(xor(a_h, b_h)) AS BIGINT) hamming
+       |  FROM cand WHERE bit_count(xor(a_h, b_h)) <= 3),
+       |best AS (SELECT b_id doc_id, a_id image_dup_of, hamming image_hamming FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY a_id ASC) rn
+       |    FROM hits) WHERE rn = 1)
+       |SELECT g.doc_id, g.gate_passed, tx.text_dup_of, best.image_dup_of,
+       |  best.image_hamming,
+       |  CAST((CAST(tx.text_dup_of IS NOT NULL AS INT) +
+       |        CAST(best.image_dup_of IS NOT NULL AS INT)) AS INT) AS n_modalities,
+       |  (g.gate_passed AND tx.text_dup_of IS NULL AND best.image_dup_of IS NULL) AS kept
+       |FROM g LEFT JOIN tx USING (doc_id) LEFT JOIN best USING (doc_id)
+       |ORDER BY g.doc_id""".stripMargin
+
   // lazy: embeds semanticDedupSql, declared further down the object —
   // a strict val would initialize first and interpolate null
   lazy val crossModalAgreementSql: String =
@@ -2925,6 +3053,8 @@ object PipelineQueries {
     "qm07_image_dedup_incr" -> ((s: SparkSession, d: String) => imageDedupIncremental(Tables(s, d))),
     "qm08_image_neardup_mih" -> ((s: SparkSession, d: String) => imageNearDupMih(Tables(s, d))),
     "qm09_image_dedup_incr_mih" -> ((s: SparkSession, d: String) => imageDedupIncrementalMih(Tables(s, d))),
+    "qm10_audio_neardup_wide" -> ((s: SparkSession, d: String) => audioNearDupWide(Tables(s, d))),
+    "qx02_multimodal_corpus_build" -> ((s: SparkSession, d: String) => multimodalCorpusBuild(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
     "qe02_interval_join"   -> ((s: SparkSession, d: String) => viewPurchaseFunnel(Tables(s, d))),
     "qt01_token_stats"     -> ((s: SparkSession, d: String) => tokenStats(Tables(s, d))),
@@ -3001,6 +3131,8 @@ object PipelineQueries {
     "qm07_image_dedup_incr" -> imageDedupIncrementalSql,
     "qm08_image_neardup_mih" -> imageNearDupMihSql,
     "qm09_image_dedup_incr_mih" -> imageDedupIncrementalMihSql,
+    "qm10_audio_neardup_wide" -> audioNearDupWideSql,
+    "qx02_multimodal_corpus_build" -> multimodalCorpusBuildSql,
     "qe01_sessionize"      -> sessionizedSql,
     "qe02_interval_join"   -> viewPurchaseFunnelSql,
     "qt01_token_stats"     -> tokenStatsSql,

@@ -565,7 +565,10 @@ object EventStreams {
             batchMarker = if (counted) None else Some(batchId))
 
         gated.select(col("doc_id"), col("gate_passed"),
-            col("phash").isNotNull.as("image_judged"))
+            // judged = the doc actually probed the hamming store: gate
+            // failures never reach it, so phash.isNotNull alone would
+            // report a gate-failed doc as 'probed and found unique'
+            (col("gate_passed") && col("phash").isNotNull).as("image_judged"))
           .join(dd, Seq("doc_id"), "left")
           .join(hd, Seq("doc_id"), "left")
           .join(scrub, Seq("doc_id"), "left")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Fleet-scale drive of the PRODUCTION audio pipeline — the audio twin
   * of [[ProfileImagePlane]]: real WAV payloads through
-  * `JvmAudioDecoder`/`FailSoftAudio` → [[Multimodal.audioFingerprint32]]
+  * `JvmAudioDecoder`/`FailSoftAudio` → [[Multimodal.audioFingerprint]]
   * (decode + windowed RMS + delta-sign chain) →
   * [[Multimodal.hashNearDup]] over the 32-bit fingerprint.
   *
@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * samples decoded, reported per-sample too.
   *
   * `runMain graft.tools.ProfileAudioPlane [sizes] [workDir]`
-  * sizes default `5000,20000`.
+  * sizes default `5000,20000,100000`.
   */
 object ProfileAudioPlane {
 
@@ -103,7 +103,7 @@ object ProfileAudioPlane {
   }
 
   def main(args: Array[String]): Unit = {
-    val sizes = args.headOption.getOrElse("5000,20000")
+    val sizes = args.headOption.getOrElse("5000,20000,100000")
       .split(",").map(_.trim.toLong).toSeq
     val work = args.drop(1).headOption.getOrElse(
       java.nio.file.Files.createTempDirectory("profile-audioplane").toString)
@@ -130,20 +130,20 @@ object ProfileAudioPlane {
       val corpus = spark.read.parquet(corpusDir)
 
       val fps = timed("decode+fp") {
-        val f = Multimodal.audioFingerprint32(corpus, "bytes", "clip_id",
-            windowSize = WindowSize)
+        val f = Multimodal.audioFingerprint(corpus, "bytes", "clip_id",
+            windowSize = WindowSize, bits = 32)
           .localCheckpoint(true)
         f.count()
         f
       }
       val fps64 = timed("decode+fp64") {
-        val f = Multimodal.audioFingerprint32(corpus, "bytes", "clip_id",
-            windowSize = WindowSize, bits = 64)
+        val f = Multimodal.audioFingerprint(corpus, "bytes", "clip_id",
+            windowSize = WindowSize)
           .localCheckpoint(true)
         f.count()
         f
       }
-      val nullFps = fps.filter($"fp32".isNull).count()
+      val nullFps = fps.filter($"fp".isNull).count()
       val nCorrupt = corpus.filter($"kind" === "corrupt").count()
       println(s"[aud] quarantined=$nullFps planted-corrupt=$nCorrupt " +
         s"(${"%.2f".format(100.0 * nullFps / n)}%)")
@@ -151,7 +151,7 @@ object ProfileAudioPlane {
 
       val truth = corpus.select($"clip_id".as("media_id"),
           coalesce($"dup_of_truth", $"clip_id").as("cluster"))
-        .join(fps.filter($"fp32".isNotNull).select($"media_id"), "media_id")
+        .join(fps.filter($"fp".isNotNull).select($"media_id"), "media_id")
         .localCheckpoint(true)
 
       val wMin = org.apache.spark.sql.expressions.Window.partitionBy($"cluster")
@@ -161,8 +161,8 @@ object ProfileAudioPlane {
       def evalFunnel(label: String, src: org.apache.spark.sql.DataFrame,
                      bandBits: Int): Unit = {
         val decisions = timed(label) {
-          val d = Multimodal.hashNearDup(src.filter($"fp32".isNotNull),
-            "media_id", "fp32", bands = 4, bandBits = bandBits, maxHamming = 2)
+          val d = Multimodal.hashNearDup(src.filter($"fp".isNotNull),
+            "media_id", "fp", bands = 4, bandBits = bandBits, maxHamming = 2)
             .localCheckpoint(true)
           d.count()
           d

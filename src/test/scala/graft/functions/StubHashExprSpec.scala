@@ -19,10 +19,12 @@ class StubHashExprSpec extends SparkTestBase {
       Multimodal.textDhash56Unrolled($"text").as("d_spec"),
       Multimodal.textAudioFp32($"text").as("f_fast"),
       Multimodal.textAudioFp32Unrolled($"text").as("f_spec"),
+      Multimodal.textAudioFp63($"text").as("w_fast"),
+      Multimodal.textAudioFp63Unrolled($"text").as("w_spec"),
       Multimodal.textAudioEnergy($"text").as("e_fast"),
       Multimodal.textAudioEnergyUnrolled($"text").as("e_spec"))
     val bad = cmp.filter($"d_fast" =!= $"d_spec" || $"f_fast" =!= $"f_spec" ||
-      $"e_fast" =!= $"e_spec")
+      $"w_fast" =!= $"w_spec" || $"e_fast" =!= $"e_spec")
     assert(bad.count() === 0, s"divergent rows: ${bad.take(3).mkString("; ")}")
   }
 
@@ -32,6 +34,7 @@ class StubHashExprSpec extends SparkTestBase {
       "a", "ab",                   // shorter than the grid: stride 1, wraps via % n
       "x" * 63, "x" * 64, "x" * 65, // around the dhash grid size
       "y" * 131, "y" * 132, "y" * 133, // around the audio grid size
+      "z" * 255, "z" * 256, "z" * 257, // around the WIDE audio grid size
       (0 until 500).map(i => ('!' + i % 90).toChar).mkString, // varied ASCII
       "héllo wörld ü ß é",         // 2-byte UTF-8 chars (non-ASCII path)
       "日本語のテキストです、かなり長い文字列にします日本語のテキスト", // CJK
@@ -49,20 +52,25 @@ class StubHashExprSpec extends SparkTestBase {
   test("null text propagates null, and SQL registration works") {
     val df = Seq[Option[String]](Some("abc"), None).toDF("text")
     val out = df.selectExpr("graft_text_dhash56(text) d",
-      "graft_text_audio_fp32(text) f", "graft_text_audio_energy(text) e")
+      "graft_text_audio_fp32(text) f", "graft_text_audio_energy(text) e",
+      "graft_text_audio_fp63(text) w")
       .collect()
     assert(out.exists(r => !r.isNullAt(0)))
-    assert(out.exists(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)))
+    assert(out.exists(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) &&
+      r.isNullAt(3)))
   }
 
-  test("dhash56 stays in 56 bits and fp32 in 32 bits") {
+  test("dhash56 stays in 56 bits, fp32 in 32, fp63 in 63") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val r = docs.select(
       max(Multimodal.textDhash56($"text")).as("dmax"),
       min(Multimodal.textDhash56($"text")).as("dmin"),
       max(Multimodal.textAudioFp32($"text")).as("fmax"),
-      min(Multimodal.textAudioFp32($"text")).as("fmin")).head()
+      min(Multimodal.textAudioFp32($"text")).as("fmin"),
+      max(Multimodal.textAudioFp63($"text")).as("wmax"),
+      min(Multimodal.textAudioFp63($"text")).as("wmin")).head()
     assert(r.getLong(1) >= 0L && r.getLong(0) < (1L << 56))
     assert(r.getLong(3) >= 0L && r.getLong(2) < (1L << 32))
+    assert(r.getLong(5) >= 0L, "fp63 must stay positive (bit 63 never set)")
   }
 }

@@ -207,7 +207,7 @@ class MultimodalAvSpec extends SparkTestBase {
     bos.toByteArray
   }
 
-  test("audioFingerprint32: deterministic, discriminative, gain-invariant, null-quarantine") {
+  test("audioFingerprint: deterministic, discriminative, gain-invariant, null-quarantine") {
     // 34 windows of 4096 samples at 8 kHz = ~17.4 s per clip
     val secs = 34.0 * 4096 / 8000
     val clips = Seq(
@@ -217,7 +217,9 @@ class MultimodalAvSpec extends SparkTestBase {
       (4L, amWav(8000, seed = 9, gain = 1.0, secs)),   // different envelope
       (5L, Array.fill[Byte](64)(0x5A))                 // garbage: quarantine
     ).toDF("media_id", "payload")
-    val got = Multimodal.audioFingerprint32(clips, "payload", "media_id")
+    // bits = 32 pins the narrow stub-twin width's range contract; the
+    // production default is 64 (checked below on the same fixtures)
+    val got = Multimodal.audioFingerprint(clips, "payload", "media_id", bits = 32)
       .collect().map(r => r.getLong(0) ->
         Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
     assert(got(1L).isDefined && got(1L) == got(2L), "identical clips agree")
@@ -225,18 +227,25 @@ class MultimodalAvSpec extends SparkTestBase {
     assert(got(4L).isDefined && got(4L) != got(1L), "different envelope differs")
     assert(got(5L).isEmpty, "undecodable clip carries the null sentinel")
     assert(got(1L).exists(f => f >= 0 && f < (1L << 32)), "fp stays in 32 bits")
+    // the production default width is 64: same invariances, wider chain
+    val got64 = Multimodal.audioFingerprint(clips, "payload", "media_id")
+      .collect().map(r => r.getLong(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got64(1L).isDefined && got64(1L) == got64(3L), "64-bit gain invariance")
+    assert(got64(5L).isEmpty, "64-bit null sentinel")
+    assert(got64(1L) != got(1L), "default width is 64, not the 32-bit stub twin")
   }
 
-  test("audioFingerprint32 feeds the hamming funnel: gain-copy dups, distinct clip does not") {
+  test("audioFingerprint feeds the hamming funnel: gain-copy dups, distinct clip does not") {
     val secs = 34.0 * 4096 / 8000
     val clips = Seq(
       (1L, amWav(8000, 3, 1.0, secs)),
       (2L, amWav(8000, 3, 0.6, secs)),
       (3L, amWav(8000, 5, 1.0, secs))).toDF("media_id", "payload")
-    val fps = Multimodal.audioFingerprint32(clips, "payload", "media_id")
-      .filter($"fp32".isNotNull)
-    val out = Multimodal.hashNearDup(fps, "media_id", "fp32",
-        bands = 4, bandBits = 8, maxHamming = 2)
+    val fps = Multimodal.audioFingerprint(clips, "payload", "media_id")
+      .filter($"fp".isNotNull)
+    val out = Multimodal.hashNearDup(fps, "media_id", "fp",
+        bands = 4, bandBits = 16, maxHamming = 2)
       .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     assert(out(2L), "gain-scaled copy flags at hamming 0")
     assert(!out(1L) && !out(3L), "distinct envelopes stay unique")
