@@ -789,6 +789,125 @@ object Multimodal {
         col("dup_of").isNotNull.as("is_dup"))
   }
 
+  /** All verified frame-hash PAIRS between `probe` and `target` — the
+    * vote-input shape ([[frameVoteNearDup]]), vs [[hashNearDup]]'s
+    * best-only per-id contract. Banded candidate generation (narrow
+    * pigeonhole at probeTolerance 0; MIH single-bit-flip expansion of
+    * the PROBE side at 1 — the [[hashNearDupMih]] scheme, target side
+    * always exact-banded) + one codegen'd popcount verify. Returns
+    * (probe_id, probe_frame, target_id, target_frame, hamming) for
+    * every cross-row pair within `maxHamming` — callers apply their
+    * own id-ordering / self-pair filter (videoNearDup: target < probe;
+    * an incremental wave: target from the store, or a smaller batch
+    * clip). Only ids + 8-byte hashes ride the shuffle. */
+  def frameHashPairs(probe: DataFrame, target: DataFrame,
+                     idCol: String, frameCol: String, hashCol: String,
+                     bands: Int, bandBits: Int, maxHamming: Int,
+                     probeTolerance: Int = 0): DataFrame = {
+    require(probeTolerance >= 0 && probeTolerance <= 1,
+      s"probeTolerance must be 0 (narrow bands) or 1 (MIH), got $probeTolerance")
+    require(bands * (probeTolerance + 1) > maxHamming,
+      s"pigeonhole recall needs bands x (tolerance+1) > maxHamming " +
+      s"(got $bands x ${probeTolerance + 1} <= $maxHamming)")
+    require(bands * bandBits <= 64, "bands x bandBits must fit the 64-bit hash")
+    val mask = (1L << bandBits) - 1
+    def bandKey(b: Int) = shiftright(col(hashCol), b * bandBits).bitwiseAND(lit(mask))
+    def banded(t: DataFrame) = t.select(col(idCol), col(frameCol), col(hashCol),
+      posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "bkey")))
+    val probeSide =
+      if (probeTolerance == 0) banded(probe)
+      else probe.select(col(idCol), col(frameCol), col(hashCol),
+        posexplode(array((0 until bands).flatMap(b =>
+          bandKey(b) +: (0 until bandBits).map(j =>
+            bandKey(b).bitwiseXOR(lit(1L << j)))): _*))
+          .as(Seq("slot", "bkey")))
+        .select(col(idCol), col(frameCol), col(hashCol),
+          (col("slot") / (bandBits + 1)).cast("int").as("band"), col("bkey"))
+    probeSide.select(col(idCol).as("probe_id"), col(frameCol).as("probe_frame"),
+        col(hashCol).as("p_h"), col("band"), col("bkey"))
+      .join(banded(target).select(col(idCol).as("target_id"),
+        col(frameCol).as("target_frame"), col(hashCol).as("t_h"),
+        col("band"), col("bkey")), Seq("band", "bkey"))
+      .select(col("probe_id"), col("probe_frame"), col("target_id"),
+        col("target_frame"), col("p_h"), col("t_h"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("p_h").bitwiseXOR(col("t_h"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("probe_id"), col("probe_frame"), col("target_id"),
+        col("target_frame"), col("hamming"))
+  }
+
+  /** FRAME-VOTE near-dup over per-frame hashes — the clip-level dedup
+    * decision composed from the measured hamming machinery: clip b is
+    * a dup of clip a (a < b) when at least `voteFrac` of b's hashed
+    * frames match SOME frame of a within `maxHamming`
+    * ([[frameHashPairs]] keeps every verified pair; votes count
+    * DISTINCT b-frames, so a static scene can't stuff the ballot).
+    * Input: (idCol, frameCol, hashCol) rows, one per hashed frame.
+    * Output: one row per distinct input id — (idCol, n_frames,
+    * dup_of = best match by most votes then smallest id, votes,
+    * is_dup). Ids with zero hashed frames are absent — [[videoNearDup]]
+    * left-joins them back as the cannot-judge sentinel. */
+  def frameVoteNearDup(frameHashes: DataFrame, idCol: String,
+                       frameCol: String, hashCol: String,
+                       bands: Int, bandBits: Int, maxHamming: Int,
+                       voteFrac: Double = 0.5,
+                       probeTolerance: Int = 0): DataFrame = {
+    require(voteFrac > 0 && voteFrac <= 1, s"voteFrac must be in (0, 1], got $voteFrac")
+    import org.apache.spark.sql.expressions.Window
+    // referenced by the pair funnel (twice), the frame census, and the
+    // final join — and the hash column may be an expensive derivation
+    val fh = frameHashes.select(col(idCol), col(frameCol), col(hashCol))
+      .localCheckpoint(true)
+    val nf = fh.groupBy(col(idCol)).agg(count(lit(1)).as("n_frames"))
+    val votes = frameHashPairs(fh, fh, idCol, frameCol, hashCol,
+        bands, bandBits, maxHamming, probeTolerance)
+      .filter(col("target_id") < col("probe_id"))
+      .select(col("probe_id"), col("target_id"), col("probe_frame")).distinct()
+      .groupBy(col("probe_id"), col("target_id")).agg(count(lit(1)).as("votes"))
+    val judged = votes
+      .join(nf.select(col(idCol).as("probe_id"), col("n_frames")), "probe_id")
+      .filter(col("votes") >= lit(voteFrac) * col("n_frames"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("votes").desc, col("target_id").asc)
+    val best = judged.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("probe_id").as(idCol), col("target_id").as("dup_of"), col("votes"))
+    nf.join(best, Seq(idCol), "left")
+      .select(col(idCol), col("n_frames"), col("dup_of"), col("votes"),
+        col("dup_of").isNotNull.as("is_dup"))
+  }
+
+  /** VIDEO near-dup end to end — the production clip-dedup path:
+    * sample up to `nFrames` frames per clip ([[videoFrames]],
+    * partition-local explode), per-frame [[dhash64]] (frame bytes
+    * dropped before any shuffle — only ids + 8-byte hashes ride), then
+    * the frame-vote decision ([[frameVoteNearDup]]). Clips whose
+    * payload yields no decodable frames (corrupt under
+    * [[FailSoftVideo]], or every frame undecodable) report
+    * n_frames = 0 / is_dup = false — the cannot-judge sentinel, never
+    * a dropped row (the qc11 lesson). Scale shape: decode + hash are
+    * partition-local over the media bytes; the only shuffles move
+    * (id, frame_idx, hash) triples and the per-clip-pair vote counts. */
+  def videoNearDup(clips: DataFrame, binCol: String, idCol: String,
+                   nFrames: Int = 8,
+                   bands: Int = 4, bandBits: Int = 16, maxHamming: Int = 6,
+                   voteFrac: Double = 0.5,
+                   probeTolerance: Int = 0,
+                   decoder: VideoDecoder = FailSoftVideo(Y4mDecoder)): DataFrame = {
+    val frames = videoFrames(clips, binCol, idCol, nFrames, decoder)
+    val hashed = withPerceptualHash(frames, "frame", "fhash")
+      .select(col("media_id"), col("frame_idx"), col("fhash"))
+      .filter(col("fhash").isNotNull)
+    val decisions = frameVoteNearDup(hashed, "media_id", "frame_idx", "fhash",
+      bands, bandBits, maxHamming, voteFrac, probeTolerance)
+    clips.select(col(idCol).as("media_id"))
+      .join(decisions, Seq("media_id"), "left")
+      .select(col("media_id"), coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+        col("dup_of"), col("votes"),
+        coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   // ---- columnar stub twins (oracle-replayable decode math) ----
   //
   // The gate queries need hashes BOTH engines can compute; these mirror

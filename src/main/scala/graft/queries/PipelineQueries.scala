@@ -2211,6 +2211,65 @@ object PipelineQueries {
        |FROM h LEFT JOIN best USING (doc_id) ORDER BY h.doc_id""".stripMargin
   }
 
+  /** qm11: FRAME-VOTE video near-dup — the clip-level dedup decision
+    * ([[Multimodal.frameVoteNearDup]], the vote layer
+    * [[Multimodal.videoNearDup]] runs over real Y4M) gated on the stub:
+    * qm05's 4 evenly-strided frame slices per doc, each slice hashed
+    * with the 56-bit stub dHash, frame pairs funneled through 4 × 14-bit
+    * bands at hamming ≤ 3, and doc b declared a dup of doc a (a < b)
+    * when ≥ half of b's frames match SOME frame of a — votes count
+    * DISTINCT b-frames. The oracle replays frames, banding, the
+    * all-pairs verify, and the vote threshold end to end, so the vote
+    * semantics (distinct-frame ballots, most-votes-then-smallest-id
+    * tie-break) are pinned cross-engine. */
+  def videoNearDupVote(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val n = greatest(length($"text"), lit(1)).cast("long")
+    val s = greatest(floor(length($"text") / lit(4)).cast("long"), lit(1L))
+    val frames = t.documents.select($"doc_id", $"text", n.as("n"), s.as("s"))
+      .select($"doc_id", $"text", $"n", $"s",
+        explode(sequence(lit(0L), lit(3L))).as("frame_idx"))
+      .withColumn("from", least($"frame_idx" * $"s", $"n" - 1))
+      .withColumn("frame", $"text".substr(($"from" + 1).cast("int"), $"s".cast("int")))
+      .select($"doc_id", $"frame_idx", Multimodal.textDhash56($"frame").as("fhash"))
+    Multimodal.frameVoteNearDup(frames, "doc_id", "frame_idx", "fhash",
+      bands = 4, bandBits = 14, maxHamming = 3, voteFrac = 0.5)
+      .orderBy($"doc_id")
+  }
+
+  val videoNearDupVoteSql: String =
+    s"""WITH d AS (SELECT doc_id, text,
+       |    CAST(greatest(length(text), 1) AS BIGINT) AS n,
+       |    CAST(greatest(length(text) // 4, 1) AS BIGINT) AS s
+       |  FROM documents),
+       |fr AS (SELECT doc_id, r.i AS frame_idx,
+       |    substr(text, CAST(least(r.i * s, n - 1) AS INT) + 1, CAST(s AS INT)) AS text
+       |  FROM d CROSS JOIN range(4) r(i)),
+       |fx AS (SELECT doc_id, frame_idx, text,
+       |    CAST(greatest(length(text), 1) AS BIGINT) AS n,
+       |    CAST(greatest(length(text) // 64, 1) AS BIGINT) AS s
+       |  FROM fr),
+       |h AS (SELECT doc_id, frame_idx, ${Multimodal.textDhash56Sql} AS fhash FROM fx),
+       |bands AS (SELECT doc_id, frame_idx, fhash, r.i AS band,
+       |    (fhash >> CAST(14 * r.i AS INT)) & 16383 AS bkey
+       |  FROM h CROSS JOIN range(4) r(i)),
+       |pair AS (SELECT DISTINCT p.doc_id b_id, p.frame_idx b_frame, t.doc_id a_id,
+       |    t.frame_idx a_frame, p.fhash ph, t.fhash th
+       |  FROM bands p JOIN bands t ON p.band = t.band AND p.bkey = t.bkey
+       |    AND t.doc_id < p.doc_id),
+       |hits AS (SELECT DISTINCT b_id, a_id, b_frame FROM pair
+       |  WHERE bit_count(xor(ph, th)) <= 3),
+       |votes AS (SELECT b_id, a_id, CAST(COUNT(*) AS BIGINT) votes FROM hits GROUP BY 1, 2),
+       |nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_frames FROM h GROUP BY 1),
+       |judged AS (SELECT v.b_id, v.a_id, v.votes FROM votes v
+       |  JOIN nf ON nf.doc_id = v.b_id WHERE v.votes >= 0.5 * nf.n_frames),
+       |best AS (SELECT b_id doc_id, a_id dup_of, votes FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY b_id
+       |      ORDER BY votes DESC, a_id ASC) rn FROM judged) WHERE rn = 1)
+       |SELECT nf.doc_id, nf.n_frames, best.dup_of, best.votes,
+       |  best.dup_of IS NOT NULL AS is_dup
+       |FROM nf LEFT JOIN best USING (doc_id) ORDER BY nf.doc_id""".stripMargin
+
   /** qx02: the MULTIMODAL corpus build COMPOSED end to end — the batch
     * twin of [[graft.streaming.EventStreams.multimodalPipelineStream]]'s
     * verdict, chained the way qx01 chains the text-only funnel:
@@ -3054,6 +3113,7 @@ object PipelineQueries {
     "qm08_image_neardup_mih" -> ((s: SparkSession, d: String) => imageNearDupMih(Tables(s, d))),
     "qm09_image_dedup_incr_mih" -> ((s: SparkSession, d: String) => imageDedupIncrementalMih(Tables(s, d))),
     "qm10_audio_neardup_wide" -> ((s: SparkSession, d: String) => audioNearDupWide(Tables(s, d))),
+    "qm11_video_neardup_vote" -> ((s: SparkSession, d: String) => videoNearDupVote(Tables(s, d))),
     "qx02_multimodal_corpus_build" -> ((s: SparkSession, d: String) => multimodalCorpusBuild(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
     "qe02_interval_join"   -> ((s: SparkSession, d: String) => viewPurchaseFunnel(Tables(s, d))),
@@ -3132,6 +3192,7 @@ object PipelineQueries {
     "qm08_image_neardup_mih" -> imageNearDupMihSql,
     "qm09_image_dedup_incr_mih" -> imageDedupIncrementalMihSql,
     "qm10_audio_neardup_wide" -> audioNearDupWideSql,
+    "qm11_video_neardup_vote" -> videoNearDupVoteSql,
     "qx02_multimodal_corpus_build" -> multimodalCorpusBuildSql,
     "qe01_sessionize"      -> sessionizedSql,
     "qe02_interval_join"   -> viewPurchaseFunnelSql,

@@ -1,0 +1,126 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.GraftSession
+import graft.operators.IncrementalHashDedup
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+
+/** Store ≫ batch stress of the incremental hamming store's MIH mode —
+  * the round-12 verdict's open scale question: qm09 and
+  * ProfileImagePlane exercise [[IncrementalHashDedup.dedupBatch]] with
+  * stores of ≤ 70k rows; the production claim ("only the batch side
+  * fans out — the side that grows forever stays exact-banded") is
+  * about MULTI-MILLION-row stores fed by small steady batches. This
+  * main synthesizes exactly that regime — hashes are cheap xxhash64
+  * draws, no codecs, so the measurement isolates the JOIN —
+  * and sweeps the store from 1M to 16M rows at a fixed 5k batch:
+  *
+  *   - per-batch WALL vs store size (should grow only with the store
+  *     SCAN — one pass over (id, hash) parquet — never with a probe
+  *     fan-out of the store side),
+  *   - per-batch SHUFFLE read/write vs store size (the decisive
+  *     number: if the banded store were shuffled for the candidate
+  *     join, shuffle mass would be ~bands × rows × ~24 B and grow
+  *     linearly; a broadcast of the tiny exploded batch keeps the
+  *     store side shuffle-free),
+  *   - recall on planted near-dups (batch hashes = store hash with
+  *     ≤ maxHamming random bit flips — every one must resolve to its
+  *     planted store row), and the narrow-regime twin for contrast.
+  *
+  * `runMain graft.tools.ProfileMihStore [storeSizes] [batchSize] [workDir]`
+  * defaults `1000000,4000000,16000000` / `5000`.
+  */
+object ProfileMihStore {
+
+  final class ShuffleMeter extends SparkListener {
+    val read = new AtomicLong(0L)
+    val write = new AtomicLong(0L)
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def reset(): Unit = { read.set(0L); write.set(0L) }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = args.headOption.getOrElse("1000000,4000000,16000000")
+      .split(",").map(_.trim.toLong).toSeq
+    val batchN = args.drop(1).headOption.map(_.toLong).getOrElse(5000L)
+    val work = args.drop(2).headOption.getOrElse(
+      java.nio.file.Files.createTempDirectory("profile-mihstore").toString)
+    val spark = GraftSession.local(appName = "profile-mihstore")
+    import spark.implicits._
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    println(f"[mih] ${"store_rows"}%12s ${"mode"}%8s ${"wall_s"}%8s " +
+      f"${"shuf_rd_mb"}%10s ${"shuf_wr_mb"}%10s ${"planted"}%8s ${"found"}%8s")
+
+    sizes.foreach { storeN =>
+      val store = s"$work/store_$storeN"
+      if (!new java.io.File(store).exists()) {
+        // store hash = xxhash64(id): uniform 64-bit draws, 8 B/row state
+        IncrementalHashDedup.initStore(
+          spark.range(storeN).select($"id", xxhash64($"id").as("hash")),
+          store, idCol = "id", hashCol = "hash")
+      }
+      // batch: half PLANTED near-dups (a store hash with <= maxHamming
+      // seeded bit flips — flip positions derived from the id so the
+      // run is deterministic), half fresh draws from a disjoint stream
+      def batchDf(maxHamming: Int) = {
+        val base = $"id" % storeN
+        val flips = (0 until maxHamming).map { j =>
+          // j-th flip bit position: 6 bits of a per-(id, j) hash (pmod:
+          // xxhash64 is signed and abs(Long.MinValue) stays negative)
+          shiftleft(lit(1L), pmod(xxhash64($"id", lit(j)), lit(64)).cast("int"))
+        }.reduce[org.apache.spark.sql.Column](_ bitwiseOR _)
+        spark.range(storeN, storeN + batchN).select($"id",
+          when($"id" % 2 === 0, xxhash64(base).bitwiseXOR(flips))
+            .otherwise(xxhash64($"id", lit("fresh"))).as("hash"),
+          when($"id" % 2 === 0, base).as("planted_base"))
+      }
+
+      def run(mode: String, bands: Int, bandBits: Int, maxHamming: Int,
+              tol: Int): Unit = {
+        val batch = batchDf(maxHamming).localCheckpoint(true)
+        val planted = batch.filter($"planted_base".isNotNull)
+          .select($"id", $"planted_base").localCheckpoint(true)
+        // warm the page cache on the first mode so modes compare fair
+        meter.reset()
+        val t0 = System.nanoTime()
+        val decisions = IncrementalHashDedup.dedupBatch(
+          batch.select($"id", $"hash"), store,
+          bands = bands, bandBits = bandBits, maxHamming = maxHamming,
+          idCol = "id", hashCol = "hash", appendUnique = false,
+          probeTolerance = tol)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val (rd, wr) = (meter.read.get / 1e6, meter.write.get / 1e6)
+        // a planted dup is found when it resolves to ANY store row at
+        // <= maxHamming; resolving to the planted base specifically is
+        // the common case (fresh draws sit at hamming ~32)
+        val found = decisions.join(planted, Seq("id"))
+          .filter($"dup_of".isNotNull).count()
+        val nPlanted = planted.count()
+        println(f"[mih] $storeN%12d $mode%8s $wall%8.2f $rd%10.1f $wr%10.1f " +
+          f"$nPlanted%8d $found%8d")
+        require(found == nPlanted,
+          s"recall hole: $found of $nPlanted planted near-dups found")
+      }
+
+      // MIH: 4 x 16-bit bands cover hamming <= 7 at t=1; the store side
+      // stays exact-banded (4 rows/hash), only the 5k batch fans out
+      // (4 x 17 = 68 rows/hash)
+      run("mih", bands = 4, bandBits = 16, maxHamming = 7, tol = 1)
+      run("mih2", bands = 4, bandBits = 16, maxHamming = 7, tol = 1)
+      // narrow contrast: 8 x 8-bit bands, hamming <= 6 (the regime the
+      // 256-bucket keys saturate in — same join shape, no fan-out)
+      run("narrow", bands = 8, bandBits = 8, maxHamming = 6, tol = 0)
+    }
+    spark.stop()
+  }
+}
