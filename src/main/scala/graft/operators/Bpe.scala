@@ -162,10 +162,17 @@ object Bpe {
       // ProfileVocab's natural-alphabet run showed the WINDOW, not the
       // alphabet, throttles tie-heavy regimes — ties sort
       // lexicographically by l, so same-l runs crowd a narrow window
-      // and the disjoint filter starves. A wider overFetch preserves
-      // the greedy-disjoint-over-the-full-ranking semantics (the
-      // selection is a prefix of the same total order) while
-      // collapsing the round count on flat count distributions.
+      // and the disjoint filter starves (measured: 2,956 rounds at
+      // overFetch=2 vs 218 at 16 on a 537-char corpus, 7.7x faster).
+      // WITHIN one round a wider window selects a longer prefix of the
+      // same (count desc, l, r) total order — but ACROSS rounds the
+      // widths DIVERGE (BpeOverFetchSpec pins a witness): a narrow
+      // window applies fewer merges per round, recounts earlier, and
+      // pairs CREATED by the applied merges can outrank candidates the
+      // wide window had already taken in the same census. overFetch is
+      // therefore part of the learned tokenizer's IDENTITY, not a pure
+      // throughput knob: pick it up front, keep it for the vocabulary's
+      // lifetime, and never expect two widths to reproduce each other.
       val want = math.min(batchSize, numMerges - rank)
       val top = pairCounts(syms)
         .orderBy(desc("c"), asc("l"), asc("r"))

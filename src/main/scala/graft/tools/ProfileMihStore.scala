@@ -77,7 +77,7 @@ object ProfileMihStore {
         val flips = (0 until maxHamming).map { j =>
           // j-th flip bit position: 6 bits of a per-(id, j) hash (pmod:
           // xxhash64 is signed and abs(Long.MinValue) stays negative)
-          shiftleft(lit(1L), pmod(xxhash64($"id", lit(j)), lit(64)).cast("int"))
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(id, $j), 64) AS INT))")
         }.reduce[org.apache.spark.sql.Column](_ bitwiseOR _)
         spark.range(storeN, storeN + batchN).select($"id",
           when($"id" % 2 === 0, xxhash64(base).bitwiseXOR(flips))
