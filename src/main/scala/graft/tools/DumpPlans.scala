@@ -227,6 +227,12 @@ object DumpPlans {
       ("qm03_image_neardup — hash-banded hamming funnel",
        "The (id, phash) table materializes once (eager localCheckpoint, lineage-owned blocks) and feeds both self-join sides and the final left join — the hash (one compiled TextDhash56Expr call since r12, ~0 driver tax) is computed exactly once. Candidates shuffle only on (band, bkey); the verify is one codegen'd xor+popcount. Pigeonhole (4 bands > 3 maxHamming) makes recall exact without all-pairs.",
        fmt(graft.queries.PipelineQueries.imageNearDup(t))),
+      ("qm11_video_neardup_vote — frame-vote clip dedup",
+       "Frames explode partition-locally (the stub's strided slices; the real path's videoFrames is the same shape) and only (id, frame_idx, 8-byte hash) rides into the funnel — the frame PAYLOAD never shuffles. The pair funnel shuffles on (band, bkey) and keeps every verified pair; the vote is one distinct + one count aggregation on (probe, target) clip pairs; the decision window partitions by probe clip. ProfileVideoPlane measured the whole path at 30k clips / 228k frames: ~0.23 KB/frame vote shuffle, flat.",
+       fmt(graft.queries.PipelineQueries.videoNearDupVote(t))),
+      ("qx02_multimodal_corpus_build — the composed multimodal verdict",
+       "The qx01 move on the multimodal funnel: ONE pass over the text bytes projects (wc, tl, md5, phash) scan-locally and checkpoints ~120 B/doc metadata — the corpus bytes never enter a shuffle; the text leg is one md5-keyed window, the image leg is qm03's banded funnel over the same checkpointed frame, and the manifest is two hash joins on doc_id. The streaming twin (multimodalPipelineStream) emits the same verdict shape incrementally.",
+       fmt(graft.queries.PipelineQueries.multimodalCorpusBuild(t))),
     )
 
     val md = new StringBuilder
