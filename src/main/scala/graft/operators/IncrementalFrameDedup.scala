@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incremental FRAME-VOTE video dedup — [[IncrementalHashDedup]] at
+  * the frame grain: dedup a new batch of clips against everything
+  * ingested before without re-decoding historical media. The
+  * persistent state is an (id, frame_idx, hash) table — one 8-byte
+  * hash per SAMPLED frame (≤ nFrames rows/clip, ~20 B/frame), and each
+  * batch costs one banded store+self pair join
+  * ([[Multimodal.frameHashPairs]]: the store side stays exact-banded —
+  * the side that grows forever never fans out, even in the MIH probe
+  * regime) plus the distinct-frame vote of
+  * [[Multimodal.frameVoteNearDup]].
+  *
+  * Decision semantics (the qm12 oracle replays them from scratch):
+  * batch clip b may match store clips or SMALLER-id batch mates; votes
+  * count DISTINCT b-frames within `maxHamming` of SOME frame of the
+  * candidate; b is a dup when votes ≥ voteFrac × b's hashed frames;
+  * best = most votes, ties to the smallest candidate id. Store clips
+  * are never re-decided.
+  *
+  * Crash/replay contract = IncrementalHashDedup's: the store-side pair
+  * filter drops `target_id == probe_id`, so a replayed batch whose
+  * append already landed never votes a clip onto itself; applied
+  * markers live in a sibling directory; [[compactStore]] reclaims
+  * replay bloat (frame hashes are pure functions of the payload —
+  * duplicates are bit-identical) through the AtomicSwap crash-safe
+  * rename. */
+object IncrementalFrameDedup {
+
+  /** Seed the store from (id, frame_idx, hash) rows. */
+  def initStore(frameHashes: DataFrame, storePath: String,
+                idCol: String = "clip_id", frameCol: String = "frame_idx",
+                hashCol: String = "fhash"): Unit =
+    frameHashes.select(col(idCol).as("id"), col(frameCol).cast("int").as("frame"),
+        col(hashCol).cast("long").as("hash"))
+      .write.mode("overwrite").parquet(storePath)
+
+  /** Vote decisions for a batch of per-frame hashes against the store
+    * AND the batch itself: one row per distinct batch clip —
+    * (idCol, n_frames, dup_of, votes); `dup_of` null = unique. When
+    * `appendUnique`, the frames of unique clips append to the store
+    * after decisions are pinned. `probeTolerance` = 0 is the narrow
+    * pigeonhole regime, 1 the MIH regime (batch side probes each band
+    * with its exact key + every single-bit flip; store side unchanged). */
+  def dedupBatch(newFrames: DataFrame, storePath: String,
+                 bands: Int = 8, bandBits: Int = 8, maxHamming: Int = 6,
+                 voteFrac: Double = 0.5,
+                 idCol: String = "clip_id", frameCol: String = "frame_idx",
+                 hashCol: String = "fhash",
+                 appendUnique: Boolean = true,
+                 probeTolerance: Int = 0): DataFrame = {
+    require(voteFrac > 0 && voteFrac <= 1, s"voteFrac must be in (0, 1], got $voteFrac")
+    val spark = newFrames.sparkSession
+    graft.hfc.AtomicSwap.recoverDir(
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration),
+      storePath)
+    val batch = newFrames
+      .select(col(idCol).as("id"), col(frameCol).cast("int").as("frame"),
+        col(hashCol).cast("long").as("hash"))
+      .localCheckpoint(true) // probe side, self side, census, and append
+    val store = spark.read.parquet(storePath)
+
+    val pairsStore = Multimodal.frameHashPairs(batch, store,
+        "id", "frame", "hash", bands, bandBits, maxHamming, probeTolerance)
+      // crash-replay guard: a re-run batch whose append landed must
+      // not vote a clip onto its own stored frames
+      .filter(col("target_id") =!= col("probe_id"))
+    val pairsBatch = Multimodal.frameHashPairs(batch, batch,
+        "id", "frame", "hash", bands, bandBits, maxHamming, probeTolerance)
+      .filter(col("target_id") < col("probe_id"))
+
+    val nf = batch.groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
+    val votes = pairsStore.unionByName(pairsBatch)
+      .select(col("probe_id"), col("target_id"), col("probe_frame")).distinct()
+      .groupBy(col("probe_id"), col("target_id")).agg(count(lit(1)).as("votes"))
+    val judged = votes
+      .join(nf.select(col("id").as("probe_id"), col("n_frames")), "probe_id")
+      .filter(col("votes") >= lit(voteFrac) * col("n_frames"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id"))
+      .orderBy(col("votes").desc, col("target_id").asc)
+    val best = judged.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("probe_id").as("id"), col("target_id").as("dup_of"), col("votes"))
+
+    val decisions = nf
+      .join(best, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_frames"), col("dup_of"), col("votes"))
+      .localCheckpoint(true) // pin BEFORE the store grows underneath it
+
+    if (appendUnique) {
+      batch.join(decisions.filter(col("dup_of").isNotNull)
+          .select(col(idCol).as("id")), Seq("id"), "left_anti")
+        .write.mode("append").parquet(storePath)
+    }
+    decisions
+  }
+
+  // replay bookkeeping — the IncrementalHashDedup sibling-marker protocol
+  private def markerFor(storePath: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"$storePath.applied", s"batch-$batchId")
+
+  def batchApplied(spark: SparkSession, storePath: String, batchId: Long): Boolean = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.exists(markerFor(storePath, batchId))
+  }
+
+  def markApplied(spark: SparkSession, storePath: String, batchId: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.create(markerFor(storePath, batchId), true).close()
+  }
+
+  /** Compact per-batch append files; replay-duplicated (id, frame)
+    * rows collapse (frame hashes are pure functions of the payload).
+    * Crash-safe via AtomicSwap. */
+  def compactStore(spark: SparkSession, storePath: String,
+                   targetFiles: Int = 8): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    graft.hfc.AtomicSwap.recoverDir(fs, storePath)
+    val staging = graft.hfc.AtomicSwap.stagingFor(storePath)
+    spark.read.parquet(storePath)
+      .dropDuplicates("id", "frame")
+      .repartition(targetFiles)
+      .write.mode("overwrite").parquet(staging)
+    graft.hfc.AtomicSwap.commitDir(fs, storePath, staging)
+  }
+}

@@ -2222,17 +2222,24 @@ object PipelineQueries {
     * all-pairs verify, and the vote threshold end to end, so the vote
     * semantics (distinct-frame ballots, most-votes-then-smallest-id
     * tie-break) are pinned cross-engine. */
-  def videoNearDupVote(t: Tables): DataFrame = {
+  /** The stub's per-frame hashes: qm05's 4 strided frame slices per
+    * doc, each hashed with the 56-bit stub dHash — shared by qm11 and
+    * qm12. */
+  private def stubFrameHashes(t: Tables): DataFrame = {
     import t.spark.implicits._
     val n = greatest(length($"text"), lit(1)).cast("long")
     val s = greatest(floor(length($"text") / lit(4)).cast("long"), lit(1L))
-    val frames = t.documents.select($"doc_id", $"text", n.as("n"), s.as("s"))
+    t.documents.select($"doc_id", $"text", n.as("n"), s.as("s"))
       .select($"doc_id", $"text", $"n", $"s",
         explode(sequence(lit(0L), lit(3L))).as("frame_idx"))
       .withColumn("from", least($"frame_idx" * $"s", $"n" - 1))
       .withColumn("frame", $"text".substr(($"from" + 1).cast("int"), $"s".cast("int")))
       .select($"doc_id", $"frame_idx", Multimodal.textDhash56($"frame").as("fhash"))
-    Multimodal.frameVoteNearDup(frames, "doc_id", "frame_idx", "fhash",
+  }
+
+  def videoNearDupVote(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    Multimodal.frameVoteNearDup(stubFrameHashes(t), "doc_id", "frame_idx", "fhash",
       bands = 4, bandBits = 14, maxHamming = 3, voteFrac = 0.5)
       .orderBy($"doc_id")
   }
@@ -2268,6 +2275,75 @@ object PipelineQueries {
        |      ORDER BY votes DESC, a_id ASC) rn FROM judged) WHERE rn = 1)
        |SELECT nf.doc_id, nf.n_frames, best.dup_of, best.votes,
        |  best.dup_of IS NOT NULL AS is_dup
+       |FROM nf LEFT JOIN best USING (doc_id) ORDER BY nf.doc_id""".stripMargin
+
+  /** qm12: the incremental frame-vote VIDEO dedup store gated end to
+    * end — the qm07/qm09 move at the frame grain: even doc ids seed a
+    * REAL (id, frame, hash) parquet store
+    * ([[graft.operators.IncrementalFrameDedup]]), odd ids arrive as
+    * one batch, and the DuckDB oracle replays the incremental vote
+    * semantics from scratch — batch clips may vote onto store clips or
+    * SMALLER-id batch mates, votes count DISTINCT batch frames within
+    * hamming ≤ 3, threshold ≥ half the clip's frames, best = most
+    * votes then smallest id. Exercises the frame-store parquet
+    * round-trip, the store-side exact banding, and the vote tie-break
+    * in one gate row. */
+  def videoDedupIncrementalVote(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val frames = stubFrameHashes(t)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qm12")
+    val store = tmp.toString + "/store"
+    graft.operators.IncrementalFrameDedup.initStore(
+      frames.filter($"doc_id" % 2 === 0), store, idCol = "doc_id")
+    // appendUnique=false: read-only gate query over a throwaway store
+    // (decisions pin with an eager localCheckpoint inside dedupBatch)
+    val decisions = graft.operators.IncrementalFrameDedup.dedupBatch(
+        frames.filter($"doc_id" % 2 =!= 0), store,
+        bands = 4, bandBits = 14, maxHamming = 3, voteFrac = 0.5,
+        idCol = "doc_id", appendUnique = false)
+      .orderBy($"doc_id")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    decisions
+  }
+
+  val videoDedupIncrementalVoteSql: String =
+    s"""WITH d AS (SELECT doc_id, text,
+       |    CAST(greatest(length(text), 1) AS BIGINT) AS n,
+       |    CAST(greatest(length(text) // 4, 1) AS BIGINT) AS s
+       |  FROM documents),
+       |fr AS (SELECT doc_id, r.i AS frame_idx,
+       |    substr(text, CAST(least(r.i * s, n - 1) AS INT) + 1, CAST(s AS INT)) AS text
+       |  FROM d CROSS JOIN range(4) r(i)),
+       |fx AS (SELECT doc_id, frame_idx, text,
+       |    CAST(greatest(length(text), 1) AS BIGINT) AS n,
+       |    CAST(greatest(length(text) // 64, 1) AS BIGINT) AS s
+       |  FROM fr),
+       |h AS (SELECT doc_id, frame_idx, ${Multimodal.textDhash56Sql} AS fhash FROM fx),
+       |hb AS (SELECT doc_id, frame_idx, fhash, r.i AS band,
+       |    (fhash >> CAST(14 * r.i AS INT)) & 16383 AS bkey
+       |  FROM h CROSS JOIN range(4) r(i)),
+       |sb AS (SELECT * FROM hb WHERE doc_id % 2 = 0),
+       |bb AS (SELECT * FROM hb WHERE doc_id % 2 <> 0),
+       |pair AS (
+       |  SELECT b.doc_id new_id, b.frame_idx b_frame, s.doc_id old_id,
+       |    b.fhash ph, s.fhash th
+       |  FROM bb b JOIN sb s ON b.band = s.band AND b.bkey = s.bkey
+       |  UNION
+       |  SELECT b.doc_id, b.frame_idx, b2.doc_id, b.fhash, b2.fhash
+       |  FROM bb b JOIN bb b2 ON b.band = b2.band AND b.bkey = b2.bkey
+       |    AND b2.doc_id < b.doc_id),
+       |hits AS (SELECT DISTINCT new_id, old_id, b_frame FROM pair
+       |  WHERE bit_count(xor(ph, th)) <= 3),
+       |votes AS (SELECT new_id, old_id, CAST(COUNT(*) AS BIGINT) votes
+       |  FROM hits GROUP BY 1, 2),
+       |nf AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_frames FROM h
+       |  WHERE doc_id % 2 <> 0 GROUP BY 1),
+       |judged AS (SELECT v.new_id, v.old_id, v.votes FROM votes v
+       |  JOIN nf ON nf.doc_id = v.new_id WHERE v.votes >= 0.5 * nf.n_frames),
+       |best AS (SELECT new_id doc_id, old_id dup_of, votes FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY new_id
+       |      ORDER BY votes DESC, old_id ASC) rn FROM judged) WHERE rn = 1)
+       |SELECT nf.doc_id, nf.n_frames, best.dup_of, best.votes
        |FROM nf LEFT JOIN best USING (doc_id) ORDER BY nf.doc_id""".stripMargin
 
   /** qx02: the MULTIMODAL corpus build COMPOSED end to end — the batch
@@ -3114,6 +3190,7 @@ object PipelineQueries {
     "qm09_image_dedup_incr_mih" -> ((s: SparkSession, d: String) => imageDedupIncrementalMih(Tables(s, d))),
     "qm10_audio_neardup_wide" -> ((s: SparkSession, d: String) => audioNearDupWide(Tables(s, d))),
     "qm11_video_neardup_vote" -> ((s: SparkSession, d: String) => videoNearDupVote(Tables(s, d))),
+    "qm12_video_dedup_incr_vote" -> ((s: SparkSession, d: String) => videoDedupIncrementalVote(Tables(s, d))),
     "qx02_multimodal_corpus_build" -> ((s: SparkSession, d: String) => multimodalCorpusBuild(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
     "qe02_interval_join"   -> ((s: SparkSession, d: String) => viewPurchaseFunnel(Tables(s, d))),
@@ -3193,6 +3270,7 @@ object PipelineQueries {
     "qm09_image_dedup_incr_mih" -> imageDedupIncrementalMihSql,
     "qm10_audio_neardup_wide" -> audioNearDupWideSql,
     "qm11_video_neardup_vote" -> videoNearDupVoteSql,
+    "qm12_video_dedup_incr_vote" -> videoDedupIncrementalVoteSql,
     "qx02_multimodal_corpus_build" -> multimodalCorpusBuildSql,
     "qe01_sessionize"      -> sessionizedSql,
     "qe02_interval_join"   -> viewPurchaseFunnelSql,

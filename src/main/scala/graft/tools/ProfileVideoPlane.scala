@@ -276,45 +276,24 @@ object ProfileVideoPlane {
       require(sentinels == nCorrupt,
         s"cannot-judge sentinel rows $sentinels != planted corrupt $nCorrupt")
 
-      // ---- incremental: 4 waves over a frame-hash store ----
-      // The qm09 shape at the FRAME grain: each wave's frames probe the
-      // stored history via frameHashPairs (store side exact-banded —
-      // the side that grows forever never fans out) plus the wave's own
-      // smaller-clip frames, then the same distinct-frame vote decides.
+      // ---- incremental: 4 waves through the PRODUCTION frame store ----
+      // IncrementalFrameDedup: each wave's frames probe the stored
+      // history (store side exact-banded — the side that grows forever
+      // never fans out) plus the wave's own smaller-clip frames, then
+      // the same distinct-frame vote decides; unique clips' frames
+      // append.
       val store = s"$work/framestore_$n"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
-      hashed.limit(0).write.mode("overwrite").parquet(store)
+      graft.operators.IncrementalFrameDedup.initStore(hashed.limit(0), store)
       val nWaves = 4
-      val nf = hashed.groupBy($"clip_id").agg(count(lit(1)).as("n_frames"))
-        .localCheckpoint(true)
       val waveDecisions = (0 until nWaves).map { wv =>
         val wave = hashed.filter($"clip_id" % nWaves === wv)
-          .localCheckpoint(true)
         val d = timed(s"incr-wave$wv") {
-          val storeFrames = spark.read.parquet(store)
-          val pairsStore = Multimodal.frameHashPairs(wave, storeFrames,
-            "clip_id", "frame_idx", "fhash", bands = 8, bandBits = 8,
-            maxHamming = 6)
-          val pairsBatch = Multimodal.frameHashPairs(wave, wave,
-            "clip_id", "frame_idx", "fhash", bands = 8, bandBits = 8,
-            maxHamming = 6)
-            .filter($"target_id" < $"probe_id")
-          val votes = pairsStore.unionByName(pairsBatch)
-            .select($"probe_id", $"target_id", $"probe_frame").distinct()
-            .groupBy($"probe_id", $"target_id").agg(count(lit(1)).as("votes"))
-          val judged = votes
-            .join(nf.select($"clip_id".as("probe_id"), $"n_frames"), "probe_id")
-            .filter($"votes" >= lit(0.5) * $"n_frames")
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy($"probe_id").orderBy($"votes".desc, $"target_id".asc)
-          val dd = judged.withColumn("rn", row_number().over(w))
-            .filter($"rn" === 1)
-            .select($"probe_id".as("clip_id"), $"target_id".as("dup_of"))
-          val dec = wave.select($"clip_id").distinct()
-            .join(dd, Seq("clip_id"), "left")
-            .localCheckpoint(true) // pin before the store grows
-          wave.write.mode("append").parquet(store)
-          dec
+          val dd = graft.operators.IncrementalFrameDedup.dedupBatch(
+            wave, store, bands = 8, bandBits = 8, maxHamming = 6,
+            voteFrac = 0.5)
+          dd.count()
+          dd
         }
         d.withColumn("wave", lit(wv))
       }.reduce(_ unionByName _)
@@ -328,11 +307,49 @@ object ProfileVideoPlane {
       evalDecisions(waveDecisions.select($"clip_id", $"dup_of"),
         expectedIncr, "incremental")
 
+      // ---- incremental, MIH store mode (4 x 16-bit, hamming <= 6) ----
+      // The regime CONTRAST, not a presumed fix: on uniform hashes
+      // (ProfileMihStore, xxhash64 draws) wide buckets win at multi-M
+      // stores; on REAL perceptual hashes band keys are highly
+      // non-uniform (smooth fields concentrate few key values), so
+      // candidate volume follows the key-occupancy second moment and
+      // the MIH probe fan-out (x17/band) multiplies into the same hot
+      // buckets — measured at 100k clips: MIH waves ~2.6x the narrow
+      // walls, same decisions. Both regimes grow ~linearly with the
+      // store's resident near-dup mass (the verify-bound price of
+      // recall 1.0); pick the regime by measured band-key occupancy.
+      val storeMih = s"$work/framestore_mih_$n"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storeMih))
+      graft.operators.IncrementalFrameDedup.initStore(hashed.limit(0), storeMih)
+      val waveDecisionsMih = (0 until nWaves).map { wv =>
+        val wave = hashed.filter($"clip_id" % nWaves === wv)
+        val d = timed(s"incr-mih-wave$wv") {
+          val dd = graft.operators.IncrementalFrameDedup.dedupBatch(
+            wave, storeMih, bands = 4, bandBits = 16, maxHamming = 6,
+            voteFrac = 0.5, probeTolerance = 1)
+          dd.count()
+          dd
+        }
+        d.withColumn("wave", lit(wv))
+      }.reduce(_ unionByName _)
+      evalDecisions(waveDecisionsMih.select($"clip_id", $"dup_of"),
+        expectedIncr, "incremental-mih")
+
       val pipeline = walls.filter(_._1 != "generate").values.sum
       println(f"[vid] PIPELINE TOTAL (meta+hash+funnels+incr): $pipeline%8.2f s = ${n / pipeline}%9.1f clip/s")
       summary += s"""{"n":$n,""" +
         walls.map { case (k, v) => s""""$k":${math.rint(v * 100) / 100}""" }.mkString(",") +
         s""","us_per_clip_hash":${math.rint(walls("frames+hash") * 1e8 / n) / 100}}"""
+      // release this size's pinned localCheckpoint blocks before the
+      // next size measures: the checkpointed frames/decisions become
+      // unreachable here, but ContextCleaner only drops their blocks
+      // after a GC cycle — without this, block pressure from earlier
+      // sizes distorted later incremental-wave walls by up to 10x
+      // (measured: 30k wave3 at 31.9 s inside a 4-size sweep vs 2.4 s
+      // isolated, identical shuffle volumes)
+      System.gc()
+      Thread.sleep(2000)
+      System.gc()
     }
 
     println("\n[vid] ==== summary ====")

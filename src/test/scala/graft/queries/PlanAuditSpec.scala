@@ -466,6 +466,39 @@ class PlanAuditSpec extends SparkTestBase {
       s"unique survivors must be a materialized frame:\n$p")
   }
 
+  test("qm11: the frame-vote funnel shuffles on (band, bkey) only; frame payloads never exchange") {
+    val p = plan(PipelineQueries.videoNearDupVote(t))
+    // frames hash scan-locally and checkpoint as (id, frame_idx, fhash)
+    // before the funnel — the pair join starts from a materialized frame
+    assert(p.contains("Scan ExistingRDD"),
+      s"frame hashes must be a materialized narrow frame:\n$p")
+    val parts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    // the candidate join keys on (band, bkey): at tiny SF one side
+    // broadcasts (no exchange at all — better); at scale it shuffles
+    // on exactly that key, never anything carrying payload
+    assert(parts.exists(k => k.contains("band") && k.contains("bkey")) ||
+      p.contains("BroadcastHashJoin"),
+      s"the candidate join must key on the band bucket (broadcast or shuffle), got: $parts\n$p")
+    // payload columns are `text#N` / `frame#N`; the frame INDEX
+    // (probe_frame#N, frame_idx#N) is an 8-byte long and is fine
+    assert(parts.forall(_.split(",\\s*").forall(c =>
+      !c.startsWith("text#") && !c.startsWith("frame#"))),
+      s"frame payloads/text must never shuffle: $parts")
+    assert(!p.contains("CartesianProduct"), s"never all-pairs:\n$p")
+  }
+
+  test("qx02: one metadata scan feeds both dedup legs; corpus bytes never shuffle") {
+    val p = plan(PipelineQueries.multimodalCorpusBuild(t))
+    assert(p.contains("Scan ExistingRDD"),
+      s"the wc/tl/md5/phash projection must be a materialized ~120 B/doc frame:\n$p")
+    val parts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(parts.forall(k => !k.contains("text")),
+      s"corpus bytes must never enter an exchange: $parts")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("J1: delta-to-repo_file join shuffles on the COMPOSITE (repo_id, filename) key") {
     // the skew-tolerance property (round-11 verdict #5): a mega repo's
     // rows diffuse across partitions because the shuffle key is
