@@ -495,7 +495,11 @@ object EventStreams {
     *   3. image dedup: survivors WITH a hash probe the persistent
     *      hamming store ([[graft.operators.IncrementalHashDedup]]),
     *      under its own applied-marker replay protocol;
-    *   4. scrub: docs unique in BOTH modalities run the line census.
+    *   3b. (when `frameStorePath` is set) VIDEO dedup: survivors with
+    *      a non-empty `fhashes` array probe the persistent frame store
+    *      ([[graft.operators.IncrementalFrameDedup]], frame-vote
+    *      decisions), under its own applied-marker protocol;
+    *   4. scrub: docs unique in EVERY judging modality run the census.
     * Output is the qm06-shaped cross-modal verdict per input doc:
     * gate_passed, text dup_of, image_dup_of + image_hamming,
     * `image_judged` (false = the modality could not judge — the qc11
@@ -521,15 +525,29 @@ object EventStreams {
                                minTokens: Int = 20,
                                lineTokens: Int = 10, maxDocFreq: Int = 3,
                                hashBands: Int = 4, hashBandBits: Int = 14,
-                               maxHamming: Int = 3)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+                               maxHamming: Int = 3,
+                               frameStorePath: String = "",
+                               voteFrac: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // frameStorePath non-empty wires the VIDEO leg (round-13): docs
+    // then additionally carry `fhashes: array<long>` — per-sampled-
+    // frame perceptual hashes computed upstream (videoFrames → dhash64
+    // on real corpora; empty array = no/undecodable video, the
+    // cannot-judge sentinel). The leg probes a persistent frame store
+    // ([[graft.operators.IncrementalFrameDedup]]) under its own
+    // applied-marker protocol and adds video_dup_of/video_votes/
+    // video_judged to the verdict; `kept` stays strict across every
+    // judging modality.
+    val hasVideo = frameStorePath.nonEmpty
     docs.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val spark = batch0.sparkSession
-        val gated = batch0.select(col("doc_id"), col("text"), col("phash"),
-            size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("wc"),
-            length(trim(col("text"))).cast("long").as("tl"))
+        val baseCols = Seq(col("doc_id"), col("text"), col("phash"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("wc"),
+          length(trim(col("text"))).cast("long").as("tl"))
+        val gated = batch0.select(
+            (if (hasVideo) baseCols :+ col("fhashes") else baseCols): _*)
           .withColumn("gate_passed",
             col("wc") >= minTokens && col("tl") >= col("wc") * 3 && col("tl") <= col("wc") * 12)
           .localCheckpoint()
@@ -552,10 +570,29 @@ object EventStreams {
           .select(col("doc_id"), col("dup_of").as("image_dup_of"),
             col("hamming").as("image_hamming"))
 
-        val survivors = passDocs
+        val appliedV = hasVideo && graft.operators.IncrementalFrameDedup
+          .batchApplied(spark, frameStorePath, batchId)
+        val vd = if (!hasVideo) null else {
+          val frames = gated
+            .filter(col("gate_passed") && size(col("fhashes")) > 0)
+            .select(col("doc_id"),
+              posexplode(col("fhashes")).as(Seq("frame_idx", "fhash")))
+          graft.operators.IncrementalFrameDedup
+            .dedupBatch(frames, frameStorePath,
+              bands = hashBands, bandBits = hashBandBits, maxHamming = maxHamming,
+              voteFrac = voteFrac, idCol = "doc_id", frameCol = "frame_idx",
+              hashCol = "fhash", appendUnique = !appliedV)
+            .select(col("doc_id"), col("dup_of").as("video_dup_of"),
+              col("votes").as("video_votes"))
+        }
+
+        val survivors0 = passDocs
           .join(dd.filter(col("dup_of").isNull).select(col("doc_id")), Seq("doc_id"))
           .join(hd.filter(col("image_dup_of").isNotNull).select(col("doc_id")),
             Seq("doc_id"), "left_anti")
+        val survivors = if (!hasVideo) survivors0
+          else survivors0.join(vd.filter(col("video_dup_of").isNotNull)
+            .select(col("doc_id")), Seq("doc_id"), "left_anti")
 
         val counted = graft.operators.IncrementalLineCensus
           .batchCounted(spark, censusStorePath, batchId)
@@ -564,20 +601,29 @@ object EventStreams {
             updateStore = !counted, batchAlreadyCounted = counted,
             batchMarker = if (counted) None else Some(batchId))
 
-        gated.select(col("doc_id"), col("gate_passed"),
-            // judged = the doc actually probed the hamming store: gate
-            // failures never reach it, so phash.isNotNull alone would
-            // report a gate-failed doc as 'probed and found unique'
-            (col("gate_passed") && col("phash").isNotNull).as("image_judged"))
+        val judgedCols = Seq(col("doc_id"), col("gate_passed"),
+          // judged = the doc actually probed the store: gate failures
+          // never reach it, so phash.isNotNull alone would report a
+          // gate-failed doc as 'probed and found unique'
+          (col("gate_passed") && col("phash").isNotNull).as("image_judged")) ++
+          (if (hasVideo)
+            Seq((col("gate_passed") && size(col("fhashes")) > 0).as("video_judged"))
+          else Nil)
+        val verdict0 = gated.select(judgedCols: _*)
           .join(dd, Seq("doc_id"), "left")
           .join(hd, Seq("doc_id"), "left")
+        val verdict1 = if (!hasVideo) verdict0
+          else verdict0.join(vd, Seq("doc_id"), "left")
+        val videoDup = if (hasVideo) col("video_dup_of").isNotNull else lit(false)
+        verdict1
           .join(scrub, Seq("doc_id"), "left")
           .withColumn("text_dup", col("dup_of").isNotNull)
           .withColumn("image_dup", col("image_dup_of").isNotNull)
           .withColumn("n_modalities",
-            col("text_dup").cast("int") + col("image_dup").cast("int"))
+            col("text_dup").cast("int") + col("image_dup").cast("int") +
+              (if (hasVideo) videoDup.cast("int") else lit(0)))
           .withColumn("kept",
-            col("gate_passed") && !col("text_dup") && !col("image_dup"))
+            col("gate_passed") && !col("text_dup") && !col("image_dup") && !videoDup)
           .withColumn("batch_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -587,8 +633,11 @@ object EventStreams {
           graft.operators.IncrementalDedup.markApplied(spark, dedupStorePath, batchId)
         if (!appliedH)
           graft.operators.IncrementalHashDedup.markApplied(spark, hashStorePath, batchId)
+        if (hasVideo && !appliedV)
+          graft.operators.IncrementalFrameDedup.markApplied(spark, frameStorePath, batchId)
         ()
       }
+  }
 
   /** Stream-stream interval join: pair each left event with right
     * events of the same user arriving within `[0, maxDelay]` after it.

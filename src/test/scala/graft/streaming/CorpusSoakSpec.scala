@@ -178,76 +178,104 @@ class CorpusSoakSpec extends SparkTestBase {
   /** Pairwise-distant synthetic 64-bit perceptual hash for wave w. */
   private def waveHash(w: Int): Long = 0x9E3779B97F4A7C15L * (w + 17)
 
-  /** Waves of (doc_id, text, phash): per wave a fresh unique
-    * (text+hash), and injected text-only dups (same text, fresh hash),
-    * image-only dups (fresh text, 1-2 bit hash flip of an earlier
-    * unique), both-modality dups, null-hash docs (modality cannot
-    * judge), gate-fails, and census hot lines. */
-  private def mkMultimodalWaves(seed: Long): IndexedSeq[Seq[(Long, String, Option[Long])]] = {
+  /** Pairwise-distant 56-bit frame hashes for wave w (4 sampled frames;
+    * masked positive so band math matches the stub-hash width). */
+  private def waveFrameHashes(w: Int): Seq[Long] =
+    (0 until 4).map(i => (0xC2B2AE3D27D4EB4FL * (w * 4 + i + 31)) & ((1L << 56) - 1))
+
+  /** Waves of (doc_id, text, phash, fhashes): per wave a fresh unique
+    * (text+hash+frames), and injected text-only dups (same text, fresh
+    * media), image-only dups (fresh text/frames, 1-2 bit phash flip of
+    * an earlier unique), VIDEO-only dups (fresh text/phash, an earlier
+    * unique's frame hashes with 1-bit flips on two frames — votes 4/4
+    * at hamming ≤ 3), both-modality dups, media-absent docs (null
+    * phash + empty fhashes: neither store can judge), gate-fails, and
+    * census hot lines. */
+  private def mkMultimodalWaves(seed: Long)
+      : IndexedSeq[Seq[(Long, String, Option[Long], Seq[Long])]] = {
     val rnd = new scala.util.Random(seed)
-    val uniques = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val uniques = scala.collection.mutable.ArrayBuffer[(Long, String, Long, Seq[Long])]()
     (0 until NWaves).map { w =>
-      val docs = scala.collection.mutable.ArrayBuffer[(Long, String, Option[Long])]()
+      val docs = scala.collection.mutable.ArrayBuffer[(Long, String, Option[Long], Seq[Long])]()
       val uid = 1000L + w
       val utext = (0 until 8).map(t => s"w${w}t${t}x${rnd.nextInt(1000)}").mkString(" ")
       val uhash = waveHash(w)
-      uniques += ((uid, utext, uhash))
-      docs += ((uid, utext, Some(uhash)))
-      if (w > 0 && rnd.nextBoolean()) {           // text-only dup
-        val (_, stext, _) = uniques(rnd.nextInt(uniques.size - 1))
-        docs += ((2000L + w, stext, Some(waveHash(w) ^ 0xAAAA000000000000L)))
+      val uframes = waveFrameHashes(w)
+      uniques += ((uid, utext, uhash, uframes))
+      docs += ((uid, utext, Some(uhash), uframes))
+      if (w > 0 && rnd.nextBoolean()) {           // text-only dup (media cannot judge)
+        val (_, stext, _, _) = uniques(rnd.nextInt(uniques.size - 1))
+        docs += ((2000L + w, stext, Some(waveHash(w) ^ 0xAAAA000000000000L), Seq.empty))
       }
       if (w > 0 && rnd.nextInt(3) != 0) {         // image-only dup (hamming 1-2)
-        val (_, _, shash) = uniques(rnd.nextInt(uniques.size - 1))
+        val (_, _, shash, _) = uniques(rnd.nextInt(uniques.size - 1))
         val flip = if (rnd.nextBoolean()) 1L << rnd.nextInt(64)
                    else (1L << rnd.nextInt(32)) | (1L << (32 + rnd.nextInt(32)))
         docs += ((5000L + w, (0 until 8).map(t => s"i${w}f${t}y${rnd.nextInt(1000)}").mkString(" "),
-          Some(shash ^ flip)))
+          Some(shash ^ flip), waveFrameHashes(w + 200)))
       }
-      if (w > 2 && w % 5 == 0) {                  // both modalities agree
-        val (_, stext, shash) = uniques(rnd.nextInt(uniques.size - 1))
-        docs += ((6000L + w, stext, Some(shash ^ (1L << rnd.nextInt(64)))))
+      if (w > 1 && rnd.nextInt(3) == 0) {         // VIDEO-only dup (frame votes 4/4)
+        val (_, _, _, sframes) = uniques(rnd.nextInt(uniques.size - 1))
+        val vframes = sframes.zipWithIndex.map { case (f, i) =>
+          if (i % 2 == 0) f ^ (1L << rnd.nextInt(56)) else f
+        }
+        docs += ((8000L + w, (0 until 8).map(t => s"v${w}q${t}r${rnd.nextInt(1000)}").mkString(" "),
+          Some(waveHash(w + 100)), vframes))
+      }
+      if (w > 2 && w % 5 == 0) {                  // text+image modalities agree
+        val (_, stext, shash, _) = uniques(rnd.nextInt(uniques.size - 1))
+        docs += ((6000L + w, stext, Some(shash ^ (1L << rnd.nextInt(64))), Seq.empty))
       }
       if (w % 4 == 1)                             // media absent: cannot judge
-        docs += ((7000L + w, (0 until 8).map(t => s"n${w}m${t}z${rnd.nextInt(1000)}").mkString(" "), None))
-      if (rnd.nextInt(3) == 0) docs += ((3000L + w, "hi", Some(waveHash(w) ^ 0x5555L)))
+        docs += ((7000L + w, (0 until 8).map(t => s"n${w}m${t}z${rnd.nextInt(1000)}").mkString(" "),
+          None, Seq.empty))
+      if (rnd.nextInt(3) == 0)
+        docs += ((3000L + w, "hi", Some(waveHash(w) ^ 0x5555L), Seq.empty))
       if (w % 4 == 2)
-        docs += ((4000L + w, s"hot line\nw${w} fresh tail content here extra", None))
+        docs += ((4000L + w, s"hot line\nw${w} fresh tail content here extra", None, Seq.empty))
       docs.toSeq
     }
   }
 
   private final case class MmFinalState(
-      decisions: Map[Long, (Boolean, Option[Long], Option[Long], Int, Boolean)],
-      dedupIds: Set[Long], hashStore: Set[(Long, Long)], census: Map[String, Long])
+      decisions: Map[Long, (Boolean, Option[Long], Option[Long], Option[Long], Int, Boolean)],
+      dedupIds: Set[Long], hashStore: Set[(Long, Long)],
+      frameStore: Set[(Long, Int, Long)], census: Map[String, Long])
 
   /** Drive the multimodal waves, optionally injecting a TORN COMPACT of
-    * the hamming store (crash between commitDir's two renames: old
-    * present, staging complete, target absent — exactly what
-    * IncrementalHashDedup's recoverDir-on-entry must repair) and a
-    * checkpoint loss re-delivering every wave. */
-  private def runMultimodalScenario(waves: IndexedSeq[Seq[(Long, String, Option[Long])]],
+    * BOTH media stores (crash between commitDir's two renames: old
+    * present, staging complete, target absent — exactly what the
+    * recoverDir-on-entry of IncrementalHashDedup AND
+    * IncrementalFrameDedup must repair) and a checkpoint loss
+    * re-delivering every wave. */
+  private def runMultimodalScenario(waves: IndexedSeq[Seq[(Long, String, Option[Long], Seq[Long])]],
                                     base: String, tornCompactAfter: Option[Int],
                                     lossAfter: Option[Int]): MmFinalState = {
     implicit val sqlCtx = spark.sqlContext
     val dedupStore = s"$base/dedup"; val censusStore = s"$base/census"
     val hashStore = s"$base/hashes"; val out = s"$base/decisions"
+    val frameStore = s"$base/frames"
     graft.operators.IncrementalDedup.initStore(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), dedupStore)
     graft.operators.IncrementalLineCensus.initStore(
       Seq.empty[(Long, String)].toDF("doc_id", "text"), censusStore, LineTokens)
     graft.operators.IncrementalHashDedup.initStore(
       Seq.empty[(Long, Long)].toDF("doc_id", "phash"), hashStore)
+    graft.operators.IncrementalFrameDedup.initStore(
+      Seq.empty[(Long, Int, Long)].toDF("doc_id", "frame_idx", "fhash"), frameStore,
+      idCol = "doc_id", frameCol = "frame_idx", hashCol = "fhash")
 
     var ckptGen = 0
-    def startQuery(): (MemoryStream[(Long, String, Option[Long])],
+    def startQuery(): (MemoryStream[(Long, String, Option[Long], Seq[Long])],
                        org.apache.spark.sql.streaming.StreamingQuery) = {
-      val mem = MemoryStream[(Long, String, Option[Long])]
+      val mem = MemoryStream[(Long, String, Option[Long], Seq[Long])]
       val q = EventStreams.multimodalPipelineStream(
-        mem.toDF.toDF("doc_id", "text", "phash"), dedupStore, censusStore, hashStore,
+        mem.toDF.toDF("doc_id", "text", "phash", "fhashes"),
+        dedupStore, censusStore, hashStore,
         out, threshold = Threshold, minTokens = MinTokens,
         lineTokens = LineTokens, maxDocFreq = MaxDocFreq,
-        hashBands = 4, hashBandBits = 14, maxHamming = 3)
+        hashBands = 4, hashBandBits = 14, maxHamming = 3,
+        frameStorePath = frameStore)
         .option("checkpointLocation", s"$base/ckpt$ckptGen")
         .start()
       ckptGen += 1
@@ -267,9 +295,13 @@ class CorpusSoakSpec extends SparkTestBase {
             // staging = the compacted content (complete), old = the
             // pre-compact store, target ABSENT. recoverDir must roll
             // forward; the sibling marker dir is untouched by design.
-            val staging = graft.hfc.AtomicSwap.stagingFor(hashStore)
-            FileUtils.copyDirectory(new File(hashStore), new File(staging))
-            FileUtils.moveDirectory(new File(hashStore), new File(hashStore + ".old"))
+            // Tear BOTH media stores — each operator's recoverDir-on-
+            // entry must repair its own.
+            for (st <- Seq(hashStore, frameStore)) {
+              val staging = graft.hfc.AtomicSwap.stagingFor(st)
+              FileUtils.copyDirectory(new File(st), new File(staging))
+              FileUtils.moveDirectory(new File(st), new File(st + ".old"))
+            }
           }
           val restarted = startQuery()
           mem = restarted._1; q = restarted._2
@@ -283,11 +315,12 @@ class CorpusSoakSpec extends SparkTestBase {
 
     val dec = spark.read.parquet(out)
       .select($"doc_id", $"gate_passed", $"dup_of", $"image_dup_of",
-        $"n_modalities", $"kept")
+        $"video_dup_of", $"n_modalities", $"kept")
       .collect()
       .map(r => (r.getLong(0),
         (r.getBoolean(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
-         Option(r.get(3)).map(_.asInstanceOf[Long]), r.getInt(4), r.getBoolean(5))))
+         Option(r.get(3)).map(_.asInstanceOf[Long]),
+         Option(r.get(4)).map(_.asInstanceOf[Long]), r.getInt(5), r.getBoolean(6))))
     val byDoc = dec.groupBy(_._1).map { case (id, rows) =>
       val distinct = rows.map(_._2).distinct
       assert(distinct.size == 1,
@@ -297,10 +330,11 @@ class CorpusSoakSpec extends SparkTestBase {
     MmFinalState(byDoc,
       spark.read.parquet(dedupStore).select("id").as[Long].collect().toSet,
       spark.read.parquet(hashStore).as[(Long, Long)].collect().toSet,
+      spark.read.parquet(frameStore).as[(Long, Int, Long)].collect().toSet,
       spark.read.parquet(censusStore).as[(String, Long)].collect().toMap)
   }
 
-  test("multimodal 20-wave soak: torn hash-store compact + checkpoint loss converge") {
+  test("multimodal 20-wave soak: torn compacts of BOTH media stores + checkpoint loss converge") {
     val gen = org.scalacheck.Gen.choose(2, NWaves - 3)
     val seed = org.scalacheck.rng.Seed(4242L)
     val crashAt = gen.apply(org.scalacheck.Gen.Parameters.default, seed).get
@@ -320,14 +354,17 @@ class CorpusSoakSpec extends SparkTestBase {
       "signature store must not gain or lose ids under faults")
     assert(faulted.hashStore == reference.hashStore,
       "hamming store content (as a set — replay bloat collapses) must match")
+    assert(faulted.frameStore == reference.frameStore,
+      "frame store content (as a set — replay bloat collapses) must match")
     assert(faulted.census == reference.census,
       "line census must not double-count under faults")
     // sanity: every modality combination actually occurred
     val decs = reference.decisions.values
-    assert(decs.exists(d => d._2.isDefined && d._3.isEmpty), "no text-only dup")
-    assert(decs.exists(d => d._3.isDefined && d._2.isEmpty), "no image-only dup")
-    assert(decs.exists(_._4 == 2), "no both-modality dup")
-    assert(reference.decisions.exists { case (id, d) => id >= 7000L && d._5 },
+    assert(decs.exists(d => d._2.isDefined && d._3.isEmpty && d._4.isEmpty), "no text-only dup")
+    assert(decs.exists(d => d._3.isDefined && d._2.isEmpty && d._4.isEmpty), "no image-only dup")
+    assert(decs.exists(d => d._4.isDefined && d._2.isEmpty && d._3.isEmpty), "no VIDEO-only dup")
+    assert(decs.exists(_._5 == 2), "no both-modality dup")
+    assert(reference.decisions.exists { case (id, d) => id >= 7000L && id < 8000L && d._6 },
       "no kept null-hash doc (the cannot-judge modality must not drop rows)")
     FileUtils.deleteDirectory(new File(root))
   }
