@@ -908,6 +908,34 @@ object Multimodal {
         coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
+  /** Per-clip frame-hash ARRAY — the stream-input shape of the video
+    * plane ([[graft.streaming.EventStreams.multimodalPipelineStream]]'s
+    * `fhashes` column): decode, sample up to `n` frames, [[dhash64]]
+    * each, all inside ONE partition-local pass (no explode, no
+    * shuffle, media bytes never leave the scan). Undecodable clips —
+    * and clips whose every frame fails to hash — yield an EMPTY array,
+    * the stream's cannot-judge sentinel; per-frame failures drop just
+    * that frame. Output: (media_id, fhashes). */
+  def withFrameHashes(df: DataFrame, binCol: String, idCol: String, n: Int,
+                      decoder: VideoDecoder = FailSoftVideo(Y4mDecoder)): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", df.schema(idCol).dataType),
+      StructField("fhashes", ArrayType(LongType, containsNull = false),
+        nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val hashes = decoder.frames(r.getAs[Array[Byte]](binIdx), n).flatMap { fr =>
+          try Some(dhash64(fr))
+          catch { case scala.util.control.NonFatal(_) => None }
+        }
+        Row(r.get(idIdx), hashes)
+      }
+    }(enc)
+  }
+
   // ---- columnar stub twins (oracle-replayable decode math) ----
   //
   // The gate queries need hashes BOTH engines can compute; these mirror

@@ -182,6 +182,45 @@ object ProfileAudioPlane {
       }
       evalFunnel("funnel-fp32", fps, bandBits = 8)
       evalFunnel("funnel-fp64", fps64, bandBits = 16)
+
+      // ---- incremental: 4 waves through the hamming store (fp64) ----
+      // the audio twin of the image/video incremental legs: the same
+      // 8-byte-per-clip IncrementalHashDedup store serves the 64-bit
+      // audio fingerprint; wave-aware expectations (the first-arriving
+      // cluster member must stay unique)
+      val store = s"$work/store_$n"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      graft.operators.IncrementalHashDedup.initStore(
+        fps64.filter($"fp".isNotNull).limit(0), store,
+        idCol = "media_id", hashCol = "fp")
+      val nWaves = 4
+      val waveDecisions = (0 until nWaves).map { wv =>
+        val wave = fps64.filter($"fp".isNotNull && $"media_id" % nWaves === wv)
+        timed(s"incr-wave$wv") {
+          val dd = graft.operators.IncrementalHashDedup.dedupBatch(wave, store,
+            bands = 4, bandBits = 16, maxHamming = 2,
+            idCol = "media_id", hashCol = "fp")
+          dd.count()
+          dd
+        }
+      }.reduce(_ unionByName _)
+      val wvOf = truth.withColumn("wave", ($"media_id" % nWaves).cast("int"))
+      val expectedIncr = wvOf
+        .withColumn("arr", struct($"wave", $"media_id"))
+        .withColumn("should_flag", $"arr" =!= min($"arr").over(wMin))
+        .select($"media_id", $"should_flag")
+      val incrJoined = waveDecisions.select($"media_id", $"dup_of")
+        .join(truth, "media_id")
+        .join(truth.select($"media_id".as("dup_of"), $"cluster".as("dup_cluster")),
+          Seq("dup_of"), "left")
+        .join(expectedIncr, "media_id")
+      val iagg = incrJoined.agg(
+        count(when($"dup_of".isNotNull, 1)).as("flagged"),
+        count(when($"dup_of".isNotNull && $"cluster" === $"dup_cluster", 1)).as("tp"),
+        count(when($"should_flag", 1)).as("expected")).head()
+      val (iflag, itp, iexp) = (iagg.getLong(0), iagg.getLong(1), iagg.getLong(2))
+      println(f"[aud] incremental-fp64: flagged=$iflag tp=$itp expected=$iexp " +
+        f"precision=${itp.toDouble / math.max(1, iflag)}%.4f recall=${itp.toDouble / math.max(1, iexp)}%.4f")
       println(f"[aud] per-sample decode+fp: ${walls("decode+fp") * 1e9 / (n * NSamples)}%6.1f ns/sample")
     }
     spark.stop()

@@ -78,6 +78,22 @@ class VideoNearDupSpec extends SparkTestBase {
     assert(narrow == mih, s"narrow=$narrow mih=$mih")
   }
 
+  test("withFrameHashes: the stream-input array shape, scan-local, empty = cannot-judge") {
+    val clips = Seq(
+      (1L, ProfileVideoPlane.y4mClip(5)),
+      (2L, ProfileVideoPlane.y4mClip(5, quantize = true)),
+      (3L, "junk video".getBytes)
+    ).toDF("clip_id", "video")
+    val got = Multimodal.withFrameHashes(clips, "video", "clip_id", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got(1L).size == 8 && got(2L).size == 8)
+    assert(got(3L).isEmpty, "corrupt clip yields the empty-array sentinel")
+    // the re-encoded copy's frames sit within a couple of bits framewise
+    got(1L).zip(got(2L)).foreach { case (a, b) =>
+      assert(java.lang.Long.bitCount(a ^ b) <= 3, s"frame drifted: $a vs $b")
+    }
+  }
+
   test("frameHashPairs guards reject impossible pigeonhole splits") {
     val df = Seq((1L, 0, 1L)).toDF("clip_id", "frame_idx", "fhash")
     intercept[IllegalArgumentException](
