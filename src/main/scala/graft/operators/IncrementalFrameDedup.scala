@@ -21,13 +21,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * best = most votes, ties to the smallest candidate id. Store clips
   * are never re-decided.
   *
-  * Crash/replay contract = IncrementalHashDedup's: the store-side pair
-  * filter drops `target_id == probe_id`, so a replayed batch whose
-  * append already landed never votes a clip onto itself; applied
-  * markers live in a sibling directory; [[compactStore]] reclaims
-  * replay bloat (frame hashes are pure functions of the payload —
-  * duplicates are bit-identical) through the AtomicSwap crash-safe
-  * rename. */
+  * Crash/replay contract: the WHOLE batch's ids are anti-joined out of
+  * the store side (stronger than IncrementalHashDedup's self-pair
+  * filter — the asymmetric vote threshold needs it, see
+  * [[dedupBatch]]), so a replayed batch whose append already landed
+  * re-decides against exactly the original store; applied markers live
+  * in a sibling directory; [[compactStore]] reclaims replay bloat
+  * (frame hashes are pure functions of the payload — duplicates are
+  * bit-identical) through the AtomicSwap crash-safe rename. */
 object IncrementalFrameDedup {
 
   /** Seed the store from (id, frame_idx, hash) rows. */
@@ -44,7 +45,17 @@ object IncrementalFrameDedup {
     * `appendUnique`, the frames of unique clips append to the store
     * after decisions are pinned. `probeTolerance` = 0 is the narrow
     * pigeonhole regime, 1 the MIH regime (batch side probes each band
-    * with its exact key + every single-bit flip; store side unchanged). */
+    * with its exact key + every single-bit flip; store side unchanged).
+    *
+    * Replay guard: the ENTIRE batch's ids are anti-joined out of the
+    * store side, not just self-pairs. The vote relation is ASYMMETRIC
+    * (the threshold is relative to the PROBE's frame count), so
+    * [[IncrementalHashDedup]]'s symmetric argument — any batch mate
+    * within range got flagged itself and therefore never appended —
+    * does not carry over: clip A can clear the threshold against mate
+    * B's frames while B did not against A's, and B's frames land in
+    * the store. A replayed batch must re-see exactly the original
+    * store + smaller-mate relation, so every batch id is masked. */
   def dedupBatch(newFrames: DataFrame, storePath: String,
                  bands: Int = 8, bandBits: Int = 8, maxHamming: Int = 6,
                  voteFrac: Double = 0.5,
@@ -60,30 +71,24 @@ object IncrementalFrameDedup {
     val batch = newFrames
       .select(col(idCol).as("id"), col(frameCol).cast("int").as("frame"),
         col(hashCol).cast("long").as("hash"))
-      .localCheckpoint(true) // probe side, self side, census, and append
+      .localCheckpoint(true) // probe side, target side, census, and append
+    val batchIds = batch.select(col("id")).distinct()
     val store = spark.read.parquet(storePath)
+      .join(broadcast(batchIds), Seq("id"), "left_anti") // the replay guard
 
-    val pairsStore = Multimodal.frameHashPairs(batch, store,
+    // ONE probe-side explosion against the unioned targets (store ∪
+    // batch); store and batch targets are disjoint after the guard, so
+    // batch-side pairs are exactly those whose target is a batch id
+    val pairs = Multimodal.frameHashPairs(batch, store.unionByName(batch),
         "id", "frame", "hash", bands, bandBits, maxHamming, probeTolerance)
-      // crash-replay guard: a re-run batch whose append landed must
-      // not vote a clip onto its own stored frames
-      .filter(col("target_id") =!= col("probe_id"))
-    val pairsBatch = Multimodal.frameHashPairs(batch, batch,
-        "id", "frame", "hash", bands, bandBits, maxHamming, probeTolerance)
-      .filter(col("target_id") < col("probe_id"))
+      .join(broadcast(batchIds.select(col("id").as("target_id"),
+        lit(true).as("from_batch"))), Seq("target_id"), "left")
+      .filter(col("from_batch").isNull || col("target_id") < col("probe_id"))
 
     val nf = batch.groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
-    val votes = pairsStore.unionByName(pairsBatch)
-      .select(col("probe_id"), col("target_id"), col("probe_frame")).distinct()
-      .groupBy(col("probe_id"), col("target_id")).agg(count(lit(1)).as("votes"))
-    val judged = votes
-      .join(nf.select(col("id").as("probe_id"), col("n_frames")), "probe_id")
-      .filter(col("votes") >= lit(voteFrac) * col("n_frames"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("probe_id"))
-      .orderBy(col("votes").desc, col("target_id").asc)
-    val best = judged.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .select(col("probe_id").as("id"), col("target_id").as("dup_of"), col("votes"))
+    val best = Multimodal.voteBest(pairs,
+        nf.select(col("id").as("probe_id"), col("n_frames")), voteFrac)
+      .select(col("probe_id").as("id"), col("dup_of"), col("votes"))
 
     val decisions = nf
       .join(best, Seq("id"), "left")

@@ -499,7 +499,7 @@ object Multimodal {
     *  - Undecodable clips (empty PCM under [[FailSoftAudio]]) and
     *    clips too short to fingerprint (< 2 windows) yield a NULL
     *    fingerprint — the cannot-judge sentinel, mirroring
-    *    [[withPerceptualHash]]; clips with 2..33 windows carry a
+    *    [[withPerceptualHash]]; clips with 2..bits+1 windows carry a
     *    deterministic partial fingerprint.
     *
     * Output: one row per input id — (media_id, fp). The fingerprint
@@ -838,6 +838,27 @@ object Multimodal {
         col("target_frame"), col("hamming"))
   }
 
+  /** The shared vote-decision core (its semantics are pinned
+    * cross-engine by qm11 AND qm12 — one implementation so they cannot
+    * fork): distinct probe-frame ballots per (probe, target) pair,
+    * threshold ≥ voteFrac × the probe's hashed-frame count, best =
+    * most votes then smallest target id. `pairs` carries
+    * (probe_id, target_id, probe_frame); `nf` carries
+    * (probe_id, n_frames). Returns (probe_id, dup_of, votes). */
+  private[graft] def voteBest(pairs: DataFrame, nf: DataFrame,
+                              voteFrac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val votes = pairs.select(col("probe_id"), col("target_id"), col("probe_frame"))
+      .distinct()
+      .groupBy(col("probe_id"), col("target_id")).agg(count(lit(1)).as("votes"))
+    val judged = votes.join(nf, "probe_id")
+      .filter(col("votes") >= lit(voteFrac) * col("n_frames"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("votes").desc, col("target_id").asc)
+    judged.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("probe_id"), col("target_id").as("dup_of"), col("votes"))
+  }
+
   /** FRAME-VOTE near-dup over per-frame hashes — the clip-level dedup
     * decision composed from the measured hamming machinery: clip b is
     * a dup of clip a (a < b) when at least `voteFrac` of b's hashed
@@ -855,24 +876,17 @@ object Multimodal {
                        voteFrac: Double = 0.5,
                        probeTolerance: Int = 0): DataFrame = {
     require(voteFrac > 0 && voteFrac <= 1, s"voteFrac must be in (0, 1], got $voteFrac")
-    import org.apache.spark.sql.expressions.Window
     // referenced by the pair funnel (twice), the frame census, and the
     // final join — and the hash column may be an expensive derivation
     val fh = frameHashes.select(col(idCol), col(frameCol), col(hashCol))
       .localCheckpoint(true)
     val nf = fh.groupBy(col(idCol)).agg(count(lit(1)).as("n_frames"))
-    val votes = frameHashPairs(fh, fh, idCol, frameCol, hashCol,
+    val pairs = frameHashPairs(fh, fh, idCol, frameCol, hashCol,
         bands, bandBits, maxHamming, probeTolerance)
       .filter(col("target_id") < col("probe_id"))
-      .select(col("probe_id"), col("target_id"), col("probe_frame")).distinct()
-      .groupBy(col("probe_id"), col("target_id")).agg(count(lit(1)).as("votes"))
-    val judged = votes
-      .join(nf.select(col(idCol).as("probe_id"), col("n_frames")), "probe_id")
-      .filter(col("votes") >= lit(voteFrac) * col("n_frames"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("votes").desc, col("target_id").asc)
-    val best = judged.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("probe_id").as(idCol), col("target_id").as("dup_of"), col("votes"))
+    val best = voteBest(pairs,
+        nf.select(col(idCol).as("probe_id"), col("n_frames")), voteFrac)
+      .select(col("probe_id").as(idCol), col("dup_of"), col("votes"))
     nf.join(best, Seq(idCol), "left")
       .select(col(idCol), col("n_frames"), col("dup_of"), col("votes"),
         col("dup_of").isNotNull.as("is_dup"))

@@ -607,7 +607,11 @@ object EventStreams {
           // gate-failed doc as 'probed and found unique'
           (col("gate_passed") && col("phash").isNotNull).as("image_judged")) ++
           (if (hasVideo)
-            Seq((col("gate_passed") && size(col("fhashes")) > 0).as("video_judged"))
+            // coalesce: a NULL array (upstream join miss, vs the
+            // documented empty-array sentinel) must read judged=false,
+            // not NULL — the phash leg's isNotNull mirror
+            Seq((col("gate_passed") &&
+              coalesce(size(col("fhashes")), lit(0)) > 0).as("video_judged"))
           else Nil)
         val verdict0 = gated.select(judgedCols: _*)
           .join(dd, Seq("doc_id"), "left")

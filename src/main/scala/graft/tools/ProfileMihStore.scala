@@ -1,10 +1,7 @@
 package graft.tools
 
-import java.util.concurrent.atomic.AtomicLong
-
 import graft.GraftSession
 import graft.operators.IncrementalHashDedup
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.functions._
 
 /** Store ≫ batch stress of the incremental hamming store's MIH mode —
@@ -34,19 +31,6 @@ import org.apache.spark.sql.functions._
   */
 object ProfileMihStore {
 
-  final class ShuffleMeter extends SparkListener {
-    val read = new AtomicLong(0L)
-    val write = new AtomicLong(0L)
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      val m = sc.stageInfo.taskMetrics
-      if (m != null) {
-        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    }
-    def reset(): Unit = { read.set(0L); write.set(0L) }
-  }
-
   def main(args: Array[String]): Unit = {
     val sizes = args.headOption.getOrElse("1000000,4000000,16000000")
       .split(",").map(_.trim.toLong).toSeq
@@ -55,7 +39,7 @@ object ProfileMihStore {
       java.nio.file.Files.createTempDirectory("profile-mihstore").toString)
     val spark = GraftSession.local(appName = "profile-mihstore")
     import spark.implicits._
-    val meter = new ShuffleMeter
+    val meter = new ProfileScaleFamily.ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
 
     println(f"[mih] ${"store_rows"}%12s ${"mode"}%8s ${"wall_s"}%8s " +

@@ -1,10 +1,7 @@
 package graft.tools
 
-import java.util.concurrent.atomic.AtomicLong
-
 import graft.GraftSession
 import graft.operators.Multimodal
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -55,19 +52,6 @@ object ProfileVideoPlane {
   private val BaseH = 48
   private val BaseFrames = 24
   private val SampleFrames = 8
-
-  final class ShuffleMeter extends SparkListener {
-    val read = new AtomicLong(0L)
-    val write = new AtomicLong(0L)
-    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-      val m = sc.stageInfo.taskMetrics
-      if (m != null) {
-        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    }
-    def reset(): Unit = { read.set(0L); write.set(0L) }
-  }
 
   /** Seeded temporally-smooth luma field: 10 low-frequency 2-D cosines
     * whose phases drift ≤ π/3 over the 24-frame clip (≤ π/72 per
@@ -170,7 +154,7 @@ object ProfileVideoPlane {
       java.nio.file.Files.createTempDirectory("profile-videoplane").toString)
     val spark = GraftSession.local(appName = "profile-videoplane")
     import spark.implicits._
-    val meter = new ShuffleMeter
+    val meter = new ProfileScaleFamily.ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
 
     val summary = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -58,6 +58,33 @@ class IncrementalFrameDedupSpec extends SparkTestBase {
       s"replayed batch diverged (33 must not vote onto its own stored frames): $replay vs $first")
   }
 
+  test("asymmetric replay: a clip must not vote onto a larger-id batch mate's appended frames") {
+    // A (id 1, 4 frames, 2 shared with B) clears the 0.5 threshold
+    // against B; B (id 2, 8 frames, the same 2 shared) does NOT clear
+    // it against A — the asymmetric shape where a self-pair-only store
+    // guard fails: both clips are unique on first contact (the batch
+    // filter only lets B vote on A) and both append; a replayed batch
+    // must not flag A against B's now-stored frames. The guard
+    // anti-joins the WHOLE batch out of the store side.
+    val dir = java.nio.file.Files.createTempDirectory("ifd-asym").toString + "/store"
+    IncrementalFrameDedup.initStore(
+      Seq.empty[(Long, Int, Long)].toDF("clip_id", "frame_idx", "fhash"), dir)
+    val b = Seq(
+      (1L, 0, h(1)), (1L, 1, h(2)), (1L, 2, h(30)), (1L, 3, h(31)),
+      (2L, 0, h(1)), (2L, 1, h(2)), (2L, 2, h(40)), (2L, 3, h(41)),
+      (2L, 4, h(42)), (2L, 5, h(43)), (2L, 6, h(44)), (2L, 7, h(45))
+    ).toDF("clip_id", "frame_idx", "fhash")
+    def run(append: Boolean) = IncrementalFrameDedup.dedupBatch(b, dir,
+        bands = 8, bandBits = 8, maxHamming = 0, voteFrac = 0.5,
+        appendUnique = append)
+      .collect().map(r => r.getLong(0) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+    val first = run(append = true)
+    assert(first == Map(1L -> None, 2L -> None), s"both unique on first contact: $first")
+    assert(spark.read.parquet(dir).count() == 12L, "both clips' frames appended")
+    val replay = run(append = false)
+    assert(replay == first, s"replay diverged on the asymmetric shape: $replay vs $first")
+  }
+
   test("MIH probe regime reaches configs the narrow pigeonhole cannot express") {
     val dir = java.nio.file.Files.createTempDirectory("ifd-mih").toString + "/store"
     val base = 0x123456789abcdL
