@@ -789,6 +789,116 @@ object Multimodal {
         col("dup_of").isNotNull.as("is_dup"))
   }
 
+  /** Band-regime advisor — the qj02/qd19 pricing discipline applied to
+    * the hamming funnels: BEFORE committing a (bands, bandBits,
+    * tolerance) geometry for [[hashNearDup]] / [[hashNearDupMih]] /
+    * [[IncrementalHashDedup]], price each candidate geometry's
+    * quadratic stage from the store's MEASURED band-key occupancy.
+    * ProfileVideoPlane's regime inversion is the motivating bug class:
+    * MIH wins decisively on uniform fingerprints (wide buckets, few
+    * incidental collisions — ProfileMihStore: 4.6× at a 16M-row store)
+    * yet measured 2.6× WORSE on concentrated perceptual hashes, where
+    * candidate volume follows the occupancy SECOND MOMENT — a
+    * distribution property no static rule sees. This operator reads
+    * that moment exactly. Honest limits: `implied_pairs` is the
+    * funnel's pre-distinct join OUTPUT (the term that saturates at
+    * scale — the decisive one for a growing store), while the probe
+    * EXPLODE volume is linear (`probe_rows_per_item` × items) and its
+    * realized cost depends on map-side combine behavior the census
+    * cannot see; when two geometries price within the same order of
+    * magnitude, measure before committing (the ProfileVideoPlane
+    * discipline).
+    *
+    * Per geometry (counts only — hashes explode to (band, key) rows
+    * once, aggregate to an occupancy table, and all pricing runs on
+    * that table; no candidate pair is ever materialized):
+    *  - `implied_pairs` = the EXACT candidate-pair mass the funnel's
+    *    bucket join would emit after its id-order filter:
+    *    Σ_buckets c·(c−1)/2, plus for tolerance 1 the single-bit-flip
+    *    cross-bucket mass Σ_{k,j} c_k·c_{k⊕2^j} / 2 (each unordered
+    *    cross pair joins once from each side's probe expansion, the
+    *    order filter keeps exactly one — the sum is even by symmetry,
+    *    so the halving is integer-exact),
+    *  - `occupied_buckets` / `max_bucket` — the concentration read
+    *    (a fat max bucket at wide bandBits is the perceptual-hash
+    *    signature that inverts the uniform-hash prediction),
+    *  - `guaranteed_radius` = bands·(tolerance+1)−1, the pigeonhole
+    *    recall-1.0 reach; `covers` = it reaches `maxHamming`,
+    *  - `probe_rows_per_item` = bands·(1+tolerance·bandBits), the
+    *    probe-side explode fan-out (MIH's other cost term).
+    *
+    * `rank` orders geometries by (covers desc, implied_pairs asc,
+    * probe_rows_per_item asc, bands asc, band_bits asc) — rank 1 is
+    * the recommendation: the cheapest verified-recall-1.0 funnel on
+    * THIS data. Geometry constraints are the funnels' own
+    * (tolerance ≤ 1, bands × bandBits ≤ 64). */
+  def bandRegimeAdvice(hashes: DataFrame, hashCol: String,
+                       geometries: Seq[(Int, Int, Int)],
+                       maxHamming: Int): DataFrame = {
+    require(geometries.nonEmpty, "at least one candidate geometry")
+    geometries.foreach { case (bands, bandBits, tol) =>
+      require(tol >= 0 && tol <= 1, s"tolerance must be 0 or 1, got $tol")
+      require(bands > 0 && bandBits > 0 && bands * bandBits <= 64,
+        s"bands x bandBits must fit the 64-bit hash (got $bands x $bandBits)")
+    }
+    import org.apache.spark.sql.expressions.Window
+    // one pass over the data per geometry, shared scan of the 8-byte
+    // hash column; pinned so the N geometry passes don't recompute an
+    // expensive hash derivation
+    val h = hashes.select(col(hashCol).cast("long").as("hash")).localCheckpoint(true)
+    val perGeometry = geometries.map { case (bands, bandBits, tol) =>
+      val mask = (1L << bandBits) - 1
+      def bandKey(b: Int) = shiftright(col("hash"), b * bandBits).bitwiseAND(lit(mask))
+      val occ = h.select(
+          posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "bkey")))
+        .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // read by the stats agg and (t=1) both flip-join sides
+      val within = occ.agg(
+        // c·(c−1) is even per bucket, and the sum of longs stays a
+        // LONG — shiftright is the exact integer halving (a `/ 2`
+        // would promote to double and round past 2^53)
+        coalesce(shiftright(sum(col("c") * (col("c") - 1)), 1), lit(0L))
+          .as("within_pairs"),
+        count(lit(1)).as("occupied_buckets"),
+        coalesce(max(col("c")), lit(0L)).as("max_bucket"))
+      val cross =
+        if (tol == 0) within.select(lit(0L).as("cross_pairs"))
+        else {
+          // flip join on the OCCUPANCY table only: |occ| x bandBits
+          // probe keys against |occ| buckets — metadata-sized, the
+          // funnel's N x (1+bandBits) explode never runs here
+          val flipped = occ.select(col("band"), col("c").as("ca"),
+            explode(array((0 until bandBits).map(j =>
+              col("bkey").bitwiseXOR(lit(1L << j))): _*)).as("fkey"))
+          flipped.join(occ.select(col("band"), col("bkey").as("fkey"),
+              col("c").as("cb")), Seq("band", "fkey"))
+            .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("x"))
+            // Σ c_k·c_{k⊕bit} counts each unordered bucket pair from
+            // both sides — even by symmetry, shiftright halves exactly
+            .select(shiftright(col("x"), 1).as("cross_pairs"))
+        }
+      val radius = bands * (tol + 1) - 1
+      within.crossJoin(broadcast(cross)).select(
+        lit(s"${bands}x${bandBits}b t$tol").as("geometry"),
+        lit(bands).as("bands"), lit(bandBits).as("band_bits"),
+        lit(tol).as("tolerance"),
+        lit(radius.toLong).as("guaranteed_radius"),
+        lit(radius >= maxHamming).as("covers"),
+        col("occupied_buckets"), col("max_bucket"),
+        (col("within_pairs") + col("cross_pairs")).as("implied_pairs"),
+        lit((bands * (1 + tol * bandBits)).toLong).as("probe_rows_per_item"))
+    }
+    val all = perGeometry.reduce(_ union _)
+    // non-foldable constant partition key (the IvfIndex.centroids
+    // trick — must derive from a DATA column, not an aliased literal,
+    // or Catalyst folds it and WindowExec warns): the frame is
+    // |geometries| rows, the single partition is deliberate
+    val w = Window.partitionBy(pmod(col("occupied_buckets"), lit(1L))).orderBy(
+      col("covers").desc, col("implied_pairs").asc,
+      col("probe_rows_per_item").asc, col("bands").asc, col("band_bits").asc)
+    all.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** All verified frame-hash PAIRS between `probe` and `target` — the
     * vote-input shape ([[frameVoteNearDup]]), vs [[hashNearDup]]'s
     * best-only per-id contract. Banded candidate generation (narrow

@@ -1959,6 +1959,71 @@ object PipelineQueries {
        |  best.dup_of IS NOT NULL AS is_dup
        |FROM h LEFT JOIN best USING (doc_id) ORDER BY h.doc_id""".stripMargin
 
+  /** qm13: band-regime advisor — [[Multimodal.bandRegimeAdvice]] gated
+    * end to end: four candidate geometries for a hamming ≤ 7 funnel
+    * over the 56-bit stub hash (qm03's narrow 4×14 — which does NOT
+    * cover 7, the 8×7 and 7×8 narrow splits, and qm08's 4×14 MIH
+    * probe), each priced by the EXACT candidate-pair mass its bucket
+    * join would emit on THIS corpus, from the measured band-key
+    * occupancy (counts only — no pair is materialized). The operator
+    * exists because ProfileVideoPlane measured the uniform-hash regime
+    * prediction INVERTING on concentrated perceptual keys: the right
+    * regime is a property of the data's occupancy second moment, so
+    * the engine reads it before committing a funnel geometry. Rank 1 =
+    * the cheapest recall-1.0 geometry. The oracle replays the
+    * occupancy censuses, the 14-bit flip join, and the ranking. */
+  def bandRegimeAdviceQ(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val hashes = t.documents.select(Multimodal.textDhash56($"text").as("phash"))
+    Multimodal.bandRegimeAdvice(hashes, "phash",
+      geometries = Seq((4, 14, 0), (7, 8, 0), (8, 7, 0), (4, 14, 1)),
+      maxHamming = 7)
+      .orderBy($"rank")
+  }
+
+  val bandRegimeAdviceSql: String = {
+    // per narrow geometry: occupancy census + within-bucket pair mass
+    def occ(n: Int, bands: Int, bits: Int): String =
+      s"""o$n AS (SELECT r.i AS band,
+         |    (phash >> CAST($bits * r.i AS INT)) & ${(1L << bits) - 1} AS bkey,
+         |    COUNT(*) AS c
+         |  FROM h CROSS JOIN range($bands) r(i) GROUP BY 1, 2),
+         |s$n AS (SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT) AS within_pairs,
+         |    COUNT(*) AS occupied_buckets,
+         |    CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_bucket FROM o$n)""".stripMargin
+    def row(n: Int, geometry: String, bands: Int, bits: Int, tol: Int,
+            crossExpr: String): String = {
+      val radius = bands * (tol + 1) - 1
+      s"""SELECT '$geometry' AS geometry, $bands AS bands, $bits AS band_bits,
+         |  $tol AS tolerance, CAST($radius AS BIGINT) AS guaranteed_radius,
+         |  ${if (radius >= 7) "TRUE" else "FALSE"} AS covers,
+         |  occupied_buckets, max_bucket,
+         |  CAST(within_pairs + $crossExpr AS BIGINT) AS implied_pairs,
+         |  CAST(${bands * (1 + tol * bits)} AS BIGINT) AS probe_rows_per_item
+         |FROM s$n""".stripMargin
+    }
+    s"""WITH $phashDocsCte,
+       |h AS (SELECT doc_id, ${Multimodal.textDhash56Sql} AS phash FROM d),
+       |${occ(1, 4, 14)},
+       |${occ(2, 7, 8)},
+       |${occ(3, 8, 7)},
+       |x4 AS (SELECT CAST(COALESCE(SUM(a.c * b.c), 0) // 2 AS BIGINT) AS cross_pairs
+       |  FROM o1 a CROSS JOIN range(14) f(j)
+       |  JOIN o1 b ON b.band = a.band
+       |    AND b.bkey = xor(a.bkey, (1::BIGINT << CAST(f.j AS INT)))),
+       |rows_ AS (
+       |${row(1, "4x14b t0", 4, 14, 0, "0")}
+       |UNION ALL
+       |${row(2, "7x8b t0", 7, 8, 0, "0")}
+       |UNION ALL
+       |${row(3, "8x7b t0", 8, 7, 0, "0")}
+       |UNION ALL
+       |${row(1, "4x14b t1", 4, 14, 1, "(SELECT cross_pairs FROM x4)")})
+       |SELECT *, ROW_NUMBER() OVER (ORDER BY covers DESC, implied_pairs ASC,
+       |    probe_rows_per_item ASC, bands ASC, band_bits ASC) AS rank
+       |FROM rows_ ORDER BY rank""".stripMargin
+  }
+
   /** qm04: audio fingerprint census — 32-bit energy-delta fingerprint
     * per clip (stub-PCM twin of the Haitsma-Kalker sign chain over
     * [[Multimodal.audioFeatures]] windows), plus the census read:
@@ -3191,6 +3256,7 @@ object PipelineQueries {
     "qm10_audio_neardup_wide" -> ((s: SparkSession, d: String) => audioNearDupWide(Tables(s, d))),
     "qm11_video_neardup_vote" -> ((s: SparkSession, d: String) => videoNearDupVote(Tables(s, d))),
     "qm12_video_dedup_incr_vote" -> ((s: SparkSession, d: String) => videoDedupIncrementalVote(Tables(s, d))),
+    "qm13_band_regime_advice" -> ((s: SparkSession, d: String) => bandRegimeAdviceQ(Tables(s, d))),
     "qx02_multimodal_corpus_build" -> ((s: SparkSession, d: String) => multimodalCorpusBuild(Tables(s, d))),
     "qe01_sessionize"      -> ((s: SparkSession, d: String) => sessionized(Tables(s, d))),
     "qe02_interval_join"   -> ((s: SparkSession, d: String) => viewPurchaseFunnel(Tables(s, d))),
@@ -3271,6 +3337,7 @@ object PipelineQueries {
     "qm10_audio_neardup_wide" -> audioNearDupWideSql,
     "qm11_video_neardup_vote" -> videoNearDupVoteSql,
     "qm12_video_dedup_incr_vote" -> videoDedupIncrementalVoteSql,
+    "qm13_band_regime_advice" -> bandRegimeAdviceSql,
     "qx02_multimodal_corpus_build" -> multimodalCorpusBuildSql,
     "qe01_sessionize"      -> sessionizedSql,
     "qe02_interval_join"   -> viewPurchaseFunnelSql,
