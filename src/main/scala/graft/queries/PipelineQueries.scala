@@ -1250,6 +1250,59 @@ object PipelineQueries {
        |  round((SELECT CAST(COUNT(*) AS DOUBLE) FROM bf JOIN served USING (query_id, neighbor_id)) / 50.0, 6) recall""".stripMargin
   }
 
+  /** qs25: INCREMENTAL IVF maintenance gated end to end — the qm07
+    * move (incremental store proven by an independent from-scratch
+    * oracle) applied to the ANN plane
+    * ([[graft.operators.IncrementalIvf]]): even vec_ids seed a REAL
+    * cell-partitioned index (frozen md5-sampled centroids — sampled
+    * from the SEED only, the quantizer never re-fits), odd vec_ids
+    * arrive as one appended batch assigned against those same frozen
+    * centroids, and the serve path answers the standard query set over
+    * the accumulated store with partition-pruned probes. The oracle
+    * replays seed-only centroid sampling + BOTH assignment waves +
+    * probe/score/rank from scratch — incremental maintenance must be
+    * indistinguishable from a one-shot build with the same quantizer. */
+  def ivfIncremental(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qs25")
+    val path = tmp.toString + "/ivf"
+    graft.operators.IncrementalIvf.init(
+      t.embeddings.filter($"vec_id" % 2 === 0), path, nCells = 8)
+    graft.operators.IncrementalIvf.appendBatch(
+      t.embeddings.filter($"vec_id" % 2 =!= 0), path)
+    val out = graft.operators.IncrementalIvf.serve(
+        t.spark, path, QueryIds, k = 5, nProbe = 2)
+      .orderBy($"query_id", $"rk")
+      .localCheckpoint(true) // pin before the throwaway store is deleted
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    out
+  }
+
+  val ivfIncrementalSql: String =
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] e,
+      |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) nrm2 FROM embeddings),
+      |cent AS (SELECT (ROW_NUMBER() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id)) - 1 AS cell,
+      |    e c_vec, nrm2 c_nrm2
+      |  FROM v WHERE vec_id % 2 = 0 ORDER BY md5(vec_id::VARCHAR), vec_id LIMIT 8),
+      |scored AS (SELECT v.vec_id, v.e, v.nrm2, cent.cell,
+      |    cent.c_nrm2 - 2 * list_dot_product(v.e, cent.c_vec) AS score
+      |  FROM v CROSS JOIN cent),
+      |assigned AS (SELECT vec_id, e, nrm2, cell FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) rn
+      |    FROM scored) WHERE rn = 1),
+      |probes AS (SELECT vec_id query_id, cell FROM (
+      |    SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score ASC, cell ASC) rn
+      |    FROM scored WHERE vec_id < 10) WHERE rn <= 2),
+      |q AS (SELECT vec_id query_id, e q_vec, sqrt(nrm2) q_nrm FROM v WHERE vec_id < 10),
+      |sims AS (SELECT p.query_id, a.vec_id neighbor_id,
+      |    round(list_dot_product(q.q_vec, a.e) / (q.q_nrm * sqrt(a.nrm2)), 6) cos_sim
+      |  FROM probes p JOIN assigned a ON a.cell = p.cell JOIN q ON q.query_id = p.query_id
+      |  WHERE a.vec_id <> p.query_id)
+      |SELECT query_id, neighbor_id, cos_sim, rk FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) rk
+      |  FROM sims)
+      |WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   /** qs21: explained-variance summary via DEFLATION —
     * [[graft.operators.Pca.varianceSummary]]: PC1 on the corpus, PC2
     * on the PC1 residuals, each λ as a cumulative fraction of total
@@ -3295,6 +3348,7 @@ object PipelineQueries {
     "qs21_pca_variance"    -> ((s: SparkSession, d: String) => pcaVariance(Tables(s, d))),
     "qs22_pq_recall"       -> ((s: SparkSession, d: String) => pqRecall(Tables(s, d))),
     "qs24_ivfpq_serve"     -> ((s: SparkSession, d: String) => ivfPqServe(Tables(s, d))),
+    "qs25_ivf_incremental" -> ((s: SparkSession, d: String) => ivfIncremental(Tables(s, d))),
     "qr07_pc1_drift"       -> ((s: SparkSession, d: String) => pc1Drift(Tables(s, d))),
   )
 
@@ -3365,6 +3419,7 @@ object PipelineQueries {
     "qs15_ann_recall"      -> annRecallSql,
     "qs23_ivf_probe_sweep" -> ivfProbeSweepSql,
     "qs24_ivfpq_serve"     -> ivfPqServeSql,
+    "qs25_ivf_incremental" -> ivfIncrementalSql,
     "qs02_ann_lsh"         -> annLshSql,
     "qs03_ann_ivf"         -> annIvfSql,
     "qs04_ann_lsh_multi"   -> annLshMultiSql,
