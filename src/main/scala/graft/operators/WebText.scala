@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Web-corpus ingestion plumbing: HTML→text extraction and URL
+  * canonicalization as PURE Column expression chains.
+  *
+  * Why it exists: [[graft.sources.WarcSource]] lands raw crawl
+  * RESPONSE records (HTML bytes); WET extracts exist only for crawls
+  * that published them. Between a landed response and the `documents`
+  * table a pipeline needs (a) the markup stripped to text it can
+  * gate/dedup/tokenize and (b) a canonical URL key for url-level
+  * dedup and the qt24/qp14 domain governance. Both are per-row string
+  * work — implemented as `regexp_replace`/`split`/array expressions so
+  * they run as ONE codegen'd scan projection, zero shuffle, and scale
+  * exactly like the scan (the 100 TB cost is the bytes read, nothing
+  * else).
+  *
+  * Determinism/parity rules (the qt09 planting discipline's engine
+  * side): the regex subset is chosen to mean the same thing in Java
+  * regex (Spark) and RE2 (DuckDB) — explicit whitespace classes (Java
+  * `\s` includes `\x0B`, RE2's does not), non-greedy spans, no
+  * backreferences, no lookarounds — so the oracle can replay
+  * extraction verbatim.
+  */
+object WebText {
+
+  /** Tag-blind HTML→text: drop comment/script/style subtrees
+    * (non-greedy spans), replace every remaining tag with a space,
+    * decode the six entities that matter for text statistics
+    * (`&amp;` LAST, the standard one-level-decode order), collapse
+    * whitespace runs, trim. This is the C4-grade extractor — no DOM,
+    * no render; compose with [[anchorCount]] (link-density boilerplate
+    * read) and the QualityRules line filters downstream. Unclosed
+    * script/style blocks keep their content (the non-greedy span needs
+    * a closing tag) — tags inside still strip, so malformed markup
+    * degrades to extra text, never to lost text. */
+  def htmlToText(html: Column): Column = {
+    val noComment = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    val noScript  = regexp_replace(noComment, "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle   = regexp_replace(noScript, "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags    = regexp_replace(noStyle, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r\\f]+", " "))
+  }
+
+  /** Anchor-tag count on the RAW markup — with the extracted word
+    * count this is the link-density read (nav/footer boilerplate has
+    * high anchors-per-word; jusText's core signal) used as a
+    * document-level gate next to the Gopher rules. */
+  def anchorCount(html: Column): Column =
+    size(regexp_extract_all(html, lit("(?i)<a\\b"), lit(0))).cast("long")
+
+  /** Canonical URL key for url-level dedup and domain governance.
+    * Rules (each one a reproducible-key requirement, not cosmetics):
+    * fragment dropped (never sent to the server); scheme + host
+    * lowercased (case-insensitive by RFC 3986); default port stripped
+    * (`:80` for http, `:443` for https); tracking params dropped
+    * (`utm_*`, `gclid`, `fbclid` — session noise that splits identical
+    * pages into distinct keys); remaining query params SORTED (param
+    * order is server-insignificant for the overwhelming majority of
+    * pages — the standard crawler trade: a tiny false-merge risk for
+    * collapsing the dominant duplicate class); empty path → `/`; an
+    * empty residual query drops its `?`. Path case and encoding are
+    * preserved (paths ARE case-sensitive). Non-absolute-http(s) input
+    * returns NULL — the quarantine sentinel, one filter away. */
+  def urlCanonicalize(url: Column): Column = {
+    val noFrag = split_part(url, lit("#"), lit(1))
+    val base   = split_part(noFrag, lit("?"), lit(1))
+    val query  = noFrag.substr(length(base) + lit(2), length(noFrag))
+    val scheme = lower(split_part(base, lit("://"), lit(1)))
+    val rest   = base.substr(length(scheme) + lit(4), length(base))
+    val auth   = lower(split_part(rest, lit("/"), lit(1)))
+    val path   = rest.substr(length(auth) + lit(1), length(rest))
+    val authNoPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
+      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
+      .otherwise(auth)
+    val keptParams = filter(split(query, "&"), p =>
+      p =!= lit("") && !p.rlike("^(utm_[^=&]*|gclid|fbclid)(=.*)?$"))
+    val canonQuery = array_join(array_sort(keptParams), "&")
+    val canon = concat(
+      scheme, lit("://"), authNoPort,
+      when(path === "", lit("/")).otherwise(path),
+      when(canonQuery === "", lit("")).otherwise(concat(lit("?"), canonQuery)))
+    when(url.rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/]"), canon).otherwise(lit(null))
+  }
+}

@@ -2083,6 +2083,146 @@ object QualityQueries {
       |    orphans, 0.0, orphans <= 0.0 FROM fk)
       |ORDER BY expectation, col_name""".stripMargin
 
+  /** qt44: HTML→text extraction ([[graft.operators.WebText.htmlToText]])
+    * gated end to end on DETERMINISTICALLY PLANTED markup (the qt09
+    * discipline: both engines build the same HTML around each doc's
+    * text — title/style/script/comment/entities/nav anchors, one
+    * anchor even torn across a newline inside its tag). Output = the
+    * extracted text itself (hash-compared string-for-string), word
+    * count, and the raw-markup anchor count ([[graft.operators.WebText.anchorCount]])
+    * — the link-density boilerplate read. Extraction is one codegen'd
+    * scan projection; the oracle replays every regex pass verbatim
+    * (the patterns are chosen to mean the same thing in Java regex and
+    * RE2). */
+  def htmlExtract(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val html = concat(
+      lit("<html><head><title>Doc "), $"doc_id".cast("string"),
+      lit("</title><style>p { color: red; }</style><script type=\"text/javascript\">var id = \""),
+      $"doc_id".cast("string"),
+      lit("\"; if (id > 0) { go(); }</script></head><body><!-- header boilerplate --><h1>Entry "),
+      $"doc_id".cast("string"),
+      lit("</h1><p>"), substring($"text", 1, 120),
+      lit(" &amp; more &lt;escaped&gt; &quot;quoted&quot; &#39;tick&#39;&nbsp;space</p>"),
+      lit("<div class=\"nav\"><a href=\"/home\">Home</a> <a href=\"/next\">Next</a> <a"),
+      lit("\n"), lit("href=\"/x\">X</a></div></body></html>"))
+    val clean = graft.operators.WebText.htmlToText(html)
+    t.documents.select(
+        $"doc_id",
+        clean.as("clean_text"),
+        graft.operators.WebText.anchorCount(html).as("n_anchors"))
+      .withColumn("n_words",
+        when($"clean_text" === "", lit(0L))
+          .otherwise(size(split($"clean_text", " ")).cast("long")))
+      .select($"doc_id", $"clean_text", $"n_words", $"n_anchors")
+      .orderBy($"doc_id")
+  }
+
+  val htmlExtractSql: String =
+    """WITH raw AS (SELECT doc_id,
+      |    '<html><head><title>Doc ' || doc_id ||
+      |    '</title><style>p { color: red; }</style><script type="text/javascript">var id = "' ||
+      |    doc_id || '"; if (id > 0) { go(); }</script></head><body><!-- header boilerplate --><h1>Entry ' ||
+      |    doc_id || '</h1><p>' || substr(text, 1, 120) ||
+      |    ' &amp; more &lt;escaped&gt; &quot;quoted&quot; &#39;tick&#39;&nbsp;space</p>' ||
+      |    '<div class="nav"><a href="/home">Home</a> <a href="/next">Next</a> <a' ||
+      |    chr(10) || 'href="/x">X</a></div></body></html>' AS html
+      |  FROM documents),
+      |x1 AS (SELECT doc_id, html,
+      |    regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') s FROM raw),
+      |x2 AS (SELECT doc_id, html,
+      |    regexp_replace(s, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') s FROM x1),
+      |x3 AS (SELECT doc_id, html,
+      |    regexp_replace(s, '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') s FROM x2),
+      |x4 AS (SELECT doc_id, html,
+      |    regexp_replace(s, '<[^>]*>', ' ', 'g') s FROM x3),
+      |x5 AS (SELECT doc_id, html,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      s, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+      |      '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') s FROM x4),
+      |x6 AS (SELECT doc_id, html,
+      |    trim(regexp_replace(s, '[ \t\n\r\f]+', ' ', 'g')) clean_text FROM x5)
+      |SELECT doc_id, clean_text,
+      |  CASE WHEN clean_text = '' THEN 0
+      |       ELSE CAST(len(string_split(clean_text, ' ')) AS BIGINT) END AS n_words,
+      |  CAST(len(regexp_extract_all(html, '(?i)<a\b')) AS BIGINT) AS n_anchors
+      |FROM x6 ORDER BY doc_id""".stripMargin
+
+  /** qt45: URL canonicalization ([[graft.operators.WebText.urlCanonicalize]])
+    * gated end to end on planted messy variants (the qp14 discipline):
+    * uppercase scheme/host, default ports, fragments, tracking params
+    * (`utm_*`/`gclid`/`fbclid`), unsorted param order, pathless
+    * authorities, and non-URL rows (→ NULL, the quarantine sentinel).
+    * Two planted variants of the same logical page must collapse to
+    * ONE canonical key — `n_sharing` (per-key count) is the url-level
+    * dedup read the key exists for. Canonicalization is one scan
+    * projection; the dedup count is one 8-byte-ish key window. */
+  def urlCanonical(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val url =
+      when($"doc_id" % 4 === 0, concat(
+        lit("HTTPS://WWW.Site"), ($"doc_id" % 5).cast("string"),
+        lit(".COM:443/Page/"), ($"doc_id" % 50).cast("string"),
+        lit("?utm_source=feed&b=2&a=1#top")))
+      .when($"doc_id" % 4 === 1, concat(
+        lit("https://www.site"), (($"doc_id" - 1) % 5).cast("string"),
+        lit(".com/Page/"), (($"doc_id" - 1) % 50).cast("string"),
+        lit("?a=1&b=2&fbclid=XYZ"), $"doc_id".cast("string")))
+      .when($"doc_id" % 4 === 2, concat(
+        lit("http://site"), ($"doc_id" % 5).cast("string"),
+        lit(".com:80")))
+      .otherwise(concat(lit("not a url "), $"doc_id".cast("string")))
+    val withCanon = t.documents.select($"doc_id", url.as("url"))
+      .withColumn("canon_url", graft.operators.WebText.urlCanonicalize($"url"))
+    withCanon
+      .withColumn("n_sharing",
+        when($"canon_url".isNull, lit(null).cast("long"))
+          .otherwise(count(lit(1)).over(Window.partitionBy($"canon_url"))))
+      .select($"doc_id", $"url", $"canon_url", $"n_sharing")
+      .orderBy($"doc_id")
+  }
+
+  val urlCanonicalSql: String =
+    """WITH u AS (SELECT doc_id,
+      |    CASE
+      |      WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.Site' || (doc_id % 5) ||
+      |        '.COM:443/Page/' || (doc_id % 50) || '?utm_source=feed&b=2&a=1#top'
+      |      WHEN doc_id % 4 = 1 THEN 'https://www.site' || ((doc_id - 1) % 5) ||
+      |        '.com/Page/' || ((doc_id - 1) % 50) || '?a=1&b=2&fbclid=XYZ' || doc_id
+      |      WHEN doc_id % 4 = 2 THEN 'http://site' || (doc_id % 5) || '.com:80'
+      |      ELSE 'not a url ' || doc_id END AS url
+      |  FROM documents),
+      |parts AS (SELECT doc_id, url,
+      |    split_part(split_part(url, '#', 1), '?', 1) AS base,
+      |    substr(split_part(url, '#', 1), len(split_part(split_part(url, '#', 1), '?', 1)) + 2) AS query
+      |  FROM u),
+      |comp AS (SELECT doc_id, url, base, query,
+      |    lower(split_part(base, '://', 1)) AS scheme,
+      |    substr(base, len(split_part(base, '://', 1)) + 4) AS rest
+      |  FROM parts),
+      |comp2 AS (SELECT *, lower(split_part(rest, '/', 1)) AS auth,
+      |    substr(rest, len(split_part(rest, '/', 1)) + 1) AS path
+      |  FROM comp),
+      |comp3 AS (SELECT *,
+      |    -- DuckDB array_to_string([]) is NULL where Spark array_join([]) is '' — coalesce
+      |    COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=&]*|gclid|fbclid)(=.*)?$'))), '&'), '') AS q2
+      |  FROM comp2),
+      |canon AS (SELECT doc_id, url,
+      |    CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]') THEN
+      |      scheme || '://' ||
+      |      (CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+      |            WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+      |            ELSE auth END) ||
+      |      (CASE WHEN path = '' THEN '/' ELSE path END) ||
+      |      (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+      |    ELSE NULL END AS canon_url
+      |  FROM comp3)
+      |SELECT doc_id, url, canon_url,
+      |  CASE WHEN canon_url IS NULL THEN NULL
+      |       ELSE COUNT(*) OVER (PARTITION BY canon_url) END AS n_sharing
+      |FROM canon ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qr05_expectations"      -> ((s: SparkSession, d: String) => expectations(Tables(s, d))),
     "qt29_unigram_vocab"     -> ((s: SparkSession, d: String) => unigramVocab(Tables(s, d))),
@@ -2123,6 +2263,8 @@ object QualityQueries {
     "qt32_nb_train"          -> ((s: SparkSession, d: String) => nbTrain(Tables(s, d))),
     "qt33_nb_score"          -> ((s: SparkSession, d: String) => nbScore(Tables(s, d))),
     "qt34_luhn_scrub"        -> ((s: SparkSession, d: String) => luhnScrub(Tables(s, d))),
+    "qt44_html_extract"      -> ((s: SparkSession, d: String) => htmlExtract(Tables(s, d))),
+    "qt45_url_canonical"     -> ((s: SparkSession, d: String) => urlCanonical(Tables(s, d))),
     "qt15_dup_ngram_chars"   -> ((s: SparkSession, d: String) => dupNgramChars(Tables(s, d))),
   )
 
@@ -2166,6 +2308,8 @@ object QualityQueries {
     "qt32_nb_train"          -> nbTrainSql,
     "qt33_nb_score"          -> nbScoreSql,
     "qt34_luhn_scrub"        -> luhnScrubSql,
+    "qt44_html_extract"      -> htmlExtractSql,
+    "qt45_url_canonical"     -> urlCanonicalSql,
     "qt15_dup_ngram_chars"   -> dupNgramCharsSql,
   )
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Web-text plumbing ([[WebText]]): HTML→text extraction and URL
+  * canonicalization semantics on hand-computed fixtures, the
+  * malformed-input degradation contract, and the zero-shuffle shape. */
+class WebTextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("h").select(WebText.htmlToText($"h").as("t"))
+      .as[String].collect().head
+
+  private def canon(url: String): Option[String] =
+    Seq(url).toDF("u").select(WebText.urlCanonicalize($"u").as("c"))
+      .collect().map(r => Option(r.getString(0))).head
+
+  test("htmlToText: tags, comments, script/style subtrees, entities, whitespace") {
+    val html =
+      """<html><head><title>T</title>
+        |<style type="text/css">body { color: red; }</style>
+        |<script>var s = "<p>not text</p>"; if (1 < 2) { go(); }</script>
+        |</head><body><!-- nav boilerplate -->
+        |<h1>Hello</h1>  <p>a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f</p>
+        |<div><a
+        |href="/x">link text</a></div></body></html>""".stripMargin
+    assert(extract(html) === """T Hello a & b <c> "d" 'e' f link text""")
+  }
+
+  test("htmlToText: entity decode is one level (&amp;lt; stays &lt; as text)") {
+    assert(extract("<p>&amp;lt;tag&amp;gt;</p>") === "&lt;tag&amp;gt;"
+      .replace("&amp;", "&")) // planted double-escape decodes exactly once
+    assert(extract("<p>&amp;lt;</p>") === "&lt;")
+  }
+
+  test("htmlToText: unclosed script degrades to extra text, never lost text") {
+    // no </script> — the non-greedy span cannot close, so the block's
+    // CONTENT survives (inner tags still strip); the body text after
+    // it must not be swallowed
+    val got = extract("<script>var x = 1;<p>inner</p></script-missing><p>kept</p>")
+    assert(got.contains("kept"), s"text after an unclosed script must survive: '$got'")
+    assert(got.contains("var x = 1;"), s"unclosed block degrades to text: '$got'")
+  }
+
+  test("anchorCount: case-insensitive, newline-torn tags, no <abbr> false hit") {
+    val df = Seq("""<a href="/1">x</a> <A HREF="/2">y</A> <a
+        |href="/3">z</a> <abbr>not an anchor</abbr>""".stripMargin).toDF("h")
+    assert(df.select(WebText.anchorCount($"h")).as[Long].collect().head === 3L)
+  }
+
+  test("urlCanonicalize: scheme/host case, default port, fragment, tracking, sort") {
+    assert(canon("HTTPS://WWW.Example.COM:443/Path/X?utm_source=a&b=2&a=1#frag")
+      === Some("https://www.example.com/Path/X?a=1&b=2"))
+    assert(canon("http://Host.com:80") === Some("http://host.com/"))
+    assert(canon("http://host.com:8080/x") === Some("http://host.com:8080/x"),
+      "non-default ports are identity, not noise")
+    assert(canon("https://h.com:80/x") === Some("https://h.com:80/x"),
+      ":80 is only default for http, not https")
+    assert(canon("https://h.com/CaseSensitive/Path") ===
+      Some("https://h.com/CaseSensitive/Path"), "path case is preserved")
+    assert(canon("https://h.com/p?gclid=1&fbclid=2&utm_campaign=x") ===
+      Some("https://h.com/p"), "an all-tracking query drops its '?'")
+    assert(canon("https://h.com/p?utm=x&b=1") === Some("https://h.com/p?b=1&utm=x"),
+      "bare 'utm' (no underscore) is a real param and sorts in")
+    assert(canon("https://h.com/p?b&a") === Some("https://h.com/p?a&b"),
+      "value-less params sort too")
+    assert(canon("ftp://Host.com:21/f") === Some("ftp://host.com:21/f"),
+      "other schemes pass through, ports untouched")
+  }
+
+  test("urlCanonicalize: non-URLs quarantine to null") {
+    assert(canon("not a url 7") === None)
+    assert(canon("relative/path?a=1") === None)
+    assert(canon("") === None)
+    assert(canon("http//missing-colon.com/x") === None)
+  }
+
+  test("urlCanonicalize is idempotent on canonical output") {
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/Path/X?utm_source=a&b=2&a=1#frag",
+      "http://Host.com:80", "https://h.com/p?b&a",
+      "ftp://Host.com:21/f", "https://h.com/p?gclid=1")
+    val once = urls.toDF("u").select(WebText.urlCanonicalize($"u").as("c"))
+      .as[String].collect().toSeq
+    val twice = once.toDF("u").select(WebText.urlCanonicalize($"u").as("c"))
+      .as[String].collect().toSeq
+    assert(twice === once)
+  }
+
+  test("both operators are pure scan projections — zero Exchange") {
+    val df = Seq(("<p>x</p>", "http://h.com/")).toDF("h", "u")
+      .select(WebText.htmlToText($"h"), WebText.anchorCount($"h"),
+        WebText.urlCanonicalize($"u"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"),
+      "extraction/canonicalization must not shuffle")
+  }
+}
