@@ -2223,6 +2223,161 @@ object QualityQueries {
       |       ELSE COUNT(*) OVER (PARTITION BY canon_url) END AS n_sharing
       |FROM canon ORDER BY doc_id""".stripMargin
 
+  /** qx03: the WEB corpus build COMPOSED end to end — the qx01/qx02
+    * chaining applied to the crawl side of the pipeline, over the same
+    * deterministically planted markup/URLs as qt44/qt45:
+    *   1. extraction ([[graft.operators.WebText.htmlToText]] +
+    *      [[graft.operators.WebText.anchorCount]] +
+    *      [[graft.operators.WebText.urlCanonicalize]]) — one scan
+    *      projection, the page bytes are touched exactly once;
+    *   2. web gate, all integer comparisons: canonical URL present
+    *      (quarantine sentinel), ≥ 10 extracted words, link density
+    *      `5·anchors ≤ words` (the jusText signal without a float);
+    *   3. URL-level dedup among gate-passers (min doc_id per canonical
+    *      key — the crawler's cheapest duplicate class, killed before
+    *      any content work);
+    *   4. CONTENT dedup among URL-keepers on the boilerplate-free body
+    *      key (md5 of the planted body slice — dedup AFTER extraction,
+    *      so chrome differences can't hide copies);
+    *   5. verdict manifest: per doc the gate flag, both dup
+    *      attributions, strict `kept`.
+    * The extraction metadata checkpoints at ~100 B/doc; HTML bytes
+    * never shuffle; each dedup stage is one window over the survivors
+    * of the previous one. The oracle replays the whole chain. */
+  def webCorpusBuild(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val html = concat(
+      lit("<html><head><title>Doc "), $"doc_id".cast("string"),
+      lit("</title><style>p { color: red; }</style><script type=\"text/javascript\">var id = \""),
+      $"doc_id".cast("string"),
+      lit("\"; if (id > 0) { go(); }</script></head><body><!-- header boilerplate --><h1>Entry "),
+      $"doc_id".cast("string"),
+      lit("</h1><p>"), substring($"text", 1, 120),
+      lit(" &amp; more &lt;escaped&gt; &quot;quoted&quot; &#39;tick&#39;&nbsp;space</p>"),
+      lit("<div class=\"nav\"><a href=\"/home\">Home</a> <a href=\"/next\">Next</a> <a"),
+      lit("\n"), lit("href=\"/x\">X</a></div></body></html>"))
+    val url =
+      when($"doc_id" % 4 === 0, concat(
+        lit("HTTPS://WWW.Site"), ($"doc_id" % 5).cast("string"),
+        lit(".COM:443/Page/"), $"doc_id".cast("string"),
+        lit("?utm_source=feed&b=2&a=1#top")))
+      .when($"doc_id" % 4 === 1, concat(
+        lit("https://www.site"), (($"doc_id" - 1) % 5).cast("string"),
+        lit(".com/Page/"), ($"doc_id" - 1).cast("string"),
+        lit("?a=1&b=2&fbclid=XYZ"), $"doc_id".cast("string")))
+      .when($"doc_id" % 4 === 2, concat(
+        lit("http://site"), ($"doc_id" % 5).cast("string"),
+        lit(".com:80/Item/"), $"doc_id".cast("string")))
+      .otherwise(concat(lit("not a url "), $"doc_id".cast("string")))
+    val raw = t.documents.select($"doc_id",
+        graft.operators.WebText.htmlToText(html).as("clean_text"),
+        graft.operators.WebText.anchorCount(html).as("n_anchors"),
+        graft.operators.WebText.urlCanonicalize(url).as("canon_url"),
+        md5(substring($"text", 1, 120)).as("ck"))
+      .withColumn("n_words",
+        when($"clean_text" === "", lit(0L))
+          .otherwise(size(split($"clean_text", " ")).cast("long")))
+      .withColumn("gate_passed",
+        $"canon_url".isNotNull && $"n_words" >= 10 && $"n_anchors" * 5 <= $"n_words")
+      .select($"doc_id", $"canon_url", $"ck", $"n_words", $"n_anchors", $"gate_passed")
+      .localCheckpoint() // ~100 B/doc; the HTML is never re-derived
+    val passed = raw.filter($"gate_passed")
+    val u = passed.select($"doc_id", $"ck",
+        min($"doc_id").over(Window.partitionBy($"canon_url")).as("ukeeper"))
+      .select($"doc_id", $"ck",
+        when($"ukeeper" =!= $"doc_id", $"ukeeper").as("url_dup_of"))
+      .localCheckpoint() // read by the verdict join AND the content stage
+    val c = u.filter($"url_dup_of".isNull)
+      .select($"doc_id",
+        min($"doc_id").over(Window.partitionBy($"ck")).as("ckeeper"))
+      .select($"doc_id",
+        when($"ckeeper" =!= $"doc_id", $"ckeeper").as("content_dup_of"))
+    raw.select($"doc_id", $"gate_passed", $"n_words", $"n_anchors")
+      .join(u.select($"doc_id", $"url_dup_of"), Seq("doc_id"), "left")
+      .join(c, Seq("doc_id"), "left")
+      .withColumn("kept",
+        $"gate_passed" && $"url_dup_of".isNull && $"content_dup_of".isNull)
+      .select($"doc_id", $"gate_passed", $"n_words", $"n_anchors",
+        $"url_dup_of", $"content_dup_of", $"kept")
+      .orderBy($"doc_id")
+  }
+
+  val webCorpusBuildSql: String =
+    """WITH raw AS (SELECT doc_id, text,
+      |    '<html><head><title>Doc ' || doc_id ||
+      |    '</title><style>p { color: red; }</style><script type="text/javascript">var id = "' ||
+      |    doc_id || '"; if (id > 0) { go(); }</script></head><body><!-- header boilerplate --><h1>Entry ' ||
+      |    doc_id || '</h1><p>' || substr(text, 1, 120) ||
+      |    ' &amp; more &lt;escaped&gt; &quot;quoted&quot; &#39;tick&#39;&nbsp;space</p>' ||
+      |    '<div class="nav"><a href="/home">Home</a> <a href="/next">Next</a> <a' ||
+      |    chr(10) || 'href="/x">X</a></div></body></html>' AS html,
+      |    CASE
+      |      WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.Site' || (doc_id % 5) ||
+      |        '.COM:443/Page/' || doc_id || '?utm_source=feed&b=2&a=1#top'
+      |      WHEN doc_id % 4 = 1 THEN 'https://www.site' || ((doc_id - 1) % 5) ||
+      |        '.com/Page/' || (doc_id - 1) || '?a=1&b=2&fbclid=XYZ' || doc_id
+      |      WHEN doc_id % 4 = 2 THEN 'http://site' || (doc_id % 5) || '.com:80/Item/' || doc_id
+      |      ELSE 'not a url ' || doc_id END AS url
+      |  FROM documents),
+      |x1 AS (SELECT doc_id, text, html, url,
+      |    regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g') s FROM raw),
+      |x2 AS (SELECT doc_id, text, html, url,
+      |    regexp_replace(s, '(?is)<script\b[^>]*>.*?</script>', ' ', 'g') s FROM x1),
+      |x3 AS (SELECT doc_id, text, html, url,
+      |    regexp_replace(s, '(?is)<style\b[^>]*>.*?</style>', ' ', 'g') s FROM x2),
+      |x4 AS (SELECT doc_id, text, html, url,
+      |    regexp_replace(s, '<[^>]*>', ' ', 'g') s FROM x3),
+      |x5 AS (SELECT doc_id, text, html, url,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      s, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+      |      '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') s FROM x4),
+      |m AS (SELECT doc_id, url,
+      |    CASE WHEN trim(regexp_replace(s, '[ \t\n\r\f]+', ' ', 'g')) = '' THEN 0
+      |         ELSE CAST(len(string_split(trim(regexp_replace(s, '[ \t\n\r\f]+', ' ', 'g')), ' ')) AS BIGINT)
+      |    END AS n_words,
+      |    CAST(len(regexp_extract_all(html, '(?i)<a\b')) AS BIGINT) AS n_anchors,
+      |    md5(substr(text, 1, 120)) AS ck
+      |  FROM x5),
+      |parts AS (SELECT doc_id, url, n_words, n_anchors, ck,
+      |    split_part(split_part(url, '#', 1), '?', 1) AS base,
+      |    substr(split_part(url, '#', 1), len(split_part(split_part(url, '#', 1), '?', 1)) + 2) AS query
+      |  FROM m),
+      |comp AS (SELECT *, lower(split_part(base, '://', 1)) AS scheme,
+      |    substr(base, len(split_part(base, '://', 1)) + 4) AS rest
+      |  FROM parts),
+      |comp2 AS (SELECT *, lower(split_part(rest, '/', 1)) AS auth,
+      |    substr(rest, len(split_part(rest, '/', 1)) + 1) AS path
+      |  FROM comp),
+      |comp3 AS (SELECT *,
+      |    COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=&]*|gclid|fbclid)(=.*)?$'))), '&'), '') AS q2
+      |  FROM comp2),
+      |meta AS (SELECT doc_id, n_words, n_anchors, ck,
+      |    CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]') THEN
+      |      scheme || '://' ||
+      |      (CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+      |            WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+      |            ELSE auth END) ||
+      |      (CASE WHEN path = '' THEN '/' ELSE path END) ||
+      |      (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+      |    ELSE NULL END AS canon_url
+      |  FROM comp3),
+      |meta2 AS (SELECT doc_id, n_words, n_anchors, ck, canon_url,
+      |    (canon_url IS NOT NULL AND n_words >= 10 AND n_anchors * 5 <= n_words) AS gate_passed
+      |  FROM meta),
+      |p AS (SELECT * FROM meta2 WHERE gate_passed),
+      |u AS (SELECT doc_id, ck,
+      |    CASE WHEN doc_id <> mk THEN mk END AS url_dup_of FROM
+      |  (SELECT doc_id, ck, MIN(doc_id) OVER (PARTITION BY canon_url) mk FROM p)),
+      |c2 AS (SELECT doc_id,
+      |    CASE WHEN doc_id <> mk THEN mk END AS content_dup_of FROM
+      |  (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY ck) mk FROM u WHERE url_dup_of IS NULL))
+      |SELECT meta2.doc_id, meta2.gate_passed, meta2.n_words, meta2.n_anchors,
+      |  u.url_dup_of, c2.content_dup_of,
+      |  (meta2.gate_passed AND u.url_dup_of IS NULL AND c2.content_dup_of IS NULL) AS kept
+      |FROM meta2 LEFT JOIN u USING (doc_id) LEFT JOIN c2 USING (doc_id)
+      |ORDER BY meta2.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qr05_expectations"      -> ((s: SparkSession, d: String) => expectations(Tables(s, d))),
     "qt29_unigram_vocab"     -> ((s: SparkSession, d: String) => unigramVocab(Tables(s, d))),
@@ -2265,6 +2420,7 @@ object QualityQueries {
     "qt34_luhn_scrub"        -> ((s: SparkSession, d: String) => luhnScrub(Tables(s, d))),
     "qt44_html_extract"      -> ((s: SparkSession, d: String) => htmlExtract(Tables(s, d))),
     "qt45_url_canonical"     -> ((s: SparkSession, d: String) => urlCanonical(Tables(s, d))),
+    "qx03_web_corpus_build"  -> ((s: SparkSession, d: String) => webCorpusBuild(Tables(s, d))),
     "qt15_dup_ngram_chars"   -> ((s: SparkSession, d: String) => dupNgramChars(Tables(s, d))),
   )
 
@@ -2310,6 +2466,7 @@ object QualityQueries {
     "qt34_luhn_scrub"        -> luhnScrubSql,
     "qt44_html_extract"      -> htmlExtractSql,
     "qt45_url_canonical"     -> urlCanonicalSql,
+    "qx03_web_corpus_build"  -> webCorpusBuildSql,
     "qt15_dup_ngram_chars"   -> dupNgramCharsSql,
   )
 }

@@ -499,6 +499,43 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("qx03: one extraction scan checkpoints ~100 B/doc metadata; HTML and text never shuffle") {
+    val p = plan(QualityQueries.webCorpusBuild(t))
+    // extraction (htmlToText/anchorCount/urlCanonicalize) runs once and
+    // lands in a materialized metadata frame — the funnel never
+    // re-derives the markup
+    assert(p.contains("Scan ExistingRDD"),
+      s"extraction metadata must be a materialized frame:\n$p")
+    val parts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(parts.forall(k => !k.contains("text") && !k.contains("html") &&
+      !k.contains("clean_")),
+      s"page bytes must never enter an exchange: $parts")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qx03: funnel invariants — every stage fires and kept reconciles exactly") {
+    val rows = QualityQueries.webCorpusBuild(Tables(spark, "/root/testdata/sf0.01")).collect()
+    val n = rows.length
+    val gated = rows.count(_.getBoolean(1))
+    val urlDups = rows.count(!_.isNullAt(4))
+    val contentDups = rows.count(!_.isNullAt(5))
+    val kept = rows.count(_.getBoolean(6))
+    assert(n > gated, "the non-URL quarantine must gate some docs")
+    assert(urlDups > 0, "the planted URL variants must collapse")
+    assert(contentDups > 0, "natural body-prefix dups must fire the content stage")
+    assert(kept === gated - urlDups - contentDups,
+      s"kept must reconcile: $gated - $urlDups - $contentDups != $kept")
+    rows.foreach { r =>
+      if (!r.isNullAt(4)) assert(r.getLong(4) < r.getLong(0), "keeper is the smaller id")
+      if (!r.isNullAt(5)) assert(r.getLong(5) < r.getLong(0), "keeper is the smaller id")
+      assert(r.getBoolean(6) === (r.getBoolean(1) && r.isNullAt(4) && r.isNullAt(5)),
+        s"kept must equal gated AND unique in both stages: $r")
+      if (!r.getBoolean(1)) assert(r.isNullAt(4) && r.isNullAt(5),
+        s"gate-failed docs are never dup-judged: $r")
+    }
+  }
+
   test("J1: delta-to-repo_file join shuffles on the COMPOSITE (repo_id, filename) key") {
     // the skew-tolerance property (round-11 verdict #5): a mega repo's
     // rows diffuse across partitions because the shuffle key is
