@@ -307,6 +307,37 @@ object EventStreams {
         ()
       }
 
+  /** Streaming ANN-index ingest: each micro-batch of (id, embedding)
+    * rows is assigned against the FROZEN quantizer and appended to the
+    * cell-partitioned [[graft.operators.IncrementalIvf]] store —
+    * continuous vector-index ingest, with the index servable between
+    * any two micro-batches ([[graft.operators.IncrementalIvf.serve]];
+    * probes partition-prune across seed and streamed data alike).
+    * foreachBatch because the state is the queryable parquet index
+    * shared with the batch path, not opaque operator state.
+    *
+    * Exactly-once: assignment is a PURE function of (vector, frozen
+    * centroids) — this sink emits no decisions, so the applied marker
+    * gates the append entirely and a replayed micro-batch is a no-op.
+    * A crash in the append-to-marker window leaves bit-identical
+    * duplicate rows, which `serve` tolerates (pruned-cells-only id
+    * dedup) and `compact` reclaims — the IncrementalHashDedup bloat
+    * contract, without even a decisions surface to re-pin. */
+  def ivfIngestStream(vectors: DataFrame, indexPath: String,
+                      idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val applied = graft.operators.IncrementalIvf
+          .batchApplied(batch.sparkSession, indexPath, batchId)
+        if (!applied) {
+          graft.operators.IncrementalIvf.appendBatch(batch, indexPath, idCol, vecCol)
+          graft.operators.IncrementalIvf.markApplied(batch.sparkSession, indexPath, batchId)
+        }
+        ()
+      }
+
   /** Streaming SCD2 maintenance: dimension updates arrive as a stream
     * and each micro-batch folds into the persistent version-chain
     * store via [[graft.hfc.Scd2Store.applyBatch]] — the K-plane's

@@ -110,6 +110,48 @@ class IncrementalIvfSpec extends SparkTestBase {
     }
   }
 
+  test("streaming ingest: micro-batch waves land batch-equal; checkpoint-loss replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val e = Tables(spark, sf0001).embeddings
+    withStore { path =>
+      IncrementalIvf.init(e.filter($"vec_id" % 2 === 0), path, nCells = 8)
+      val odd = e.filter($"vec_id" % 2 =!= 0)
+        .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect().toSeq
+      val (wave1, wave2) = odd.splitAt(odd.size / 2)
+
+      val mem = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.EventStreams.ivfIngestStream(
+        mem.toDF.toDF("vec_id", "embedding"), path).start()
+      try {
+        mem.addData(wave1: _*); q.processAllAvailable()
+        mem.addData(wave2: _*); q.processAllAvailable()
+      } finally q.stop()
+
+      // streamed index == the one-shot assignment with the same quantizer
+      val stored = spark.read.parquet(s"$path/assigned")
+        .select($"vec_id", $"cell".cast("int")).as[(Long, Int)].collect().toSet
+      val cents = spark.read.parquet(s"$path/centroids")
+      val fromScratch = IvfIndex.assign(e, cents)
+        .select($"vec_id", $"cell".cast("int")).as[(Long, Int)].collect().toSet
+      assert(stored === fromScratch,
+        "micro-batch boundaries must be invisible in the accumulated index")
+
+      // checkpoint loss: a fresh stream re-delivers the same waves as
+      // the same batch ids — the applied markers make every append a no-op
+      val rows = spark.read.parquet(s"$path/assigned").count()
+      val mem2 = MemoryStream[(Long, Seq[Float])]
+      val q2 = graft.streaming.EventStreams.ivfIngestStream(
+        mem2.toDF.toDF("vec_id", "embedding"), path).start()
+      try {
+        mem2.addData(wave1: _*); q2.processAllAvailable()
+        mem2.addData(wave2: _*); q2.processAllAvailable()
+      } finally q2.stop()
+      assert(spark.read.parquet(s"$path/assigned").count() === rows,
+        "a replayed micro-batch must never grow the index")
+    }
+  }
+
   test("cellCensus is exact and rebuildAdvice reads the planted imbalance") {
     val e = Tables(spark, sf0001).embeddings
     withStore { path =>
