@@ -77,9 +77,16 @@ object IncrementalIvf {
   /** Query path over the accumulated index — [[IvfIndex.topKFromStorage]]
     * semantics (probe cells from the centroid table, `cell IN (...)`
     * lands as a PartitionFilter, cosine top-k ranked (desc, id asc))
-    * plus the replay-bloat guard: ids dedup AFTER pruning, so the
-    * dedup shuffle is probe-sized. Queries are looked up in the store
-    * by id, so they may come from the seed or any appended batch. */
+    * plus the replay-bloat guard. The guard costs (almost) nothing:
+    * duplicate store rows are BIT-IDENTICAL (assignment is pure), so
+    * they collapse at the scored-candidates level — `dense_rank` over
+    * the strict (cos desc, id asc) order gives duplicate rows the same
+    * rank (and equals `row_number` exactly when the store is clean),
+    * and a final distinct over the ≤ k·|queries| result rows removes
+    * the copies. A pruned-side `dropDuplicates` would instead shuffle
+    * the full VECTOR PAYLOAD of every probed cell — measured 664 MB at
+    * a 4M-row store (ProfileIncrIvf) vs the candidates' ~24 B rows
+    * that must shuffle for ranking anyway. */
   def serve(spark: SparkSession, path: String, queryIds: Seq[Long],
             k: Int, nProbe: Int,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -87,14 +94,13 @@ object IncrementalIvf {
     val cents = spark.read.parquet(s"$path/centroids")
     val assigned = spark.read.parquet(s"$path/assigned")
     val queries = assigned.filter(col(idCol).isin(queryIds: _*))
-      .dropDuplicates(idCol)
+      .dropDuplicates(idCol) // |queryIds|-sized — the one cheap dedup
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         sqrt(norm2(col(vecCol))).as("q_nrm"))
     val qp = IvfIndex.probeCells(queries, cents, nProbe).join(queries, "query_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cells = qp.select(col("cell")).distinct().collect().map(_.get(0))
     val pruned = assigned.filter(col("cell").isin(cells.toSeq: _*))
-      .dropDuplicates(idCol) // replay-bloat guard, probe-sized input
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
         col("cell"), sqrt(norm2(col(vecCol))).as("c_nrm"))
     val sims = pruned.join(broadcast(qp), Seq("cell"))
@@ -104,7 +110,8 @@ object IncrementalIvf {
           .as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    sims.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+    sims.withColumn("rk", dense_rank().over(w).cast("long")).filter(col("rk") <= k)
+      .distinct()
   }
 
   /** Per-cell occupancy: (cell, n_vectors) — counts only, one
