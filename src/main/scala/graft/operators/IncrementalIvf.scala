@@ -97,8 +97,12 @@ object IncrementalIvf {
       .dropDuplicates(idCol) // |queryIds|-sized — the one cheap dedup
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
         sqrt(norm2(col(vecCol))).as("q_nrm"))
+    // eager localCheckpoint, not persist: the frame is read twice (cell
+    // collect + scoring join) and a persist would leak one CacheManager
+    // entry per serve call in a long session (the r11 lesson —
+    // lineage-owned blocks are GC'd with the RDD)
     val qp = IvfIndex.probeCells(queries, cents, nProbe).join(queries, "query_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cells = qp.select(col("cell")).distinct().collect().map(_.get(0))
     val pruned = assigned.filter(col("cell").isin(cells.toSeq: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),

@@ -117,8 +117,11 @@ object IvfIndex {
     val queries = assigned.filter(col(idCol).isin(queryIds: _*))
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
               sqrt(norm2(col(vecCol))).as("q_nrm"))
+    // eager localCheckpoint, not persist: read twice (cell collect +
+    // scoring join); a persist would leak one CacheManager entry per
+    // query in a long session — lineage-owned blocks GC with the RDD
     val qp = probeCells(queries, cents, nProbe).join(queries, "query_id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val cells = qp.select(col("cell")).distinct().collect().map(_.get(0))
     val pruned = assigned.filter(col("cell").isin(cells.toSeq: _*))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
