@@ -233,6 +233,30 @@ object DumpPlans {
       ("qx02_multimodal_corpus_build — the composed multimodal verdict",
        "The qx01 move on the multimodal funnel: ONE pass over the text bytes projects (wc, tl, md5, phash) scan-locally and checkpoints ~120 B/doc metadata — the corpus bytes never enter a shuffle; the text leg is one md5-keyed window, the image leg is qm03's banded funnel over the same checkpointed frame, and the manifest is two hash joins on doc_id. The streaming twin (multimodalPipelineStream) emits the same verdict shape incrementally.",
        fmt(graft.queries.PipelineQueries.multimodalCorpusBuild(t))),
+      ("qm13_band_regime_advice — occupancy-priced funnel geometry",
+       "The advisor never materializes a candidate pair: each geometry is one (band, bkey) explode of the 8-byte hash column, one map-side-combined occupancy aggregation, and (for MIH) a flip join of the OCCUPANCY TABLE with itself — metadata-sized, while the funnel it prices would join N-row sides. The hash column checkpoints once and is shared by all geometry passes; the final ranking window runs over |geometries| rows.",
+       fmt(graft.queries.PipelineQueries.bandRegimeAdviceQ(t))),
+      ("IncrementalIvf.serve — partition-pruned serving with a free bloat guard",
+       "The accumulated index scan carries the probed cells as PartitionFilters (appends land under the same cell=K/ dirs, so pruning spans seed and streamed data); scoring is one broadcast join + codegen'd dot product; the rank filter compiles to WindowGroupLimit, which takes the top-k PER MAP TASK before the exchange — so the rank shuffle carries ~k rows per query per map, and the replay-bloat dedup (dense_rank + distinct over the result rows) adds no payload shuffle. ProfileIncrIvf: serve shuffle 0.03 MB FLAT across a 250k→4M store sweep (the first-cut pruned-side dropDuplicates read 664 MB at 4M).",
+       {
+         val dir = Files.createTempDirectory("graft-incrivf-plan").toString
+         graft.operators.IncrementalIvf.init(
+           t.embeddings.filter(org.apache.spark.sql.functions.col("vec_id") % 2 === 0),
+           s"$dir/ivf", nCells = 8)
+         graft.operators.IncrementalIvf.appendBatch(
+           t.embeddings.filter(org.apache.spark.sql.functions.col("vec_id") % 2 =!= 0),
+           s"$dir/ivf")
+         val plan = fmt(graft.operators.IncrementalIvf.serve(
+           spark, s"$dir/ivf", Seq(0L), k = 5, nProbe = 2))
+         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+         plan
+       }),
+      ("qt44_html_extract — zero-shuffle web extraction",
+       "htmlToText/anchorCount/urlCanonicalize are regexp/split/array expression chains inside ONE whole-stage-codegen projection over the scan — the only Exchange in this plan is the gate harness's ORDER BY. Extracting 100 TB of crawl costs exactly the scan (ProfileWebText: 0.00 MB shuffle metered at every corpus size).",
+       fmt(graft.queries.QualityQueries.htmlExtract(t))),
+      ("qx03_web_corpus_build — the composed crawl funnel",
+       "Extraction metadata (canonical key, body key, word/anchor counts, gate flag) checkpoints at ~100 B/doc and the page bytes never enter an exchange (PlanAuditSpec pins the partition keys); URL dedup is one window over gate-passers, content dedup one window over URL-keepers, the verdict two hash joins on doc_id. ProfileWebText: funnel shuffle 113→149 B/doc flat across 50k→800k docs.",
+       fmt(graft.queries.QualityQueries.webCorpusBuild(t))),
     )
 
     val md = new StringBuilder
