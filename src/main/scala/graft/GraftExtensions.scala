@@ -78,6 +78,11 @@ object GraftExtensions {
        "graft_text_audio_energy"),
      (children: Seq[Expression]) =>
        graft.functions.expressions.TextAudioEnergyExpr(children(0))),
+    (FunctionIdentifier("graft_unicode_normalize"),
+     new ExpressionInfo(classOf[graft.functions.expressions.UnicodeNormalize].getName,
+       "graft_unicode_normalize"),
+     (children: Seq[Expression]) =>
+       graft.functions.expressions.UnicodeNormalize(children(0), children(1))),
     // Spark's OWN runtime-join-pruning bloom machinery, exposed as SQL
     // functions (upstream keeps them internal-only): the agg builds the
     // serialized filter, the predicate probes it codegen'd. Used by

@@ -210,4 +210,20 @@ object TextFunctions {
       lit(0.25) * least(lit(1.0), sw * 5.0 / n) +
       lit(0.25) * least(lit(1.0), chars / n / 8.0), 6)
   }
+
+  /** Unicode normalization (native codegen'd
+    * [[graft.functions.expressions.UnicodeNormalize]]): byte-identical
+    * keys for render-identical text — run before ANY hash-keyed stage
+    * on multilingual corpora (exact dedup, shingles, URL keys,
+    * tokenizer censuses). `form`: NFC (web/oracle parity), NFKC
+    * (tokenizer prep), NFD/NFKD (accent-strip feeds). */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    call_function("graft_unicode_normalize", text, lit(form))
+
+  /** Accent stripping: NFKD + combining-mark removal — `résumé` and
+    * `resume` share a key. A pure composition of the native normalize
+    * and one codegen'd regexp (`\p{Mn}` = nonspacing marks); for
+    * search-key folding, not display. */
+  def stripAccents(text: Column): Column =
+    regexp_replace(unicodeNormalize(text, "NFKD"), "\\p{Mn}", "")
 }

@@ -146,6 +146,44 @@ object IncrementalIvf {
       .withColumn("rebuild", col("imbalance") >= threshold)
   }
 
+  /** Re-fit the frozen quantizer from the CURRENT store contents — the
+    * action [[rebuildAdvice]] prices. One read of the accumulated
+    * vectors (ids dedup'd: replay bloat is reclaimed for free), fresh
+    * deterministic sampled centroids, full re-assignment, and an
+    * ATOMIC publish of the WHOLE index dir: centroids and assigned
+    * must swap together (a reader mixing old centroids with new cell
+    * numbering would probe garbage), so the swap unit is `path`
+    * itself, not the two tables separately. Applied markers are
+    * re-stamped into the staging dir so the streaming ingest's replay
+    * protection survives the rebuild. Offline-job semantics like the
+    * compaction it supersedes: run it when `rebuildAdvice` says so,
+    * not on a schedule. */
+  def rebuild(spark: SparkSession, path: String, nCells: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    graft.hfc.AtomicSwap.recoverDir(fs, path)              // torn earlier rebuild
+    graft.hfc.AtomicSwap.recoverDir(fs, s"$path/assigned") // torn earlier compact
+    // pin the current vectors BEFORE the swap replaces the directory
+    // underneath the lazy plan (and scan the store once, not twice)
+    val current = spark.read.parquet(s"$path/assigned")
+      .dropDuplicates(idCol).select(col(idCol), col(vecCol))
+      .localCheckpoint(true)
+    val staging = graft.hfc.AtomicSwap.stagingFor(path)
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+    IvfIndex.build(current, staging, nCells, idCol, vecCol)
+    // markers live INSIDE the index dir — carry them through the swap
+    val markers = new org.apache.hadoop.fs.Path(s"$path/assigned.applied")
+    if (fs.exists(markers)) {
+      val dst = new org.apache.hadoop.fs.Path(s"$staging/assigned.applied")
+      fs.mkdirs(dst)
+      fs.listStatus(markers).foreach(m =>
+        fs.create(new org.apache.hadoop.fs.Path(dst, m.getPath.getName), true).close())
+    }
+    fs.create(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), true).close()
+    graft.hfc.AtomicSwap.commitDir(fs, path, staging)
+  }
+
   /** Reclaim replay bloat: duplicate ids collapse (assignment is pure —
     * duplicates are bit-identical), per-batch append files re-pack to
     * one file per cell (`repartition(col("cell"))` puts each cell in

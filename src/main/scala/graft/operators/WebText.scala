@@ -55,6 +55,20 @@ object WebText {
   def anchorCount(html: Column): Column =
     size(regexp_extract_all(html, lit("(?i)<a\\b"), lit(0))).cast("long")
 
+  /** href targets of anchor tags (double-quoted attributes), in
+    * document order — the raw material of the crawl frontier and the
+    * host link graph. One regexp projection, zero shuffle; relative
+    * and garbage targets come through verbatim (resolve/filter with
+    * [[hostOf]] / [[urlCanonicalize]] downstream). */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html, lit("(?i)<a\\b[^>]*\\bhref=\"([^\"]*)\""), lit(1))
+
+  /** Lowercased host of an absolute URI; '' when the input has no
+    * scheme://host prefix (relative links, garbage) — a filterable
+    * sentinel, not a row drop. */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+
   /** Canonical URL key for url-level dedup and domain governance.
     * Rules (each one a reproducible-key requirement, not cosmetics):
     * fragment dropped (never sent to the server); scheme + host

@@ -2378,6 +2378,109 @@ object QualityQueries {
       |FROM meta2 LEFT JOIN u USING (doc_id) LEFT JOIN c2 USING (doc_id)
       |ORDER BY meta2.doc_id""".stripMargin
 
+  /** qg12: the web plane feeding the graph plane — a DOMAIN LINK GRAPH
+    * built by [[graft.operators.WebText.extractLinks]]/[[graft.operators.WebText.hostOf]]
+    * from planted markup (each doc links its ring neighbor, one of the
+    * three hub hosts — in MIXED CASE, pinning hostOf's lowercasing —
+    * and a relative link that must sentinel to '' and be filtered, not
+    * dropped as a row error), then ranked by the ALREADY-GATED
+    * [[graft.operators.GraphMetrics.pageRank]] (qg03's quantized
+    * 5-round semantics, node type string this time). The oracle
+    * replays extraction, host resolution, edge canonicalization, and
+    * all five quantized rounds. Link extraction is one scan
+    * projection; the graph that reaches the iterate is HOST-sized. */
+  def domainPageRank(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val srcHost = concat(lit("site"), ($"doc_id" % 7).cast("string"), lit(".example"))
+    val html = concat(
+      lit("<html><body><p>Doc "), $"doc_id".cast("string"), lit("</p>"),
+      lit("<a href=\"https://site"), (($"doc_id" % 7 + 1) % 7).cast("string"),
+      lit(".example/next/"), $"doc_id".cast("string"), lit("\">next</a>"),
+      lit(" <a href=\"HTTPS://SITE"), ($"doc_id" % 3).cast("string"),
+      lit(".Example/rel\">rel</a>"),
+      lit(" <a href=\"/relative/path\">skip</a></body></html>"))
+    val links = t.documents.select(srcHost.as("src"),
+      explode(graft.operators.WebText.extractLinks(html)).as("href"))
+    val edges = links.select($"src".as("a"),
+        graft.operators.WebText.hostOf($"href").as("b"))
+      .filter($"b" =!= "" && $"b" =!= $"a")
+    graft.operators.GraphMetrics.pageRank(edges, iters = 5)
+      .select($"node".as("host"), $"pagerank")
+      .orderBy($"host")
+  }
+
+  val domainPageRankSql: String = {
+    def iter(prev: String, k: Int) =
+      s"""it$k AS (SELECT e.b node,
+         |    floor(((1.0::DOUBLE - 0.85)/n + 0.85*(CAST(SUM(CAST(floor(r.r/d.od * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9)) * 1e9 + 0.5) / 1e9 r
+         |  FROM e JOIN $prev r ON r.node = e.a JOIN deg d ON d.node = e.a CROSS JOIN nn
+         |  GROUP BY e.b, nn.n)""".stripMargin
+    s"""WITH raw AS (SELECT doc_id,
+       |    'site' || (doc_id % 7) || '.example' AS src,
+       |    '<html><body><p>Doc ' || doc_id || '</p>' ||
+       |    '<a href="https://site' || ((doc_id % 7 + 1) % 7) ||
+       |    '.example/next/' || doc_id || '">next</a>' ||
+       |    ' <a href="HTTPS://SITE' || (doc_id % 3) || '.Example/rel">rel</a>' ||
+       |    ' <a href="/relative/path">skip</a></body></html>' AS html
+       |  FROM documents),
+       |lnk AS (SELECT src, unnest(regexp_extract_all(html,
+       |    '(?i)<a\\b[^>]*\\bhref="([^"]*)"', 1)) AS href FROM raw),
+       |ed0 AS (SELECT src a,
+       |    lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) b
+       |  FROM lnk),
+       |und AS (SELECT DISTINCT LEAST(a, b) a, GREATEST(a, b) b
+       |  FROM ed0 WHERE b <> '' AND b <> a),
+       |e AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+       |deg AS (SELECT a node, COUNT(*) od FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) n FROM deg),
+       |it0 AS (SELECT node, 1.0/n r FROM deg CROSS JOIN nn),
+       |${iter("it0", 1)},
+       |${iter("it1", 2)},
+       |${iter("it2", 3)},
+       |${iter("it3", 4)},
+       |${iter("it4", 5)}
+       |SELECT node AS host, r AS pagerank FROM it5 ORDER BY host""".stripMargin
+  }
+
+  /** qt46: Unicode NFC normalization gated end to end — the native
+    * [[graft.functions.expressions.UnicodeNormalize]] expression vs
+    * DuckDB's `nfc_normalize`. Planted forms (the qt09 discipline,
+    * built from code points so both engines construct identical
+    * bytes): each id-triple carries the SAME logical text as
+    * decomposed (`e`+U+0301), precomposed (U+00E9), and unaccented
+    * variants over a shared md5 body — NFC must collapse the first two
+    * to one byte-identical key (`n_sharing` = 2, the dedup read this
+    * exists for) while the unaccented form stays distinct. `changed`
+    * pins the fast path: only decomposed inputs rewrite. */
+  def unicodeNormalizeQ(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val body = md5(concat(lit("46:"), ($"doc_id" - $"doc_id" % 3).cast("string")))
+    val raw =
+      when($"doc_id" % 3 === 0, concat(lit("café "), body))
+      .when($"doc_id" % 3 === 1, concat(lit("café "), body))
+      .otherwise(concat(lit("cafe "), body))
+    t.documents.select($"doc_id", raw.as("raw"))
+      .select($"doc_id", $"raw",
+        graft.functions.TextFunctions.unicodeNormalize($"raw").as("nfc"))
+      .withColumn("changed", $"nfc" =!= $"raw")
+      .withColumn("n_sharing",
+        count(lit(1)).over(Window.partitionBy(md5($"nfc"))))
+      .select($"doc_id", $"nfc", $"changed", $"n_sharing")
+      .orderBy($"doc_id")
+  }
+
+  val unicodeNormalizeSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN 'cafe' || chr(769) || ' ' || md5('46:' || (doc_id - doc_id % 3))
+      |      WHEN 1 THEN 'caf' || chr(233) || ' ' || md5('46:' || (doc_id - doc_id % 3))
+      |      ELSE 'cafe ' || md5('46:' || (doc_id - doc_id % 3)) END AS raw
+      |  FROM documents),
+      |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM p)
+      |SELECT doc_id, nfc, nfc <> raw AS changed,
+      |  COUNT(*) OVER (PARTITION BY md5(nfc)) AS n_sharing
+      |FROM n ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qr05_expectations"      -> ((s: SparkSession, d: String) => expectations(Tables(s, d))),
     "qt29_unigram_vocab"     -> ((s: SparkSession, d: String) => unigramVocab(Tables(s, d))),
@@ -2421,6 +2524,8 @@ object QualityQueries {
     "qt44_html_extract"      -> ((s: SparkSession, d: String) => htmlExtract(Tables(s, d))),
     "qt45_url_canonical"     -> ((s: SparkSession, d: String) => urlCanonical(Tables(s, d))),
     "qx03_web_corpus_build"  -> ((s: SparkSession, d: String) => webCorpusBuild(Tables(s, d))),
+    "qg12_domain_pagerank"   -> ((s: SparkSession, d: String) => domainPageRank(Tables(s, d))),
+    "qt46_unicode_normalize" -> ((s: SparkSession, d: String) => unicodeNormalizeQ(Tables(s, d))),
     "qt15_dup_ngram_chars"   -> ((s: SparkSession, d: String) => dupNgramChars(Tables(s, d))),
   )
 
@@ -2467,6 +2572,8 @@ object QualityQueries {
     "qt44_html_extract"      -> htmlExtractSql,
     "qt45_url_canonical"     -> urlCanonicalSql,
     "qx03_web_corpus_build"  -> webCorpusBuildSql,
+    "qg12_domain_pagerank"   -> domainPageRankSql,
+    "qt46_unicode_normalize" -> unicodeNormalizeSql,
     "qt15_dup_ngram_chars"   -> dupNgramCharsSql,
   )
 }

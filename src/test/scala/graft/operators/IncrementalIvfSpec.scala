@@ -188,6 +188,25 @@ class IncrementalIvfSpec extends SparkTestBase {
       intercept[IllegalArgumentException] {
         IncrementalIvf.rebuildAdvice(spark, path, threshold = 0.5)
       }
+
+      // rebuild: the action the advice prices — re-fit drops the
+      // planted imbalance, preserves content + markers, stays servable
+      IncrementalIvf.markApplied(spark, path, 42L)
+      val idsBefore = spark.read.parquet(s"$path/assigned")
+        .select($"vec_id").as[Long].collect().toSet
+      IncrementalIvf.rebuild(spark, path, nCells = 8)
+      val rebuilt = IncrementalIvf.rebuildAdvice(spark, path, threshold = 2.0).collect().head
+      assert(rebuilt.getAs[Double]("imbalance") < after.getAs[Double]("imbalance"),
+        "a re-fit quantizer must spread the drifted mass back out")
+      assert(spark.read.parquet(s"$path/assigned")
+        .select($"vec_id").as[Long].collect().toSet === idsBefore,
+        "rebuild must preserve the accumulated vectors exactly")
+      assert(IncrementalIvf.batchApplied(spark, path, 42L),
+        "applied markers must ride through the swap")
+      val served = IncrementalIvf.serve(spark, path, qs, k = 5, nProbe = 2)
+      assert(served.count() === qs.size * 5L, "rebuilt index must serve full top-k")
+      assert(served.queryExecution.executedPlan.toString.contains("PartitionFilters: [cell"),
+        "rebuilt index must still partition-prune")
     }
   }
 }

@@ -89,6 +89,33 @@ class WebTextSpec extends SparkTestBase {
     assert(twice === once)
   }
 
+  test("extractLinks: document order, case-insensitive tags, newline-torn attrs") {
+    val html =
+      """<a href="https://A.example/x">a</a> text
+        |<A HREF="http://b.example:8080/y?z=1">b</A>
+        |<a class="nav" href="/rel">r</a>
+        |<a
+        |href="ftp://C.example/f">c</a> <abbr href="https://no.example/">not a link</abbr>""".stripMargin
+    val got = Seq(html).toDF("h")
+      .select(WebText.extractLinks($"h").as("l")).as[Seq[String]].collect().head
+    assert(got === Seq("https://A.example/x", "http://b.example:8080/y?z=1",
+      "/rel", "ftp://C.example/f"))
+  }
+
+  test("hostOf: lowercased host, port excluded, relative/garbage sentinel to ''") {
+    val cases = Seq(
+      "https://A.Example/x" -> "a.example",
+      "http://b.example:8080/y" -> "b.example",
+      "ftp://C.example/f" -> "c.example",
+      "/rel" -> "",
+      "not a url" -> "",
+      "" -> "")
+    val got = cases.map(_._1).toDF("u")
+      .select($"u", WebText.hostOf($"u").as("h")).as[(String, String)]
+      .collect().toMap
+    cases.foreach { case (u, want) => assert(got(u) === want, s"hostOf($u)") }
+  }
+
   test("both operators are pure scan projections — zero Exchange") {
     val df = Seq(("<p>x</p>", "http://h.com/")).toDF("h", "u")
       .select(WebText.htmlToText($"h"), WebText.anchorCount($"h"),
