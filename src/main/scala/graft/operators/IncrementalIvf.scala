@@ -52,9 +52,7 @@ object IncrementalIvf {
   def appendBatch(batch: DataFrame, path: String,
                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
-    graft.hfc.AtomicSwap.recoverDir(
-      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration),
-      s"$path/assigned")
+    recoverAll(spark, path) // a torn REBUILD would otherwise leave no centroids
     val cents = spark.read.parquet(s"$path/centroids")
     IvfIndex.assign(batch, cents, idCol, vecCol)
       .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
@@ -90,40 +88,32 @@ object IncrementalIvf {
   def serve(spark: SparkSession, path: String, queryIds: Seq[Long],
             k: Int, nProbe: Int,
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.VectorFunctions._
-    val cents = spark.read.parquet(s"$path/centroids")
-    val assigned = spark.read.parquet(s"$path/assigned")
-    val queries = assigned.filter(col(idCol).isin(queryIds: _*))
-      .dropDuplicates(idCol) // |queryIds|-sized — the one cheap dedup
-      .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
-        sqrt(norm2(col(vecCol))).as("q_nrm"))
-    // eager localCheckpoint, not persist: the frame is read twice (cell
-    // collect + scoring join) and a persist would leak one CacheManager
-    // entry per serve call in a long session (the r11 lesson —
-    // lineage-owned blocks are GC'd with the RDD)
-    val qp = IvfIndex.probeCells(queries, cents, nProbe).join(queries, "query_id")
-      .localCheckpoint(true)
-    val cells = qp.select(col("cell")).distinct().collect().map(_.get(0))
-    val pruned = assigned.filter(col("cell").isin(cells.toSeq: _*))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
-        col("cell"), sqrt(norm2(col(vecCol))).as("c_nrm"))
-    val sims = pruned.join(broadcast(qp), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6)
-          .as("cos_sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    sims.withColumn("rk", dense_rank().over(w).cast("long")).filter(col("rk") <= k)
-      .distinct()
+    recoverAll(spark, path)
+    IvfIndex.topKPruned(spark, path, queryIds, k, nProbe, idCol, vecCol,
+      tolerateBloat = true)
+  }
+
+  /** Repair any interrupted swap BEFORE touching the store — the
+    * sibling-store discipline (every entry point recovers, readers
+    * included: a compact or rebuild crash between its two renames must
+    * never surface as PATH_NOT_FOUND to a reader). Order matters: the
+    * whole-index swap (rebuild) first, then the assigned-table swap
+    * (compact) inside whatever that restored. */
+  private def recoverAll(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    graft.hfc.AtomicSwap.recoverDir(fs, path)
+    graft.hfc.AtomicSwap.recoverDir(fs, s"$path/assigned")
   }
 
   /** Per-cell occupancy: (cell, n_vectors) — counts only, one
     * partitioned-scan aggregation (the id column alone is read). */
   def cellCensus(spark: SparkSession, path: String,
-                 idCol: String = "vec_id"): DataFrame =
+                 idCol: String = "vec_id"): DataFrame = {
+    recoverAll(spark, path)
     spark.read.parquet(s"$path/assigned")
       .groupBy(col("cell")).agg(count(col(idCol)).as("n_vectors"))
+  }
 
   /** The rebuild signal, one row: cell count, vector count, max/mean
     * cell occupancy, and `imbalance` = max/mean (1.0 = perfectly
@@ -136,6 +126,7 @@ object IncrementalIvf {
                     threshold: Double = 4.0,
                     idCol: String = "vec_id"): DataFrame = {
     require(threshold >= 1.0, s"imbalance threshold must be >= 1.0, got $threshold")
+    // cellCensus recovers torn swaps on entry
     cellCensus(spark, path, idCol).agg(
         count(lit(1)).as("n_cells"),
         coalesce(sum(col("n_vectors")), lit(0L)).as("n_vectors"),
@@ -162,8 +153,7 @@ object IncrementalIvf {
               idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    graft.hfc.AtomicSwap.recoverDir(fs, path)              // torn earlier rebuild
-    graft.hfc.AtomicSwap.recoverDir(fs, s"$path/assigned") // torn earlier compact
+    recoverAll(spark, path) // torn earlier rebuild, then torn compact
     // pin the current vectors BEFORE the swap replaces the directory
     // underneath the lazy plan (and scan the store once, not twice)
     val current = spark.read.parquet(s"$path/assigned")
@@ -196,7 +186,7 @@ object IncrementalIvf {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val assignedPath = s"$path/assigned"
-    graft.hfc.AtomicSwap.recoverDir(fs, assignedPath)
+    recoverAll(spark, path)
     val staging = graft.hfc.AtomicSwap.stagingFor(assignedPath)
     spark.read.parquet(assignedPath)
       .dropDuplicates(idCol)

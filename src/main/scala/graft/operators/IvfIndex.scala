@@ -111,10 +111,29 @@ object IvfIndex {
     * as a PartitionFilter rather than relying on runtime DPP. */
   def topKFromStorage(spark: SparkSession, path: String, queryIds: Seq[Long],
                       k: Int, nProbe: Int,
-                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    topKPruned(spark, path, queryIds, k, nProbe, idCol, vecCol,
+      tolerateBloat = false)
+
+  /** Shared probe/prune/score core for [[topKFromStorage]] and
+    * [[IncrementalIvf.serve]] — ONE implementation of the pruned scan
+    * (the leak-fix class of bug must never need fixing twice). The
+    * single variation point is the ranking: `tolerateBloat = false`
+    * ranks with `row_number` (clean-store contract); `true` ranks with
+    * `dense_rank` + a final distinct, which equals `row_number`
+    * exactly on a clean store and collapses the bit-identical
+    * duplicate rows a crash-window append replay leaves
+    * (IncrementalIvf's bloat contract) — at the scored-candidates
+    * level, so no vector payload ever shuffles for the guard
+    * (ProfileIncrIvf: 664 MB → 0.03 MB). */
+  private[operators] def topKPruned(spark: SparkSession, path: String,
+                                    queryIds: Seq[Long], k: Int, nProbe: Int,
+                                    idCol: String, vecCol: String,
+                                    tolerateBloat: Boolean): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
     val assigned = spark.read.parquet(s"$path/assigned")
     val queries = assigned.filter(col(idCol).isin(queryIds: _*))
+      .dropDuplicates(idCol) // |queryIds|-sized either way
       .select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
               sqrt(norm2(col(vecCol))).as("q_nrm"))
     // eager localCheckpoint, not persist: read twice (cell collect +
@@ -132,6 +151,10 @@ object IvfIndex {
         round(dot(col("q_vec"), col("c_vec")) / (col("q_nrm") * col("c_nrm")), 6).as("cos_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    sims.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+    if (tolerateBloat)
+      sims.withColumn("rk", dense_rank().over(w).cast("long")).filter(col("rk") <= k)
+        .distinct()
+    else
+      sims.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 }

@@ -849,10 +849,14 @@ object Multimodal {
     val perGeometry = geometries.map { case (bands, bandBits, tol) =>
       val mask = (1L << bandBits) - 1
       def bandKey(b: Int) = shiftright(col("hash"), b * bandBits).bitwiseAND(lit(mask))
-      val occ = h.select(
+      val occ0 = h.select(
           posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "bkey")))
         .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // read by the stats agg and (t=1) both flip-join sides
+      // checkpoint only when reused: the t=1 flip join reads occ three
+      // times (stats + both join sides); a t=0 geometry consumes it
+      // once, and the occupancy table can reach bands × 2^bandBits
+      // rows — a wasted materialization barrier at wide bandBits
+      val occ = if (tol == 1) occ0.localCheckpoint(true) else occ0
       val within = occ.agg(
         // c·(c−1) is even per bucket, and the sum of longs stays a
         // LONG — shiftright is the exact integer halving (a `/ 2`

@@ -65,9 +65,12 @@ object WebText {
 
   /** Lowercased host of an absolute URI; '' when the input has no
     * scheme://host prefix (relative links, garbage) — a filterable
-    * sentinel, not a row drop. */
+    * sentinel, not a row drop. Userinfo (`user:pw@`) is skipped: the
+    * host is what identifies the domain, and `alice@example.com` must
+    * never mint a graph node distinct from `example.com`. */
   def hostOf(url: Column): Column =
-    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    lower(regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
 
   /** Canonical URL key for url-level dedup and domain governance.
     * Rules (each one a reproducible-key requirement, not cosmetics):
@@ -90,9 +93,13 @@ object WebText {
     val rest   = base.substr(length(scheme) + lit(4), length(base))
     val auth   = lower(split_part(rest, lit("/"), lit(1)))
     val path   = rest.substr(length(auth) + lit(1), length(rest))
-    val authNoPort = when(scheme === "http", regexp_replace(auth, ":80$", ""))
-      .when(scheme === "https", regexp_replace(auth, ":443$", ""))
-      .otherwise(auth)
+    // userinfo dropped: `user:pw@host` never identifies the page, and
+    // a credentialed crawl of the same URL must share its key (and
+    // never leak the credential into it)
+    val authNoUser = regexp_replace(auth, "^[^@]*@", "")
+    val authNoPort = when(scheme === "http", regexp_replace(authNoUser, ":80$", ""))
+      .when(scheme === "https", regexp_replace(authNoUser, ":443$", ""))
+      .otherwise(authNoUser)
     val keptParams = filter(split(query, "&"), p =>
       p =!= lit("") && !p.rlike("^(utm_[^=&]*|gclid|fbclid)(=.*)?$"))
     val canonQuery = array_join(array_sort(keptParams), "&")

@@ -133,9 +133,8 @@ object ProfileWebText {
 
       val (nAll, gated, urlDups, contentDups) = verdict
       val quarantined = nAll - corpus.filter(WebText.urlCanonicalize($"url").isNotNull).count()
-      assert(quarantined == n / 4 + (if (n % 4 > 3) 1 else 0) ||
-             quarantined == (n + 3) / 4,
-        s"quarantine must equal the planted non-URL mass: $quarantined vs ~${n / 4}")
+      assert(quarantined == (n + 3) / 4, // ids ≡ 3 (mod 4) are the planted non-URLs
+        s"quarantine must equal the planted non-URL mass: $quarantined vs ${(n + 3) / 4}")
       println(f"[webtext] n=$n%7d  ${mb}%8.1f MB  extract ${tExtract}%6.2f s " +
         f"(${mb / tExtract}%6.1f MB/s, shuf ${exShuf}%6.2f MB)  " +
         f"funnel ${tFunnel}%6.2f s (shuf ${fnShuf}%7.2f MB = ${fnShuf * 1e6 / nAll}%5.1f B/doc)  " +
