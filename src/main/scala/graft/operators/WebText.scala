@@ -72,6 +72,29 @@ object WebText {
     lower(regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
 
+  /** 60-bit integer key of a string — the EXACT-dedup store key for
+    * canonical URLs and boilerplate-free body text: the first 15 hex
+    * digits of md5 as a positive BIGINT. Cross-engine exact by
+    * construction (DuckDB replay: [[key60Sql]]), which is what lets the
+    * incremental web stores ([[graft.streaming.EventStreams.webPipelineStream]],
+    * qx04) share one key function between the engine and the oracle.
+    *
+    * Collision honesty (birthday bound): expected colliding pairs ≈
+    * n²/2^61, i.e. ~4×10⁻³ at n = 10⁸ keys — negligible through
+    * hundred-million-key stores, but at BILLION-key scale collisions
+    * are expected (a collision = a false exact-dup drop). The 100 TB
+    * path is the crawler's natural one: shard the url store by host
+    * (per-host politeness already partitions the frontier) so each
+    * store stays ≤ ~10⁸ keys, or move the exact stage to the full
+    * 128-bit digest with a string-keyed store. NULL in → NULL out
+    * (the quarantine sentinel propagates). */
+  def key60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[key60]] over a SQL expression string. */
+  def key60Sql(expr: String): String =
+    s"(('0x' || substr(md5($expr), 1, 15))::BIGINT)"
+
   /** Canonical URL key for url-level dedup and domain governance.
     * Rules (each one a reproducible-key requirement, not cosmetics):
     * fragment dropped (never sent to the server); scheme + host

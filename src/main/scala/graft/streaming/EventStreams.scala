@@ -674,6 +674,112 @@ object EventStreams {
       }
   }
 
+  /** The WEB composed streaming pipeline — qx03's crawl-to-corpus
+    * funnel made incremental: input pages carry (doc_id, url, html);
+    * per micro-batch:
+    *   1. EXTRACTION, one pure scan projection (the page bytes are
+    *      touched exactly once and never shuffle):
+    *      [[graft.operators.WebText.htmlToText]] + anchorCount +
+    *      urlCanonicalize, then the all-integer web gate — canonical
+    *      URL present (quarantine sentinel), ≥ `minWords` extracted
+    *      words, link density `5·anchors ≤ words`. Only ~60 B/doc of
+    *      metadata (two 8-byte keys + counts + flags) survives the
+    *      localCheckpoint;
+    *   2. URL dedup among gate-passers against the persistent url-key
+    *      store — [[graft.operators.IncrementalHashDedup]] in its
+    *      EXACT regime (`bands = 1, bandBits = 32, maxHamming = 0`:
+    *      pigeonhole needs only one band at hamming 0; the 32-bit band
+    *      key merely buckets, the popcount verify makes every match
+    *      exact on the full key) — the crawler's cheapest duplicate
+    *      class, killed before any content work;
+    *   3. CONTENT dedup among url-keepers on the boilerplate-free body
+    *      key (dedup AFTER extraction, so chrome differences can't
+    *      hide copies) against its own store, same exact regime;
+    *   4. verdict manifest per input page: gate_passed, n_words,
+    *      n_anchors, url_dup_of, content_dup_of, strict `kept`.
+    *
+    * Keys are [[graft.operators.WebText.key60]] (cross-engine md5-60;
+    * see its scaladoc for the birthday bound and the shard-by-host
+    * 100 TB path). Exactly-once composes stage-wise as in
+    * [[corpusPipelineStream]]: extraction is pure, both stores run the
+    * marker-after-append protocol (append-only — a crash between
+    * append and marker means a replay re-appends bit-identical keys;
+    * bloat reclaimed by compactStore, never corruption), and replayed
+    * decisions are identical because exact-key equality is SYMMETRIC
+    * (the [[graft.operators.IncrementalFrameDedup]] lesson in reverse:
+    * the store-side self-match guard suffices — any batch mate sharing
+    * a key was flagged against the smaller id and never appended, so a
+    * replay cannot meet it in the store). The content stage's input is
+    * the url stage's keeper set, which replays identically for the
+    * same reason, so the composition is exactly-once end to end. Dup
+    * attribution is ARRIVAL-ORDER (first writer keeps; within a batch,
+    * smallest id), vs qx03's global min-id — same clusters,
+    * incremental keeper. Both stores must be initStore'd before the
+    * query starts. */
+  def webPipelineStream(pages: DataFrame,
+                        urlStorePath: String, contentStorePath: String,
+                        outDir: String, minWords: Int = 10)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    pages.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val spark = batch0.sparkSession
+        val wt = graft.operators.WebText
+        val meta = batch0.select(col("doc_id"),
+            wt.urlCanonicalize(col("url")).as("canon_url"),
+            wt.htmlToText(col("html")).as("clean_text"),
+            wt.anchorCount(col("html")).as("n_anchors"))
+          .withColumn("n_words",
+            when(col("clean_text") === "", lit(0L))
+              .otherwise(size(split(col("clean_text"), " ")).cast("long")))
+          .withColumn("gate_passed",
+            col("canon_url").isNotNull && col("n_words") >= minWords &&
+              col("n_anchors") * 5 <= col("n_words"))
+          .select(col("doc_id"), col("gate_passed"),
+            col("n_words"), col("n_anchors"),
+            wt.key60(col("canon_url")).as("uk"),
+            wt.key60(col("clean_text")).as("ck"))
+          .localCheckpoint() // ~60 B/doc; the HTML is never re-derived
+        val passed = meta.filter(col("gate_passed"))
+
+        val uApplied = graft.operators.IncrementalHashDedup
+          .batchApplied(spark, urlStorePath, batchId)
+        val ud = graft.operators.IncrementalHashDedup
+          .dedupBatch(passed.select(col("doc_id"), col("uk")), urlStorePath,
+            bands = 1, bandBits = 32, maxHamming = 0,
+            idCol = "doc_id", hashCol = "uk", appendUnique = !uApplied)
+          .select(col("doc_id"), col("dup_of").as("url_dup_of"))
+
+        val urlKeepers = passed
+          .join(ud.filter(col("url_dup_of").isNull).select(col("doc_id")),
+            Seq("doc_id"))
+        val cApplied = graft.operators.IncrementalHashDedup
+          .batchApplied(spark, contentStorePath, batchId)
+        val cd = graft.operators.IncrementalHashDedup
+          .dedupBatch(urlKeepers.select(col("doc_id"), col("ck")), contentStorePath,
+            bands = 1, bandBits = 32, maxHamming = 0,
+            idCol = "doc_id", hashCol = "ck", appendUnique = !cApplied)
+          .select(col("doc_id"), col("dup_of").as("content_dup_of"))
+
+        meta.select(col("doc_id"), col("gate_passed"),
+            col("n_words"), col("n_anchors"))
+          .join(ud, Seq("doc_id"), "left")
+          .join(cd, Seq("doc_id"), "left")
+          .withColumn("kept",
+            col("gate_passed") && col("url_dup_of").isNull &&
+              col("content_dup_of").isNull)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        if (!uApplied)
+          graft.operators.IncrementalHashDedup.markApplied(spark, urlStorePath, batchId)
+        if (!cApplied)
+          graft.operators.IncrementalHashDedup.markApplied(spark, contentStorePath, batchId)
+        ()
+      }
+
   /** Stream-stream interval join: pair each left event with right
     * events of the same user arriving within `[0, maxDelay]` after it.
     * Both sides carry watermarks and the join condition bounds event
