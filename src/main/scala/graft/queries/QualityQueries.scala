@@ -2477,6 +2477,161 @@ object QualityQueries {
       |  COUNT(*) OVER (PARTITION BY md5(nfc)) AS n_sharing
       |FROM n ORDER BY doc_id""".stripMargin
 
+  /** qx04: the INCREMENTAL web corpus build — the store semantics of
+    * [[graft.streaming.EventStreams.webPipelineStream]] gated (the
+    * qm07/qm12 move): even doc_ids are crawl history — their
+    * url-KEEPERS (first writer per canonical-url key) seed a REAL
+    * on-disk url store AND contribute their body keys to a REAL
+    * content store — and odd ids arrive as one batch through both
+    * [[graft.operators.IncrementalHashDedup]] stages in the EXACT
+    * regime (`bands = 1, bandBits = 32, maxHamming = 0`: one 32-bit
+    * bucket band, popcount-exact verify), content judged only for url
+    * keepers (the stream's stage order). Keys are
+    * [[graft.operators.WebText.key60]] — cross-engine md5-60 — so the
+    * DuckDB oracle replays the WHOLE funnel from scratch, history
+    * keeper selection included. The planting covers every decision
+    * class: url-dup via store (%16=1 is a messy variant of its even
+    * neighbor's URL), url-dup via smaller batch mate (%16=5 of %16=3),
+    * quarantine (%16=7), content-dup via store (%16=9 shares a body
+    * with even keeper %16=6), content-dup via smaller batch mate
+    * (%16=13 of %16=11), kept (%16=3,11), and the SUBTLE one: %16=15
+    * shares its body ONLY with the non-keeper even %16=4 (a url-dup of
+    * %16=2), whose key never entered the content store — so 15 must be
+    * KEPT, pinning the keeper-only store-seeding semantics. */
+  def webIncrBuild(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val m = $"doc_id" % 16
+    val blk = ($"doc_id" - m).cast("string")
+    val url =
+      when(m === 0, concat(lit("https://dup.site/p/"), $"doc_id".cast("string")))
+      .when(m === 1, concat(lit("HTTPS://DUP.Site:443/p/"),
+        ($"doc_id" - 1).cast("string"), lit("?utm_source=z")))
+      .when(m === 2, concat(lit("https://even2.site/p/"), ($"doc_id" - 2).cast("string")))
+      .when(m === 4, concat(lit("https://even2.site/p/"), ($"doc_id" - 4).cast("string")))
+      .when(m === 3 || m === 5, concat(lit("https://batch.site/p/"), blk))
+      .when(m === 7, concat(lit("not a url "), $"doc_id".cast("string")))
+      .otherwise(concat(lit("https://o.site/"), $"doc_id".cast("string")))
+    val ckb =
+      when(m === 6 || m === 9, concat(lit("A"), blk))
+      .when(m === 11 || m === 13, concat(lit("B"), blk))
+      .when(m === 4 || m === 15, concat(lit("C"), blk))
+      .otherwise(concat(lit("U"), $"doc_id".cast("string")))
+    val wt = graft.operators.WebText
+    // ~25 B/doc of keys; pinned once — the url/key derivation feeds six
+    // plan branches (two store seeds, the batch, and the verdict joins)
+    val k = t.documents.select($"doc_id",
+        wt.key60(wt.urlCanonicalize(url)).as("uk"),
+        wt.key60(ckb).as("ck"))
+      .withColumn("gate_passed", $"uk".isNotNull)
+      .localCheckpoint()
+    val evenKeepers = k.filter($"doc_id" % 2 === 0)
+      .withColumn("mk", min($"doc_id").over(Window.partitionBy($"uk")))
+      .filter($"doc_id" === $"mk")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-qx04")
+    val urlStore = tmp.toString + "/urls"
+    val contentStore = tmp.toString + "/bodies"
+    graft.operators.IncrementalHashDedup.initStore(
+      evenKeepers.select($"doc_id", $"uk"), urlStore, hashCol = "uk")
+    graft.operators.IncrementalHashDedup.initStore(
+      evenKeepers.select($"doc_id", $"ck"), contentStore, hashCol = "ck")
+    val odds = k.filter($"doc_id" % 2 === 1)
+    val passed = odds.filter($"gate_passed")
+    // appendUnique=false: read-only gate query over a throwaway store;
+    // dedupBatch pins decisions with an eager localCheckpoint, so the
+    // store can be deleted before the result is consumed
+    val ud = graft.operators.IncrementalHashDedup.dedupBatch(
+        passed.select($"doc_id", $"uk"), urlStore,
+        bands = 1, bandBits = 32, maxHamming = 0,
+        idCol = "doc_id", hashCol = "uk", appendUnique = false)
+      .select($"doc_id", $"dup_of".as("url_dup_of"))
+    val okeep = passed
+      .join(ud.filter($"url_dup_of".isNull).select($"doc_id"), Seq("doc_id"))
+    val cd = graft.operators.IncrementalHashDedup.dedupBatch(
+        okeep.select($"doc_id", $"ck"), contentStore,
+        bands = 1, bandBits = 32, maxHamming = 0,
+        idCol = "doc_id", hashCol = "ck", appendUnique = false)
+      .select($"doc_id", $"dup_of".as("content_dup_of"))
+    val out = odds.select($"doc_id", $"gate_passed")
+      .join(ud, Seq("doc_id"), "left")
+      .join(cd, Seq("doc_id"), "left")
+      .withColumn("kept",
+        $"gate_passed" && $"url_dup_of".isNull && $"content_dup_of".isNull)
+      .orderBy($"doc_id")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    out
+  }
+
+  val webIncrBuildSql: String =
+    """WITH u AS (SELECT doc_id,
+      |    CASE CAST(doc_id % 16 AS INT)
+      |      WHEN 0 THEN 'https://dup.site/p/' || doc_id
+      |      WHEN 1 THEN 'HTTPS://DUP.Site:443/p/' || (doc_id - 1) || '?utm_source=z'
+      |      WHEN 2 THEN 'https://even2.site/p/' || (doc_id - 2)
+      |      WHEN 4 THEN 'https://even2.site/p/' || (doc_id - 4)
+      |      WHEN 3 THEN 'https://batch.site/p/' || (doc_id - doc_id % 16)
+      |      WHEN 5 THEN 'https://batch.site/p/' || (doc_id - doc_id % 16)
+      |      WHEN 7 THEN 'not a url ' || doc_id
+      |      ELSE 'https://o.site/' || doc_id END AS url,
+      |    CASE CAST(doc_id % 16 AS INT)
+      |      WHEN 6 THEN 'A' || (doc_id - doc_id % 16)
+      |      WHEN 9 THEN 'A' || (doc_id - doc_id % 16)
+      |      WHEN 11 THEN 'B' || (doc_id - doc_id % 16)
+      |      WHEN 13 THEN 'B' || (doc_id - doc_id % 16)
+      |      WHEN 4 THEN 'C' || (doc_id - doc_id % 16)
+      |      WHEN 15 THEN 'C' || (doc_id - doc_id % 16)
+      |      ELSE 'U' || doc_id END AS ckb
+      |  FROM documents),
+      |parts AS (SELECT doc_id, ckb, url,
+      |    split_part(split_part(url, '#', 1), '?', 1) AS base,
+      |    substr(split_part(url, '#', 1), len(split_part(split_part(url, '#', 1), '?', 1)) + 2) AS query
+      |  FROM u),
+      |comp AS (SELECT *, lower(split_part(base, '://', 1)) AS scheme,
+      |    substr(base, len(split_part(base, '://', 1)) + 4) AS rest
+      |  FROM parts),
+      |comp2 AS (SELECT *, lower(split_part(rest, '/', 1)) AS auth,
+      |    substr(rest, len(split_part(rest, '/', 1)) + 1) AS path
+      |  FROM comp),
+      |comp3 AS (SELECT *,
+      |    COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=&]*|gclid|fbclid)(=.*)?$'))), '&'), '') AS q2
+      |  FROM comp2),
+      |canon AS (SELECT doc_id, ckb,
+      |    CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]') THEN
+      |      scheme || '://' ||
+      |      (CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(auth, '^[^@]*@', ''), ':80$', '')
+      |            WHEN scheme = 'https' THEN regexp_replace(regexp_replace(auth, '^[^@]*@', ''), ':443$', '')
+      |            ELSE regexp_replace(auth, '^[^@]*@', '') END) ||
+      |      (CASE WHEN path = '' THEN '/' ELSE path END) ||
+      |      (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+      |    ELSE NULL END AS canon_url
+      |  FROM comp3),
+      |k AS (SELECT doc_id,
+      |    ('0x' || substr(md5(canon_url), 1, 15))::BIGINT AS uk,
+      |    ('0x' || substr(md5(ckb), 1, 15))::BIGINT AS ck,
+      |    (canon_url IS NOT NULL) AS gate_passed
+      |  FROM canon),
+      |ev AS (SELECT doc_id, uk, ck FROM k WHERE doc_id % 2 = 0),
+      |ukeep AS (SELECT doc_id, uk, ck FROM
+      |    (SELECT *, MIN(doc_id) OVER (PARTITION BY uk) mk FROM ev) WHERE doc_id = mk),
+      |od AS (SELECT * FROM k WHERE doc_id % 2 = 1),
+      |odp AS (SELECT * FROM od WHERE gate_passed),
+      |ucand AS (SELECT doc_id, uk FROM ukeep UNION ALL SELECT doc_id, uk FROM odp),
+      |uj AS (SELECT o.doc_id, o.ck, MIN(m.doc_id) AS url_dup_of
+      |    FROM odp o LEFT JOIN ucand m
+      |      ON m.uk = o.uk AND (m.doc_id % 2 = 0 OR m.doc_id < o.doc_id)
+      |    GROUP BY o.doc_id, o.ck),
+      |okeep AS (SELECT doc_id, ck FROM uj WHERE url_dup_of IS NULL),
+      |ccand AS (SELECT doc_id, ck FROM ukeep UNION ALL SELECT doc_id, ck FROM okeep),
+      |cj AS (SELECT o.doc_id, MIN(m.doc_id) AS content_dup_of
+      |    FROM okeep o LEFT JOIN ccand m
+      |      ON m.ck = o.ck AND (m.doc_id % 2 = 0 OR m.doc_id < o.doc_id)
+      |    GROUP BY o.doc_id)
+      |SELECT od.doc_id, od.gate_passed, uj.url_dup_of, cj.content_dup_of,
+      |  (od.gate_passed AND uj.url_dup_of IS NULL AND cj.content_dup_of IS NULL) AS kept
+      |FROM od LEFT JOIN uj ON uj.doc_id = od.doc_id
+      |LEFT JOIN cj ON cj.doc_id = od.doc_id
+      |ORDER BY od.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "qr05_expectations"      -> ((s: SparkSession, d: String) => expectations(Tables(s, d))),
     "qt29_unigram_vocab"     -> ((s: SparkSession, d: String) => unigramVocab(Tables(s, d))),
@@ -2520,6 +2675,7 @@ object QualityQueries {
     "qt44_html_extract"      -> ((s: SparkSession, d: String) => htmlExtract(Tables(s, d))),
     "qt45_url_canonical"     -> ((s: SparkSession, d: String) => urlCanonical(Tables(s, d))),
     "qx03_web_corpus_build"  -> ((s: SparkSession, d: String) => webCorpusBuild(Tables(s, d))),
+    "qx04_web_incr_build"    -> ((s: SparkSession, d: String) => webIncrBuild(Tables(s, d))),
     "qg12_domain_pagerank"   -> ((s: SparkSession, d: String) => domainPageRank(Tables(s, d))),
     "qt46_unicode_normalize" -> ((s: SparkSession, d: String) => unicodeNormalizeQ(Tables(s, d))),
     "qt15_dup_ngram_chars"   -> ((s: SparkSession, d: String) => dupNgramChars(Tables(s, d))),
@@ -2568,6 +2724,7 @@ object QualityQueries {
     "qt44_html_extract"      -> htmlExtractSql,
     "qt45_url_canonical"     -> urlCanonicalSql,
     "qx03_web_corpus_build"  -> webCorpusBuildSql,
+    "qx04_web_incr_build"    -> webIncrBuildSql,
     "qg12_domain_pagerank"   -> domainPageRankSql,
     "qt46_unicode_normalize" -> unicodeNormalizeSql,
     "qt15_dup_ngram_chars"   -> dupNgramCharsSql,
