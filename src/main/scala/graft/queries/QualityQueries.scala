@@ -2438,6 +2438,72 @@ object QualityQueries {
        |SELECT node AS host, r AS pagerank FROM it5 ORDER BY host""".stripMargin
   }
 
+  /** qg13: redirect-chain resolution ([[graft.operators.Redirects]])
+    * gated end to end — the crawl plane's identity step. Planted edge
+    * classes per 44-doc block, covering every resolution outcome:
+    * a 5-chain (exact hop counts 1-5), a 3-CYCLE and a SELF-LOOP (the
+    * NULL/false sentinel at hops = maxHops), a conflicting-observation
+    * pair (two docs emit the same source with different targets — the
+    * functional min-target normalization decides, and the oracle
+    * replays it), and a 24-chain that straddles the maxHops=16
+    * boundary: the source at distance exactly 16 resolves, its
+    * predecessor at 17 sentinels — the doubling schedule's reach
+    * pinned exactly. The oracle replays the walk as a DuckDB recursive
+    * CTE bounded at 16 hops; the engine runs log2(16)=4 pointer-
+    * doubling self-joins — same answers, logarithmic depth. */
+  def redirectResolve(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val m = $"doc_id" % 44
+    val blk = ($"doc_id" - m).cast("string")
+    val src =
+      when(m <= 4, concat(lit("a"), blk, lit("_"), m.cast("string")))
+      .when(m >= 6 && m <= 8, concat(lit("c"), blk, lit("_"), (m - 6).cast("string")))
+      .when(m === 9, concat(lit("s"), blk))
+      .when(m === 10 || m === 11, concat(lit("d"), blk))
+      .when(m >= 20, concat(lit("L"), blk, lit("_"), (m - 20).cast("string")))
+    val dst =
+      when(m <= 4, concat(lit("a"), blk, lit("_"), (m + 1).cast("string")))
+      .when(m >= 6 && m <= 8, concat(lit("c"), blk, lit("_"), ((m - 5) % 3).cast("string")))
+      .when(m === 9, concat(lit("s"), blk))
+      .when(m === 10, concat(lit("t"), blk, lit("_x")))
+      .when(m === 11, concat(lit("t"), blk, lit("_y")))
+      .when(m >= 20, concat(lit("L"), blk, lit("_"), (m - 19).cast("string")))
+    val edges = t.documents.select(src.as("src"), dst.as("dst"))
+      .filter($"src".isNotNull)
+    graft.operators.Redirects.resolve(edges, maxHops = 16)
+      .orderBy($"src")
+  }
+
+  val redirectResolveSql: String =
+    """WITH RECURSIVE raw AS (SELECT doc_id, CAST(doc_id % 44 AS INT) m,
+      |    (doc_id - doc_id % 44) b FROM documents),
+      |e0 AS (SELECT
+      |    CASE WHEN m <= 4 THEN 'a' || b || '_' || m
+      |         WHEN m BETWEEN 6 AND 8 THEN 'c' || b || '_' || (m - 6)
+      |         WHEN m = 9 THEN 's' || b
+      |         WHEN m IN (10, 11) THEN 'd' || b
+      |         WHEN m >= 20 THEN 'L' || b || '_' || (m - 20) END AS src,
+      |    CASE WHEN m <= 4 THEN 'a' || b || '_' || (m + 1)
+      |         WHEN m BETWEEN 6 AND 8 THEN 'c' || b || '_' || ((m - 5) % 3)
+      |         WHEN m = 9 THEN 's' || b
+      |         WHEN m = 10 THEN 't' || b || '_x'
+      |         WHEN m = 11 THEN 't' || b || '_y'
+      |         WHEN m >= 20 THEN 'L' || b || '_' || (m - 19) END AS dst
+      |  FROM raw),
+      |e AS (SELECT src, MIN(dst) AS dst FROM e0 WHERE src IS NOT NULL GROUP BY src),
+      |walk(src, cur, hops) AS (
+      |  SELECT src, dst, 1::BIGINT FROM e
+      |  UNION ALL
+      |  SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.cur
+      |  WHERE w.hops < 16),
+      |last AS (SELECT src, cur, hops FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY hops DESC) rn
+      |    FROM walk) WHERE rn = 1)
+      |SELECT l.src, CASE WHEN t.src IS NULL THEN l.cur END AS final_url,
+      |  l.hops, (t.src IS NULL) AS resolved
+      |FROM last l LEFT JOIN (SELECT DISTINCT src FROM e) t ON t.src = l.cur
+      |ORDER BY l.src""".stripMargin
+
   /** qt46: Unicode NFC normalization gated end to end — the native
     * [[graft.functions.expressions.UnicodeNormalize]] expression vs
     * DuckDB's `nfc_normalize`. Planted forms (the qt09 discipline,
@@ -2677,6 +2743,7 @@ object QualityQueries {
     "qx03_web_corpus_build"  -> ((s: SparkSession, d: String) => webCorpusBuild(Tables(s, d))),
     "qx04_web_incr_build"    -> ((s: SparkSession, d: String) => webIncrBuild(Tables(s, d))),
     "qg12_domain_pagerank"   -> ((s: SparkSession, d: String) => domainPageRank(Tables(s, d))),
+    "qg13_redirect_resolve"  -> ((s: SparkSession, d: String) => redirectResolve(Tables(s, d))),
     "qt46_unicode_normalize" -> ((s: SparkSession, d: String) => unicodeNormalizeQ(Tables(s, d))),
     "qt15_dup_ngram_chars"   -> ((s: SparkSession, d: String) => dupNgramChars(Tables(s, d))),
   )
@@ -2726,6 +2793,7 @@ object QualityQueries {
     "qx03_web_corpus_build"  -> webCorpusBuildSql,
     "qx04_web_incr_build"    -> webIncrBuildSql,
     "qg12_domain_pagerank"   -> domainPageRankSql,
+    "qg13_redirect_resolve"  -> redirectResolveSql,
     "qt46_unicode_normalize" -> unicodeNormalizeSql,
     "qt15_dup_ngram_chars"   -> dupNgramCharsSql,
   )

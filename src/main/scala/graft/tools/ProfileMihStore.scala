@@ -58,13 +58,17 @@ object ProfileMihStore {
       // run is deterministic), half fresh draws from a disjoint stream
       def batchDf(maxHamming: Int) = {
         val base = $"id" % storeN
-        val flips = (0 until maxHamming).map { j =>
-          // j-th flip bit position: 6 bits of a per-(id, j) hash (pmod:
-          // xxhash64 is signed and abs(Long.MinValue) stays negative)
-          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(id, $j), 64) AS INT))")
-        }.reduce[org.apache.spark.sql.Column](_ bitwiseOR _)
+        // maxHamming = 0 (the EXACT regime): the planted dup is a
+        // bit-identical copy of its store row, no flips
+        val flipped =
+          if (maxHamming == 0) xxhash64(base)
+          else xxhash64(base).bitwiseXOR((0 until maxHamming).map { j =>
+            // j-th flip bit position: 6 bits of a per-(id, j) hash (pmod:
+            // xxhash64 is signed and abs(Long.MinValue) stays negative)
+            expr(s"shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(id, $j), 64) AS INT))")
+          }.reduce[org.apache.spark.sql.Column](_ bitwiseOR _))
         spark.range(storeN, storeN + batchN).select($"id",
-          when($"id" % 2 === 0, xxhash64(base).bitwiseXOR(flips))
+          when($"id" % 2 === 0, flipped)
             .otherwise(xxhash64($"id", lit("fresh"))).as("hash"),
           when($"id" % 2 === 0, base).as("planted_base"))
       }
@@ -104,6 +108,11 @@ object ProfileMihStore {
       // narrow contrast: 8 x 8-bit bands, hamming <= 6 (the regime the
       // 256-bucket keys saturate in — same join shape, no fan-out)
       run("narrow", bands = 8, bandBits = 8, maxHamming = 6, tol = 0)
+      // EXACT regime (the webPipelineStream/qx04 url+content stores):
+      // one 32-bit bucket band, hamming 0 — one store row per hash,
+      // one probe row per batch hash, candidates only on real 32-bit
+      // bucket coincidences (~rows/2^32 occupancy)
+      run("exact", bands = 1, bandBits = 32, maxHamming = 0, tol = 0)
     }
     spark.stop()
   }
