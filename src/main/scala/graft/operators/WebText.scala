@@ -72,6 +72,58 @@ object WebText {
     lower(regexp_extract(url,
       "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
 
+  /** robots.txt rules for the `User-agent: *` group —
+    * `array<struct<allow:boolean, prefix:string>>` parsed from the raw
+    * robots.txt body: the crawl plane's politeness gate. Semantics
+    * (the RFC 9309 literal-prefix subset, chosen so the oracle can
+    * replay it verbatim):
+    *   - lines are `#`-comment-stripped and trimmed; directives match
+    *     case-insensitively, rule VALUES keep their case (URL paths
+    *     are case-sensitive);
+    *   - consecutive `User-agent:` lines STACK onto one group; any
+    *     allow/disallow directive closes the stack, so a later
+    *     `User-agent:` starts a new group;
+    *   - a group's rules are collected iff any of its agents is
+    *     literally `*` (named-agent matching is out of scope — one
+    *     engine, one oracle, one semantic);
+    *   - empty-value rules (`Disallow:` = allow everything) add no
+    *     rule; `*`/`$` wildcards are NOT interpreted (prefixes are
+    *     literal — the documented subset).
+    * Decision composition (qt47): candidate rules whose prefix starts
+    * the url path, best = longest prefix, ties to allow (RFC order).
+    *
+    * Implementation note: the group logic is a stateful fold —
+    * `aggregate()` over the line array, CodegenFallback territory —
+    * but its input is the HOST-cardinality robots table, never the
+    * per-document scan, so the interpreted per-row tax rides on the
+    * corpus's smallest axis (the qm HOF lesson applied in the
+    * direction it is safe). */
+  def robotsStarRules(txt: Column): Column = {
+    val init = struct(
+      lit(false).as("col"), lit(false).as("act"),
+      array().cast("array<struct<allow:boolean,prefix:string>>").as("rules"))
+    aggregate(split(txt, "\n"), init, (st, line0) => {
+      val line = trim(split_part(line0, lit("#"), lit(1)))
+      val low = lower(line)
+      val isUa = low.startsWith("user-agent:")
+      val isAllow = low.startsWith("allow:")
+      val isDis = low.startsWith("disallow:")
+      val value = trim(line.substr(instr(line, ":") + lit(1), length(line)))
+      val newCol = when(isUa, lit(true))
+        .when(isAllow || isDis, lit(false))
+        .otherwise(st.getField("col"))
+      val newAct = when(isUa && !st.getField("col"), value === "*")
+        .when(isUa && st.getField("col"), st.getField("act") || value === "*")
+        .otherwise(st.getField("act"))
+      val addRule = (isAllow || isDis) && st.getField("act") && value =!= ""
+      val newRules = when(addRule,
+          concat(st.getField("rules"),
+            array(struct(isAllow.as("allow"), value.as("prefix")))))
+        .otherwise(st.getField("rules"))
+      struct(newCol.as("col"), newAct.as("act"), newRules.as("rules"))
+    }, st => st.getField("rules"))
+  }
+
   /** 60-bit integer key of a string — the EXACT-dedup store key for
     * canonical URLs and boilerplate-free body text: the first 15 hex
     * digits of md5 as a positive BIGINT. Cross-engine exact by

@@ -2504,6 +2504,97 @@ object QualityQueries {
       |FROM last l LEFT JOIN (SELECT DISTINCT src FROM e) t ON t.src = l.cur
       |ORDER BY l.src""".stripMargin
 
+  /** qt47: robots.txt politeness gate end to end —
+    * [[graft.operators.WebText.robotsStarRules]] parses four planted
+    * robots bodies (comment stripping, stacked agents, group closing,
+    * empty-value rules, directive case-insensitivity, a no-`*`-group
+    * host) into the `User-agent: *` rule sets, and the decision is the
+    * RFC longest-prefix-match: candidate rules whose literal prefix
+    * starts the path, best by (prefix length, allow) — `/private/ok`
+    * beats `/private`, no match means allowed. The rules table is
+    * HOST-cardinality (broadcast); the per-url work is one join + one
+    * window over ≤ rules-per-host candidate rows. The oracle replays
+    * the stateful group parse with LAG/partition-sum windows and the
+    * same decision window. */
+  def robotsAllowed(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val nl = "\n"
+    val robotsBodies = Seq(
+      0 -> Seq("User-agent: *", "Disallow: /private", "Allow: /private/ok",
+        "# site chrome", "User-agent: bot", "Disallow: /").mkString(nl),
+      1 -> Seq("User-agent: bot", "Disallow: /", "", "User-agent: *",
+        "User-agent: other", "Disallow: /x # members", "Allow:").mkString(nl),
+      2 -> Seq("User-agent: bot", "Disallow: /only-bot").mkString(nl),
+      3 -> Seq("User-agent: *", "Disallow:").mkString(nl))
+    val rules = robotsBodies.toDF("rhid", "txt")
+      .select($"rhid", explode(graft.operators.WebText.robotsStarRules($"txt")).as("r"))
+      .select($"rhid", $"r.allow".as("allow"), $"r.prefix".as("prefix"))
+    val urls = t.documents.select($"doc_id",
+      ($"doc_id" % 4).as("hid"),
+      when($"doc_id" % 5 === 0, concat(lit("/private/ok/p"), $"doc_id".cast("string")))
+        .when($"doc_id" % 5 === 1, lit("/private/secret"))
+        .when($"doc_id" % 5 === 2, concat(lit("/x/page"), $"doc_id".cast("string")))
+        .when($"doc_id" % 5 === 3, lit("/public"))
+        .otherwise(lit("/only-bot/z")).as("path"))
+    val cand = urls.join(broadcast(rules),
+      urls("hid") === rules("rhid") && expr("startswith(path, prefix)"), "left")
+    val w = Window.partitionBy($"doc_id")
+      .orderBy(length($"prefix").desc, $"allow".desc)
+    cand.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"doc_id", $"hid", $"path",
+        coalesce($"allow", lit(true)).as("allowed"),
+        $"prefix".as("matched_prefix"))
+      .orderBy($"doc_id")
+  }
+
+  val robotsAllowedSql: String =
+    """WITH robots(hid, txt) AS (VALUES
+      |  (0, 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+      |      'Allow: /private/ok' || chr(10) || '# site chrome' || chr(10) ||
+      |      'User-agent: bot' || chr(10) || 'Disallow: /'),
+      |  (1, 'User-agent: bot' || chr(10) || 'Disallow: /' || chr(10) || '' || chr(10) ||
+      |      'User-agent: *' || chr(10) || 'User-agent: other' || chr(10) ||
+      |      'Disallow: /x # members' || chr(10) || 'Allow:'),
+      |  (2, 'User-agent: bot' || chr(10) || 'Disallow: /only-bot'),
+      |  (3, 'User-agent: *' || chr(10) || 'Disallow:')),
+      |ln0 AS (SELECT hid, unnest(string_split(txt, chr(10))) AS line,
+      |    generate_subscripts(string_split(txt, chr(10)), 1) AS idx FROM robots),
+      |norm AS (SELECT hid, idx, trim(split_part(line, '#', 1)) AS line FROM ln0),
+      |typed AS (SELECT hid, idx,
+      |    CASE WHEN lower(line) LIKE 'user-agent:%' THEN 'ua'
+      |         WHEN lower(line) LIKE 'allow:%' THEN 'al'
+      |         WHEN lower(line) LIKE 'disallow:%' THEN 'di'
+      |         ELSE 'ot' END AS t,
+      |    trim(substr(line, position(':' IN line) + 1)) AS v
+      |  FROM norm),
+      |d AS (SELECT * FROM typed WHERE t <> 'ot'),
+      |g AS (SELECT *, (t = 'ua' AND
+      |    COALESCE(LAG(t) OVER (PARTITION BY hid ORDER BY idx), 'x') <> 'ua') AS newg
+      |  FROM d),
+      |gg AS (SELECT *, SUM(CASE WHEN newg THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY hid ORDER BY idx) AS gid FROM g),
+      |act AS (SELECT hid, gid, BOOL_OR(t = 'ua' AND v = '*') AS active
+      |  FROM gg GROUP BY hid, gid),
+      |rules AS (SELECT gg.hid, (gg.t = 'al') AS allow, gg.v AS prefix
+      |  FROM gg JOIN act ON act.hid = gg.hid AND act.gid = gg.gid
+      |  WHERE act.active AND gg.t IN ('al', 'di') AND gg.v <> ''),
+      |urls AS (SELECT doc_id, doc_id % 4 AS hid,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN '/private/ok/p' || doc_id
+      |      WHEN 1 THEN '/private/secret'
+      |      WHEN 2 THEN '/x/page' || doc_id
+      |      WHEN 3 THEN '/public'
+      |      ELSE '/only-bot/z' END AS path
+      |  FROM documents),
+      |cand AS (SELECT u.doc_id, u.hid, u.path, r.allow, r.prefix
+      |  FROM urls u LEFT JOIN rules r
+      |    ON r.hid = u.hid AND starts_with(u.path, r.prefix)),
+      |best AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY len(prefix) DESC, allow DESC) rn FROM cand) WHERE rn = 1)
+      |SELECT doc_id, hid, path, COALESCE(allow, TRUE) AS allowed,
+      |  prefix AS matched_prefix
+      |FROM best ORDER BY doc_id""".stripMargin
+
   /** qt46: Unicode NFC normalization gated end to end — the native
     * [[graft.functions.expressions.UnicodeNormalize]] expression vs
     * DuckDB's `nfc_normalize`. Planted forms (the qt09 discipline,
@@ -2744,6 +2835,7 @@ object QualityQueries {
     "qx04_web_incr_build"    -> ((s: SparkSession, d: String) => webIncrBuild(Tables(s, d))),
     "qg12_domain_pagerank"   -> ((s: SparkSession, d: String) => domainPageRank(Tables(s, d))),
     "qg13_redirect_resolve"  -> ((s: SparkSession, d: String) => redirectResolve(Tables(s, d))),
+    "qt47_robots_allowed"    -> ((s: SparkSession, d: String) => robotsAllowed(Tables(s, d))),
     "qt46_unicode_normalize" -> ((s: SparkSession, d: String) => unicodeNormalizeQ(Tables(s, d))),
     "qt15_dup_ngram_chars"   -> ((s: SparkSession, d: String) => dupNgramChars(Tables(s, d))),
   )
@@ -2794,6 +2886,7 @@ object QualityQueries {
     "qx04_web_incr_build"    -> webIncrBuildSql,
     "qg12_domain_pagerank"   -> domainPageRankSql,
     "qg13_redirect_resolve"  -> redirectResolveSql,
+    "qt47_robots_allowed"    -> robotsAllowedSql,
     "qt46_unicode_normalize" -> unicodeNormalizeSql,
     "qt15_dup_ngram_chars"   -> dupNgramCharsSql,
   )

@@ -123,6 +123,29 @@ class WebTextSpec extends SparkTestBase {
     cases.foreach { case (u, want) => assert(got(u) === want, s"hostOf($u)") }
   }
 
+  test("robotsStarRules: groups, stacked agents, comments, empty values, case") {
+    def rules(txt: String): Seq[(Boolean, String)] =
+      Seq(txt).toDF("t").select(WebText.robotsStarRules($"t").as("r"))
+        .as[Seq[(Boolean, String)]].collect().head
+
+    // the * group collects its rules; the named group is ignored
+    assert(rules("User-agent: *\nDisallow: /private\nAllow: /private/ok\n" +
+      "User-agent: bot\nDisallow: /") ===
+      Seq((false, "/private"), (true, "/private/ok")))
+    // stacked agents: one group with two agents, one of them *
+    assert(rules("User-agent: bot\nUser-agent: *\nDisallow: /x") ===
+      Seq((false, "/x")))
+    // a directive closes the stack: the later ua starts a NEW group
+    assert(rules("User-agent: *\nDisallow: /a\nUser-agent: bot\nDisallow: /b") ===
+      Seq((false, "/a")))
+    // comments stripped (whole-line and trailing), empty values add no
+    // rule, directive match is case-insensitive, value case preserved
+    assert(rules("# hello\nUSER-AGENT: *\nDisallow: /Mixed/Case # why\nAllow:\nDisallow:") ===
+      Seq((false, "/Mixed/Case")))
+    // no * group -> no rules (crawl allowed everywhere)
+    assert(rules("User-agent: bot\nDisallow: /") === Seq.empty)
+  }
+
   test("both operators are pure scan projections — zero Exchange") {
     val df = Seq(("<p>x</p>", "http://h.com/")).toDF("h", "u")
       .select(WebText.htmlToText($"h"), WebText.anchorCount($"h"),
