@@ -2595,6 +2595,157 @@ object QualityQueries {
       |  prefix AS matched_prefix
       |FROM best ORDER BY doc_id""".stripMargin
 
+  /** qx05: the CRAWL FRONTIER build composed end to end — the last
+    * mile of the web plane as ONE declarative plan: redirect-chain
+    * resolution ([[graft.operators.Redirects.resolve]], pointer
+    * doubling at maxHops=4) gives every frontier URL its TRUE
+    * identity, canonicalization mints the reproducible key (the messy
+    * direct fetch and the redirect chain's clean terminal must collapse
+    * to ONE key — that's the planted core), the robots longest-match
+    * gate (rules as a broadcast dim; qt47 pins the parser) decides
+    * politeness on the RESOLVED identity, and url-dedup keeps the
+    * smallest doc per canonical key AMONG ALLOWED docs only. Sentinels
+    * compose: a redirect LOOP and a non-URL both quarantine (NULL
+    * canon), and robots-blocked docs are excluded from the dedup
+    * partition so they can never claim keeper-ship. The oracle replays
+    * resolution (recursive CTE), canonicalization, host/path reads,
+    * the decision window, and the keeper window from scratch. */
+  def crawlFrontierBuild(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val m = $"doc_id" % 12
+    val blk = ($"doc_id" - m).cast("string")
+    val url =
+      when(m === 0, concat(lit("https://chain.site/c"), blk, lit("_0")))
+      .when(m === 1, concat(lit("https://chain.site/c"), blk, lit("_1")))
+      .when(m === 2, concat(lit("HTTPS://Final.Site:443/page"), blk, lit("?utm_s=1")))
+      .when(m === 3, concat(lit("https://loop.site/x"), blk))
+      .when(m === 4, concat(lit("not a url "), $"doc_id".cast("string")))
+      .when(m === 5, concat(lit("https://blocked.site/private/p"), $"doc_id".cast("string")))
+      .when(m === 6, concat(lit("https://blocked.site/private/ok/p"), $"doc_id".cast("string")))
+      .otherwise(concat(lit("https://ok.site/p"), $"doc_id".cast("string")))
+    val esrc =
+      when(m === 0, concat(lit("https://chain.site/c"), blk, lit("_0")))
+      .when(m === 1, concat(lit("https://chain.site/c"), blk, lit("_1")))
+      .when(m === 3, concat(lit("https://loop.site/x"), blk))
+    val edst =
+      when(m === 0, concat(lit("https://chain.site/c"), blk, lit("_1")))
+      .when(m === 1, concat(lit("https://final.site/page"), blk))
+      .when(m === 3, concat(lit("https://loop.site/x"), blk))
+    val wt = graft.operators.WebText
+    val docs = t.documents
+      .select($"doc_id", url.as("url"), esrc.as("es"), edst.as("ed"))
+      .localCheckpoint() // feeds both the edge set and the frontier
+    val edges = docs.filter($"es".isNotNull).select($"es".as("src"), $"ed".as("dst"))
+    val res = graft.operators.Redirects.resolve(edges, maxHops = 4)
+    val f = docs.select($"doc_id", $"url")
+      .join(broadcast(res), docs("url") === res("src"), "left")
+      .withColumn("final0",
+        when($"src".isNull, $"url").when($"resolved", $"final_url"))
+      .withColumn("canon_url", wt.urlCanonicalize($"final0"))
+      .withColumn("quarantined", $"canon_url".isNull)
+      .withColumn("host", wt.hostOf($"canon_url"))
+      .withColumn("path",
+        regexp_extract($"canon_url", "^[a-z][a-z0-9+.-]*://[^/]+(/.*)$", 1))
+    val rules = Seq(("blocked.site", false, "/private"),
+        ("blocked.site", true, "/private/ok"))
+      .toDF("rhost", "rallow", "rprefix")
+    val cand = f.join(broadcast(rules),
+      $"host" === $"rhost" && expr("startswith(path, rprefix)"), "left")
+    val w1 = Window.partitionBy($"doc_id")
+      .orderBy(length($"rprefix").desc, $"rallow".desc)
+    val dec = cand.withColumn("rn", row_number().over(w1)).filter($"rn" === 1)
+      .withColumn("allowed", !$"quarantined" && coalesce($"rallow", lit(true)))
+      .select($"doc_id", $"canon_url", $"quarantined", $"allowed")
+      .localCheckpoint() // read by the verdict join AND the dedup stage
+    val dd = dec.filter($"allowed")
+      .select($"doc_id",
+        min($"doc_id").over(Window.partitionBy($"canon_url")).as("mk"))
+      .select($"doc_id", when($"mk" =!= $"doc_id", $"mk").as("url_dup_of"))
+    dec.join(dd, Seq("doc_id"), "left")
+      .withColumn("kept", $"allowed" && $"url_dup_of".isNull)
+      .select($"doc_id", $"canon_url", $"quarantined", $"allowed",
+        $"url_dup_of", $"kept")
+      .orderBy($"doc_id")
+  }
+
+  val crawlFrontierBuildSql: String =
+    """WITH RECURSIVE base AS (SELECT doc_id, CAST(doc_id % 12 AS INT) m,
+      |    (doc_id - doc_id % 12) b FROM documents),
+      |docs AS (SELECT doc_id, m, b,
+      |    CASE WHEN m = 0 THEN 'https://chain.site/c' || b || '_0'
+      |         WHEN m = 1 THEN 'https://chain.site/c' || b || '_1'
+      |         WHEN m = 2 THEN 'HTTPS://Final.Site:443/page' || b || '?utm_s=1'
+      |         WHEN m = 3 THEN 'https://loop.site/x' || b
+      |         WHEN m = 4 THEN 'not a url ' || doc_id
+      |         WHEN m = 5 THEN 'https://blocked.site/private/p' || doc_id
+      |         WHEN m = 6 THEN 'https://blocked.site/private/ok/p' || doc_id
+      |         ELSE 'https://ok.site/p' || doc_id END AS url,
+      |    CASE WHEN m = 0 THEN 'https://chain.site/c' || b || '_0'
+      |         WHEN m = 1 THEN 'https://chain.site/c' || b || '_1'
+      |         WHEN m = 3 THEN 'https://loop.site/x' || b END AS es,
+      |    CASE WHEN m = 0 THEN 'https://chain.site/c' || b || '_1'
+      |         WHEN m = 1 THEN 'https://final.site/page' || b
+      |         WHEN m = 3 THEN 'https://loop.site/x' || b END AS ed
+      |  FROM base),
+      |e AS (SELECT es AS src, MIN(ed) AS dst FROM docs WHERE es IS NOT NULL GROUP BY es),
+      |walk(src, cur, hops) AS (
+      |  SELECT src, dst, 1::BIGINT FROM e
+      |  UNION ALL
+      |  SELECT w.src, e.dst, w.hops + 1 FROM walk w JOIN e ON e.src = w.cur
+      |  WHERE w.hops < 4),
+      |last AS (SELECT src, cur FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY hops DESC) rn
+      |    FROM walk) WHERE rn = 1),
+      |res AS (SELECT l.src, CASE WHEN t.src IS NULL THEN l.cur END AS final_url,
+      |    (t.src IS NULL) AS resolved
+      |  FROM last l LEFT JOIN (SELECT DISTINCT src FROM e) t ON t.src = l.cur),
+      |f0 AS (SELECT d.doc_id,
+      |    CASE WHEN r.src IS NULL THEN d.url
+      |         WHEN r.resolved THEN r.final_url END AS final0
+      |  FROM docs d LEFT JOIN res r ON r.src = d.url),
+      |parts AS (SELECT doc_id, final0,
+      |    split_part(split_part(final0, '#', 1), '?', 1) AS base,
+      |    substr(split_part(final0, '#', 1), len(split_part(split_part(final0, '#', 1), '?', 1)) + 2) AS query
+      |  FROM f0),
+      |comp AS (SELECT *, lower(split_part(base, '://', 1)) AS scheme,
+      |    substr(base, len(split_part(base, '://', 1)) + 4) AS rest
+      |  FROM parts),
+      |comp2 AS (SELECT *, lower(split_part(rest, '/', 1)) AS auth,
+      |    substr(rest, len(split_part(rest, '/', 1)) + 1) AS path0
+      |  FROM comp),
+      |comp3 AS (SELECT *,
+      |    COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=&]*|gclid|fbclid)(=.*)?$'))), '&'), '') AS q2
+      |  FROM comp2),
+      |canon AS (SELECT doc_id,
+      |    CASE WHEN regexp_matches(final0, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]') THEN
+      |      scheme || '://' ||
+      |      (CASE WHEN scheme = 'http' THEN regexp_replace(regexp_replace(auth, '^[^@]*@', ''), ':80$', '')
+      |            WHEN scheme = 'https' THEN regexp_replace(regexp_replace(auth, '^[^@]*@', ''), ':443$', '')
+      |            ELSE regexp_replace(auth, '^[^@]*@', '') END) ||
+      |      (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+      |      (CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END)
+      |    ELSE NULL END AS canon_url
+      |  FROM comp3),
+      |q AS (SELECT doc_id, canon_url, (canon_url IS NULL) AS quarantined,
+      |    lower(regexp_extract(canon_url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host,
+      |    regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://[^/]+(/.*)$', 1) AS path
+      |  FROM canon),
+      |rules(rhost, rallow, rprefix) AS (VALUES
+      |  ('blocked.site', FALSE, '/private'), ('blocked.site', TRUE, '/private/ok')),
+      |cand AS (SELECT q.*, r.rallow, r.rprefix FROM q LEFT JOIN rules r
+      |    ON r.rhost = q.host AND starts_with(q.path, r.rprefix)),
+      |dec AS (SELECT doc_id, canon_url, quarantined,
+      |    (NOT quarantined AND COALESCE(rallow, TRUE)) AS allowed
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY len(rprefix) DESC, rallow DESC) rn FROM cand) WHERE rn = 1),
+      |dd AS (SELECT doc_id, CASE WHEN doc_id <> mk THEN mk END AS url_dup_of FROM
+      |  (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY canon_url) mk
+      |   FROM dec WHERE allowed))
+      |SELECT dec.doc_id, dec.canon_url, dec.quarantined, dec.allowed,
+      |  dd.url_dup_of, (dec.allowed AND dd.url_dup_of IS NULL) AS kept
+      |FROM dec LEFT JOIN dd USING (doc_id) ORDER BY dec.doc_id""".stripMargin
+
   /** qt46: Unicode NFC normalization gated end to end — the native
     * [[graft.functions.expressions.UnicodeNormalize]] expression vs
     * DuckDB's `nfc_normalize`. Planted forms (the qt09 discipline,
@@ -2836,6 +2987,7 @@ object QualityQueries {
     "qg12_domain_pagerank"   -> ((s: SparkSession, d: String) => domainPageRank(Tables(s, d))),
     "qg13_redirect_resolve"  -> ((s: SparkSession, d: String) => redirectResolve(Tables(s, d))),
     "qt47_robots_allowed"    -> ((s: SparkSession, d: String) => robotsAllowed(Tables(s, d))),
+    "qx05_crawl_frontier"    -> ((s: SparkSession, d: String) => crawlFrontierBuild(Tables(s, d))),
     "qt46_unicode_normalize" -> ((s: SparkSession, d: String) => unicodeNormalizeQ(Tables(s, d))),
     "qt15_dup_ngram_chars"   -> ((s: SparkSession, d: String) => dupNgramChars(Tables(s, d))),
   )
@@ -2887,6 +3039,7 @@ object QualityQueries {
     "qg12_domain_pagerank"   -> domainPageRankSql,
     "qg13_redirect_resolve"  -> redirectResolveSql,
     "qt47_robots_allowed"    -> robotsAllowedSql,
+    "qx05_crawl_frontier"    -> crawlFrontierBuildSql,
     "qt46_unicode_normalize" -> unicodeNormalizeSql,
     "qt15_dup_ngram_chars"   -> dupNgramCharsSql,
   )
