@@ -27,6 +27,16 @@ import org.apache.spark.sql.functions._
   * NULL with `resolved = false` (the quarantine sentinel), never an
   * infinite iteration: the doubling schedule is static, the loop rows
   * simply keep composing inside the cycle until the rounds run out.
+  *
+  * Memory shape (measured, ProfileRedirects): shuffle is LINEAR in
+  * |E| (~127 B/edge across all rounds — no row multiplication), but
+  * each round's localCheckpoint holds one |E|-row generation in the
+  * block manager until ContextCleaner frees out-of-scope generations
+  * after a GC cycle, so peak residency is up to rounds × |E| × ~40 B.
+  * Spread across a cluster's executors that is negligible (1B edges ≈
+  * 200 GB / fleet); in a SINGLE JVM the generations compound GC
+  * pressure at the 10M-edge mark — profile sizes in isolated JVMs
+  * (the ProfileVideoPlane §8 methodology).
   */
 object Redirects {
 
@@ -48,6 +58,9 @@ object Redirects {
       s"maxHops must be a power of two, got $maxHops")
     val e0 = edges0
       .select(col(srcCol).as("node"), col(dstCol).as("tgt"))
+      // part of the functional normalization: a null endpoint is not an
+      // observation (it would otherwise mint a null-keyed source row)
+      .filter(col("node").isNotNull && col("tgt").isNotNull)
       .groupBy(col("node")).agg(min(col("tgt")).as("tgt"))
       .withColumn("steps", lit(1L))
       .localCheckpoint() // read every round + as the terminal domain

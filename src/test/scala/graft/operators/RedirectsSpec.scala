@@ -48,6 +48,11 @@ class RedirectsSpec extends SparkTestBase {
     assert(m("a") == ((Some("end"), 2L, true)), s"a: ${m("a")}")
   }
 
+  test("null endpoints are not observations") {
+    val m = resolveMap(Seq("a" -> "b", "c" -> null, null.asInstanceOf[String] -> "d"))
+    assert(m == Map("a" -> ((Some("b"), 1L, true))), s"$m")
+  }
+
   test("maxHops must be a power of two") {
     intercept[IllegalArgumentException] {
       Redirects.resolve(Seq("a" -> "b").toDF("src", "dst"), maxHops = 12)

@@ -536,6 +536,48 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("qx05: verdict joins only on metadata keys; no cartesian; decisions checkpointed") {
+    // NOTE: the resolution-map and rules joins are wrapped in
+    // broadcast() upstream of the decision localCheckpoint, so they
+    // are not visible in the final executed plan — what IS visible
+    // (and scale-critical) is that the verdict stage reads a
+    // materialized decision frame and every exchange keys on doc_id
+    // or the canonical key, never a raw url/path string payload
+    val p = plan(QualityQueries.crawlFrontierBuild(t))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Scan ExistingRDD"),
+      s"the verdict must come from a materialized decision frame:\n$p")
+    val parts = "hashpartitioning\\(([^)]*)\\)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSeq
+    assert(parts.forall(k => k.contains("doc_id") || k.contains("canon_url")),
+      s"verdict exchanges must key on metadata only: $parts")
+  }
+
+  test("qx05: frontier invariants — identities collapse, sentinels compose, kept reconciles") {
+    val rows = QualityQueries.crawlFrontierBuild(Tables(spark, "/root/testdata/sf0.01"))
+      .collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    rows.foreach { r =>
+      val (m, quarantined, allowed, kept) =
+        (r.getLong(0) % 12, r.getBoolean(2), r.getBoolean(3), r.getBoolean(5))
+      // loop and non-URL sentinels quarantine; quarantined is never allowed
+      if (m == 3 || m == 4) assert(quarantined && !allowed && !kept, s"$r")
+      else assert(!quarantined, s"$r")
+      // robots: /private blocked, /private/ok allow-overridden
+      if (m == 5) assert(!allowed && !kept, s"$r")
+      if (m == 6) assert(allowed && kept, s"$r")
+      // the redirect chain and the messy direct fetch share one identity:
+      // the chain HEAD keeps, mid and direct attribute to it
+      if (m == 1 || m == 2) {
+        assert(!r.isNullAt(4) && r.getLong(4) == r.getLong(0) - m, s"$r")
+        assert(r.getString(1) == byId(r.getLong(0) - m).getString(1),
+          s"canonical identity must match the keeper's: $r")
+      }
+      if (m == 0) assert(kept && r.isNullAt(4), s"chain head keeps: $r")
+      assert(kept == (allowed && r.isNullAt(4)), s"kept must reconcile: $r")
+    }
+  }
+
   test("J1: delta-to-repo_file join shuffles on the COMPOSITE (repo_id, filename) key") {
     // the skew-tolerance property (round-11 verdict #5): a mega repo's
     // rows diffuse across partitions because the shuffle key is
