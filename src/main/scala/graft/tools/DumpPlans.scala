@@ -257,6 +257,18 @@ object DumpPlans {
       ("qx03_web_corpus_build — the composed crawl funnel",
        "Extraction metadata (canonical key, body key, word/anchor counts, gate flag) checkpoints at ~100 B/doc and the page bytes never enter an exchange (PlanAuditSpec pins the partition keys); URL dedup is one window over gate-passers, content dedup one window over URL-keepers, the verdict two hash joins on doc_id. ProfileWebText: funnel shuffle 113→149 B/doc flat across 50k→800k docs.",
        fmt(graft.queries.QualityQueries.webCorpusBuild(t))),
+      ("qx04_web_incr_build — the incremental web stores, exact regime",
+       "Both IncrementalHashDedup stages run the EXACT regime (bands=1, bandBits=32, maxHamming=0): one probe row per key (no fan-out), candidates only on true 32-bit bucket coincidences (~rows/2^32 occupancy), popcount verify exact on the full 60-bit key. ProfileMihStore exact mode: 1.1/1.1/1.9 s walls with shuffle FLAT at 0.1 MB across a 1M→16M-row store sweep, recall 2500/2500 planted — the regime the webPipelineStream url/content stores run at fleet scale.",
+       fmt(graft.queries.QualityQueries.webIncrBuild(t))),
+      ("qg13_redirect_resolve — pointer-doubled chain resolution",
+       "Four doubling self-joins of the source-keyed jump table replace a 16-step sequential walk; rows never multiply (the table stays |sources|-keyed), so shuffle is linear in |E| with a log2(maxHops) factor (ProfileRedirects: 104/508/2031 MB across 1M/4M/16M edges — ~127 B/edge — with zero ground-truth hop mismatches). Loop rows compose inside their cycle until the static schedule ends: no data-dependent iteration.",
+       fmt(graft.queries.QualityQueries.redirectResolve(t))),
+      ("qt47_robots_allowed — the politeness gate",
+       "robotsStarRules folds the HOST-cardinality robots table (the interpreted aggregate() tax rides the corpus's smallest axis); the per-url decision is one BROADCAST rules join plus one window over <= rules-per-host candidate rows — at 100 TB the cost is the url scan, the rules dim never shuffles.",
+       fmt(graft.queries.QualityQueries.robotsAllowed(t))),
+      ("qx05_crawl_frontier — redirects -> identity -> robots -> dedup",
+       "The resolution map and the rules table are frontier-dim-sized broadcasts upstream of the decision checkpoint; the verdict stage reads the materialized ~40 B/doc decision frame and every exchange keys on doc_id or the canonical key (PlanAuditSpec pins both + no cartesian). The dedup window partitions by canon_url over ALLOWED docs only — blocked docs never enter the partition.",
+       fmt(graft.queries.QualityQueries.crawlFrontierBuild(t))),
     )
 
     val md = new StringBuilder
