@@ -124,6 +124,70 @@ object GraphMetrics {
     r.select(col("node"), col("r").as("pagerank"))
   }
 
+  /** HITS (Kleinberg 1999) — hubs and authorities over a DIRECTED edge
+    * set, the web-graph read PageRank's single undirected score cannot
+    * express: a hub is good because it points AT good authorities, an
+    * authority because good hubs point AT it. On a crawl-plane domain
+    * graph the split is the spam signal — a link farm accumulates hub
+    * mass without ever earning authority.
+    *
+    * Per round two message passes (the [[pageRank]] shape, run twice):
+    * authority(v) = Σ_{u→v} hub(u) — one equi join of the edge list
+    * against the current hub vector on the source key + one hash
+    * aggregation on the destination — then hub(u) = Σ_{u→v}
+    * authority(v), mirrored. Each pass L1-normalizes from ONE
+    * broadcast scalar (the exact BIGINT total of the quantized
+    * contributions), so no score vector or normalizer ever leaves the
+    * cluster. Nodes absent from a pass keep an explicit 0.0 via left
+    * join — a sink page is a legitimate pure authority (hub exactly
+    * 0.0), never a dropped row.
+    *
+    * Cross-engine determinism (the qg03 discipline): every
+    * contribution enters its sum as floor(x·1e9 + 0.5) — tie-free
+    * scaled-integer quantization with an order-independent BIGINT
+    * sum; the normalized score is ONE IEEE division of the two exact
+    * integer sums (both cast to double), re-quantized to the 1e-9
+    * grid. The oracle unrolls the same rounds as chained CTEs.
+    *
+    * Input columns `src`, `dst` (directed, any equality-comparable
+    * node type); self-loops dropped, parallel edges deduped. Output:
+    * `node, hub, authority` after `iters` rounds. Deep loops get the
+    * [[ConnectedComponents.checkpointTruncated]] lineage gate. */
+  def hits(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = edges0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().localCheckpoint()
+    val nodes = edges.select(col("src").as("node"))
+      .unionByName(edges.select(col("dst").as("node")))
+      .distinct().localCheckpoint()
+    def pass(score: DataFrame, scoreCol: String, joinKey: String,
+             groupKey: String, outCol: String): DataFrame = {
+      val raw = edges.join(score, edges(joinKey) === score("node"))
+        .select(col(groupKey),
+          floor(col(scoreCol) * 1e9 + 0.5).cast("long").as("c"))
+        .groupBy(col(groupKey)).agg(sum(col("c")).as("s"))
+      val tot = raw.agg(sum(col("s")).cast("double").as("t"))
+      nodes.join(raw, nodes("node") === raw(groupKey), "left")
+        .crossJoin(broadcast(tot))
+        .select(nodes("node"),
+          (floor(coalesce(col("s"), lit(0L)).cast("double") / col("t") * 1e9
+            + 0.5) / 1e9).as(outCol))
+    }
+    var h = nodes.select(col("node"), lit(1.0).as("h"))
+    var a: DataFrame = null
+    for (i <- 1 to iters) {
+      a = pass(h, "h", "src", "dst", "a")
+      h = pass(a, "a", "dst", "src", "h")
+      if (iters > 8 && i % 3 == 0 && i < iters) {
+        a = ConnectedComponents.checkpointTruncated(a)
+        h = ConnectedComponents.checkpointTruncated(h)
+      }
+    }
+    h.join(a, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
+
   /** Landmark closeness — the scalable stand-in for exact closeness /
     * harmonic centrality, whose all-pairs BFS is quadratic and dead at
     * scale: BFS from a FIXED set of `nLandmarks` md5-chosen landmark

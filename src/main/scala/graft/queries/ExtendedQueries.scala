@@ -986,6 +986,80 @@ object ExtendedQueries {
       |  TRUE AS est_ok
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** qi04: incremental JOIN-view maintenance — the MV family's join
+    * member (qi01 = single-table monoids, qi02 = retractions, qi03 =
+    * sketch-valued state): the per-customer revenue view over
+    * orders ⋈ lineitem maintained while BOTH base tables grow, by the
+    * bilinear delta rule  Δ(L ⋈ O) = ΔL⋈O₀ ∪ L₀⋈ΔO ∪ ΔL⋈ΔO  — the
+    * cross term is what naive "join the delta against the current
+    * snapshot" maintenance double-counts or misses. The standing view
+    * (L₀⋈O₀, materialized — a real store would read it back) and the
+    * three delta legs each aggregate to the customer grain FIRST, then
+    * one union + re-aggregation merges them with the monoids (+ on
+    * counts, + on decimal-exact revenue); the oracle recomputes the
+    * view from the full join, so hash equality IS the maintenance
+    * proof (the qi01/qi02 pattern). `n_delta_items` exposes how much
+    * of each group the deltas contributed — the non-vacuousness pin
+    * (both splits fire at sf0.01: ΔL = l_orderkey%7=3, ΔO =
+    * o_orderkey%5=2, overlapping at orderkey%35=17 so the cross term
+    * is non-empty).
+    *
+    * Scale shape: the delta legs scan only delta rows on the delta
+    * side; ΔL⋈O₀ and L₀⋈ΔO are key-equi joins where the delta side is
+    * small (broadcast candidates), and L₀⋈ΔO's scan of the standing
+    * fact side is the honest cost of a fact-⋈-fact view — bounded in
+    * practice by partition pruning on the delta's key range, never by
+    * re-running the standing join. */
+  def incrementalJoinMv(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    incrementalJoinMvFrom(
+      t.lineitem.select($"l_orderkey", $"l_extendedprice", $"l_discount"),
+      t.orders.select($"o_orderkey", $"o_custkey"),
+      $"l_orderkey" % 7 === 3, $"o_orderkey" % 5 === 2)
+  }
+
+  /** The qi04 mechanism over any (l_orderkey, l_extendedprice,
+    * l_discount) fact frame and (o_orderkey, o_custkey) dim frame with
+    * arbitrary delta predicates — split out so JoinMvPropertySpec can
+    * drive random splits against the full recompute. */
+  private[queries] def incrementalJoinMvFrom(li: DataFrame, ord: DataFrame,
+                                             isDeltaL: Column,
+                                             isDeltaO: Column): DataFrame = {
+    import li.sparkSession.implicits._
+    def agg(l: DataFrame, o: DataFrame, isDelta: Boolean): DataFrame =
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n"),
+          sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast(DecimalType(18, 6))).as("rev"))
+        .select($"o_custkey", $"n", $"rev",
+          (if (isDelta) $"n" else lit(0L)).as("dn"))
+    val l0 = li.filter(!isDeltaL)
+    val dl = li.filter(isDeltaL)
+    val o0 = ord.filter(!isDeltaO)
+    val dor = ord.filter(isDeltaO)
+    // the standing view is materialized once (a real store reads it)
+    val standing = agg(l0, o0, isDelta = false).localCheckpoint()
+    standing
+      .unionByName(agg(dl, o0, isDelta = true))
+      .unionByName(agg(l0, dor, isDelta = true))
+      .unionByName(agg(dl, dor, isDelta = true))
+      .groupBy($"o_custkey")
+      .agg(sum($"n").as("n_items"),
+        sum($"rev").cast("double").as("revenue"),
+        sum($"dn").as("n_delta_items"))
+      .select($"o_custkey".as("custkey"), $"n_items", $"revenue", $"n_delta_items")
+      .orderBy($"custkey")
+  }
+
+  val incrementalJoinMvSql: String =
+    """SELECT o.o_custkey AS custkey, CAST(COUNT(*) AS BIGINT) n_items,
+      |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,6))) AS DOUBLE) revenue,
+      |  CAST(SUM(CASE WHEN l.l_orderkey % 7 = 3 OR o.o_orderkey % 5 = 2
+      |    THEN 1 ELSE 0 END) AS BIGINT) n_delta_items
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** qj01: pre-join mass census of orders ⨝ lineitem on the order key
     * — [[graft.operators.Skew.joinMass]]: per-key count tables joined
     * (key-cardinality rows, never the data), per-key output mass
@@ -1069,6 +1143,7 @@ object ExtendedQueries {
     "qi01_incremental_agg" -> ((s: SparkSession, d: String) => incrementalAgg(Tables(s, d))),
     "qi02_mv_retract"      -> ((s: SparkSession, d: String) => retractionMv(Tables(s, d))),
     "qi03_sketch_mv"       -> ((s: SparkSession, d: String) => sketchDistinctMv(Tables(s, d))),
+    "qi04_join_mv"         -> ((s: SparkSession, d: String) => incrementalJoinMv(Tables(s, d))),
     "qj02_join_advisor"    -> ((s: SparkSession, d: String) => joinAdvisor(Tables(s, d))),
     "qg09_degree_census"   -> ((s: SparkSession, d: String) => degreeCensus(Tables(s, d))),
     "qg10_neighborhood"    -> ((s: SparkSession, d: String) => neighborhoodCensus(Tables(s, d))),
@@ -1097,6 +1172,7 @@ object ExtendedQueries {
     "qi01_incremental_agg" -> incrementalAggSql,
     "qi02_mv_retract"      -> retractionMvSql,
     "qi03_sketch_mv"       -> sketchDistinctMvSql,
+    "qi04_join_mv"         -> incrementalJoinMvSql,
     "qj02_join_advisor"    -> joinAdvisorSql,
     "qg09_degree_census"   -> degreeCensusSql,
     "qg10_neighborhood"    -> neighborhoodCensusSql,
