@@ -161,4 +161,44 @@ object Retrieval {
       .orderBy(col("rrf_score").desc, col("doc_id").asc)
     fused.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
+
+  /** Exact phrase search — the POSITIONAL query BM25's bag-of-words
+    * postings cannot answer ("spark shuffle partition" as consecutive
+    * tokens, not three independent terms). The index shape is the
+    * production one: positional postings `(doc, pos, term)` restricted
+    * to the phrase's terms AT THE SCAN (the term filter prunes before
+    * anything shuffles — for an n-term phrase over a V-term corpus the
+    * surviving postings are ~n/V of the token stream), then n−1
+    * adjacency equi-joins keyed on (doc, pos+i) — each join side
+    * phrase-term-sized, never corpus-sized. Matches may not overlap a
+    * document boundary by construction; overlapping in-doc matches
+    * each count (a match is an anchor position).
+    *
+    * Output: top `k` docs by `(n_matches DESC, id ASC)` — the id
+    * tie-break makes the k-boundary deterministic (TakeOrderedAndProject,
+    * never a global sort). All-integer: nothing to round. */
+  def phraseTopK(docs: DataFrame, phrase: Seq[String], k: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(phrase.size >= 2, s"phrase needs >= 2 terms, got ${phrase.size}")
+    require(phrase.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),
+      s"phrase terms must be non-empty single tokens: $phrase")
+    require(k >= 1, s"k must be >= 1, got $k")
+    // postings restricted to phrase terms: tiny — pin them so the n−1
+    // adjacency joins don't re-derive the corpus scan per term
+    val toks = docs.select(col(idCol),
+        posexplode(tokens(lower(col(textCol)))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(phrase: _*))
+      .localCheckpoint()
+    var m = toks.filter(col("tok") === phrase.head)
+      .select(col(idCol), col("pos"))
+    for (i <- 1 until phrase.size) {
+      val ti = toks.filter(col("tok") === phrase(i))
+        .select(col(idCol).as("id2"), col("pos").as("p2"))
+      m = m.join(ti, m(idCol) === col("id2") && col("p2") === m("pos") + i)
+        .select(m(idCol), m("pos"))
+    }
+    m.groupBy(col(idCol)).agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("n_matches").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

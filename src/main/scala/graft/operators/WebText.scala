@@ -124,6 +124,45 @@ object WebText {
     }, st => st.getField("rules"))
   }
 
+  /** The `User-agent: *` group's `Crawl-delay` (whole seconds) from a
+    * raw robots.txt body, or NULL when the star group states none —
+    * the politeness knob a frontier SCHEDULER reads where
+    * [[robotsStarRules]] reads the allow/disallow decision. Same fold
+    * machinery and group semantics: comments stripped, consecutive
+    * `User-agent` lines stack, any rule directive (allow, disallow,
+    * crawl-delay) closes the stack. The FIRST syntactically valid
+    * value in an active group wins (deterministic under repeated
+    * directives); non-numeric values are ignored (a later valid one
+    * still applies); values are capped at 9 digits so the cast can
+    * never overflow. One divergence from [[robotsStarRules]] stated
+    * honestly: there, a crawl-delay line is an unknown directive and
+    * does NOT close a UA stack; here it does (it IS a rule this parser
+    * understands) — on files that interleave crawl-delay between
+    * User-agent lines the two parsers read group boundaries
+    * differently, and such files are malformed under RFC 9309 anyway. */
+  def robotsCrawlDelay(txt: Column): Column = {
+    val init = struct(
+      lit(false).as("col"), lit(false).as("act"), lit(-1L).as("delay"))
+    aggregate(split(txt, "\n"), init, (st, line0) => {
+      val line = trim(split_part(line0, lit("#"), lit(1)))
+      val low = lower(line)
+      val isUa = low.startsWith("user-agent:")
+      val isCd = low.startsWith("crawl-delay:")
+      val isRule = low.startsWith("allow:") || low.startsWith("disallow:") || isCd
+      val value = trim(line.substr(instr(line, ":") + lit(1), length(line)))
+      val newCol = when(isUa, lit(true))
+        .when(isRule, lit(false))
+        .otherwise(st.getField("col"))
+      val newAct = when(isUa && !st.getField("col"), value === "*")
+        .when(isUa && st.getField("col"), st.getField("act") || value === "*")
+        .otherwise(st.getField("act"))
+      val take = isCd && st.getField("act") &&
+        st.getField("delay") === lit(-1L) && value.rlike("^[0-9]{1,9}$")
+      val newDelay = when(take, value.cast("long")).otherwise(st.getField("delay"))
+      struct(newCol.as("col"), newAct.as("act"), newDelay.as("delay"))
+    }, st => when(st.getField("delay") >= 0, st.getField("delay")))
+  }
+
   /** 60-bit integer key of a string — the EXACT-dedup store key for
     * canonical URLs and boilerplate-free body text: the first 15 hex
     * digits of md5 as a positive BIGINT. Cross-engine exact by

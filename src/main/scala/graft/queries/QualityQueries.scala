@@ -6,6 +6,7 @@ import graft.operators.{Bpe, WordPiece, ConnectedComponents, Dedup, Decontaminat
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Quality-filtering plane (round 4 widening): the published LLM-corpus
   * filter recipes as first-class operators — Gopher rule census, C4
@@ -237,6 +238,80 @@ object QualityQueries {
       |SELECT d.doc_id, COALESCE(g.n_bigrams, 0) AS n_bigrams, g.cross_entropy
       |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  /** qt48: CCNet head/middle/tail bucketing (Wenzek et al. 2020 §4.3)
+    * — the DECISION the qt12 perplexity score exists to feed: per
+    * language, docs split at the perplexity terciles into head (most
+    * reference-like), middle, tail, the buckets CCNet ships as
+    * separate corpora. Thresholds are PERCENTILE_DISC — a value that
+    * EXISTS in the score set (the qt07 discipline: discrete picks are
+    * bit-stable cross-engine where interpolation is not), computed
+    * per-lang over the judged docs only; docs with no bigrams (the
+    * planted doc_id%97 one-token docs) take the explicit `unjudged`
+    * bucket, never a silent drop. Tercile fractions are non-terminating
+    * decimals so p·n is never an exact integer — the one boundary
+    * where the two engines' cume-dist conventions could part.
+    * One scoring pass (checkpointed, ~30 B/doc of metadata) feeds both
+    * the threshold aggregation and the bucket census; thresholds are
+    * lang-cardinality and broadcast back. Output: per (lang, bucket)
+    * doc count with the cuts. */
+  def ccnetBuckets(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val docs = t.documents.select($"doc_id", $"lang",
+      when($"doc_id" % 97 === 0, lit("single")).otherwise($"text").as("text"))
+    val model = NgramLM.fit(docs.filter($"doc_id" % 2 === 0))
+    val scored = NgramLM.crossEntropy(docs, model)
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      .select($"doc_id", $"lang", $"cross_entropy")
+      .localCheckpoint()
+    val cuts = scored.filter($"cross_entropy".isNotNull)
+      .groupBy($"lang")
+      .agg(expr("percentile_disc(0.3333333333) within group (order by cross_entropy)").as("t1"),
+           expr("percentile_disc(0.6666666667) within group (order by cross_entropy)").as("t2"))
+    scored.join(broadcast(cuts), Seq("lang"), "left")
+      .select($"lang",
+        when($"cross_entropy".isNull, lit("unjudged"))
+          .when($"cross_entropy" <= $"t1", lit("head"))
+          .when($"cross_entropy" <= $"t2", lit("middle"))
+          .otherwise(lit("tail")).as("bucket"),
+        $"t1", $"t2")
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+           max($"t1").as("head_cut"), max($"t2").as("middle_cut"))
+      .orderBy($"lang", $"bucket")
+  }
+
+  val ccnetBucketsSql: String =
+    """WITH p AS (SELECT doc_id, lang,
+      |    CASE WHEN doc_id % 97 = 0 THEN 'single' ELSE text END AS text
+      |  FROM documents),
+      |toks AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') w FROM p),
+      |uni AS (SELECT tok, CAST(COUNT(*) AS BIGINT) c_w FROM (
+      |    SELECT unnest(w) tok FROM toks WHERE doc_id % 2 = 0) GROUP BY tok),
+      |v AS (SELECT CAST(COUNT(*) AS DOUBLE) v FROM uni),
+      |bgm AS (SELECT bg, CAST(COUNT(*) AS BIGINT) c_bg FROM (
+      |    SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) bg
+      |    FROM toks WHERE doc_id % 2 = 0) GROUP BY bg),
+      |db AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) bg FROM toks),
+      |t2g AS (SELECT doc_id, bg, string_split(bg, ' ')[1] w1 FROM db),
+      |s AS (SELECT doc_id,
+      |    CAST(round(-ln((COALESCE(c_bg, 0) + 1) / (COALESCE(c_w, 0) + v.v)), 6) AS DECIMAL(24,6)) nll
+      |  FROM t2g LEFT JOIN bgm USING (bg) LEFT JOIN uni ON uni.tok = t2g.w1 CROSS JOIN v),
+      |g AS (SELECT doc_id, CAST(SUM(nll) AS DOUBLE) / COUNT(*) ce FROM s GROUP BY doc_id),
+      |sc AS (SELECT p.doc_id, p.lang, g.ce FROM p LEFT JOIN g USING (doc_id)),
+      |cuts AS (SELECT lang,
+      |    percentile_disc(0.3333333333) WITHIN GROUP (ORDER BY ce) t1,
+      |    percentile_disc(0.6666666667) WITHIN GROUP (ORDER BY ce) t2
+      |  FROM sc WHERE ce IS NOT NULL GROUP BY lang),
+      |b AS (SELECT sc.lang,
+      |    CASE WHEN ce IS NULL THEN 'unjudged'
+      |         WHEN ce <= t1 THEN 'head'
+      |         WHEN ce <= t2 THEN 'middle'
+      |         ELSE 'tail' END bucket, t1, t2
+      |  FROM sc LEFT JOIN cuts USING (lang))
+      |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) n_docs,
+      |  MAX(t1) head_cut, MAX(t2) middle_cut
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** qt13: fastText/DCLM-style hashed linear classifier scoring —
     * deterministic md5-derived weights (no trained artifact can ship
     * here; the SHAPE is production: scan projection + per-doc agg,
@@ -260,6 +335,76 @@ object QualityQueries {
       |SELECT d.doc_id, COALESCE(g.n_tokens, 0) AS n_tokens, g.logit,
       |  round(1.0 / (1.0 + exp(-g.logit)), 6) AS prob
       |FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  /** qr08: host-reputation governance — the TWO-LEVEL quality gate the
+    * RefinedWeb/host-blocklist practice implies but per-doc rules
+    * can't express: per-doc quality signals (the qt13 hashed-classifier
+    * logit) aggregate to a HOST verdict (mean logit vs the global
+    * host-mean average — a relative cut, so both verdicts fire at any
+    * corpus), and the verdict gates every doc of the host, including
+    * the good page on the bad host (the whole point: host reputation
+    * catches the farm a per-doc rule scores fine). Hosts planted from
+    * doc_id (the qp14 precedent).
+    *
+    * Scale shape: one scoring scan → one host-keyed aggregation; the
+    * verdict table is HOST-cardinality, broadcast back onto the doc
+    * scan — the corpus shuffles once for the census and never for the
+    * gate. Mean logits follow the round-6 decimal-sum discipline;
+    * the final quotient and the >= comparison stay unrounded IEEE. */
+  def hostReputation(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val hostCol = concat(lit("h"), ($"doc_id" % 9).cast("string"),
+      lit(".example.org"))
+    // host score is TOKEN-POOLED (Σ token weights / Σ tokens), never a
+    // mean of per-doc logits: a per-doc logit is an IEEE quotient, and
+    // rounding quotients for the re-sum is exactly the HALF_UP-vs-
+    // binary divergence the LinearClassifier scaladoc documents (a
+    // first cut of this query hit it at sf0.01: doc token counts like
+    // n=22 put sum/n exactly on the half-micro boundary). Pooled, the
+    // only division is one exact-decimal-sum / exact-count per host.
+    val toks = t.documents.select($"doc_id", hostCol.as("host"),
+        explode(graft.functions.TextFunctions.tokens(lower($"text"))).as("tok"))
+      .select($"host",
+        LinearClassifier.bucketWeight(LinearClassifier.tokenBucket($"tok", 64))
+          .cast(DecimalType(18, 6)).as("w"))
+    val hostAgg = toks.groupBy($"host")
+      .agg(sum($"w").as("sw"), count(lit(1)).as("nt"))
+      .localCheckpoint()
+    val hostDocs = t.documents.select($"doc_id", hostCol.as("host"))
+    val nDocs = hostDocs.groupBy($"host").agg(count(lit(1)).as("n_docs"))
+    val global = hostAgg.agg(
+      (sum($"sw").cast("double") / sum($"nt")).as("g"))
+    val verdict = hostAgg.join(nDocs, Seq("host"))
+      .crossJoin(broadcast(global))
+      .select($"host", $"n_docs",
+        ($"sw".cast("double") / $"nt").as("host_logit"), $"g")
+      .select($"host", $"n_docs", $"host_logit",
+        ($"host_logit" >= $"g").as("reputable"))
+    hostDocs.join(broadcast(verdict), Seq("host"))
+      .select($"doc_id", $"host", $"n_docs".as("host_n_docs"),
+        $"host_logit", $"reputable".as("host_reputable"))
+      .orderBy($"doc_id")
+  }
+
+  val hostReputationSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) tok FROM documents),
+      |b AS (SELECT doc_id, CAST(list_sum(list_transform(range(0,4), i ->
+      |    (strpos('0123456789abcdef', substr(md5(tok), i+1, 1)) - 1) * power(16, 3-i)
+      |  )) AS BIGINT) % 64 AS bkt FROM tok),
+      |wt AS (SELECT doc_id, CAST(round(list_sum(list_transform(range(0,4), i ->
+      |    (strpos('0123456789abcdef', substr(md5(bkt::VARCHAR), i+1, 1)) - 1) * power(16, 3-i)
+      |  )) / 65536.0 * 2.0 - 1.0, 6) AS DECIMAL(18,6)) w FROM b),
+      |hd AS (SELECT doc_id, 'h' || (doc_id % 9) || '.example.org' AS host FROM documents),
+      |hw AS (SELECT hd.host, SUM(wt.w) sw, CAST(COUNT(*) AS BIGINT) nt
+      |  FROM wt JOIN hd USING (doc_id) GROUP BY hd.host),
+      |nd AS (SELECT host, CAST(COUNT(*) AS BIGINT) n_docs FROM hd GROUP BY host),
+      |gl AS (SELECT CAST(SUM(sw) AS DOUBLE) / CAST(SUM(nt) AS BIGINT) g FROM hw),
+      |v AS (SELECT hw.host, nd.n_docs,
+      |    CAST(hw.sw AS DOUBLE) / hw.nt AS host_logit
+      |  FROM hw JOIN nd USING (host))
+      |SELECT hd.doc_id, hd.host, v.n_docs AS host_n_docs, v.host_logit,
+      |  v.host_logit >= gl.g AS host_reputable
+      |FROM hd JOIN v USING (host) CROSS JOIN gl ORDER BY hd.doc_id""".stripMargin
 
   /** qc07: FUZZY benchmark decontamination — MinHash→LSH→verify
     * between the corpus and the benchmark set (doc_id % 50 = 0), the
@@ -2438,6 +2583,74 @@ object QualityQueries {
        |SELECT node AS host, r AS pagerank FROM it5 ORDER BY host""".stripMargin
   }
 
+  /** qg14: HITS hubs/authorities over a DIRECTED domain link graph —
+    * the web-graph ranking qg12's undirected PageRank cannot express
+    * (a link farm earns hub mass, never authority). Planted asymmetric
+    * markup: every doc's host (`site{d%7}.example`) links one of three
+    * PORTAL hosts (pure authorities — they never link out, so their
+    * hub score must be exactly 0.0 through the left join, not a
+    * dropped row) and its ring successor site (mixed-case href pinning
+    * hostOf's lowercasing), plus a relative link that must sentinel to
+    * '' and be filtered. [[graft.operators.GraphMetrics.hits]] runs 3
+    * quantized rounds; the oracle replays extraction, host resolution,
+    * directed-edge dedup, and every normalize-quantize round as
+    * chained CTEs. */
+  def domainHits(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val srcHost = concat(lit("site"), ($"doc_id" % 7).cast("string"), lit(".example"))
+    val html = concat(
+      lit("<html><body><a href=\"https://portal"), ($"doc_id" % 3).cast("string"),
+      lit(".example/p/"), $"doc_id".cast("string"), lit("\">p</a>"),
+      lit(" <a href=\"HTTP://Site"), (($"doc_id" % 7 + 1) % 7).cast("string"),
+      lit(".EXAMPLE/next\">n</a>"),
+      lit(" <a href=\"/relative/skip\">skip</a></body></html>"))
+    val links = t.documents.select(srcHost.as("src"),
+      explode(graft.operators.WebText.extractLinks(html)).as("href"))
+    val edges = links.select($"src",
+        graft.operators.WebText.hostOf($"href").as("dst"))
+      .filter($"dst" =!= "")
+    graft.operators.GraphMetrics.hits(edges, iters = 3)
+      .select($"node".as("host"), $"hub", $"authority")
+      .orderBy($"host")
+  }
+
+  val domainHitsSql: String = {
+    def round(prev: String, k: Int) =
+      s"""a${k}s AS (SELECT e.dst, SUM(CAST(floor(h.h * 1e9 + 0.5) AS BIGINT)) s
+         |  FROM e JOIN $prev h ON h.node = e.src GROUP BY e.dst),
+         |a$k AS (SELECT n.node,
+         |    floor(COALESCE(CAST(s.s AS DOUBLE), 0) /
+         |      (SELECT CAST(SUM(s) AS DOUBLE) FROM a${k}s) * 1e9 + 0.5) / 1e9 a
+         |  FROM nodes n LEFT JOIN a${k}s s ON s.dst = n.node),
+         |h${k}s AS (SELECT e.src, SUM(CAST(floor(a.a * 1e9 + 0.5) AS BIGINT)) s
+         |  FROM e JOIN a$k a ON a.node = e.dst GROUP BY e.src),
+         |h$k AS (SELECT n.node,
+         |    floor(COALESCE(CAST(s.s AS DOUBLE), 0) /
+         |      (SELECT CAST(SUM(s) AS DOUBLE) FROM h${k}s) * 1e9 + 0.5) / 1e9 h
+         |  FROM nodes n LEFT JOIN h${k}s s ON s.src = n.node)""".stripMargin
+    s"""WITH raw AS (SELECT doc_id,
+       |    'site' || (doc_id % 7) || '.example' AS src,
+       |    '<html><body><a href="https://portal' || (doc_id % 3) ||
+       |    '.example/p/' || doc_id || '">p</a>' ||
+       |    ' <a href="HTTP://Site' || ((doc_id % 7 + 1) % 7) ||
+       |    '.EXAMPLE/next">n</a>' ||
+       |    ' <a href="/relative/skip">skip</a></body></html>' AS html
+       |  FROM documents),
+       |lnk AS (SELECT src, unnest(regexp_extract_all(html,
+       |    '(?i)<a\\b[^>]*\\bhref="([^"]*)"', 1)) AS href FROM raw),
+       |ed0 AS (SELECT src,
+       |    lower(regexp_extract(href, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) dst
+       |  FROM lnk),
+       |e AS (SELECT DISTINCT src, dst FROM ed0 WHERE dst <> '' AND dst <> src),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT node, 1.0::DOUBLE h FROM nodes),
+       |${round("h0", 1)},
+       |${round("h1", 2)},
+       |${round("h2", 3)}
+       |SELECT h3.node AS host, h3.h AS hub, a3.a AS authority
+       |FROM h3 JOIN a3 USING (node) ORDER BY host""".stripMargin
+  }
+
   /** qg13: redirect-chain resolution ([[graft.operators.Redirects]])
     * gated end to end — the crawl plane's identity step. Planted edge
     * classes per 44-doc block, covering every resolution outcome:
@@ -2594,6 +2807,127 @@ object QualityQueries {
       |SELECT doc_id, hid, path, COALESCE(allow, TRUE) AS allowed,
       |  prefix AS matched_prefix
       |FROM best ORDER BY doc_id""".stripMargin
+
+  /** qx06: the crawl SCHEDULE — politeness turned into fetch slots.
+    * qt47 decides WHETHER a URL may be fetched; this decides WHEN:
+    * per-host Crawl-delay ([[graft.operators.WebText.robotsCrawlDelay]],
+    * default 1 s when the star group states none) spaces each host's
+    * allowed URLs into `fetch_at_ms = (rank−1)·delay·1000` slots, rank
+    * in md5-coordinate order (the qp14 reproducible-permutation
+    * discipline — two runs emit the same schedule). The planting pins
+    * every parser outcome: host0 repeats the directive (first wins,
+    * 5 not 9), host1's crawl-delay sits in the `bot` group (must NOT
+    * apply — default), host2 states none, host3's first value is
+    * non-numeric (ignored; the later valid 7 applies). Blocked docs
+    * keep their row with NULL slot — the audit shape, never a drop.
+    *
+    * Scale shape: rules + delays are HOST-cardinality broadcast dims;
+    * the only data-sized work is one per-host rank window (the qz02
+    * offset-join ordinal is the mega-host escape hatch) — the corpus
+    * never joins itself. All-integer arithmetic. */
+  def crawlSchedule(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val nl = "\n"
+    val robotsBodies = Seq(
+      0 -> Seq("User-agent: *", "Crawl-delay: 5", "Disallow: /private",
+        "Crawl-delay: 9").mkString(nl),
+      1 -> Seq("User-agent: bot", "Crawl-delay: 3", "User-agent: *",
+        "Disallow: /x").mkString(nl),
+      2 -> Seq("User-agent: *", "Disallow: /y").mkString(nl),
+      3 -> Seq("User-agent: *", "Crawl-delay: zz", "Crawl-delay: 7").mkString(nl))
+    val robotsDf = robotsBodies.toDF("rhid", "txt").localCheckpoint()
+    val rules = robotsDf.select($"rhid",
+        explode(graft.operators.WebText.robotsStarRules($"txt")).as("r"))
+      .select($"rhid", $"r.allow".as("allow"), $"r.prefix".as("prefix"))
+    val delays = robotsDf.select($"rhid".as("dhid"),
+      graft.operators.WebText.robotsCrawlDelay($"txt").as("cd"))
+    val urls = t.documents.select($"doc_id", ($"doc_id" % 4).as("hid"),
+      when($"doc_id" % 5 === 0, concat(lit("/private/p"), $"doc_id".cast("string")))
+        .when($"doc_id" % 5 === 1, concat(lit("/x/a"), $"doc_id".cast("string")))
+        .when($"doc_id" % 5 === 2, concat(lit("/y/b"), $"doc_id".cast("string")))
+        .otherwise(concat(lit("/ok/c"), $"doc_id".cast("string"))).as("path"))
+    val cand = urls.join(broadcast(rules),
+      urls("hid") === rules("rhid") && expr("startswith(path, prefix)"), "left")
+    val wBest = Window.partitionBy($"doc_id")
+      .orderBy(length($"prefix").desc, $"allow".desc)
+    val verdict = cand.withColumn("rn", row_number().over(wBest)).filter($"rn" === 1)
+      .select($"doc_id", $"hid", $"path", coalesce($"allow", lit(true)).as("allowed"))
+      .join(broadcast(delays), $"hid" === $"dhid", "left")
+      .select($"doc_id", $"hid", $"path", $"allowed",
+        coalesce($"cd", lit(1L)).as("delay_s"))
+      .localCheckpoint()
+    val wSched = Window.partitionBy($"hid")
+      .orderBy(md5(concat(lit("26:"), $"doc_id".cast("string"))).asc, $"doc_id".asc)
+    val sched = verdict.filter($"allowed")
+      .withColumn("fetch_rank", row_number().over(wSched).cast("long"))
+      .select($"doc_id", $"fetch_rank",
+        (($"fetch_rank" - 1) * $"delay_s" * 1000).as("fetch_at_ms"))
+    verdict.join(sched, Seq("doc_id"), "left")
+      .select($"doc_id", $"hid", $"path", $"allowed", $"delay_s",
+        $"fetch_rank", $"fetch_at_ms")
+      .orderBy($"doc_id")
+  }
+
+  val crawlScheduleSql: String =
+    """WITH robots(hid, txt) AS (VALUES
+      |  (0, 'User-agent: *' || chr(10) || 'Crawl-delay: 5' || chr(10) ||
+      |      'Disallow: /private' || chr(10) || 'Crawl-delay: 9'),
+      |  (1, 'User-agent: bot' || chr(10) || 'Crawl-delay: 3' || chr(10) ||
+      |      'User-agent: *' || chr(10) || 'Disallow: /x'),
+      |  (2, 'User-agent: *' || chr(10) || 'Disallow: /y'),
+      |  (3, 'User-agent: *' || chr(10) || 'Crawl-delay: zz' || chr(10) ||
+      |      'Crawl-delay: 7')),
+      |ln0 AS (SELECT hid, unnest(string_split(txt, chr(10))) AS line,
+      |    generate_subscripts(string_split(txt, chr(10)), 1) AS idx FROM robots),
+      |norm AS (SELECT hid, idx, trim(split_part(line, '#', 1)) AS line FROM ln0),
+      |typed AS (SELECT hid, idx,
+      |    CASE WHEN lower(line) LIKE 'user-agent:%' THEN 'ua'
+      |         WHEN lower(line) LIKE 'allow:%' THEN 'al'
+      |         WHEN lower(line) LIKE 'disallow:%' THEN 'di'
+      |         WHEN lower(line) LIKE 'crawl-delay:%' THEN 'cd'
+      |         ELSE 'ot' END AS t,
+      |    trim(substr(line, position(':' IN line) + 1)) AS v
+      |  FROM norm),
+      |d AS (SELECT * FROM typed WHERE t <> 'ot'),
+      |g AS (SELECT *, (t = 'ua' AND
+      |    COALESCE(LAG(t) OVER (PARTITION BY hid ORDER BY idx), 'x') <> 'ua') AS newg
+      |  FROM d),
+      |gg AS (SELECT *, SUM(CASE WHEN newg THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY hid ORDER BY idx) AS gid FROM g),
+      |act AS (SELECT hid, gid, BOOL_OR(t = 'ua' AND v = '*') AS active
+      |  FROM gg GROUP BY hid, gid),
+      |rules AS (SELECT gg.hid, (gg.t = 'al') AS allow, gg.v AS prefix
+      |  FROM gg JOIN act ON act.hid = gg.hid AND act.gid = gg.gid
+      |  WHERE act.active AND gg.t IN ('al', 'di') AND gg.v <> ''),
+      |cdv AS (SELECT gg.hid, gg.idx, CAST(gg.v AS BIGINT) AS cd
+      |  FROM gg JOIN act ON act.hid = gg.hid AND act.gid = gg.gid
+      |  WHERE act.active AND gg.t = 'cd' AND regexp_matches(gg.v, '^[0-9]{1,9}$')),
+      |cd1 AS (SELECT hid, cd FROM (SELECT hid, cd,
+      |    ROW_NUMBER() OVER (PARTITION BY hid ORDER BY idx) rn FROM cdv) WHERE rn = 1),
+      |urls AS (SELECT doc_id, doc_id % 4 AS hid,
+      |    CASE CAST(doc_id % 5 AS INT)
+      |      WHEN 0 THEN '/private/p' || doc_id
+      |      WHEN 1 THEN '/x/a' || doc_id
+      |      WHEN 2 THEN '/y/b' || doc_id
+      |      ELSE '/ok/c' || doc_id END AS path
+      |  FROM documents),
+      |cand AS (SELECT u.doc_id, u.hid, u.path, r.allow, r.prefix
+      |  FROM urls u LEFT JOIN rules r
+      |    ON r.hid = u.hid AND starts_with(u.path, r.prefix)),
+      |best AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY len(prefix) DESC, allow DESC) rn FROM cand) WHERE rn = 1),
+      |verdict AS (SELECT b.doc_id, b.hid, b.path,
+      |    COALESCE(b.allow, TRUE) AS allowed, COALESCE(cd1.cd, 1) AS delay_s
+      |  FROM best b LEFT JOIN cd1 ON cd1.hid = b.hid),
+      |sched AS (SELECT doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY hid
+      |      ORDER BY md5('26:' || doc_id::VARCHAR) ASC, doc_id ASC) AS BIGINT) fetch_rank,
+      |    delay_s
+      |  FROM verdict WHERE allowed)
+      |SELECT v.doc_id, v.hid, v.path, v.allowed, CAST(v.delay_s AS BIGINT) AS delay_s,
+      |  s.fetch_rank, (s.fetch_rank - 1) * s.delay_s * 1000 AS fetch_at_ms
+      |FROM verdict v LEFT JOIN sched s USING (doc_id)
+      |ORDER BY v.doc_id""".stripMargin
 
   /** qx05: the CRAWL FRONTIER build composed end to end — the last
     * mile of the web plane as ONE declarative plan: redirect-chain
@@ -2968,6 +3302,8 @@ object QualityQueries {
     "qt23_line_boilerplate"  -> ((s: SparkSession, d: String) => lineBoilerplate(Tables(s, d))),
     "qr04_gate_ablation"     -> ((s: SparkSession, d: String) => gateAblation(Tables(s, d))),
     "qt12_lm_score"          -> ((s: SparkSession, d: String) => lmScore(Tables(s, d))),
+    "qt48_ccnet_buckets"     -> ((s: SparkSession, d: String) => ccnetBuckets(Tables(s, d))),
+    "qr08_host_reputation"   -> ((s: SparkSession, d: String) => hostReputation(Tables(s, d))),
     "qt13_classifier_score"  -> ((s: SparkSession, d: String) => classifierScore(Tables(s, d))),
     "qc07_fuzzy_decontam"    -> ((s: SparkSession, d: String) => fuzzyDecontaminate(Tables(s, d))),
     "qc08_scrub_spans"       -> ((s: SparkSession, d: String) => scrubSpans(Tables(s, d))),
@@ -2986,8 +3322,10 @@ object QualityQueries {
     "qx04_web_incr_build"    -> ((s: SparkSession, d: String) => webIncrBuild(Tables(s, d))),
     "qg12_domain_pagerank"   -> ((s: SparkSession, d: String) => domainPageRank(Tables(s, d))),
     "qg13_redirect_resolve"  -> ((s: SparkSession, d: String) => redirectResolve(Tables(s, d))),
+    "qg14_domain_hits"       -> ((s: SparkSession, d: String) => domainHits(Tables(s, d))),
     "qt47_robots_allowed"    -> ((s: SparkSession, d: String) => robotsAllowed(Tables(s, d))),
     "qx05_crawl_frontier"    -> ((s: SparkSession, d: String) => crawlFrontierBuild(Tables(s, d))),
+    "qx06_crawl_schedule"    -> ((s: SparkSession, d: String) => crawlSchedule(Tables(s, d))),
     "qt46_unicode_normalize" -> ((s: SparkSession, d: String) => unicodeNormalizeQ(Tables(s, d))),
     "qt15_dup_ngram_chars"   -> ((s: SparkSession, d: String) => dupNgramChars(Tables(s, d))),
   )
@@ -3020,6 +3358,8 @@ object QualityQueries {
     "qt23_line_boilerplate"  -> lineBoilerplateSql,
     "qr04_gate_ablation"     -> gateAblationSql,
     "qt12_lm_score"          -> lmScoreSql,
+    "qt48_ccnet_buckets"     -> ccnetBucketsSql,
+    "qr08_host_reputation"   -> hostReputationSql,
     "qt13_classifier_score"  -> classifierScoreSql,
     "qc07_fuzzy_decontam"    -> fuzzyDecontaminateSql,
     "qc08_scrub_spans"       -> scrubSpansSql,
@@ -3038,8 +3378,10 @@ object QualityQueries {
     "qx04_web_incr_build"    -> webIncrBuildSql,
     "qg12_domain_pagerank"   -> domainPageRankSql,
     "qg13_redirect_resolve"  -> redirectResolveSql,
+    "qg14_domain_hits"       -> domainHitsSql,
     "qt47_robots_allowed"    -> robotsAllowedSql,
     "qx05_crawl_frontier"    -> crawlFrontierBuildSql,
+    "qx06_crawl_schedule"    -> crawlScheduleSql,
     "qt46_unicode_normalize" -> unicodeNormalizeSql,
     "qt15_dup_ngram_chars"   -> dupNgramCharsSql,
   )

@@ -306,7 +306,47 @@ object RetrievalQueries {
       |FROM kept x JOIN kept y ON y.a_id = x.b_id AND y.b_id = x.a_id
       |WHERE x.a_id < x.b_id ORDER BY x.a_id, x.b_id""".stripMargin
 
+  /** qs26: exact phrase search ([[graft.operators.Retrieval.phraseTopK]])
+    * — the positional query the BM25 bag-of-words postings can't
+    * answer. The phrase "spark shuffle partition" is planted (the qt09
+    * discipline) repeated 1 + doc_id%3 times at the head of every
+    * doc_id%11 doc, so match counts span {1,2,3} and the top-10
+    * k-boundary exercises the (n_matches DESC, doc_id ASC) tie-break;
+    * "spark" also occurs in the natural vocabulary, pinning that a
+    * unigram hit without its successors is NOT a phrase match. The
+    * oracle replays the positional postings and both adjacency joins
+    * (generate_subscripts ordinality; 1-based positions — adjacency is
+    * offset-invariant). */
+  def phraseSearch(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val docs = t.documents.select($"doc_id",
+      when($"doc_id" % 11 === 0,
+        concat(expr("repeat('spark shuffle partition ', cast(1 + doc_id % 3 as int))"),
+          $"text"))
+        .otherwise($"text").as("text"))
+    Retrieval.phraseTopK(docs, Seq("spark", "shuffle", "partition"), k = 10)
+      .orderBy($"n_matches".desc, $"doc_id".asc)
+  }
+
+  val phraseSearchSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 11 = 0
+      |      THEN repeat('spark shuffle partition ', CAST(1 + doc_id % 3 AS INT)) || text
+      |      ELSE text END AS text
+      |  FROM documents),
+      |w0 AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') w FROM p),
+      |toks AS (SELECT doc_id, unnest(w) tok, generate_subscripts(w, 1) pos FROM w0),
+      |m1 AS (SELECT doc_id, pos FROM toks WHERE tok = 'spark'),
+      |m2 AS (SELECT m1.doc_id, m1.pos FROM m1 JOIN toks t
+      |  ON t.doc_id = m1.doc_id AND t.pos = m1.pos + 1 AND t.tok = 'shuffle'),
+      |m3 AS (SELECT m2.doc_id, m2.pos FROM m2 JOIN toks t
+      |  ON t.doc_id = m2.doc_id AND t.pos = m2.pos + 2 AND t.tok = 'partition')
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) n_matches
+      |FROM m3 GROUP BY doc_id
+      |ORDER BY n_matches DESC, doc_id ASC LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "qs26_phrase_search" -> ((s: SparkSession, d: String) => phraseSearch(Tables(s, d))),
     "qs13_mutual_knn" -> ((s: SparkSession, d: String) => mutualKnnGraph(Tables(s, d))),
     "qs11_retrieval_metrics" -> ((s: SparkSession, d: String) => retrievalMetrics(Tables(s, d))),
     "qs06_bm25_topk"  -> ((s: SparkSession, d: String) => bm25TopK(Tables(s, d))),
@@ -316,6 +356,7 @@ object RetrievalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "qs26_phrase_search" -> phraseSearchSql,
     "qs13_mutual_knn" -> mutualKnnGraphSql,
     "qs11_retrieval_metrics" -> retrievalMetricsSql,
     "qs06_bm25_topk"  -> bm25TopKSql,

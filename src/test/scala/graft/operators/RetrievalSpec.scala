@@ -100,4 +100,63 @@ class RetrievalSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast scoring join")
   }
+
+  private def phraseFixture = Seq(
+    (1L, "a b c a b c"),        // two non-overlapping matches of (a,b,c)
+    (2L, "x x a b c y"),        // one match, off the doc head
+    (3L, "a b x c"),            // bag-of-words hit, NOT a phrase match
+    (4L, "c b a"),              // all terms present, wrong order
+    (5L, "a b")                 // truncated phrase at end of doc
+  ).toDF("doc_id", "text")
+
+  test("phraseTopK: consecutive-token semantics, counts, ordering, absence") {
+    val got = Retrieval.phraseTopK(phraseFixture, Seq("a", "b", "c"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // only true phrase matches appear; count desc then id asc
+    assert(got.toSeq === Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("phraseTopK: overlapping matches each count (anchor positions)") {
+    val df = Seq((9L, "a a a a")).toDF("doc_id", "text")
+    val got = Retrieval.phraseTopK(df, Seq("a", "a"), k = 5).head()
+    assert((got.getLong(0), got.getLong(1)) === (9L, 3L))
+  }
+
+  test("phraseTopK: equals the per-doc HOF scan count on the corpus") {
+    val t = Tables(spark, sf0001)
+    val phrase = Seq("table", "part")
+    val got = Retrieval.phraseTopK(t.documents, phrase, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // reference: per-doc array scan — count anchors i with
+    // w[i]='table' and w[i+1]='part'
+    val want = t.documents.selectExpr("doc_id",
+        """aggregate(
+          |  transform(sequence(0, greatest(size(split(trim(lower(text)), '\\s+')) - 2, 0)),
+          |    i -> if(element_at(split(trim(lower(text)), '\\s+'), i + 1) = 'table' AND
+          |            element_at(split(trim(lower(text)), '\\s+'), i + 2) = 'part', 1L, 0L)),
+          |  0L, (acc, x) -> acc + x) AS n""".stripMargin)
+      .filter(col("n") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === want)
+    assert(want.nonEmpty, "fixture phrase never occurs — vacuous test")
+  }
+
+  test("phraseTopK: k bound and tie-break keep the boundary deterministic") {
+    val df = Seq((3L, "p q"), (1L, "p q"), (2L, "p q")).toDF("doc_id", "text")
+    val got = Retrieval.phraseTopK(df, Seq("p", "q"), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(1L, 2L)) // equal counts: smallest ids win the boundary
+  }
+
+  test("phraseTopK guards") {
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseTopK(phraseFixture, Seq("solo"), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseTopK(phraseFixture, Seq("two words", "x"), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.phraseTopK(phraseFixture, Seq("a", "b"), k = 0)
+    }
+  }
 }

@@ -146,6 +146,33 @@ class WebTextSpec extends SparkTestBase {
     assert(rules("User-agent: bot\nDisallow: /") === Seq.empty)
   }
 
+  test("robotsCrawlDelay: star group, first-valid-wins, inactive groups, defaults") {
+    def delay(txt: String): Option[Long] = {
+      val r = Seq(txt).toDF("txt")
+        .select(WebText.robotsCrawlDelay($"txt").as("d")).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    // plain star-group delay
+    assert(delay("User-agent: *\nCrawl-delay: 5") === Some(5L))
+    // first valid value wins under repeated directives
+    assert(delay("User-agent: *\nCrawl-delay: 5\nDisallow: /p\nCrawl-delay: 9") ===
+      Some(5L))
+    // a named group's delay must NOT apply to the star reader
+    assert(delay("User-agent: bot\nCrawl-delay: 3\nUser-agent: *\nDisallow: /x") ===
+      None)
+    // stacked agents: * anywhere in the stack activates the group
+    assert(delay("User-agent: bot\nUser-agent: *\nCrawl-delay: 4") === Some(4L))
+    // non-numeric ignored; a LATER valid value still applies
+    assert(delay("User-agent: *\nCrawl-delay: zz\nCrawl-delay: 7") === Some(7L))
+    // comments stripped, case-insensitive directive
+    assert(delay("USER-AGENT: *\nCRAWL-DELAY: 6 # be nice") === Some(6L))
+    // no star group / no directive at all -> NULL (caller defaults)
+    assert(delay("User-agent: bot\nCrawl-delay: 2") === None)
+    assert(delay("User-agent: *\nDisallow: /y") === None)
+    // overflow guard: >9 digits is not a valid value
+    assert(delay("User-agent: *\nCrawl-delay: 99999999999") === None)
+  }
+
   test("both operators are pure scan projections — zero Exchange") {
     val df = Seq(("<p>x</p>", "http://h.com/")).toDF("h", "u")
       .select(WebText.htmlToText($"h"), WebText.anchorCount($"h"),
