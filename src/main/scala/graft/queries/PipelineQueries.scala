@@ -1889,6 +1889,97 @@ object PipelineQueries {
       |FROM vw LEFT JOIN conv ON conv."day" = vw."day"
       |ORDER BY vw."day"""".stripMargin
 
+  /** qe12: the MULTI-step funnel — view → click → purchase with a
+    * 24-hour budget between consecutive steps, greedy-earliest
+    * semantics (step k's time is the EARLIEST qualifying event after
+    * step k−1; the ClickHouse windowFunnel read). qe05 is the 2-step
+    * interval join; three steps don't compose as one join without row
+    * amplification, so each step is ONE user-keyed aggregation over
+    * the step's type slice joined to the previous step's (user, time)
+    * frame — k steps = k filtered scans + k key-equi joins, never a
+    * per-user array or a raw-event window. All-integer epoch-µs.
+    * Output per user: step times (NULL where the funnel stalled) and
+    * the furthest step reached. */
+  def funnelSteps(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val W = 86400000000L // 24 h in µs
+    val ev = t.events.select($"user_id", $"event_type",
+      unix_micros($"ts").as("us"))
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"us").as("t1"))
+    val s2 = ev.filter($"event_type" === "click").join(s1, Seq("user_id"))
+      .filter($"us" > $"t1" && $"us" - $"t1" <= W)
+      .groupBy($"user_id").agg(min($"us").as("t2"))
+    val s3 = ev.filter($"event_type" === "purchase").join(s2, Seq("user_id"))
+      .filter($"us" > $"t2" && $"us" - $"t2" <= W)
+      .groupBy($"user_id").agg(min($"us").as("t3"))
+    ev.select($"user_id").distinct()
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select($"user_id", $"t1", $"t2", $"t3",
+        when($"t3".isNotNull, lit(3L)).when($"t2".isNotNull, lit(2L))
+          .when($"t1".isNotNull, lit(1L)).otherwise(lit(0L)).as("furthest"))
+      .orderBy($"user_id")
+  }
+
+  val funnelStepsSql: String =
+    """WITH ev AS (SELECT user_id, event_type,
+      |    CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS BIGINT) us FROM events),
+      |s1 AS (SELECT user_id, MIN(us) t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT ev.user_id, MIN(ev.us) t2 FROM ev JOIN s1 USING (user_id)
+      |  WHERE ev.event_type = 'click' AND ev.us > s1.t1
+      |    AND ev.us - s1.t1 <= 86400000000 GROUP BY 1),
+      |s3 AS (SELECT ev.user_id, MIN(ev.us) t3 FROM ev JOIN s2 USING (user_id)
+      |  WHERE ev.event_type = 'purchase' AND ev.us > s2.t2
+      |    AND ev.us - s2.t2 <= 86400000000 GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM ev)
+      |SELECT u.user_id, s1.t1, s2.t2, s3.t3,
+      |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+      |    WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS furthest
+      |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+      |  LEFT JOIN s3 USING (user_id)
+      |ORDER BY u.user_id""".stripMargin
+
+  /** qe13: gap-filled daily series + trailing moving average — the
+    * resample-then-smooth read every monitoring dashboard needs, with
+    * the gap-fill EXPLICIT: a sparse slice (one rare user's purchases)
+    * is counted per day, the full corpus observation span is
+    * materialized as a day dimension (sequence + explode — never a
+    * driver loop), missing days join in as true zeros, and ma7 is the
+    * trailing 7-slot sum / 7 (constant denominator: the early ramp is
+    * sum-over-available/7, stated, and identical in both engines'
+    * ROWS BETWEEN frames). The window runs on the AGGREGATED day table
+    * (span-cardinality rows, the qe07 discipline) — never on raw
+    * events. All-integer counts; one exact-int / constant division. */
+  def gapfillMa(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val daily = t.events
+      .filter($"event_type" === "purchase" && $"user_id" % 211 === 5)
+      .groupBy(to_date($"ts").as("day")).agg(count(lit(1)).as("n"))
+    val span = t.events.agg(min(to_date($"ts")).as("lo"), max(to_date($"ts")).as("hi"))
+    val days = span.select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    val filled = days.join(daily, Seq("day"), "left")
+      .select($"day", coalesce($"n", lit(0L)).as("n_events"))
+    val w = Window.orderBy($"day").rowsBetween(-6, 0)
+    filled
+      .withColumn("ma7", sum($"n_events").over(w).cast("double") / 7)
+      .orderBy($"day")
+  }
+
+  val gapfillMaSql: String =
+    """WITH d AS (SELECT CAST(ts AS DATE) AS "day", CAST(COUNT(*) AS BIGINT) n
+      |  FROM events WHERE event_type = 'purchase' AND user_id % 211 = 5 GROUP BY 1),
+      |span AS (SELECT MIN(CAST(ts AS DATE)) lo, MAX(CAST(ts AS DATE)) hi FROM events),
+      |days AS (SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+      |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS "day" FROM span),
+      |f AS (SELECT days."day", COALESCE(d.n, 0) AS n_events
+      |  FROM days LEFT JOIN d ON d."day" = days."day")
+      |SELECT "day", n_events,
+      |  CAST(SUM(n_events) OVER (ORDER BY "day"
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 7 AS ma7
+      |FROM f ORDER BY "day"""".stripMargin
+
   // ---- multimodal (binary columns + typed metadata) ----
 
   /** Multimodal column plumbing at the query surface: documents as
@@ -3295,6 +3386,8 @@ object PipelineQueries {
     "qd14_chunk_dedup"     -> ((s: SparkSession, d: String) => chunkDedup(Tables(s, d))),
     "qg04_coactivity_comps" -> ((s: SparkSession, d: String) => coActivityComponents(Tables(s, d))),
     "qe05_conversion_funnel" -> ((s: SparkSession, d: String) => conversionFunnel(Tables(s, d))),
+    "qe12_funnel_steps"      -> ((s: SparkSession, d: String) => funnelSteps(Tables(s, d))),
+    "qe13_gapfill_ma"        -> ((s: SparkSession, d: String) => gapfillMa(Tables(s, d))),
     "qe09_abandoned_views"   -> ((s: SparkSession, d: String) => abandonedViews(Tables(s, d))),
     "qt16_pmi_bigrams"     -> ((s: SparkSession, d: String) => pmiBigrams(Tables(s, d))),
     "qm01_media_meta"      -> ((s: SparkSession, d: String) => mediaMeta(Tables(s, d))),
@@ -3377,6 +3470,8 @@ object PipelineQueries {
     "qe11_watermark_policy" -> watermarkPolicySql,
     "qg04_coactivity_comps" -> coActivityComponentsSql,
     "qe05_conversion_funnel" -> conversionFunnelSql,
+    "qe12_funnel_steps"      -> funnelStepsSql,
+    "qe13_gapfill_ma"        -> gapfillMaSql,
     "qe09_abandoned_views"   -> abandonedViewsSql,
     "qt16_pmi_bigrams"     -> pmiBigramsSql,
     "qm01_media_meta"      -> mediaMetaSql,

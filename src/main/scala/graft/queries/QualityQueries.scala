@@ -2651,6 +2651,78 @@ object QualityQueries {
        |FROM h3 JOIN a3 USING (node) ORDER BY host""".stripMargin
   }
 
+  /** qg15: strongly connected components of a directed link graph
+    * ([[graft.operators.Scc]]) — the spam-ring read: a ring of hosts
+    * that all link each other is one SCC; a legitimate content
+    * hierarchy is acyclic and shatters into singletons. Planted edge
+    * classes per 20-doc block cover every regime the trim+color+peel
+    * algorithm has: a 3-CYCLE (one SCC of 3, resolved by coloring), a
+    * MUTUAL PAIR (SCC of 2), a 3-edge CHAIN (singletons — must fall to
+    * TRIM, not phases), a RHO tail into the cycle (trimmed singleton
+    * whose target keeps its cycle), and a SELF-LOOP (a legitimate
+    * 1-cycle that survives trim because it is its own in- and
+    * out-edge). The oracle is the ground-truth definition itself:
+    * a DuckDB recursive-CTE transitive closure, scc_id = min over the
+    * mutually-reachable set. Output carries scc_size so the census
+    * read (how many rings, how big) is in the same frame. */
+  def linkScc(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val m = $"doc_id" % 20
+    val blk = ($"doc_id" - m).cast("string")
+    val src =
+      when(m <= 2, concat(lit("c"), blk, lit("_"), m.cast("string")))
+        .when(m === 3, concat(lit("p"), blk, lit("_x")))
+        .when(m === 4, concat(lit("p"), blk, lit("_y")))
+        .when(m >= 5 && m <= 7, concat(lit("a"), blk, lit("_"), m.cast("string")))
+        .when(m === 8, concat(lit("t"), blk))
+        .when(m === 9, concat(lit("s"), blk))
+    val dst =
+      when(m <= 2, concat(lit("c"), blk, lit("_"), ((m + 1) % 3).cast("string")))
+        .when(m === 3, concat(lit("p"), blk, lit("_y")))
+        .when(m === 4, concat(lit("p"), blk, lit("_x")))
+        .when(m >= 5 && m <= 7, concat(lit("a"), blk, lit("_"), (m + 1).cast("string")))
+        .when(m === 8, concat(lit("c"), blk, lit("_0")))
+        .when(m === 9, concat(lit("s"), blk))
+    val edges = t.documents.select(src.as("src"), dst.as("dst"))
+      .filter($"src".isNotNull)
+    val scc = graft.operators.Scc.strongComponents(edges)
+    val sizes = scc.groupBy($"scc_id").agg(count(lit(1)).as("scc_size"))
+    scc.join(sizes, Seq("scc_id"))
+      .select($"node", $"scc_id", $"scc_size")
+      .orderBy($"node")
+  }
+
+  val linkSccSql: String =
+    """WITH RECURSIVE raw AS (SELECT doc_id, CAST(doc_id % 20 AS INT) m,
+      |    (doc_id - doc_id % 20) b FROM documents),
+      |e0 AS (SELECT
+      |    CASE WHEN m <= 2 THEN 'c' || b || '_' || m
+      |         WHEN m = 3 THEN 'p' || b || '_x'
+      |         WHEN m = 4 THEN 'p' || b || '_y'
+      |         WHEN m BETWEEN 5 AND 7 THEN 'a' || b || '_' || m
+      |         WHEN m = 8 THEN 't' || b
+      |         WHEN m = 9 THEN 's' || b END AS src,
+      |    CASE WHEN m <= 2 THEN 'c' || b || '_' || ((m + 1) % 3)
+      |         WHEN m = 3 THEN 'p' || b || '_y'
+      |         WHEN m = 4 THEN 'p' || b || '_x'
+      |         WHEN m BETWEEN 5 AND 7 THEN 'a' || b || '_' || (m + 1)
+      |         WHEN m = 8 THEN 'c' || b || '_0'
+      |         WHEN m = 9 THEN 's' || b END AS dst
+      |  FROM raw),
+      |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src IS NOT NULL),
+      |nodes AS (SELECT DISTINCT n FROM
+      |  (SELECT src AS n FROM e UNION ALL SELECT dst FROM e)),
+      |reach(a, b) AS (SELECT src, dst FROM e
+      |  UNION SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+      |mut AS (SELECT r1.a AS node, MIN(r1.b) AS mn FROM reach r1
+      |  JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a GROUP BY r1.a),
+      |scc AS (SELECT n.n AS node, LEAST(n.n, COALESCE(mut.mn, n.n)) AS scc_id
+      |  FROM nodes n LEFT JOIN mut ON mut.node = n.n),
+      |sz AS (SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+      |  FROM scc GROUP BY scc_id)
+      |SELECT scc.node, scc.scc_id, sz.scc_size
+      |FROM scc JOIN sz USING (scc_id) ORDER BY scc.node""".stripMargin
+
   /** qg13: redirect-chain resolution ([[graft.operators.Redirects]])
     * gated end to end — the crawl plane's identity step. Planted edge
     * classes per 44-doc block, covering every resolution outcome:
@@ -3323,6 +3395,7 @@ object QualityQueries {
     "qg12_domain_pagerank"   -> ((s: SparkSession, d: String) => domainPageRank(Tables(s, d))),
     "qg13_redirect_resolve"  -> ((s: SparkSession, d: String) => redirectResolve(Tables(s, d))),
     "qg14_domain_hits"       -> ((s: SparkSession, d: String) => domainHits(Tables(s, d))),
+    "qg15_link_scc"          -> ((s: SparkSession, d: String) => linkScc(Tables(s, d))),
     "qt47_robots_allowed"    -> ((s: SparkSession, d: String) => robotsAllowed(Tables(s, d))),
     "qx05_crawl_frontier"    -> ((s: SparkSession, d: String) => crawlFrontierBuild(Tables(s, d))),
     "qx06_crawl_schedule"    -> ((s: SparkSession, d: String) => crawlSchedule(Tables(s, d))),
@@ -3379,6 +3452,7 @@ object QualityQueries {
     "qg12_domain_pagerank"   -> domainPageRankSql,
     "qg13_redirect_resolve"  -> redirectResolveSql,
     "qg14_domain_hits"       -> domainHitsSql,
+    "qg15_link_scc"          -> linkSccSql,
     "qt47_robots_allowed"    -> robotsAllowedSql,
     "qx05_crawl_frontier"    -> crawlFrontierBuildSql,
     "qx06_crawl_schedule"    -> crawlScheduleSql,
