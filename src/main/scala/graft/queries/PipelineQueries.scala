@@ -1980,6 +1980,66 @@ object PipelineQueries {
       |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 7 AS ma7
       |FROM f ORDER BY "day"""".stripMargin
 
+  /** qe14: two-proportion z-test A/B readout — the experiment decision
+    * the event plane's censuses feed: users split into arms by a pure
+    * id function (user_id % 2 — the qp04 reproducible-assignment
+    * discipline), per-arm conversion = "any purchase", and the pooled
+    * two-proportion z statistic with the |z| ≥ 1.96 verdict. Exact
+    * integer counts all the way to ONE mirrored IEEE expression tree
+    * (quotients, one multiply chain, one sqrt — sqrt is correctly
+    * rounded under IEEE 754 in both engines, so the statistic is
+    * bit-equal without any rounding step; the one decimal-typed trap,
+    * DuckDB's `1.0/n` being DECIMAL division, is forced to DOUBLE).
+    * Output: one row per arm pair — counts, rates, z, verdict.
+    * Scale shape: one per-user aggregation + one 2-row arm census;
+    * the statistic is arm-cardinality arithmetic. */
+  def abZTest(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    // "converted" = any HIGH-VALUE purchase: the plain any-purchase
+    // read saturates at ~100% on this fixture (p̂=1 ⇒ z = 0/0), so the
+    // value cut keeps the statistic in its informative regime
+    val perUser = t.events.groupBy($"user_id")
+      .agg(max(when($"event_type" === "purchase" && $"value" >= 180.0, lit(1L))
+        .otherwise(lit(0L))).as("converted"))
+      .select(($"user_id" % 2).as("arm"), $"converted")
+    val arms = perUser.groupBy($"arm")
+      .agg(count(lit(1)).as("n"), sum($"converted").as("x"))
+    val a = arms.filter($"arm" === 0).select($"n".as("n_a"), $"x".as("x_a"))
+    val b = arms.filter($"arm" === 1).select($"n".as("n_b"), $"x".as("x_b"))
+    val pa = $"x_a".cast("double") / $"n_a"
+    val pb = $"x_b".cast("double") / $"n_b"
+    val pp = ($"x_a" + $"x_b").cast("double") / ($"n_a" + $"n_b")
+    val z = (pa - pb) /
+      sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b"))
+    a.crossJoin(broadcast(b))
+      .select($"n_a", $"x_a", $"n_b", $"x_b",
+        pa.as("p_a"), pb.as("p_b"), z.as("z"),
+        (abs(z) >= lit(1.96)).as("significant"))
+  }
+
+  val abZTestSql: String =
+    """WITH pu AS (SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value >= 180.0 THEN 1 ELSE 0 END) converted
+      |  FROM events GROUP BY user_id),
+      |arms AS (SELECT user_id % 2 AS arm, CAST(COUNT(*) AS BIGINT) n,
+      |    CAST(SUM(converted) AS BIGINT) x
+      |  FROM pu GROUP BY 1),
+      |ab AS (SELECT
+      |    (SELECT n FROM arms WHERE arm = 0) n_a, (SELECT x FROM arms WHERE arm = 0) x_a,
+      |    (SELECT n FROM arms WHERE arm = 1) n_b, (SELECT x FROM arms WHERE arm = 1) x_b)
+      |SELECT n_a, x_a, n_b, x_b,
+      |  CAST(x_a AS DOUBLE) / n_a AS p_a,
+      |  CAST(x_b AS DOUBLE) / n_b AS p_b,
+      |  (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+      |    sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+      |         (1.0::DOUBLE - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+      |         (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b)) AS z,
+      |  abs((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b) /
+      |    sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+      |         (1.0::DOUBLE - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) *
+      |         (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b))) >= 1.96::DOUBLE AS significant
+      |FROM ab""".stripMargin
+
   // ---- multimodal (binary columns + typed metadata) ----
 
   /** Multimodal column plumbing at the query surface: documents as
@@ -3388,6 +3448,7 @@ object PipelineQueries {
     "qe05_conversion_funnel" -> ((s: SparkSession, d: String) => conversionFunnel(Tables(s, d))),
     "qe12_funnel_steps"      -> ((s: SparkSession, d: String) => funnelSteps(Tables(s, d))),
     "qe13_gapfill_ma"        -> ((s: SparkSession, d: String) => gapfillMa(Tables(s, d))),
+    "qe14_ab_ztest"          -> ((s: SparkSession, d: String) => abZTest(Tables(s, d))),
     "qe09_abandoned_views"   -> ((s: SparkSession, d: String) => abandonedViews(Tables(s, d))),
     "qt16_pmi_bigrams"     -> ((s: SparkSession, d: String) => pmiBigrams(Tables(s, d))),
     "qm01_media_meta"      -> ((s: SparkSession, d: String) => mediaMeta(Tables(s, d))),
@@ -3472,6 +3533,7 @@ object PipelineQueries {
     "qe05_conversion_funnel" -> conversionFunnelSql,
     "qe12_funnel_steps"      -> funnelStepsSql,
     "qe13_gapfill_ma"        -> gapfillMaSql,
+    "qe14_ab_ztest"          -> abZTestSql,
     "qe09_abandoned_views"   -> abandonedViewsSql,
     "qt16_pmi_bigrams"     -> pmiBigramsSql,
     "qm01_media_meta"      -> mediaMetaSql,

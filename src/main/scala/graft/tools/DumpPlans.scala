@@ -269,6 +269,18 @@ object DumpPlans {
       ("qx05_crawl_frontier — redirects -> identity -> robots -> dedup",
        "The resolution map and the rules table are frontier-dim-sized broadcasts upstream of the decision checkpoint; the verdict stage reads the materialized ~40 B/doc decision frame and every exchange keys on doc_id or the canonical key (PlanAuditSpec pins both + no cartesian). The dedup window partitions by canon_url over ALLOWED docs only — blocked docs never enter the partition.",
        fmt(graft.queries.QualityQueries.crawlFrontierBuild(t))),
+      ("qg15_link_scc — directed components by trim + color + peel",
+       "Every round is an edge-list equi join + hash aggregation keyed on a vertex id (state: ONE label per vertex, lineage truncated per round); trim kills chains/tails before any phase work; the only driver traffic is scalar convergence probes. ProfileScc: 1M/4M/16M-edge forests with analytically known components — shuffle edge-linear at scale (x4.0 write for the 4M->16M x4 step), ZERO ground-truth mismatches across 22.5M checked nodes.",
+       fmt(graft.queries.QualityQueries.linkScc(t))),
+      ("qs26_phrase_search — positional postings + adjacency joins",
+       "The term filter prunes postings AT THE SCAN (an n-term phrase over a V-term corpus keeps ~n/V of the token stream), the n-1 adjacency joins are phrase-term-sized on (doc, pos+i), and the top-k is TakeOrderedAndProject (PlanAuditSpec) — never a global sort, never a corpus self-join.",
+       fmt(graft.queries.RetrievalQueries.phraseSearch(t))),
+      ("qx06_crawl_schedule — politeness as fetch slots",
+       "Rules and Crawl-delays are HOST-cardinality broadcast dims consumed upstream of the verdict checkpoint; the schedule's only data-sized work is one per-host rank window over allowed docs, and every exchange keys on doc_id/hid metadata (PlanAuditSpec). The qz02 offset-join ordinal is the documented mega-host escape hatch.",
+       fmt(graft.queries.QualityQueries.crawlSchedule(t))),
+      ("qi04_join_mv — bilinear delta maintenance",
+       "All four legs (standing + dL*O0 + L0*dO + dL*dO) pre-aggregate to the customer grain with map-side partial aggregation before ONE monoid merge; the standing view is a materialized read, so only the delta legs touch base data at refresh time.",
+       fmt(graft.queries.ExtendedQueries.incrementalJoinMv(t))),
     )
 
     val md = new StringBuilder

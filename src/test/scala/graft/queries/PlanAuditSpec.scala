@@ -601,6 +601,57 @@ class PlanAuditSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("qs26: phrase search plans TakeOrderedAndProject over term-pruned postings") {
+    val p = plan(RetrievalQueries.phraseSearch(t))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must never be a global sort:\n$p")
+  }
+
+  test("qg14: HITS normalizers attach by broadcast; no cartesian on data") {
+    val p = plan(QualityQueries.domainHits(t))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the scalar L1 totals must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+  }
+
+  test("qx06: schedule exchanges key on doc_id/hid metadata only; no cartesian") {
+    // the rules/delays broadcasts live UPSTREAM of the verdict's
+    // localCheckpoint (the qx05 audit lesson) — the final plan exposes
+    // only the schedule: pin that every exchange keys on tiny metadata
+    // columns and nothing cartesians
+    val p = plan(QualityQueries.crawlSchedule(t))
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cartesian:\n$p")
+    val keys = "hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(p)
+      .map(_.group(1)).toSet
+    assert(keys.subsetOf(Set("doc_id", "hid")),
+      s"schedule must shuffle on doc_id/hid metadata only, got $keys:\n$p")
+  }
+
+  test("qr08: the host verdict joins back by broadcast — the corpus shuffles once") {
+    val p = plan(QualityQueries.hostReputation(t))
+    assert(p.contains("BroadcastHashJoin"),
+      s"the host-cardinality verdict must broadcast onto the doc scan:\n$p")
+  }
+
+  test("qi04: every join-MV leg pre-aggregates (partial_count) before the monoid merge") {
+    val p = plan(ExtendedQueries.incrementalJoinMv(t))
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"legs must map-side combine before the merge:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("qe13: the moving-average window runs on the aggregated day table, not raw events") {
+    val df = PipelineQueries.gapfillMa(t)
+    val p = plan(df)
+    // the window's input is the gap-filled day dim joined to day counts:
+    // day-cardinality rows. Pin that the raw event columns never reach
+    // the Window operator's child.
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, p)
+    assert(!p.substring(winIdx).contains("event_id"),
+      s"the window must consume aggregated days only:\n$p")
+  }
+
   test("qx01: funnel counts are monotone per source (raw >= quality >= unique >= sampled)") {
     val rows = CurationQueries.corpusBuild(Tables(spark, "/root/testdata/sf0.01")).collect()
     assert(rows.nonEmpty)
