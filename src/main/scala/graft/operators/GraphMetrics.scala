@@ -152,7 +152,13 @@ object GraphMetrics {
     * Input columns `src`, `dst` (directed, any equality-comparable
     * node type); self-loops dropped, parallel edges deduped. Output:
     * `node, hub, authority` after `iters` rounds. Deep loops get the
-    * [[ConnectedComponents.checkpointTruncated]] lineage gate. */
+    * [[ConnectedComponents.checkpointTruncated]] lineage gate.
+    *
+    * Grid bound (shared with [[pageRank]]'s contract): normalized
+    * scores live on the 1e-9 grid, so mass below 0.5e-9 floors to
+    * exactly 0 — fine through ~10⁸-node graphs where typical scores
+    * sit well above the grid; beyond that, widen the quantization
+    * constant in lockstep with the oracle. */
   def hits(edges0: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val edges = edges0.select(col("src"), col("dst"))

@@ -70,6 +70,51 @@ object Sampling {
       .select(col(keyCol), col(idCol), col("rk"))
   }
 
+  /** Weighted sampling WITHOUT replacement, fixed k per key — the
+    * Efraimidis–Spirakis (2006) exponential-key reservoir:
+    * each row draws key = −ln(u)/w (u the md5-derived uniform, shifted
+    * into (0,1] so ln never sees 0), and the k SMALLEST keys per
+    * stratum win — equivalent to sequential draws proportional to w
+    * without replacement, as one scan + bounded windows. The member
+    * [[weightedSample]] cannot express: ITS keep decisions are
+    * independent Bernoulli (expected fraction), this one returns an
+    * exact-size, weight-biased, collision-free sample.
+    *
+    * Determinism contract: the ES key is quantized to the 1e-6 grid
+    * (floor(x·1e6 + 0.5) — the tie-free binary form) with the id as
+    * final tie-break, so the kept set is a pure function of
+    * (ids, weights) and replays cross-engine. The one transcendental
+    * (ln) is evaluated on md5-derived uniforms whose images sit far
+    * from grid boundaries at any realistic corpus size (the qt12 ln
+    * discipline). Rows with w ≤ 0 or NULL have sampling weight zero
+    * and are excluded by definition.
+    *
+    * Scale shape: [[reservoirPerKey]]'s two-phase salted top-k — no
+    * task ever sorts a whole stratum. Emits (key, id, es_key, rk). */
+  def weightedReservoirPerKey(df: DataFrame, keyCol: String, idCol: String,
+                              weightCol: String, k: Int,
+                              salts: Int = 16): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    // u in (0,1]: (first-4-hex-of-md5 + 1) / 65536
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("double") + lit(1.0)) / 65536.0
+    val esKey = floor(-log(u) / col(weightCol).cast("double") * 1e6 + 0.5)
+      .cast("long")
+    val salted = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select(col(keyCol), col(idCol), esKey.as("es_key"),
+        pmod(hash(col(idCol)), lit(salts)).as("__salt"))
+    val w1 = Window.partitionBy(col(keyCol), col("__salt"))
+      .orderBy(col("es_key").asc, col(idCol).asc)
+    val pruned = salted.withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+    val w2 = Window.partitionBy(col(keyCol))
+      .orderBy(col("es_key").asc, col(idCol).asc)
+    pruned.withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(keyCol), col(idCol), col("es_key"), col("rk"))
+  }
+
   /** Deterministic train/val/test assignment ("anti-leakage split"):
     * the split is a pure function of the row id, so re-running the
     * pipeline — or running it on another engine — can never move a

@@ -121,6 +121,10 @@ object Scc {
           fN = n2
           b += 1
         }
+        // still growing at the cap ⇒ peeling now would assign a PARTIAL
+        // SCC (a >maxRounds cycle loses its unconfirmed arc members to
+        // wrong singletons next phase) — the one silently-wrong outcome
+        require(!grew, s"backward confirmation did not converge in $maxRounds rounds")
         peel(f.select(col("node"), col("color").as("scc_id")))
       }
       phase += 1

@@ -1567,6 +1567,33 @@ object CurationQueries {
     * of rows under one key) would use qz02's per-partition-count +
     * offset-join ordinal instead of a single-key window — same
     * md5 coordinate, no hot partition. */
+  /** qp22: weighted sampling WITHOUT replacement
+    * ([[graft.operators.Sampling.weightedReservoirPerKey]], the
+    * Efraimidis–Spirakis exponential-key reservoir) — exactly 25 docs
+    * per language, selection biased by document length (n_chars as the
+    * weight: the "sample long documents preferentially, but exactly k
+    * of them" curation read neither qp02's unweighted reservoir nor
+    * qp07's Bernoulli weighting can produce). The oracle replays the
+    * md5 uniform, the −ln(u)/w key on the 1e-6 grid, and the per-lang
+    * rank window. */
+  def weightedReservoir(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    graft.operators.Sampling
+      .weightedReservoirPerKey(t.documents, "lang", "doc_id", "n_chars", k = 25)
+      .orderBy($"lang", $"rk")
+  }
+
+  val weightedReservoirSql: String =
+    """WITH s AS (SELECT lang, doc_id,
+      |    CAST(floor(-ln((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS DOUBLE) + 1.0) / 65536.0)
+      |      / CAST(n_chars AS DOUBLE) * 1e6 + 0.5) AS BIGINT) es_key
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |r AS (SELECT lang, doc_id, es_key,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY es_key ASC, doc_id ASC) AS BIGINT) rk FROM s)
+      |SELECT lang, doc_id, es_key, rk FROM r WHERE rk <= 25
+      |ORDER BY lang, rk""".stripMargin
+
   def domainCap(t: Tables): DataFrame = {
     import t.spark.implicits._
     val planted = t.documents.select($"doc_id",
@@ -1632,6 +1659,7 @@ object CurationQueries {
     "qp13_target_mix"        -> ((s: SparkSession, d: String) => targetMix(Tables(s, d))),
     "qp16_epoch_mix"         -> ((s: SparkSession, d: String) => epochMix(Tables(s, d))),
     "qp21_ipf_raking"        -> ((s: SparkSession, d: String) => ipfRaking(Tables(s, d))),
+    "qp22_weighted_reservoir" -> ((s: SparkSession, d: String) => weightedReservoir(Tables(s, d))),
     "qx01_corpus_build"      -> ((s: SparkSession, d: String) => corpusBuild(Tables(s, d))),
     "qc06_training_mix"      -> ((s: SparkSession, d: String) => trainingMix(Tables(s, d))),
     "qt17_source_overlap"    -> ((s: SparkSession, d: String) => sourceOverlap(Tables(s, d))),
@@ -1677,6 +1705,7 @@ object CurationQueries {
     "qp13_target_mix"        -> targetMixSql,
     "qp16_epoch_mix"         -> epochMixSql,
     "qp21_ipf_raking"        -> ipfRakingSql,
+    "qp22_weighted_reservoir" -> weightedReservoirSql,
     "qx01_corpus_build"      -> corpusBuildSql,
     "qc06_training_mix"      -> trainingMixSql,
     "qt17_source_overlap"    -> sourceOverlapSql,

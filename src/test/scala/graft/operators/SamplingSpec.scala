@@ -204,6 +204,45 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
       Sampling.temperatureMix(df, "src", "id", alpha = 0.5, budget = 0L))
   }
 
+  test("weightedReservoirPerKey: kept set == host-replayed ES keys; salt-invariant") {
+    val rows = (0L until 120L).map(i => (s"k${i % 3}", i, (i % 7 + 1).toDouble))
+    val df = rows.toDF("key", "id", "w")
+    def md5u(id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.take(2).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 65536.0
+    }
+    // host reference: quantized ES key, (key asc, id asc), top 5 per stratum
+    val want = rows.map { case (k, id, w) =>
+      (k, id, math.floor(-math.log(md5u(id)) / w * 1e6 + 0.5).toLong)
+    }.groupBy(_._1).flatMap { case (k, rs) =>
+      rs.sortBy(r => (r._3, r._2)).take(5).zipWithIndex
+        .map { case ((_, id, ek), i) => (k, id, ek, (i + 1).toLong) }
+    }.toSet
+    val got = Sampling.weightedReservoirPerKey(df, "key", "id", "w", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    val gotWide = Sampling
+      .weightedReservoirPerKey(df.repartition(13), "key", "id", "w", k = 5, salts = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(gotWide === got) // salt + partitioning invariance
+  }
+
+  test("weightedReservoirPerKey: overwhelming weight is always selected; w<=0 excluded") {
+    val df = ((0L until 50L).map(i => ("s", i, 1.0)) ++
+      Seq(("s", 999L, 1e9), ("s", 998L, 0.0), ("s", 997L, -2.0)))
+      .toDF("key", "id", "w")
+    val kept = Sampling.weightedReservoirPerKey(df, "key", "id", "w", k = 3)
+      .collect().map(_.getLong(1)).toSet
+    // -ln(u)/1e9 is ~0 for any u: the heavy doc's key floors to 0 — rank 1
+    assert(kept.contains(999L))
+    assert(!kept.contains(998L) && !kept.contains(997L))
+    intercept[IllegalArgumentException] {
+      Sampling.weightedReservoirPerKey(df, "key", "id", "w", k = 0)
+    }
+  }
+
   test("curriculumShards: positions are contiguous easy-to-hard within each shard") {
     val df = (0L until 100L).map(i => (i, (i * 37) % 50)).toDF("id", "score")
     val out = Sampling.curriculumShards(df, "id", "score", nShards = 4)

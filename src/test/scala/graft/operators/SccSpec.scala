@@ -92,6 +92,21 @@ class SccSpec extends SparkTestBase {
     }
   }
 
+  test("an under-budget round cap fails LOUDLY, never silently mis-assigns") {
+    // a 40-cycle needs ~40 propagation rounds; with maxRounds=8 the
+    // run must abort (wrong components are the one unacceptable
+    // outcome — a partial peel would shatter the cycle into fake
+    // singletons on the next phase)
+    val cycle = (0L until 40L).map(i => (i, (i + 1) % 40))
+    intercept[IllegalArgumentException] {
+      Scc.strongComponents(cycle.toDF("src", "dst"), maxRounds = 8)
+    }
+    // and with an adequate budget the same graph resolves exactly
+    val got = Scc.strongComponents(cycle.toDF("src", "dst"), maxRounds = 64)
+      .collect().map { case Row(n: Long, s: Long) => n -> s }.toMap
+    assert(got === (0L until 40L).map(i => i -> 0L).toMap)
+  }
+
   test("guards and empty input") {
     intercept[IllegalArgumentException] {
       Scc.strongComponents(Seq((1L, 2L)).toDF("src", "dst"), maxRounds = 0)
