@@ -2040,6 +2040,70 @@ object PipelineQueries {
       |         (1.0::DOUBLE / n_a + 1.0::DOUBLE / n_b))) >= 1.96::DOUBLE AS significant
       |FROM ab""".stripMargin
 
+  /** qe16: CUPED variance reduction (Deng et al. 2013) — qe14's
+    * companion and the standard experiment-platform read: each user's
+    * post-period metric Y is adjusted by their PRE-period covariate X
+    * (Y_adj = Y − θ(X − X̄), θ = cov(X,Y)/var(X) pooled across arms),
+    * shrinking the variance the pre-existing user differences
+    * contribute without biasing the arm contrast. Everything reduces
+    * to exact-decimal MOMENTS (Σx, Σy, Σxy, Σx², per-user sums of
+    * DECIMAL(18,6) values — products stay exact at (37,12)) collected
+    * in one pass; θ, the arm means, and the adjustment are ONE
+    * mirrored IEEE expression tree over those exact operands — no
+    * rounding anywhere (the qe14 discipline). Scale shape: one
+    * user-keyed aggregation, then arm- and scalar-cardinality
+    * arithmetic broadcast together. */
+  def cupedReadout(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val cut = lit(java.sql.Date.valueOf("2024-01-16"))
+    val zero = lit(BigDecimal(0)).cast("decimal(18,6)")
+    val perUser = t.events.groupBy($"user_id")
+      .agg(
+        sum(when(to_date($"ts") < cut, $"value".cast("decimal(18,6)"))
+          .otherwise(zero)).as("x"),
+        sum(when(to_date($"ts") >= cut, $"value".cast("decimal(18,6)"))
+          .otherwise(zero)).as("y"))
+      .select(($"user_id" % 2).as("arm"), $"x", $"y")
+      .localCheckpoint()
+    val g = perUser.agg(count(lit(1)).as("n"),
+      sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+    val arms = perUser.groupBy($"arm")
+      .agg(count(lit(1)).as("na"), sum($"x").as("ax"), sum($"y").as("ay"))
+    val nD = $"n".cast("double")
+    val sxD = $"sx".cast("double")
+    val theta = (nD * $"sxy".cast("double") - sxD * $"sy".cast("double")) /
+      (nD * $"sxx".cast("double") - sxD * sxD)
+    val meanY = $"ay".cast("double") / $"na"
+    val adj = meanY - theta * ($"ax".cast("double") / $"na" - sxD / nD)
+    arms.crossJoin(broadcast(g))
+      .select($"arm", $"na".as("n_users"), meanY.as("mean_y"),
+        theta.as("theta"), adj.as("mean_y_adj"))
+      .orderBy($"arm")
+  }
+
+  val cupedReadoutSql: String =
+    """WITH pu AS (SELECT user_id,
+      |    SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+      |      THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) x,
+      |    SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+      |      THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0 AS DECIMAL(18,6)) END) y
+      |  FROM events GROUP BY user_id),
+      |pa AS (SELECT user_id % 2 AS arm, x, y FROM pu),
+      |g AS (SELECT CAST(COUNT(*) AS BIGINT) n, SUM(x) sx, SUM(y) sy,
+      |    SUM(x*y) sxy, SUM(x*x) sxx FROM pa),
+      |a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) na, SUM(x) ax, SUM(y) ay
+      |  FROM pa GROUP BY arm)
+      |SELECT a.arm, a.na AS n_users,
+      |  CAST(a.ay AS DOUBLE) / a.na AS mean_y,
+      |  (CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE) - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE)) /
+      |    (CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE) - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE)) AS theta,
+      |  CAST(a.ay AS DOUBLE) / a.na -
+      |    ((CAST(g.n AS DOUBLE) * CAST(g.sxy AS DOUBLE) - CAST(g.sx AS DOUBLE) * CAST(g.sy AS DOUBLE)) /
+      |     (CAST(g.n AS DOUBLE) * CAST(g.sxx AS DOUBLE) - CAST(g.sx AS DOUBLE) * CAST(g.sx AS DOUBLE))) *
+      |    (CAST(a.ax AS DOUBLE) / a.na - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE)) AS mean_y_adj
+      |FROM a CROSS JOIN g ORDER BY a.arm""".stripMargin
+
   // ---- multimodal (binary columns + typed metadata) ----
 
   /** Multimodal column plumbing at the query surface: documents as
@@ -3449,6 +3513,7 @@ object PipelineQueries {
     "qe12_funnel_steps"      -> ((s: SparkSession, d: String) => funnelSteps(Tables(s, d))),
     "qe13_gapfill_ma"        -> ((s: SparkSession, d: String) => gapfillMa(Tables(s, d))),
     "qe14_ab_ztest"          -> ((s: SparkSession, d: String) => abZTest(Tables(s, d))),
+    "qe16_cuped"             -> ((s: SparkSession, d: String) => cupedReadout(Tables(s, d))),
     "qe09_abandoned_views"   -> ((s: SparkSession, d: String) => abandonedViews(Tables(s, d))),
     "qt16_pmi_bigrams"     -> ((s: SparkSession, d: String) => pmiBigrams(Tables(s, d))),
     "qm01_media_meta"      -> ((s: SparkSession, d: String) => mediaMeta(Tables(s, d))),
@@ -3534,6 +3599,7 @@ object PipelineQueries {
     "qe12_funnel_steps"      -> funnelStepsSql,
     "qe13_gapfill_ma"        -> gapfillMaSql,
     "qe14_ab_ztest"          -> abZTestSql,
+    "qe16_cuped"             -> cupedReadoutSql,
     "qe09_abandoned_views"   -> abandonedViewsSql,
     "qt16_pmi_bigrams"     -> pmiBigramsSql,
     "qm01_media_meta"      -> mediaMetaSql,
