@@ -83,6 +83,21 @@ object GraftExtensions {
        "graft_unicode_normalize"),
      (children: Seq[Expression]) =>
        graft.functions.expressions.UnicodeNormalize(children(0), children(1))),
+    (FunctionIdentifier("graft_sql_insert_parse"),
+     new ExpressionInfo(classOf[graft.functions.expressions.SqlInsertParse].getName,
+       "graft_sql_insert_parse"),
+     (children: Seq[Expression]) =>
+       graft.functions.expressions.SqlInsertParse(children(0))),
+    (FunctionIdentifier("graft_sql_quote"),
+     new ExpressionInfo(classOf[graft.functions.expressions.SqlQuote].getName,
+       "graft_sql_quote"),
+     (children: Seq[Expression]) =>
+       graft.functions.expressions.SqlQuote(children(0))),
+    (FunctionIdentifier("graft_pyrepr_json"),
+     new ExpressionInfo(classOf[graft.functions.expressions.PyReprJson].getName,
+       "graft_pyrepr_json"),
+     (children: Seq[Expression]) =>
+       graft.functions.expressions.PyReprJson(children(0))),
     // Spark's OWN runtime-join-pruning bloom machinery, exposed as SQL
     // functions (upstream keeps them internal-only): the agg builds the
     // serialized filter, the predicate probes it codegen'd. Used by

@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.CurationQueries.queries ++
       graft.queries.QualityQueries.queries ++
       graft.queries.LayoutQueries.queries ++
-      graft.queries.RetrievalQueries.queries
+      graft.queries.RetrievalQueries.queries ++
+      graft.queries.InteropQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.CurationQueries.oracles ++
       graft.queries.QualityQueries.oracles ++
       graft.queries.LayoutQueries.oracles ++
-      graft.queries.RetrievalQueries.oracles
+      graft.queries.RetrievalQueries.oracles ++
+      graft.queries.InteropQueries.oracles
 }

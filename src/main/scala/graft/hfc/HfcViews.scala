@@ -47,4 +47,33 @@ object HfcViews {
 
   def withEventPayloadView(discussionEvent: DataFrame): DataFrame =
     discussionEvent.withColumn("full_data_map", jsonMap(col("full_data")))
+
+  /** Python-repr blob → JSON text (null on non-repr input). The
+    * published dumps store `card_data` / `config` / `full_data` as
+    * Python `str()` repr (databaseImport.py:642,634,524) — single
+    * quotes, None/True/False — which `from_json` rejects; this compat
+    * shim (SURVEY §7.4.3) converts via the native
+    * [[graft.functions.expressions.PyReprJson]] expression so every
+    * view below works identically on API-built and dump-loaded tables. */
+  def pyReprToJson(c: Column): Column = call_function("graft_pyrepr_json", c)
+
+  /** a blob that may be EITHER clean JSON (our extractor's tables) or
+    * Python repr (reference dumps): JSON wins when it parses — repr of
+    * a dict never parses as a JSON object, and vice versa */
+  def jsonOrPyRepr(c: Column): Column =
+    when(from_json(c, MapType(StringType, StringType)).isNotNull, c)
+      .otherwise(pyReprToJson(c))
+
+  /** [[withConfigView]] for dump-loaded `model` (repr-encoded config) */
+  def withConfigViewCompat(model: DataFrame): DataFrame = {
+    val json = jsonOrPyRepr(col("config"))
+    model
+      .withColumn("config_parsed", from_json(json, configType))
+      .withColumn("config_map", jsonMap(json))
+  }
+
+  /** [[withEventPayloadView]] for dump-loaded `discussion_event` */
+  def withEventPayloadViewCompat(discussionEvent: DataFrame): DataFrame =
+    discussionEvent.withColumn("full_data_map",
+      jsonMap(jsonOrPyRepr(col("full_data"))))
 }

@@ -203,6 +203,29 @@ object Schemas {
     "files_in_commit" -> filesInCommit,
     "discussion_event" -> discussionEvent)
 
+  /** primary keys per the reference DDL (databaseImport.py:184-251) —
+    * the upsert/merge key set for [[MergeWriter]] and [[HfcJdbc]].
+    * `conflicting_files_discussion`'s surrogate AUTO_INCREMENT id is
+    * its PK in the DDL; we key it the same way. */
+  val primaryKeys: Map[String, Seq[String]] = Map(
+    "tag" -> Seq("name"),
+    "author" -> Seq("username"),
+    "repository" -> Seq("id"),
+    "repo_file" -> Seq("id"),
+    "tags_in_repo" -> Seq("tag_name", "repo_id"),
+    "model" -> Seq("model_id"),
+    "dataset" -> Seq("dataset_id"),
+    "space" -> Seq("space_id"),
+    "models_in_space" -> Seq("model_id", "space_id"),
+    "datasets_in_space" -> Seq("dataset_id", "space_id"),
+    "commits" -> Seq("sha"),
+    "discussion" -> Seq("num", "repo_id"),
+    "conflicting_files_discussion" -> Seq("id"),
+    "commit_parents" -> Seq("commit_sha", "parent_sha"),
+    "modified_file" -> Seq("modified_file_id"),
+    "files_in_commit" -> Seq("sha", "modified_file_id"),
+    "discussion_event" -> Seq("id"))
+
   /** FK-topological write order (replaces the reference's per-row
     * commit barriers, `databaseImport.py` K6 sites — SURVEY §2.A). */
   val writeOrder: Seq[String] = Seq(

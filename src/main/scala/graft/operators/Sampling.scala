@@ -89,6 +89,16 @@ object Sampling {
     * discipline). Rows with w ≤ 0 or NULL have sampling weight zero
     * and are excluded by definition.
     *
+    * Resolution bound (r13 ADVICE): u comes from the first 8 hex
+    * digits of md5 — 2^32 distinct values, so same-weight strata tie
+    * on the ES key only past ~2^16 rows per stratum (birthday), and
+    * the quantized key floors to 0 only for weights above
+    * ~4.4e7·max(−ln u) ≈ 4.4e7 — weights beyond that all rank as
+    * "always take" (correct directionally, but ordered by id, not
+    * weight). Callers with per-stratum weights spanning past ~1e7
+    * should rescale weights into (0, 1e6] first (ES selection is
+    * scale-invariant within a stratum).
+    *
     * Scale shape: [[reservoirPerKey]]'s two-phase salted top-k — no
     * task ever sorts a whole stratum. Emits (key, id, es_key, rk). */
   def weightedReservoirPerKey(df: DataFrame, keyCol: String, idCol: String,
@@ -96,9 +106,10 @@ object Sampling {
                               salts: Int = 16): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    // u in (0,1]: (first-4-hex-of-md5 + 1) / 65536
-    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-      .cast("double") + lit(1.0)) / 65536.0
+    // u in (0,1]: (first-8-hex-of-md5 + 1) / 2^32 — both the integer
+    // and 2^32 are exact in a double, and DuckDB replays it verbatim
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(1.0)) / 4294967296.0
     val esKey = floor(-log(u) / col(weightCol).cast("double") * 1e6 + 0.5)
       .cast("long")
     val salted = df.filter(col(weightCol).isNotNull && col(weightCol) > 0)

@@ -76,6 +76,12 @@ object Scc {
       //    an out-edge).
       var trimmed = true
       var tr = 0
+      // r13 ADVICE: trim exiting at the cap is CORRECT (leftover
+      // trimmable singletons just make the coloring pass work harder)
+      // but on a >2·maxRounds chain the run then dies later with a
+      // misleading "coloring did not converge" — track exhaustion so
+      // that failure names the right knob.
+      var trimCapped = false
       while (trimmed && tr < maxRounds) {
         val hasIn = edges.select(col("dst").as("node")).distinct()
         val hasOut = edges.select(col("src").as("node")).distinct()
@@ -86,6 +92,7 @@ object Scc {
         else trimmed = false
         tr += 1
       }
+      trimCapped = trimmed // cap hit while cuts were still landing
       if (verts.limit(1).count() > 0) {
         // 2. forward-min coloring to fixpoint
         var c = verts.select(col("node"), col("node").as("color")).localCheckpoint()
@@ -102,7 +109,11 @@ object Scc {
           c = c2
           r += 1
         }
-        require(!changed, s"coloring did not converge in $maxRounds rounds")
+        require(!changed,
+          s"coloring did not converge in $maxRounds rounds" + (if (trimCapped)
+            s" — NOTE: the trim pass also hit the $maxRounds-round cap" +
+              " before reaching its fixpoint, so the root cause is likely" +
+              " a long chain: raise maxRounds" else ""))
         // 3. confirm backward within the color class, from the roots
         var f = c.filter(col("node") === col("color")).localCheckpoint()
         var grew = true

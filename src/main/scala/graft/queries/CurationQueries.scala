@@ -1585,7 +1585,7 @@ object CurationQueries {
 
   val weightedReservoirSql: String =
     """WITH s AS (SELECT lang, doc_id,
-      |    CAST(floor(-ln((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT AS DOUBLE) + 1.0) / 65536.0)
+      |    CAST(floor(-ln((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS DOUBLE) + 1.0) / 4294967296.0)
       |      / CAST(n_chars AS DOUBLE) * 1e6 + 0.5) AS BIGINT) es_key
       |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
       |r AS (SELECT lang, doc_id, es_key,

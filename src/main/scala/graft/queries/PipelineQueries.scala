@@ -2002,16 +2002,33 @@ object PipelineQueries {
       .agg(max(when($"event_type" === "purchase" && $"value" >= 180.0, lit(1L))
         .otherwise(lit(0L))).as("converted"))
       .select(($"user_id" % 2).as("arm"), $"converted")
-    val arms = perUser.groupBy($"arm")
+    // r13 ADVICE guard: the old single-row cross join returned ZERO
+    // rows when an arm was empty while the oracle's scalar subqueries
+    // returned one NULL row — a silent divergence. The arm census is
+    // ≤2 rows BY CONSTRUCTION (arm = user_id % 2), so collect it once
+    // (the justified-collect class: scalar readout, not data-sized),
+    // fail loudly on a missing arm (that means the events input is
+    // broken, not the experiment), and evaluate the same mirrored IEEE
+    // expression tree over the two collected counts. This also drops
+    // the double computation the old a/b crossJoin paid. (z itself may
+    // still be NaN when the pooled rate is exactly 0 or 1 — both arms
+    // fully (un)converted — which IS an informative readout and
+    // hash-replays as NULL in both engines.)
+    val armRows = perUser.groupBy($"arm")
       .agg(count(lit(1)).as("n"), sum($"converted").as("x"))
-    val a = arms.filter($"arm" === 0).select($"n".as("n_a"), $"x".as("x_a"))
-    val b = arms.filter($"arm" === 1).select($"n".as("n_b"), $"x".as("x_b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    require(armRows.contains(0L) && armRows.contains(1L),
+      s"abZTest: arm census ${armRows.keySet} is missing an arm — " +
+        "assignment is user_id % 2, so the events input has no users " +
+        "in that parity")
     val pa = $"x_a".cast("double") / $"n_a"
     val pb = $"x_b".cast("double") / $"n_b"
     val pp = ($"x_a" + $"x_b").cast("double") / ($"n_a" + $"n_b")
     val z = (pa - pb) /
       sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / $"n_a" + lit(1.0) / $"n_b"))
-    a.crossJoin(broadcast(b))
+    t.spark.range(1)
+      .select(lit(armRows(0L)._1).as("n_a"), lit(armRows(0L)._2).as("x_a"),
+        lit(armRows(1L)._1).as("n_b"), lit(armRows(1L)._2).as("x_b"))
       .select($"n_a", $"x_a", $"n_b", $"x_b",
         pa.as("p_a"), pb.as("p_b"), z.as("z"),
         (abs(z) >= lit(1.96)).as("significant"))

@@ -1,0 +1,102 @@
+package graft.functions
+
+import graft.SparkTestBase
+import graft.functions.expressions.PyReprJson
+
+/** `graft_pyrepr_json` vs strings captured from REAL CPython 3
+  * `repr()` output (each input below is a byte-exact paste of what
+  * `repr(obj)` printed — the dump encoding of card_data/config/
+  * full_data, databaseImport.py:642,634,524). */
+class PyReprJsonSpec extends SparkTestBase {
+
+  private def j(repr: String): String = PyReprJson.toJson(repr)
+
+  test("dict with mixed-quote strings, None/True/False") {
+    assert(j("""{'a': 1, 'b': "it's", 'c': None, 'd': True, 'e': False}""")
+      == """{"a":1,"b":"it's","c":null,"d":true,"e":false}""")
+  }
+
+  test("nested list / tuple / dict; float + scientific notation") {
+    assert(j("""{'k': [1, 2.5, -3e-10, 'x'], 't': (1, 2), 's': {'nested': {'deep': 'v'}}}""")
+      == """{"k":[1,2.5,-3e-10,"x"],"t":[1,2],"s":{"nested":{"deep":"v"}}}""")
+  }
+
+  test("escape alphabet: \\n \\t \\xNN \\\\ pass through, unicode stays raw") {
+    assert(j("{'txt': 'line1\\nline2\\ttab\\x01ctrl\\\\back', 'uni': 'café — ünïcode 漢字'}")
+      == "{\"txt\":\"line1\\nline2\\ttab\\u0001ctrl\\\\back\",\"uni\":\"café — ünïcode 漢字\"}")
+  }
+
+  test("double quotes inside single-quoted repr and vice versa") {
+    assert(j("""{'q': 'has "double" quotes', 'both': 'mix \' and "'}""")
+      == """{"q":"has \"double\" quotes","both":"mix ' and \""}""")
+  }
+
+  test("datetime.date and datetime.datetime with microseconds") {
+    assert(j("""{'d': datetime.date(2024, 3, 7), 'dt': datetime.datetime(2024, 3, 7, 10, 5, 2, 123456)}""")
+      == """{"d":"2024-03-07","dt":"2024-03-07T10:05:02.123456"}""")
+  }
+
+  test("tz-aware datetime gets the Z suffix") {
+    assert(j("""{'dtz': datetime.datetime(2022, 1, 1, 0, 0, tzinfo=datetime.timezone.utc)}""")
+      == """{"dtz":"2022-01-01T00:00:00Z"}""")
+  }
+
+  test("arbitrary-precision int kept textually; 1e+20; -0.5") {
+    assert(j("""{'big': 123456789012345678901234567890, 'f': 1e+20, 'neg': -0.5}""")
+      == """{"big":123456789012345678901234567890,"f":1e+20,"neg":-0.5}""")
+  }
+
+  test("empty containers and the one-tuple trailing comma") {
+    assert(j("""{'empty_d': {}, 'empty_l': [], 'empty_t': (), 'one_t': (7,)}""")
+      == """{"empty_d":{},"empty_l":[],"empty_t":[],"one_t":[7]}""")
+  }
+
+  test("bare top-level list / string / None / int") {
+    assert(j("""['bare', 'list', 3]""") == """["bare","list",3]""")
+    assert(j("""'bare string'""") == "\"bare string\"")
+    assert(j("None") == "null")
+    assert(j("42") == "42")
+  }
+
+  test("set repr becomes a JSON array") {
+    assert(j("{'s', 'e', 't'}") == """["s","e","t"]""")
+  }
+
+  test("inf / nan → null (json.dumps allow_nan=False policy, non-fatal)") {
+    assert(j("{'f': inf, 'g': -inf, 'h': nan}")
+      == """{"f":null,"g":null,"h":null}""")
+  }
+
+  test("non-string dict keys stringify (JSON object keys must be strings)") {
+    assert(j("{1: 'a', True: 'b'}") == """{"1":"a","true":"b"}""")
+  }
+
+  test("malformed / object reprs return null, never throw") {
+    assert(j("<class 'dict'>") == null)
+    assert(j("{'torn': ") == null)
+    assert(j("{'a': 1} trailing") == null)
+    assert(j("") == null)
+  }
+
+  test("end-to-end through the SQL function over a DataFrame") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val out = Seq("{'a': 1, 'b': None}", "not repr", "{'c': True}")
+      .toDF("blob")
+      .selectExpr("graft_pyrepr_json(blob) AS js")
+      .as[String].collect().toSeq
+    assert(out == Seq("""{"a":1,"b":null}""", null, """{"c":true}"""))
+  }
+
+  test("HfcViews.jsonOrPyRepr: JSON passes through, repr converts") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val df = Seq(
+      ("""{"model_type": "bert"}""", "json"),
+      ("""{'model_type': 'bert'}""", "repr")).toDF("config", "kind")
+    val parsed = graft.hfc.HfcViews.withConfigViewCompat(df)
+    val types = parsed.select($"kind", $"config_parsed.model_type")
+      .as[(String, String)].collect().toMap
+    assert(types == Map("json" -> "bert", "repr" -> "bert"))
+  }
+}

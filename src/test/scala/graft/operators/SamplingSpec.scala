@@ -210,8 +210,8 @@ class SamplingSpec extends AnyFunSuite with SparkTestBase {
     def md5u(id: Long): Double = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(id.toString.getBytes("UTF-8"))
-      val hex = d.take(2).map(b => f"$b%02x").mkString
-      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 65536.0
+      val hex = d.take(4).map(b => f"$b%02x").mkString
+      (java.lang.Long.parseLong(hex, 16).toDouble + 1.0) / 4294967296.0
     }
     // host reference: quantized ES key, (key asc, id asc), top 5 per stratum
     val want = rows.map { case (k, id, w) =>
