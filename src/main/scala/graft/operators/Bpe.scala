@@ -271,12 +271,11 @@ object Bpe {
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     val pairs = merges.sortBy(_.rank).map(m => (m.left, m.right))
-    val bc = docs.sparkSession.sparkContext.broadcast(pairs)
-    val encLen = udf((w: String) => encodeWord(w, bc.value).size)
     val words = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("word"))
       .filter(length(col("word")) > 0)
     val vocab = words.select(col("word")).distinct()
-      .withColumn("n_sub", encLen(col("word")))
+      .withColumn("n_sub",
+        graft.functions.expressions.EncodeLen.bpe(docs.sparkSession, col("word"), pairs))
     words.join(vocab, Seq("word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))

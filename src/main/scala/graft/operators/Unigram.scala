@@ -253,13 +253,13 @@ object Unigram {
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions.tokens
-    val bc = docs.sparkSession.sparkContext.broadcast(
-      vocab.map(p => p.piece -> p.logprob).toMap)
-    val segLen = udf((w: String) => segmentWord(w, bc.value, maxPieceLen).size)
+    val logp = vocab.map(p => p.piece -> p.logprob).toMap
     val words = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("word"))
       .filter(length(col("word")) > 0)
     val distinctWords = words.select(col("word")).distinct()
-      .withColumn("n_p", segLen(col("word")))
+      .withColumn("n_p",
+        graft.functions.expressions.EncodeLen.unigram(
+          docs.sparkSession, col("word"), logp, maxPieceLen))
     words.join(distinctWords, Seq("word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_p")).as("n_pieces"))

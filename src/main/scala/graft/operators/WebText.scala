@@ -176,15 +176,30 @@ object WebText {
     * are expected (a collision = a false exact-dup drop). The 100 TB
     * path is the crawler's natural one: shard the url store by host
     * (per-host politeness already partitions the frontier) so each
-    * store stays ≤ ~10⁸ keys, or move the exact stage to the full
-    * 128-bit digest with a string-keyed store. NULL in → NULL out
-    * (the quarantine sentinel propagates). */
+    * store stays ≤ ~10⁸ keys, or move the exact stage to [[key128]]
+    * with the string-keyed store. Since r14 this bound is ENFORCED,
+    * not just documented: the exact-regime store funnel
+    * ([[IncrementalHashDedup.dedupBatch]] at maxHamming = 0) fails
+    * loudly past its `maxExactStoreRows` cap and names both escape
+    * hatches. NULL in → NULL out (the quarantine sentinel
+    * propagates). */
   def key60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
   /** DuckDB twin of [[key60]] over a SQL expression string. */
   def key60Sql(expr: String): String =
     s"(('0x' || substr(md5($expr), 1, 15))::BIGINT)"
+
+  /** Full-digest 128-bit string key — [[key60]]'s birthday-bound
+    * escape hatch for billion-key exact stores
+    * ([[IncrementalHashDedup.exactDedupBatchString]]). 32 hex chars:
+    * 4× the store bytes of key60's BIGINT, zero collision risk at any
+    * realistic scale; cost delta measured in NOTES_r14. Cross-engine
+    * exact like key60 (md5 is md5 in both engines). */
+  def key128(s: Column): Column = md5(s)
+
+  /** DuckDB twin of [[key128]] over a SQL expression string. */
+  def key128Sql(expr: String): String = s"md5($expr)"
 
   /** Canonical URL key for url-level dedup and domain governance.
     * Rules (each one a reproducible-key requirement, not cosmetics):

@@ -245,12 +245,11 @@ object WordPiece {
                          textCol: String = "text"): DataFrame = {
     import graft.functions.TextFunctions.tokens
     val ms = merges.sortBy(_.rank)
-    val bc = docs.sparkSession.sparkContext.broadcast(ms)
-    val encLen = udf((w: String) => encodeWord(w, bc.value).size)
     val words = docs.select(col(idCol), explode(tokens(lower(col(textCol)))).as("word"))
       .filter(length(col("word")) > 0)
     val vocab = words.select(col("word")).distinct()
-      .withColumn("n_sub", encLen(col("word")))
+      .withColumn("n_sub",
+        graft.functions.expressions.EncodeLen.wordPiece(docs.sparkSession, col("word"), ms))
     words.join(vocab, Seq("word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))

@@ -129,4 +129,70 @@ class IncrementalHashDedupSpec extends SparkTestBase {
     assert(d(10L)._1.contains(1L), s"rescaled copy must dup to the original: $d")
     assert(d(11L)._1.isEmpty, "unrelated image stays unique")
   }
+  test("exact regime enforces the birthday-bound store cap (r13 verdict #5)") {
+    val store = tmpStore()
+    IncrementalHashDedup.initStore(
+      (1L to 10L).map(i => (i, i * 7919L)).toDF("doc_id", "phash"), store)
+    // near-dup regimes are exempt at any store size
+    IncrementalHashDedup.dedupBatch(
+      Seq((100L, 1L)).toDF("doc_id", "phash"), store,
+      appendUnique = false, maxExactStoreRows = 5L)
+    // exact regime past the cap fails loudly and names the hatches
+    val e = intercept[IllegalArgumentException] {
+      IncrementalHashDedup.dedupBatch(
+        Seq((100L, 1L)).toDF("doc_id", "phash"), store,
+        bands = 1, bandBits = 32, maxHamming = 0,
+        appendUnique = false, maxExactStoreRows = 5L)
+    }
+    assert(e.getMessage.contains("birthday bound"))
+    assert(e.getMessage.contains("exactDedupBatchString"))
+    // at-or-under the cap passes
+    IncrementalHashDedup.dedupBatch(
+      Seq((100L, 1L)).toDF("doc_id", "phash"), store,
+      bands = 1, bandBits = 32, maxHamming = 0,
+      appendUnique = false, maxExactStoreRows = 10L)
+  }
+
+  test("string-keyed exact store decisions == long-keyed exact regime (key60/key128)") {
+    import org.apache.spark.sql.functions.col
+    val wt = graft.operators.WebText
+    // duplicate texts across store and batch, plus batch-internal dups
+    val storeTexts = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+    val batchTexts = Seq((10L, "beta"), (11L, "delta"), (12L, "delta"), (13L, "epsilon"))
+    val longStore = tmpStore()
+    IncrementalHashDedup.initStore(
+      storeTexts.toDF("doc_id", "t").select(col("doc_id"),
+        wt.key60(col("t")).as("phash")), longStore)
+    val longDec = IncrementalHashDedup.dedupBatch(
+        batchTexts.toDF("doc_id", "t").select(col("doc_id"),
+          wt.key60(col("t")).as("phash")), longStore,
+        bands = 1, bandBits = 32, maxHamming = 0, appendUnique = true)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val strStore = tmpStore()
+    IncrementalHashDedup.initStringStore(
+      storeTexts.toDF("doc_id", "t").select(col("doc_id"),
+        wt.key128(col("t")).as("key")), strStore)
+    val strDec = IncrementalHashDedup.exactDedupBatchString(
+        batchTexts.toDF("doc_id", "t").select(col("doc_id"),
+          wt.key128(col("t")).as("key")), strStore)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(strDec == longDec)
+    assert(strDec(10L).contains(2L))  // store dup
+    assert(strDec(11L).isEmpty)       // unique (first of the pair)
+    assert(strDec(12L).contains(11L)) // batch-mate dup
+    assert(strDec(13L).isEmpty)
+    // appendUnique grew both stores identically (ids 11, 13)
+    assert(spark.read.parquet(strStore).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 11L, 13L))
+    assert(spark.read.parquet(longStore).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L, 11L, 13L))
+    // wave 2 sees wave 1's appends; replayed append does not self-match
+    val w2 = IncrementalHashDedup.exactDedupBatchString(
+        Seq((20L, "delta"), (11L, "delta")).toDF("doc_id", "t")
+          .select(col("doc_id"), wt.key128(col("t")).as("key")),
+        strStore, appendUnique = false)
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(w2(20L).contains(11L))
+    assert(w2(11L).isEmpty, "replay guard: 11 must not match its own stored key")
+  }
 }
