@@ -278,6 +278,16 @@ object DumpPlans {
       ("qx06_crawl_schedule — politeness as fetch slots",
        "Rules and Crawl-delays are HOST-cardinality broadcast dims consumed upstream of the verdict checkpoint; the schedule's only data-sized work is one per-host rank window over allowed docs, and every exchange keys on doc_id/hid metadata (PlanAuditSpec). The qz02 offset-join ordinal is the documented mega-host escape hatch.",
        fmt(graft.queries.QualityQueries.crawlSchedule(t))),
+      ("qf03_sqldump_roundtrip — zero-shuffle dump parse",
+       "The mysqldump read is a plain text scan split on the statement separator (`lineSep=\";\\n\"` — mysqldump escapes real newlines inside values, so the split is safe), SqlInsertParse lexes each statement partition-locally, and the typed projection + explode run inside the same stage: NO Exchange anywhere in the parse path (PlanAuditSpec pins it). A 100 GB dump loads at scan speed; the only wide operation is whatever the caller does next (MergeWriter in writeOrder).",
+       {
+         val dir = Files.createTempDirectory("graft-plan-dump")
+         Files.writeString(dir.resolve("d.sql"),
+           "INSERT INTO `t` VALUES (1,'a'),(2,'b');\n")
+         val plan = fmt(graft.hfc.SqlDump.statements(spark, dir.resolve("d.sql").toString))
+         org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+         plan
+       }),
       ("qi04_join_mv — bilinear delta maintenance",
        "All four legs (standing + dL*O0 + L0*dO + dL*dO) pre-aggregate to the customer grain with map-side partial aggregation before ONE monoid merge; the standing view is a materialized read, so only the delta legs touch base data at refresh time.",
        fmt(graft.queries.ExtendedQueries.incrementalJoinMv(t))),

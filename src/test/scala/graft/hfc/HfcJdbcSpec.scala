@@ -118,4 +118,32 @@ class HfcJdbcSpec extends SparkTestBase {
     val dn = HfcJdbc.createTableSql("discussion", url)
     assert(dn.contains("""PRIMARY KEY ("num", "repo_id")"""))
   }
+  test("interop triangle: mysqldump -> typed tables -> Derby -> read-back") {
+    // the full path a reference user would walk: their published dump
+    // loads, lands in a real database through the K2 upsert protocol,
+    // and reads back intact
+    val dump =
+      """INSERT INTO `author` VALUES ('alice',NULL,1,'Alice A','user','hf');
+        |INSERT INTO `repository` VALUES ('models/alice/m1','alice/m1','model','alice','abc','2024-03-01 10:00:00',0,'{\'license\': \'mit\'}','0',5,0);
+        |INSERT INTO `model` VALUES ('models/alice/m1','text-classification',1000,'transformers',NULL,'{\'model_type\': \'bert\'}');
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-triangle")
+    java.nio.file.Files.write(dir.resolve("dump.sql"), dump.getBytes("UTF-8"))
+    val tables = SqlDump.load(spark, dir.resolve("dump.sql").toString)
+    val url4 = s"jdbc:derby:${dbDir.resolve("hfc_triangle")};create=true"
+    HfcJdbc.writeAll(tables, url4)
+    val back = HfcJdbc.readAll(spark, url4)
+    assert(back("repository").count() == 1)
+    assert(back("author").count() == 1)
+    val r = back("repository").collect().head
+    assert(r.getAs[String]("id") == "models/alice/m1")
+    assert(r.getAs[Int]("likes") == 5)
+    // the repr blob survived the triangle and still parses via compat
+    val mt = HfcViews.withConfigViewCompat(back("model"))
+      .selectExpr("config_parsed.model_type").collect().head.getString(0)
+    assert(mt == "bert")
+    // re-running writeAll is idempotent (K2 upsert semantics end to end)
+    HfcJdbc.writeAll(tables, url4)
+    assert(HfcJdbc.readAll(spark, url4)("repository").count() == 1)
+  }
 }

@@ -147,6 +147,16 @@ class SqlDumpSpec extends SparkTestBase {
     assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty)
   }
 
+  test("Windows (CRLF) dumps load via the lineSep option") {
+    val dump = "INSERT INTO `t` VALUES (1,'a');\r\n" +
+      "INSERT INTO `t` VALUES (2,'line\\r\\nwin');\r\n"
+    val path = writeFixture("crlf", dump)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("id bigint, s string")
+    val got = SqlDump.loadAs(spark, path, "t", schema, lineSep = ";\r\n")
+      .orderBy($"id").collect().toSeq
+    assert(got == Seq(Row(1L, "a"), Row(2L, "line\r\nwin")))
+  }
+
   test("createTableSql emits reference-parity MariaDB DDL") {
     val ddl = SqlDump.createTableSql("repository")
     assert(ddl.startsWith("CREATE TABLE IF NOT EXISTS `repository`"))

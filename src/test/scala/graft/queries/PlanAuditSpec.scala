@@ -664,4 +664,23 @@ class PlanAuditSpec extends SparkTestBase {
     val tot = rows.map(_.getLong(4)).sum
     assert(tot <= 1200, s"budget=1000 should bound the sample, got $tot")
   }
+  test("qf03: the dump parse is a zero-shuffle scan -> project -> explode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-planaudit-dump")
+    java.nio.file.Files.write(dir.resolve("d.sql"),
+      "INSERT INTO `t` VALUES (1,'a'),(2,'b');\n".getBytes("UTF-8"))
+    val parsed = graft.hfc.SqlDump.statements(spark, dir.resolve("d.sql").toString)
+    val p = plan(parsed)
+    assert(!p.contains("Exchange"), s"dump parse shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("qf04: pyrepr compat extraction is a pure projection (no exchange before sort)") {
+    val df = InteropQueries.pyreprCompat(t)
+    // strip the final presentation orderBy: everything beneath it must
+    // be scan + project only
+    val p = plan(df)
+    val beforeSort = p.split("Sort ").head
+    assert(!beforeSort.contains("Exchange"), s"pyrepr parse shuffles before the sort:\n$p")
+  }
+
 }
