@@ -28,11 +28,15 @@ object Schemas {
   val tag: StructType = StructType(Seq(
     f("name", StringType, nullable = false)))
 
-  /** author — databaseImport.py:188-191; `source` ∈ {commit, hf, hf_owner} */
+  /** author — databaseImport.py:188-191; `source` ∈ {commit, hf, hf_owner}.
+    * `fullname` added in r14 for dump-interop parity (the reference DDL
+    * carries it and the extractor populates it from discussion-event
+    * authors, databaseImport.py:515). */
   val author: StructType = StructType(Seq(
     f("username", StringType, nullable = false),
     f("avatar_url", StringType),
     f("is_pro", BooleanType),
+    f("fullname", StringType),
     f("type", StringType),
     f("source", StringType)))
 

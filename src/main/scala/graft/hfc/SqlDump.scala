@@ -30,11 +30,12 @@ import org.apache.spark.sql.types._
   *  - renames: repo_file dumps `filename` where we model `rfilename`,
   *    modified_file dumps `rfilename` where we model `filename`,
   *    conflicting_files_discussion dumps `num` → our `discussion_num`,
-  *  - reference-only columns our model drops: `author.fullname`,
-  *    `model.likes` (never populated — the extractor writes likes to
-  *    `repository`, databaseImport.py:641), and
+  *  - reference-only columns our model drops: `model.likes` (never
+  *    populated — the extractor writes likes to `repository`,
+  *    databaseImport.py:641) and
   *    `conflicting_files_discussion.filename` (derivable via the
-  *    repo_file FK).
+  *    repo_file FK). `author.fullname` was in this list until r14;
+  *    it is now a first-class column of [[Schemas.author]].
   * [[load]] applies the mapping; [[loadRaw]] returns every dump column
   * untyped (reference names) so nothing is lost for callers that want
   * the dropped fields.

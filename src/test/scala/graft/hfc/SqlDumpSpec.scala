@@ -124,6 +124,9 @@ class SqlDumpSpec extends SparkTestBase {
     val cfg = HfcViews.withConfigViewCompat(tables("model"))
       .select($"config_parsed.model_type").as[String].collect()
     assert(cfg.toSeq == Seq("bert"))
+    // fullname survives the load (r14 schema-parity column)
+    assert(tables("author").where($"username" === "alice")
+      .select($"fullname").as[String].head() == "Alice A")
     // empty-in-dump tables come back empty, not missing
     assert(tables("commit_parents").count() == 0)
     // M1-M8 run green on the loaded database
