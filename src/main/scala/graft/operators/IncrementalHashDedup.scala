@@ -80,7 +80,8 @@ object IncrementalHashDedup {
     // fail loudly with the escape hatches instead of degrading
     // silently. Near-dup regimes (maxHamming > 0) tolerate collisions
     // by design (the verify is a distance check, not identity) and are
-    // exempt. The count is a parquet metadata read, not a scan.
+    // exempt. The count is a columnless parquet scan — cheap next to
+    // the banded join that reads the same store rows right after.
     if (maxHamming == 0) {
       val storeRows = store.count()
       require(storeRows <= maxExactStoreRows,
