@@ -44,6 +44,7 @@ object Bench {
     // invocations beat one min-of-3; the driver leaves it unset ->
     // the full min-of-3 + top-10-extras protocol
     val passes = sys.env.get("SPARK_GRAFT_PASSES").map(_.toInt).getOrElse(3)
+    require(passes >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $passes")
     (1 to passes).foreach(_ => runPass(named))
     // the 10 most expensive queries get 2 extra interleaved passes
     // (5 samples total): regression triage needs min/med/max spreads

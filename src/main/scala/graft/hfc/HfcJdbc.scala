@@ -123,7 +123,12 @@ object HfcJdbc {
     cfg.format("jdbc").load()
   }
 
-  /** MariaDB upsert statement (stage → table), K2's exact SQL shape */
+  /** MariaDB upsert statement (stage → table), K2's exact SQL shape.
+    * All-key tables (tag, the join tables, commit_parents,
+    * files_in_commit) have no SET list to write — there a duplicate
+    * key IS an identical row, so the statement degrades to the
+    * reference's own K3 `INSERT IGNORE` (a bare INSERT would raise
+    * ERROR 1062 on any re-run and roll the transaction back). */
   private[hfc] def mariadbUpsertSql(table: String): String = {
     val schema = Schemas.all(table)
     val keys = Schemas.primaryKeys(table)
@@ -131,8 +136,11 @@ object HfcJdbc {
     val colList = cols.map(c => s"`$c`").mkString(", ")
     val updates = cols.filterNot(keys.contains)
       .map(c => s"`$c` = VALUES(`$c`)").mkString(", ")
-    val tail = if (updates.isEmpty) "" else s" ON DUPLICATE KEY UPDATE $updates"
-    s"INSERT INTO `$table` ($colList) SELECT $colList FROM `${table}__stage`$tail"
+    if (updates.isEmpty)
+      s"INSERT IGNORE INTO `$table` ($colList) SELECT $colList FROM `${table}__stage`"
+    else
+      s"INSERT INTO `$table` ($colList) SELECT $colList FROM `${table}__stage`" +
+        s" ON DUPLICATE KEY UPDATE $updates"
   }
 
   /** Derby/ANSI MERGE equivalent of [[mariadbUpsertSql]] */

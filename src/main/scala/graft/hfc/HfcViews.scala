@@ -58,11 +58,17 @@ object HfcViews {
   def pyReprToJson(c: Column): Column = call_function("graft_pyrepr_json", c)
 
   /** a blob that may be EITHER clean JSON (our extractor's tables) or
-    * Python repr (reference dumps): JSON wins when it parses — repr of
-    * a dict never parses as a JSON object, and vice versa */
-  def jsonOrPyRepr(c: Column): Column =
-    when(from_json(c, MapType(StringType, StringType)).isNotNull, c)
-      .otherwise(pyReprToJson(c))
+    * Python repr (reference dumps): STRICT JSON wins when it parses;
+    * otherwise the repr converter runs. The detection must disable
+    * from_json's lenient defaults — with allowSingleQuotes on (the
+    * default), `{'k': 'v'}` repr parses as a map and would pass
+    * through UNconverted, leaving a mixed-encoding column that strict
+    * downstream consumers (json.loads, DuckDB json_extract) reject. */
+  def jsonOrPyRepr(c: Column): Column = {
+    val strict = from_json(c, MapType(StringType, StringType),
+      Map("allowSingleQuotes" -> "false", "allowUnquotedFieldNames" -> "false"))
+    when(strict.isNotNull, c).otherwise(pyReprToJson(c))
+  }
 
   /** [[withConfigView]] for dump-loaded `model` (repr-encoded config) */
   def withConfigViewCompat(model: DataFrame): DataFrame = {

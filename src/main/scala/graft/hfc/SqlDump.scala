@@ -122,10 +122,11 @@ object SqlDump {
 
   /** one table's rows with every DUMP column, all strings (reference
     * names — `fullname`, `model.likes`, `cfd.filename` included) */
-  def loadRaw(spark: SparkSession, path: String, table: String): DataFrame = {
+  def loadRaw(spark: SparkSession, path: String, table: String,
+              lineSep: String = ";\n"): DataFrame = {
     val cols = dumpColumns.getOrElse(table,
       throw new IllegalArgumentException(s"unknown dump table '$table'"))
-    statements(spark, path)
+    statements(spark, path, lineSep)
       .where(lower(col("tbl")) === table)
       .select(cols.zipWithIndex.map { case (c, i) => dumpCol(i, c).as(c) }: _*)
   }
@@ -151,33 +152,65 @@ object SqlDump {
     val byOurName = order.zipWithIndex.map { case (c, i) =>
       colRenames.getOrElse(c, c) -> dumpCol(i, c)
     }.toMap
-    val projection = schema.fields.map { f =>
+    statements(spark, path, lineSep)
+      .where(lower(col("tbl")) === table)
+      .select(typedProjection(schema, byOurName).toSeq: _*)
+  }
+
+  private def typedProjection(schema: StructType,
+                              byOurName: Map[String, Column]): Array[Column] =
+    schema.fields.map { f =>
       byOurName.get(f.name) match {
         case Some(c) => castTo(c, f.dataType).as(f.name)
         case None => lit(null).cast(f.dataType).as(f.name) // model-only col
       }
     }
-    statements(spark, path, lineSep)
-      .where(lower(col("tbl")) === table)
-      .select(projection.toSeq: _*)
-  }
 
-  /** the 17 tables of a dump, typed to [[Schemas.all]] (renames/drops
+  /** The 17 tables of a dump, typed to [[Schemas.all]] (renames/drops
     * per the scaladoc mapping); tables absent from the dump come back
-    * empty, never missing — downstream writeOrder loops stay total */
-  def load(spark: SparkSession, path: String,
-           lineSep: String = ";\n"): Map[String, DataFrame] =
+    * empty, never missing — downstream writeOrder loops stay total.
+    *
+    * Parses the dump text ONCE: the statement scan lands in a
+    * `tbl`-partitioned parquet scratch (one text scan + one columnar
+    * write), and each returned table is a partition-PRUNED read of
+    * that scratch — without this, 17 lazy per-table plans would
+    * re-scan and re-lex the full dump 17 times at action time
+    * (17× the cost on the advertised 100 GB artifact). The scratch
+    * must outlive the returned frames; the default temp dir lives
+    * until the caller (or the OS) removes it. */
+  def load(spark: SparkSession, path: String, lineSep: String = ";\n",
+           scratchDir: Option[String] = None): Map[String, DataFrame] = {
+    val scratch = scratchDir.getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-sqldump-scratch").toString)
+    statements(spark, path, lineSep)
+      .withColumn("tbl", lower(col("tbl")))
+      .write.mode("overwrite").partitionBy("tbl").parquet(scratch)
+    // explicit schema: an all-comments dump writes ZERO rows and a
+    // schema-inferring read of the empty scratch would throw
+    val parsed = spark.read.schema(StructType(Seq(
+        StructField("cols", ArrayType(StringType, containsNull = false)),
+        StructField("vals", ArrayType(StringType, containsNull = true)),
+        StructField("tbl", StringType))))
+      .parquet(scratch)
     Schemas.all.map { case (table, schema) =>
-      table -> loadAs(spark, path, table, schema, dumpColumns(table),
-        renames.getOrElse(table, Map.empty), lineSep)
+      val ren = renames.getOrElse(table, Map.empty)
+      val byOurName = dumpColumns(table).zipWithIndex.map { case (c, i) =>
+        ren.getOrElse(c, c) -> dumpCol(i, c)
+      }.toMap
+      table -> parsed.where(col("tbl") === table)
+        .select(typedProjection(schema, byOurName).toSeq: _*)
     }
+  }
 
   /** SQL literal for one column of `df`'s schema (writer side) */
   private def literal(f: StructField): Column = {
     val c = col(f.name)
     val v = f.dataType match {
       case StringType => expr(s"graft_sql_quote(`${f.name}`)")
-      case BooleanType => when(c, lit("1")).otherwise(lit("0"))
+      // two explicit branches: a bare otherwise("0") would swallow
+      // NULL into false (when() routes a null condition to otherwise)
+      // before the coalesce below could emit the NULL keyword
+      case BooleanType => when(c, lit("1")).when(!c, lit("0"))
       case TimestampType =>
         concat(lit("'"), date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("'"))
       case _ => c.cast(StringType)

@@ -36,8 +36,13 @@ object InteropQueries {
     val tmp = java.nio.file.Files.createTempDirectory("graft-qf03")
     val dumpDir = tmp.resolve("dump").toString
     SqlDump.writeTable(src, "roundtrip", dumpDir)
-    SqlDump.loadAs(t.spark, dumpDir, "roundtrip", src.schema)
-      .orderBy($"id")
+    // pin the parsed rows eagerly (the qx04 store discipline) so the
+    // throwaway dump dir can be deleted NOW — bench/verify call this
+    // query repeatedly and must not accumulate orphaned dump copies
+    val parsed = SqlDump.loadAs(t.spark, dumpDir, "roundtrip", src.schema)
+      .localCheckpoint(true)
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    parsed.orderBy($"id")
   }
 
   val sqldumpRoundtripSql: String =

@@ -98,5 +98,13 @@ class PyReprJsonSpec extends SparkTestBase {
     val types = parsed.select($"kind", $"config_parsed.model_type")
       .as[(String, String)].collect().toMap
     assert(types == Map("json" -> "bert", "repr" -> "bert"))
+    // the repr row must have actually CONVERTED, not ridden through on
+    // from_json's single-quote leniency (review finding): the emitted
+    // blob has to be strict JSON a picky consumer accepts
+    val blobs = df.select($"kind",
+        graft.hfc.HfcViews.jsonOrPyRepr($"config").as("js"))
+      .as[(String, String)].collect().toMap
+    assert(blobs("repr") == """{"model_type":"bert"}""")
+    assert(blobs("json") == """{"model_type": "bert"}""") // untouched passthrough
   }
 }

@@ -105,8 +105,12 @@ class HfcJdbcSpec extends SparkTestBase {
   }
 
   test("MariaDB statement shapes are pinned (production dialect)") {
+    // all-key tables degrade to the reference's K3 INSERT IGNORE — a
+    // bare INSERT would raise ERROR 1062 on any idempotent re-run
+    // (review finding; Derby's MERGE stand-in cannot catch it live)
     assert(HfcJdbc.mariadbUpsertSql("tag")
-      == "INSERT INTO `tag` (`name`) SELECT `name` FROM `tag__stage`")
+      == "INSERT IGNORE INTO `tag` (`name`) SELECT `name` FROM `tag__stage`")
+    assert(HfcJdbc.mariadbUpsertSql("commit_parents").startsWith("INSERT IGNORE INTO"))
     val repo = HfcJdbc.mariadbUpsertSql("repository")
     assert(repo.startsWith("INSERT INTO `repository` (`id`, "))
     assert(repo.contains("ON DUPLICATE KEY UPDATE `name` = VALUES(`name`)"))

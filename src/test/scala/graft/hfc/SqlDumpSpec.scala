@@ -78,6 +78,20 @@ class SqlDumpSpec extends SparkTestBase {
     assert(back == nasty.orderBy($"id").as[(Long, String)].collect().toSeq)
   }
 
+  test("NULL booleans dump as the NULL keyword, not 0 (review finding)") {
+    val rows: Seq[(Long, java.lang.Boolean)] =
+      Seq((1L, java.lang.Boolean.TRUE), (2L, java.lang.Boolean.FALSE), (3L, null))
+    val df = rows.toDF("id", "flag")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dump-nullbool")
+      .resolve("d").toString
+    SqlDump.writeTable(df, "nb", dir)
+    val text = spark.read.text(dir).as[String].collect().mkString("\n")
+    assert(text.contains("(3,NULL)"), text)
+    val back = SqlDump.loadAs(spark, dir, "nb", df.schema)
+      .orderBy($"id").collect().toSeq
+    assert(back == Seq(Row(1L, true), Row(2L, false), Row(3L, null)))
+  }
+
   test("17-table dump loads typed and M1-M8 metrics run on it") {
     // a miniature but referentially-consistent database, dumped in the
     // reference DDL's column ORDER (incl. the columns we drop:

@@ -674,13 +674,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
-  test("qf04: pyrepr compat extraction is a pure projection (no exchange before sort)") {
+  test("qf04: pyrepr compat is projection-only — exactly one exchange, the sort's") {
     val df = InteropQueries.pyreprCompat(t)
-    // strip the final presentation orderBy: everything beneath it must
-    // be scan + project only
+    // the presentation orderBy owns the plan's ONLY exchange (a range
+    // partition); any second exchange means the parse/extraction
+    // stopped being a scan-local projection. (The first cut of this
+    // test split the plan text at "Sort " and checked the text ABOVE
+    // it — which is just the plan header, so it could never fail.)
     val p = plan(df)
-    val beforeSort = p.split("Sort ").head
-    assert(!beforeSort.contains("Exchange"), s"pyrepr parse shuffles before the sort:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.size == 1, s"expected only the sort's exchange:\n$p")
+    assert(exchanges.head.contains("rangepartitioning"), exchanges.head)
   }
 
 }
