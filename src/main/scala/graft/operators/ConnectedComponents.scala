@@ -87,7 +87,15 @@ object ConnectedComponents {
     // the materialized result, keeping every round's planning O(1).
     // (On a cluster, swap for reliable checkpoint()+checkpoint dir if
     // executor loss during the loop must be survivable.)
-    val symC = checkpointTruncated(sym)
+    // r14 optimization (labels bit-identical): the edge list is
+    // PRE-PARTITIONED on the join key before its one-off checkpoint —
+    // localCheckpoint preserves outputPartitioning, so every round's
+    // join re-shuffles only the (smaller) label vector, never the edge
+    // list (guide §2.4: two ops keyed the same way share one exchange).
+    // At 100 TB the edge list is the heavy side; shuffling it once
+    // instead of once per round is the scale win, and at toy scale it
+    // removes one exchange per round.
+    val symC = checkpointTruncated(sym.repartition(col("dst")))
     var labels = checkpointTruncated(
       symC.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id")))
@@ -96,7 +104,8 @@ object ConnectedComponents {
     while (iter < maxIter && !converged) {
       val viaNeighbors = symC
         .join(labels.select(col("id").as("dst"), col("comp")), "dst")
-        .select(col("src").as("id"), col("comp"))
+        .select(col("src").as("id"), col("comp"),
+          lit(null).cast(labels.schema("comp").dataType).as("old"))
       // pointer doubling: also offer every vertex its label's label
       // (comp(comp(v))) — the distance to the component min then halves
       // per round, so convergence is O(log diameter) instead of
@@ -104,17 +113,18 @@ object ConnectedComponents {
       // (long paths) were measured taking 3-4x the rounds
       val compressed = labels.select(col("id"), col("comp").as("mid"))
         .join(labels.select(col("id").as("mid"), col("comp")), "mid")
-        .select(col("id"), col("comp"))
+        .select(col("id"), col("comp"),
+          lit(null).cast(labels.schema("comp").dataType).as("old"))
+      // r14: the previous label rides through the min-aggregation (every
+      // vertex has exactly one current row, min ignores nulls), so the
+      // convergence probe is a filter over the checkpointed round output
+      // instead of a second join + shuffle per round
       val next = checkpointTruncated(viaNeighbors
-        .union(labels.select(col("id"), col("comp")))
+        .union(labels.select(col("id"), col("comp"), col("comp").as("old")))
         .union(compressed)
-        .groupBy("id").agg(min("comp").as("comp")))
-      val changed = next
-        .join(labels.select(col("id"), col("comp").as("prev")), "id")
-        .filter(col("comp") =!= col("prev"))
-        .limit(1).count()
-      labels = next
-      converged = changed == 0
+        .groupBy("id").agg(min("comp").as("comp"), min("old").as("old")))
+      converged = next.filter(col("comp") =!= col("old")).isEmpty
+      labels = next.select(col("id"), col("comp"))
       iter += 1
     }
     (labels.select(col("id"), col("comp")), iter)
@@ -187,11 +197,17 @@ object ConnectedComponents {
 
     var iter = 0
     var converged = false
+    // r14: carry the previous round's cardinality instead of re-counting
+    // the (checkpointed) frame every round — one fewer action per round,
+    // same fixpoint test
+    var eN = e.count()
     while (iter < maxIter && !converged) {
       val next = checkpointTruncated(smallStar(largeStar(e)))
-      converged = next.count() == e.count() &&
+      val nextN = next.count()
+      converged = nextN == eN &&
         next.exceptAll(e).limit(1).count() == 0
       e = next
+      eN = nextN
       iter += 1
     }
     // a maxIter cutoff can leave a vertex with several outgoing star

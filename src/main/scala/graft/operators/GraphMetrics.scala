@@ -85,9 +85,22 @@ object GraphMetrics {
   def pageRank(edges0: DataFrame, iters: Int = 5, damping: Double = 0.85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val und = canonicalEdges(edges0)
-    val edges = und.unionByName(und.select(col("b").as("a"), col("a").as("b")))
-    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("od"))
-      .select(col("a").as("node"), col("od"))
+    // materialize the LOOP INVARIANTS once (r14 optimization): every
+    // round's plan referenced the full edge-derivation subtree three
+    // times (edges, deg, nN), so the logical plan grew by ~3 subtree
+    // copies per round and Catalyst re-analyzed all of them at every
+    // AQE stage — measured 2,086 plan lines / 2.1 s for the 5-round
+    // qg03 at sf0.1, dominated by driver planning gaps, not compute.
+    // Values are unchanged (a checkpoint is a materialization barrier,
+    // not a rewrite); the earlier "+1.6 s" measurement that argued
+    // against checkpointing here was for checkpointing the loop
+    // VARIABLE r per round, which stays un-checkpointed on shallow
+    // loops.
+    val edges = ConnectedComponents.checkpointTruncated(
+      und.unionByName(und.select(col("b").as("a"), col("a").as("b"))))
+    val deg = ConnectedComponents.checkpointTruncated(
+      edges.groupBy(col("a")).agg(count(lit(1)).as("od"))
+        .select(col("a").as("node"), col("od")))
     val nN = deg.agg(count(lit(1)).cast("double").as("n"))
     var r = deg.select(col("node")).crossJoin(broadcast(nN))
       .select(col("node"), (lit(1.0) / col("n")).as("r"))
@@ -167,31 +180,50 @@ object GraphMetrics {
     val nodes = edges.select(col("src").as("node"))
       .unionByName(edges.select(col("dst").as("node")))
       .distinct().localCheckpoint()
+    // r14 optimization, two structural changes with bit-identical
+    // output (qg14 measured 15,296 plan lines / 36 AQE stages / 6.5 s
+    // at sf0.1, ~80% driver planning gaps):
+    //  1. The per-pass message table is CHECKPOINTED. It is referenced
+    //     twice (normalizer total + the score projection), so without
+    //     a barrier the logical plan DOUBLED per pass — 2^(2·iters)
+    //     copies of the edge-extraction subtree by the final action
+    //     (the landmarkCloseness pathology in join form). The barrier
+    //     is a vertex-sized frame per pass — the cheap side.
+    //  2. The explicit-zero attach (left join against the node census)
+    //     moved OUT of the loop: inside it only message recipients
+    //     carry scores. Equivalent exactly: a zero-score node feeds
+    //     floor(0·1e9 + 0.5) = 0 into every downstream sum (normalizer
+    //     and messages alike), and its own normalized score re-floors
+    //     to exactly 0.0 — the same 0.0 the final left join's coalesce
+    //     attaches. One join + one shuffle less per pass; at 100 TB the
+    //     saved join is vertex-table-sized (billions of rows), not a
+    //     constant.
     def pass(score: DataFrame, scoreCol: String, joinKey: String,
              groupKey: String, outCol: String): DataFrame = {
-      val raw = edges.join(score, edges(joinKey) === score("node"))
-        .select(col(groupKey),
-          floor(col(scoreCol) * 1e9 + 0.5).cast("long").as("c"))
-        .groupBy(col(groupKey)).agg(sum(col("c")).as("s"))
+      val raw = ConnectedComponents.checkpointTruncated(
+        edges.join(score, edges(joinKey) === score("node"))
+          .select(col(groupKey),
+            floor(col(scoreCol) * 1e9 + 0.5).cast("long").as("c"))
+          .groupBy(col(groupKey)).agg(sum(col("c")).as("s")))
       val tot = raw.agg(sum(col("s")).cast("double").as("t"))
-      nodes.join(raw, nodes("node") === raw(groupKey), "left")
-        .crossJoin(broadcast(tot))
-        .select(nodes("node"),
-          (floor(coalesce(col("s"), lit(0L)).cast("double") / col("t") * 1e9
-            + 0.5) / 1e9).as(outCol))
+      raw.crossJoin(broadcast(tot))
+        .select(col(groupKey).as("node"),
+          (floor(col("s").cast("double") / col("t") * 1e9 + 0.5) / 1e9)
+            .as(outCol))
     }
     var h = nodes.select(col("node"), lit(1.0).as("h"))
     var a: DataFrame = null
-    for (i <- 1 to iters) {
+    for (_ <- 1 to iters) {
       a = pass(h, "h", "src", "dst", "a")
       h = pass(a, "a", "dst", "src", "h")
-      if (iters > 8 && i % 3 == 0 && i < iters) {
-        a = ConnectedComponents.checkpointTruncated(a)
-        h = ConnectedComponents.checkpointTruncated(h)
-      }
+      // no extra deep-loop gate needed: the per-pass checkpoint above
+      // already truncates lineage every pass
     }
-    h.join(a, Seq("node"))
-      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+    nodes
+      .join(h, Seq("node"), "left")
+      .join(a, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0.0)).as("hub"),
+        coalesce(col("a"), lit(0.0)).as("authority"))
   }
 
   /** Landmark closeness — the scalable stand-in for exact closeness /

@@ -58,9 +58,28 @@ object Scc {
       .distinct().localCheckpoint()
     val done = collection.mutable.ArrayBuffer.empty[DataFrame]
 
+    // r14 optimization (labels bit-identical; SccSpec + qg15 oracle
+    // unchanged): the loop bodies were action-heavy — every trim round
+    // paid 2 distincts + 2 anti joins + union-distinct + a probe count
+    // + 3 checkpoint actions, and every coloring round paid a full
+    // extra join just to ask "did anything change". qg15 measured 134
+    // AQE stage-jobs at sf0.1 with ~0 shuffle bytes: the wall is
+    // sequential stage latency, so the round restructures to
+    //  - ONE degree census per trim round (explode → min/max agg)
+    //    instead of two distinct+anti-join legs (guide §2.4: fewer
+    //    exchanges outright),
+    //  - change/growth probes FUSED into the round's aggregation (the
+    //    old label rides along; the probe is then a scan of the
+    //    checkpointed round result, not a second join),
+    //  - peel() no longer re-checkpoints frames that are already
+    //    materialized projections of a checkpoint.
+    // At 100 TB the same changes cut per-round shuffles of the vertex
+    // set from 5 to 2 — this is shape, not local-mode tuning.
+
     def peel(assigned: DataFrame): Unit = {
-      // assigned: (node, scc_id) — remove from the remaining graph
-      done += assigned.localCheckpoint()
+      // assigned: (node, scc_id), a cheap projection of an
+      // already-checkpointed frame — store as-is, remove from graph
+      done += assigned
       val ids = assigned.select(col("node"))
       verts = verts.join(ids, Seq("node"), "left_anti").localCheckpoint()
       edges = edges
@@ -70,10 +89,13 @@ object Scc {
     }
 
     var phase = 0
-    while (verts.limit(1).count() > 0 && phase < maxPhases) {
+    var vertsEmpty = verts.isEmpty
+    while (!vertsEmpty && phase < maxPhases) {
       // 1. trim to fixpoint: no in-edges or no out-edges => singleton.
       //    Self-loops guard themselves (a self-loop is both an in- and
-      //    an out-edge).
+      //    an out-edge). One census: a remaining vertex survives iff it
+      //    has BOTH an out-edge (side=0 present) and an in-edge
+      //    (side=1 present) in the remaining edge set.
       var trimmed = true
       var tr = 0
       // r13 ADVICE: trim exiting at the cap is CORRECT (leftover
@@ -83,30 +105,38 @@ object Scc {
       // that failure names the right knob.
       var trimCapped = false
       while (trimmed && tr < maxRounds) {
-        val hasIn = edges.select(col("dst").as("node")).distinct()
-        val hasOut = edges.select(col("src").as("node")).distinct()
-        val cut = verts.join(hasIn, Seq("node"), "left_anti")
-          .unionByName(verts.join(hasOut, Seq("node"), "left_anti"))
-          .distinct()
-        if (cut.limit(1).count() > 0) peel(cut.select(col("node"), col("node").as("scc_id")))
+        val sides = edges.select(explode(array(
+            struct(col("src").as("node"), lit(0).as("side")),
+            struct(col("dst").as("node"), lit(1).as("side")))).as("e"))
+          .select(col("e.node").as("node"), col("e.side").as("side"))
+        val keep = sides.groupBy(col("node"))
+          .agg(min(col("side")).as("lo"), max(col("side")).as("hi"))
+          .filter(col("lo") === 0 && col("hi") === 1)
+          .select(col("node"))
+        val cut = verts.join(keep, Seq("node"), "left_anti").localCheckpoint()
+        if (!cut.isEmpty) peel(cut.select(col("node"), col("node").as("scc_id")))
         else trimmed = false
         tr += 1
       }
       trimCapped = trimmed // cap hit while cuts were still landing
-      if (verts.limit(1).count() > 0) {
-        // 2. forward-min coloring to fixpoint
+      vertsEmpty = verts.isEmpty
+      if (!vertsEmpty) {
+        // 2. forward-min coloring to fixpoint. The previous color rides
+        //    through the aggregation (min ignores nulls; every node has
+        //    exactly one current-color row), so the convergence probe
+        //    is a filter over the checkpointed round output.
         var c = verts.select(col("node"), col("node").as("color")).localCheckpoint()
         var changed = true
         var r = 0
         while (changed && r < maxRounds) {
           val msgs = edges.join(c, edges("src") === c("node"))
-            .select(edges("dst").as("node"), col("color"))
-          val c2 = c.unionByName(msgs)
-            .groupBy(col("node")).agg(min(col("color")).as("color"))
+            .select(edges("dst").as("node"), col("color"), lit(null).cast(c.schema("color").dataType).as("old"))
+          val c2 = c.select(col("node"), col("color"), col("color").as("old"))
+            .unionByName(msgs)
+            .groupBy(col("node")).agg(min(col("color")).as("color"), min(col("old")).as("old"))
             .localCheckpoint()
-          changed = c2.join(c.withColumnRenamed("color", "old"), Seq("node"))
-            .filter(col("color") =!= col("old")).limit(1).count() > 0
-          c = c2
+          changed = !c2.filter(col("color") =!= col("old")).isEmpty
+          c = c2.select(col("node"), col("color"))
           r += 1
         }
         require(!changed,
@@ -114,22 +144,26 @@ object Scc {
             s" — NOTE: the trim pass also hit the $maxRounds-round cap" +
               " before reaching its fixpoint, so the root cause is likely" +
               " a long chain: raise maxRounds" else ""))
-        // 3. confirm backward within the color class, from the roots
+        // 3. confirm backward within the color class, from the roots.
+        //    Growth probe: a confirmed row is NEW iff no pre-round f
+        //    row existed for it (the rider column is null after the
+        //    min-aggregation) — scanned off the checkpointed result,
+        //    never a second join or count.
         var f = c.filter(col("node") === col("color")).localCheckpoint()
         var grew = true
         var b = 0
-        var fN = f.count()
         while (grew && b < maxRounds) {
           val msgs = edges.join(f, edges("dst") === f("node"))
             .select(edges("src").as("node"), f("color").as("mcolor"))
           val joined = msgs.join(c, Seq("node"))
             .filter(col("color") === col("mcolor"))
-            .select(col("node"), col("color"))
-          val f2 = f.unionByName(joined).distinct().localCheckpoint()
-          val n2 = f2.count()
-          grew = n2 > fN
-          f = f2
-          fN = n2
+            .select(col("node"), col("color"), lit(0).as("w"))
+          val f2full = f.select(col("node"), col("color"), lit(1).as("w"))
+            .unionByName(joined)
+            .groupBy(col("node"), col("color")).agg(max(col("w")).as("w"))
+            .localCheckpoint()
+          grew = !f2full.filter(col("w") === 0).isEmpty
+          f = f2full.select(col("node"), col("color"))
           b += 1
         }
         // still growing at the cap ⇒ peeling now would assign a PARTIAL
@@ -138,6 +172,7 @@ object Scc {
         require(!grew, s"backward confirmation did not converge in $maxRounds rounds")
         peel(f.select(col("node"), col("color").as("scc_id")))
       }
+      vertsEmpty = verts.isEmpty
       phase += 1
     }
     require(verts.limit(1).count() == 0,
