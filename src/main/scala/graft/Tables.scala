@@ -11,7 +11,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * layout is a one-line change here.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  /** r14: the fixture SCHEMA is cached per path (metadata only — the
+    * catalog-table analogue of having the schema in a metastore, which
+    * is what the class doc above promises at cluster scale). Without
+    * it every query invocation paid a footer-read schema-inference job
+    * per table touched — a pure fixed cost re-paid 236 × passes times
+    * per bench run. Data is still read from parquet on every action;
+    * nothing about results or file listings is cached. */
+  def table(name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = Tables.schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** The driver's fixtures have carried `events.ts` as parquet
     * TIMESTAMP(NANOS) (Spark's vectorized reader surfaces it as LONG
@@ -44,4 +56,9 @@ final case class Tables(spark: SparkSession, dir: String) {
   lazy val events: DataFrame     = withTsNormalized(table("events"))
   lazy val documents: DataFrame  = table("documents")
   lazy val embeddings: DataFrame = table("embeddings")
+}
+
+object Tables {
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
 }

@@ -1024,12 +1024,40 @@ object PipelineQueries {
     * chains. */
   def productQuant(t: Tables): DataFrame = {
     import t.spark.implicits._
-    (0 until 4).map { s =>
-      val sub = t.embeddings.select($"vec_id",
-        slice($"embedding".cast("array<double>"), s * 16 + 1, 16).as("sub"))
-      graft.operators.KMeans.census(sub, k = 4, iters = 1, idCol = "vec_id", vecCol = "sub")
-        .select(lit(s).as("subspace"), $"cell", $"n_members", $"c_nrm2", $"inertia")
-    }.reduce(_ unionByName _).orderBy($"subspace", $"cell")
+    import graft.functions.VectorFunctions.{dot, norm2}
+    // r14: ONE fused Lloyd pass for all 4 subspaces (KMeans.lloydSubspaces
+    // — bit-identical per disjoint (subspace, cell, dim) group) instead of
+    // 4 independent chains that each re-scanned and re-shuffled the corpus
+    val (cents, assigned) = graft.operators.KMeans.lloydSubspaces(
+      t.embeddings, k = 4, iters = 1, slices = 4, subDim = 16)
+    val dist = $"nrm2" - lit(2.0) * dot($"sub", $"c_vec") + $"c_nrm2"
+    assigned.withColumn("nrm2", norm2($"sub"))
+      .join(broadcast(cents.select($"subspace", $"cell", $"c_vec", $"c_nrm2")),
+        Seq("subspace", "cell"))
+      .groupBy($"subspace", $"cell", $"c_nrm2")
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(dist, 6).cast("decimal(28,6)")).cast("double").as("inertia"))
+      .select($"subspace", $"cell".cast("int").as("cell"), $"n_members",
+        round($"c_nrm2", 6).as("c_nrm2"), $"inertia")
+      .orderBy($"subspace", $"cell")
+  }
+
+  /** Shared PQ encoder for qs22/qs24 (r14): fused 4×16-dim k=4 Lloyd
+    * fit, codes assembled by one aggregation. Bit-identical to the
+    * former per-subspace chains + 4-way join. */
+  private def pqEncode(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val (cents, assigned) = graft.operators.KMeans.lloydSubspaces(
+      t.embeddings, k = 4, iters = 1, slices = 4, subDim = 16)
+    val encAll = assigned
+      .join(broadcast(cents.select($"subspace", $"cell", $"c_vec", $"c_nrm2")),
+        Seq("subspace", "cell"))
+      .select($"vec_id", $"subspace", $"c_vec", $"c_nrm2")
+    val aggs = (0 until 4).flatMap { s =>
+      Seq(first(when($"subspace" === s, $"c_vec"), ignoreNulls = true).as(s"cv$s"),
+          first(when($"subspace" === s, $"c_nrm2"), ignoreNulls = true).as(s"cn$s"))
+    }
+    encAll.groupBy($"vec_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Shared per-subspace Lloyd-chain CTEs for qs20/qs22. */
@@ -1079,14 +1107,11 @@ object PipelineQueries {
     import t.spark.implicits._
     val bf = Similarity.bruteForceTopK(t.embeddings, QueryIds, k = 5)
       .select($"query_id", $"neighbor_id").localCheckpoint()
-    val enc = (0 until 4).map { s =>
-      val sub = t.embeddings.select($"vec_id",
-        slice($"embedding".cast("array<double>"), s * 16 + 1, 16).as("sub"))
-      val (cents, assigned) = graft.operators.KMeans.lloyd(sub, k = 4, iters = 1,
-        idCol = "vec_id", vecCol = "sub")
-      assigned.join(broadcast(cents.select($"cell", $"c_vec", $"c_nrm2")), Seq("cell"))
-        .select($"vec_id", $"c_vec".as(s"cv$s"), $"c_nrm2".as(s"cn$s"))
-    }.reduce((a, b) => a.join(b, Seq("vec_id")))
+    // r14: fused 4-subspace fit + ONE pivot-style aggregation to
+    // assemble the per-vector code columns — replaces 4 Lloyd chains
+    // and a 4-way self-join on vec_id (each (vec_id, subspace) group
+    // has exactly one row, so first(ignoreNulls) is deterministic)
+    val enc = pqEncode(t)
     val qCols: Seq[org.apache.spark.sql.Column] =
       Seq($"vec_id".as("query_id"),
         sqrt(graft.functions.VectorFunctions.norm2($"embedding")).as("q_nrm")) ++
@@ -1167,14 +1192,9 @@ object PipelineQueries {
       .select($"query_id", $"neighbor_id").localCheckpoint()
     val cents = IvfIndex.centroids(t.embeddings, nCells = 8)
     val assigned = IvfIndex.assign(t.embeddings, cents).localCheckpoint()
-    val enc = (0 until 4).map { s =>
-      val sub = t.embeddings.select($"vec_id",
-        slice($"embedding".cast("array<double>"), s * 16 + 1, 16).as("sub"))
-      val (cs, asn) = graft.operators.KMeans.lloyd(sub, k = 4, iters = 1,
-        idCol = "vec_id", vecCol = "sub")
-      asn.join(broadcast(cs.select($"cell", $"c_vec", $"c_nrm2")), Seq("cell"))
-        .select($"vec_id", $"c_vec".as(s"cv$s"), $"c_nrm2".as(s"cn$s"))
-    }.reduce((a, b) => a.join(b, Seq("vec_id")))
+    // r14: fused subspace fit + single-aggregation code assembly (see
+    // pqEncode) — replaces 4 Lloyd chains and a 4-way self-join
+    val enc = pqEncode(t)
     val qCols: Seq[org.apache.spark.sql.Column] =
       Seq($"vec_id".as("query_id"),
         $"embedding".cast("array<double>").as("q_vec"),

@@ -1602,6 +1602,14 @@ object QualityQueries {
     * space-joined token slice, the qd09 portable-hash discipline. */
   def noveltyCurve(t: Tables): DataFrame = {
     import t.spark.implicits._
+    // r14 optimization note — measured, then deliberately LEFT ALONE:
+    // fusing the six widths into one scan + one (n, h)-grouped
+    // count-distinct read 2.5x SLOWER in an interleaved A/B
+    // (tools/DiagQt40: min 1.66 s per-width vs 4.24 s fused at sf0.1).
+    // The six union legs are independent plan subtrees, so AQE runs
+    // their stages as overlapping jobs (guide §2.6) — the fused form
+    // serialized the same bytes through one fat Expand exchange. The
+    // per-width shape below IS the faster plan on a parallel engine.
     Seq(1, 2, 3, 4, 6, 8).map { n =>
       t.documents.select(explode(shingles($"text", n)).as("g"))
         .select(md5($"g").as("h"))
