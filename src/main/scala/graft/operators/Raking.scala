@@ -44,22 +44,75 @@ object Raking {
     *
     * Returns (rowCol, colCol, m) — the fitted cell masses. */
   def rake(cells: DataFrame, rowCol: String, colCol: String, nCol: String,
-           rowTargets: DataFrame, colTargets: DataFrame, sweeps: Int): DataFrame = {
+           rowTargets: DataFrame, colTargets: DataFrame, sweeps: Int,
+           driverGridCap: Long = 200000L): DataFrame = {
     require(sweeps > 0, s"sweeps must be positive, got $sweeps")
     validate(cells, rowCol, nCol, rowTargets, "row")
     validate(cells, colCol, nCol, colTargets, "column")
-    var m = ConnectedComponents.checkpointTruncated(
-      cells.select(col(rowCol), col(colCol), col(nCol).cast("double").as("m")))
-    for (_ <- 1 to sweeps) {
-      // each scaling step references m TWICE (marginal sums + the join
-      // back), so an unbroken lineage would double the plan subtree
-      // per step — 2^(2·sweeps) replays of the grid aggregation (the
-      // qg08 double-reference lesson). Truncate per sweep: the grid is
-      // metadata-sized, the checkpoint is cheap, the plan stays flat.
-      m = ConnectedComponents.checkpointTruncated(
-        scaleTo(scaleTo(m, rowCol, rowTargets), colCol, colTargets))
+    val base = cells.select(col(rowCol), col(colCol), col(nCol).cast("double").as("m"))
+      .localCheckpoint(true)
+    // r14 optimization: below `driverGridCap` occupied cells the sweeps
+    // run ON THE DRIVER (the justified-collect class — the grid is
+    // metadata-sized by this operator's own contract: one row per
+    // OCCUPIED (row, col) cell, the same order of magnitude as the
+    // Pca/KMeans model state the library already collects). The
+    // distributed loop paid ~2 aggregations + 4 broadcast builds + a
+    // checkpoint per sweep — ~60 AQE stage-jobs for qp21's 3 sweeps
+    // over a 20-cell grid, all scheduling latency. The driver loop
+    // replicates Spark's arithmetic exactly:
+    //   cast(m AS DECIMAL(28,6))  = BigDecimal.valueOf(m).setScale(6, HALF_UP)
+    //   SUM(decimal)              = exact BigDecimal addition (order-free)
+    //   CAST(sum AS DOUBLE)       = BigDecimal.doubleValue
+    //   round(x, 6)               = BigDecimal.valueOf(x).setScale(6, HALF_UP).doubleValue
+    // so the fitted masses are bit-identical to the distributed path
+    // (which remains, for grids past the cap — e.g. two high-cardinality
+    // dimensions at 100 TB).
+    if (base.count() <= driverGridCap) {
+      import java.math.{BigDecimal => JBD, RoundingMode}
+      def dec6(x: Double): JBD = JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP)
+      def round6(x: Double): Double =
+        JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
+      var grid = base.collect().map(r => (r.get(0), r.get(1), r.getDouble(2)))
+      val rowT = rowTargets.select(col(rowCol), col("target").cast("double"))
+        .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+      val colT = colTargets.select(col(colCol), col("target").cast("double"))
+        .collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+      def scale(keyOf: ((Any, Any, Double)) => Any,
+                targets: Map[Any, Double]): Unit = {
+        val sums = grid.groupBy(keyOf).map { case (k, cs) =>
+          k -> cs.map(c => dec6(c._3)).reduce(_ add _).doubleValue
+        }
+        grid = grid.map { case c @ (a, b, v) =>
+          val k = keyOf(c)
+          (a, b, round6(v * (targets(k) / sums(k))))
+        }
+      }
+      for (_ <- 1 to sweeps) {
+        scale(_._1, rowT)
+        scale(_._2, colT)
+      }
+      val spark = cells.sparkSession
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        base.schema(rowCol), base.schema(colCol),
+        org.apache.spark.sql.types.StructField("m",
+          org.apache.spark.sql.types.DoubleType)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          grid.toSeq.map(c => org.apache.spark.sql.Row(c._1, c._2, c._3)), 1),
+        schema)
+    } else {
+      var m = base
+      for (_ <- 1 to sweeps) {
+        // each scaling step references m TWICE (marginal sums + the join
+        // back), so an unbroken lineage would double the plan subtree
+        // per step — 2^(2·sweeps) replays of the grid aggregation (the
+        // qg08 double-reference lesson). Truncate per sweep: the grid is
+        // metadata-sized, the checkpoint is cheap, the plan stays flat.
+        m = ConnectedComponents.checkpointTruncated(
+          scaleTo(scaleTo(m, rowCol, rowTargets), colCol, colTargets))
+      }
+      m
     }
-    m
   }
 
   /** Fail-fast precondition check, once per rake: scaleTo's inner joins

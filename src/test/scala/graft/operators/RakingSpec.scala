@@ -108,4 +108,26 @@ class RakingSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("marginal"), e.getMessage)
   }
+
+  // r14: the driver-side sweep fast path (grids under driverGridCap)
+  // must be BIT-identical to the distributed loop — same decimal-exact
+  // marginal sums, same HALF_UP re-quantization. Awkward masses (thirds
+  // and sevenths) force non-terminating decimal expansions so any
+  // arithmetic divergence shows up in the 6th decimal.
+  test("driver fast path and distributed loop produce bit-identical fits") {
+    val cs = cells(("r1", "c1", 10L), ("r1", "c2", 31L), ("r2", "c1", 59L),
+      ("r2", "c2", 7L), ("r3", "c2", 3L))
+    val rt = targets("r", "r1" -> (100.0 / 3.0), "r2" -> (100.0 / 3.0), "r3" -> (100.0 / 3.0))
+    val ct = targets("c", "c1" -> (100.0 / 7.0), "c2" -> (600.0 / 7.0))
+    def fitWith(cap: Long): Map[(String, String), Double] =
+      Raking.rake(cs, "r", "c", "n", rt, ct, sweeps = 3, driverGridCap = cap)
+        .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    val driver = fitWith(1000000L)
+    val dist = fitWith(0L) // force the distributed fallback
+    assert(driver.keySet === dist.keySet)
+    driver.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ===
+        java.lang.Double.doubleToLongBits(dist(k)), s"cell $k: $v vs ${dist(k)}")
+    }
+  }
 }
