@@ -88,6 +88,14 @@ object Bench {
     // rounds can be diffed query-by-query
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_timings.json"),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // The ~25 KB full line above loses its head to 2,000-char tail
+    // captures, so nothing parses (PERF_r13/r14 carried no totals).
+    // Emit a compact (<1 KB) final line that survives any tail window:
+    // headline total, counts, env, and a pointer to the full per-query
+    // stats on disk. Keys mirror the full line where they overlap.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_errors":${errors.size},"cpus":$cpus,"sf":"$sfDir","stats_file":"bench_timings.json"}"""
+    println(compact)
     spark.stop()
   }
 }
