@@ -153,8 +153,9 @@ object ConnectedComponents {
     * both algorithms to identical labels on every fixture.
     *
     * Each round localCheckpoints (same O(2^rounds) re-analysis hazard
-    * as [[run]]); convergence = the star edge set reaches a fixpoint
-    * (count equality + one-way except emptiness on distinct'd frames).
+    * as [[run]]); convergence = the star edge set reaches a fixpoint,
+    * tested by membership flags riding through smallStar's own (u, v)
+    * aggregation (exact set equality, no extra per-round job).
     */
   def runAlternating(edges: DataFrame, aCol: String = "a_id",
                      bCol: String = "b_id", maxIter: Int = 30): DataFrame =
@@ -183,7 +184,18 @@ object ConnectedComponents {
         .distinct()
     }
 
-    def smallStar(cur: DataFrame): DataFrame = {
+    // r15: smallStar's trailing distinct() IS a (u, v)-keyed aggregation,
+    // so the convergence probe rides through it instead of paying its own
+    // job: the previous round's edge set unions in flagged is_old, the
+    // candidate edges flagged is_new, and max() per (u, v) yields the
+    // membership of each edge in {e, next}. next = the is_new rows
+    // (identical to the old distinct()); converged = no row where the
+    // flags differ (exact set equality, both directions — the same test
+    // the old count-equality + exceptAll pair computed with 2 extra
+    // exchanges and 2 extra actions per round). smallStar's re-keying is
+    // immaterial: the probe compares SETS after the aggregation, not
+    // per-group lineage.
+    def smallStarProbed(cur: DataFrame, prev: DataFrame): DataFrame = {
       val down = cur.select(
         greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       val mins = down.groupBy(col("u")).agg(min(col("v")).as("m"))
@@ -192,22 +204,18 @@ object ConnectedComponents {
       val self = mins.select(col("u"), col("m").as("v"))
       moved.union(self)
         .filter(col("u") =!= col("v"))
-        .distinct()
+        .withColumn("is_new", lit(true)).withColumn("is_old", lit(false))
+        .union(prev.withColumn("is_new", lit(false)).withColumn("is_old", lit(true)))
+        .groupBy(col("u"), col("v"))
+        .agg(max(col("is_new")).as("is_new"), max(col("is_old")).as("is_old"))
     }
 
     var iter = 0
     var converged = false
-    // r14: carry the previous round's cardinality instead of re-counting
-    // the (checkpointed) frame every round — one fewer action per round,
-    // same fixpoint test
-    var eN = e.count()
     while (iter < maxIter && !converged) {
-      val next = checkpointTruncated(smallStar(largeStar(e)))
-      val nextN = next.count()
-      converged = nextN == eN &&
-        next.exceptAll(e).limit(1).count() == 0
-      e = next
-      eN = nextN
+      val probed = checkpointTruncated(smallStarProbed(largeStar(e), e))
+      converged = probed.filter(col("is_new") =!= col("is_old")).isEmpty
+      e = probed.filter(col("is_new")).select(col("u"), col("v"))
       iter += 1
     }
     // a maxIter cutoff can leave a vertex with several outgoing star
