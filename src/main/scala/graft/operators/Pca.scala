@@ -53,14 +53,32 @@ object Pca {
     * direction after `iters` power-iteration rounds from the uniform
     * start 1/sqrt(d), and the variance it captures
     * (lambda = ||C v|| / n at the final round). */
-  def topComponent(df: DataFrame, vecCol: String, iters: Int): Component = {
-    require(iters >= 1, s"iters must be >= 1, got $iters")
-    val d = df.select(size(col(vecCol))).head().getInt(0)
-    val n = df.count()
-    require(n >= 2, s"need at least 2 vectors, got $n")
+  def topComponent(df: DataFrame, vecCol: String, iters: Int): Component =
+    fit(df, vecCol, iters, knownShape = None)._1
 
+  /** [[topComponent]] plus the frozen quantized corpus it fit on and
+    * the (d, n) shape — so multi-fit consumers ([[varianceSummary]]'s
+    * deflation chain) scan the source ONCE and derive residuals/trace
+    * from the checkpoint instead of re-reading the table per action
+    * (r15: was ~7 source scans and 17 driver actions for qs21; the
+    * shape probe is one tiny aggregation over the checkpoint, and a
+    * second fit on a derived frame skips it entirely via
+    * `knownShape` — residualization preserves both d and n). */
+  private def fit(df: DataFrame, vecCol: String, iters: Int,
+                  knownShape: Option[(Int, Long)],
+                  carryIdCol: Option[String] = None): (Component, DataFrame, Int, Long) = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     // frozen quantized corpus: every round re-scans this, not the plan
-    val vecs = df.select(quantized(vecCol).as("e")).localCheckpoint()
+    // (optionally carrying the id column so a consumer can project
+    // scores from the same checkpoint — every loop step below selects
+    // "e" only, so the rider column never enters the fit's shuffles)
+    val vecs = df.select(
+      carryIdCol.map(col).toSeq :+ quantized(vecCol).as("e"): _*).localCheckpoint()
+    val (d, n) = knownShape.getOrElse {
+      val r = vecs.agg(first(size(col("e"))), count(lit(1))).head()
+      (if (r.isNullAt(0)) 0 else r.getInt(0), r.getLong(1))
+    }
+    require(n >= 2, s"need at least 2 vectors, got $n")
 
     // per-dim decimal sums via (dim, value) explode — map-side combined
     def dimSums(terms: DataFrame, termCol: String): Map[Int, Double] =
@@ -94,7 +112,7 @@ object Pca {
       v = w.map(wj => q6(wj / nrm))
       lambda = q6(nrm / n)
     }
-    Component(mu, v, lambda)
+    (Component(mu, v, lambda), vecs, d, n)
   }
 
   /** The component as a (dim, mu, loading, lambda) frame — the gate-
@@ -125,15 +143,31 @@ object Pca {
     * to the 1e-6 grid so the rvec column is oracle-exact. Scan-local
     * per-row arithmetic against literal model state — zero shuffle. */
   def residualized(df: DataFrame, vecCol: String, idCol: String,
-                   c: Component): DataFrame = {
+                   c: Component): DataFrame =
+    df.select(col(idCol), residualExpr(quantized(vecCol), c).as("rvec"))
+
+  /** r = (x−μ) − ((x−μ)·v)·v over an ALREADY-QUANTIZED vector column —
+    * the shared expression behind [[residualized]] and the
+    * one-scan fit variants. */
+  private def residualExpr(e: Column, c: Component): Column = {
     val muLit = lit(c.mu)
     val vLit = lit(c.v)
-    val cx = zip_with(quantized(vecCol), muLit, (a, b) => a - b)
-    val dotE = q6c(cdot(quantized(vecCol), muLit, vLit))
-    val resid = graft.functions.TextFunctions.letBound(dotE) { dd =>
+    val cx = zip_with(e, muLit, (a, b) => a - b)
+    val dotE = q6c(cdot(e, muLit, vLit))
+    graft.functions.TextFunctions.letBound(dotE) { dd =>
       zip_with(cx, vLit, (c0, vv) => q6c(c0 - dd * vv))
     }
-    df.select(col(idCol), resid.as("rvec"))
+  }
+
+  /** [[topComponent]] + [[residualized]] fused on ONE source scan
+    * (r15) — same contract as [[fitAndProject]]: the residuals read
+    * the fit's checkpointed quantized vectors, bit-identical to a
+    * fresh residualized() over the source. */
+  private[graft] def fitAndResidualize(df: DataFrame, vecCol: String,
+                                       idCol: String, iters: Int): (Component, DataFrame) = {
+    val (c, vecs, _, _) = fit(df, vecCol, iters, knownShape = None,
+      carryIdCol = Some(idCol))
+    (c, vecs.select(col(idCol), residualExpr(col("e"), c).as("rvec")))
   }
 
   /** Two-component explained-variance summary via DEFLATION: PC1 on
@@ -146,11 +180,17 @@ object Pca {
     * lambda, cum_frac). */
   def varianceSummary(df: DataFrame, vecCol: String, idCol: String,
                       iters: Int): DataFrame = {
-    val c1 = topComponent(df, vecCol, iters)
-    val c2 = topComponent(residualized(df, vecCol, idCol, c1), "rvec", iters)
-    val n = df.count()
-    val cx = zip_with(quantized(vecCol), lit(c1.mu), (a, b) => a - b)
-    val tvSum = df.select(q6c(graft.functions.VectorFunctions.dot(cx, cx)).as("sq"))
+    // r15: one source scan total. PC1 fits on the checkpointed quantized
+    // corpus; the PC1 residuals, the PC2 fit, and the total-variance
+    // trace all derive from that checkpoint (e == quantized(vecCol)
+    // exactly, so every expression below evaluates bit-identically to
+    // the former per-action re-reads of the source table), and the PC2
+    // fit inherits (d, n) — residualization preserves both.
+    val (c1, vecs, d, n) = fit(df, vecCol, iters, knownShape = None)
+    val (c2, _, _, _) = fit(vecs.select(residualExpr(col("e"), c1).as("rvec")),
+      "rvec", iters, knownShape = Some((d, n)))
+    val cx = zip_with(col("e"), lit(c1.mu), (a, b) => a - b)
+    val tvSum = vecs.select(q6c(graft.functions.VectorFunctions.dot(cx, cx)).as("sq"))
       .agg(sum(col("sq").cast("decimal(30,6)")).cast("double")).head().getDouble(0)
     val tv = q6(tvSum / n)
     val spark = df.sparkSession
@@ -170,5 +210,20 @@ object Pca {
                 c: Component): DataFrame = {
     val score = q6c(cdot(quantized(vecCol), lit(c.mu), lit(c.v)))
     df.select(col(idCol), score.as("pc1"))
+  }
+
+  /** [[topComponent]] + [[projected]] fused on ONE source scan (r15):
+    * the fit's checkpoint carries the id, and the projection reads the
+    * checkpointed quantized vectors (e == quantized(vecCol) exactly,
+    * so the score expression evaluates bit-identically to a fresh
+    * [[projected]] over the source). qz05/qr07 previously paid a
+    * second full source scan + quantize just to attach ids to
+    * scores. */
+  private[graft] def fitAndProject(df: DataFrame, vecCol: String,
+                                   idCol: String, iters: Int): (Component, DataFrame) = {
+    val (c, vecs, _, _) = fit(df, vecCol, iters, knownShape = None,
+      carryIdCol = Some(idCol))
+    val score = q6c(cdot(col("e"), lit(c.mu), lit(c.v)))
+    (c, vecs.select(col(idCol), score.as("pc1")))
   }
 }

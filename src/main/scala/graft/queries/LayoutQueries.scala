@@ -196,10 +196,12 @@ object LayoutQueries {
     * the full PCA trajectory plus the binning. */
   def pc1Layout(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val c = graft.operators.Pca.topComponent(t.embeddings, "embedding", iters = 3)
+    // r15: fit + projection share one source scan (Pca.fitAndProject)
+    val (c, proj) = graft.operators.Pca.fitAndProject(
+      t.embeddings, "embedding", "vec_id", iters = 3)
     val k = c.v.indices.maxBy(j => (math.abs(c.v(j)), -j))
     val flip = if (c.v(k) < 0) -1.0 else 1.0
-    val scored = graft.operators.Pca.projected(t.embeddings, "embedding", "vec_id", c)
+    val scored = proj
       .select($"vec_id", (lit(flip) * $"pc1").as("pc1")).localCheckpoint()
     // driver scalars: 4 broadcast extents, the justified-collect class
     val mm = scored.agg(min($"pc1"), max($"pc1"), min($"vec_id"), max($"vec_id")).head()

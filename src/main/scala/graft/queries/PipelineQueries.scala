@@ -899,11 +899,12 @@ object PipelineQueries {
     * zero shuffle beyond the top-k. */
   def pcaOutliers(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val c = graft.operators.Pca.topComponent(t.embeddings, "embedding", iters = 3)
+    // r15: fit + projection share one source scan (Pca.fitAndProject)
+    val (c, proj) = graft.operators.Pca.fitAndProject(
+      t.embeddings, "embedding", "vec_id", iters = 3)
     val k = c.v.indices.maxBy(j => (math.abs(c.v(j)), -j))
     val flip = if (c.v(k) < 0) -1.0 else 1.0
-    graft.operators.Pca.projected(t.embeddings, "embedding", "vec_id", c)
-      .select($"vec_id", (lit(flip) * $"pc1").as("pc1"))
+    proj.select($"vec_id", (lit(flip) * $"pc1").as("pc1"))
       .orderBy(abs($"pc1").desc, $"vec_id").limit(50)
   }
 
@@ -986,8 +987,9 @@ object PipelineQueries {
     * trajectory AND the residual projection. */
   def isotropicTopK(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val c = graft.operators.Pca.topComponent(t.embeddings, "embedding", iters = 3)
-    val resid = graft.operators.Pca.residualized(t.embeddings, "embedding", "vec_id", c)
+    // r15: fit + residualization share one source scan
+    val (_, resid) = graft.operators.Pca.fitAndResidualize(
+      t.embeddings, "embedding", "vec_id", iters = 3)
     Similarity.bruteForceTopK(resid, QueryIds, k = 5, idCol = "vec_id", vecCol = "rvec")
       .select($"query_id", $"neighbor_id", $"cos_sim", $"rk")
       .orderBy($"query_id", $"rk")
@@ -1374,10 +1376,12 @@ object PipelineQueries {
     * bands. */
   def pc1Drift(t: Tables): DataFrame = {
     import t.spark.implicits._
-    val c = graft.operators.Pca.topComponent(t.embeddings, "embedding", iters = 3)
+    // r15: fit + projection share one source scan (Pca.fitAndProject)
+    val (c, proj) = graft.operators.Pca.fitAndProject(
+      t.embeddings, "embedding", "vec_id", iters = 3)
     val k = c.v.indices.maxBy(j => (math.abs(c.v(j)), -j))
     val flip = if (c.v(k) < 0) -1.0 else 1.0
-    val scored = graft.operators.Pca.projected(t.embeddings, "embedding", "vec_id", c)
+    val scored = proj
       .select($"vec_id", (lit(flip) * $"pc1").as("pc1")).localCheckpoint()
     // driver scalars: 2 broadcast extents, the justified-collect class
     val mm = scored.agg(min($"pc1"), max($"pc1")).head()
