@@ -59,12 +59,18 @@ object TextFunctions {
     * interpreted, so an unbound `w` would re-run the regex split for
     * every element_at — 3× per shingle (measured 100× slowdown). */
   def shingles(text: Column, n: Int): Column =
-    letBound(tokens(text)) { w =>
-      when(size(w) >= n,
-        transform(sequence(lit(0), size(w) - n), i =>
-          concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
-        .otherwise(array().cast("array<string>"))
-    }
+    letBound(tokens(text))(w => shinglesFromTokens(w, n))
+
+  /** [[shingles]] over an already-computed token array — the shared-
+    * tokenization hook: a caller that needs several gram families from
+    * one document binds `tokens(text)` once and derives each family
+    * from the same array (one regex split per row, not one per
+    * family). */
+  def shinglesFromTokens(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(w, i + k + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
 
   /** distinct md5 hashes of the doc's 3-gram shingles, first-occurrence
     * order. Delegates to the native

@@ -101,14 +101,20 @@ object Decontaminate {
                 textCol: String = "text",
                 sharedIdSpace: Boolean = true,
                 benchIsSubset: Boolean = false,
-                storagePath: Option[String] = None): DataFrame = {
+                storagePath: Option[String] = None,
+                precomputedSigs: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0,1], got $threshold")
     require(!benchIsSubset || sharedIdSpace,
       "benchIsSubset pulls signatures from the corpus row with the same id — " +
         "meaningless unless ids are a shared space (sharedIdSpace = true)")
-    val corpusSigs = Dedup.signatureTable(docs, numHashes, bands, idCol, textCol,
-      storagePath)
+    // precomputedSigs: an ALREADY-MATERIALIZED (idCol, hashes, bands)
+    // frame from Dedup.signatureProjection with the same (numHashes,
+    // bands) — the shared-scan hook for callers (qc11) that derive
+    // several gram families from one pass over the text; the caller
+    // owns the numHashes % bands divisibility guarantee.
+    val corpusSigs = precomputedSigs.getOrElse(
+      Dedup.signatureTable(docs, numHashes, bands, idCol, textCol, storagePath))
     // bench side is small by contract: the SAME projection the corpus
     // funnel uses (hash compatibility by construction), broadcast into
     // both join stages. With `benchIsSubset` (bench rows ARE corpus

@@ -100,8 +100,8 @@ object Dedup {
     *    the caller drops it (`spark.catalog.clearCache()`, as Verify
     *    and Bench do between queries) — the funnel's result is lazy, so
     *    this function cannot unpersist it itself. */
-  private def materialized(frame: DataFrame,
-                           storagePath: Option[String]): DataFrame =
+  private[graft] def materialized(frame: DataFrame,
+                                  storagePath: Option[String]): DataFrame =
     storagePath match {
       case Some(path) =>
         frame.write.mode("overwrite").parquet(path)

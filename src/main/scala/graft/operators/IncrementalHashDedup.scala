@@ -71,7 +71,16 @@ object IncrementalHashDedup {
     val batch = newHashes
       .select(col(idCol).as("id"), col(hashCol).cast("long").as("hash"))
       .localCheckpoint(true) // referenced by banding, verify, and append
-    val store = spark.read.parquet(storePath)
+    // explicit read schema: the store's layout is fixed by initStore
+    // (id = the shared id space, hash = LONG), so footer schema
+    // inference — a driver job per read — is pure waste (guide §6);
+    // the id type comes from the batch because store and batch ids ARE
+    // one id space (the union below already required it)
+    val store = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", batch.schema("id").dataType),
+        org.apache.spark.sql.types.StructField("hash",
+          org.apache.spark.sql.types.LongType))))
+      .parquet(storePath)
     // r13 verdict #5 — the birthday bound, AUTOMATED: in the EXACT
     // regime (maxHamming = 0) a hash collision is a silently wrong
     // drop, and for the ≤64-bit keys this store holds (key60 md5-60,
@@ -180,7 +189,12 @@ object IncrementalHashDedup {
     val batch = newKeys
       .select(col(idCol).as("id"), col(keyCol).cast("string").as("key"))
       .localCheckpoint(true)
-    val store = spark.read.parquet(storePath)
+    // explicit read schema — same §6 footer-inference cut as dedupBatch
+    val store = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", batch.schema("id").dataType),
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(storePath)
     val targets = store
       .select(col("id").as("old_id"), col("key"), lit(true).as("from_store"))
       .union(batch.select(col("id").as("old_id"), col("key"),

@@ -1168,6 +1168,62 @@ object QualityQueries {
       .orderBy($"doc_id")
   }
 
+  /** Shared-tokenization candidate form of [[contaminationReport]]
+    * (r15, guide §2.3): ONE pass over the corpus text computes, per
+    * doc, the exact-layer 5-gram hashes AND the fuzzy-layer 3-gram
+    * hashes + MinHash band keys from a single let-bound token array —
+    * the old form scanned and re-tokenized the text once per lexical
+    * layer (corpus 5-grams, bench 5-grams, signature table). The
+    * combined projection is materialized exactly as the signature
+    * table alone was; both layers then read the cache. Gated on the
+    * interleaved A/B in [[graft.tools.DiagQc11]] (the qt40 lesson:
+    * overlapping independent legs can beat a fused scan). */
+  private[graft] def contaminationReportShared(t: Tables): DataFrame = {
+    import graft.functions.TextFunctions._
+    import t.spark.implicits._
+    val proj = Dedup.materialized(
+      t.documents.select($"doc_id",
+        letBound(tokens($"text")) { w =>
+          struct(
+            call_function("graft_shingle_hashes", w, lit(5)).as("g5"),
+            call_function("graft_shingle_hashes", w, lit(3)).as("hashes"),
+            letBound(call_function("graft_minhash_signature",
+              shinglesFromTokens(w, 3), lit(16))) { sig =>
+              minhashBands(sig, 4, 4)
+            }.as("bands"))
+        }.as("s"))
+        .select($"doc_id", $"s.g5", $"s.hashes", $"s.bands"),
+      None)
+    val benchGrams = broadcast(proj.filter($"doc_id" % 50 === 0)
+      .select(explode($"g5").as("g")).distinct())
+    // hit docs only: the final left join + coalesce(false) supplies the
+    // non-hit corpus rows, exactly as Decontaminate.flag's inner count did
+    val exact = proj.filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id", explode($"g5").as("g"))
+      .join(benchGrams, "g")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      .select($"doc_id", ($"n_hits" > 0).as("exact_hit"))
+    val bench = t.documents.filter($"doc_id" % 50 === 0)
+    val corpus = t.documents.filter($"doc_id" % 50 =!= 0)
+    val fuzzy = Decontaminate.fuzzyFlag(t.documents, bench, threshold = 0.3,
+        benchIsSubset = true,
+        precomputedSigs = Some(proj.select($"doc_id", $"hashes", $"bands")))
+      .filter($"doc_id" % 50 =!= 0)
+      .select($"doc_id", $"contaminated".as("fuzzy_hit"))
+    val semantic = semanticDecontaminate(t)
+      .select($"vec_id".as("doc_id"), $"contaminated".as("semantic_hit"))
+    corpus.select($"doc_id")
+      .join(exact, Seq("doc_id"), "left")
+      .join(fuzzy, Seq("doc_id"), "left")
+      .join(semantic, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"exact_hit", lit(false)).as("exact_hit"),
+        coalesce($"fuzzy_hit", lit(false)).as("fuzzy_hit"),
+        coalesce($"semantic_hit", lit(false)).as("semantic_hit"))
+      .withColumn("flagged", $"exact_hit" || $"fuzzy_hit" || $"semantic_hit")
+      .orderBy($"doc_id")
+  }
+
   val contaminationReportSql: String =
     """WITH w0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws FROM documents),
       |eg AS (SELECT doc_id, list_distinct([md5(ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
@@ -3246,16 +3302,29 @@ object QualityQueries {
         wt.key60(ckb).as("ck"))
       .withColumn("gate_passed", $"uk".isNotNull)
       .localCheckpoint()
+    // r15: pin the keeper set once — both store seeds read it, and the
+    // window shuffle is the expensive part of seeding (was computed
+    // twice, once per initStore write)
     val evenKeepers = k.filter($"doc_id" % 2 === 0)
       .withColumn("mk", min($"doc_id").over(Window.partitionBy($"uk")))
       .filter($"doc_id" === $"mk")
+      .localCheckpoint()
     val tmp = java.nio.file.Files.createTempDirectory("graft-qx04")
     val urlStore = tmp.toString + "/urls"
     val contentStore = tmp.toString + "/bodies"
-    graft.operators.IncrementalHashDedup.initStore(
-      evenKeepers.select($"doc_id", $"uk"), urlStore, hashCol = "uk")
-    graft.operators.IncrementalHashDedup.initStore(
-      evenKeepers.select($"doc_id", $"ck"), contentStore, hashCol = "ck")
+    // the two seed writes are independent jobs over the pinned keepers:
+    // submit them concurrently so the second back-fills the first's
+    // commit/straggler tail (guide §2.6) instead of queuing behind it
+    val seedPool = scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(2))
+    try {
+      val seeds = Seq(
+        scala.concurrent.Future(graft.operators.IncrementalHashDedup.initStore(
+          evenKeepers.select($"doc_id", $"uk"), urlStore, hashCol = "uk"))(seedPool),
+        scala.concurrent.Future(graft.operators.IncrementalHashDedup.initStore(
+          evenKeepers.select($"doc_id", $"ck"), contentStore, hashCol = "ck"))(seedPool))
+      seeds.foreach(scala.concurrent.Await.result(_, scala.concurrent.duration.Duration.Inf))
+    } finally seedPool.shutdown()
     val odds = k.filter($"doc_id" % 2 === 1)
     val passed = odds.filter($"gate_passed")
     // appendUnique=false: read-only gate query over a throwaway store;

@@ -1,0 +1,40 @@
+package graft.tools
+
+import graft.{GraftSession, Tables}
+import org.apache.spark.sql.DataFrame
+
+/** r15 diagnosis: qc11 old (per-layer text scans — corpus 5-grams,
+  * bench 5-grams, fuzzy signature table) vs new (ONE shared
+  * tokenize+hash projection feeding both lexical layers) — interleaved
+  * in ONE session so host jitter cancels (the qt40 lesson: measure the
+  * fusion, never assume). `runMain graft.tools.DiagQc11 [passes]` */
+object DiagQc11 {
+  def main(args: Array[String]): Unit = {
+    val passes = if (args.nonEmpty) args(0).toInt else 5
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = GraftSession.local(appName = "diag-qc11")
+    val t = Tables(spark, sfDir)
+
+    def oldImpl(): DataFrame = graft.queries.QualityQueries.contaminationReport(t)
+    def newImpl(): DataFrame = graft.queries.QualityQueries.contaminationReportShared(t)
+
+    def time(f: () => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f().write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache() // the bench's per-query discipline
+      dt
+    }
+    // warm both
+    time(oldImpl); time(newImpl)
+    val olds = collection.mutable.ArrayBuffer[Double]()
+    val news = collection.mutable.ArrayBuffer[Double]()
+    (1 to passes).foreach { p =>
+      olds += time(oldImpl)
+      news += time(newImpl)
+      println(f"[diag] pass $p old=${olds.last}%.3f new=${news.last}%.3f")
+    }
+    println(f"[diag] MIN old=${olds.min}%.3f new=${news.min}%.3f")
+    spark.stop()
+  }
+}
