@@ -59,6 +59,19 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  /** Keyed by path only and never invalidated — a deliberate trade
+    * (r14 ADVICE): fixture files are immutable for a process lifetime
+    * (the driver generates them before any JVM starts). If a SAME-JVM
+    * workflow ever regenerates a fixture at the same path with a
+    * different schema, reads would silently use the stale schema —
+    * call [[invalidateSchemas]] after regenerating, or use a fresh
+    * path. The cache is also shared across SparkSessions, which is
+    * safe for schema-from-footer (session config cannot change a
+    * file's schema, only how types surface — and the one such knob,
+    * nanosAsLong, is pinned identically in every GraftSession). */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Invalidation hook for same-JVM fixture regeneration (tests). */
+  def invalidateSchemas(): Unit = schemaCache.clear()
 }

@@ -69,6 +69,11 @@ object Raking {
     // dimensions at 100 TB).
     if (base.count() <= driverGridCap) {
       import java.math.{BigDecimal => JBD, RoundingMode}
+      // equivalence boundary (r14 ADVICE): the exact BigDecimal sum
+      // below matches the distributed SUM(DECIMAL(28,6)) only while the
+      // true sum fits precision 28 (22 integer digits); past that the
+      // distributed cast overflows to null while the driver keeps
+      // summing. Realistic marginals sit ~15 digits below the line.
       def dec6(x: Double): JBD = JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP)
       def round6(x: Double): Double =
         JBD.valueOf(x).setScale(6, RoundingMode.HALF_UP).doubleValue
@@ -126,12 +131,18 @@ object Raking {
     * metadata-sized frames scaleTo broadcasts). */
   private def validate(cells: DataFrame, key: String, nCol: String,
                        targets: DataFrame, what: String): Unit = {
+    // null-cell census rides the marginal aggregation (no extra job):
+    // a null mass is invalid input — the driver fast path would read it
+    // as 0.0 while the distributed loop propagates null, so both paths
+    // now reject it loudly instead of diverging (r14 ADVICE)
     val marginals = cells.groupBy(col(key))
-      .agg(sum(col(nCol).cast(DecimalType(28, 6))).as("ms"))
+      .agg(sum(col(nCol).cast(DecimalType(28, 6))).as("ms"),
+        sum(when(col(nCol).isNull, 1L).otherwise(0L)).as("nulls"))
     val violations = marginals
       .join(targets.select(col(key), col("target")), Seq(key), "full_outer")
       .select(col(key),
-        when(col("target").isNull && col("ms").isNotNull, lit("no target"))
+        when(col("nulls") > 0, lit("null mass cell"))
+          .when(col("target").isNull && col("ms").isNotNull, lit("no target"))
           .when(col("ms").isNotNull && col("target") <= 0, lit("non-positive target"))
           .when(col("ms").isNotNull && col("ms") <= 0, lit("non-positive observed marginal"))
           .as("why"))

@@ -83,8 +83,16 @@ object ProfileQuery {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        // listener events are async; give the bus a beat to drain
-        Thread.sleep(300)
+        // listener events are async; DRAIN the bus before reading the
+        // counters (a fixed sleep raced late events from pass N into
+        // pass N+1's numbers — r14 ADVICE). waitUntilEmpty is
+        // private[spark], hence the reflective call; fall back to the
+        // old sleep if the internals move.
+        try {
+          val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+            .invoke(spark.sparkContext)
+          bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+        } catch { case _: Throwable => Thread.sleep(300) }
         println(f"[profile] $name pass $p: $t%.3f s  jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get} inJob=${inJob.get / 1e9}%.2f s gaps=${gap.get / 1e9}%.2f s shufRead=${shufRead.get / 1048576.0}%.1f MB shufWrite=${shufWrite.get / 1048576.0}%.1f MB")
         t
       }
