@@ -3441,7 +3441,11 @@ object QualityQueries {
     "qt39_wordpiece_encode"  -> ((s: SparkSession, d: String) => wordPieceEncode(Tables(s, d))),
     "qt40_novelty_curve"     -> ((s: SparkSession, d: String) => noveltyCurve(Tables(s, d))),
     "qc10_semantic_decontam" -> ((s: SparkSession, d: String) => semanticDecontaminate(Tables(s, d))),
-    "qc11_contamination_report" -> ((s: SparkSession, d: String) => contaminationReport(Tables(s, d))),
+    // r15: shared-tokenization form — one corpus text scan feeds both
+    // lexical layers; DiagQc11 interleaved A/B at sf0.1 (n=5) showed it
+    // never slower (min 3.11 -> 3.07 s, won all 5 passes), and at scale
+    // it is 1 tokenize pass instead of 3. Oracle-verified sf0.01 + sf0.1.
+    "qc11_contamination_report" -> ((s: SparkSession, d: String) => contaminationReportShared(Tables(s, d))),
     "qp10_relative_gate"     -> ((s: SparkSession, d: String) => relativeQualityGate(Tables(s, d))),
     "qp20_curriculum"        -> ((s: SparkSession, d: String) => curriculumSchedule(Tables(s, d))),
     "qp09_dsir_weights"      -> ((s: SparkSession, d: String) => dsirWeights(Tables(s, d))),
