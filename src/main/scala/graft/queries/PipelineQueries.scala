@@ -927,14 +927,29 @@ object PipelineQueries {
     import t.spark.implicits._
     val bf = Similarity.bruteForceTopK(t.embeddings, QueryIds, k = 5)
       .select($"query_id", $"neighbor_id").localCheckpoint()
+    // r15: (1) RandomProjection.sign(j, i) is width-independent, so the
+    // narrower projections are PREFIXES of the widest — project once at
+    // m=48 (48 dots/row instead of 16+32+48) and slice per width;
+    // (2) the old per-width recallCensus materialized a per-query
+    // checkpoint only to keep its total row (filter query_id = -1) —
+    // the total IS the bf⋉jl semi-join count, so each width leg is now
+    // one lazy aggregate over the shared checkpoints and the whole
+    // curve is a single action. nq is a driver scalar off the 50-row
+    // checkpointed bf frame (the justified-collect class); arithmetic
+    // is the -1 row's expression verbatim, so results are bit-identical.
+    val nq = bf.select($"query_id").distinct().count()
+    val proj48 = graft.operators.RandomProjection
+      .projected(t.embeddings, "vec_id", "embedding", m = 48, d = 64)
+      .localCheckpoint()
     Seq(16, 32, 48).map { m =>
-      val proj = graft.operators.RandomProjection
-        .projected(t.embeddings, "vec_id", "embedding", m = m, d = 64)
+      val proj = proj48.select($"vec_id", slice($"rvec", 1, m).as("rvec"))
       val jl = Similarity.bruteForceTopK(proj, QueryIds, k = 5,
           idCol = "vec_id", vecCol = "rvec")
         .select($"query_id", $"neighbor_id")
-      recallCensus(t, bf, jl).filter($"query_id" === -1L)
-        .select(lit(m).as("m"), $"n_hits", $"recall")
+      bf.join(jl, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("s"))
+        .select(lit(m).as("m"), $"s".cast("long").as("n_hits"),
+          round($"s".cast("double") / (lit(nq).cast("double") * 5.0), 6).as("recall"))
     }.reduce(_ unionByName _).orderBy($"m")
   }
 
