@@ -105,7 +105,9 @@ object Dedup {
     storagePath match {
       case Some(path) =>
         frame.write.mode("overwrite").parquet(path)
-        frame.sparkSession.read.parquet(path)
+        // read back with the writer's schema — the footer inference a
+        // bare read pays (one driver job) tells us nothing new (§6)
+        frame.sparkSession.read.schema(frame.schema).parquet(path)
       case None =>
         val cached = frame.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         cached.count() // materialize NOW: the downstream self-join would
@@ -465,9 +467,10 @@ object Dedup {
     // still references them
     val sigs = storagePath match {
       case Some(path) =>
-        docs.select(col(idCol), sigExpr.as("sh"))
-          .write.mode("overwrite").parquet(path)
-        docs.sparkSession.read.parquet(path)
+        val proj = docs.select(col(idCol), sigExpr.as("sh"))
+        proj.write.mode("overwrite").parquet(path)
+        // writer's schema — skip the footer-inference driver job (§6)
+        docs.sparkSession.read.schema(proj.schema).parquet(path)
       case None =>
         val cached = docs.select(col(idCol), sigExpr.as("sh"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -65,7 +65,10 @@ object IncrementalDedup {
       storePath)
     val batchSigs = signatures(newDocs, numHashes, bands, idCol, textCol)
       .localCheckpoint(true) // referenced by banding, verify, and append
-    val store = spark.read.parquet(storePath)
+    // explicit read schema: the store was written by the SAME
+    // signatures() projection at init/append time, so footer schema
+    // inference — a driver job per batch — is pure waste (guide §6)
+    val store = spark.read.schema(batchSigs.schema).parquet(storePath)
 
     def banded(sigTable: DataFrame) = sigTable
       .select(col("id"), posexplode(col("bands")).as(Seq("band_idx", "band_hash")))

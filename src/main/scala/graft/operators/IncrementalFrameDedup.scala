@@ -73,7 +73,10 @@ object IncrementalFrameDedup {
         col(hashCol).cast("long").as("hash"))
       .localCheckpoint(true) // probe side, target side, census, and append
     val batchIds = batch.select(col("id")).distinct()
-    val store = spark.read.parquet(storePath)
+    // explicit read schema — the store layout is the same (id, frame,
+    // hash) projection initStore wrote; skips the per-batch footer
+    // schema-inference driver job (guide §6)
+    val store = spark.read.schema(batch.schema).parquet(storePath)
       .join(broadcast(batchIds), Seq("id"), "left_anti") // the replay guard
 
     // ONE probe-side explosion against the unioned targets (store ∪

@@ -53,7 +53,18 @@ object IncrementalIvf {
                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = batch.sparkSession
     recoverAll(spark, path) // a torn REBUILD would otherwise leave no centroids
-    val cents = spark.read.parquet(s"$path/centroids")
+    // explicit read schema: the centroid layout is fixed by
+    // IvfIndex.build — (cell, c_vec, c_nrm2), with c_vec typed like the
+    // batch's vector column (store and batch share one vector space by
+    // the append contract). Skips the footer-inference driver job (§6).
+    val cents = spark.read.schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("c_vec",
+          batch.schema(vecCol).dataType),
+        org.apache.spark.sql.types.StructField("c_nrm2",
+          org.apache.spark.sql.types.DoubleType))))
+      .parquet(s"$path/centroids")
     IvfIndex.assign(batch, cents, idCol, vecCol)
       .write.mode("append").partitionBy("cell").parquet(s"$path/assigned")
   }

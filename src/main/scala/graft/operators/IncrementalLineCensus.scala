@@ -69,7 +69,10 @@ object IncrementalLineCensus {
     // unknowable and counting again would double-count (fail loudly)
     if (!batchAlreadyCounted)
       batchMarker.foreach(graft.hfc.AtomicSwap.assertWithinReplayHorizon(fs, storePath, _))
-    val store = spark.read.parquet(storePath)
+    // explicit read schema: the census layout is fixed by initStore
+    // (lh = md5 string, line_df = count long); skips the per-batch
+    // footer schema-inference driver job (guide §6)
+    val store = spark.read.schema(censusSchema).parquet(storePath)
 
     val lines = QualityRules.linesOf(newDocs, lineTokens, idCol, textCol)
     val batchDf = lines.select(col("lh"), col(idCol)).distinct()
@@ -133,9 +136,15 @@ object IncrementalLineCensus {
     fs.exists(new org.apache.hadoop.fs.Path(storePath, s"_applied_batch_$batchId"))
   }
 
+  private val censusSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("lh",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("line_df",
+      org.apache.spark.sql.types.LongType)))
+
   /** current census size — monitoring hook */
   def storeStats(spark: SparkSession, storePath: String): (Long, Long) = {
-    val s = spark.read.parquet(storePath)
+    val s = spark.read.schema(censusSchema).parquet(storePath)
     val row = s.agg(count(lit(1)), coalesce(max(col("line_df")), lit(0L))).head()
     (row.getLong(0), row.getLong(1))
   }
