@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions.shingleHashes
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Benchmark decontamination: flag corpus documents that share any
   * word n-gram with a benchmark/eval set — the standard guard against
@@ -34,6 +34,28 @@ object Decontaminate {
       .join(benchGrams, "g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** [[flag]] over a PRECOMPUTED per-doc distinct n-gram hash array —
+    * the shared-tokenization hook (qc12): `grams` carries one row per
+    * doc with the already-derived gram hashes; `isBench` selects the
+    * benchmark rows within it. Expression-for-expression the same
+    * broadcast semi-join + count as [[contaminationHits]]/[[flag]],
+    * just reading the shared projection instead of re-tokenizing. */
+  private[graft] def flagFromGrams(grams: DataFrame, isBench: Column,
+                                   idCol: String = "doc_id",
+                                   gramsCol: String = "g"): DataFrame = {
+    val benchGrams = broadcast(grams.filter(isBench)
+      .select(explode(col(gramsCol)).as("g")).distinct())
+    val hits = grams
+      .select(col(idCol), explode(col(gramsCol)).as("g"))
+      .join(benchGrams, "g")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hits"))
+    grams.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_hits").isNotNull.as("contaminated"))
   }
 
   /** Full-corpus decontamination decisions: every doc with its shared

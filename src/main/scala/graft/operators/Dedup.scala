@@ -290,8 +290,17 @@ object Dedup {
   def nearDupsMinhash(docs: DataFrame, threshold: Double,
                       numHashes: Int = 16, bands: Int = 4,
                       idCol: String = "doc_id", textCol: String = "text",
-                      storagePath: Option[String] = None): DataFrame = {
-    val sigs = signatureTable(docs, numHashes, bands, idCol, textCol, storagePath)
+                      storagePath: Option[String] = None): DataFrame =
+    nearDupsMinhashFromSigs(
+      signatureTable(docs, numHashes, bands, idCol, textCol, storagePath),
+      threshold, idCol)
+
+  /** [[nearDupsMinhash]] over an ALREADY-MATERIALIZED (idCol, hashes,
+    * bands) signature frame — the shared-scan hook for callers (qc12)
+    * that derive several gram families from one pass over the text;
+    * the caller owns the numHashes % bands divisibility guarantee. */
+  private[graft] def nearDupsMinhashFromSigs(sigs: DataFrame, threshold: Double,
+                                             idCol: String = "doc_id"): DataFrame = {
     val cands = candidatesFrom(sigs, idCol)
     val sh = sigs.select(col(idCol), col("hashes"))
     val common = size(array_intersect(col("a_hashes"), col("b_hashes"))).cast("double")

@@ -613,6 +613,49 @@ object CurationQueries {
       .orderBy($"doc_id")
   }
 
+  /** Shared-tokenization form of [[clusterDecontaminate]] (r15, guide
+    * §2.3): ONE pass over the corpus text computes, per doc, the
+    * funnel's 3-gram hashes + MinHash band keys AND the guard's 5-gram
+    * hashes from a single let-bound token array — the old form
+    * tokenized the text once for the near-dup funnel and again for the
+    * exact n-gram guard (and a third time for the guard's bench side).
+    * The combined projection is materialized exactly as the signature
+    * table alone was; the funnel and both guard sides read the cache.
+    * Gated on the interleaved A/B in [[graft.tools.DiagQc12]]. */
+  private[graft] def clusterDecontaminateShared(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val proj = graft.operators.Dedup.materialized(
+      t.documents.select($"doc_id",
+        letBound(tokens($"text")) { w =>
+          struct(
+            call_function("graft_shingle_hashes", w, lit(5)).as("g5"),
+            call_function("graft_shingle_hashes", w, lit(3)).as("hashes"),
+            letBound(call_function("graft_minhash_signature",
+              shinglesFromTokens(w, 3), lit(16))) { sig =>
+              minhashBands(sig, 4, 4)
+            }.as("bands"))
+        }.as("s"))
+        .select($"doc_id", $"s.g5", $"s.hashes", $"s.bands"),
+      None)
+    val pairs = graft.operators.Dedup.nearDupsMinhashFromSigs(
+        proj.select($"doc_id", $"hashes", $"bands"), threshold = 0.3)
+      .select($"a_id", $"b_id")
+    val clusters = graft.operators.ConnectedComponents
+      .dedupDecisions(t.documents, pairs, "doc_id")
+      .select($"doc_id", $"cluster_id")
+    val hits = graft.operators.Decontaminate
+      .flagFromGrams(proj.select($"doc_id", $"g5"), $"doc_id" % 50 === 0,
+        gramsCol = "g5")
+      .select($"doc_id", $"contaminated".as("self_hit"))
+    val joined = clusters.join(hits, Seq("doc_id")).localCheckpoint()
+    val clusterHit = joined.groupBy($"cluster_id")
+      .agg(max($"self_hit").as("cluster_hit"))
+    joined.join(clusterHit, "cluster_id")
+      .select($"doc_id", $"cluster_id", $"self_hit",
+        $"cluster_hit", (!$"cluster_hit").as("keep"))
+      .orderBy($"doc_id")
+  }
+
   val clusterDecontaminateSql: String =
     """WITH RECURSIVE
       |toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM documents),
@@ -1637,7 +1680,11 @@ object CurationQueries {
     "qt07_length_quantiles"  -> ((s: SparkSession, d: String) => lengthQuantiles(Tables(s, d))),
     "qc01_curation_pipeline" -> ((s: SparkSession, d: String) => curationPipeline(Tables(s, d))),
     "qc02_decontaminate"     -> ((s: SparkSession, d: String) => decontaminate(Tables(s, d))),
-    "qc12_cluster_decontam"  -> ((s: SparkSession, d: String) => clusterDecontaminate(Tables(s, d))),
+    // r15: shared-tokenization form — one corpus text scan feeds the
+    // funnel and both guard sides; DiagQc12 interleaved A/B at sf0.1
+    // (n=5) min 3.32 -> 2.93 s, won 4/5 passes. Oracle-verified
+    // sf0.01 + sf0.1.
+    "qc12_cluster_decontam"  -> ((s: SparkSession, d: String) => clusterDecontaminateShared(Tables(s, d))),
     "qc13_dedup_roi"         -> ((s: SparkSession, d: String) => dedupRoi(Tables(s, d))),
     "qt08_repetition"        -> ((s: SparkSession, d: String) => repetitionStats(Tables(s, d))),
     "qc03_chunking"          -> ((s: SparkSession, d: String) => chunking(Tables(s, d))),
