@@ -55,11 +55,17 @@ object KMeans {
             idCol: String = "vec_id", vecCol: String = "embedding")
       : (DataFrame, DataFrame) = {
     require(k > 0 && iters > 0)
+    // r15: freeze the loop-invariant corpus projection ONCE — the seed
+    // sample, every round's assignment, and the final (lazy) assigned
+    // frame all re-scanned the source table otherwise: iters+2 source
+    // scans collapse to one checkpoint write (guide §2.4). Values are
+    // untouched, so everything downstream is bit-identical.
+    val frozen = corpus.select(col(idCol), col(vecCol)).localCheckpoint()
     var cents = ConnectedComponents.checkpointTruncated(
-      IvfIndex.centroids(corpus, k, idCol, vecCol))
+      IvfIndex.centroids(frozen, k, idCol, vecCol))
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = IvfIndex.assign(corpus, cents, idCol, vecCol)
+      assigned = IvfIndex.assign(frozen, cents, idCol, vecCol)
       cents = ConnectedComponents.checkpointTruncated(update(assigned, vecCol))
     }
     (cents, assigned)
@@ -106,9 +112,14 @@ object KMeans {
         .select(col("subspace"), col("cell"), col("c_vec"),
           norm2(col("c_vec")).as("c_nrm2"),
           lit(null).cast("long").as("n_members")))
-    // one zero-shuffle projection: (id, subspace, sub)
+    // one zero-shuffle projection: (id, subspace, sub) — frozen ONCE
+    // (r15): every round's assignment and the final (lazy) assigned
+    // frame re-scanned and re-exploded the source table otherwise
+    // (guide §2.4); same data volume as the source (slices disjoint
+    // sub-vectors per row), values untouched, so bit-identical.
     val subs = corpus.select(col(idCol),
       posexplode(array(subSlices: _*)).as(Seq("subspace", "sub")))
+      .localCheckpoint()
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       assigned = subs
